@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of distinct whole-stage-codegen'd plans in one JVM exhaust
+  // the default 240m code cache; once full the JIT shuts off and every
+  // later query runs interpreted (~10x slower).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed batch re-expression of the reference's CRUD +
+  * blob-migration surface (reference lambda_fns/order_rdbms_blob.js,
+  * lambda_fns/order.js, README "Target Architecture").
+  *
+  * The reference serves one row per Lambda invocation; at 100 TB the
+  * same semantics become set-oriented operators: point lookups are
+  * pushed-down scans, pagination is keyset-based, DELETE/UPDATE/INSERT
+  * become anti-join / union merges over immutable columnar storage,
+  * and the migration itself (blob → object store + pointer rewrite)
+  * is a single shuffle-free distributed pass.
+  */
+object Migration {
+
+  /** SELECT COUNT(key) — order_rdbms_blob.js:449 */
+  def countRecords(df: DataFrame, key: String): DataFrame =
+    df.agg(count(col(key)).as("n"))
+
+  /** ORDER BY key LIMIT/OFFSET pagination — order_rdbms_blob.js:474.
+    * OFFSET pagination is demoed for oracle parity; at scale use
+    * [[pageAfter]] (keyset pagination: no global skip-scan).
+    */
+  def pageOffset(df: DataFrame, key: String, cols: Seq[String],
+      limit: Int, offset: Int): DataFrame =
+    df.orderBy(col(key)).select(cols.map(col): _*)
+      .offset(offset).limit(limit)
+
+  /** Keyset pagination: WHERE key > last ORDER BY key LIMIT n.
+    * O(page) at any depth — the 100 TB-safe form of a2_page. */
+  def pageAfter(df: DataFrame, key: String, cols: Seq[String],
+      after: Long, limit: Int): DataFrame =
+    df.filter(col(key) > after).orderBy(col(key))
+      .select(cols.map(col): _*).limit(limit)
+
+  /** Point lookup by primary key — order_rdbms_blob.js:503. The
+    * predicate reaches the parquet scan (PushedFilters) so only
+    * matching row groups are read. */
+  def pointLookup(df: DataFrame, key: String, value: Long): DataFrame =
+    df.filter(col(key) === value)
+
+  /** Blob fetch by key — order_rdbms_blob.js:530 — returning transport
+    * metadata (size + content hash) rather than shipping bytes to the
+    * driver. */
+  def blobFetch(df: DataFrame, key: String, blob: String, value: Long): DataFrame =
+    df.filter(col(key) === value)
+      .select(col(key), octet_length(col(blob)).as("nbytes"),
+        md5(col(blob).cast("binary")).as("blob_md5"))
+
+  /** Blob externalization — the reference's core migration (README
+    * target arch): derive the deterministic object key
+    * `blobs/<source>/<id>/<md5>` each blob will live under, and emit
+    * the pointer-table row. Pure per-row projection: no shuffle at
+    * any scale. Pair with [[graft.sources.BlobSink]] to actually write
+    * the objects. */
+  def externalize(df: DataFrame, key: Column, source: Column, blob: Column): DataFrame =
+    df.select(
+      key.as("record_id"), source.as("source"),
+      concat_ws("/", lit("blobs"), source, key, md5(blob.cast("binary"))).as("s3_prefix"),
+      octet_length(blob).as("nbytes"))
+
+  /** Batch DELETE — order_rdbms_blob.js:557 — as an anti-join against
+    * the tombstone key set (shuffles only keys, never payloads). */
+  def deleteWhere(df: DataFrame, key: String, tombstones: DataFrame,
+      tombKey: String): DataFrame =
+    df.join(tombstones, col(key) === col(tombKey), "left_anti")
+
+  /** Batch UPSERT (INSERT + UPDATE, order_rdbms_blob.js:574/591):
+    * updates win over base rows; inserts union in. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val winners = updates
+    val keepers = base.join(updates.select(col(key).as("__uk")),
+      col(key) === col("__uk"), "left_anti")
+    keepers.unionByName(winners)
+  }
+
+  /** Migration validation: bucketed counts + engine-agnostic
+    * checksums (md5-derived, identical in any engine), comparable
+    * between source and target sides. */
+  def validate(df: DataFrame, key: String, payload: String, buckets: Int): DataFrame =
+    df.groupBy((col(key) % buckets).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col(payload))).as("sum_bytes"),
+        min(col(key)).as("min_id"), max(col(key)).as("max_id"),
+        sum(expr(s"instr('0123456789abcdef', substr(md5(cast($payload as binary)), 1, 1)) - 1"))
+          .as("checksum"))
+
+  /** Migration manifest: per-prefix object inventory. */
+  def manifest(externalized: DataFrame): DataFrame =
+    externalized.groupBy("source")
+      .agg(count(lit(1)).as("n_objects"), sum("nbytes").as("total_bytes"))
+}

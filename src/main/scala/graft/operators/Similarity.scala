@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over embedding columns (SURVEY §2 C):
+  * brute-force cosine top-k as the correctness baseline and a
+  * sign-LSH (axis hyperplane) bucketed variant as the scale path.
+  *
+  * Scale posture: cosine math is pure column expressions
+  * (codegen'd); probe sets broadcast; the LSH variant turns the
+  * |Q|×|C| cross product into Σ per-bucket joins that shuffle on the
+  * bucket key — linear in corpus size for fixed bucket occupancy.
+  */
+object Similarity {
+
+  /** elementwise double-cast dot product, sequential fold (exact
+    * left-to-right order — engine-reproducible) */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine, rounded to 6dp decimal so ulp-level engine divergence in
+    * the reduction cannot change the output or a threshold decision */
+  def cos6(dotCol: Column, n1: Column, n2: Column): Column =
+    round(dotCol / (n1 * n2), 6).cast(DecimalType(18, 6))
+
+  /** 8-bit sign-LSH bucket from the first 8 dims (axis-aligned
+    * hyperplanes) */
+  def signBucket(emb: Column): Column =
+    (0 until 8).map(i =>
+      when(element_at(emb, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private def withNorm(vectors: DataFrame, id: String, emb: String): DataFrame =
+    vectors.select(col("*"), norm(col(emb)).as("nrm"))
+
+  /** Brute-force cosine top-k: every probe scored against the full
+    * corpus (the exact baseline ANN variants are judged against). */
+  def bruteKnn(vectors: DataFrame, id: String, emb: String,
+      probePred: Column, k: Int): DataFrame = {
+    val v = withNorm(vectors, id, emb)
+    val probes = broadcast(v.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe"), col("nrm").as("pn")))
+    val scored = probes.join(v, col(id) =!= col("probe_id"))
+      .select(col("probe_id"), col(id).as("neighbor_id"),
+        cos6(dot(col("pe"), col(emb)), col("pn"), col("nrm")).as("cos6"))
+    topK(scored, k)
+  }
+
+  /** Sign-LSH ANN: probes only meet corpus vectors in their own
+    * hyperplane bucket. */
+  def lshKnn(vectors: DataFrame, id: String, emb: String,
+      probePred: Column, k: Int): DataFrame = {
+    val v = withNorm(vectors, id, emb).withColumn("bucket", signBucket(col(emb)))
+    val probes = broadcast(v.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe"),
+        col("nrm").as("pn"), col("bucket")))
+    val scored = probes.join(v, Seq("bucket"))
+      .filter(col(id) =!= col("probe_id"))
+      .select(col("probe_id"), col(id).as("neighbor_id"),
+        cos6(dot(col("pe"), col(emb)), col("pn"), col("nrm")).as("cos6"))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos6").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("probe_id", "rn", "neighbor_id", "cos6")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a join predicate
+    * (label partition / sign bucket) to avoid the all-pairs product. */
+  def nearDupPairs(vectors: DataFrame, id: String, emb: String,
+      blockCol: Column, threshold: Double): DataFrame = {
+    val v = withNorm(vectors, id, emb).withColumn("blk", blockCol)
+    val a = v.select(col(id).as("v1"), col(emb).as("e1"),
+      col("nrm").as("n1"), col("blk"))
+    val b = v.select(col(id).as("v2"), col(emb).as("e2"),
+      col("nrm").as("n2"), col("blk"))
+    a.join(b, Seq("blk")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        cos6(dot(col("e1"), col("e2")), col("n1"), col("n2")).as("cos6"))
+      .filter(col("cos6") >= threshold)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (SURVEY §2 C): language-ID, quality scoring, token counting,
+  * fingerprinting. All pure column expressions (whole-stage
+  * codegen'd, no UDFs) — at 100 TB these run scan-local with zero
+  * shuffle except the langid lexicon broadcast join.
+  */
+object TextAnalysis {
+
+  /** tiny function-word lexicon for n-gram/stopword language ID */
+  val lexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "and" -> "en", "of" -> "en", "to" -> "en",
+    "el" -> "es", "la" -> "es", "de" -> "es", "que" -> "es", "y" -> "es",
+    "der" -> "de", "die" -> "de", "und" -> "de", "ist" -> "de", "das" -> "de",
+    "le" -> "fr", "les" -> "fr", "et" -> "fr", "des" -> "fr", "un" -> "fr",
+    "shi" -> "zh", "bu" -> "zh", "wo" -> "zh", "ni" -> "zh", "ta" -> "zh")
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Language ID: explode tokens, broadcast-join the lexicon, argmax
+    * votes per doc (ties broken by language code). Docs with no
+    * lexicon hit → "und". */
+  def langId(docs: DataFrame, id: String, text: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.toDF("w", "lex_lang"))
+    val toks = docs.select(col(id), explode(tokens(col(text))).as("w"))
+    val scored = toks.join(lex, "w").groupBy(col(id), col("lex_lang"))
+      .agg(count(lit(1)).as("score"))
+    val best = scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+          .orderBy(col("score").desc, col("lex_lang"))))
+      .filter(col("rn") === 1).drop("rn")
+    docs.select(col(id)).join(best, Seq(id), "left_outer")
+      .select(col(id), coalesce(col("lex_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Quality features: token count, stopword ratio, mean word length,
+    * composite score — all exact rational arithmetic (engine-stable). */
+  def quality(docs: DataFrame, id: String, text: String): DataFrame = {
+    val nTok = size(tokens(col(text))).cast("long")
+    val stopPred = stopwords.map(w => s"w = '$w'").mkString(" OR ")
+    val stopCnt =
+      expr(s"cast(size(filter(split(lower($text), ' '), w -> $stopPred)) as long)")
+    docs.select(col(id), nTok.as("n_tok"), stopCnt.as("stop_cnt"),
+        octet_length(col(text)).as("nbytes"))
+      .select(col(id), col("n_tok"), col("stop_cnt"),
+        round((col("nbytes") - col("n_tok") + 1) * 1.0 / col("n_tok"), 4)
+          .cast(DecimalType(18, 4)).as("avg_wlen"),
+        round(col("stop_cnt") * 1.0 / col("n_tok"), 4)
+          .cast(DecimalType(18, 4)).as("stop_ratio"),
+        round(least(lit(1.0), col("n_tok") / 100.0) * 0.5 +
+          (col("stop_cnt") * 1.0 / col("n_tok")) * 0.5, 4)
+          .cast(DecimalType(18, 4)).as("score"))
+  }
+
+  /** Token counting: whitespace tokens, a bytes/4 estimate, and a
+    * BPE-ish estimate (long words count double). */
+  def tokenCount(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      size(tokens(col(text))).cast("long").as("ws_tokens"),
+      ceil(octet_length(col(text)) / 4.0).cast("long").as("char_est"),
+      (size(tokens(col(text))) +
+        expr(s"size(filter(split(lower($text), ' '), w -> length(w) > 6))"))
+        .cast("long").as("bpe_est"))
+      .withColumn("tok_est", greatest(col("ws_tokens"), col("char_est")))
+
+  /** Document fingerprint: md5 of the casefolded, punctuation-stripped,
+    * space-collapsed canonical form. */
+  def fingerprint(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      md5(trim(regexp_replace(regexp_replace(lower(col(text)),
+        "[^a-z0-9 ]", ""), " +", " ")).cast("binary")).as("fp"))
+}

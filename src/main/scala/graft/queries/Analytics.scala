@@ -1,0 +1,379 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core analytics surface (SURVEY §2 B).
+  *
+  * Engine-parity rules (SURVEY §5): money aggregates are
+  * `round(sum(double), 2) :: decimal(18,2)` (double sums agree to
+  * ~1e-8 across engines/partition orders; the 2dp grid absorbs it);
+  * ratios/avgs round to 4dp; timestamps are only ever floored to
+  * epoch seconds (ns-vs-µs parquet precision differs across
+  * engines); every query is deterministically ordered with unique
+  * tie-breaks; LIMIT only under full ORDER BY.
+  */
+object Analytics {
+
+  /** round-to-2dp money decimal — bit-stable across engines */
+  def money(c: Column): Column = round(c, 2).cast(DecimalType(18, 2))
+  def ratio4(c: Column): Column = round(c, 4).cast(DecimalType(18, 4))
+  /** epoch seconds (floor) from the events table's nanosecond LONG
+    * `ts` — integer division (double math would lose precision above
+    * 2^53 ns) */
+  val tsSec: Column = expr("ts div 1000000000")
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // ---- q1: scan-filter-group-agg (TPC-H Q1 shape) --------------------
+  val q1 = Q("q1_agg", Some("""
+    SELECT l_returnflag, l_linestatus,
+      CAST(round(sum(l_quantity),2) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(round(sum(l_extendedprice),2) AS DECIMAL(18,2)) AS sum_base,
+      CAST(round(sum(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS sum_disc,
+      CAST(round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS DECIMAL(18,2)) AS sum_charge,
+      CAST(round(avg(l_quantity),4) AS DECIMAL(18,4)) AS avg_qty,
+      CAST(round(avg(l_extendedprice),4) AS DECIMAL(18,4)) AS avg_price,
+      count(*) AS n
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus""")) { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") < lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        money(sum("l_quantity")).as("sum_qty"),
+        money(sum("l_extendedprice")).as("sum_base"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        ratio4(avg("l_quantity")).as("avg_qty"),
+        ratio4(avg("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---- q2: broadcast dim joins ---------------------------------------
+  val q2 = Q("q2_join_broadcast", Some("""
+    SELECT r_name, n_name, count(*) AS n_cust,
+      CAST(round(sum(c_acctbal),2) AS DECIMAL(18,2)) AS acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name""")) { (s, d) =>
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), money(sum("c_acctbal")).as("acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ---- q3: join + agg + global top-k ---------------------------------
+  val q3 = Q("q3_topk", Some("""
+    SELECT l_orderkey,
+      CAST(round(sum(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue,
+      CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10""")) { (s, d) =>
+    t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"),
+        col("o_orderpriority"))
+      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  // ---- q4: EXISTS / left-semi ----------------------------------------
+  val q4 = Q("q4_semijoin", Some("""
+    SELECT o_orderpriority, count(*) AS n,
+      CAST(round(sum(o_totalprice),2) AS DECIMAL(18,2)) AS total
+    FROM orders WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
+    t(s, d, "orders")
+      .join(t(s, d, "lineitem").filter(col("l_quantity") >= 48),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), money(sum("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---- q5: 5-way join (TPC-H Q5 shape: revenue by supplier nation) ---
+  val q5 = Q("q5_multijoin", Some("""
+    SELECT n_name,
+      CAST(round(sum(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue,
+      count(*) AS n
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name""")) { (s, d) =>
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ---- q6: selective pushdown scan agg (TPC-H Q6 shape) --------------
+  val q6 = Q("q6_filter", Some("""
+    SELECT CAST(round(sum(l_extendedprice*l_discount),2) AS DECIMAL(18,2)) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")) { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(money(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  // ---- q7: window row_number per partition ---------------------------
+  val q7 = Q("q7_window", Some("""
+    SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""")) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---- q8: ROLLUP grouping sets --------------------------------------
+  val q8 = Q("q8_rollup", Some("""
+    SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+      count(*) AS n, CAST(round(sum(l_quantity),2) AS DECIMAL(18,2)) AS qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY flag, status""")) { (s, d) =>
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), money(sum("l_quantity")).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"), col("qty"))
+      .orderBy("flag", "status")
+  }
+
+  // ---- q9: NOT EXISTS / left-anti ------------------------------------
+  val q9 = Q("q9_antijoin", Some("""
+    SELECT c_mktsegment, count(*) AS n FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment""")) { (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---- q10: exact distinct counts ------------------------------------
+  val q10 = Q("q10_distinct", Some("""
+    SELECT count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders, count(*) AS n
+    FROM lineitem""")) { (s, d) =>
+    t(s, d, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      count(lit(1)).as("n"))
+  }
+
+  // ---- q11: HAVING on aggregate --------------------------------------
+  val q11 = Q("q11_having", Some("""
+    SELECT o_custkey, count(*) AS n,
+      CAST(round(sum(o_totalprice),2) AS DECIMAL(18,2)) AS total
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 3 ORDER BY o_custkey""")) { (s, d) =>
+    t(s, d, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), money(sum("o_totalprice")).as("total"))
+      .filter(col("n") >= 3)
+      .orderBy("o_custkey")
+  }
+
+  // ---- q12: conditional aggregation (CASE WHEN in sum) ---------------
+  val q12 = Q("q12_casewhen", Some("""
+    SELECT l_returnflag,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_n,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1).otherwise(0)).as("high_n"),
+        sum(when(high, 0).otherwise(1)).as("low_n"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- q13: left outer join distribution (TPC-H Q13 shape) -----------
+  val q13 = Q("q13_outerjoin", Some("""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")) { (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // ---- q14: scalar-subquery threshold (TPC-H Q17 shape) --------------
+  // quantities are integer-valued → per-part avg is exact in double,
+  // so the 0.5*avg comparison is engine-stable.
+  val q14 = Q("q14_subquery", Some("""
+    SELECT CAST(round(sum(l.l_extendedprice)/7.0, 2) AS DECIMAL(18,2)) AS avg_yearly,
+           count(*) AS n
+    FROM lineitem l JOIN (
+      SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+    ) a ON l.l_partkey = a.pk
+    WHERE l.l_quantity < 0.5 * a.aq""")) { (s, d) =>
+    val li = t(s, d, "lineitem")
+    val a = li.groupBy(col("l_partkey").as("pk")).agg(avg("l_quantity").as("aq"))
+    li.join(broadcast(a), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("aq"))
+      .agg(money(sum("l_extendedprice") / 7.0).as("avg_yearly"), count(lit(1)).as("n"))
+  }
+
+  // ---- q15: UNION ALL + agg ------------------------------------------
+  val q15 = Q("q15_union", Some("""
+    SELECT kind, count(*) AS n, CAST(round(sum(bal),2) AS DECIMAL(18,2)) AS total
+    FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+          UNION ALL
+          SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier)
+    GROUP BY kind ORDER BY kind""")) { (s, d) =>
+    val c = t(s, d, "customer").select(lit("customer").as("kind"), col("c_acctbal").as("bal"))
+    val su = t(s, d, "supplier").select(lit("supplier").as("kind"), col("s_acctbal").as("bal"))
+    c.unionAll(su).groupBy("kind")
+      .agg(count(lit(1)).as("n"), money(sum("bal")).as("total"))
+      .orderBy("kind")
+  }
+
+  // ---- q16: sessionization (30-min gap) via lag + cumulative sum -----
+  val q16 = Q("q16_sessionize", Some("""
+    WITH e AS (SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    g AS (SELECT user_id, event_id, sec,
+            CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+                 THEN 1
+                 WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_s FROM e),
+    s AS (SELECT user_id, event_id, sec,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+    SELECT user_id, sid, count(*) AS n_events,
+           min(sec) AS start_s, max(sec) AS end_s, max(sec)-min(sec) AS dur_s
+    FROM s GROUP BY user_id, sid ORDER BY user_id, sid""")) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), tsSec.as("sec"))
+      .withColumn("prev", lag("sec", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min("sec").as("start_s"),
+        max("sec").as("end_s"), (max("sec") - min("sec")).as("dur_s"))
+      .orderBy("user_id", "sid")
+  }
+
+  // ---- q17: pivot event_type → columns (conditional agg) -------------
+  val q17 = Q("q17_pivot", Some("""
+    SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+      count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+      count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+      CAST(round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'),0),2) AS DECIMAL(18,2)) AS v_purchase,
+      CAST(round(coalesce(sum(value) FILTER (WHERE event_type = 'signup'),0),2) AS DECIMAL(18,2)) AS v_signup
+    FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
+    val e = t(s, d, "events")
+    def cnt(tp: String) = count(when(col("event_type") === tp, 1))
+    def vsum(tp: String) =
+      money(coalesce(sum(when(col("event_type") === tp, col("value"))), lit(0)))
+    e.groupBy("user_id")
+      .agg(cnt("click").as("n_click"), cnt("view").as("n_view"),
+        cnt("error").as("n_error"), vsum("purchase").as("v_purchase"),
+        vsum("signup").as("v_signup"))
+      .orderBy("user_id")
+  }
+
+  // ---- q18: time-bucketed aggregation --------------------------------
+  val q18 = Q("q18_timeagg", Some("""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value FROM events)
+    SELECT sec - sec % 3600 AS hour_s, event_type, count(*) AS n,
+      CAST(round(sum(value),2) AS DECIMAL(18,2)) AS total
+    FROM e GROUP BY hour_s, event_type ORDER BY hour_s, event_type""")) { (s, d) =>
+    t(s, d, "events")
+      .select(tsSec.as("sec"), col("event_type"), col("value"))
+      .withColumn("hour_s", col("sec") - col("sec") % 3600)
+      .groupBy("hour_s", "event_type")
+      .agg(count(lit(1)).as("n"), money(sum("value")).as("total"))
+      .orderBy("hour_s", "event_type")
+  }
+
+  // ---- q19: running/cumulative window sum ----------------------------
+  val q19 = Q("q19_running", Some("""
+    WITH e AS (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+    SELECT user_id, event_id,
+      CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS UNBOUNDED PRECEDING),2) AS DECIMAL(18,2)) AS run_total
+    FROM e ORDER BY user_id, event_id""")) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("value"), tsSec.as("sec"))
+      .select(col("user_id"), col("event_id"), money(sum("value").over(w)).as("run_total"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---- q20: JSON extraction + agg ------------------------------------
+  val q20 = Q("q20_json", Some("""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+      count(*) AS n, CAST(round(sum(value),2) AS DECIMAL(18,2)) AS total
+    FROM events GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
+    t(s, d, "events")
+      .withColumn("bucket", get_json_object(col("props"), "$.k").cast("long") % 10)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), money(sum("value")).as("total"))
+      .orderBy("bucket")
+  }
+
+  val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}

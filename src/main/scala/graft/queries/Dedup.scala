@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{Dedup => D}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SURVEY §2 C — near-dup detection: MinHash+LSH, SimHash, n-gram
+  * Jaccard. Oracle SQL is generated from the same K/BANDS constants
+  * the Spark operators use, so the two can never drift. */
+object Dedup {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // duckdb shingle CTE shared by d2/d4 (word 3-grams, 1-based lists)
+  private val tokCte =
+    "tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents)"
+  private val shingleExpr =
+    "list_transform(range(1, greatest(len(tk) - 1, 2)), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])"
+
+  private val minExprs = (0 until D.K)
+    .map(k => s"min(md5('$k:' || s)) AS h$k").mkString(", ")
+  private val bandCase = (0 until D.BANDS).map { j =>
+    val r = D.K / D.BANDS
+    val parts = (0 until r).map(i => s"h${j * r + i}").mkString(" || '|' || ")
+    s"WHEN $j THEN md5($parts)"
+  }.mkString(" ")
+
+  val d2 = Q("d2_dedup_minhash", Some(s"""
+    WITH $tokCte,
+    sh AS (SELECT doc_id, unnest($shingleExpr) AS s FROM tok),
+    mh AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, j, CASE j $bandCase END AS b
+              FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) v(j))
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
+    FROM bands a JOIN bands b ON a.j = b.j AND a.b = b.b AND a.doc_id < b.doc_id
+    GROUP BY d1, d2 ORDER BY d1, d2""")) { (s, d) =>
+    D.minhashCandidates(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("d1", "d2")
+  }
+
+  private val digitExprs = (0 until 8)
+    .map(i => s"instr('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1 AS d$i")
+    .mkString(", ")
+  private val sumExprs = (0 until 32)
+    .map(b => s"sum(((d${b / 4} // ${1 << (b % 4)}) % 2) * 2 - 1) AS s$b")
+    .mkString(", ")
+  private val sigExpr = (0 until 32)
+    .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+    .mkString(" + ")
+
+  val d3 = Q("d3_dedup_simhash", Some(s"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dg AS (SELECT doc_id, $digitExprs FROM tok),
+    sm AS (SELECT doc_id, $sumExprs FROM dg GROUP BY doc_id)
+    SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM sm ORDER BY doc_id""")) { (s, d) =>
+    D.simhash(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  val d4 = Q("d4_ngram_jaccard", Some(s"""
+    WITH $tokCte,
+    base AS (SELECT doc_id, n_chars AS nc,
+               list_distinct($shingleExpr) AS sh,
+               CAST(floor(n_chars / 8) AS BIGINT) AS k FROM tok),
+    rhs AS (SELECT doc_id AS d2, nc AS nc2, sh AS sh2,
+              unnest([k - 1, k, k + 1]) AS k FROM base),
+    pairs AS (SELECT a.doc_id AS d1, rhs.d2,
+        CAST(round(len(list_intersect(a.sh, rhs.sh2)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, rhs.sh2))), 4) AS DECIMAL(18,4)) AS jacc
+      FROM base a JOIN rhs ON a.k = rhs.k AND a.doc_id < rhs.d2
+        AND abs(a.nc - rhs.nc2) <= 8)
+    SELECT d1, d2, jacc FROM pairs WHERE jacc >= 0.5 ORDER BY d1, d2""")) { (s, d) =>
+    D.ngramJaccard(t(s, d, "documents"), "doc_id", "text", "n_chars", 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  val qs: Seq[Q] = Seq(d2, d3, d4)
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 C — embedding similarity: brute-force top-k baseline,
+  * sign-LSH bucketed ANN, and label-partitioned (IVF-style) near-dup
+  * pair mining. Cosines are rounded to 6dp decimals in both engines
+  * before any threshold/rank decision. */
+object Embed {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // duckdb helpers: norm per vector; dot via correlated range lambda
+  // (sequential left-to-right double accumulation, same fold order as
+  // the Spark `aggregate` expression)
+  private val normCte =
+    """v AS (SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       FROM embeddings)"""
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+  private def cos6Sql(a: String, b: String) =
+    s"CAST(round(${dotSql(a, b)} / ($a.nrm * $b.nrm), 6) AS DECIMAL(18,6))"
+  private val bucketSql = (0 until 8)
+    .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  val d5 = Q("d5_embed_neardup", Some(s"""
+    WITH $normCte,
+    p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, ${cos6Sql("a", "b")} AS cos6
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT v1, v2, cos6 FROM p WHERE cos6 >= 0.4 ORDER BY v1, v2""")) { (s, d) =>
+    Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+      col("label"), 0.4)
+      .orderBy("v1", "v2")
+  }
+
+  val s1 = Q("s1_knn_brute", Some(s"""
+    WITH $normCte,
+    pr AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id % 17 = 0),
+    sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             ${cos6Sql("a", "b")} AS cos6
+           FROM pr a JOIN v b ON b.vec_id <> a.vec_id),
+    r AS (SELECT probe_id, neighbor_id, cos6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, cos6 FROM r WHERE rn <= 5
+    ORDER BY probe_id, rn""")) { (s, d) =>
+    Similarity.bruteKnn(t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 17 === 0, 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  val s2 = Q("s2_knn_lsh", Some(s"""
+    WITH $normCte,
+    vb AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM v),
+    pr AS (SELECT vec_id, embedding, nrm, bucket FROM vb WHERE vec_id % 17 = 0),
+    sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             ${cos6Sql("a", "b")} AS cos6
+           FROM pr a JOIN vb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+    r AS (SELECT probe_id, neighbor_id, cos6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, cos6 FROM r WHERE rn <= 5
+    ORDER BY probe_id, rn""")) { (s, d) =>
+    Similarity.lshKnn(t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 17 === 0, 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  val qs: Seq[Q] = Seq(d5, s1, s2)
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 C — text analysis + exact dedup + multimodal metadata. */
+object Text {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private val lexValues = TextAnalysis.lexicon
+    .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
+  private val stopPred = TextAnalysis.stopwords
+    .map(w => s"w = '$w'").mkString(" OR ")
+
+  val t1 = Q("t1_langid", Some(s"""
+    WITH lex(w, lex_lang) AS (VALUES $lexValues),
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    sc AS (SELECT doc_id, lex_lang, count(*) AS score
+           FROM tok JOIN lex USING (w) GROUP BY doc_id, lex_lang),
+    pick AS (SELECT doc_id, lex_lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lex_lang) AS rn FROM sc)
+    SELECT d.doc_id, coalesce(p.lex_lang, 'und') AS pred_lang,
+           coalesce(p.score, 0) AS score
+    FROM documents d LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p USING (doc_id)
+    ORDER BY d.doc_id""")) { (s, d) =>
+    TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  val t2 = Q("t2_quality", Some(s"""
+    WITH f AS (SELECT doc_id,
+      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      CAST(len(list_filter(string_split(lower(text), ' '), w -> $stopPred)) AS BIGINT) AS stop_cnt,
+      strlen(text) AS nbytes FROM documents)
+    SELECT doc_id, n_tok, stop_cnt,
+      CAST(round((nbytes - n_tok + 1) * 1.0 / n_tok, 4) AS DECIMAL(18,4)) AS avg_wlen,
+      CAST(round(stop_cnt * 1.0 / n_tok, 4) AS DECIMAL(18,4)) AS stop_ratio,
+      CAST(round(least(1.0, n_tok / 100.0) * 0.5 +
+                 (stop_cnt * 1.0 / n_tok) * 0.5, 4) AS DECIMAL(18,4)) AS score
+    FROM f ORDER BY doc_id""")) { (s, d) =>
+    TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  val t3 = Q("t3_tokcount", Some("""
+    SELECT doc_id,
+      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+      CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS char_est,
+      CAST(len(string_split(lower(text), ' ')) +
+           len(list_filter(string_split(lower(text), ' '), w -> length(w) > 6)) AS BIGINT) AS bpe_est,
+      greatest(CAST(len(string_split(lower(text), ' ')) AS BIGINT),
+               CAST(ceil(strlen(text) / 4.0) AS BIGINT)) AS tok_est
+    FROM documents ORDER BY doc_id""")) { (s, d) =>
+    TextAnalysis.tokenCount(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  val t4 = Q("t4_fingerprint", Some("""
+    SELECT doc_id,
+      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id""")) { (s, d) =>
+    TextAnalysis.fingerprint(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  val d1 = Q("d1_dedup_exact", Some("""
+    SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+    FROM documents GROUP BY h ORDER BY keeper""")) { (s, d) =>
+    graft.operators.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("keeper")
+  }
+
+  val m1 = Q("m1_blob_meta", Some("""
+    SELECT doc_id, strlen(text) AS nbytes, md5(text) AS h,
+      CASE WHEN substr(text, 1, 4) = 'the ' THEN 'hdr-the'
+           WHEN substr(text, 1, 1) BETWEEN 'a' AND 'm' THEN 'lo' ELSE 'hi' END AS kind
+    FROM documents ORDER BY doc_id""")) { (s, d) =>
+    t(s, d, "documents").select(col("doc_id"),
+      octet_length(col("text")).as("nbytes"),
+      md5(col("text").cast("binary")).as("h"),
+      when(substring(col("text"), 1, 4) === "the ", "hdr-the")
+        .when(substring(col("text"), 1, 1).between("a", "m"), "lo")
+        .otherwise("hi").as("kind"))
+      .orderBy("doc_id")
+  }
+
+  val m2 = Q("m2_chunk", Some("""
+    WITH c AS (SELECT doc_id, text,
+      unnest(range(0, CAST(ceil(strlen(text) / 256.0) AS INT))) AS chunk_id
+      FROM documents)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      strlen(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS chunk_bytes
+    FROM c ORDER BY doc_id, chunk_id""")) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          (ceil(octet_length(col("text")) / 256.0) - 1).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr("octet_length(substring(text, chunk_id * 256 + 1, 256))").as("chunk_bytes"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, d1, m1, m2)
+}
