@@ -20,6 +20,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Spark 4.1's async checkpoint-file checksum writer deadlocks
+      // stateful streaming tasks in local mode (all state-store tasks
+      // park in ChecksumCheckpointFileManager.awaitResult); corruption
+      // detection is a cluster concern, not a correctness one here.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors())

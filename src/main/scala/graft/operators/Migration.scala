@@ -93,4 +93,24 @@ object Migration {
   def manifest(externalized: DataFrame): DataFrame =
     externalized.groupBy("source")
       .agg(count(lit(1)).as("n_objects"), sum("nbytes").as("total_bytes"))
+
+  /** The reference's whole purpose as one distributed job: a blob
+    * table (typically a partitioned JDBC read, see
+    * [[graft.sources.Jdbc]]) → blob objects in the store + the
+    * rewritten pointer table (parquet). Single pass over the source:
+    * blobs stream executor-local into the sink; the pointer table is
+    * a shuffle-free projection. Returns (objectsWritten, pointerDf).
+    */
+  def migrate(blobTable: DataFrame, key: Column, source: Column, blob: Column,
+      storeBase: String, pointerOut: String): (Long, DataFrame) = {
+    val staged = blobTable.select(
+      key.as("record_id"), source.as("source"), blob.as("payload"),
+      concat_ws("/", lit("blobs"), source, key,
+        md5(blob.cast("binary"))).as("s3_prefix"),
+      octet_length(blob).as("nbytes"))
+    val written = graft.sources.BlobSink.write(staged, storeBase, "s3_prefix", "payload")
+    val pointers = staged.drop("payload")
+    pointers.write.mode("overwrite").parquet(pointerOut)
+    (written, pointers.sparkSession.read.parquet(pointerOut))
+  }
 }

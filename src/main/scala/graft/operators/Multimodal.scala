@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2 C): images/audio/video are
+  * opaque `binary` columns with typed metadata; decode / feature
+  * extraction runs batched per partition. The real codec is
+  * deliberately a deterministic STUB (`StubDecoder`) — the container
+  * has no image/audio libraries — but everything Spark-side is real:
+  * schema, binary columns, partition-sized batching, executor-local
+  * decode, typed output rows. Swapping `StubDecoder.decode` for a
+  * JNI/javacpp codec changes nothing else.
+  */
+object Multimodal {
+
+  /** typed record for a decoded media asset */
+  case class MediaMeta(record_id: Long, media_type: String, nbytes: Long,
+      width: Int, height: Int, n_frames: Int, checksum: String)
+
+  /** typed record for one extracted frame/sample */
+  case class Frame(record_id: Long, frame_idx: Int, frame_bytes: Int,
+      feature: Array[Float])
+
+  /** Deterministic stand-in for an image/audio codec: derives shape
+    * and features from the bytes' md5, so outputs are stable across
+    * runs/engines. Marked clearly as the swap point for a real codec. */
+  object StubDecoder {
+    def md5Hex(bytes: Array[Byte]): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      d.map("%02x".format(_)).mkString
+    }
+    /** STUB: a real implementation would parse the container format. */
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = {
+      val h = md5Hex(bytes)
+      val w = 16 + Integer.parseInt(h.substring(0, 2), 16) % 240
+      val ht = 16 + Integer.parseInt(h.substring(2, 4), 16) % 240
+      val f = 1 + Integer.parseInt(h.substring(4, 6), 16) % 8
+      (w, ht, f)
+    }
+    /** STUB feature extractor: 8 floats from the digest. */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val h = md5Hex(bytes)
+      (0 until 8).map(i =>
+        Integer.parseInt(h.substring(i * 4, i * 4 + 4), 16) / 65535.0f).toArray
+    }
+  }
+
+  /** Attach a synthetic binary payload column (documents stand in for
+    * media blobs in the test corpus). */
+  def asBinary(df: DataFrame, id: String, payload: String): DataFrame =
+    df.select(col(id).cast("long").as("record_id"),
+      col(payload).cast("binary").as("payload"),
+      lit("application/octet-stream").as("media_type"))
+
+  /** Batched executor-local decode: one `mapPartitions` pass, no
+    * shuffle; output is a typed Dataset. */
+  def decodeMeta(binDf: DataFrame): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    binDf.select("record_id", "payload", "media_type").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val (w, h, f) = StubDecoder.decode(bytes)
+        MediaMeta(r.getAs[Long]("record_id"), r.getAs[String]("media_type"),
+          bytes.length.toLong, w, h, f, StubDecoder.md5Hex(bytes))
+      }
+    }
+  }
+
+  /** Frame/sample extraction: explode each asset into its (stub)
+    * frames with a per-frame feature vector. Partition-local. */
+  def sampleFrames(binDf: DataFrame, stride: Int = 256): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    binDf.select("record_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val id = r.getAs[Long]("record_id")
+        bytes.grouped(stride).zipWithIndex.map { case (chunk, i) =>
+          Frame(id, i, chunk.length, StubDecoder.features(chunk))
+        }
+      }
+    }
+  }
+}

@@ -16,17 +16,22 @@ import org.apache.spark.sql.types.DecimalType
 object Similarity {
 
   /** elementwise double-cast dot product, sequential fold (exact
-    * left-to-right order — engine-reproducible) */
+    * left-to-right order — engine-reproducible). Composable reference
+    * form; the hot path uses the fused native expression below. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine, rounded to 6dp decimal so ulp-level engine divergence in
-    * the reduction cannot change the output or a threshold decision */
-  def cos6(dotCol: Column, n1: Column, n2: Column): Column =
-    round(dotCol / (n1 * n2), 6).cast(DecimalType(18, 6))
+  /** cosine via the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]), rounded to 6dp decimal so
+    * ulp-level engine divergence cannot change the output or a
+    * threshold decision. Accumulation order is identical to the
+    * composable dot/norm form, so oracles hold unchanged. */
+  def cos6(a: Column, b: Column): Column =
+    round(graft.functions.CosineSimilarity.cosine_sim(a, b), 6)
+      .cast(DecimalType(18, 6))
 
   /** 8-bit sign-LSH bucket from the first 8 dims (axis-aligned
     * hyperplanes) */
@@ -35,19 +40,15 @@ object Similarity {
       when(element_at(emb, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  private def withNorm(vectors: DataFrame, id: String, emb: String): DataFrame =
-    vectors.select(col("*"), norm(col(emb)).as("nrm"))
-
   /** Brute-force cosine top-k: every probe scored against the full
     * corpus (the exact baseline ANN variants are judged against). */
   def bruteKnn(vectors: DataFrame, id: String, emb: String,
       probePred: Column, k: Int): DataFrame = {
-    val v = withNorm(vectors, id, emb)
-    val probes = broadcast(v.filter(probePred)
-      .select(col(id).as("probe_id"), col(emb).as("pe"), col("nrm").as("pn")))
-    val scored = probes.join(v, col(id) =!= col("probe_id"))
+    val probes = broadcast(vectors.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe")))
+    val scored = probes.join(vectors, col(id) =!= col("probe_id"))
       .select(col("probe_id"), col(id).as("neighbor_id"),
-        cos6(dot(col("pe"), col(emb)), col("pn"), col("nrm")).as("cos6"))
+        cos6(col("pe"), col(emb)).as("cos6"))
     topK(scored, k)
   }
 
@@ -55,14 +56,13 @@ object Similarity {
     * hyperplane bucket. */
   def lshKnn(vectors: DataFrame, id: String, emb: String,
       probePred: Column, k: Int): DataFrame = {
-    val v = withNorm(vectors, id, emb).withColumn("bucket", signBucket(col(emb)))
+    val v = vectors.withColumn("bucket", signBucket(col(emb)))
     val probes = broadcast(v.filter(probePred)
-      .select(col(id).as("probe_id"), col(emb).as("pe"),
-        col("nrm").as("pn"), col("bucket")))
+      .select(col(id).as("probe_id"), col(emb).as("pe"), col("bucket")))
     val scored = probes.join(v, Seq("bucket"))
       .filter(col(id) =!= col("probe_id"))
       .select(col("probe_id"), col(id).as("neighbor_id"),
-        cos6(dot(col("pe"), col(emb)), col("pn"), col("nrm")).as("cos6"))
+        cos6(col("pe"), col(emb)).as("cos6"))
     topK(scored, k)
   }
 
@@ -77,14 +77,11 @@ object Similarity {
     * (label partition / sign bucket) to avoid the all-pairs product. */
   def nearDupPairs(vectors: DataFrame, id: String, emb: String,
       blockCol: Column, threshold: Double): DataFrame = {
-    val v = withNorm(vectors, id, emb).withColumn("blk", blockCol)
-    val a = v.select(col(id).as("v1"), col(emb).as("e1"),
-      col("nrm").as("n1"), col("blk"))
-    val b = v.select(col(id).as("v2"), col(emb).as("e2"),
-      col("nrm").as("n2"), col("blk"))
+    val v = vectors.withColumn("blk", blockCol)
+    val a = v.select(col(id).as("v1"), col(emb).as("e1"), col("blk"))
+    val b = v.select(col(id).as("v2"), col(emb).as("e2"), col("blk"))
     a.join(b, Seq("blk")).filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        cos6(dot(col("e1"), col("e2")), col("n1"), col("n2")).as("cos6"))
+      .select(col("v1"), col("v2"), cos6(col("e1"), col("e2")).as("cos6"))
       .filter(col("cos6") >= threshold)
   }
 }

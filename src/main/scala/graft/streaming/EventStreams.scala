@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * (SURVEY §2 D). Batch q16/q18 are the oracle-checked equivalents;
+  * these run the same semantics incrementally with watermarked state.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(sid: Long, lastSec: Long, nEvents: Long, startSec: Long)
+
+  case class SessionOut(user_id: Long, sid: Long, n_events: Long,
+      start_s: Long, end_s: Long)
+
+  /** Watermarked sliding-window aggregation (streaming q18). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Streaming exact dedup within the watermark horizon (streaming
+    * d1: drop replayed events by id). */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
+
+  /** Stateful sessionization with a 30-minute gap, as
+    * flatMapGroupsWithState custom state (streaming q16). Emits a
+    * session row each time a gap closes it; an event-time timeout
+    * (watermark-driven, deterministic) flushes tail sessions once the
+    * watermark passes session-end + gap.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sid, s.nEvents, s.startSec, s.lastSec))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.lastSec <= 1800 =>
+                  cur = Some(s.copy(lastSec = sec, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sid, s.nEvents, s.startSec, s.lastSec)
+                  cur = Some(SessionState(s.sid + 1, sec, 1, sec))
+                case None =>
+                  cur = Some(SessionState(1, sec, 1, sec))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(s.lastSec * 1000L + 1800 * 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+}

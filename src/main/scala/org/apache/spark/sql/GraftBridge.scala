@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters so graft
+  * can expose native Catalyst expressions as user-facing Columns
+  * (the supported extension-point pattern; Spark 4 moved the classic
+  * converters behind `org.apache.spark.sql.classic`). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

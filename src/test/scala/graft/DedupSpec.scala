@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Dedup => D}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+
+  test("minhash LSH candidates catch the true high-jaccard near-dups") {
+    val truth = D.ngramJaccard(docs, "doc_id", "text", "n_chars", 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test corpus should contain seeded near-dups")
+    val cands = D.minhashCandidates(docs, "doc_id", "text")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught = truth.intersect(cands)
+    // LSH with 4 bands of 4 catches ~99% at j>=0.9
+    assert(caught.size >= (truth.size * 0.9).toInt,
+      s"LSH caught ${caught.size}/${truth.size}")
+  }
+
+  test("simhash signatures of near-dups are hamming-close") {
+    val sig = D.simhash(docs, "doc_id", "text")
+    val pairs = D.ngramJaccard(docs, "doc_id", "text", "n_chars", 0.9)
+    val s1 = sig.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val s2 = sig.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    val ham = pairs.join(s1, "d1").join(s2, "d2")
+      .select(bit_count(expr("sig1 ^ sig2")).as("hd"))
+      .agg(avg("hd")).collect().head.getDouble(0)
+    assert(ham < 8.0, s"avg hamming distance of near-dups was $ham / 32")
+  }
+
+  test("exact dedup groups are singletons in a dup-free corpus") {
+    val d = D.exact(docs, "doc_id", "text")
+    assert(d.count() == docs.count())
+    assert(d.agg(max("n")).collect().head.getLong(0) == 1L)
+  }
+
+  test("exact dedup collapses true duplicates") {
+    val dup = docs.limit(5).unionAll(docs.limit(5))
+    val d = D.exact(dup, "doc_id", "text")
+    assert(d.count() == 5)
+    assert(d.agg(max("n")).collect().head.getLong(0) == 2L)
+  }
+}

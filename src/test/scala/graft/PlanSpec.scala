@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-posture assertions on physical plans: broadcasts where
+  * intended, filter/column pushdown reaching the parquet scan
+  * (SURVEY §4). A plan regression here is a 100 TB regression even
+  * when sf0.001 results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("q2 dim joins are broadcast, not shuffled") {
+    val p = plan("q2_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q6 predicate reaches the parquet scan") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("l_shipdate"))
+    // pruned read: only the 4 needed columns in ReadSchema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"))
+  }
+
+  test("a4 projection prunes the blob column from the scan") {
+    val p = plan("a4_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), "blob column must not be scanned")
+  }
+
+  test("a3 point lookup pushes the key predicate") {
+    val p = plan("a3_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]") ||
+      p.contains("EqualTo(o_orderkey,42)"))
+  }
+
+  test("s1 probes are broadcast (no shuffle of the corpus)") {
+    val p = plan("s1_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q1 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial + final aggregate")
+  }
+
+  test("native cosine participates in whole-stage codegen") {
+    val df = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.sf)
+    df.collect() // materialise the AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cosinesimilarity"))
+    // codegen stages render as "*(n)" markers in the final plan
+    assert(p.contains("*("), "expected whole-stage codegen stages")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int) =
+    new java.sql.Timestamp(1704067200000L + minute * 60000L) // 2024-01-01 UTC
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("watermarked windowed aggregation matches batch totals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 5.0), Event(4, ts(80), 2, "click", 3.0))
+    runToMemory(EventStreams.windowedAgg(in.toDF()), "win", OutputMode.Complete)
+    val rows = spark.sql(
+      "SELECT event_type, sum(n) n, sum(total) t FROM win GROUP BY 1 ORDER BY 1")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("click", 3L, 6.0), ("view", 1L, 5.0)))
+  }
+
+  test("streaming dedup drops replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "view", 2.0))
+    runToMemory(EventStreams.dedup(in.toDF()), "dd", OutputMode.Append)
+    assert(spark.sql("SELECT count(*) FROM dd").collect().head.getLong(0) == 2)
+  }
+
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1: two sessions separated by a 60-min gap. The gap closes
+    // session 1 inline; a later event from user 2 advances the
+    // watermark past session 2's end + 30 min, firing its event-time
+    // timeout flush.
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "view", 1.0),
+      Event(3, ts(90), 1, "click", 1.0))
+    val q = EventStreams.sessionize(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    in.addData(Event(9, ts(600), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.sql(
+      "SELECT user_id, sid, n_events FROM sess WHERE user_id = 1 ORDER BY sid")
+      .collect()
+    assert(closed.length == 2)
+    assert(closed(0).getLong(2) == 2) // session 1: two events
+    assert(closed(1).getLong(2) == 1) // session 2 flushed by timeout
+  }
+}
