@@ -25,11 +25,13 @@ object Dedup {
 
   /** word n-gram shingles (default 3) over the named text column;
     * sequence/element_at are 1-based inclusive */
-  def shingles(textCol: String, n: Int = 3): Column =
-    expr(s"transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
+  def shingleSql(textCol: String, n: Int = 3): String =
+    s"transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
       s"i -> concat_ws(' ', " +
       (0 until n).map(o => s"element_at(split($textCol, ' '), i + $o)").mkString(", ") +
-      "))")
+      "))"
+
+  def shingles(textCol: String, n: Int = 3): Column = expr(shingleSql(textCol, n))
 
   /** Exact dedup: group by content digest, keep min id. */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
@@ -86,13 +88,27 @@ object Dedup {
           .as("sig"))
   }
 
+  /** 48-bit shingle digest from the first 12 md5 hex digits, decoded
+    * with the portable instr-fold (identical in Spark and any SQL
+    * oracle). Set ops on BIGINT arrays are ~10-20x cheaper than on
+    * shingle strings — at 100 TB this is the difference between the
+    * verify join being compute-bound or GC-bound. Collisions are
+    * ~1e-9 per pair and, because both engines hash identically,
+    * affect both sides of the oracle equally. */
+  def shingleHashes(textCol: String): Column = {
+    val fold = (1 to 12)
+      .map(i => s"cast(instr('0123456789abcdef', substr(h, $i, 1)) - 1 as bigint) * cast(${math.pow(16, 12 - i).toLong} as bigint)")
+      .mkString(" + ")
+    expr(s"transform(transform(${shingleSql(textCol)}, s -> md5(cast(s as binary))), h -> $fold)")
+  }
+
   /** n-gram Jaccard on length-blocked candidate pairs: docs within
     * ±8 chars meet via a banded equi-join (each right row explodes to
     * 3 neighbor keys — no range-join cartesian). */
   def ngramJaccard(docs: DataFrame, id: String, text: String, lenCol: String,
       threshold: Double = 0.5): DataFrame = {
     val base = docs.select(col(id), col(lenCol).as("nc"),
-      array_distinct(shingles(text)).as("sh"),
+      array_distinct(shingleHashes(text)).as("sh"),
       floor(col(lenCol) / 8).as("k"))
     val left = base.select(col(id).as("d1"), col("nc").as("nc1"),
       col("sh").as("sh1"), col("k"))

@@ -57,10 +57,18 @@ object Dedup {
     D.simhash(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
   }
 
+  // 48-bit md5 shingle digests via the portable instr-fold — must
+  // match Dedup.shingleHashes exactly
+  private val hashFold = (1 to 12)
+    .map(i => s"cast(instr('0123456789abcdef', substr(h, $i, 1)) - 1 as bigint) * cast(${math.pow(16, 12 - i).toLong} as bigint)")
+    .mkString(" + ")
+  private val hashedShingles =
+    s"list_transform(list_transform($shingleExpr, s -> md5(s)), h -> $hashFold)"
+
   val d4 = Q("d4_ngram_jaccard", Some(s"""
     WITH $tokCte,
     base AS (SELECT doc_id, n_chars AS nc,
-               list_distinct($shingleExpr) AS sh,
+               list_distinct($hashedShingles) AS sh,
                CAST(floor(n_chars / 8) AS BIGINT) AS k FROM tok),
     rhs AS (SELECT doc_id AS d2, nc AS nc2, sh AS sh2,
               unnest([k - 1, k, k + 1]) AS k FROM base),
