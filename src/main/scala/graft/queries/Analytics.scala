@@ -374,6 +374,59 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  // ---- q21: exact interpolated quantiles -----------------------------
+  val q21 = Q("q21_quantile", Some("""
+    SELECT l_returnflag,
+      CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DECIMAL(18,4)) AS med_qty,
+      CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DECIMAL(18,2)) AS p95_price,
+      count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(ratio4(expr("percentile(l_quantity, 0.5)")).as("med_qty"),
+        money(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- q22: statistical aggregates (corr / stddev / covar) -----------
+  val q22 = Q("q22_stats", Some("""
+    SELECT
+      CAST(round(corr(l_quantity, l_extendedprice), 6) AS DECIMAL(18,6)) AS corr_qp,
+      CAST(round(stddev_samp(l_extendedprice), 2) AS DECIMAL(18,2)) AS sd_price,
+      CAST(round(covar_samp(l_quantity, l_discount), 6) AS DECIMAL(18,6)) AS cov_qd,
+      CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4)) AS avg_qty
+    FROM lineitem""")) { (s, d) =>
+    t(s, d, "lineitem").agg(
+      round(corr("l_quantity", "l_extendedprice"), 6).cast(DecimalType(18, 6)).as("corr_qp"),
+      money(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+      round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+        .cast(DecimalType(18, 6)).as("cov_qd"),
+      ratio4(avg("l_quantity")).as("avg_qty"))
+  }
+
+  // ---- q23: as-of join (most recent prior click per error event) -----
+  val q23 = Q("q23_asof", Some("""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    w AS (SELECT user_id, event_id, event_type, sec,
+            last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY sec, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click
+          FROM e)
+    SELECT event_id, user_id, sec, coalesce(asof_click, -1) AS asof_click_sec
+    FROM w WHERE event_type = 'error' ORDER BY event_id""")) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
+      .withColumn("asof_click",
+        last(when(col("event_type") === "click", col("sec")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("sec"),
+        coalesce(col("asof_click"), lit(-1L)).as("asof_click_sec"))
+      .orderBy("event_id")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }

@@ -82,5 +82,38 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4)
+  // shared CTE text for the d4 pipeline at a given threshold
+  private def jaccPairsSql(threshold: Double): String = s"""
+    $tokCte,
+    base AS (SELECT doc_id, n_chars AS nc,
+               list_distinct($hashedShingles) AS sh,
+               CAST(floor(n_chars / 8) AS BIGINT) AS k FROM tok),
+    rhs AS (SELECT doc_id AS d2, nc AS nc2, sh AS sh2,
+              unnest([k - 1, k, k + 1]) AS k FROM base),
+    pairs AS (SELECT a.doc_id AS d1, rhs.d2,
+        CAST(round(len(list_intersect(a.sh, rhs.sh2)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, rhs.sh2))), 4) AS DECIMAL(18,4)) AS jacc
+      FROM base a JOIN rhs ON a.k = rhs.k AND a.doc_id < rhs.d2
+        AND abs(a.nc - rhs.nc2) <= 8),
+    dups AS (SELECT DISTINCT d2 AS dup_id FROM pairs WHERE jacc >= $threshold)"""
+
+  /** near-dup removal applied: drop the greater id of every >=0.9
+    * pair, report surviving docs per lang. (Full connected-component
+    * clustering is an iterative job — out of single-query scope; the
+    * min-id dominance rule is the standard one-pass approximation.) */
+  val d6 = Q("d6_dedup_apply", Some(s"""
+    WITH ${jaccPairsSql(0.9)}
+    SELECT lang, count(*) AS n_docs FROM documents
+    WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dup_id = doc_id)
+    GROUP BY lang ORDER BY lang""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val docs = t(s, d, "documents")
+    val dups = D.ngramJaccard(docs, "doc_id", "text", "n_chars", 0.9)
+      .select(col("d2").as("dup_id")).distinct()
+    docs.join(dups, col("doc_id") === col("dup_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6)
 }
