@@ -107,8 +107,11 @@ object Dedup {
     * 3 neighbor keys — no range-join cartesian). */
   def ngramJaccard(docs: DataFrame, id: String, text: String, lenCol: String,
       threshold: Double = 0.5): DataFrame = {
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    // sorted+distinct digests once per doc; each candidate pair is
+    // then a single fused two-pointer merge (no per-pair hash sets)
     val base = docs.select(col(id), col(lenCol).as("nc"),
-      array_distinct(shingleHashes(text)).as("sh"),
+      array_sort(array_distinct(shingleHashes(text))).as("sh"),
       floor(col(lenCol) / 8).as("k"))
     val left = base.select(col(id).as("d1"), col("nc").as("nc1"),
       col("sh").as("sh1"), col("k"))
@@ -117,9 +120,10 @@ object Dedup {
       explode(array(col("k") - 1, col("k"), col("k") + 1)).as("k"))
     left.join(right, Seq("k"))
       .filter(col("d1") < col("d2") && abs(col("nc1") - col("nc2")) <= 8)
+      .withColumn("ic", sorted_intersect_count(col("sh1"), col("sh2")))
       .select(col("d1"), col("d2"),
-        round(size(array_intersect(col("sh1"), col("sh2"))) * 1.0 /
-          size(array_union(col("sh1"), col("sh2"))), 4)
+        round(col("ic") * 1.0 /
+          (size(col("sh1")) + size(col("sh2")) - col("ic")), 4)
           .cast(DecimalType(18, 4)).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
