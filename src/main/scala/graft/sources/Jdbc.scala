@@ -31,6 +31,20 @@ object Jdbc {
       .options(options)
       .load()
 
+  /** Incremental extraction: only rows past the last high-water mark.
+    * The predicate ships into the database (JDBC pushdown), so each
+    * sync reads only the delta — the steady-state mode of a live
+    * migration (reference: dual-serving during the migration phase
+    * requires continuous sync, README "How to serve data from old
+    * services and new services"). */
+  def readIncremental(spark: SparkSession, url: String, table: String,
+      watermarkCol: String, lastMark: Long,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, options: Map[String, String] = Map.empty): DataFrame =
+    read(spark, url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, options)
+      .filter(org.apache.spark.sql.functions.col(watermarkCol) > lastMark)
+
   /** Single-partition read — only for tiny dimension/config tables. */
   def readOne(spark: SparkSession, url: String, table: String,
       options: Map[String, String] = Map.empty): DataFrame =
