@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native shingle-hashing expressions.
+  *
+  * The composable forms (`transform(transform(...), md5 ... instr-fold)`)
+  * are higher-order lambdas, which Spark evaluates as interpreted
+  * expression trees — per-element megamorphic `eval` walks that both
+  * run slowly and destabilise the JIT (observed: random 20-90s C2
+  * recompile storms on repeated identical queries). These expressions
+  * do the same math in a tight monomorphic Java loop per row. The
+  * semantics — and therefore the SQL oracles — are IDENTICAL:
+  * md5 of the UTF-8 shingle bytes, lexicographic/hex-fold results.
+  */
+private[functions] object Md5 {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def digest(bytes: Array[Byte]): Array[Byte] = {
+    val d = local.get(); d.reset(); d.digest(bytes)
+  }
+  private val hex = "0123456789abcdef".toCharArray
+  def hexString(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex((d(i) >> 4) & 0xf); out(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+  /** first 12 hex digits = first 6 bytes, big-endian unsigned */
+  def fold48(d: Array[Byte]): Long = {
+    var v = 0L; var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+  def shingleBytes(tokens: ArrayData, start: Int, n: Int): Array[Byte] = {
+    val sb = new java.lang.StringBuilder()
+    var o = 0
+    while (o < n) {
+      if (o > 0) sb.append(' ')
+      val t = tokens.getUTF8String(start + o)
+      if (t != null) sb.append(t.toString)
+      o += 1
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
+/** word-3-gram 48-bit md5 digests of a tokens array — same values as
+  * `transform(transform(shingles, md5), instr-fold)` */
+case class ShingleHash48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash48 expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = math.max(toks.numElements() - 2, 1)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Md5.fold48(Md5.digest(Md5.shingleBytes(toks, i,
+        math.min(3, toks.numElements() - i))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** K=16 MinHash signature: per seed k, the lexicographic min of
+  * md5hex(s"$k:" + shingle) over all word-3-gram shingles — same
+  * values as 16 `min(md5(concat('k:', s)))` aggregates. */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  val K = 16
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = math.max(toks.numElements() - 2, 1)
+    val mins = new Array[String](K)
+    var i = 0
+    while (i < n) {
+      val sh = Md5.shingleBytes(toks, i, math.min(3, toks.numElements() - i))
+      var k = 0
+      while (k < K) {
+        val prefix = (k + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val buf = new Array[Byte](prefix.length + sh.length)
+        System.arraycopy(prefix, 0, buf, 0, prefix.length)
+        System.arraycopy(sh, 0, buf, prefix.length, sh.length)
+        val h = Md5.hexString(Md5.digest(buf))
+        if (mins(k) == null || h.compareTo(mins(k)) < 0) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object TextHashes {
+  def shingle_hash48(tokens: Column): Column =
+    GraftBridge.column(ShingleHash48(GraftBridge.expression(tokens)))
+  def minhash_sig(tokens: Column): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(tokens)))
+}

@@ -23,29 +23,39 @@ object Dedup {
   val K = 16 // minhash signature length
   val BANDS = 4 // LSH bands (rows per band = K/BANDS = 4)
 
-  /** word n-gram shingles (default 3) over the named text column;
-    * sequence/element_at are 1-based inclusive */
-  def shingleSql(textCol: String, n: Int = 3): String =
-    s"transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
+  /** word n-gram shingles (default 3) over a pre-split TOKENS column;
+    * sequence/element_at are 1-based inclusive. Higher-order lambdas
+    * run interpreted, so the tokens array MUST be a materialised
+    * column: inlining `split(text)` into the lambda re-splits the
+    * whole document per element — O(tokens²) per doc. */
+  def shingleSql(tokCol: String, n: Int = 3): String =
+    s"transform(sequence(1, greatest(size($tokCol) - ${n - 1}, 1)), " +
       s"i -> concat_ws(' ', " +
-      (0 until n).map(o => s"element_at(split($textCol, ' '), i + $o)").mkString(", ") +
+      (0 until n).map(o => s"element_at($tokCol, i + $o)").mkString(", ") +
       "))"
 
-  def shingles(textCol: String, n: Int = 3): Column = expr(shingleSql(textCol, n))
+  /** project id + tokens, spread over all cores: the per-row shingle/
+    * hash work is CPU-heavy and the input is typically one small
+    * parquet file = one partition. */
+  private def tokenized(docs: DataFrame, id: String, text: String,
+      extra: Seq[Column] = Nil): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select((col(id) +: extra) :+ split(col(text), " ").as("__tk"): _*)
 
   /** Exact dedup: group by content digest, keep min id. */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
     docs.groupBy(md5(col(text).cast("binary")).as("h"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n"))
 
-  /** MinHash signatures: K lexicographic-min md5s over shingles. */
+  /** MinHash signatures: K lexicographic-min md5s over shingles.
+    * One native per-row expression — no explode, no shuffle: at any
+    * scale this is a map-only stage (the old explode+groupBy form
+    * shuffled |docs|x|shingles| rows). */
   def minhashSignatures(docs: DataFrame, id: String, text: String): DataFrame = {
-    val sh = docs.select(col(id), explode(shingles(text)).as("s"))
-    val hashed = sh.select(col(id) +:
-      (0 until K).map(k => md5(concat(lit(s"$k:"), col("s")).cast("binary")).as(s"m$k")): _*)
-    hashed.groupBy(col(id))
-      .agg((0 until K).map(k => min(col(s"m$k")).as(s"h$k")).head,
-        (0 until K).map(k => min(col(s"m$k")).as(s"h$k")).tail: _*)
+    val sig = tokenized(docs, id, text)
+      .select(col(id), graft.functions.TextHashes.minhash_sig(col("__tk")).as("sig"))
+    sig.select(col(id) +:
+      (0 until K).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
   }
 
   /** LSH band digests from a signature row. */
@@ -73,7 +83,8 @@ object Dedup {
     * (8 hex digits × 4 bits), built from portable string/arithmetic
     * ops only. */
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
-    val toks = docs.select(col(id), explode(split(col(text), " ")).as("w"))
+    val toks = tokenized(docs, id, text)
+      .select(col(id), explode(col("__tk")).as("w"))
     val digits = toks.select(col(id) +:
       (0 until 8).map(i =>
         expr(s"instr('0123456789abcdef', substr(md5(cast(w as binary)), ${i + 1}, 1)) - 1")
@@ -95,11 +106,11 @@ object Dedup {
     * verify join being compute-bound or GC-bound. Collisions are
     * ~1e-9 per pair and, because both engines hash identically,
     * affect both sides of the oracle equally. */
-  def shingleHashes(textCol: String): Column = {
+  def shingleHashes(tokCol: String): Column = {
     val fold = (1 to 12)
       .map(i => s"cast(instr('0123456789abcdef', substr(h, $i, 1)) - 1 as bigint) * cast(${math.pow(16, 12 - i).toLong} as bigint)")
       .mkString(" + ")
-    expr(s"transform(transform(${shingleSql(textCol)}, s -> md5(cast(s as binary))), h -> $fold)")
+    expr(s"transform(transform(${shingleSql(tokCol)}, s -> md5(cast(s as binary))), h -> $fold)")
   }
 
   /** n-gram Jaccard on length-blocked candidate pairs: docs within
@@ -110,9 +121,11 @@ object Dedup {
     import graft.functions.SortedIntersectCount.sorted_intersect_count
     // sorted+distinct digests once per doc; each candidate pair is
     // then a single fused two-pointer merge (no per-pair hash sets)
-    val base = docs.select(col(id), col(lenCol).as("nc"),
-      array_sort(array_distinct(shingleHashes(text))).as("sh"),
-      floor(col(lenCol) / 8).as("k"))
+    val base = tokenized(docs, id, text, Seq(col(lenCol)))
+      .select(col(id), col(lenCol).as("nc"),
+        array_sort(array_distinct(
+          graft.functions.TextHashes.shingle_hash48(col("__tk")))).as("sh"),
+        floor(col(lenCol) / 8).as("k"))
     val left = base.select(col(id).as("d1"), col("nc").as("nc1"),
       col("sh").as("sh1"), col("k"))
     val right = base.select(col(id).as("d2"), col("nc").as("nc2"),
@@ -121,10 +134,14 @@ object Dedup {
     left.join(right, Seq("k"))
       .filter(col("d1") < col("d2") && abs(col("nc1") - col("nc2")) <= 8)
       .withColumn("ic", sorted_intersect_count(col("sh1"), col("sh2")))
+      // arithmetic 4dp rounding (no BigDecimal in the per-pair loop);
+      // decimal cast only on the surviving rows
       .select(col("d1"), col("d2"),
-        round(col("ic") * 1.0 /
-          (size(col("sh1")) + size(col("sh2")) - col("ic")), 4)
-          .cast(DecimalType(18, 4)).as("jacc"))
-      .filter(col("jacc") >= threshold)
+        (floor((col("ic") * 1.0 /
+          (size(col("sh1")) + size(col("sh2")) - col("ic"))) * 10000.0 + 0.5) /
+          10000.0).as("jr"))
+      .filter(col("jr") >= threshold)
+      .select(col("d1"), col("d2"),
+        col("jr").cast(DecimalType(18, 4)).as("jacc"))
   }
 }

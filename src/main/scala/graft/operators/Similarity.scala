@@ -25,13 +25,19 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine via the native codegen'd Catalyst expression
-    * ([[graft.functions.CosineSimilarity]]), rounded to 6dp decimal so
-    * ulp-level engine divergence cannot change the output or a
-    * threshold decision. Accumulation order is identical to the
-    * composable dot/norm form, so oracles hold unchanged. */
-  def cos6(a: Column, b: Column): Column =
-    round(graft.functions.CosineSimilarity.cosine_sim(a, b), 6)
-      .cast(DecimalType(18, 6))
+    * ([[graft.functions.CosineSimilarity]]), rounded to 6dp by PURE
+    * ARITHMETIC (`floor(x*1e6+0.5)/1e6`): bit-identical in any engine
+    * (the raw cosine already is), and — unlike `round()` — free of
+    * BigDecimal/Double.toString in the per-pair hot loop, which
+    * profiling showed dominating the join stages. Decimal cast
+    * happens only on final output rows ([[toCos6]]). */
+  def cosR(a: Column, b: Column): Column =
+    floor(graft.functions.CosineSimilarity.cosine_sim(a, b) * 1000000.0 + 0.5) /
+      1000000.0
+
+  /** decimal presentation of the arithmetically-rounded cosine —
+    * applied to output rows only */
+  def toCos6(c: Column): Column = c.cast(DecimalType(18, 6))
 
   /** 8-bit sign-LSH bucket from the first 8 dims (axis-aligned
     * hyperplanes) */
@@ -48,7 +54,7 @@ object Similarity {
       .select(col(id).as("probe_id"), col(emb).as("pe")))
     val scored = probes.join(vectors, col(id) =!= col("probe_id"))
       .select(col("probe_id"), col(id).as("neighbor_id"),
-        cos6(col("pe"), col(emb)).as("cos6"))
+        cosR(col("pe"), col(emb)).as("c6"))
     topK(scored, k)
   }
 
@@ -62,15 +68,16 @@ object Similarity {
     val scored = probes.join(v, Seq("bucket"))
       .filter(col(id) =!= col("probe_id"))
       .select(col("probe_id"), col(id).as("neighbor_id"),
-        cos6(col("pe"), col(emb)).as("cos6"))
+        cosR(col("pe"), col(emb)).as("c6"))
     topK(scored, k)
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("cos6").desc, col("neighbor_id"))
+      .partitionBy("probe_id").orderBy(col("c6").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("probe_id", "rn", "neighbor_id", "cos6")
+      .select(col("probe_id"), col("rn"), col("neighbor_id"),
+        toCos6(col("c6")).as("cos6"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a join predicate
@@ -81,7 +88,8 @@ object Similarity {
     val a = v.select(col(id).as("v1"), col(emb).as("e1"), col("blk"))
     val b = v.select(col(id).as("v2"), col(emb).as("e2"), col("blk"))
     a.join(b, Seq("blk")).filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), cos6(col("e1"), col("e2")).as("cos6"))
-      .filter(col("cos6") >= threshold)
+      .select(col("v1"), col("v2"), cosR(col("e1"), col("e2")).as("c6"))
+      .filter(col("c6") >= threshold)
+      .select(col("v1"), col("v2"), toCos6(col("c6")).as("cos6"))
   }
 }

@@ -73,11 +73,13 @@ object Dedup {
     rhs AS (SELECT doc_id AS d2, nc AS nc2, sh AS sh2,
               unnest([k - 1, k, k + 1]) AS k FROM base),
     pairs AS (SELECT a.doc_id AS d1, rhs.d2,
-        CAST(round(len(list_intersect(a.sh, rhs.sh2)) * 1.0 /
-                   len(list_distinct(list_concat(a.sh, rhs.sh2))), 4) AS DECIMAL(18,4)) AS jacc
+        floor((len(list_intersect(a.sh, rhs.sh2)) * 1.0 /
+               len(list_distinct(list_concat(a.sh, rhs.sh2)))) * 10000.0 + 0.5) /
+          10000.0 AS jr
       FROM base a JOIN rhs ON a.k = rhs.k AND a.doc_id < rhs.d2
         AND abs(a.nc - rhs.nc2) <= 8)
-    SELECT d1, d2, jacc FROM pairs WHERE jacc >= 0.5 ORDER BY d1, d2""")) { (s, d) =>
+    SELECT d1, d2, CAST(jr AS DECIMAL(18,4)) AS jacc FROM pairs
+    WHERE jr >= 0.5 ORDER BY d1, d2""")) { (s, d) =>
     D.ngramJaccard(t(s, d, "documents"), "doc_id", "text", "n_chars", 0.5)
       .orderBy("d1", "d2")
   }
@@ -91,11 +93,12 @@ object Dedup {
     rhs AS (SELECT doc_id AS d2, nc AS nc2, sh AS sh2,
               unnest([k - 1, k, k + 1]) AS k FROM base),
     pairs AS (SELECT a.doc_id AS d1, rhs.d2,
-        CAST(round(len(list_intersect(a.sh, rhs.sh2)) * 1.0 /
-                   len(list_distinct(list_concat(a.sh, rhs.sh2))), 4) AS DECIMAL(18,4)) AS jacc
+        floor((len(list_intersect(a.sh, rhs.sh2)) * 1.0 /
+               len(list_distinct(list_concat(a.sh, rhs.sh2)))) * 10000.0 + 0.5) /
+          10000.0 AS jr
       FROM base a JOIN rhs ON a.k = rhs.k AND a.doc_id < rhs.d2
         AND abs(a.nc - rhs.nc2) <= 8),
-    dups AS (SELECT DISTINCT d2 AS dup_id FROM pairs WHERE jacc >= $threshold)"""
+    dups AS (SELECT DISTINCT d2 AS dup_id FROM pairs WHERE jr >= $threshold)"""
 
   /** near-dup removal applied: drop the greater id of every >=0.9
     * pair, report surviving docs per lang. (Full connected-component

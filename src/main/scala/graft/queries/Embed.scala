@@ -23,17 +23,21 @@ object Embed {
        FROM embeddings)"""
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
-  private def cos6Sql(a: String, b: String) =
-    s"CAST(round(${dotSql(a, b)} / ($a.nrm * $b.nrm), 6) AS DECIMAL(18,6))"
+  // arithmetic 6dp rounding — same floor(x*1e6+0.5)/1e6 the Spark side
+  // computes, so the raw doubles (bit-identical across engines) round
+  // identically with no BigDecimal anywhere
+  private def cosRSql(a: String, b: String) =
+    s"floor((${dotSql(a, b)} / ($a.nrm * $b.nrm)) * 1000000.0 + 0.5) / 1000000.0"
   private val bucketSql = (0 until 8)
     .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
     .mkString(" + ")
 
   val d5 = Q("d5_embed_neardup", Some(s"""
     WITH $normCte,
-    p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, ${cos6Sql("a", "b")} AS cos6
+    p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, ${cosRSql("a", "b")} AS c6
           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT v1, v2, cos6 FROM p WHERE cos6 >= 0.4 ORDER BY v1, v2""")) { (s, d) =>
+    SELECT v1, v2, CAST(c6 AS DECIMAL(18,6)) AS cos6 FROM p
+    WHERE c6 >= 0.4 ORDER BY v1, v2""")) { (s, d) =>
     Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
       col("label"), 0.4)
       .orderBy("v1", "v2")
@@ -43,12 +47,13 @@ object Embed {
     WITH $normCte,
     pr AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id % 17 = 0),
     sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
-             ${cos6Sql("a", "b")} AS cos6
+             ${cosRSql("a", "b")} AS c6
            FROM pr a JOIN v b ON b.vec_id <> a.vec_id),
-    r AS (SELECT probe_id, neighbor_id, cos6,
+    r AS (SELECT probe_id, neighbor_id, c6,
             row_number() OVER (PARTITION BY probe_id
-                               ORDER BY cos6 DESC, neighbor_id) AS rn FROM sc)
-    SELECT probe_id, rn, neighbor_id, cos6 FROM r WHERE rn <= 5
+                               ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, CAST(c6 AS DECIMAL(18,6)) AS cos6
+    FROM r WHERE rn <= 5
     ORDER BY probe_id, rn""")) { (s, d) =>
     Similarity.bruteKnn(t(s, d, "embeddings"), "vec_id", "embedding",
       col("vec_id") % 17 === 0, 5)
@@ -60,12 +65,13 @@ object Embed {
     vb AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM v),
     pr AS (SELECT vec_id, embedding, nrm, bucket FROM vb WHERE vec_id % 17 = 0),
     sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
-             ${cos6Sql("a", "b")} AS cos6
+             ${cosRSql("a", "b")} AS c6
            FROM pr a JOIN vb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
-    r AS (SELECT probe_id, neighbor_id, cos6,
+    r AS (SELECT probe_id, neighbor_id, c6,
             row_number() OVER (PARTITION BY probe_id
-                               ORDER BY cos6 DESC, neighbor_id) AS rn FROM sc)
-    SELECT probe_id, rn, neighbor_id, cos6 FROM r WHERE rn <= 5
+                               ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, CAST(c6 AS DECIMAL(18,6)) AS cos6
+    FROM r WHERE rn <= 5
     ORDER BY probe_id, rn""")) { (s, d) =>
     Similarity.lshKnn(t(s, d, "embeddings"), "vec_id", "embedding",
       col("vec_id") % 17 === 0, 5)
