@@ -263,9 +263,13 @@ object Analytics {
       SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
     ) a ON l.l_partkey = a.pk
     WHERE l.l_quantity < 0.5 * a.aq""")) { (s, d) =>
+    // no broadcast hint: the per-partkey aggregate is |parts|-sized —
+    // broadcastable at test SFs (AQE will choose that from runtime
+    // stats) but a shuffle join at 100 TB; forcing broadcast would be
+    // a scale bug
     val li = t(s, d, "lineitem")
     val a = li.groupBy(col("l_partkey").as("pk")).agg(avg("l_quantity").as("aq"))
-    li.join(broadcast(a), col("l_partkey") === col("pk"))
+    li.join(a, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < lit(0.5) * col("aq"))
       .agg(money(sum("l_extendedprice") / 7.0).as("avg_yearly"), count(lit(1)).as("n"))
   }
