@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators for LLM training-data pipelines
   * (SURVEY §2 C): exact, MinHash+LSH, SimHash, n-gram Jaccard.
@@ -24,14 +23,19 @@ object Dedup {
   val BANDS = 4 // LSH bands (rows per band = K/BANDS = 4)
 
   /** word n-gram shingles (default 3) over a pre-split TOKENS column;
-    * sequence/element_at are 1-based inclusive. Higher-order lambdas
+    * sequence/element_at are 1-based inclusive. Docs with fewer than
+    * n tokens produce ONE truncated shingle of the available tokens:
+    * try_element_at yields NULL past the end (plain element_at throws
+    * under ANSI mode) and concat_ws skips NULLs — the same semantics
+    * as the native [[graft.functions.ShingleHash48]]/[[graft.functions.MinHashSig]]
+    * loop and the DuckDB oracle's concat_ws form. Higher-order lambdas
     * run interpreted, so the tokens array MUST be a materialised
     * column: inlining `split(text)` into the lambda re-splits the
     * whole document per element — O(tokens²) per doc. */
   def shingleSql(tokCol: String, n: Int = 3): String =
     s"transform(sequence(1, greatest(size($tokCol) - ${n - 1}, 1)), " +
       s"i -> concat_ws(' ', " +
-      (0 until n).map(o => s"element_at($tokCol, i + $o)").mkString(", ") +
+      (0 until n).map(o => s"try_element_at($tokCol, i + $o)").mkString(", ") +
       "))"
 
   /** project id + tokens, spread over all cores: the per-row shingle/
@@ -135,13 +139,13 @@ object Dedup {
       .filter(col("d1") < col("d2") && abs(col("nc1") - col("nc2")) <= 8)
       .withColumn("ic", sorted_intersect_count(col("sh1"), col("sh2")))
       // arithmetic 4dp rounding (no BigDecimal in the per-pair loop);
-      // decimal cast only on the surviving rows
+      // output stays DOUBLE — decimal stringification is
+      // reader-dependent and breaks hash comparison
       .select(col("d1"), col("d2"),
         (floor((col("ic") * 1.0 /
           (size(col("sh1")) + size(col("sh2")) - col("ic"))) * 10000.0 + 0.5) /
           10000.0).as("jr"))
       .filter(col("jr") >= threshold)
-      .select(col("d1"), col("d2"),
-        col("jr").cast(DecimalType(18, 4)).as("jacc"))
+      .select(col("d1"), col("d2"), col("jr").as("jacc"))
   }
 }

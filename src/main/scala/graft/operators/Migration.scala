@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Distributed batch re-expression of the reference's CRUD +
   * blob-migration surface (reference lambda_fns/order_rdbms_blob.js,
@@ -97,10 +96,15 @@ object Migration {
   /** The reference's whole purpose as one distributed job: a blob
     * table (typically a partitioned JDBC read, see
     * [[graft.sources.Jdbc]]) → blob objects in the store + the
-    * rewritten pointer table (parquet). Single pass over the source:
-    * blobs stream executor-local into the sink; the pointer table is
-    * a shuffle-free projection. Returns (objectsWritten, pointerDf).
-    */
+    * rewritten pointer table (parquet). GENUINELY one pass over the
+    * source: [[graft.sources.BlobSink.writeThrough]] writes each
+    * partition's blobs as a side effect of the very job that commits
+    * the pointer parquet, so both artifacts come from one consistent
+    * snapshot (two separate actions would re-extract a live JDBC
+    * source twice and could diverge between scans). Returns
+    * (objectsWritten, pointerDf) — the count is read back from the
+    * committed pointer table, so retried/speculative tasks can't
+    * inflate it. */
   def migrate(blobTable: DataFrame, key: Column, source: Column, blob: Column,
       storeBase: String, pointerOut: String): (Long, DataFrame) = {
     val staged = blobTable.select(
@@ -108,9 +112,9 @@ object Migration {
       concat_ws("/", lit("blobs"), source, key,
         md5(blob.cast("binary"))).as("s3_prefix"),
       octet_length(blob).as("nbytes"))
-    val written = graft.sources.BlobSink.write(staged, storeBase, "s3_prefix", "payload")
-    val pointers = staged.drop("payload")
-    pointers.write.mode("overwrite").parquet(pointerOut)
-    (written, pointers.sparkSession.read.parquet(pointerOut))
+    graft.sources.BlobSink.writeThrough(staged, storeBase, "s3_prefix", "payload")
+      .write.mode("overwrite").parquet(pointerOut)
+    val pointers = blobTable.sparkSession.read.parquet(pointerOut)
+    (pointers.count(), pointers)
   }
 }

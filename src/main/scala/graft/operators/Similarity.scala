@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over embedding columns (SURVEY §2 C):
   * brute-force cosine top-k as the correctness baseline and a
@@ -29,15 +28,15 @@ object Similarity {
     * ARITHMETIC (`floor(x*1e6+0.5)/1e6`): bit-identical in any engine
     * (the raw cosine already is), and — unlike `round()` — free of
     * BigDecimal/Double.toString in the per-pair hot loop, which
-    * profiling showed dominating the join stages. Decimal cast
-    * happens only on final output rows ([[toCos6]]). */
+    * profiling showed dominating the join stages. */
   def cosR(a: Column, b: Column): Column =
     floor(graft.functions.CosineSimilarity.cosine_sim(a, b) * 1000000.0 + 0.5) /
       1000000.0
 
-  /** decimal presentation of the arithmetically-rounded cosine —
-    * applied to output rows only */
-  def toCos6(c: Column): Column = c.cast(DecimalType(18, 6))
+  // NOTE: outputs stay DOUBLE end-to-end — a DECIMAL presentation cast
+  // was dropped because decimal stringification is reader-dependent
+  // (`0.50` vs `0.5`) and broke the driver's hash compare; the
+  // arithmetic 6dp rounding already makes the double bit-stable.
 
   /** 8-bit sign-LSH bucket from the first 8 dims (axis-aligned
     * hyperplanes) */
@@ -77,7 +76,7 @@ object Similarity {
       .partitionBy("probe_id").orderBy(col("c6").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("probe_id"), col("rn"), col("neighbor_id"),
-        toCos6(col("c6")).as("cos6"))
+        col("c6").as("cos6"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a join predicate
@@ -90,6 +89,6 @@ object Similarity {
     a.join(b, Seq("blk")).filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"), cosR(col("e1"), col("e2")).as("c6"))
       .filter(col("c6") >= threshold)
-      .select(col("v1"), col("v2"), toCos6(col("c6")).as("cos6"))
+      .select(col("v1"), col("v2"), col("c6").as("cos6"))
   }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for LLM training-data pipelines
   * (SURVEY §2 C): language-ID, quality scoring, token counting,
@@ -44,8 +43,17 @@ object TextAnalysis {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** arithmetic round-half-up — pure IEEE ops, bit-identical in any
+    * engine when the oracle uses the same expression text */
+  private def roundA(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + 0.5) / p
+  }
+
   /** Quality features: token count, stopword ratio, mean word length,
-    * composite score — all exact rational arithmetic (engine-stable). */
+    * composite score. Ratios are exact-int quotients in double with
+    * arithmetic 4dp rounding → DOUBLE outputs, bit-stable in any
+    * engine (DECIMAL outputs stringify reader-dependently). */
   def quality(docs: DataFrame, id: String, text: String): DataFrame = {
     val nTok = size(tokens(col(text))).cast("long")
     val stopPred = stopwords.map(w => s"w = '$w'").mkString(" OR ")
@@ -54,13 +62,10 @@ object TextAnalysis {
     docs.select(col(id), nTok.as("n_tok"), stopCnt.as("stop_cnt"),
         octet_length(col(text)).as("nbytes"))
       .select(col(id), col("n_tok"), col("stop_cnt"),
-        round((col("nbytes") - col("n_tok") + 1) * 1.0 / col("n_tok"), 4)
-          .cast(DecimalType(18, 4)).as("avg_wlen"),
-        round(col("stop_cnt") * 1.0 / col("n_tok"), 4)
-          .cast(DecimalType(18, 4)).as("stop_ratio"),
-        round(least(lit(1.0), col("n_tok") / 100.0) * 0.5 +
-          (col("stop_cnt") * 1.0 / col("n_tok")) * 0.5, 4)
-          .cast(DecimalType(18, 4)).as("score"))
+        roundA((col("nbytes") - col("n_tok") + 1) * 1.0 / col("n_tok"), 4).as("avg_wlen"),
+        roundA(col("stop_cnt") * 1.0 / col("n_tok"), 4).as("stop_ratio"),
+        roundA(least(lit(1.0), col("n_tok") / 100.0) * 0.5 +
+          (col("stop_cnt") * 1.0 / col("n_tok")) * 0.5, 4).as("score"))
   }
 
   /** Token counting: whitespace tokens, a bytes/4 estimate, and a

@@ -8,19 +8,45 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Core analytics surface (SURVEY §2 B).
   *
-  * Engine-parity rules (SURVEY §5): money aggregates are
-  * `round(sum(double), 2) :: decimal(18,2)` (double sums agree to
-  * ~1e-8 across engines/partition orders; the 2dp grid absorbs it);
-  * ratios/avgs round to 4dp; timestamps are only ever floored to
-  * epoch seconds (ns-vs-µs parquet precision differs across
-  * engines); every query is deterministically ordered with unique
-  * tie-breaks; LIMIT only under full ORDER BY.
+  * Engine-parity rules (SURVEY §5). Output columns are only ever
+  * BIGINT, STRING, DATE, or DOUBLE — never DECIMAL (stringification
+  * is reader-dependent: `123.40` vs `123.4`) and never a DuckDB
+  * HUGEINT (int sums must be CAST AS BIGINT in oracle SQL). Doubles
+  * are made bit-deterministic by construction:
+  *   - sums: per-row cast to DECIMAL (exact, order-independent
+  *     accumulation), final cast to DOUBLE (deterministic
+  *     nearest-double) — [[moneySum]] / [[termSum6]];
+  *   - averages/scalars: IEEE ops over those exact sums;
+  *   - intrinsically-double aggregates (percentile, corr, stddev):
+  *     arithmetic rounding `floor(x*10^n+0.5)/10^n` ([[roundA]]),
+  *     identical expression text on both engines.
+  * Timestamps are only ever floored to epoch seconds (ns-vs-µs
+  * parquet precision differs across engines); every query is
+  * deterministically ordered with unique tie-breaks; LIMIT only under
+  * full ORDER BY.
   */
 object Analytics {
 
-  /** round-to-2dp money decimal — bit-stable across engines */
-  def money(c: Column): Column = round(c, 2).cast(DecimalType(18, 2))
-  def ratio4(c: Column): Column = round(c, 4).cast(DecimalType(18, 4))
+  /** Exact money sum → DOUBLE: per-row cast to DECIMAL(18,2) makes
+    * the aggregation exact and partition-order-independent; the final
+    * cast to double is the deterministic nearest-double, so bits match
+    * across engines and runs. Oracle twin:
+    * `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. */
+  def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact sum of a derived full-precision term, quantized per row to
+    * 6dp. Oracle twin: `CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE)`. */
+  def termSum6(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** arithmetic round-half-up to n decimals — pure IEEE ops (floor,
+    * mult, div), bit-identical in any engine; no BigDecimal anywhere */
+  def roundA(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + 0.5) / p
+  }
+
   /** epoch seconds (floor) from the events table's nanosecond LONG
     * `ts` — integer division (double math would lose precision above
     * 2^53 ns) */
@@ -32,12 +58,12 @@ object Analytics {
   // ---- q1: scan-filter-group-agg (TPC-H Q1 shape) --------------------
   val q1 = Q("q1_agg", Some("""
     SELECT l_returnflag, l_linestatus,
-      CAST(round(sum(l_quantity),2) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(round(sum(l_extendedprice),2) AS DECIMAL(18,2)) AS sum_base,
-      CAST(round(sum(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS sum_disc,
-      CAST(round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS DECIMAL(18,2)) AS sum_charge,
-      CAST(round(avg(l_quantity),4) AS DECIMAL(18,4)) AS avg_qty,
-      CAST(round(avg(l_extendedprice),4) AS DECIMAL(18,4)) AS avg_price,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+      CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+      CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
       count(*) AS n
     FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -46,12 +72,12 @@ object Analytics {
       .filter(col("l_shipdate") < lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        money(sum("l_quantity")).as("sum_qty"),
-        money(sum("l_extendedprice")).as("sum_base"),
-        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
-        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-        ratio4(avg("l_quantity")).as("avg_qty"),
-        ratio4(avg("l_extendedprice")).as("avg_price"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base"),
+        termSum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+        termSum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -59,7 +85,7 @@ object Analytics {
   // ---- q2: broadcast dim joins ---------------------------------------
   val q2 = Q("q2_join_broadcast", Some("""
     SELECT r_name, n_name, count(*) AS n_cust,
-      CAST(round(sum(c_acctbal),2) AS DECIMAL(18,2)) AS acctbal
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name ORDER BY r_name, n_name""")) { (s, d) =>
@@ -67,14 +93,14 @@ object Analytics {
       .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("n_cust"), money(sum("c_acctbal")).as("acctbal"))
+      .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("acctbal"))
       .orderBy("r_name", "n_name")
   }
 
   // ---- q3: join + agg + global top-k ---------------------------------
   val q3 = Q("q3_topk", Some("""
     SELECT l_orderkey,
-      CAST(round(sum(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue,
+      CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       CAST(o_orderdate AS DATE) AS odate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
@@ -90,7 +116,7 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"),
         col("o_orderpriority"))
-      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(termSum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .select("l_orderkey", "revenue", "odate", "o_orderpriority")
       .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
   }
@@ -98,7 +124,7 @@ object Analytics {
   // ---- q4: EXISTS / left-semi ----------------------------------------
   val q4 = Q("q4_semijoin", Some("""
     SELECT o_orderpriority, count(*) AS n,
-      CAST(round(sum(o_totalprice),2) AS DECIMAL(18,2)) AS total
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE EXISTS (
       SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
     GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
@@ -106,14 +132,14 @@ object Analytics {
       .join(t(s, d, "lineitem").filter(col("l_quantity") >= 48),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), money(sum("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
       .orderBy("o_orderpriority")
   }
 
   // ---- q5: 5-way join (TPC-H Q5 shape: revenue by supplier nation) ---
   val q5 = Q("q5_multijoin", Some("""
     SELECT n_name,
-      CAST(round(sum(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue,
+      CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       count(*) AS n
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -136,14 +162,14 @@ object Analytics {
       .join(broadcast(t(s, d, "region")).filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+      .agg(termSum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   // ---- q6: selective pushdown scan agg (TPC-H Q6 shape) --------------
   val q6 = Q("q6_filter", Some("""
-    SELECT CAST(round(sum(l_extendedprice*l_discount),2) AS DECIMAL(18,2)) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -153,7 +179,7 @@ object Analytics {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(money(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+      .agg(termSum6(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n"))
   }
 
@@ -176,12 +202,13 @@ object Analytics {
   // ---- q8: ROLLUP grouping sets --------------------------------------
   val q8 = Q("q8_rollup", Some("""
     SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
-      count(*) AS n, CAST(round(sum(l_quantity),2) AS DECIMAL(18,2)) AS qty
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY flag, status""")) { (s, d) =>
     t(s, d, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), money(sum("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"), col("qty"))
       .orderBy("flag", "status")
@@ -214,20 +241,22 @@ object Analytics {
   // ---- q11: HAVING on aggregate --------------------------------------
   val q11 = Q("q11_having", Some("""
     SELECT o_custkey, count(*) AS n,
-      CAST(round(sum(o_totalprice),2) AS DECIMAL(18,2)) AS total
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_custkey
     HAVING count(*) >= 3 ORDER BY o_custkey""")) { (s, d) =>
     t(s, d, "orders").groupBy("o_custkey")
-      .agg(count(lit(1)).as("n"), money(sum("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
       .filter(col("n") >= 3)
       .orderBy("o_custkey")
   }
 
   // ---- q12: conditional aggregation (CASE WHEN in sum) ---------------
+  // sums of int must be CAST AS BIGINT in the oracle: DuckDB sum(int)
+  // is HUGEINT, which stringifies differently from Spark's LONG.
   val q12 = Q("q12_casewhen", Some("""
     SELECT l_returnflag,
-      sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_n,
-      sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_n
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_n
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
     val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -257,7 +286,7 @@ object Analytics {
   // quantities are integer-valued → per-part avg is exact in double,
   // so the 0.5*avg comparison is engine-stable.
   val q14 = Q("q14_subquery", Some("""
-    SELECT CAST(round(sum(l.l_extendedprice)/7.0, 2) AS DECIMAL(18,2)) AS avg_yearly,
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
            count(*) AS n
     FROM lineitem l JOIN (
       SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
@@ -271,12 +300,13 @@ object Analytics {
     val a = li.groupBy(col("l_partkey").as("pk")).agg(avg("l_quantity").as("aq"))
     li.join(a, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < lit(0.5) * col("aq"))
-      .agg(money(sum("l_extendedprice") / 7.0).as("avg_yearly"), count(lit(1)).as("n"))
+      .agg((moneySum(col("l_extendedprice")) / 7.0).as("avg_yearly"), count(lit(1)).as("n"))
   }
 
   // ---- q15: UNION ALL + agg ------------------------------------------
   val q15 = Q("q15_union", Some("""
-    SELECT kind, count(*) AS n, CAST(round(sum(bal),2) AS DECIMAL(18,2)) AS total
+    SELECT kind, count(*) AS n,
+      CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
           UNION ALL
           SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier)
@@ -284,7 +314,7 @@ object Analytics {
     val c = t(s, d, "customer").select(lit("customer").as("kind"), col("c_acctbal").as("bal"))
     val su = t(s, d, "supplier").select(lit("supplier").as("kind"), col("s_acctbal").as("bal"))
     c.unionAll(su).groupBy("kind")
-      .agg(count(lit(1)).as("n"), money(sum("bal")).as("total"))
+      .agg(count(lit(1)).as("n"), moneySum(col("bal")).as("total"))
       .orderBy("kind")
   }
 
@@ -298,8 +328,8 @@ object Analytics {
                  WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
                  THEN 1 ELSE 0 END AS new_s FROM e),
     s AS (SELECT user_id, event_id, sec,
-            sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+            CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g)
     SELECT user_id, sid, count(*) AS n_events,
            min(sec) AS start_s, max(sec) AS end_s, max(sec)-min(sec) AS dur_s
     FROM s GROUP BY user_id, sid ORDER BY user_id, sid""")) { (s, d) =>
@@ -322,13 +352,13 @@ object Analytics {
       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
-      CAST(round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'),0),2) AS DECIMAL(18,2)) AS v_purchase,
-      CAST(round(coalesce(sum(value) FILTER (WHERE event_type = 'signup'),0),2) AS DECIMAL(18,2)) AS v_signup
+      coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0) AS v_purchase,
+      coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE), 0.0) AS v_signup
     FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
     val e = t(s, d, "events")
     def cnt(tp: String) = count(when(col("event_type") === tp, 1))
     def vsum(tp: String) =
-      money(coalesce(sum(when(col("event_type") === tp, col("value"))), lit(0)))
+      coalesce(termSum6(when(col("event_type") === tp, col("value"))), lit(0.0))
     e.groupBy("user_id")
       .agg(cnt("click").as("n_click"), cnt("view").as("n_view"),
         cnt("error").as("n_error"), vsum("purchase").as("v_purchase"),
@@ -340,13 +370,13 @@ object Analytics {
   val q18 = Q("q18_timeagg", Some("""
     WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value FROM events)
     SELECT sec - sec % 3600 AS hour_s, event_type, count(*) AS n,
-      CAST(round(sum(value),2) AS DECIMAL(18,2)) AS total
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM e GROUP BY hour_s, event_type ORDER BY hour_s, event_type""")) { (s, d) =>
     t(s, d, "events")
       .select(tsSec.as("sec"), col("event_type"), col("value"))
       .withColumn("hour_s", col("sec") - col("sec") % 3600)
       .groupBy("hour_s", "event_type")
-      .agg(count(lit(1)).as("n"), money(sum("value")).as("total"))
+      .agg(count(lit(1)).as("n"), termSum6(col("value")).as("total"))
       .orderBy("hour_s", "event_type")
   }
 
@@ -355,39 +385,42 @@ object Analytics {
     WITH e AS (SELECT user_id, event_id, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
     SELECT user_id, event_id,
-      CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY sec, event_id
-                                  ROWS UNBOUNDED PRECEDING),2) AS DECIMAL(18,2)) AS run_total
+      CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        PARTITION BY user_id ORDER BY sec, event_id
+        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
     FROM e ORDER BY user_id, event_id""")) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     t(s, d, "events")
       .select(col("user_id"), col("event_id"), col("value"), tsSec.as("sec"))
-      .select(col("user_id"), col("event_id"), money(sum("value").over(w)).as("run_total"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double").as("run_total"))
       .orderBy("user_id", "event_id")
   }
 
   // ---- q20: JSON extraction + agg ------------------------------------
   val q20 = Q("q20_json", Some("""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
-      count(*) AS n, CAST(round(sum(value),2) AS DECIMAL(18,2)) AS total
+      count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM events GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
     t(s, d, "events")
       .withColumn("bucket", get_json_object(col("props"), "$.k").cast("long") % 10)
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), money(sum("value")).as("total"))
+      .agg(count(lit(1)).as("n"), termSum6(col("value")).as("total"))
       .orderBy("bucket")
   }
 
   // ---- q21: exact interpolated quantiles -----------------------------
   val q21 = Q("q21_quantile", Some("""
     SELECT l_returnflag,
-      CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DECIMAL(18,4)) AS med_qty,
-      CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DECIMAL(18,2)) AS p95_price,
+      floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0 AS med_qty,
+      floor(quantile_cont(l_extendedprice, 0.95) * 100.0 + 0.5) / 100.0 AS p95_price,
       count(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
     t(s, d, "lineitem").groupBy("l_returnflag")
-      .agg(ratio4(expr("percentile(l_quantity, 0.5)")).as("med_qty"),
-        money(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+      .agg(roundA(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        roundA(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
@@ -395,17 +428,16 @@ object Analytics {
   // ---- q22: statistical aggregates (corr / stddev / covar) -----------
   val q22 = Q("q22_stats", Some("""
     SELECT
-      CAST(round(corr(l_quantity, l_extendedprice), 6) AS DECIMAL(18,6)) AS corr_qp,
-      CAST(round(stddev_samp(l_extendedprice), 2) AS DECIMAL(18,2)) AS sd_price,
-      CAST(round(covar_samp(l_quantity, l_discount), 6) AS DECIMAL(18,6)) AS cov_qd,
-      CAST(round(avg(l_quantity), 4) AS DECIMAL(18,4)) AS avg_qty
+      floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS corr_qp,
+      floor(stddev_samp(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sd_price,
+      floor(covar_samp(l_quantity, l_discount) * 1000000.0 + 0.5) / 1000000.0 AS cov_qd,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
     FROM lineitem""")) { (s, d) =>
     t(s, d, "lineitem").agg(
-      round(corr("l_quantity", "l_extendedprice"), 6).cast(DecimalType(18, 6)).as("corr_qp"),
-      money(stddev_samp(col("l_extendedprice"))).as("sd_price"),
-      round(covar_samp(col("l_quantity"), col("l_discount")), 6)
-        .cast(DecimalType(18, 6)).as("cov_qd"),
-      ratio4(avg("l_quantity")).as("avg_qty"))
+      roundA(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+      roundA(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+      roundA(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+      (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
   }
 
   // ---- q23: as-of join (most recent prior click per error event) -----

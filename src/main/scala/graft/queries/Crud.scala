@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.operators.Migration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import Analytics.money
+import Analytics.{moneySum, termSum6}
 
 /** SURVEY §2 A — the reference's CRUD/migration surface as
   * distributed batch operators (see [[graft.operators.Migration]]).
@@ -61,7 +61,7 @@ object Crud {
 
   val a7 = Q("a7_delete", Some("""
     SELECT o_orderstatus, count(*) AS n,
-      CAST(round(sum(o_totalprice),2) AS DECIMAL(18,2)) AS total
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE NOT EXISTS (
       SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
     GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
@@ -69,7 +69,7 @@ object Crud {
       .select(col("l_orderkey"))
     Migration.deleteWhere(t(s, d, "orders"), "o_orderkey", tombstones, "l_orderkey")
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), money(sum("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
   }
 
@@ -85,7 +85,7 @@ object Crud {
       FROM orders o WHERE NOT EXISTS (
         SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey))
     SELECT o_orderstatus, count(*) AS n,
-      CAST(round(sum(o_totalprice),2) AS DECIMAL(18,2)) AS total
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
     val base = t(s, d, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -93,24 +93,30 @@ object Crud {
     val updates = base.filter(col("o_orderkey") % 7 === 0)
       .withColumn("o_orderstatus", lit("U"))
       .withColumn("o_totalprice", col("o_totalprice") * 1.05)
+    // 18,6 (not 18,2): updated rows carry the full-precision *1.05
+    // product, so the per-row quantization grid must be fine enough
+    // to be midpoint-free for derived doubles
     Migration.upsert(base, updates, "o_orderkey")
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), money(sum("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), termSum6(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
   }
 
+  // int sums CAST AS BIGINT: DuckDB sum() yields HUGEINT, which
+  // stringifies differently from Spark's LONG in the driver compare
   val a9 = Q("a9_validate", Some("""
     SELECT doc_id % 16 AS bucket, count(*) AS n,
-      sum(strlen(text)) AS sum_bytes,
+      CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
       min(doc_id) AS min_id, max(doc_id) AS max_id,
-      sum(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS checksum
+      CAST(sum(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS BIGINT) AS checksum
     FROM documents GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
     Migration.validate(t(s, d, "documents"), "doc_id", "text", 16)
       .orderBy("bucket")
   }
 
   val a10 = Q("a10_manifest", Some("""
-    SELECT source, count(*) AS n_objects, sum(strlen(text)) AS total_bytes
+    SELECT source, count(*) AS n_objects,
+      CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
     FROM documents GROUP BY source ORDER BY source""")) { (s, d) =>
     Migration.manifest(Migration.externalize(t(s, d, "documents"),
       col("doc_id"), col("source"), col("text")))

@@ -15,8 +15,11 @@ object Dedup {
   // duckdb shingle CTE shared by d2/d4 (word 3-grams, 1-based lists)
   private val tokCte =
     "tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents)"
+  // concat_ws (not ||): out-of-range list indexes are NULL, which ||
+  // would propagate but concat_ws skips — so a <3-token doc yields one
+  // truncated shingle, matching the Spark native/SQL forms exactly
   private val shingleExpr =
-    "list_transform(range(1, greatest(len(tk) - 1, 2)), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])"
+    "list_transform(range(1, greatest(len(tk) - 1, 2)), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
 
   private val minExprs = (0 until D.K)
     .map(k => s"min(md5('$k:' || s)) AS h$k").mkString(", ")
@@ -78,7 +81,7 @@ object Dedup {
           10000.0 AS jr
       FROM base a JOIN rhs ON a.k = rhs.k AND a.doc_id < rhs.d2
         AND abs(a.nc - rhs.nc2) <= 8)
-    SELECT d1, d2, CAST(jr AS DECIMAL(18,4)) AS jacc FROM pairs
+    SELECT d1, d2, jr AS jacc FROM pairs
     WHERE jr >= 0.5 ORDER BY d1, d2""")) { (s, d) =>
     D.ngramJaccard(t(s, d, "documents"), "doc_id", "text", "n_chars", 0.5)
       .orderBy("d1", "d2")

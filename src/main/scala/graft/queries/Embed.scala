@@ -36,7 +36,7 @@ object Embed {
     WITH $normCte,
     p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, ${cosRSql("a", "b")} AS c6
           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT v1, v2, CAST(c6 AS DECIMAL(18,6)) AS cos6 FROM p
+    SELECT v1, v2, c6 AS cos6 FROM p
     WHERE c6 >= 0.4 ORDER BY v1, v2""")) { (s, d) =>
     Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
       col("label"), 0.4)
@@ -52,7 +52,7 @@ object Embed {
     r AS (SELECT probe_id, neighbor_id, c6,
             row_number() OVER (PARTITION BY probe_id
                                ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
-    SELECT probe_id, rn, neighbor_id, CAST(c6 AS DECIMAL(18,6)) AS cos6
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
     FROM r WHERE rn <= 5
     ORDER BY probe_id, rn""")) { (s, d) =>
     Similarity.bruteKnn(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -70,7 +70,7 @@ object Embed {
     r AS (SELECT probe_id, neighbor_id, c6,
             row_number() OVER (PARTITION BY probe_id
                                ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
-    SELECT probe_id, rn, neighbor_id, CAST(c6 AS DECIMAL(18,6)) AS cos6
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
     FROM r WHERE rn <= 5
     ORDER BY probe_id, rn""")) { (s, d) =>
     Similarity.lshKnn(t(s, d, "embeddings"), "vec_id", "embedding",

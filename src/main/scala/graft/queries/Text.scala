@@ -37,10 +37,10 @@ object Text {
       CAST(len(list_filter(string_split(lower(text), ' '), w -> $stopPred)) AS BIGINT) AS stop_cnt,
       strlen(text) AS nbytes FROM documents)
     SELECT doc_id, n_tok, stop_cnt,
-      CAST(round((nbytes - n_tok + 1) * 1.0 / n_tok, 4) AS DECIMAL(18,4)) AS avg_wlen,
-      CAST(round(stop_cnt * 1.0 / n_tok, 4) AS DECIMAL(18,4)) AS stop_ratio,
-      CAST(round(least(1.0, n_tok / 100.0) * 0.5 +
-                 (stop_cnt * 1.0 / n_tok) * 0.5, 4) AS DECIMAL(18,4)) AS score
+      floor(((nbytes - n_tok + 1) * 1.0 / n_tok) * 10000.0 + 0.5) / 10000.0 AS avg_wlen,
+      floor((stop_cnt * 1.0 / n_tok) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+      floor((least(1.0, n_tok / 100.0) * 0.5 +
+             (stop_cnt * 1.0 / n_tok) * 0.5) * 10000.0 + 0.5) / 10000.0 AS score
     FROM f ORDER BY doc_id""")) { (s, d) =>
     TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
   }
@@ -86,9 +86,13 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // chunk count clamped to >= 1 on BOTH sides: an empty document gets
+  // one zero-byte chunk. Unclamped, Spark's sequence(0, -1) yields a
+  // DESCENDING [0,-1] while DuckDB's range(0, 0) yields nothing — a
+  // silent divergence plus nonsense negative chunk ids.
   val m2 = Q("m2_chunk", Some("""
     WITH c AS (SELECT doc_id, text,
-      unnest(range(0, CAST(ceil(strlen(text) / 256.0) AS INT))) AS chunk_id
+      unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1))) AS chunk_id
       FROM documents)
     SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
       strlen(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS chunk_bytes
@@ -96,7 +100,8 @@ object Text {
     t(s, d, "documents")
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
-          (ceil(octet_length(col("text")) / 256.0) - 1).cast("int"))).as("chunk_id"))
+          greatest((ceil(octet_length(col("text")) / 256.0) - 1).cast("int"),
+            lit(0)))).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         expr("octet_length(substring(text, chunk_id * 256 + 1, 256))").as("chunk_bytes"))
       .orderBy("doc_id", "chunk_id")

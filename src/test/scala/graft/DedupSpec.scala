@@ -31,6 +31,33 @@ class DedupSpec extends AnyFunSuite {
     assert(ham < 8.0, s"avg hamming distance of near-dups was $ham / 32")
   }
 
+  test("short docs (<3 tokens): native, SQL, and truncated-shingle forms agree") {
+    import spark.implicits._
+    val short = Seq((1L, "solo"), (2L, "two words"), (3L, "three word doc"),
+      (4L, "a full four tokens")).toDF("doc_id", "text")
+      .withColumn("__tk", split(col("text"), " "))
+    // native expression vs the exported SQL form (try_element_at +
+    // concat_ws truncation): must be value-identical per doc
+    val both = short.select(col("doc_id"),
+      graft.functions.TextHashes.shingle_hash48(col("__tk")).as("native"),
+      expr(s"transform(transform(${D.shingleSql("__tk")}, s -> md5(cast(s as binary))), " +
+        "h -> " + (1 to 12).map(i =>
+          s"cast(instr('0123456789abcdef', substr(h, $i, 1)) - 1 as bigint) * " +
+            s"cast(${math.pow(16, 12 - i).toLong} as bigint)").mkString(" + ") + ")")
+        .as("sqlform"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: native ${r.getSeq[Long](1)} != sql ${r.getSeq[Long](2)}")
+    }
+    // shingle counts: max(n_tokens - 2, 1)
+    val counts = both.select(col("doc_id"), size(col("native")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2))
+    // minhash signatures must also not throw / agree in length on short docs
+    val sig = D.minhashSignatures(short.drop("__tk"), "doc_id", "text")
+    assert(sig.count() == 4)
+  }
+
   test("exact dedup groups are singletons in a dup-free corpus") {
     val d = D.exact(docs, "doc_id", "text")
     assert(d.count() == docs.count())

@@ -29,6 +29,16 @@ def canon(cols, rows):
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(out)
 
+def badtypes(sql):
+    """Output-type lint: DECIMAL and HUGEINT stringify differently
+    depending on which reader path touches them (Decimal('1.50') vs
+    float 1.5; hugeint->float64 '5.0' vs int64 '5'), so the driver's
+    asymmetric normalization flags equal values as hash mismatches.
+    Only BIGINT/INT/DOUBLE/VARCHAR/DATE-shaped outputs are safe."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows
+            if "DECIMAL" in r[1] or "HUGEINT" in r[1]]
+
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
 ok = fail = 0
 for name in sorted(oracle):
@@ -36,6 +46,10 @@ for name in sorted(oracle):
     if not os.path.isdir(res_dir):
         print(f"MISSING  {name} (no parquet dump)"); fail += 1; continue
     try:
+        bt = badtypes(oracle[name]) + \
+             badtypes(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+        if bt:
+            print(f"TYPES    {name}: unsafe output types {bt}"); fail += 1; continue
         got = con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
         gc, gr = canon([d[0] for d in got.description], got.fetchall())
         want = con.execute(oracle[name])
