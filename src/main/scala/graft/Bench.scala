@@ -15,8 +15,10 @@ object Bench {
     // land arbitrarily on whichever queries run first (the
     // alphabetically-first query absorbed ~6s of session warmup);
     // the timed pass below measures steady-state throughput.
-    suite.foreach { case (_, fn) =>
+    suite.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      System.err.println(f"[bench] warmup $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     System.gc()
     var i = 0

@@ -83,6 +83,33 @@ object Dedup {
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the
+    * fraction of the K signature slots that agree — the classic
+    * sketch estimator E[est] = J(a,b), so near-dup decisions can be
+    * made from fixed-width signatures without touching shingle sets.
+    * est = matches/16 is a dyadic rational: exact in double, no
+    * rounding needed for engine parity. (At production scale the
+    * signature table would be checkpointed once and reused by both
+    * the band join and the estimate join; here each branch recomputes
+    * the map-only signature pass.) */
+  def minhashEstimate(docs: DataFrame, id: String, text: String): DataFrame = {
+    val sigs = minhashSignatures(docs, id, text)
+    val bs = bands(sigs, id)
+    val cands = bs.select(col(id).as("d1"), col("j"), col("b"))
+      .join(bs.select(col(id).as("d2"), col("j"), col("b")), Seq("j", "b"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val sa = sigs.select(col(id).as("d1") +:
+      (0 until K).map(k => col(s"h$k").as(s"a$k")): _*)
+    val sb = sigs.select(col(id).as("d2") +:
+      (0 until K).map(k => col(s"h$k").as(s"b$k")): _*)
+    val matches = (0 until K)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(sa, "d1").join(sb, "d2")
+      .select(col("d1"), col("d2"), (matches * 1.0 / K).as("est"))
+  }
+
   /** SimHash: 32-bit signature from per-token md5 bit-majorities
     * (8 hex digits × 4 bits), built from portable string/arithmetic
     * ops only. */

@@ -79,6 +79,35 @@ object Similarity {
         col("c6").as("cos6"))
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest anchor ("centroid") by cosine; probes search only their
+    * own cell. Anchors here are a deterministic subset of the corpus
+    * (a production pipeline would k-means them); the assignment pass
+    * is map-only against a broadcast anchor table, so at 100 TB the
+    * cost is |corpus|×|anchors| fused dot products with zero shuffle,
+    * and the search join shuffles on the (small-cardinality) cell id. */
+  def ivfKnn(vectors: DataFrame, id: String, emb: String,
+      anchorPred: Column, probePred: Column, k: Int): DataFrame = {
+    val anchors = broadcast(vectors.filter(anchorPred)
+      .select(col(id).as("anchor_id"), col(emb).as("ae")))
+    // nearest anchor per vector: max cosine, anchor_id tie-break
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("ac").desc, col("anchor_id"))
+    val assigned = vectors.crossJoin(anchors)
+      .select(col(id), col(emb),
+        col("anchor_id"), cosR(col(emb), col("ae")).as("ac"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col(id), col(emb), col("anchor_id").as("cell"))
+    val probes = broadcast(assigned.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe"), col("cell")))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col(id) =!= col("probe_id"))
+      .select(col("probe_id"), col(id).as("neighbor_id"),
+        cosR(col("pe"), col(emb)).as("c6"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a join predicate
     * (label partition / sign bucket) to avoid the all-pairs product. */
   def nearDupPairs(vectors: DataFrame, id: String, emb: String,

@@ -79,6 +79,21 @@ object TextAnalysis {
         .cast("long").as("bpe_est"))
       .withColumn("tok_est", greatest(col("ws_tokens"), col("char_est")))
 
+  /** Per-group top-k term frequencies (corpus vocabulary profile):
+    * explode tokens → partial-agg count per (group, term) → window
+    * top-k over the (small) aggregate. At 100 TB the shuffle carries
+    * only (group, term, partial count) rows — never documents. */
+  def topTerms(docs: DataFrame, group: String, text: String, k: Int): DataFrame = {
+    val counts = docs
+      .select(col(group), explode(tokens(col(text))).as("w"))
+      .groupBy(col(group), col("w")).agg(count(lit(1)).as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("n").desc, col("w"))
+    counts.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col(group), col("rn"), col("w"), col("n"))
+  }
+
   /** Document fingerprint: md5 of the casefolded, punctuation-stripped,
     * space-collapsed canonical form. */
   def fingerprint(docs: DataFrame, id: String, text: String): DataFrame =

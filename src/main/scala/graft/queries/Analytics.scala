@@ -4,7 +4,6 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Core analytics surface (SURVEY §2 B).
   *
@@ -13,9 +12,10 @@ import org.apache.spark.sql.types.DecimalType
   * is reader-dependent: `123.40` vs `123.4`) and never a DuckDB
   * HUGEINT (int sums must be CAST AS BIGINT in oracle SQL). Doubles
   * are made bit-deterministic by construction:
-  *   - sums: per-row cast to DECIMAL (exact, order-independent
-  *     accumulation), final cast to DOUBLE (deterministic
-  *     nearest-double) — [[moneySum]] / [[termSum6]];
+  *   - sums: per-row arithmetic quantization to SCALED LONGS (exact,
+  *     order-independent accumulation, zero BigDecimal in the hot
+  *     path), divided back to double on output — [[moneySum]] /
+  *     [[termSum6]];
   *   - averages/scalars: IEEE ops over those exact sums;
   *   - intrinsically-double aggregates (percentile, corr, stddev):
   *     arithmetic rounding `floor(x*10^n+0.5)/10^n` ([[roundA]]),
@@ -27,18 +27,25 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Analytics {
 
-  /** Exact money sum → DOUBLE: per-row cast to DECIMAL(18,2) makes
-    * the aggregation exact and partition-order-independent; the final
-    * cast to double is the deterministic nearest-double, so bits match
-    * across engines and runs. Oracle twin:
-    * `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. */
+  /** Exact money sum → DOUBLE via SCALED LONGS: per-row arithmetic
+    * half-up to integer cents (`floor(x*100+0.5)` — Spark floor on
+    * double already returns LONG), exact order-independent long sum,
+    * divide back on output. Values are identical to a per-row
+    * DECIMAL(18,2)-cast sum, but with zero BigDecimal in the hot
+    * path: Spark's double→decimal Cast goes through
+    * BigDecimal.valueOf→Double.toString per row, which runs ~50x
+    * slow while the codegen class is still interpreted and triggered
+    * 2-minute first-run stalls (the round-1 lesson, re-learned).
+    * Oracle twin:
+    * `CAST(sum(CAST(floor(x*100.0+0.5) AS BIGINT)) AS DOUBLE)/100.0`. */
   def moneySum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast("double")
+    sum(floor(c * 100.0 + 0.5)) / 100.0
 
   /** Exact sum of a derived full-precision term, quantized per row to
-    * 6dp. Oracle twin: `CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE)`. */
+    * 6dp scaled longs. Oracle twin:
+    * `CAST(sum(CAST(floor(e*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0`. */
   def termSum6(c: Column): Column =
-    sum(c.cast(DecimalType(18, 6))).cast("double")
+    sum(floor(c * 1000000.0 + 0.5)) / 1000000.0
 
   /** arithmetic round-half-up to n decimals — pure IEEE ops (floor,
     * mult, div), bit-identical in any engine; no BigDecimal anywhere */
@@ -58,12 +65,12 @@ object Analytics {
   // ---- q1: scan-filter-group-agg (TPC-H Q1 shape) --------------------
   val q1 = Q("q1_agg", Some("""
     SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-      CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
-      CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base,
+      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc,
+      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)*(1+l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+      CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+      CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
       count(*) AS n
     FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -85,7 +92,7 @@ object Analytics {
   // ---- q2: broadcast dim joins ---------------------------------------
   val q2 = Q("q2_join_broadcast", Some("""
     SELECT r_name, n_name, count(*) AS n_cust,
-      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+      CAST(sum(CAST(floor((c_acctbal) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name ORDER BY r_name, n_name""")) { (s, d) =>
@@ -100,7 +107,7 @@ object Analytics {
   // ---- q3: join + agg + global top-k ---------------------------------
   val q3 = Q("q3_topk", Some("""
     SELECT l_orderkey,
-      CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
       CAST(o_orderdate AS DATE) AS odate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
@@ -124,7 +131,7 @@ object Analytics {
   // ---- q4: EXISTS / left-semi ----------------------------------------
   val q4 = Q("q4_semijoin", Some("""
     SELECT o_orderpriority, count(*) AS n,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
     FROM orders WHERE EXISTS (
       SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
     GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
@@ -139,7 +146,7 @@ object Analytics {
   // ---- q5: 5-way join (TPC-H Q5 shape: revenue by supplier nation) ---
   val q5 = Q("q5_multijoin", Some("""
     SELECT n_name,
-      CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
       count(*) AS n
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -169,7 +176,7 @@ object Analytics {
 
   // ---- q6: selective pushdown scan agg (TPC-H Q6 shape) --------------
   val q6 = Q("q6_filter", Some("""
-    SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    SELECT CAST(sum(CAST(floor((l_extendedprice*l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -203,7 +210,7 @@ object Analytics {
   val q8 = Q("q8_rollup", Some("""
     SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
       count(*) AS n,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS qty
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY flag, status""")) { (s, d) =>
     t(s, d, "lineitem")
@@ -241,7 +248,7 @@ object Analytics {
   // ---- q11: HAVING on aggregate --------------------------------------
   val q11 = Q("q11_having", Some("""
     SELECT o_custkey, count(*) AS n,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
     FROM orders GROUP BY o_custkey
     HAVING count(*) >= 3 ORDER BY o_custkey""")) { (s, d) =>
     t(s, d, "orders").groupBy("o_custkey")
@@ -286,7 +293,7 @@ object Analytics {
   // quantities are integer-valued → per-part avg is exact in double,
   // so the 0.5*avg comparison is engine-stable.
   val q14 = Q("q14_subquery", Some("""
-    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+    SELECT CAST(sum(CAST(floor((l.l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
            count(*) AS n
     FROM lineitem l JOIN (
       SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
@@ -306,7 +313,7 @@ object Analytics {
   // ---- q15: UNION ALL + agg ------------------------------------------
   val q15 = Q("q15_union", Some("""
     SELECT kind, count(*) AS n,
-      CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+      CAST(sum(CAST(floor((bal) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
     FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
           UNION ALL
           SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier)
@@ -352,8 +359,8 @@ object Analytics {
       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
-      coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0) AS v_purchase,
-      coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE), 0.0) AS v_signup
+      coalesce(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS DOUBLE) / 1000000.0, 0.0) AS v_purchase,
+      coalesce(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'signup') AS DOUBLE) / 1000000.0, 0.0) AS v_signup
     FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
     val e = t(s, d, "events")
     def cnt(tp: String) = count(when(col("event_type") === tp, 1))
@@ -370,7 +377,7 @@ object Analytics {
   val q18 = Q("q18_timeagg", Some("""
     WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value FROM events)
     SELECT sec - sec % 3600 AS hour_s, event_type, count(*) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
     FROM e GROUP BY hour_s, event_type ORDER BY hour_s, event_type""")) { (s, d) =>
     t(s, d, "events")
       .select(tsSec.as("sec"), col("event_type"), col("value"))
@@ -385,16 +392,16 @@ object Analytics {
     WITH e AS (SELECT user_id, event_id, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
     SELECT user_id, event_id,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+      CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) OVER (
         PARTITION BY user_id ORDER BY sec, event_id
-        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+        ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0 AS run_total
     FROM e ORDER BY user_id, event_id""")) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     t(s, d, "events")
       .select(col("user_id"), col("event_id"), col("value"), tsSec.as("sec"))
       .select(col("user_id"), col("event_id"),
-        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double").as("run_total"))
+        (sum(floor(col("value") * 1000000.0 + 0.5)).over(w) / 1000000.0).as("run_total"))
       .orderBy("user_id", "event_id")
   }
 
@@ -402,7 +409,7 @@ object Analytics {
   val q20 = Q("q20_json", Some("""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
       count(*) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
     FROM events GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
     t(s, d, "events")
       .withColumn("bucket", get_json_object(col("props"), "$.k").cast("long") % 10)
@@ -431,7 +438,7 @@ object Analytics {
       floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS corr_qp,
       floor(stddev_samp(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sd_price,
       floor(covar_samp(l_quantity, l_discount) * 1000000.0 + 0.5) / 1000000.0 AS cov_qd,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+      CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty
     FROM lineitem""")) { (s, d) =>
     t(s, d, "lineitem").agg(
       roundA(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
@@ -463,6 +470,110 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  // ---- q24: CUBE grouping sets ---------------------------------------
+  val q24 = Q("q24_cube", Some("""
+    SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+      count(*) AS n,
+      CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY flag, status""")) { (s, d) =>
+    t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"), col("total"))
+      .orderBy("flag", "status")
+  }
+
+  // ---- q25: INTERSECT / EXCEPT set operations ------------------------
+  val q25 = Q("q25_setops", Some("""
+    SELECT 'both' AS side, count(*) AS n FROM
+      (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cust_only', count(*) FROM
+      (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'supp_only', count(*) FROM
+      (SELECT s_nationkey AS k FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+    ORDER BY side""")) { (s, d) =>
+    val c = t(s, d, "customer").select(col("c_nationkey").as("k"))
+    val su = t(s, d, "supplier").select(col("s_nationkey").as("k"))
+    def side(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("side"), col("n"))
+    side("both", c.intersect(su))
+      .unionAll(side("cust_only", c.except(su)))
+      .unionAll(side("supp_only", su.except(c)))
+      .orderBy("side")
+  }
+
+  // ---- q26: lead/lag/ntile window navigation -------------------------
+  val q26 = Q("q26_leadlag", Some("""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+    SELECT event_id, user_id,
+      lag(event_type)  OVER w AS prev_type,
+      lead(event_type) OVER w AS next_type,
+      coalesce(sec - lag(sec) OVER w, -1) AS gap_s,
+      ntile(4) OVER w AS quartile
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ORDER BY event_id""")) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
+      .select(col("event_id"), col("user_id"),
+        lag("event_type", 1).over(w).as("prev_type"),
+        lead("event_type", 1).over(w).as("next_type"),
+        coalesce(col("sec") - lag("sec", 1).over(w), lit(-1L)).as("gap_s"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("event_id")
+  }
+
+  // ---- q28: time-range join (banded, no cartesian) -------------------
+  // every (error, click) pair of the same user within ±300s. The
+  // Spark side uses the scale-safe banded form: a naive |e|x|e|
+  // theta-join is quadratic, but bucketing time into 300s bands and
+  // exploding the left side to its 3 neighbor bands turns it into an
+  // equi-join on (user, band) + a residual |Δt|<=300 filter — each
+  // qualifying pair matches in exactly one band, so no dedup needed.
+  val q28 = Q("q28_rangejoin", Some("""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+    SELECT a.user_id, count(*) AS n_pairs,
+      min(abs(a.sec - b.sec)) AS min_gap_s
+    FROM e a JOIN e b ON a.user_id = b.user_id
+      AND a.event_type = 'error' AND b.event_type = 'click'
+      AND abs(a.sec - b.sec) <= 300
+    GROUP BY a.user_id ORDER BY a.user_id""")) { (s, d) =>
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), tsSec.as("sec"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("sec").as("esec"), expr("sec div 300").as("b0"))
+      .select(col("user_id"), col("esec"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bkt"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec").as("csec"), expr("sec div 300").as("bkt"))
+    err.join(clk, Seq("user_id", "bkt"))
+      .filter(abs(col("esec") - col("csec")) <= 300)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("esec") - col("csec"))).as("min_gap_s"))
+      .orderBy("user_id")
+  }
+
+  // ---- q27: approximate distinct (HLL sketch) ------------------------
+  // rows-only: HLL implementations differ across engines by design;
+  // QueriesSpec asserts the estimates land within 5% of exact.
+  val q27 = Q("q27_approx", None) { (s, d) =>
+    // rsd 0.02: the default 0.05 is a relative STANDARD DEVIATION,
+    // so single-run errors of 6%+ are in-spec; 0.02 costs a few KB
+    // more sketch and keeps the estimate within a few percent
+    t(s, d, "lineitem").agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      count(lit(1)).as("n"))
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
+    q24, q25, q26, q27, q28)
 }

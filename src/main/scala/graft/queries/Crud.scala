@@ -61,7 +61,7 @@ object Crud {
 
   val a7 = Q("a7_delete", Some("""
     SELECT o_orderstatus, count(*) AS n,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
     FROM orders WHERE NOT EXISTS (
       SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
     GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
@@ -85,7 +85,7 @@ object Crud {
       FROM orders o WHERE NOT EXISTS (
         SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey))
     SELECT o_orderstatus, count(*) AS n,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
     val base = t(s, d, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

@@ -42,6 +42,26 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  private val estExpr = (0 until D.K)
+    .map(k => s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  val d7 = Q("d7_minhash_est", Some(s"""
+    WITH $tokCte,
+    sh AS (SELECT doc_id, unnest($shingleExpr) AS s FROM tok),
+    mh AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, j, CASE j $bandCase END AS bb
+              FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) v(j)),
+    cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             FROM bands x JOIN bands y ON x.j = y.j AND x.bb = y.bb
+               AND x.doc_id < y.doc_id)
+    SELECT d1, d2, ($estExpr) * 1.0 / ${D.K} AS est
+    FROM cand JOIN mh a ON a.doc_id = d1 JOIN mh b ON b.doc_id = d2
+    ORDER BY d1, d2""")) { (s, d) =>
+    D.minhashEstimate(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("d1", "d2")
+  }
+
   private val digitExprs = (0 until 8)
     .map(i => s"instr('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1 AS d$i")
     .mkString(", ")
@@ -121,5 +141,5 @@ object Dedup {
       .orderBy("lang")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6)
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7)
 }

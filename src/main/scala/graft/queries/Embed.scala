@@ -78,5 +78,36 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
-  val qs: Seq[Q] = Seq(d5, s1, s2)
+  // s3: IVF — anchors are a fixed corpus subset (vec_id % 125 = 0);
+  // every vector is assigned to its max-cosine anchor (tie-break by
+  // anchor_id), probes search only their own cell.
+  val s3 = Q("s3_knn_ivf", Some(s"""
+    WITH $normCte,
+    anch AS (SELECT vec_id AS anchor_id, embedding AS ae, nrm AS anrm
+             FROM v WHERE vec_id % 125 = 0),
+    asg0 AS (SELECT v.vec_id, v.embedding, v.nrm, anch.anchor_id,
+               floor((list_sum(list_transform(range(1, 65),
+                        i -> v.embedding[i]::DOUBLE * anch.ae[i]::DOUBLE)) /
+                      (v.nrm * anch.anrm)) * 1000000.0 + 0.5) / 1000000.0 AS ac
+             FROM v CROSS JOIN anch),
+    asg AS (SELECT vec_id, embedding, nrm, anchor_id AS cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY ac DESC, anchor_id) AS arn FROM asg0)
+            WHERE arn = 1),
+    pr AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE vec_id % 17 = 0),
+    sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             ${cosRSql("a", "b")} AS c6
+           FROM pr a JOIN asg b ON a.cell = b.cell AND b.vec_id <> a.vec_id),
+    r AS (SELECT probe_id, neighbor_id, c6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
+    FROM r WHERE rn <= 5
+    ORDER BY probe_id, rn""")) { (s, d) =>
+    Similarity.ivfKnn(t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") % 17 === 0, 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  val qs: Seq[Q] = Seq(d5, s1, s2, s3)
 }

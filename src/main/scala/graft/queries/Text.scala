@@ -65,6 +65,16 @@ object Text {
     TextAnalysis.fingerprint(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
   }
 
+  val t5 = Q("t5_topterms", Some("""
+    WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    c AS (SELECT lang, w, count(*) AS n FROM tok GROUP BY lang, w),
+    r AS (SELECT lang, w, n,
+            row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rn FROM c)
+    SELECT lang, rn, w, n FROM r WHERE rn <= 5 ORDER BY lang, rn""")) { (s, d) =>
+    TextAnalysis.topTerms(t(s, d, "documents"), "lang", "text", 5)
+      .orderBy("lang", "rn")
+  }
+
   val d1 = Q("d1_dedup_exact", Some("""
     SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
     FROM documents GROUP BY h ORDER BY keeper""")) { (s, d) =>
@@ -107,5 +117,5 @@ object Text {
       .orderBy("doc_id", "chunk_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, d1, m1, m2)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, d1, m1, m2)
 }

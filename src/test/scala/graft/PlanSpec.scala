@@ -52,6 +52,19 @@ class PlanSpec extends AnyFunSuite {
       "expected partial + final aggregate")
   }
 
+  test("s3 IVF anchor assignment broadcasts the anchor table") {
+    val p = plan("s3_knn_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"),
+      "anchor assignment must broadcast, never a shuffled cartesian")
+  }
+
+  test("q28 range join is a banded equi-join, not a theta-join") {
+    val p = plan("q28_rangejoin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range join must band into an equi-join at scale")
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val df = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.sf)
     df.collect() // materialise the AQE final plan

@@ -21,6 +21,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q27 approx distinct lands within 5% of exact") {
+    val r = Registry.byName("q27_approx").run(spark, TestSpark.sf).collect().head
+    val exact = Registry.byName("q10_distinct").run(spark, TestSpark.sf)
+      .collect().head
+    val (ap, ep) = (r.getLong(r.fieldIndex("approx_parts")),
+      exact.getLong(exact.fieldIndex("n_parts")))
+    val (ao, eo) = (r.getLong(r.fieldIndex("approx_orders")),
+      exact.getLong(exact.fieldIndex("n_orders")))
+    // rsd=0.02 sketch: allow 3 sigma
+    assert(math.abs(ap - ep).toDouble / ep < 0.06, s"parts approx $ap vs $ep")
+    assert(math.abs(ao - eo).toDouble / eo < 0.06, s"orders approx $ao vs $eo")
+  }
+
+  test("d7 minhash estimate tracks true jaccard on near-dup pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val est = operators.Dedup.minhashEstimate(docs, "doc_id", "text")
+    val truth = operators.Dedup.ngramJaccard(docs, "doc_id", "text", "n_chars", 0.9)
+      .select(col("d1"), col("d2"))
+    // every >=0.9-jaccard pair that LSH surfaces should estimate high
+    val joined = est.join(truth, Seq("d1", "d2"))
+    val rows = joined.select(avg("est")).collect()
+    if (rows.head.get(0) != null)
+      assert(rows.head.getDouble(0) > 0.6,
+        s"mean minhash estimate ${rows.head.getDouble(0)} too low for true near-dups")
+  }
+
   test("every query has a matching oracle column contract") {
     // oracle SQL must alias every output; cheap sanity: it mentions
     // each Spark output column name
