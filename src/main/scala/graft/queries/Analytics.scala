@@ -560,6 +560,33 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  // ---- q29: RANGE-frame sliding window (value-based, not row-based) --
+  // trailing 1-hour sum per event: RANGE frames include sec-peers, so
+  // ties contribute identically in both engines (ROWS frames — q19 —
+  // would be order-dependent under ties).
+  val q29 = Q("q29_rangewindow", Some("""
+    WITH e AS (SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v6 FROM events)
+    SELECT user_id, event_id,
+      CAST(sum(v6) OVER (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        AS DOUBLE) / 1000000.0 AS hour_sum,
+      CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS hour_n
+    FROM e ORDER BY user_id, event_id""")) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-3600L, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), tsSec.as("sec"),
+        floor(col("value") * 1000000.0 + 0.5).as("v6"))
+      .select(col("user_id"), col("event_id"),
+        (sum("v6").over(w) / 1000000.0).as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ---- q27: approximate distinct (HLL sketch) ------------------------
   // rows-only: HLL implementations differ across engines by design;
   // QueriesSpec asserts the estimates land within 5% of exact.
@@ -575,5 +602,5 @@ object Analytics {
 
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28)
+    q24, q25, q26, q27, q28, q29)
 }

@@ -39,4 +39,29 @@ object LakeSink {
 
   def read(spark: SparkSession, path: String, format: String): DataFrame =
     spark.read.format(format).load(path)
+
+  /** Bucketed table write: hash-bucket rows on the join key at WRITE
+    * time so repeated joins/aggregations on that key need no Exchange
+    * at READ time — at 100 TB this converts every fact-fact join on
+    * the bucket key from a full shuffle of both sides into a
+    * zip-partition merge. Bucketing requires the table catalog (file
+    * layout alone can't carry the hash metadata), so this registers
+    * `table` in the session catalog backed by `spark.sql.warehouse.dir`. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    // idempotent overwrite: the catalog is session-scoped but the
+    // warehouse directory persists, and saveAsTable refuses to create
+    // a "new" managed table over a stale location from a dead session
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(java.net.URI.create(warehouse)),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
 }

@@ -32,6 +32,27 @@ object EventStreams {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
 
+  /** Watermarked stream-stream interval join (streaming q28): each
+    * error event joined to the same user's click events within the
+    * preceding 5 minutes. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so state for either side
+    * is dropped as the watermark advances — bounded memory at any
+    * stream length. */
+  def intervalJoin(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val e = errors.filter(col("event_type") === "error")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("ets"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    e.join(c, col("user_id") === col("c_user") &&
+      col("cts") >= col("ets") - expr("INTERVAL 5 MINUTES") &&
+      col("cts") <= col("ets"))
+      .select(col("user_id"), col("err_id"), col("click_id"),
+        ((col("ets").cast("long")) - col("cts").cast("long")).as("gap_s"))
+  }
+
   /** Stateful sessionization with a 30-minute gap, as
     * flatMapGroupsWithState custom state (streaming q16). Emits a
     * session row each time a gap closes it; an event-time timeout

@@ -40,6 +40,32 @@ class LakeSpec extends AnyFunSuite {
       li.agg(sum("l_quantity")).collect().head.getDouble(0))
   }
 
+  test("bucketed tables join with zero Exchange (shuffle-free co-located join)") {
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    LakeSink.writeBucketed(orders, "b_orders", "o_orderkey", 8, Some("o_orderkey"))
+    LakeSink.writeBucketed(li, "b_lineitem", "l_orderkey", 8, Some("l_orderkey"))
+    // disable broadcast so the sort-merge path (what a fact-fact join
+    // takes at 100 TB) is what gets planned; bucket co-location must
+    // then remove BOTH shuffle Exchanges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${p.take(1500)}")
+      assert(joined.count() ==
+        orders.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select("o_orderkey").distinct().count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("incremental JDBC extraction reads only the delta") {
     val dbDir = Files.createTempDirectory("graft_derby2").toString
     val url = s"jdbc:derby:$dbDir/inc;create=true"

@@ -45,6 +45,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM dd").collect().head.getLong(0) == 2)
   }
 
+  test("stream-stream interval join pairs errors with recent clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val errs = MemoryStream[Event]
+    val clks = MemoryStream[Event]
+    clks.addData(Event(1, ts(0), 1, "click", 1.0),   // 6 min before err: out
+      Event(2, ts(3), 1, "click", 1.0),              // 3 min before: in
+      Event(3, ts(5), 2, "click", 1.0))              // other user: out
+    errs.addData(Event(10, ts(6), 1, "error", 1.0))
+    runToMemory(EventStreams.intervalJoin(errs.toDF(), clks.toDF()), "ij",
+      OutputMode.Append)
+    val rows = spark.sql("SELECT err_id, click_id, gap_s FROM ij ORDER BY click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((10L, 2L, 180L)))
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
