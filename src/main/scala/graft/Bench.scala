@@ -10,9 +10,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
-    // pass 1 (untimed): session init, parquet footers, plan + codegen
-    // compilation, and C2 JIT are one-time costs that would otherwise
-    // land arbitrarily on whichever queries run first (the
+    // pass 0 (untimed, tiny SF): whole-stage-codegen classes are
+    // cached by generated source, which is identical across input
+    // directories of the same schema — so compiling and JITing them
+    // against sf0.001 pushes ~100x less data through the
+    // interpreted-execution phase. Random first-run C2/interpreter
+    // storms (observed: 98-130s on a single query at sf0.1) are
+    // bounded to the tiny corpus.
+    val tiny = "/root/testdata/sf0.001"
+    if (sfDir != tiny && new java.io.File(tiny).isDirectory)
+      suite.foreach { case (_, fn) =>
+        try { fn(spark, tiny).count() } catch { case _: Throwable => }
+      }
+    // pass 1 (untimed, target SF): session init, parquet footers, and
+    // residual plan/codegen/JIT one-time costs that would otherwise
+    // land arbitrarily on whichever timed queries run first (the
     // alphabetically-first query absorbed ~6s of session warmup);
     // the timed pass below measures steady-state throughput.
     suite.foreach { case (name, fn) =>
