@@ -13,6 +13,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // tiny-SF pre-warm: JIT the (input-independent) codegen classes
+    // against sf0.001 so random first-run C2/interpreter storms —
+    // observed adding 200s+ to a single query at sf0.01 — are bounded
+    // to the tiny corpus (same rationale as Bench)
+    val tiny = "/root/testdata/sf0.001"
+    if (sfDir != tiny && new java.io.File(tiny).isDirectory)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, tiny).count() } catch { case _: Throwable => }
+      }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

@@ -117,5 +117,30 @@ object Text {
       .orderBy("doc_id", "chunk_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, d1, m1, m2)
+  // hex-pair → int, portable instr fold (identical in any SQL engine)
+  private def hx(pos: Int) =
+    s"((instr('0123456789abcdef', substr(hx, $pos, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substr(hx, ${pos + 1}, 1)) - 1)"
+
+  /** The multimodal decode PLUMBING (binary column → mapPartitions
+    * batch decode → typed metadata rows) driven through the oracle
+    * gate: the stub codec derives shape from the payload's md5, which
+    * the oracle reproduces digit-by-digit — so the whole executor-side
+    * decode path is value-checked, not just spec-smoked. */
+  val m3 = Q("m3_decode", Some(s"""
+    WITH h AS (SELECT doc_id AS record_id, md5(text) AS hx,
+                 strlen(text) AS nbytes FROM documents)
+    SELECT record_id, 'application/octet-stream' AS media_type, nbytes,
+      16 + ${hx(1)} % 240 AS width,
+      16 + ${hx(3)} % 240 AS height,
+      1 + ${hx(5)} % 8 AS n_frames,
+      hx AS checksum
+    FROM h ORDER BY record_id""")) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.decodeMeta(
+      Multimodal.asBinary(t(s, d, "documents"), "doc_id", "text"))
+      .toDF().orderBy("record_id")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, d1, m1, m2, m3)
 }
