@@ -102,6 +102,15 @@ object Crud {
       .orderBy("o_orderstatus")
   }
 
+  /** keyset pagination — the 100 TB-safe form of a2 (OFFSET must
+    * sort-and-skip the whole prefix; keyset is O(page) at any depth) */
+  val a11 = Q("a11_keyset", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 40 ORDER BY o_orderkey LIMIT 20""")) { (s, d) =>
+    Migration.pageAfter(t(s, d, "orders"), "o_orderkey",
+      Seq("o_orderkey", "o_custkey", "o_totalprice"), 40, 20)
+  }
+
   // int sums CAST AS BIGINT: DuckDB sum() yields HUGEINT, which
   // stringifies differently from Spark's LONG in the driver compare
   val a9 = Q("a9_validate", Some("""
@@ -123,5 +132,5 @@ object Crud {
       .orderBy("source")
   }
 
-  val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10)
+  val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11)
 }
