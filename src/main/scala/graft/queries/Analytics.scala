@@ -43,7 +43,16 @@ object Analytics {
 
   /** Exact sum of a derived full-precision term, quantized per row to
     * 6dp scaled longs. Oracle twin:
-    * `CAST(sum(CAST(floor(e*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0`. */
+    * `CAST(sum(CAST(floor(e*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0`.
+    *
+    * Headroom: int64 holds |sum| up to ~9.2e12 at 6dp scale — ample
+    * for per-group money aggregates at any SF, but a GLOBAL sum over
+    * ~1e9 rows of ~1e5-magnitude values would overflow. ANSI mode
+    * (Spark 4 default) fails loudly rather than wrapping; for such
+    * columns drop to 2dp scale ([[moneySum]], ~9e16 headroom) or use
+    * a decimal sum on the output side only (decimal Cast per OUTPUT
+    * row is fine — it's the per-INPUT-row cast that was the hot-path
+    * trap). */
   def termSum6(c: Column): Column =
     sum(floor(c * 1000000.0 + 0.5)) / 1000000.0
 

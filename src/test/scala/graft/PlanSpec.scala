@@ -65,6 +65,17 @@ class PlanSpec extends AnyFunSuite {
       "range join must band into an equi-join at scale")
   }
 
+  test("t5 top-terms aggregates partially before the shuffle") {
+    val p = plan("t5_topterms")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "per-(group,term) counts must map-side combine before shuffling")
+  }
+
+  test("a11 keyset predicate reaches the parquet scan") {
+    val p = plan("a11_keyset")
+    assert(p.contains("GreaterThan(o_orderkey,40)"), p.take(800))
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val df = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.sf)
     df.collect() // materialise the AQE final plan
