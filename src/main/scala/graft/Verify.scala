@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    // optional extra args: run only these query names (local iteration;
+    // the driver always passes exactly two args)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
     val spark = GraftSession.builder(cpus)
@@ -13,16 +16,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     // tiny-SF pre-warm: JIT the (input-independent) codegen classes
-    // against sf0.001 so random first-run C2/interpreter storms —
-    // observed adding 200s+ to a single query at sf0.01 — are bounded
-    // to the tiny corpus (same rationale as Bench)
-    val tiny = "/root/testdata/sf0.001"
+    // against the smallest sibling SF so random first-run
+    // C2/interpreter storms — observed adding 200s+ to a single query
+    // at sf0.01 — are bounded to the tiny corpus (same rationale as
+    // Bench). Failures logged: a query that fails every run must be
+    // visible from the warmup, not only from the later timed pass.
+    val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      .getPath
     if (sfDir != tiny && new java.io.File(tiny).isDirectory)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try { fn(spark, tiny).count() } catch { case _: Throwable => }
+      suite.foreach { case (name, fn) =>
+        try { fn(spark, tiny).count() } catch {
+          case scala.util.control.NonFatal(e) => System.err.println(
+            s"[verify] tiny-warmup $name failed: ${e.getClass.getName}: ${e.getMessage}")
+        }
       }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    suite.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -38,13 +38,19 @@ object Dedup {
       (0 until n).map(o => s"try_element_at($tokCol, i + $o)").mkString(", ") +
       "))"
 
-  /** project id + tokens, spread over all cores: the per-row shingle/
-    * hash work is CPU-heavy and the input is typically one small
-    * parquet file = one partition. */
-  private def tokenized(docs: DataFrame, id: String, text: String,
-      extra: Seq[Column] = Nil): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select((col(id) +: extra) :+ split(col(text), " ").as("__tk"): _*)
+  /** project id + tokens, spread over all cores when the input is
+    * narrow: the per-row shingle/hash work is CPU-heavy and a small
+    * test corpus is one parquet file = one partition. The widen is
+    * CONDITIONAL — a 100 TB input already has thousands of partitions,
+    * and an unconditional repartition would full-shuffle every
+    * document before any dedup work (pure overhead). */
+  private[graft] def tokenized(docs: DataFrame, id: String, text: String,
+      extra: Seq[Column] = Nil): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    spread.select((col(id) +: extra) :+ split(col(text), " ").as("__tk"): _*)
+  }
 
   /** Exact dedup: group by content digest, keep min id. */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
@@ -74,13 +80,28 @@ object Dedup {
       .select(col(id), col("band.j").as("j"), col("band.b").as("b"))
   }
 
+  /** Signatures persisted once per run: at 100 TB the map-only
+    * signature pass (tokenize + shingle + K minhashes per document) is
+    * the dominant scan, and every LSH consumer references it at least
+    * twice (both sides of the band self-join; both sides of the
+    * estimator join). Persisting the K-column signature table — a few
+    * hundred bytes per doc, NOT the documents — means exactly one
+    * signature computation per run; Spark's ContextCleaner unpersists
+    * it once the plan is unreachable. */
+  def persistedSignatures(docs: DataFrame, id: String, text: String): DataFrame =
+    minhashSignatures(docs, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** MinHash+LSH candidate near-dup pairs: self-join per band bucket. */
-  def minhashCandidates(docs: DataFrame, id: String, text: String): DataFrame = {
-    val bs = bands(minhashSignatures(docs, id, text), id)
+  def minhashCandidates(docs: DataFrame, id: String, text: String): DataFrame =
+    bandCandidates(bands(persistedSignatures(docs, id, text), id), id)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_bands"))
+
+  /** distinct candidate pairs from a band table (d1 < d2). */
+  private def bandCandidates(bs: DataFrame, id: String): DataFrame = {
     val a = bs.select(col(id).as("d1"), col("j"), col("b"))
     val b = bs.select(col(id).as("d2"), col("j"), col("b"))
     a.join(b, Seq("j", "b")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n_bands"))
   }
 
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the
@@ -88,16 +109,12 @@ object Dedup {
     * sketch estimator E[est] = J(a,b), so near-dup decisions can be
     * made from fixed-width signatures without touching shingle sets.
     * est = matches/16 is a dyadic rational: exact in double, no
-    * rounding needed for engine parity. (At production scale the
-    * signature table would be checkpointed once and reused by both
-    * the band join and the estimate join; here each branch recomputes
-    * the map-only signature pass.) */
+    * rounding needed for engine parity. All four references to the
+    * signature table (two band-join sides, two estimator-join sides)
+    * read the one persisted copy — one signature scan per run. */
   def minhashEstimate(docs: DataFrame, id: String, text: String): DataFrame = {
-    val sigs = minhashSignatures(docs, id, text)
-    val bs = bands(sigs, id)
-    val cands = bs.select(col(id).as("d1"), col("j"), col("b"))
-      .join(bs.select(col(id).as("d2"), col("j"), col("b")), Seq("j", "b"))
-      .filter(col("d1") < col("d2"))
+    val sigs = persistedSignatures(docs, id, text)
+    val cands = bandCandidates(bands(sigs, id), id)
       .select("d1", "d2").distinct()
     val sa = sigs.select(col(id).as("d1") +:
       (0 until K).map(k => col(s"h$k").as(s"a$k")): _*)

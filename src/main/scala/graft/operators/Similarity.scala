@@ -82,23 +82,29 @@ object Similarity {
   /** IVF-style ANN: a coarse quantizer assigns every vector to its
     * nearest anchor ("centroid") by cosine; probes search only their
     * own cell. Anchors here are a deterministic subset of the corpus
-    * (a production pipeline would k-means them); the assignment pass
-    * is map-only against a broadcast anchor table, so at 100 TB the
-    * cost is |corpus|×|anchors| fused dot products with zero shuffle,
-    * and the search join shuffles on the (small-cardinality) cell id. */
+    * (a production pipeline would k-means them).
+    *
+    * Assignment plan: broadcast-nested-loop against the anchor table
+    * (map-side, |corpus|×|anchors| fused dot products) collapsed by a
+    * `groupBy(id) + max_by` PARTIAL aggregation — each map task keeps
+    * one best-anchor row per vector before the shuffle, so only
+    * |corpus| rows ever move. (A Window.partitionBy(id) argmax here
+    * would instead Exchange the *exploded* corpus×anchors relation —
+    * a |anchors|× shuffle blow-up at 100 TB.) */
   def ivfKnn(vectors: DataFrame, id: String, emb: String,
       anchorPred: Column, probePred: Column, k: Int): DataFrame = {
     val anchors = broadcast(vectors.filter(anchorPred)
       .select(col(id).as("anchor_id"), col(emb).as("ae")))
-    // nearest anchor per vector: max cosine, anchor_id tie-break
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(id)).orderBy(col("ac").desc, col("anchor_id"))
+    // nearest anchor per vector: max cosine, min-anchor_id tie-break —
+    // max_by on the ordering struct (ac, -anchor_id) reproduces the
+    // oracle's ORDER BY ac DESC, anchor_id argmax exactly
     val assigned = vectors.crossJoin(anchors)
       .select(col(id), col(emb),
         col("anchor_id"), cosR(col(emb), col("ae")).as("ac"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col(id), col(emb), col("anchor_id").as("cell"))
+      .groupBy(col(id))
+      .agg(max_by(struct(col(emb).as("e"), col("anchor_id").as("a")),
+        struct(col("ac"), (-col("anchor_id")).as("na"))).as("m"))
+      .select(col(id), col("m.e").as(emb), col("m.a").as("cell"))
     val probes = broadcast(assigned.filter(probePred)
       .select(col(id).as("probe_id"), col(emb).as("pe"), col("cell")))
     val scored = probes.join(assigned, Seq("cell"))

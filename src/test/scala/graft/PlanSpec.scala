@@ -59,6 +59,27 @@ class PlanSpec extends AnyFunSuite {
       "anchor assignment must broadcast, never a shuffled cartesian")
   }
 
+  test("s3 IVF argmax is a partial aggregate, not a window over the cross product") {
+    val p = plan("s3_knn_ivf")
+    // the nearest-anchor argmax must collapse map-side (groupBy+max_by):
+    // a Window.partitionBy(vec_id) here would Exchange the exploded
+    // |corpus|×|anchors| relation — the only Window allowed in this
+    // plan is the final per-probe top-k.
+    assert(p.contains("max_by"), p.take(1200))
+    assert("windowspecdefinition".r.findAllIn(p).length == 1,
+      "argmax must not be a Window over the anchor cross join:\n" + p.take(1200))
+  }
+
+  test("tokenized does not reshuffle an already-parallel input") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val p = operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // exactly the test's own repartition Exchange — the signature pass
+    // itself must stay map-only on a wide input
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(800))
+  }
+
   test("q28 range join is a banded equi-join, not a theta-join") {
     val p = plan("q28_rangejoin")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
