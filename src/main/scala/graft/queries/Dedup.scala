@@ -107,35 +107,38 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  // shared CTE text for the d4 pipeline at a given threshold
-  private def jaccPairsSql(threshold: Double): String = s"""
-    $tokCte,
-    base AS (SELECT doc_id, n_chars AS nc,
-               list_distinct($hashedShingles) AS sh,
-               CAST(floor(n_chars / 8) AS BIGINT) AS k FROM tok),
-    rhs AS (SELECT doc_id AS d2, nc AS nc2, sh AS sh2,
-              unnest([k - 1, k, k + 1]) AS k FROM base),
-    pairs AS (SELECT a.doc_id AS d1, rhs.d2,
-        floor((len(list_intersect(a.sh, rhs.sh2)) * 1.0 /
-               len(list_distinct(list_concat(a.sh, rhs.sh2)))) * 10000.0 + 0.5) /
-          10000.0 AS jr
-      FROM base a JOIN rhs ON a.k = rhs.k AND a.doc_id < rhs.d2
-        AND abs(a.nc - rhs.nc2) <= 8),
-    dups AS (SELECT DISTINCT d2 AS dup_id FROM pairs WHERE jr >= $threshold)"""
-
-  /** near-dup removal applied: drop the greater id of every >=0.9
-    * pair, report surviving docs per lang. (Full connected-component
-    * clustering is an iterative job — out of single-query scope; the
-    * min-id dominance rule is the standard one-pass approximation.) */
+  /** near-dup removal applied: candidates from d2's MinHash-LSH band
+    * buckets (selective by SIMILARITY — bounded bucket occupancy on
+    * real corpora, unlike length bands whose modal lengths explode
+    * Σ|bucket|² at 100 TB), each candidate verified by exact Jaccard
+    * over 48-bit shingle digests, then the greater id of every >=0.9
+    * pair dropped and survivors counted per lang. (Full
+    * connected-component clustering is an iterative job — out of
+    * single-query scope; min-id dominance is the standard one-pass
+    * approximation.) */
   val d6 = Q("d6_dedup_apply", Some(s"""
-    WITH ${jaccPairsSql(0.9)}
+    WITH $tokCte,
+    sh AS (SELECT doc_id, unnest($shingleExpr) AS s FROM tok),
+    mh AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, j, CASE j $bandCase END AS bb
+              FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) v(j)),
+    cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             FROM bands x JOIN bands y ON x.j = y.j AND x.bb = y.bb
+               AND x.doc_id < y.doc_id),
+    base AS (SELECT doc_id, list_distinct($hashedShingles) AS shh FROM tok),
+    pairs AS (SELECT c.d1, c.d2,
+        floor((len(list_intersect(a.shh, b.shh)) * 1.0 /
+               (len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))))
+          * 10000.0 + 0.5) / 10000.0 AS jr
+      FROM cand c JOIN base a ON a.doc_id = c.d1
+                  JOIN base b ON b.doc_id = c.d2),
+    dups AS (SELECT DISTINCT d2 AS dup_id FROM pairs WHERE jr >= 0.9)
     SELECT lang, count(*) AS n_docs FROM documents
     WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dup_id = doc_id)
     GROUP BY lang ORDER BY lang""")) { (s, d) =>
     import org.apache.spark.sql.functions._
     val docs = t(s, d, "documents")
-    val dups = D.ngramJaccard(docs, "doc_id", "text", "n_chars", 0.9)
-      .select(col("d2").as("dup_id")).distinct()
+    val dups = D.lshDuplicates(docs, "doc_id", "text", 0.9)
     docs.join(dups, col("doc_id") === col("dup_id"), "left_anti")
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang")

@@ -28,9 +28,19 @@ object Embed {
   // identically with no BigDecimal anywhere
   private def cosRSql(a: String, b: String) =
     s"floor((${dotSql(a, b)} / ($a.nrm * $b.nrm)) * 1000000.0 + 0.5) / 1000000.0"
-  private val bucketSql = (0 until 8)
-    .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-    .mkString(" + ")
+  // multi-table LSH oracle, generated from the SAME constants the
+  // Spark operator uses (bits/tables/dim-pair hyperplanes) so the two
+  // can never drift
+  private val B = Similarity.LSH_BITS
+  private val T = Similarity.LSH_TABLES
+  private def tableBucketSql(t: Int): String = (0 until B).map { i =>
+    val (a, b) = Similarity.planeDims(t * B + i)
+    s"(CASE WHEN embedding[${a + 1}] >= embedding[${b + 1}] THEN ${1 << i} ELSE 0 END)"
+  }.mkString(" + ")
+  private val corpusBandsSql = (0 until T)
+    .map(t => s"SELECT vec_id, embedding, nrm, $t AS t, ${tableBucketSql(t)} AS bkt FROM v")
+    .mkString("\n      UNION ALL ")
+  private val flipValuesSql = (0 until B).map(i => s"(${1 << i})").mkString(",")
 
   val d5 = Q("d5_embed_neardup", Some(s"""
     WITH $normCte,
@@ -62,11 +72,19 @@ object Embed {
 
   val s2 = Q("s2_knn_lsh", Some(s"""
     WITH $normCte,
-    vb AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM v),
-    pr AS (SELECT vec_id, embedding, nrm, bucket FROM vb WHERE vec_id % 17 = 0),
-    sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
-             ${cosRSql("a", "b")} AS c6
-           FROM pr a JOIN vb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+    cb AS ($corpusBandsSql),
+    pb0 AS (SELECT vec_id, t, bkt FROM cb WHERE vec_id % 17 = 0),
+    pb AS (SELECT vec_id, t, bkt FROM pb0
+           UNION ALL
+           SELECT vec_id, t,
+             CASE WHEN (bkt // f) % 2 = 1 THEN bkt - f ELSE bkt + f END AS bkt
+           FROM pb0 CROSS JOIN (VALUES $flipValuesSql) fl(f)),
+    cand AS (SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+             FROM pb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
+               AND b.vec_id <> a.vec_id),
+    sc AS (SELECT c.probe_id, c.neighbor_id, ${cosRSql("a", "b")} AS c6
+           FROM cand c JOIN v a ON a.vec_id = c.probe_id
+                       JOIN v b ON b.vec_id = c.neighbor_id),
     r AS (SELECT probe_id, neighbor_id, c6,
             row_number() OVER (PARTITION BY probe_id
                                ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)

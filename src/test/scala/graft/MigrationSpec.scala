@@ -68,6 +68,39 @@ class MigrationSpec extends AnyFunSuite {
     assert(joined.filter(col("nbytes") =!= col("obj_bytes")).count() == 0)
   }
 
+  test("reconcile finds planted orphan objects and dangling pointers") {
+    val store = Files.createTempDirectory("graft_rec").toString
+    val staged = spark.range(10).select(
+      concat(lit("blobs/x/"), col("id")).as("s3_prefix"),
+      col("id").cast("string").cast("binary").as("payload"))
+    assert(BlobSink.write(staged, store, "s3_prefix", "payload") == 10)
+    // pointers: drop object 3's row (→ 3 is an orphan object) and add
+    // a pointer to an object that was never written (→ dangling)
+    val pointers = spark.range(10).filter(col("id") =!= 3)
+      .select(concat(lit("blobs/x/"), col("id")).as("s3_prefix"))
+      .union(spark.sql("SELECT 'blobs/x/ghost' AS s3_prefix"))
+    val rec = Migration.reconcile(pointers, "s3_prefix",
+      BlobSink.inventory(spark, store), "object_key").collect()
+    assert(rec.length == 2)
+    val byStatus = rec.map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(byStatus("orphan_object") == "blobs/x/3")
+    assert(byStatus("dangling_pointer") == "blobs/x/ghost")
+  }
+
+  test("bridgeRead serves migrated rows from the pointer and the rest from the blob") {
+    val legacy = spark.range(6).select(col("id").as("k"),
+      concat(lit("payload-"), col("id")).cast("binary").as("b"))
+    val pointers = spark.range(6).filter(col("id") % 2 === 0)
+      .select(col("id").as("pk"), concat(lit("blobs/"), col("id")).as("pfx"))
+    val served = Migration.bridgeRead(legacy, "k", "b", pointers, "pk", "pfx")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(served.size == 6)
+    (0L until 6L).foreach { i =>
+      if (i % 2 == 0) assert(served(i) == ("s3", s"blobs/$i"))
+      else { assert(served(i)._1 == "db" && served(i)._2.startsWith("db://")) }
+    }
+  }
+
   test("jdbc write-back of pointer table (reference target schema)") {
     val pointers = spark.range(5).select(
       col("id").as("order_id"),

@@ -97,6 +97,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThan(o_orderkey,40)"), p.take(800))
   }
 
+  test("a12 STRING keyset predicate reaches the parquet scan") {
+    val p = plan("a12_keyset_str")
+    assert(p.contains("GreaterThan(c_name,Customer#000000040)"), p.take(800))
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val df = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.sf)
     df.collect() // materialise the AQE final plan

@@ -43,17 +43,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
-  test("lsh knn agrees with brute knn restricted to the probe's bucket") {
+  test("lsh candidates share a (table, bucket-or-Hamming-1) with the probe") {
     val lsh = Similarity.lshKnn(emb, "vec_id", "embedding",
       col("vec_id") % 100 === 0, 5)
-    val withBucket = emb.withColumn("bucket",
-      Similarity.signBucket(col("embedding")))
-    val buckets = withBucket.select(col("vec_id").as("neighbor_id"),
-      col("bucket").as("nb"))
-    val probeBuckets = withBucket.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("bucket").as("pb"))
-    // every LSH neighbor shares the probe's bucket
-    val joined = lsh.join(buckets, "neighbor_id").join(probeBuckets, "probe_id")
-    assert(joined.filter(col("nb") =!= col("pb")).count() == 0)
+    def bandsOf(pred: org.apache.spark.sql.Column, as: String) =
+      emb.filter(pred).select(col("vec_id").as(as),
+        array((0 until Similarity.LSH_TABLES).map(t =>
+          Similarity.tableBucket(col("embedding"), t)): _*).as(s"${as}_b"))
+    val joined = lsh
+      .join(bandsOf(lit(true), "neighbor_id"), "neighbor_id")
+      .join(bandsOf(col("vec_id") % 100 === 0, "probe_id"), "probe_id")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val nb = r.getAs[scala.collection.Seq[Int]]("neighbor_id_b")
+      val pb = r.getAs[scala.collection.Seq[Int]]("probe_id_b")
+      val ok = nb.indices.exists { t =>
+        val x = nb(t) ^ pb(t)
+        x == 0 || (x & (x - 1)) == 0 // equal or Hamming-1
+      }
+      assert(ok, s"pair $r shares no probed bucket")
+    }
+  }
+
+  test("wide LSH recovers planted near-dups with bounded candidate work") {
+    // plant near-identical copies of every 10th vector (cos >= ~0.99):
+    // the multi-table + multi-probe setting must find them even though
+    // each 12-bit table is far too selective on its own
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => (x * 1.02d + 0.013d).cast("float"))
+          .as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val top1 = Similarity.lshKnn(corpus, "vec_id", "embedding",
+      col("vec_id") >= 1000000, 1)
+    val hits = top1.filter(col("rn") === 1 &&
+      col("probe_id") - 1000000 === col("neighbor_id")).count()
+    val nPlanted = planted.count()
+    assert(hits >= (nPlanted * 8) / 10,
+      s"recall ${hits}/$nPlanted below 0.8")
+    // probe work stays bounded: candidates examined << |Q| x |corpus|
+    val nCand = Similarity.lshKnn(corpus, "vec_id", "embedding",
+      col("vec_id") >= 1000000, Int.MaxValue).count()
+    assert(nCand < nPlanted * corpus.count() / 5,
+      s"candidate set $nCand not selective")
   }
 }
