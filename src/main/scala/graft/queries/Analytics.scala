@@ -76,8 +76,8 @@ object Analytics {
     SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
       CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base,
-      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc,
-      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)*(1+l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc,
+      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)*(1+l_tax)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
       CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
       CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
       count(*) AS n
@@ -87,11 +87,15 @@ object Analytics {
     t(s, d, "lineitem")
       .filter(col("l_shipdate") < lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
+      // all four money sums on the 2dp grid: q1 has only 6 groups, so
+      // these are effectively GLOBAL sums — 6dp scaled longs would
+      // consume the int64 headroom near sf100 (9.2e12 at 6dp vs 9.2e16
+      // at 2dp), and ANSI mode would fail the whole query loudly
       .agg(
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base"),
-        termSum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
-        termSum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("n"))
@@ -185,7 +189,7 @@ object Analytics {
 
   // ---- q6: selective pushdown scan agg (TPC-H Q6 shape) --------------
   val q6 = Q("q6_filter", Some("""
-    SELECT CAST(sum(CAST(floor((l_extendedprice*l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+    SELECT CAST(sum(CAST(floor((l_extendedprice*l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -195,7 +199,7 @@ object Analytics {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(termSum6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n"))
   }
 

@@ -21,22 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object BlobSink {
 
-  private def fsFor(base: String): (FileSystem, Path) = {
+  /** Minimal serializable Hadoop-Configuration carrier: executors must
+    * see the SESSION's hadoopConfiguration (spark.hadoop.* s3a
+    * credentials/endpoints), not a fresh `new Configuration()` that
+    * only works for file://. Configuration itself is Writable but not
+    * Serializable, so ship it via its own write/readFields. */
+  private final class SerConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false); value.readFields(in)
+    }
+  }
+
+  private def serConf(spark: SparkSession): SerConf =
+    new SerConf(spark.sparkContext.hadoopConfiguration)
+
+  private def fsFor(base: String, conf: Configuration): (FileSystem, Path) = {
     val basePath = new Path(base)
-    (basePath.getFileSystem(new Configuration()), basePath)
+    (basePath.getFileSystem(conf), basePath)
   }
 
   /** Write each row's `blobCol` bytes to `<base>/<prefixCol>`.
-    * Returns the exact number of objects written: the count is the
-    * sum of per-task outputs of the single job, so task retries and
-    * speculative duplicates don't inflate it (an accumulator would —
-    * Spark only de-duplicates accumulator updates inside actions for
-    * result-stage tasks, and a retried foreachPartition task
-    * double-counts). */
+    * Returns the exact number of objects written as the sum of
+    * per-task outputs of the single job. (An accumulator updated in a
+    * foreachPartition action would work too — result-stage updates
+    * are applied exactly once on retry — but the fold keeps the count
+    * in the job's dataflow rather than driver-side mutable state.) */
   def write(df: DataFrame, base: String, prefixCol: String, blobCol: String): Long = {
     val out = df.select(col(prefixCol).cast("string"), col(blobCol).cast("binary"))
+    val conf = serConf(df.sparkSession)
     out.rdd.mapPartitions { rows =>
-      val (fs, basePath) = fsFor(base)
+      val (fs, basePath) = fsFor(base, conf.value)
       var n = 0L
       rows.foreach { r =>
         val p = new Path(basePath, r.getString(0))
@@ -62,8 +81,9 @@ object BlobSink {
     val keep = df.schema.indices.filterNot(_ == blobIdx)
     val outSchema = org.apache.spark.sql.types.StructType(
       keep.map(i => df.schema.fields(i)))
+    val conf = serConf(spark)
     val outRdd = df.rdd.mapPartitions { rows =>
-      val (fs, basePath) = fsFor(base)
+      val (fs, basePath) = fsFor(base, conf.value)
       rows.map { r =>
         val p = new Path(basePath, r.getString(prefixIdx))
         val os = fs.create(p, true)
@@ -80,7 +100,8 @@ object BlobSink {
     * driver never buffers the full listing. */
   def inventory(spark: SparkSession, base: String): DataFrame = {
     import spark.implicits._
-    val (fs, rawBase) = fsFor(base)
+    val conf = serConf(spark)
+    val (fs, rawBase) = fsFor(base, conf.value)
     val basePath = fs.makeQualified(rawBase)
     val baseStr = basePath.toString
     val topLevel = fs.listStatus(basePath).map(_.getPath.toString).toSeq
@@ -88,7 +109,7 @@ object BlobSink {
       .repartition(math.min(topLevel.size,
         spark.sparkContext.defaultParallelism).max(1))
       .flatMap { prefix =>
-        val (pfs, pPath) = fsFor(prefix)
+        val (pfs, pPath) = fsFor(prefix, conf.value)
         val it = pfs.listFiles(pPath, true)
         val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
         while (it.hasNext) {

@@ -52,12 +52,21 @@ object LakeSink {
     val spark = df.sparkSession
     // idempotent overwrite: the catalog is session-scoped but the
     // warehouse directory persists, and saveAsTable refuses to create
-    // a "new" managed table over a stale location from a dead session
+    // a "new" managed table over a stale location from a dead session.
+    // Resolve the location from the catalog when the table is known
+    // (authoritative), else the warehouse-relative default — plain
+    // Path composition, no URI.create (breaks on spaces/relative
+    // warehouse dirs).
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    val staleLoc =
+      if (catalog.tableExists(ident))
+        Some(new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(java.net.URI.create(warehouse)),
-      table.toLowerCase)
+    val loc = staleLoc.getOrElse(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(warehouse), table.toLowerCase))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.format("parquet").mode("overwrite")
