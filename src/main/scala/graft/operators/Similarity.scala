@@ -164,6 +164,49 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** composable 6dp cosine for DOUBLE-array centroids — same
+    * sequential fold order as [[cosR]]'s native expression and the
+    * oracle's list_sum/list_transform, so k-means round-2 cosines are
+    * bit-identical across engines. */
+  def cosRD(a: Column, b: Column): Column =
+    floor((dot(a, b) / (norm(a) * norm(b))) * 1000000.0 + 0.5) / 1000000.0
+
+  /** one Lloyd assignment pass: nearest centroid by cosine, min-cell
+    * tie-break, collapsed MAP-SIDE by max_by partial aggregation
+    * (same plan shape as [[ivfKnn]] — only |corpus| rows shuffle). */
+  private def argmaxAssign(vectors: DataFrame, id: String, emb: String,
+      cents: DataFrame, cos: Column): DataFrame =
+    vectors.crossJoin(cents)
+      .select(col(id), col(emb), col("cell"), cos.as("ac"))
+      .groupBy(col(id))
+      .agg(max_by(struct(col(emb).as("e"), col("cell").as("a")),
+        struct(col("ac"), (-col("cell")).as("na"))).as("m"))
+      .select(col(id), col("m.e").as(emb), col("m.a").as("cell"))
+
+  /** IVF TRAINING: `iters` Lloyd iterations of cosine k-means, seeded
+    * by a deterministic corpus subset (the "production pipeline would
+    * k-means them" step [[ivfKnn]] defers). Each iteration is one
+    * broadcast of the centroid table + one partial-agg shuffle of
+    * |corpus| fixed-width rows — the canonical distributed k-means
+    * shape at any scale. Centroid update is a per-dim EXACT mean
+    * (6dp scaled longs): order-independent and engine-identical, so
+    * the whole training loop is oracle-checkable. Returns (id, cell)
+    * after the final assignment. */
+  def kmeansAssign(vectors: DataFrame, id: String, emb: String,
+      seedPred: Column, iters: Int, dims: Int = 64): DataFrame = {
+    val seeds = broadcast(vectors.filter(seedPred)
+      .select(col(id).as("cell"), col(emb).as("ce")))
+    var asg = argmaxAssign(vectors, id, emb, seeds, cosR(col(emb), col("ce")))
+    (1 until iters).foreach { _ =>
+      val cents = broadcast(asg.groupBy("cell").agg(
+        array((1 to dims).map(i =>
+          sum(floor(element_at(col(emb), i) * 1000000.0 + 0.5)).cast("double") /
+            1000000.0 / count(lit(1))): _*).as("ce")))
+      asg = argmaxAssign(vectors, id, emb, cents, cosRD(col(emb), col("ce")))
+    }
+    asg.select(col(id), col("cell"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a join predicate
     * (label partition / sign bucket) to avoid the all-pairs product. */
   def nearDupPairs(vectors: DataFrame, id: String, emb: String,

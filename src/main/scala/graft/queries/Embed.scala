@@ -127,5 +127,39 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
-  val qs: Seq[Q] = Seq(d5, s1, s2, s3)
+  // s4: IVF training — 2 Lloyd iterations of cosine k-means. Seeds =
+  // vec_id % 125 = 0; iteration-2 centroids are per-dim EXACT means
+  // (6dp scaled longs, order-independent in both engines).
+  private val meanExprs = (1 to 64).map(i =>
+    s"CAST(sum(CAST(floor(embedding[$i] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)")
+    .mkString("[", ", ", "]")
+
+  val s4 = Q("s4_kmeans", Some(s"""
+    WITH $normCte,
+    sc0 AS (SELECT v.vec_id, v.embedding, v.nrm, a.vec_id AS cell,
+              ${cosRSql("v", "a")} AS ac
+            FROM v CROSS JOIN
+              (SELECT vec_id, embedding, nrm FROM v WHERE vec_id % 125 = 0) a),
+    asg1 AS (SELECT vec_id, embedding, cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY ac DESC, cell) AS rn FROM sc0)
+             WHERE rn = 1),
+    cent AS (SELECT cell, $meanExprs AS ce FROM asg1 GROUP BY cell),
+    sc1 AS (SELECT v.vec_id, c.cell,
+             floor(((list_sum(list_transform(range(1, 65),
+                      i -> v.embedding[i]::DOUBLE * c.ce[i])) /
+                    (v.nrm * sqrt(list_sum(list_transform(c.ce, x -> x * x))))))
+               * 1000000.0 + 0.5) / 1000000.0 AS ac
+            FROM v CROSS JOIN cent c),
+    asg2 AS (SELECT vec_id, cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY ac DESC, cell) AS rn FROM sc1)
+             WHERE rn = 1)
+    SELECT vec_id, cell FROM asg2 ORDER BY vec_id""")) { (s, d) =>
+    Similarity.kmeansAssign(t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 125 === 0, iters = 2)
+      .orderBy("vec_id")
+  }
+
+  val qs: Seq[Q] = Seq(d5, s1, s2, s3, s4)
 }

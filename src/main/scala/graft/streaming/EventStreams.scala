@@ -32,6 +32,22 @@ object EventStreams {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
 
+  /** Streaming near-dup suppression (streaming d2): an incoming
+    * document is dropped when its full K-slot MinHash signature was
+    * already seen inside the watermark horizon — identical signatures
+    * ⇒ near-identical shingle sets. State holds ONE 32-char digest
+    * per distinct signature in the horizon, never documents or
+    * shingle sets, so memory is bounded by distinct-rate × horizon at
+    * any stream length. Expects (doc_id, ts, text). */
+  def minhashDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sigkey", md5(concat_ws("|",
+        graft.functions.TextHashes.minhash_sig(split(col("text"), " ")))
+        .cast("binary")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("sigkey")
+      .drop("sigkey")
+
   /** Watermarked stream-stream interval join (streaming q28): each
     * error event joined to the same user's click events within the
     * preceding 5 minutes. Both sides carry watermarks and the join

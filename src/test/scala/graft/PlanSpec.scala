@@ -71,6 +71,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("tokenized does not reshuffle an already-parallel input") {
+    // earlier suites may have persisted the signature table for the
+    // same logical plan; drop caches so the raw plan (not an
+    // InMemoryRelation whose stored rendering carries its own
+    // Exchange) is what gets inspected
+    spark.sharedState.cacheManager.clearCache()
     val docs = Tables.load(spark, TestSpark.sf, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
     val p = operators.Dedup.minhashSignatures(docs, "doc_id", "text")

@@ -45,6 +45,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM dd").collect().head.getLong(0) == 2)
   }
 
+  test("streaming minhash dedup drops near-dup documents, keeps distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    in.addData(
+      (1L, ts(0), common),
+      (2L, ts(1), common), // exact re-post: same signature -> dropped
+      (3L, ts(2), "completely different words about spark streaming state"))
+    runToMemory(EventStreams.minhashDedup(
+      in.toDF().toDF("doc_id", "ts", "text")), "mhd", OutputMode.Append)
+    val kept = spark.sql("SELECT doc_id FROM mhd ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == 2)
+    assert(kept.contains(3L))
+    assert(kept.intersect(Set(1L, 2L)).size == 1)
+  }
+
   test("stream-stream interval join pairs errors with recent clicks only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
