@@ -613,7 +613,61 @@ object Analytics {
       count(lit(1)).as("n"))
   }
 
+  // ---- q30: conversion funnel (ordered stage progression) ------------
+  /** per-user view → later click → later purchase. Each stage is a
+    * partial-agg min over the previous stage's survivors — joins
+    * shuffle only (user_id, sec) pairs, never event payloads. */
+  val q30 = Q("q30_funnel", Some("""
+    WITH e AS (SELECT user_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    v AS (SELECT user_id, min(sec) AS v_sec FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(sec) AS c_sec FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND sec > v_sec GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(sec) AS p_sec FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND sec > c_sec GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase""")) { (s, d) =>
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), tsSec.as("sec"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("v_sec"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("sec") > col("v_sec"))
+      .groupBy("user_id").agg(min("sec").as("c_sec"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("sec") > col("c_sec"))
+      .groupBy("user_id").agg(min("sec").as("p_sec"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  // ---- q31: cohort retention matrix ----------------------------------
+  /** cohort = first-active day; one row per (cohort, day-offset) with
+    * distinct returning users. Two partial-agg passes over (user, day)
+    * pairs — the standard retention shape, linear at any event count. */
+  val q31 = Q("q31_retention", Some("""
+    WITH e AS (SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+    f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+    r AS (SELECT e.user_id, cohort, day - cohort AS offs
+          FROM e JOIN f USING (user_id))
+    SELECT cohort, offs, count(*) AS n_users FROM r
+    WHERE offs <= 7 GROUP BY cohort, offs ORDER BY cohort, offs""")) { (s, d) =>
+    val e = t(s, d, "events")
+      .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct()
+    val f = e.groupBy("user_id").agg(min("day").as("cohort"))
+    e.join(f, "user_id")
+      .select(col("cohort"), (col("day") - col("cohort")).as("offs"))
+      .filter(col("offs") <= 7)
+      .groupBy("cohort", "offs").agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "offs")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29)
+    q24, q25, q26, q27, q28, q29, q30, q31)
 }

@@ -144,5 +144,31 @@ object Dedup {
       .orderBy("lang")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7)
+  /** deterministic train/val/test split — the corpus-management twin
+    * of dedup: assignment is a pure function of the stable key
+    * (md5(doc_id) first byte mod 10 → 8/1/1), so any engine, any run,
+    * any partitioning produces the SAME split; no sampling state, no
+    * shuffle beyond the output aggregation. */
+  val d8 = Q("d8_split", Some("""
+    WITH a AS (SELECT lang, strlen(text) AS nbytes,
+      ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 10 AS v
+      FROM documents)
+    SELECT CASE WHEN v <= 7 THEN 'train' WHEN v = 8 THEN 'val' ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM a GROUP BY split, lang ORDER BY split, lang""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val v = expr(
+      "((instr('0123456789abcdef', substr(md5(cast(cast(doc_id as string) as binary)), 1, 1)) - 1) * 16 + " +
+        "instr('0123456789abcdef', substr(md5(cast(cast(doc_id as string) as binary)), 2, 1)) - 1) % 10")
+    t(s, d, "documents")
+      .select(col("lang"), octet_length(col("text")).as("nbytes"), v.as("v"))
+      .select(when(col("v") <= 7, "train").when(col("v") === 8, "val")
+        .otherwise("test").as("split"), col("lang"), col("nbytes"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nbytes").as("sum_bytes"))
+      .orderBy("split", "lang")
+  }
+
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8)
 }
