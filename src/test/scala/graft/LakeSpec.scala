@@ -29,6 +29,23 @@ class LakeSpec extends AnyFunSuite {
     assert(counts.forall(_ <= 200))
   }
 
+  test("orc-sourced query equals the parquet-sourced result (format parity)") {
+    // the engine's queries are format-agnostic: the same q1-shaped
+    // aggregation over an ORC copy of lineitem must produce the exact
+    // rows the parquet scan does (scaled-long sums are exact, so
+    // format or partitioning differences cannot perturb them)
+    val out = Files.createTempDirectory("graft_orcq").toString + "/lineitem"
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    LakeSink.writeOrc(li, out)
+    def q1Of(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg((sum(floor(col("l_quantity") * 100.0 + 0.5)) / 100.0).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().toSeq
+    assert(q1Of(LakeSink.read(spark, out, "orc")) == q1Of(li))
+  }
+
   test("orc lake write round-trips") {
     val out = Files.createTempDirectory("graft_lake_orc").toString + "/li"
     val li = Tables.load(spark, TestSpark.sf, "lineitem")
