@@ -107,6 +107,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThan(c_name,Customer#000000040)"), p.take(800))
   }
 
+  test("d7 computes the minhash signature pass exactly once (persisted)") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = plan("d7_minhash_est")
+    // all four signature consumers (two band-join sides, two
+    // estimator-join sides) must read the persisted table. Every
+    // InMemoryTableScan re-renders the cached subtree (and so its
+    // FileScan), so the tell for a consumer BYPASSING the cache is a
+    // FileScan count exceeding the InMemoryTableScan count.
+    val cached = "InMemoryTableScan".r.findAllIn(p).length
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(cached >= 2, p.take(800))
+    assert(scans <= cached,
+      s"$scans file scans vs $cached cached reads — some consumer " +
+        "recomputes the signature pass:\n" + p.take(1500))
+  }
+
+  test("d6 candidates come from LSH bands, not length blocking") {
+    val p = plan("d6_dedup_apply")
+    assert(!p.contains("n_chars"),
+      "the skew-prone floor(n_chars/8) blocking key must be gone from d6:\n" +
+        p.take(1200))
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val df = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.sf)
     df.collect() // materialise the AQE final plan
