@@ -161,6 +161,22 @@ object Dedup {
     expr(s"transform(transform(${shingleSql(tokCol)}, s -> md5(cast(s as binary))), h -> $fold)")
   }
 
+  /** Incremental ingest dedup: drop arriving docs whose MinHash-LSH
+    * band digests collide with the EXISTING corpus's persisted band
+    * table. The steady-state shape of continuous ingest at 100 TB:
+    * the corpus is never rescanned — its band table (fixed-width
+    * digests, not documents) is maintained once and the per-batch
+    * cost is O(|batch| signatures + matched buckets). Returns the
+    * batch rows that survive (no corpus near-dup). */
+  def incrementalDedup(corpusBands: DataFrame, batch: DataFrame,
+      id: String, text: String): DataFrame = {
+    val bb = bands(minhashSignatures(batch, id, text), id)
+    val hit = bb.join(corpusBands.select(col("j"), col("b")),
+      Seq("j", "b"), "left_semi")
+      .select(col(id)).distinct()
+    batch.join(hit, Seq(id), "left_anti")
+  }
+
   /** Sorted distinct 48-bit shingle-digest set per doc — the
     * exact-verify side of near-dup detection (one fused two-pointer
     * merge per candidate pair, no per-pair hash sets). */

@@ -40,6 +40,33 @@ object LakeSink {
   def read(spark: SparkSession, path: String, format: String): DataFrame =
     spark.read.format(format).load(path)
 
+  /** Small-file compaction: rewrite a lake directory so each output
+    * file holds ~targetRecordsPerFile rows. Streaming and per-batch
+    * writers accrete KB-scale files; at 100 TB scan throughput then
+    * collapses under per-file open/footer cost (and the driver's file
+    * index balloons), so periodic compaction is part of the table
+    * lifecycle. Rewrites into a temp dir and swaps via rename, so a
+    * reader lists either the old file set or the new one — never a
+    * half-compacted mix. Returns the row count (unchanged by design). */
+  def compact(spark: SparkSession, path: String, format: String,
+      targetRecordsPerFile: Long): Long = {
+    val df = spark.read.format(format).load(path)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val tmp = path + ".compact_tmp"
+    df.repartition(nFiles).write.format(format)
+      .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+      .mode("overwrite").save(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
+    fs.rename(new org.apache.hadoop.fs.Path(path), old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+    fs.delete(old, true)
+    n
+  }
+
   /** Bucketed table write: hash-bucket rows on the join key at WRITE
     * time so repeated joins/aggregations on that key need no Exchange
     * at READ time — at 100 TB this converts every fact-fact join on

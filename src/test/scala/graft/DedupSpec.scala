@@ -58,6 +58,19 @@ class DedupSpec extends AnyFunSuite {
     assert(sig.count() == 4)
   }
 
+  test("incremental dedup drops corpus near-dups from a batch, keeps fresh docs") {
+    val corpusBands = D.bands(D.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+    // batch: an exact re-ingest of doc 3 (new id) + one genuinely new doc
+    val dup = docs.filter(col("doc_id") === 3)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+    val fresh = spark.sql(
+      "SELECT 900001L AS doc_id, 'entirely novel zebra quantum walrus text nobody wrote before' AS text")
+    val batch = dup.unionByName(fresh)
+    val kept = D.incrementalDedup(corpusBands, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(900001L), s"kept $kept")
+  }
+
   test("exact dedup groups are singletons in a dup-free corpus") {
     val d = D.exact(docs, "doc_id", "text")
     assert(d.count() == docs.count())

@@ -57,6 +57,24 @@ class LakeSpec extends AnyFunSuite {
       li.agg(sum("l_quantity")).collect().head.getDouble(0))
   }
 
+  test("compaction collapses a small-file table without changing its rows") {
+    val out = Files.createTempDirectory("graft_compact").toString + "/t"
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    // simulate accreted small files: ~50 rows per file
+    LakeSink.writeParquet(orders, out, maxRecordsPerFile = 50)
+    def parquetFiles() = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before > 5, s"expected a small-file mess, got $before files")
+    val n = LakeSink.compact(spark, out, "parquet", 100000)
+    assert(parquetFiles() < before / 2)
+    val back = LakeSink.read(spark, out, "parquet")
+    assert(back.count() == n && n == orders.count())
+    assert(back.agg(sum("o_orderkey")).collect().head.getLong(0) ==
+      orders.agg(sum("o_orderkey")).collect().head.getLong(0))
+  }
+
   test("bucketed tables join with zero Exchange (shuffle-free co-located join)") {
     val orders = Tables.load(spark, TestSpark.sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
