@@ -142,5 +142,30 @@ object Text {
       .toDF().orderBy("record_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, d1, m1, m2, m3)
+  /** frame sampling over the chunk grid (every 4th chunk = the
+    * video-frame-subsample shape): same plumbing as m2, but emitting
+    * only the sampled frames plus their in-blob byte offsets — the
+    * access pattern a decode stage fans out on. */
+  val m4 = Q("m4_framesample", Some("""
+    WITH c AS (SELECT doc_id, text,
+      unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1))) AS chunk_id
+      FROM documents)
+    SELECT doc_id, CAST(chunk_id // 4 AS BIGINT) AS frame_no,
+      CAST(chunk_id * 256 AS BIGINT) AS byte_offset,
+      strlen(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS frame_bytes
+    FROM c WHERE chunk_id % 4 = 0 ORDER BY doc_id, frame_no""")) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest((ceil(octet_length(col("text")) / 256.0) - 1).cast("int"),
+            lit(0)))).as("chunk_id"))
+      .filter(col("chunk_id") % 4 === 0)
+      .select(col("doc_id"),
+        expr("chunk_id div 4").cast("long").as("frame_no"),
+        (col("chunk_id").cast("long") * 256).as("byte_offset"),
+        expr("octet_length(substring(text, chunk_id * 256 + 1, 256))").as("frame_bytes"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, d1, m1, m2, m3, m4)
 }

@@ -68,6 +68,36 @@ class MigrationSpec extends AnyFunSuite {
     assert(joined.filter(col("nbytes") =!= col("obj_bytes")).count() == 0)
   }
 
+  test("string varchar(120) primary keys work through JDBC CRUD (reference schema)") {
+    // the reference's order_id IS varchar(120) (sql_schema/order.sql:3)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE orders_str (
+             order_id VARCHAR(120) NOT NULL PRIMARY KEY,
+             description VARCHAR(30) NOT NULL)""")
+      val ps = conn.prepareStatement("INSERT INTO orders_str VALUES (?, ?)")
+      (0 until 30).foreach { i =>
+        ps.setString(1, f"ord-$i%05d"); ps.setString(2, s"d$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+    val df = Jdbc.readOne(spark, url, "orders_str")
+    // point lookup by string key
+    val one = Migration.pointLookup(df, "ORDER_ID", "ord-00007").collect()
+    assert(one.length == 1 && one.head.getString(1) == "d7")
+    // keyset pagination on the varchar key: zero-padded → ordered
+    val page = Migration.pageAfter(df, "ORDER_ID",
+      Seq("ORDER_ID"), "ord-00009", 5).collect().map(_.getString(0))
+    assert(page.toSeq == (10 until 15).map(i => f"ord-$i%05d"))
+    // the string predicate is pushed into the JDBC source, not
+    // filtered in Spark after a full table read
+    val p = Migration.pointLookup(df, "ORDER_ID", "ord-00007")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(ORDER_ID,ord-00007)"),
+      p.take(1200))
+  }
+
   test("reconcile finds planted orphan objects and dangling pointers") {
     val store = Files.createTempDirectory("graft_rec").toString
     val staged = spark.range(10).select(
