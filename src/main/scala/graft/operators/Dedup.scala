@@ -199,7 +199,12 @@ object Dedup {
       threshold: Double): DataFrame = {
     import graft.functions.SortedIntersectCount.sorted_intersect_count
     val cands = minhashCandidates(docs, id, text).select("d1", "d2")
+    // persisted like the signatures: both verify-join sides read the
+    // one computed copy instead of re-tokenizing the corpus (disk
+    // spill is fine — the digest table is ~8 bytes/shingle; at true
+    // scale this is the digest table a pipeline materializes once)
     val sets = shingleSets(docs, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands.join(sets.select(col(id).as("d1"), col("sh").as("sh1")), "d1")
       .join(sets.select(col(id).as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("ic", sorted_intersect_count(col("sh1"), col("sh2")))
