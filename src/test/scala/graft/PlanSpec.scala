@@ -130,6 +130,22 @@ class PlanSpec extends AnyFunSuite {
         p.take(1200))
   }
 
+  test("per-probe top-k prunes partially before the shuffle (WindowGroupLimit)") {
+    val p = plan("s1_knn_brute")
+    // row_number()<=k must push a partial group-limit below the
+    // Exchange: each map task forwards at most k rows per probe
+    // instead of shuffling every scored candidate
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      p.take(1200))
+  }
+
+  test("global top-k is TakeOrdered, not a full sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT must plan as a bounded per-partition heap:\n" +
+        p.take(1200))
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val df = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.sf)
     df.collect() // materialise the AQE final plan
