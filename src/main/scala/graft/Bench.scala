@@ -43,7 +43,10 @@ object Bench {
     // pause is a one-off event — it cannot hit the same query in both
     // passes, so min-of-2 reports engine steady-state rather than
     // whichever query the JVM chose to tax this run.
-    def timedPass(): Seq[(String, Double)] = {
+    // a pass records (time, succeeded): a throwing query must not
+    // publish its (fast) failure time — min-of-2 would otherwise
+    // PREFER the failure timing over the genuine run
+    def timedPass(): Map[String, (Double, Boolean)] = {
       System.gc()
       var i = 0
       suite.map { case (name, fn) =>
@@ -52,14 +55,21 @@ object Bench {
         // heavy query can hit a fragmented heap and degrade 10-20x
         i += 1; if (i % 8 == 0) System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case NonFatal(e) =>
+            System.err.println(
+              s"[bench] timed $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+        name -> (((System.nanoTime() - t0) / 1e9, ok))
+      }.toMap
     }
-    val p1 = timedPass().toMap
-    val p2 = timedPass().toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
     val results = suite.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      val good = Seq(p1(name), p2(name)).collect { case (t, true) => t }
+      // both passes failed -> -1 marks the query broken in the artifact
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

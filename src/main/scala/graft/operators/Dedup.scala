@@ -43,7 +43,11 @@ object Dedup {
     * test corpus is one parquet file = one partition. The widen is
     * CONDITIONAL — a 100 TB input already has thousands of partitions,
     * and an unconditional repartition would full-shuffle every
-    * document before any dedup work (pure overhead). */
+    * document before any dedup work (pure overhead). The check reads
+    * the STATIC plan's partitioning (`.rdd.getNumPartitions` is
+    * pre-AQE): exact for the file scans the dedup entry points pass
+    * in; a caller handing over a post-shuffle DataFrame that AQE will
+    * coalesce below target should widen it explicitly. */
   private[graft] def tokenized(docs: DataFrame, id: String, text: String,
       extra: Seq[Column] = Nil): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
@@ -86,8 +90,13 @@ object Dedup {
     * twice (both sides of the band self-join; both sides of the
     * estimator join). Persisting the K-column signature table — a few
     * hundred bytes per doc, NOT the documents — means exactly one
-    * signature computation per run; Spark's ContextCleaner unpersists
-    * it once the plan is unreachable. */
+    * signature computation per run. NOTE the entry lives in the
+    * session's CacheManager until explicitly released (the
+    * ContextCleaner reclaims raw RDDs, not SQL cache entries): a
+    * long-lived session running many corpora should
+    * `spark.sharedState.cacheManager.clearCache()` (or unpersist)
+    * between corpora. For Verify/Bench the entries are few and small,
+    * and the same plan re-persisting is a no-op ("already cached"). */
   def persistedSignatures(docs: DataFrame, id: String, text: String): DataFrame =
     minhashSignatures(docs, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -161,20 +170,42 @@ object Dedup {
     expr(s"transform(transform(${shingleSql(tokCol)}, s -> md5(cast(s as binary))), h -> $fold)")
   }
 
-  /** Incremental ingest dedup: drop arriving docs whose MinHash-LSH
-    * band digests collide with the EXISTING corpus's persisted band
-    * table. The steady-state shape of continuous ingest at 100 TB:
-    * the corpus is never rescanned — its band table (fixed-width
-    * digests, not documents) is maintained once and the per-batch
-    * cost is O(|batch| signatures + matched buckets). Returns the
-    * batch rows that survive (no corpus near-dup). */
-  def incrementalDedup(corpusBands: DataFrame, batch: DataFrame,
-      id: String, text: String): DataFrame = {
-    val bb = bands(minhashSignatures(batch, id, text), id)
-    val hit = bb.join(corpusBands.select(col("j"), col("b")),
-      Seq("j", "b"), "left_semi")
-      .select(col(id)).distinct()
-    batch.join(hit, Seq(id), "left_anti")
+  /** Incremental ingest dedup: drop arriving docs that near-dup the
+    * EXISTING corpus, using the corpus's persisted band table for
+    * candidates and its persisted shingle-digest table for the exact
+    * verify. The steady-state shape of continuous ingest at 100 TB:
+    * the corpus is never rescanned — both corpus-side tables
+    * (fixed-width digests, not documents) are maintained once, and
+    * per-batch cost is O(|batch| signatures + matched buckets + the
+    * verify join over matched candidates only).
+    *
+    * A band collision alone is NOT grounds to drop: 4 agreeing slots
+    * of 16 happen at ~J⁴ per band, so boilerplate-sharing but
+    * distinct documents would be silently lost at a few-per-thousand
+    * rate. Every candidate is therefore verified at >=threshold exact
+    * Jaccard, like the batch path ([[lshDuplicates]]).
+    *
+    * `corpusBands` = [[bands]] output (corpusIdCol, j, b);
+    * `corpusSets` = [[shingleSets]] output (corpusIdCol, sh). */
+  def incrementalDedup(corpusBands: DataFrame, corpusSets: DataFrame,
+      corpusIdCol: String, batch: DataFrame, id: String, text: String,
+      threshold: Double = 0.9): DataFrame = {
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val cand = bands(minhashSignatures(batch, id, text), id)
+      .select(col(id).as("__bid"), col("j"), col("b"))
+      .join(corpusBands.select(col(corpusIdCol).as("__cid"), col("j"), col("b")),
+        Seq("j", "b"))
+      .select("__bid", "__cid").distinct()
+    val bs = shingleSets(batch, id, text)
+      .select(col(id).as("__bid"), col("sh").as("sh1"))
+    val cs = corpusSets.select(col(corpusIdCol).as("__cid"), col("sh").as("sh2"))
+    val drops = cand.join(bs, "__bid").join(cs, "__cid")
+      .withColumn("ic", sorted_intersect_count(col("sh1"), col("sh2")))
+      .filter((floor((col("ic") * 1.0 /
+        (size(col("sh1")) + size(col("sh2")) - col("ic"))) * 10000.0 + 0.5) /
+        10000.0) >= threshold)
+      .select(col("__bid").as(id)).distinct()
+    batch.join(drops, Seq(id), "left_anti")
   }
 
   /** Sorted distinct 48-bit shingle-digest set per doc — the

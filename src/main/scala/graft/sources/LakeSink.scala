@@ -45,24 +45,42 @@ object LakeSink {
     * writers accrete KB-scale files; at 100 TB scan throughput then
     * collapses under per-file open/footer cost (and the driver's file
     * index balloons), so periodic compaction is part of the table
-    * lifecycle. Rewrites into a temp dir and swaps via rename, so a
-    * reader lists either the old file set or the new one — never a
-    * half-compacted mix. Returns the row count (unchanged by design). */
+    * lifecycle.
+    *
+    * Swap discipline: the compacted copy is fully written to a temp
+    * dir first, then moved into place with two renames whose results
+    * are CHECKED — a failed rename aborts (and rolls the original
+    * back) instead of deleting the only surviving copy. A crashed
+    * previous run is recovered on entry: if the table dir is missing
+    * but `.compact_old` exists, the old copy is restored before
+    * anything else. The table is briefly absent between the two
+    * renames (directory rename is atomic per rename, not across two);
+    * a true no-gap swap needs a catalog pointer flip — out of scope
+    * for a path-addressed table. Returns the row count (unchanged by
+    * design). */
   def compact(spark: SparkSession, path: String, format: String,
       targetRecordsPerFile: Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
+    val tmpP = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
+    // recover from a run that crashed between its two renames
+    if (!fs.exists(cur) && fs.exists(old))
+      require(fs.rename(old, cur), s"recovery rename $old -> $cur failed")
+    if (fs.exists(old)) require(fs.delete(old, true), s"stale $old undeletable")
     val df = spark.read.format(format).load(path)
     val n = df.count()
     val nFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    val tmp = path + ".compact_tmp"
     df.repartition(nFiles).write.format(format)
       .option("maxRecordsPerFile", targetRecordsPerFile.toString)
-      .mode("overwrite").save(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
-    fs.rename(new org.apache.hadoop.fs.Path(path), old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path))
+      .mode("overwrite").save(tmpP.toString)
+    require(fs.rename(cur, old), s"swap rename $cur -> $old failed")
+    if (!fs.rename(tmpP, cur)) {
+      // roll the original back rather than leaving no table at path
+      fs.rename(old, cur)
+      throw new java.io.IOException(s"swap rename $tmpP -> $cur failed; original restored")
+    }
     fs.delete(old, true)
     n
   }

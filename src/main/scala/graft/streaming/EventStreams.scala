@@ -35,17 +35,20 @@ object EventStreams {
   /** Streaming near-dup suppression (streaming d2): an incoming
     * document is dropped when its full K-slot MinHash signature was
     * already seen inside the watermark horizon — identical signatures
-    * ⇒ near-identical shingle sets. State holds ONE 32-char digest
-    * per distinct signature in the horizon, never documents or
-    * shingle sets, so memory is bounded by distinct-rate × horizon at
-    * any stream length. Expects (doc_id, ts, text). */
+    * ⇒ near-identical shingle sets. `dropDuplicatesWithinWatermark`
+    * (NOT plain dropDuplicates: without the event-time column in the
+    * keys, plain dedup never evicts and state grows with every
+    * distinct document ever seen) keeps ONE 32-char digest per
+    * distinct signature inside the horizon, never documents, so
+    * memory is bounded by distinct-rate × horizon at any stream
+    * length. Expects (doc_id, ts, text). */
   def minhashDedup(docs: DataFrame): DataFrame =
     docs
       .withColumn("sigkey", md5(concat_ws("|",
         graft.functions.TextHashes.minhash_sig(split(col("text"), " ")))
         .cast("binary")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("sigkey")
+      .dropDuplicatesWithinWatermark("sigkey")
       .drop("sigkey")
 
   /** Watermarked stream-stream interval join (streaming q28): each

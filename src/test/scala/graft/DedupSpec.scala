@@ -58,15 +58,18 @@ class DedupSpec extends AnyFunSuite {
     assert(sig.count() == 4)
   }
 
-  test("incremental dedup drops corpus near-dups from a batch, keeps fresh docs") {
+  test("incremental dedup drops verified corpus near-dups, keeps fresh docs") {
+    // the two corpus-side tables a continuous-ingest pipeline maintains
     val corpusBands = D.bands(D.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+    val corpusSets = D.shingleSets(docs, "doc_id", "text")
     // batch: an exact re-ingest of doc 3 (new id) + one genuinely new doc
     val dup = docs.filter(col("doc_id") === 3)
       .select((col("doc_id") + 900000).as("doc_id"), col("text"))
     val fresh = spark.sql(
       "SELECT 900001L AS doc_id, 'entirely novel zebra quantum walrus text nobody wrote before' AS text")
     val batch = dup.unionByName(fresh)
-    val kept = D.incrementalDedup(corpusBands, batch, "doc_id", "text")
+    val kept = D.incrementalDedup(corpusBands, corpusSets, "doc_id",
+      batch, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(900001L), s"kept $kept")
   }
