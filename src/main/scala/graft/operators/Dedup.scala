@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines
@@ -21,6 +21,36 @@ object Dedup {
 
   val K = 16 // minhash signature length
   val BANDS = 4 // LSH bands (rows per band = K/BANDS = 4)
+
+  /** Every DataFrame this object persists, keyed by session. SQL cache
+    * entries are NOT reclaimed by the ContextCleaner (unlike raw RDD
+    * blocks), so a long-lived session running dedup over many corpora
+    * would otherwise accrete multi-TB signature/digest cache entries
+    * until session end. [[releasePersisted]] is the release handle. */
+  private val persisted =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Set[DataFrame]]()
+
+  private def registerPersisted(df: DataFrame): DataFrame = {
+    val set = persisted.computeIfAbsent(df.sparkSession,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]())
+    set.add(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    df
+  }
+
+  /** Unpersist every signature/shingle-digest table this object cached
+    * for `spark` (non-blocking) and drop the session from the registry
+    * — call between corpora in a long-lived session. Returns the
+    * number of entries released. Already-collected DataFrames
+    * unpersist as a no-op. */
+  def releasePersisted(spark: SparkSession): Int = {
+    val set = persisted.remove(spark)
+    if (set == null) 0
+    else {
+      var n = 0
+      set.forEach { df => df.unpersist(false); n += 1 }
+      n
+    }
+  }
 
   /** word n-gram shingles (default 3) over a pre-split TOKENS column;
     * sequence/element_at are 1-based inclusive. Docs with fewer than
@@ -90,16 +120,14 @@ object Dedup {
     * twice (both sides of the band self-join; both sides of the
     * estimator join). Persisting the K-column signature table — a few
     * hundred bytes per doc, NOT the documents — means exactly one
-    * signature computation per run. NOTE the entry lives in the
-    * session's CacheManager until explicitly released (the
-    * ContextCleaner reclaims raw RDDs, not SQL cache entries): a
-    * long-lived session running many corpora should
-    * `spark.sharedState.cacheManager.clearCache()` (or unpersist)
-    * between corpora. For Verify/Bench the entries are few and small,
-    * and the same plan re-persisting is a no-op ("already cached"). */
+    * signature computation per run. The entry lives in the session's
+    * CacheManager until released: it is registered here and freed by
+    * [[releasePersisted]] — a long-lived session running many corpora
+    * calls that between corpora. For Verify/Bench the entries are few
+    * and small, and the same plan re-persisting is a no-op ("already
+    * cached"). */
   def persistedSignatures(docs: DataFrame, id: String, text: String): DataFrame =
-    minhashSignatures(docs, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerPersisted(minhashSignatures(docs, id, text))
 
   /** MinHash+LSH candidate near-dup pairs: self-join per band bucket. */
   def minhashCandidates(docs: DataFrame, id: String, text: String): DataFrame =
@@ -233,9 +261,9 @@ object Dedup {
     // persisted like the signatures: both verify-join sides read the
     // one computed copy instead of re-tokenizing the corpus (disk
     // spill is fine — the digest table is ~8 bytes/shingle; at true
-    // scale this is the digest table a pipeline materializes once)
-    val sets = shingleSets(docs, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scale this is the digest table a pipeline materializes once);
+    // registered for release via releasePersisted
+    val sets = registerPersisted(shingleSets(docs, id, text))
     cands.join(sets.select(col(id).as("d1"), col("sh").as("sh1")), "d1")
       .join(sets.select(col(id).as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("ic", sorted_intersect_count(col("sh1"), col("sh2")))
