@@ -47,6 +47,15 @@ object Bench {
     // publish its (fast) failure time — min-of-2 would otherwise
     // PREFER the failure timing over the genuine run
     def timedPass(): Map[String, (Double, Boolean)] = {
+      // cold-path discipline: the warm-up passes populate the SQL cache
+      // (persisted minhash signature / shingle-digest tables), so
+      // without this the timed d2/d6/d7 family would largely measure
+      // cache READS. Dropping every cache entry before each pass makes
+      // a pass measure one cold end-to-end run of the suite — within
+      // the pass the dedup queries still share the once-per-run
+      // persisted signatures, which is the documented pipeline shape.
+      graft.operators.Dedup.releasePersisted(spark)
+      spark.sharedState.cacheManager.clearCache()
       System.gc()
       var i = 0
       suite.map { case (name, fn) =>

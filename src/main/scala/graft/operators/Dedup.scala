@@ -30,11 +30,40 @@ object Dedup {
   private val persisted =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Set[DataFrame]]()
 
+  /** contexts that already carry the end-of-application cleanup hook */
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
   private def registerPersisted(df: DataFrame): DataFrame = {
+    // an abandoned session must not pin registry entries forever: every
+    // registration first drops sessions whose context is gone, and the
+    // context carries a listener that empties its sessions' entries on
+    // application end (the CacheManager dies with the session; this
+    // keeps the REGISTRY from outliving it and re-pinning plans)
+    persisted.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) persisted.remove(s)
+    }
+    val sc = df.sparkSession.sparkContext
+    if (hooked.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          persisted.keySet.forEach { s =>
+            if (s.sparkContext eq sc) persisted.remove(s)
+          }
+          hooked.remove(sc)
+        }
+      })
     val set = persisted.computeIfAbsent(df.sparkSession,
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]())
     set.add(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     df
+  }
+
+  /** registry entries currently held for `spark` (spec hook). */
+  private[graft] def registeredCount(spark: SparkSession): Int = {
+    val set = persisted.get(spark)
+    if (set == null) 0 else set.size
   }
 
   /** Unpersist every signature/shingle-digest table this object cached
@@ -213,12 +242,27 @@ object Dedup {
     * rate. Every candidate is therefore verified at >=threshold exact
     * Jaccard, like the batch path ([[lshDuplicates]]).
     *
+    * The batch is ALSO deduped against itself first ([[verifiedPairs]]
+    * over the batch, min-id survivor per verified pair): without that
+    * step, two near-dup docs arriving in the same batch would both
+    * survive the corpus anti-join and both enter the corpus
+    * permanently. The corpus check then runs only on intra-batch
+    * survivors (a doc dropped by its batch sibling needs no corpus
+    * verify).
+    *
     * `corpusBands` = [[bands]] output (corpusIdCol, j, b);
     * `corpusSets` = [[shingleSets]] output (corpusIdCol, sh). */
   def incrementalDedup(corpusBands: DataFrame, corpusSets: DataFrame,
-      corpusIdCol: String, batch: DataFrame, id: String, text: String,
+      corpusIdCol: String, batch0: DataFrame, id: String, text: String,
       threshold: Double = 0.9): DataFrame = {
     import graft.functions.SortedIntersectCount.sorted_intersect_count
+    // step 1: intra-batch self-dedup (greater id of each verified pair
+    // drops — same one-pass dominance as lshDuplicates; per-batch
+    // tables are not persisted, a batch is small relative to the corpus)
+    val intraDrops = verifiedPairs(batch0, id, text, threshold, persist = false)
+      .select(col("d2").as(id)).distinct()
+    val batch = batch0.join(intraDrops, Seq(id), "left_anti")
+    // step 2: survivors vs the EXISTING corpus
     val cand = bands(minhashSignatures(batch, id, text), id)
       .select(col(id).as("__bid"), col("j"), col("b"))
       .join(corpusBands.select(col(corpusIdCol).as("__cid"), col("j"), col("b")),
@@ -255,22 +299,82 @@ object Dedup {
     * verified pair is reported as a drop (standard one-pass min-id
     * dominance; full connected components is an iterative job). */
   def lshDuplicates(docs: DataFrame, id: String, text: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    verifiedPairs(docs, id, text, threshold)
+      .select(col("d2").as("dup_id")).distinct()
+
+  /** Verified near-dup pairs (d1 < d2) at >=threshold exact Jaccard,
+    * candidates from the MinHash-LSH band buckets — the shared core of
+    * [[lshDuplicates]], [[connectedComponents]]-based clustering, and
+    * the intra-batch step of [[incrementalDedup]]. `persist=true`
+    * (default, corpus-scale path) registers the signature and
+    * shingle-digest tables in the session cache so both verify-join
+    * sides read one computed copy; per-batch callers pass false — a
+    * small batch's tables are cheaper to recompute than to churn
+    * through the CacheManager. */
+  def verifiedPairs(docs: DataFrame, id: String, text: String,
+      threshold: Double, persist: Boolean = true): DataFrame = {
     import graft.functions.SortedIntersectCount.sorted_intersect_count
-    val cands = minhashCandidates(docs, id, text).select("d1", "d2")
+    val sigs =
+      if (persist) persistedSignatures(docs, id, text)
+      else minhashSignatures(docs, id, text)
+    val cands = bandCandidates(bands(sigs, id), id).select("d1", "d2").distinct()
     // persisted like the signatures: both verify-join sides read the
     // one computed copy instead of re-tokenizing the corpus (disk
     // spill is fine — the digest table is ~8 bytes/shingle; at true
     // scale this is the digest table a pipeline materializes once);
     // registered for release via releasePersisted
-    val sets = registerPersisted(shingleSets(docs, id, text))
+    val sets0 = shingleSets(docs, id, text)
+    val sets = if (persist) registerPersisted(sets0) else sets0
     cands.join(sets.select(col(id).as("d1"), col("sh").as("sh1")), "d1")
       .join(sets.select(col(id).as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("ic", sorted_intersect_count(col("sh1"), col("sh2")))
       .filter((floor((col("ic") * 1.0 /
         (size(col("sh1")) + size(col("sh2")) - col("ic"))) * 10000.0 + 0.5) /
         10000.0) >= threshold)
-      .select(col("d2").as("dup_id")).distinct()
+      .select("d1", "d2")
+  }
+
+  /** Connected components over an undirected pair graph via iterative
+    * min-label propagation to fixpoint: every node starts as its own
+    * component, and each round adopts the min of its own and its
+    * neighbours' labels. Converges in O(component diameter) rounds —
+    * near-dup clusters are shallow (dup chains, not paths), so
+    * real corpora converge in a handful of rounds; `maxIters` is a
+    * runaway bound, not an accuracy knob (the loop exits as soon as a
+    * round changes nothing). Each round is one shuffle join + a
+    * partial-agg min over (node, label) pairs — never document
+    * payloads — and labels are localCheckpoint'ed per round so the
+    * plan/lineage stays O(1) instead of growing per iteration (at
+    * cluster scale with lossy executors, swap for a reliable
+    * checkpoint dir). Returns (node, comp) where comp = min id of the
+    * node's component. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("node")).agg(min("comp").as("nbr"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("nbr") < col("comp")).as("__moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__moved")).count()
+      labels = next.drop("__moved")
+      i += 1
+    }
+    edges.unpersist(false)
+    labels
   }
 
   /** n-gram Jaccard on length-blocked candidate pairs: docs within

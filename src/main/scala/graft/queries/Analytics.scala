@@ -56,6 +56,14 @@ object Analytics {
   def termSum6(c: Column): Column =
     sum(floor(c * 1000000.0 + 0.5)) / 1000000.0
 
+  /** 4dp variant: EXACT (no quantization error at all) for products of
+    * two 2dp inputs like `l_extendedprice*(1-l_discount)`, with int64
+    * headroom to ~9.2e14 — safe for global sums to ~1e9 rows of
+    * ~1e5-magnitude values. Oracle twin:
+    * `CAST(sum(CAST(floor(e*10000.0+0.5) AS BIGINT)) AS DOUBLE)/10000.0`. */
+  def termSum4(c: Column): Column =
+    sum(floor(c * 10000.0 + 0.5)) / 10000.0
+
   /** arithmetic round-half-up to n decimals — pure IEEE ops (floor,
     * mult, div), bit-identical in any engine; no BigDecimal anywhere */
   def roundA(c: Column, n: Int): Column = {
@@ -76,7 +84,7 @@ object Analytics {
     SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
       CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base,
-      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc,
+      CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc,
       CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)*(1+l_tax)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
       CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
       CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
@@ -87,14 +95,17 @@ object Analytics {
     t(s, d, "lineitem")
       .filter(col("l_shipdate") < lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
-      // all four money sums on the 2dp grid: q1 has only 6 groups, so
-      // these are effectively GLOBAL sums — 6dp scaled longs would
-      // consume the int64 headroom near sf100 (9.2e12 at 6dp vs 9.2e16
-      // at 2dp), and ANSI mode would fail the whole query loudly
+      // q1 has only 6 groups, so these are effectively GLOBAL sums —
+      // the scaled-long grid is picked per column for int64 headroom
+      // (ANSI mode fails loudly on overflow): sum_disc is a 2dp x 2dp
+      // product, so the 4dp grid is EXACT (zero rounding error) and
+      // still holds ~1e9 rows; sum_charge is a 6dp product kept on the
+      // 2dp grid (6dp would overflow near sf100) — its <=0.5e-2/row
+      // quantization is a documented deviation from full exactness
       .agg(
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base"),
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+        termSum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
@@ -667,7 +678,24 @@ object Analytics {
       .orderBy("cohort", "offs")
   }
 
+  // ---- q32: approximate quantile sketch ------------------------------
+  // rows-only like q27: the sketch (Greenwald-Khanna in Spark,
+  // t-digest in DuckDB) differs across engines by design; QueriesSpec
+  // asserts <1% relative error vs q21's exact interpolated quantiles.
+  // This is the 100 TB path for q21: the exact per-group sort
+  // materializes every value, while the GK sketch is a bounded-size
+  // mergeable partial aggregate — one map-side pass, fixed memory per
+  // group at any row count. accuracy=10000 bounds rank error at 1e-4.
+  val q32 = Q("q32_approx_quantile", None) { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("med_qty"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }

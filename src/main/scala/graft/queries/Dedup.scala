@@ -144,6 +144,48 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** connected-component duplicate CLUSTERING — the fixpoint the
+    * one-pass min-id dominance of d6 approximates: transitive near-dup
+    * chains (A~B, B~C, A≁C) resolve to ONE survivor per component
+    * (the min doc_id), not per pair. Spark side: [[D.verifiedPairs]]
+    * (LSH band candidates + exact-Jaccard verify, the d6 pair set) →
+    * [[D.connectedComponents]] iterative min-label propagation to
+    * fixpoint. Oracle side: the same pair CTE + DuckDB
+    * `WITH RECURSIVE` reachability, so the fixpoint itself is
+    * hash-checked, not just the pair set. Output: one row per cluster
+    * of size >= 2 — (survivor, n_members). */
+  val d9 = Q("d9_dedup_cc", Some(s"""
+    WITH RECURSIVE $tokCte,
+    sh AS (SELECT doc_id, unnest($shingleExpr) AS s FROM tok),
+    mh AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, j, CASE j $bandCase END AS bb
+              FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) v(j)),
+    cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             FROM bands x JOIN bands y ON x.j = y.j AND x.bb = y.bb
+               AND x.doc_id < y.doc_id),
+    base AS (SELECT doc_id, list_distinct($hashedShingles) AS shh FROM tok),
+    vp AS (SELECT c.d1, c.d2 FROM cand c
+             JOIN base a ON a.doc_id = c.d1
+             JOIN base b ON b.doc_id = c.d2
+           WHERE floor((len(list_intersect(a.shh, b.shh)) * 1.0 /
+                  (len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))))
+             * 10000.0 + 0.5) / 10000.0 >= 0.9),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM vp
+              UNION SELECT d2, d1 FROM vp),
+    reach AS (SELECT src AS node, src AS comp FROM edges
+              UNION
+              SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+    cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    SELECT comp AS survivor, count(*) AS n_members
+    FROM cc GROUP BY comp ORDER BY survivor""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val pairs = D.verifiedPairs(t(s, d, "documents"), "doc_id", "text", 0.9)
+    D.connectedComponents(pairs, "d1", "d2")
+      .groupBy(col("comp").as("survivor"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("survivor")
+  }
+
   /** deterministic train/val/test split — the corpus-management twin
     * of dedup: assignment is a pure function of the stable key
     * (md5(doc_id) first byte mod 10 → 8/1/1), so any engine, any run,
@@ -170,5 +212,5 @@ object Dedup {
       .orderBy("split", "lang")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8)
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9)
 }

@@ -56,4 +56,48 @@ object Jdbc {
       options: Map[String, String] = Map.empty): Unit =
     df.write.format("jdbc").option("url", url).option("dbtable", table)
       .option("batchsize", "1000").options(options).mode(mode).save()
+
+  /** Idempotent staged upsert — the transactional pointer-rewrite
+    * pattern (reference lambda_fns/order_rdbms_blob.js:574 rewrites
+    * blob pointers in a transactional UPDATE; a distributed writer
+    * needs the same exactly-once effect without distributed
+    * transactions). Plain `write(Append)` is neither atomic nor
+    * re-runnable: a retried batch double-inserts, a mid-write failure
+    * leaves a partial batch visible.
+    *
+    * Two phases: (1) the executors bulk-write the batch to a STAGING
+    * table (overwrite — re-running a failed attempt simply rewrites
+    * it; nothing is visible in the target yet); (2) one driver-side
+    * transaction swaps it in: `DELETE target WHERE key IN (staging
+    * keys)` + `INSERT target SELECT FROM staging`, committed together.
+    * Readers never see a partial batch (phase 2 is a single DB
+    * transaction), and re-running the whole call after ANY failure
+    * point converges to the same final state (delete-then-insert is
+    * idempotent per key). The key set rides inside the database —
+    * nothing is collected to Spark. */
+  def writeStaged(df: DataFrame, url: String, table: String,
+      stagingTable: String, keyCol: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    write(df, url, stagingTable, SaveMode.Overwrite, options)
+    // Spark's JDBC writer quotes column identifiers on CREATE (they
+    // stay lowercase in the DB); unquoted references would be
+    // case-folded by the database and miss them
+    def q(c: String) = "\"" + c + "\""
+    val cols = df.schema.fieldNames.map(q).mkString(", ")
+    val key = q(keyCol)
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.put(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.executeUpdate(
+        s"DELETE FROM $table WHERE $key IN (SELECT $key FROM $stagingTable)")
+      st.executeUpdate(
+        s"INSERT INTO $table ($cols) SELECT $cols FROM $stagingTable")
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
 }

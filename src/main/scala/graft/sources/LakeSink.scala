@@ -56,10 +56,24 @@ object LakeSink {
     * anything else. The table is briefly absent between the two
     * renames (directory rename is atomic per rename, not across two);
     * a true no-gap swap needs a catalog pointer flip — out of scope
-    * for a path-addressed table. Returns the row count (unchanged by
-    * design). */
+    * for a path-addressed table. The compacted copy is VERIFIED before
+    * the swap: its row count (a cheap metadata/footer read) must equal
+    * the source count, so a silently short write — e.g. the
+    * partial-failure semantics of a non-atomic committer — aborts with
+    * the original table untouched instead of replacing it with fewer
+    * rows. Returns the row count (unchanged by design). */
   def compact(spark: SparkSession, path: String, format: String,
-      targetRecordsPerFile: Long): Long = {
+      targetRecordsPerFile: Long): Long =
+    compactImpl(spark, path, format, targetRecordsPerFile,
+      (df, nFiles, tmp) => df.repartition(nFiles).write.format(format)
+        .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+        .mode("overwrite").save(tmp))
+
+  /** rewrite step injectable so the spec can plant a short tmp write
+    * and assert the verify-before-swap aborts with the original intact */
+  private[graft] def compactImpl(spark: SparkSession, path: String,
+      format: String, targetRecordsPerFile: Long,
+      rewrite: (DataFrame, Int, String) => Unit): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(path)
@@ -72,9 +86,15 @@ object LakeSink {
     val df = spark.read.format(format).load(path)
     val n = df.count()
     val nFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    df.repartition(nFiles).write.format(format)
-      .option("maxRecordsPerFile", targetRecordsPerFile.toString)
-      .mode("overwrite").save(tmpP.toString)
+    rewrite(df, nFiles, tmpP.toString)
+    // verify BEFORE touching the original: a short tmp copy aborts here
+    val tmpCount = spark.read.format(format).load(tmpP.toString).count()
+    if (tmpCount != n) {
+      fs.delete(tmpP, true)
+      throw new java.io.IOException(
+        s"compacted copy at $tmpP has $tmpCount rows, expected $n; " +
+          "aborting swap — original table untouched")
+    }
     require(fs.rename(cur, old), s"swap rename $cur -> $old failed")
     if (!fs.rename(tmpP, cur)) {
       // roll the original back rather than leaving no table at path

@@ -74,6 +74,46 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(900001L), s"kept $kept")
   }
 
+  test("incremental dedup drops intra-batch near-dups: one survivor per pair") {
+    val corpusBands = D.bands(D.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+    val corpusSets = D.shingleSets(docs, "doc_id", "text")
+    // two near-dup docs arriving in the SAME batch (B = A + one
+    // trailing token, shingle jaccard ~28/29) + one genuinely new doc;
+    // pre-fix both A and B survived the corpus-only anti-join
+    val base = (1 to 30).map(i => s"nonce$i").mkString(" ")
+    val batch = spark.sql(
+      s"""SELECT * FROM VALUES
+         (900010L, '$base'),
+         (900011L, '$base trailer'),
+         (900012L, 'entirely novel zebra quantum walrus text nobody wrote before')
+         AS t(doc_id, text)""")
+    val kept = D.incrementalDedup(corpusBands, corpusSets, "doc_id",
+      batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(900010L, 900012L), s"kept $kept")
+  }
+
+  test("connected components resolve a transitive chain to one survivor") {
+    import spark.implicits._
+    // A~B~C~D path (min label needs diameter rounds to reach the far
+    // end) plus a disjoint pair — exactly two components
+    val pairs = Seq((3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L))
+      .toDF("d1", "d2")
+    val cc = D.connectedComponents(pairs, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L), s"labels $cc")
+  }
+
+  test("releasePersisted empties the registry; double release is a no-op") {
+    D.releasePersisted(spark)
+    D.persistedSignatures(docs, "doc_id", "text").count()
+    assert(D.registeredCount(spark) >= 1)
+    assert(D.releasePersisted(spark) >= 1)
+    assert(D.registeredCount(spark) == 0)
+    assert(D.releasePersisted(spark) == 0)
+  }
+
   test("exact dedup groups are singletons in a dup-free corpus") {
     val d = D.exact(docs, "doc_id", "text")
     assert(d.count() == docs.count())

@@ -75,6 +75,29 @@ class LakeSpec extends AnyFunSuite {
       orders.agg(sum("o_orderkey")).collect().head.getLong(0))
   }
 
+  test("compact aborts on a short tmp write and leaves the original intact") {
+    val out = Files.createTempDirectory("graft_cshort").toString + "/t"
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeSink.writeParquet(orders, out, maxRecordsPerFile = 50)
+    val nOrig = LakeSink.read(spark, out, "parquet").count()
+    // a rewriter whose output silently loses rows (the partial-failure
+    // mode of a non-atomic committer) — verify-before-swap must abort
+    // BEFORE the original is touched
+    val ex = intercept[java.io.IOException] {
+      LakeSink.compactImpl(spark, out, "parquet", 100000,
+        (df, _, tmp) => df.limit(10).repartition(1)
+          .write.format("parquet").save(tmp))
+    }
+    assert(ex.getMessage.contains("aborting swap"))
+    val back = LakeSink.read(spark, out, "parquet")
+    assert(back.count() == nOrig)
+    assert(back.agg(sum("o_orderkey")).collect().head.getLong(0) ==
+      orders.agg(sum("o_orderkey")).collect().head.getLong(0))
+    assert(!new java.io.File(out + ".compact_tmp").exists(), "tmp cleaned up")
+    assert(!new java.io.File(out + ".compact_old").exists(), "no stale old copy")
+  }
+
   test("bucketed tables join with zero Exchange (shuffle-free co-located join)") {
     val orders = Tables.load(spark, TestSpark.sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -155,6 +155,27 @@ class MigrationSpec extends AnyFunSuite {
     assert(Migration.deleteWhere(base, "k", tomb, "t").count() == 6)
   }
 
+  test("staged JDBC write: transactional swap, idempotent across re-runs") {
+    import spark.implicits._
+    val dbDir2 = Files.createTempDirectory("graft_derby3").toString
+    val url2 = s"jdbc:derby:$dbDir2/staged;create=true"
+    // target starts with two rows; the batch updates key 2, adds key 3
+    Jdbc.write(Seq((1L, "old-1"), (2L, "old-2")).toDF("id", "descr"),
+      url2, "pointer_target", SaveMode.Overwrite)
+    val batch = Seq((2L, "new-2"), (3L, "new-3")).toDF("id", "descr")
+    def state(): Set[(Long, String)] =
+      Jdbc.readOne(spark, url2, "pointer_target")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Jdbc.writeStaged(batch, url2, "pointer_target", "pointer_staging", "id")
+    val after1 = state()
+    assert(after1 == Set((1L, "old-1"), (2L, "new-2"), (3L, "new-3")),
+      s"got $after1")
+    // a RETRY of the same batch (failure-recovery path) must converge
+    // to the identical state — no double inserts
+    Jdbc.writeStaged(batch, url2, "pointer_target", "pointer_staging", "id")
+    assert(state() == after1)
+  }
+
   test("keyset pagination pages without overlap") {
     val orders = Tables.load(spark, TestSpark.sf, "orders")
     val p1 = Migration.pageAfter(orders, "o_orderkey",

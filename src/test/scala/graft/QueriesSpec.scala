@@ -34,6 +34,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(ao - eo).toDouble / eo < 0.06, s"orders approx $ao vs $eo")
   }
 
+  test("q32 approx quantiles land within 1% of exact q21") {
+    val ap = Registry.byName("q32_approx_quantile").run(spark, TestSpark.sf)
+      .collect()
+    val exact = Registry.byName("q21_quantile").run(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(ap.nonEmpty)
+    ap.foreach { r =>
+      val (m, p) = exact(r.getString(0))
+      val (am, apx) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(am - m) / m < 0.01, s"${r.getString(0)} median $am vs $m")
+      assert(math.abs(apx - p) / p < 0.01, s"${r.getString(0)} p95 $apx vs $p")
+    }
+  }
+
   test("d7 minhash estimate tracks true jaccard on near-dup pairs") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
