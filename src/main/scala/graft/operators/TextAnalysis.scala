@@ -100,4 +100,45 @@ object TextAnalysis {
     docs.select(col(id),
       md5(trim(regexp_replace(regexp_replace(lower(col(text)),
         "[^a-z0-9 ]", ""), " +", " ")).cast("binary")).as("fp"))
+
+  /** Repetition metrics (Gopher-style quality filters): per document,
+    * total tokens, distinct tokens, the modal token's count, and the
+    * derived duplicate-token ratio (1 - uniq/total) and top-token
+    * fraction — high values mark boilerplate/spam for removal before
+    * training. Two partial-agg shuffles of narrow (id, token, count)
+    * rows — never documents; at 100 TB this is the scalable form (an
+    * in-array mode computation would be O(uniq x total) per row). */
+  def repetition(docs: DataFrame, id: String, text: String): DataFrame = {
+    val perTok = docs
+      .select(col(id), explode(tokens(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("n"))
+    perTok.groupBy(col(id)).agg(
+        sum("n").as("n_tok"), count(lit(1)).as("n_uniq"), max("n").as("top_n"))
+      .select(col(id), col("n_tok"), col("n_uniq"), col("top_n"),
+        roundA(lit(1.0) - col("n_uniq") * 1.0 / col("n_tok"), 4).as("dup_ratio"),
+        roundA(col("top_n") * 1.0 / col("n_tok"), 4).as("top_frac"))
+  }
+
+  /** Eval-set decontamination: for every non-eval document, the count
+    * and fraction of its distinct word-3-gram digests that appear
+    * ANYWHERE in the eval set — the standard benchmark-leakage check
+    * run before training. The eval side (benchmarks are MBs, bounded)
+    * collapses to ONE sorted distinct digest array broadcast to every
+    * task; each train doc is then a single fused two-pointer merge
+    * ([[graft.functions.SortedIntersectCount]]) against it — a
+    * map-only pass over the corpus with no train-side shuffle and no
+    * explode. */
+  def contamination(docs: DataFrame, id: String, text: String,
+      isEval: Column): DataFrame = {
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val evalArr = Dedup.shingleSets(docs.filter(isEval), id, text)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("sh")))))
+        .as("__esh"))
+    Dedup.shingleSets(docs.filter(!isEval), id, text)
+      .crossJoin(broadcast(evalArr))
+      .select(col(id), size(col("sh")).cast("long").as("n_shingles"),
+        sorted_intersect_count(col("sh"), col("__esh")).cast("long").as("n_hit"))
+      .withColumn("contam",
+        roundA(col("n_hit") * 1.0 / col("n_shingles"), 4))
+  }
 }

@@ -212,5 +212,55 @@ object Dedup {
       .orderBy("split", "lang")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9)
+  /** eval-set decontamination — docs from source 'src0' act as the
+    * held-out benchmark; every other doc reports how many of its
+    * distinct word-3-gram digests leak into the eval set. Spark side
+    * broadcasts ONE sorted eval digest array and runs the native
+    * fused intersect per doc (map-only, no train-side shuffle);
+    * oracle side rebuilds the same digest lists and uses DuckDB
+    * list_intersect. */
+  val t6 = Q("t6_contamination", Some(s"""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                 FROM documents),
+    base AS (SELECT doc_id, source,
+               list_sort(list_distinct($hashedShingles)) AS sh FROM tok),
+    ev AS (SELECT list_sort(list_distinct(flatten(list(sh)))) AS esh
+           FROM base WHERE source = 'src0'),
+    tr AS (SELECT doc_id, sh FROM base WHERE source <> 'src0')
+    SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+      CAST(len(list_intersect(sh, esh)) AS BIGINT) AS n_hit,
+      floor((len(list_intersect(sh, esh)) * 1.0 / len(sh)) * 10000.0 + 0.5)
+        / 10000.0 AS contam
+    FROM tr CROSS JOIN ev ORDER BY doc_id""")) { (s, d) =>
+    graft.operators.TextAnalysis.contamination(
+      t(s, d, "documents"), "doc_id", "text",
+      org.apache.spark.sql.functions.col("source") === "src0")
+      .orderBy("doc_id")
+  }
+
+  /** deterministic stratified sampling — the data-mixing step: the
+    * over-represented stratum (en) is downsampled to 25% while tail
+    * languages keep full weight; keep/drop is a pure function of
+    * md5(doc_id) so the sample is engine/run/partitioning-invariant. */
+  val d10 = Q("d10_stratified", Some("""
+    WITH u AS (SELECT lang, strlen(text) AS nbytes,
+      ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+       (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+       (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+       (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) / 65536.0 AS frac
+      FROM documents)
+    SELECT lang, count(*) AS n_docs, CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM u WHERE frac < CASE lang WHEN 'en' THEN 0.25 ELSE 1.0 END
+    GROUP BY lang ORDER BY lang""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    graft.operators.Sampling.stratifiedSample(
+        t(s, d, "documents"), col("lang"), col("doc_id"),
+        Map("en" -> 0.25), defaultRate = 1.0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
+      .orderBy("lang")
+  }
+
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, t6)
 }

@@ -167,5 +167,19 @@ object Text {
       .orderBy("doc_id", "frame_no")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, d1, m1, m2, m3, m4)
+  val t7 = Q("t7_repetition", Some("""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    c AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY doc_id, w),
+    a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok,
+            CAST(count(*) AS BIGINT) AS n_uniq, CAST(max(n) AS BIGINT) AS top_n
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tok, n_uniq, top_n,
+      floor((1.0 - n_uniq * 1.0 / n_tok) * 10000.0 + 0.5) / 10000.0 AS dup_ratio,
+      floor((top_n * 1.0 / n_tok) * 10000.0 + 0.5) / 10000.0 AS top_frac
+    FROM a ORDER BY doc_id""")) { (s, d) =>
+    TextAnalysis.repetition(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, d1, m1, m2, m3, m4)
 }

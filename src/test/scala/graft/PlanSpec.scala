@@ -146,6 +146,33 @@ class PlanSpec extends AnyFunSuite {
         p.take(1200))
   }
 
+  test("t6 contamination broadcasts the eval digest array — no train-side join shuffle") {
+    val p = plan("t6_contamination")
+    // the eval side collapses to one row and arrives by broadcast; the
+    // train side must never sort-merge or hash-partition for the join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "train side must not shuffle for the join")
+    assert(p.contains("sortedintersectcount"),
+      "per-doc overlap must be the native fused intersect")
+  }
+
+  test("d10 stratified sample joins its rate table by broadcast and keeps pushdown") {
+    val p = plan("d10_stratified")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "tiny rate table must broadcast")
+  }
+
+  test("d9 connected components shuffles labels, never documents") {
+    val df = SparkEntry.queries("d9_dedup_cc")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the post-fixpoint agg runs over the checkpointed (node, comp)
+    // label table: the text column must not appear in the final plan
+    assert(!p.contains("text#"), "label propagation must not carry documents")
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val df = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.sf)
     df.collect() // materialise the AQE final plan

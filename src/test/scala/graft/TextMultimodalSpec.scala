@@ -45,6 +45,62 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(!meta.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("repetition metrics: planted boilerplate doc scores high, varied doc low") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam ham"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(planted, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    assert(r(1L) == ((10L, 2L, 9L, 0.8, 0.9)))
+    assert(r(2L) == ((10L, 10L, 1L, 0.0, 0.1)))
+    // full corpus: every doc scored exactly once, ratios in range
+    val full = TextAnalysis.repetition(docs, "doc_id", "text")
+    assert(full.count() == docs.count())
+    assert(full.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1 ||
+      col("top_frac") <= 0 || col("top_frac") > 1).count() == 0)
+  }
+
+  test("contamination: planted eval overlap is found, clean doc reports zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", false),
+      // doc 2 shares a 4-token run (2 of its 4 shingles) with eval doc 10
+      (2L, "alpha beta gamma delta other words", true),
+      (3L, "completely unrelated text goes here now", true),
+      (10L, "alpha beta gamma delta epsilon zeta", false)
+    ).toDF("doc_id", "text", "is_train")
+    val c = TextAnalysis.contamination(corpus, "doc_id", "text",
+      isEval = !col("is_train"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(c.keySet == Set(2L, 3L), "only train docs are scored")
+    assert(c(2L)._2 == 2L, s"doc 2 should hit 2 eval shingles, got ${c(2L)}")
+    assert(c(3L)._2 == 0L, "clean doc must report zero hits")
+  }
+
+  test("stratified sample is deterministic and downsamples only the target stratum") {
+    import graft.operators.Sampling
+    val s1 = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.25))
+    val s2 = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.25))
+    // deterministic: two runs agree row-for-row
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-target strata pass through untouched
+    total.keys.filter(_ != "en").foreach(l => assert(kept(l) == total(l)))
+    // target stratum lands near its rate (16-bit hash, ±10% abs tolerance)
+    val frac = kept("en").toDouble / total("en")
+    assert(frac > 0.15 && frac < 0.35, s"en kept fraction $frac")
+    // schema passes through unchanged
+    assert(s1.columns.sameElements(docs.columns))
+  }
+
   test("frame sampling yields ceil(bytes/stride) frames with features") {
     val bin = Multimodal.asBinary(docs.limit(20), "doc_id", "text")
     val frames = Multimodal.sampleFrames(bin, stride = 100)
