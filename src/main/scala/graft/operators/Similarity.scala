@@ -208,13 +208,53 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a join predicate
-    * (label partition / sign bucket) to avoid the all-pairs product. */
+    * (label partition / sign bucket) to avoid the all-pairs product.
+    *
+    * SCALE RULE (measured in SURVEY §6's sf0.1→sf1 run, r=13.9 vs
+    * suite median 1.9): within-block pairs grow as Σ|block|², so the
+    * blocking key's CARDINALITY must grow with the corpus. A fixed
+    * label/category key (constant #blocks) makes each block 10× deeper
+    * at 10× data → 100× pairs: quadratic. This form is for
+    * user-chosen semantic blocks known to stay bounded; for open-ended
+    * corpora use [[nearDupPairsLsh]], whose bucket count is 2^BITS per
+    * table and occupancy is held constant by scaling BITS with
+    * log₂|corpus| (see [[LSH_BITS]]). */
   def nearDupPairs(vectors: DataFrame, id: String, emb: String,
       blockCol: Column, threshold: Double): DataFrame = {
     val v = vectors.withColumn("blk", blockCol)
     val a = v.select(col(id).as("v1"), col(emb).as("e1"), col("blk"))
     val b = v.select(col(id).as("v2"), col(emb).as("e2"), col("blk"))
     a.join(b, Seq("blk")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), cosR(col("e1"), col("e2")).as("c6"))
+      .filter(col("c6") >= threshold)
+      .select(col("v1"), col("v2"), col("c6").as("cos6"))
+  }
+
+  /** Embedding near-dup pairs with candidates from the multi-table
+    * sign-LSH bands — the LINEAR-scale variant of [[nearDupPairs]]
+    * (same fix d6 applies to d4's length blocking): bucket count is
+    * TABLES·2^BITS and grows with BITS ∝ log₂|corpus|, so per-bucket
+    * occupancy — and with it Σ|bucket|² — stays bounded as the corpus
+    * grows. A pair colliding in ANY table is a candidate (recall
+    * ≈ 1-(1-p_bucket)^TABLES; exact duplicates collide in every
+    * table); each candidate is verified once by the codegen'd cosine
+    * after cross-table dedup. Embeddings ride through the pair dedup
+    * (one shuffle of candidate+payload) rather than being re-joined —
+    * at LSH candidate rates (O(corpus), not O(corpus²)) that is one
+    * pair-sized shuffle vs two corpus-sized join shuffles. */
+  def nearDupPairsLsh(vectors: DataFrame, id: String, emb: String,
+      threshold: Double, bits: Int = LSH_BITS,
+      tables: Int = LSH_TABLES): DataFrame = {
+    val cb = vectors.select(col(id), col(emb),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), tableBucket(col(emb), t, bits).as("bkt"))): _*))
+        .as("band"))
+      .select(col(id), col(emb), col("band.t").as("t"), col("band.bkt").as("bkt"))
+    val a = cb.select(col(id).as("v1"), col(emb).as("e1"), col("t"), col("bkt"))
+    val b = cb.select(col(id).as("v2"), col(emb).as("e2"), col("t"), col("bkt"))
+    a.join(b, Seq("t", "bkt")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), col("e1"), col("e2"))
+      .dropDuplicates("v1", "v2")
       .select(col("v1"), col("v2"), cosR(col("e1"), col("e2")).as("c6"))
       .filter(col("c6") >= threshold)
       .select(col("v1"), col("v2"), col("c6").as("cos6"))

@@ -161,5 +161,27 @@ object Embed {
       .orderBy("vec_id")
   }
 
-  val qs: Seq[Q] = Seq(d5, s1, s2, s3, s4)
+  /** d11: the LINEAR-scale variant of d5 — near-dup pair mining with
+    * candidates from the multi-table sign-LSH bands instead of a
+    * fixed-cardinality label block (SURVEY §6 measured d5 at r=13.9
+    * under 10× scale-up; bucket-blocked candidates grow linearly).
+    * Oracle rebuilds the identical band buckets from the shared
+    * plane-dim constants, so candidate sets — and therefore results —
+    * match exactly despite LSH being approximate. */
+  val d11 = Q("d11_embed_neardup_lsh", Some(s"""
+    WITH $normCte,
+    cb AS ($corpusBandsSql),
+    cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+             FROM cb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
+               AND a.vec_id < b.vec_id),
+    p AS (SELECT c.v1, c.v2, ${cosRSql("a", "b")} AS c6
+          FROM cand c JOIN v a ON a.vec_id = c.v1
+                      JOIN v b ON b.vec_id = c.v2)
+    SELECT v1, v2, c6 AS cos6 FROM p
+    WHERE c6 >= 0.2 ORDER BY v1, v2""")) { (s, d) =>
+    Similarity.nearDupPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.2)
+      .orderBy("v1", "v2")
+  }
+
+  val qs: Seq[Q] = Seq(d5, d11, s1, s2, s3, s4)
 }

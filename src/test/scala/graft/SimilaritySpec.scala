@@ -88,4 +88,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nCand < nPlanted * corpus.count() / 5,
       s"candidate set $nCand not selective")
   }
+
+  test("LSH-blocked near-dup pairs find every planted exact duplicate") {
+    // an exact copy shares every band bucket, so it collides in ALL
+    // tables: recall on exact dups is 1.0 by construction, not chance
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        col("embedding"))
+    val corpus = emb.unionByName(copies)
+    val pairs = Similarity.nearDupPairsLsh(corpus, "vec_id", "embedding", 0.999)
+    val found = pairs.filter(col("v2") - 1000000 === col("v1")).count()
+    assert(found == copies.count(), s"found $found of ${copies.count()} dups")
+    // and the pair set is deduped: no (v1, v2) appears twice
+    assert(pairs.groupBy("v1", "v2").count().filter(col("count") > 1).count() == 0)
+  }
 }
