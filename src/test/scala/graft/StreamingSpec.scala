@@ -104,4 +104,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed(0).getLong(2) == 2) // session 1: two events
     assert(closed(1).getLong(2) == 1) // session 2 flushed by timeout
   }
+
+  test("stratified sample runs unchanged on a stream and agrees with batch") {
+    // keep/drop is a pure function of md5(key), so the operator is
+    // STATELESS: the same code path works as a streaming map-only
+    // stage (stream + broadcast rate table), and the streamed sample
+    // must equal the batch sample row-for-row — the batch/stream
+    // unification the deterministic design buys.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "de" else "en"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val streamed = Sampling.stratifiedSample(
+      in.toDF().toDF("doc_id", "lang"),
+      org.apache.spark.sql.functions.col("lang"),
+      org.apache.spark.sql.functions.col("doc_id"), Map("en" -> 0.25))
+    runToMemory(streamed, "strat", OutputMode.Append)
+    val got = spark.sql("SELECT doc_id FROM strat ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val want = Sampling.stratifiedSample(
+      docs.toDF("doc_id", "lang"),
+      org.apache.spark.sql.functions.col("lang"),
+      org.apache.spark.sql.functions.col("doc_id"), Map("en" -> 0.25))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want, "stream and batch samples must be identical")
+    assert(got.nonEmpty && got.size < docs.size)
+  }
 }
