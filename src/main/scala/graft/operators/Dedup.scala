@@ -110,8 +110,12 @@ object Dedup {
   private[graft] def tokenized(docs: DataFrame, id: String, text: String,
       extra: Seq[Column] = Nil): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
+    // a streaming DF has no .rdd to probe (and its micro-batch
+    // parallelism is the source's concern) — pass it through unwidened
     val spread =
-      if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+      if (!docs.isStreaming && docs.rdd.getNumPartitions < target)
+        docs.repartition(target)
+      else docs
     spread.select((col(id) +: extra) :+ split(col(text), " ").as("__tk"): _*)
   }
 

@@ -129,12 +129,22 @@ object TextAnalysis {
     * map-only pass over the corpus with no train-side shuffle and no
     * explode. */
   def contamination(docs: DataFrame, id: String, text: String,
-      isEval: Column): DataFrame = {
+      isEval: Column): DataFrame =
+    contaminationAgainst(docs.filter(!isEval), docs.filter(isEval),
+      id, text)
+
+  /** [[contamination]] with the eval set as its own table — the usual
+    * pipeline shape (benchmarks live in a separate, static table; the
+    * train side may even be a STREAM: the eval array is a static
+    * batch aggregate broadcast into a stateless map-only stage, so
+    * the same code decontaminates on ingest). */
+  def contaminationAgainst(train: DataFrame, evalDocs: DataFrame,
+      id: String, text: String): DataFrame = {
     import graft.functions.SortedIntersectCount.sorted_intersect_count
-    val evalArr = Dedup.shingleSets(docs.filter(isEval), id, text)
+    val evalArr = Dedup.shingleSets(evalDocs, id, text)
       .agg(array_sort(array_distinct(flatten(collect_list(col("sh")))))
         .as("__esh"))
-    Dedup.shingleSets(docs.filter(!isEval), id, text)
+    Dedup.shingleSets(train, id, text)
       .crossJoin(broadcast(evalArr))
       .select(col(id), size(col("sh")).cast("long").as("n_shingles"),
         sorted_intersect_count(col("sh"), col("__esh")).cast("long").as("n_hit"))

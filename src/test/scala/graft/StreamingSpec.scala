@@ -133,4 +133,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream and batch samples must be identical")
     assert(got.nonEmpty && got.size < docs.size)
   }
+
+  test("decontamination on ingest: streamed docs scored against a static eval set") {
+    // contaminationAgainst's eval side is ONE static broadcast array;
+    // the train side is a stateless map-only stage, so a document
+    // STREAM can be decontaminated on ingest with the same operator
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "alpha beta gamma delta other words"), // 2 of 4 shingles leak
+      (2L, "completely unrelated text goes here now"))
+    val scored = TextAnalysis.contaminationAgainst(
+      in.toDF().toDF("doc_id", "text"), evalDocs, "doc_id", "text")
+    runToMemory(scored, "contam", OutputMode.Append)
+    val got = spark.sql("SELECT doc_id, n_hit FROM contam ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L), s"got $got")
+  }
 }
