@@ -173,6 +173,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text#"), "label propagation must not carry documents")
   }
 
+  test("d11 LSH near-dup candidates come from a band equi-join, never a cross product") {
+    val p = plan("d11_embed_neardup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "corpus self-join must be an equi-join on the (table, bucket) key:\n" +
+        p.take(1200))
+    assert(p.contains("cosinesimilarity"),
+      "verification must use the native fused cosine")
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val df = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.sf)
     df.collect() // materialise the AQE final plan

@@ -154,4 +154,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 0L), s"got $got")
   }
+
+  test("continuous ingest: foreachBatch dedups micro-batches against the GROWING corpus") {
+    // the steady-state ingest loop incrementalDedup is built for:
+    // each micro-batch is (1) self-deduped, (2) checked against the
+    // corpus band/digest tables, and (3) its survivors are appended to
+    // those tables — so a near-dup of a PREVIOUS batch's survivor must
+    // be dropped by the next batch. In production the corpus tables
+    // are lake tables; here they are driver-held unions.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Dedup => D}
+    def txt(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val seed = Seq((1L, txt("alpha"))).toDF("doc_id", "text")
+    var corpusBands = D.bands(D.minhashSignatures(seed, "doc_id", "text"), "doc_id")
+    var corpusSets = D.shingleSets(seed, "doc_id", "text")
+    val corpusIds = scala.collection.mutable.Set(1L)
+
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = D.incrementalDedup(corpusBands, corpusSets, "doc_id",
+          batch, "doc_id", "text").cache()
+        corpusIds ++= kept.select("doc_id").collect().map(_.getLong(0))
+        corpusBands = corpusBands.unionByName(
+          D.bands(D.minhashSignatures(kept, "doc_id", "text"), "doc_id"))
+        corpusSets = corpusSets.unionByName(
+          D.shingleSets(kept, "doc_id", "text"))
+        ()
+      }.start()
+    // batch 1: near-dup of the seed (drop) + novel doc 3 (keep)
+    in.addData((2L, txt("alpha") + " trailer"), (3L, txt("beta")))
+    q.processAllAvailable()
+    // batch 2: near-dup of batch-1 SURVIVOR 3 (drop — proves the
+    // corpus update took) + novel doc 5 (keep)
+    in.addData((4L, txt("beta") + " trailer"), (5L, txt("gamma")))
+    q.processAllAvailable()
+    q.stop()
+    assert(corpusIds.toSet == Set(1L, 3L, 5L), s"corpus = $corpusIds")
+  }
 }
