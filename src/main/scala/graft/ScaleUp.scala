@@ -64,9 +64,12 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <srcDir> <outDir> <factor>")
-    val Array(src, out, fs) = args
-    val factor = fs.toInt
     val spark = GraftSession.local()
+    run(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def rd(n: String) = Tables.load(spark, src, n)
     def wr(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
@@ -113,6 +116,5 @@ object ScaleUp {
       println(s"[scaleup] $n -> " +
         spark.read.parquet(s"$out/$n.parquet").count())
     }
-    spark.stop()
   }
 }
