@@ -32,13 +32,26 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   /** 10-char substitution alphabet; rotation r gives 10 distinct
-    * length-preserving re-letterings (r=0 is the identity). */
+    * length-preserving re-letterings (r=0 is the identity). Rotations
+    * repeat with period 10 — hence the factor <= 10 bound in [[run]]:
+    * past it, replica r and replica r-10 would carry byte-identical
+    * texts and every LSH bucket would gain exact cross-replica dups,
+    * the distortion this tool exists to prevent.
+    *
+    * Known shape limitation: function words ('the', 'de', 'und', …)
+    * are re-lettered too, so the langid/stopword LEXICON JOINS (t1/t2)
+    * only hit replica 0 — their §6 ratios underestimate join-side
+    * growth. Dedup/LSH/ANN shape (the primary validation target) is
+    * unaffected. */
   private val Alpha = "aeioubcdfg"
   private def rot(r: Int): String =
     Alpha.drop(r % Alpha.length) + Alpha.take(r % Alpha.length)
 
-  private def keyCeil(df: DataFrame, c: String): Long =
-    df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
+  private def keyCeil(df: DataFrame, c: String): Long = {
+    val m = df.agg(max(col(c).cast("long"))).head
+    require(!m.isNullAt(0), s"cannot scale an empty table (max($c) is null)")
+    m.getLong(0) + 1L
+  }
 
   /** Cross-join with replicas 0..factor-1 and rewrite columns:
     * `offsets` maps column name → per-replica key offset. */
@@ -70,6 +83,14 @@ object ScaleUp {
   }
 
   def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 1 && factor <= Alpha.length,
+      s"factor must be in [1, ${Alpha.length}]: the re-lettering rotation " +
+        "repeats past that and replicas would be exact text duplicates")
+    // NOTE: the copy is for the SPARK bench only — events.ts
+    // round-trips from TIMESTAMP(NANOS) to plain INT64 (nanosAsLong),
+    // which Spark reads identically but a SQL oracle binding
+    // timestamp functions would reject. Never point the DuckDB
+    // correctness gate at a scaled directory.
     def rd(n: String) = Tables.load(spark, src, n)
     def wr(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")

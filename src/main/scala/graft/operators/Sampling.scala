@@ -33,7 +33,10 @@ object Sampling {
 
   /** Keep each row with probability `rates(stratum)` (default
     * `defaultRate` for unlisted strata), deterministically in the
-    * row's `key`. Returns the input rows that survive, unchanged. */
+    * row's `key`. Returns the input rows that survive, unchanged.
+    * A NULL key hashes as the empty string rather than letting the
+    * NULL comparison silently drop the row — a rate-1.0 stratum must
+    * be a true pass-through. */
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
@@ -41,7 +44,8 @@ object Sampling {
     val rateTable = broadcast(
       rates.toSeq.toDF("__stratum", "__rate"))
     df.join(rateTable, stratum === col("__stratum"), "left_outer")
-      .filter(hashFrac(key) < coalesce(col("__rate"), lit(defaultRate)))
+      .filter(hashFrac(coalesce(key.cast("string"), lit(""))) <
+        coalesce(col("__rate"), lit(defaultRate)))
       .drop("__stratum", "__rate")
   }
 }

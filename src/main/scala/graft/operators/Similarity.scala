@@ -99,14 +99,22 @@ object Similarity {
     * lookups), broadcast to the corpus bands. Candidates are deduped
     * (a true neighbor may collide in several tables) before the
     * codegen'd cosine scores them. */
-  def lshKnn(vectors: DataFrame, id: String, emb: String,
-      probePred: Column, k: Int, bits: Int = LSH_BITS,
-      tables: Int = LSH_TABLES): DataFrame = {
-    val cb = vectors.select(col(id), col(emb),
+  /** one (t, bkt) band row per table per vector — the corpus side of
+    * every multi-table LSH consumer ([[lshKnn]], [[nearDupPairsLsh]]);
+    * shared so the banding can never desynchronize between the ANN
+    * and near-dup paths (both must match the oracle's corpusBandsSql). */
+  private def corpusBands(vectors: DataFrame, id: String, emb: String,
+      bits: Int, tables: Int): DataFrame =
+    vectors.select(col(id), col(emb),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), tableBucket(col(emb), t, bits).as("bkt"))): _*))
         .as("band"))
       .select(col(id), col(emb), col("band.t").as("t"), col("band.bkt").as("bkt"))
+
+  def lshKnn(vectors: DataFrame, id: String, emb: String,
+      probePred: Column, k: Int, bits: Int = LSH_BITS,
+      tables: Int = LSH_TABLES): DataFrame = {
+    val cb = corpusBands(vectors, id, emb, bits, tables)
     val pb0 = cb.filter(probePred)
       .select(col(id).as("probe_id"), col(emb).as("pe"), col("t"), col("bkt"))
     val flips = pb0.select(col("probe_id"), col("pe"), col("t"),
@@ -245,11 +253,7 @@ object Similarity {
   def nearDupPairsLsh(vectors: DataFrame, id: String, emb: String,
       threshold: Double, bits: Int = LSH_BITS,
       tables: Int = LSH_TABLES): DataFrame = {
-    val cb = vectors.select(col(id), col(emb),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), tableBucket(col(emb), t, bits).as("bkt"))): _*))
-        .as("band"))
-      .select(col(id), col(emb), col("band.t").as("t"), col("band.bkt").as("bkt"))
+    val cb = corpusBands(vectors, id, emb, bits, tables)
     val a = cb.select(col(id).as("v1"), col(emb).as("e1"), col("t"), col("bkt"))
     val b = cb.select(col(id).as("v2"), col(emb).as("e2"), col("t"), col("bkt"))
     a.join(b, Seq("t", "bkt")).filter(col("v1") < col("v2"))

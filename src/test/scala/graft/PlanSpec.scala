@@ -164,13 +164,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "tiny rate table must broadcast")
   }
 
-  test("d9 connected components shuffles labels, never documents") {
-    val df = SparkEntry.queries("d9_dedup_cc")(spark, TestSpark.sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // the post-fixpoint agg runs over the checkpointed (node, comp)
-    // label table: the text column must not appear in the final plan
-    assert(!p.contains("text#"), "label propagation must not carry documents")
+  test("d9 pair stage: no shuffle ever carries the document text") {
+    // the final d9 plan reads localCheckpoint'ed labels and could
+    // never show text; the property lives in the PAIR stage, so walk
+    // that plan's exchanges directly: only ids/digests may shuffle
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val pairs = graft.operators.Dedup
+      .verifiedPairs(docs, "doc_id", "text", 0.9, persist = false)
+    pairs.collect() // materialize AQE's final stages
+    def shuffles(p: SparkPlan): Seq[Seq[String]] = {
+      val here = p match {
+        case e: ShuffleExchangeLike => Seq(e.output.map(_.name).toSeq)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(shuffles)
+    }
+    val shuffled = shuffles(pairs.queryExecution.executedPlan).flatten
+    assert(shuffled.nonEmpty, "expected at least one exchange in the pair stage")
+    assert(!shuffled.exists(n => n == "text" || n == "__tk"),
+      s"a shuffle carries document payloads: $shuffled")
   }
 
   test("d11 LSH near-dup candidates come from a band equi-join, never a cross product") {
