@@ -128,6 +128,23 @@ object TextAnalysis {
     * ([[graft.functions.SortedIntersectCount]]) against it — a
     * map-only pass over the corpus with no train-side shuffle and no
     * explode. */
+  /** Composed quality-filter chain — the curation step that turns the
+    * individual signals into one keep/drop decision with an
+    * attributable reason (the shape of production corpus filters:
+    * ordered rules, first failure wins, drop reasons audited per
+    * stratum). Thresholds are arguments; the defaults fit the synthetic
+    * corpus so both keeps and every drop reason occur in tests.
+    * Built on [[repetition]]'s aggregates — same two narrow partial-agg
+    * shuffles, then a pure codegen'd CASE; nothing new moves. */
+  def filterChain(docs: DataFrame, id: String, text: String,
+      minTokens: Long = 25, maxDupRatio: Double = 0.65,
+      maxTopFrac: Double = 0.15): DataFrame =
+    repetition(docs, id, text).select(col(id),
+      when(col("n_tok") < minTokens, "too_short")
+        .when(col("dup_ratio") > maxDupRatio, "too_repetitive")
+        .when(col("top_frac") > maxTopFrac, "top_heavy")
+        .otherwise("keep").as("verdict"))
+
   def contamination(docs: DataFrame, id: String, text: String,
       isEval: Column): DataFrame =
     contaminationAgainst(docs.filter(!isEval), docs.filter(isEval),

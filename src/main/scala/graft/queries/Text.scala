@@ -181,5 +181,31 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, d1, m1, m2, m3, m4)
+  /** composed quality filter: ordered rules, first failure wins,
+    * drop reasons audited per language — the curation decision the
+    * t2/t7 signals exist to feed. */
+  val t8 = Q("t8_filter_chain", Some("""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    c AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY doc_id, w),
+    a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok,
+            CAST(count(*) AS BIGINT) AS n_uniq, CAST(max(n) AS BIGINT) AS top_n
+          FROM c GROUP BY doc_id),
+    m AS (SELECT doc_id, n_tok,
+            floor((1.0 - n_uniq * 1.0 / n_tok) * 10000.0 + 0.5) / 10000.0 AS dup_ratio,
+            floor((top_n * 1.0 / n_tok) * 10000.0 + 0.5) / 10000.0 AS top_frac
+          FROM a),
+    v AS (SELECT doc_id, CASE WHEN n_tok < 25 THEN 'too_short'
+            WHEN dup_ratio > 0.65 THEN 'too_repetitive'
+            WHEN top_frac > 0.15 THEN 'top_heavy'
+            ELSE 'keep' END AS verdict FROM m)
+    SELECT verdict, lang, count(*) AS n_docs
+    FROM v JOIN documents USING (doc_id)
+    GROUP BY verdict, lang ORDER BY verdict, lang""")) { (s, d) =>
+    val docs = t(s, d, "documents")
+    docs.join(TextAnalysis.filterChain(docs, "doc_id", "text"), "doc_id")
+      .groupBy("verdict", "lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("verdict", "lang")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, d1, m1, m2, m3, m4)
 }

@@ -63,6 +63,27 @@ class TextMultimodalSpec extends AnyFunSuite {
       col("top_frac") <= 0 || col("top_frac") > 1).count() == 0)
   }
 
+  test("filter chain: each rule fires on its planted doc, first failure wins") {
+    import spark.implicits._
+    val varied = (1 to 30).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (1L, "short doc"),                                    // too_short
+      (2L, Seq.fill(30)("spam").mkString(" ")),             // too_repetitive
+      (3L, varied + " " + Seq.fill(7)("x").mkString(" ")),  // top_heavy (7/37)
+      (4L, varied)                                          // keep
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.filterChain(planted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "too_short", 2L -> "too_repetitive",
+      3L -> "top_heavy", 4L -> "keep"), s"got $v")
+    // precedence: doc 2 is also top-heavy, but the earlier rule names it
+    // full corpus: all four verdicts occur (thresholds fit the data)
+    val verdicts = TextAnalysis.filterChain(docs, "doc_id", "text")
+      .select("verdict").distinct().collect().map(_.getString(0)).toSet
+    assert(verdicts == Set("keep", "too_short", "too_repetitive", "top_heavy"),
+      s"corpus verdicts $verdicts")
+  }
+
   test("contamination: planted eval overlap is found, clean doc reports zero") {
     import spark.implicits._
     val corpus = Seq(
