@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+
+  private lazy val evalDocs = docs.filter(col("source") === "src0")
+  private lazy val train = docs.filter(col("source") =!= "src0")
+
+  private lazy val (curated, report) = Curation.curate(
+    train, "doc_id", "text", col("lang"), evalDocs,
+    jaccard = 0.9, maxContam = 0.9, rates = Map("en" -> 0.5))
+
+  test("pipeline stages run in order and only ever shrink the corpus") {
+    val rows = report.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("quality_filter", "exact_dedup",
+      "neardup_dedup", "decontaminate", "stratified_mix"))
+    rows.foreach { case (s, in, out) =>
+      assert(out <= in, s"stage $s grew the corpus: $in -> $out")
+    }
+    // stage boundaries chain: docs_out of stage k == docs_in of k+1
+    rows.toSeq.sliding(2).foreach {
+      case Seq((_, _, out), (n, in, _)) =>
+        assert(out == in, s"boundary mismatch entering $n")
+      case _ =>
+    }
+    assert(rows.head._2 == train.count())
+    // the quality filter and the en-downsampling mix must both bite
+    assert(rows.head._3 < rows.head._2, "quality filter dropped nothing")
+    val mix = rows.last
+    assert(mix._3 < mix._2, "stratified mix dropped nothing")
+  }
+
+  test("curated output carries a complete deterministic split") {
+    assert(curated.columns.contains("split"))
+    val splits = curated.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(splits.getOrElse("train", 0L) > splits.getOrElse("val", 0L))
+    assert(splits.values.sum == curated.count())
+    // idempotent: a second full run reproduces the corpus exactly
+    val (again, _) = Curation.curate(
+      train, "doc_id", "text", col("lang"), evalDocs,
+      jaccard = 0.9, maxContam = 0.9, rates = Map("en" -> 0.5))
+    assert(curated.exceptAll(again).count() == 0 &&
+      again.exceptAll(curated).count() == 0)
+  }
+}
