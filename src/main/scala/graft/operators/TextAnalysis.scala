@@ -138,12 +138,18 @@ object TextAnalysis {
     * shuffles, then a pure codegen'd CASE; nothing new moves. */
   def filterChain(docs: DataFrame, id: String, text: String,
       minTokens: Long = 25, maxDupRatio: Double = 0.65,
-      maxTopFrac: Double = 0.15): DataFrame =
-    repetition(docs, id, text).select(col(id),
+      maxTopFrac: Double = 0.15): DataFrame = {
+    // TOTAL over the input: a NULL-text doc would silently vanish from
+    // the exploded aggregates (and so from the verdict table — unjudged
+    // rather than dropped); coalescing to "" makes it one empty token
+    // → too_short, so every input doc gets exactly one verdict
+    val totalDocs = docs.withColumn(text, coalesce(col(text), lit("")))
+    repetition(totalDocs, id, text).select(col(id),
       when(col("n_tok") < minTokens, "too_short")
         .when(col("dup_ratio") > maxDupRatio, "too_repetitive")
         .when(col("top_frac") > maxTopFrac, "top_heavy")
         .otherwise("keep").as("verdict"))
+  }
 
   def contamination(docs: DataFrame, id: String, text: String,
       isEval: Column): DataFrame =
