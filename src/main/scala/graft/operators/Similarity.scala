@@ -42,7 +42,7 @@ object Similarity {
     * hyperplanes) — the simple single-table demo bucket. */
   def signBucket(emb: Column): Column =
     (0 until 8).map(i =>
-      when(element_at(emb, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      when(try_element_at(emb, lit(i + 1)) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
   /** Multi-table LSH parameters. Sizing rule: BITS controls per-table
@@ -62,12 +62,19 @@ object Similarity {
     * (36·idx ≡ 53 (mod 64) has no solution). */
   def planeDims(idx: Int): (Int, Int) = (idx % 64, (idx * 37 + 11) % 64)
 
-  /** bucket of `emb` in table `t` (BITS difference-hyperplane bits). */
+  /** bucket of `emb` in table `t` (BITS difference-hyperplane bits).
+    * `try_element_at`, not `element_at`: under ANSI mode a single
+    * short/malformed vector would otherwise throw and kill the whole
+    * job — with `try` the missing dim reads NULL, the comparison is
+    * NULL, and the bit falls to 0 (a deterministic bucket; the
+    * degenerate row still can't crash a 100 TB pass). This also
+    * matches the oracle exactly: DuckDB's `embedding[i]` yields NULL
+    * out of range. */
   def tableBucket(emb: Column, t: Int, bits: Int = LSH_BITS): Column =
     (0 until bits).map { i =>
       val (a, b) = planeDims(t * bits + i)
-      when(element_at(emb, a + 1) >= element_at(emb, b + 1), lit(1 << i))
-        .otherwise(lit(0))
+      when(try_element_at(emb, lit(a + 1)) >= try_element_at(emb, lit(b + 1)),
+        lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** flip bit `i` of a non-negative bucket id, arithmetically (same

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate embedding inputs: null vectors, wrong-length vectors,
+  * zero vectors. One malformed row must never kill a corpus-scale
+  * ANN/near-dup pass (ANSI `element_at` used to throw on a short
+  * vector inside the LSH banding). */
+class EmbeddingNullSafetySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array.fill(64)(0.5f), 0),
+      (2L, null.asInstanceOf[Array[Float]], 0),
+      (3L, Array.fill(8)(0.5f), 0), // short vector
+      (4L, Array.fill(64)(0.0f), 0) // zero vector (norm 0)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("LSH banding tolerates short and null vectors (no ANSI throw)") {
+    // used to throw SparkArrayIndexOutOfBoundsException on vec 3
+    val knn = operators.Similarity.lshKnn(vecs, "vec_id", "embedding",
+      col("vec_id") === 1, 3)
+    assert(knn.count() <= 3) // must complete, not crash
+    val pairs = operators.Similarity.nearDupPairsLsh(
+      vecs, "vec_id", "embedding", 0.5)
+    // degenerate rows produce NULL cosines, which the threshold drops;
+    // nothing crashes and no spurious pair appears
+    assert(pairs.filter(col("v1") === 2 || col("v2") === 2 ||
+      col("v1") === 3 || col("v2") === 3).count() == 0)
+  }
+
+  test("brute knn and kmeans stay total under degenerate rows") {
+    assert(operators.Similarity.bruteKnn(vecs, "vec_id", "embedding",
+      col("vec_id") === 1, 3).count() <= 3)
+    assert(operators.Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+      col("vec_id") === 1, 2).count() == 4)
+  }
+}
