@@ -67,6 +67,36 @@ object Multimodal {
     }
   }
 
+  /** typed record for a resized asset */
+  case class Resized(record_id: Long, width: Int, height: Int,
+      new_width: Int, new_height: Int, resized_bytes: Long, checksum: String)
+
+  /** Resize-to-fit: scale each asset into a maxDim×maxDim box
+    * preserving aspect ratio, never upscaling — the thumbnail /
+    * model-input-normalization pass of an image pipeline. All
+    * arithmetic is integer (floor division), so the oracle reproduces
+    * the target dims exactly; the payload "resize" is the stub step
+    * (byte budget scales with pixel count, bytes truncated to it) and
+    * the checksum of the resized payload is value-checked digit-level
+    * like m3's decode. Partition-local, no shuffle. */
+  def resize(binDf: DataFrame, maxDim: Int = 64): Dataset[Resized] = {
+    implicit val enc = Encoders.product[Resized]
+    binDf.select("record_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val (w, h, _) = StubDecoder.decode(bytes)
+        val m = math.max(w, h)
+        val (nw, nh) =
+          if (m <= maxDim) (w, h)
+          else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+        val rb = math.max(1L,
+          bytes.length.toLong * nw * nh / (w.toLong * h))
+        Resized(r.getAs[Long]("record_id"), w, h, nw, nh, rb,
+          StubDecoder.md5Hex(bytes.take(rb.toInt)))
+      }
+    }
+  }
+
   /** Frame/sample extraction: explode each asset into its (stub)
     * frames with a per-frame feature vector. Partition-local. */
   def sampleFrames(binDf: DataFrame, stride: Int = 256): Dataset[Frame] = {

@@ -142,6 +142,34 @@ object Text {
       .toDF().orderBy("record_id")
   }
 
+  /** resize-to-fit (64×64 box, aspect preserved, never upscaled):
+    * integer-only target-dim arithmetic so the oracle reproduces the
+    * dims exactly, and the resized payload's checksum is value-checked
+    * like m3's decode — the whole executor-side resize path, not just
+    * its schema. */
+  val m5 = Q("m5_resize", Some(s"""
+    WITH h AS (SELECT doc_id AS record_id, text, md5(text) AS hx,
+                 strlen(text) AS nbytes FROM documents),
+    d AS (SELECT record_id, text, nbytes,
+            16 + ${hx(1)} % 240 AS w, 16 + ${hx(3)} % 240 AS h FROM h),
+    r AS (SELECT record_id, text, nbytes, w, h,
+            CASE WHEN greatest(w, h) <= 64 THEN w
+                 ELSE greatest(1, (w * 64) // greatest(w, h)) END AS nw,
+            CASE WHEN greatest(w, h) <= 64 THEN h
+                 ELSE greatest(1, (h * 64) // greatest(w, h)) END AS nh
+          FROM d)
+    SELECT record_id, w AS width, h AS height,
+      nw AS new_width, nh AS new_height,
+      CAST(greatest(1, (nbytes * nw * nh) // (w * h)) AS BIGINT) AS resized_bytes,
+      md5(substr(text, 1,
+        CAST(greatest(1, (nbytes * nw * nh) // (w * h)) AS INT))) AS checksum
+    FROM r ORDER BY record_id""")) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.resize(
+      Multimodal.asBinary(t(s, d, "documents"), "doc_id", "text"))
+      .toDF().orderBy("record_id")
+  }
+
   /** frame sampling over the chunk grid (every 4th chunk = the
     * video-frame-subsample shape): same plumbing as m2, but emitting
     * only the sampled frames plus their in-blob byte offsets — the
@@ -207,5 +235,5 @@ object Text {
       .orderBy("verdict", "lang")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, d1, m1, m2, m3, m4)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, d1, m1, m2, m3, m4, m5)
 }

@@ -122,6 +122,26 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(s1.columns.sameElements(docs.columns))
   }
 
+  test("resize fits the box, preserves aspect ordering, never upscales, no shuffle") {
+    val bin = Multimodal.asBinary(docs, "doc_id", "text")
+    val r = Multimodal.resize(bin, maxDim = 64).toDF()
+    assert(r.count() == docs.count())
+    val bad = r.filter(
+      col("new_width") > 64 || col("new_height") > 64 ||
+        col("new_width") > col("width") || col("new_height") > col("height") ||
+        col("new_width") < 1 || col("new_height") < 1 ||
+        // aspect ordering: the longer side stays the longer side
+        (col("width") > col("height") && col("new_width") < col("new_height")) ||
+        (col("height") > col("width") && col("new_height") < col("new_width")))
+    assert(bad.count() == 0)
+    // already-small assets pass through untouched
+    val small = r.filter(col("width") <= 64 && col("height") <= 64)
+      .filter(col("new_width") =!= col("width") || col("new_height") =!= col("height"))
+    assert(small.count() == 0)
+    // partition-local: no exchange in the plan
+    assert(!r.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("frame sampling yields ceil(bytes/stride) frames with features") {
     val bin = Multimodal.asBinary(docs.limit(20), "doc_id", "text")
     val frames = Multimodal.sampleFrames(bin, stride = 100)
