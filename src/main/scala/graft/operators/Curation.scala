@@ -40,40 +40,57 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
-    def stage(name: String, in: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
-      val out = f(in)
-      report += ((name, in.count(), out.count()))
-      out
+    // each stage output is persisted before it is counted, the
+    // predecessor unpersisted after, and the out-count carried forward
+    // as the next in-count — one evaluation per stage rather than the
+    // naive shape where every count re-runs the whole upstream chain
+    var cur = docs
+    var curCount = docs.count()
+    var prevOwned: Option[DataFrame] = None
+    def stage(name: String)(f: DataFrame => DataFrame): Unit = {
+      val out = f(cur).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val outCount = out.count()
+      report += ((name, curCount, outCount))
+      prevOwned.foreach(_.unpersist(false))
+      prevOwned = Some(out)
+      cur = out
+      curCount = outCount
     }
 
-    val filtered = stage("quality_filter", docs) { d =>
+    stage("quality_filter") { d =>
       d.join(TextAnalysis.filterChain(d, id, text)
         .filter(col("verdict") === "keep").select(id), id)
     }
-    val exact = stage("exact_dedup", filtered) { d =>
+    stage("exact_dedup") { d =>
       d.join(Dedup.exact(d, id, text).select(col("keeper").as(id)), id)
     }
-    val nearDup = stage("neardup_dedup", exact) { d =>
-      val pairs = Dedup.verifiedPairs(d, id, text, jaccard, persist = false)
+    stage("neardup_dedup") { d =>
+      // persist = true: this IS the corpus-scale path — both verify-join
+      // sides must read one computed signature/shingle copy
+      val pairs = Dedup.verifiedPairs(d, id, text, jaccard)
       val drops = Dedup.connectedComponents(pairs, "d1", "d2")
         .filter(col("node") =!= col("comp")).select(col("node").as(id))
       d.join(drops, Seq(id), "left_anti")
     }
-    val clean = stage("decontaminate", nearDup) { d =>
+    stage("decontaminate") { d =>
       val contaminated = TextAnalysis
         .contaminationAgainst(d, evalDocs, id, text)
         .filter(col("contam") > maxContam).select(id)
       d.join(contaminated, Seq(id), "left_anti")
     }
-    val mixed = stage("stratified_mix", clean) { d =>
+    stage("stratified_mix") { d =>
       Sampling.stratifiedSample(d, stratum, col(id), rates, defaultRate)
     }
-    // deterministic 8/1/1 split — same md5 fold as the d8 query
-    val v = expr(
-      s"((instr('0123456789abcdef', substr(md5(cast(cast($id as string) as binary)), 1, 1)) - 1) * 16 + " +
-        s"instr('0123456789abcdef', substr(md5(cast(cast($id as string) as binary)), 2, 1)) - 1) % 10")
-    val split = mixed.withColumn("split",
+    // deterministic 8/1/1 split — the ONE md5-fold definition d8 uses
+    val v = Sampling.md5Mod10(col(id))
+    val split = cur.withColumn("split",
       when(v <= 7, "train").when(v === 8, "val").otherwise("test"))
+      .localCheckpoint(true) // pin results before releasing stage caches
+    prevOwned.foreach(_.unpersist(false))
+    // free the dedup signature/digest caches this run registered (the
+    // registry is session-wide: a session running OTHER graft dedup
+    // pipelines concurrently should release manually instead)
+    Dedup.releasePersisted(spark)
     (split, report.toSeq.toDF("stage", "docs_in", "docs_out"))
   }
 }

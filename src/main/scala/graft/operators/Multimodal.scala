@@ -55,11 +55,18 @@ object Multimodal {
 
   /** Batched executor-local decode: one `mapPartitions` pass, no
     * shuffle; output is a typed Dataset. */
+  /** NULL payloads decode as empty (zero bytes, md5 of nothing) — a
+    * degenerate row must never NPE an executor-side decode pass. (A
+    * SQL oracle sees md5(NULL)=NULL instead; the test corpus carries
+    * no NULLs, and the no-crash guarantee is the production contract.) */
+  private def payloadBytes(r: org.apache.spark.sql.Row): Array[Byte] =
+    Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+
   def decodeMeta(binDf: DataFrame): Dataset[MediaMeta] = {
     implicit val enc = Encoders.product[MediaMeta]
     binDf.select("record_id", "payload", "media_type").mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("payload")
+        val bytes = payloadBytes(r)
         val (w, h, f) = StubDecoder.decode(bytes)
         MediaMeta(r.getAs[Long]("record_id"), r.getAs[String]("media_type"),
           bytes.length.toLong, w, h, f, StubDecoder.md5Hex(bytes))
@@ -83,7 +90,7 @@ object Multimodal {
     implicit val enc = Encoders.product[Resized]
     binDf.select("record_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("payload")
+        val bytes = payloadBytes(r)
         val (w, h, _) = StubDecoder.decode(bytes)
         val m = math.max(w, h)
         val (nw, nh) =
@@ -103,7 +110,7 @@ object Multimodal {
     implicit val enc = Encoders.product[Frame]
     binDf.select("record_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]]("payload")
+        val bytes = payloadBytes(r)
         val id = r.getAs[Long]("record_id")
         bytes.grouped(stride).zipWithIndex.map { case (chunk, i) =>
           Frame(id, i, chunk.length, StubDecoder.features(chunk))

@@ -31,6 +31,16 @@ object Sampling {
     fold.cast("double") / 65536.0
   }
 
+  /** md5(key) mod 10 — the deterministic 10-bucket assignment behind
+    * the 8/1/1 train/val/test split (d8 query and [[Curation]] share
+    * this ONE definition so the oracle-checked split and the pipeline
+    * split can never drift). */
+  def md5Mod10(key: Column): Column = {
+    val hx = md5(key.cast("string").cast("binary"))
+    ((instr(lit("0123456789abcdef"), substring(hx, 1, 1)) - 1) * 16 +
+      instr(lit("0123456789abcdef"), substring(hx, 2, 1)) - 1) % 10
+  }
+
   /** Keep each row with probability `rates(stratum)` (default
     * `defaultRate` for unlisted strata), deterministically in the
     * row's `key`. Returns the input rows that survive, unchanged.

@@ -182,9 +182,13 @@ object Similarity {
   /** composable 6dp cosine for DOUBLE-array centroids — same
     * sequential fold order as [[cosR]]'s native expression and the
     * oracle's list_sum/list_transform, so k-means round-2 cosines are
-    * bit-identical across engines. */
+    * bit-identical across engines. try_divide, not `/`: under ANSI a
+    * zero-norm (all-zero) vector would throw DIVIDE_BY_ZERO and kill
+    * the job; try_divide yields NULL, max_by ignores the row's null
+    * ordering, and real vectors are unaffected (divisor nonzero →
+    * identical result). */
   def cosRD(a: Column, b: Column): Column =
-    floor((dot(a, b) / (norm(a) * norm(b))) * 1000000.0 + 0.5) / 1000000.0
+    floor(try_divide(dot(a, b), norm(a) * norm(b)) * 1000000.0 + 0.5) / 1000000.0
 
   /** one Lloyd assignment pass: nearest centroid by cosine, min-cell
     * tie-break, collapsed MAP-SIDE by max_by partial aggregation
@@ -213,10 +217,13 @@ object Similarity {
       .select(col(id).as("cell"), col(emb).as("ce")))
     var asg = argmaxAssign(vectors, id, emb, seeds, cosR(col(emb), col("ce")))
     (1 until iters).foreach { _ =>
+      // try_element_at, not element_at: one short vector must not kill
+      // the training job under ANSI (its missing dims contribute NULL,
+      // which sum ignores — same as the oracle's out-of-range NULL)
       val cents = broadcast(asg.groupBy("cell").agg(
         array((1 to dims).map(i =>
-          sum(floor(element_at(col(emb), i) * 1000000.0 + 0.5)).cast("double") /
-            1000000.0 / count(lit(1))): _*).as("ce")))
+          sum(floor(try_element_at(col(emb), lit(i)) * 1000000.0 + 0.5))
+            .cast("double") / 1000000.0 / count(lit(1))): _*).as("ce")))
       asg = argmaxAssign(vectors, id, emb, cents, cosRD(col(emb), col("ce")))
     }
     asg.select(col(id), col("cell"))

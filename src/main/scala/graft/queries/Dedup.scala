@@ -200,9 +200,8 @@ object Dedup {
            lang, count(*) AS n_docs, CAST(sum(nbytes) AS BIGINT) AS sum_bytes
     FROM a GROUP BY split, lang ORDER BY split, lang""")) { (s, d) =>
     import org.apache.spark.sql.functions._
-    val v = expr(
-      "((instr('0123456789abcdef', substr(md5(cast(cast(doc_id as string) as binary)), 1, 1)) - 1) * 16 + " +
-        "instr('0123456789abcdef', substr(md5(cast(cast(doc_id as string) as binary)), 2, 1)) - 1) % 10")
+    // the ONE shared fold definition (also used by Curation's split)
+    val v = graft.operators.Sampling.md5Mod10(col("doc_id"))
     t(s, d, "documents")
       .select(col("lang"), octet_length(col("text")).as("nbytes"), v.as("v"))
       .select(when(col("v") <= 7, "train").when(col("v") === 8, "val")

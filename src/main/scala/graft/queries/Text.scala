@@ -146,7 +146,10 @@ object Text {
     * integer-only target-dim arithmetic so the oracle reproduces the
     * dims exactly, and the resized payload's checksum is value-checked
     * like m3's decode — the whole executor-side resize path, not just
-    * its schema. */
+    * its schema. NOTE the oracle truncates by CHARACTERS (substr) with
+    * a BYTE count — valid only because this corpus is ASCII (the same
+    * assumption m2's chunking bakes in); a multibyte corpus needs a
+    * byte-typed oracle expression. */
   val m5 = Q("m5_resize", Some(s"""
     WITH h AS (SELECT doc_id AS record_id, text, md5(text) AS hx,
                  strlen(text) AS nbytes FROM documents),
@@ -213,7 +216,7 @@ object Text {
     * drop reasons audited per language — the curation decision the
     * t2/t7 signals exist to feed. */
   val t8 = Q("t8_filter_chain", Some("""
-    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS w FROM documents),
     c AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY doc_id, w),
     a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok,
             CAST(count(*) AS BIGINT) AS n_uniq, CAST(max(n) AS BIGINT) AS top_n
