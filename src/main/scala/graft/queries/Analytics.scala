@@ -430,13 +430,18 @@ object Analytics {
   }
 
   // ---- q20: JSON extraction + agg ------------------------------------
+  // TRY_CAST on BOTH sides: under ANSI a single malformed props value
+  // ('{"k":"abc"}') would otherwise throw CAST_INVALID_INPUT and kill
+  // the whole aggregation (and DuckDB's plain CAST errors identically);
+  // try_cast sends malformed/missing keys to the NULL bucket instead
   val q20 = Q("q20_json", Some("""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
       count(*) AS n,
       CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
     FROM events GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
     t(s, d, "events")
-      .withColumn("bucket", get_json_object(col("props"), "$.k").cast("long") % 10)
+      .withColumn("bucket",
+        expr("try_cast(get_json_object(props, '$.k') as bigint)") % 10)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), termSum6(col("value")).as("total"))
       .orderBy("bucket")

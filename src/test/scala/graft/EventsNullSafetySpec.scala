@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{Row, types => T}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate event streams: null users/timestamps/values, NULL and
+  * malformed JSON props. Every event query must complete (one bad
+  * event must never kill an aggregation — q20's ANSI cast used to),
+  * and the malformed rows land in the NULL bucket, not nowhere. */
+class EventsNullSafetySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("ev-degenerate").toString
+    val base = 1704067200L * 1000000000L
+    val schema = T.StructType(Seq(
+      T.StructField("event_id", T.LongType), T.StructField("ts", T.LongType),
+      T.StructField("user_id", T.LongType), T.StructField("event_type", T.StringType),
+      T.StructField("value", T.DoubleType), T.StructField("props", T.StringType)))
+    val rows = Seq(
+      Row(1L, base, 1L, "click", 1.5, """{"k":"7","v":1}"""),
+      Row(2L, base + 60L * 1000000000L, 1L, "view", 2.0, """{"k":"abc"}"""),
+      Row(3L, base + 120L * 1000000000L, null, "click", 0.5, null),
+      Row(4L, null, 2L, "purchase", null, "not json at all"),
+      Row(5L, base + 300L * 1000000000L, 2L, "error", 3.0, """{"nope":1}"""))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("every event query completes over nulls and malformed props") {
+    for (q <- Seq("q16_sessionize", "q17_pivot", "q18_timeagg", "q19_running",
+        "q20_json", "q23_asof", "q26_leadlag", "q29_rangewindow",
+        "q30_funnel", "q31_retention")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.nonEmpty, s"$q returned no rows")
+    }
+  }
+
+  test("q20 routes malformed/missing JSON keys to the NULL bucket") {
+    val r = SparkEntry.queries("q20_json")(spark, dir).collect()
+      .map(x => (if (x.isNullAt(0)) None else Some(x.getLong(0))) -> x.getLong(1))
+      .toMap
+    assert(r(Some(7L)) == 1L, s"numeric key bucket: $r")
+    assert(r(None) == 4L, "the 4 malformed/missing-key events group under NULL")
+  }
+}
