@@ -64,7 +64,14 @@ object Migration {
   def externalize(df: DataFrame, key: Column, source: Column, blob: Column): DataFrame =
     df.select(
       key.as("record_id"), source.as("source"),
-      concat_ws("/", lit("blobs"), source, key, md5(blob.cast("binary"))).as("s3_prefix"),
+      // a NULL blob row gets a NULL pointer, EXPLICITLY: concat_ws
+      // would otherwise skip the null md5 segment and silently emit a
+      // hashless prefix ("blobs/<src>/<id>") — a pointer that encodes
+      // no content. There is no object to point at; the NULL pointer
+      // is what a9-style validation counts.
+      when(blob.isNull, lit(null).cast("string"))
+        .otherwise(concat_ws("/", lit("blobs"), source, key,
+          md5(blob.cast("binary")))).as("s3_prefix"),
       octet_length(blob).as("nbytes"))
 
   /** Batch DELETE — order_rdbms_blob.js:557 — as an anti-join against

@@ -50,9 +50,14 @@ object BlobSink {
     * per-task outputs of the single job. (An accumulator updated in a
     * foreachPartition action would work too — result-stage updates
     * are applied exactly once on retry — but the fold keeps the count
-    * in the job's dataflow rather than driver-side mutable state.) */
+    * in the job's dataflow rather than driver-side mutable state.)
+    * Rows with a NULL prefix or NULL blob are SKIPPED, not written
+    * (there is no key or no content to write — one degenerate row
+    * must not NPE a 100 TB migration); the returned count covers only
+    * objects actually written, so a validation pass sees the delta. */
   def write(df: DataFrame, base: String, prefixCol: String, blobCol: String): Long = {
     val out = df.select(col(prefixCol).cast("string"), col(blobCol).cast("binary"))
+      .filter(col(prefixCol).isNotNull && col(blobCol).isNotNull)
     val conf = serConf(df.sparkSession)
     out.rdd.mapPartitions { rows =>
       val (fs, basePath) = fsFor(base, conf.value)
@@ -85,9 +90,15 @@ object BlobSink {
     val outRdd = df.rdd.mapPartitions { rows =>
       val (fs, basePath) = fsFor(base, conf.value)
       rows.map { r =>
-        val p = new Path(basePath, r.getString(prefixIdx))
-        val os = fs.create(p, true)
-        try os.write(r.getAs[Array[Byte]](blobIdx)) finally os.close()
+        // a NULL prefix/blob row passes through WITHOUT an object
+        // write (same skip rule as [[write]]): the pointer row still
+        // reaches the downstream table, where its null pointer is
+        // visible to validation
+        if (!r.isNullAt(prefixIdx) && !r.isNullAt(blobIdx)) {
+          val p = new Path(basePath, r.getString(prefixIdx))
+          val os = fs.create(p, true)
+          try os.write(r.getAs[Array[Byte]](blobIdx)) finally os.close()
+        }
         Row.fromSeq(keep.map(r.get))
       }
     }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{Row, types => T}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate migration inputs: a NULL blob row must produce a NULL
+  * pointer (not a hashless prefix) and must be skipped by the object
+  * writer (not NPE an executor) — validation then sees the delta. */
+class BlobNullSafetySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val df = {
+    val schema = T.StructType(Seq(
+      T.StructField("order_id", T.LongType),
+      T.StructField("description", T.StringType),
+      T.StructField("order_blob", T.BinaryType)))
+    val rows = Seq(
+      Row(1L, "ok", "payload-bytes".getBytes("UTF-8")),
+      Row(2L, "null blob", null),
+      Row(3L, null, "more-bytes".getBytes("UTF-8")))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("externalize: NULL blob -> NULL pointer, never a hashless prefix") {
+    val ext = operators.Migration.externalize(df, col("order_id"),
+      col("description"), col("order_blob"))
+    val byId = ext.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
+    assert(byId(2L).isEmpty, "null blob must yield a NULL s3_prefix")
+    assert(byId(1L).exists(_.split("/").length == 4),
+      s"real blob gets the full blobs/<src>/<id>/<md5> prefix: ${byId(1L)}")
+  }
+
+  test("blob sink skips unwritable rows instead of NPEing the task") {
+    val ext = operators.Migration.externalize(df, col("order_id"),
+      col("description"), col("order_blob"))
+    val joined = df.join(
+      ext.select(col("record_id").as("order_id"), col("s3_prefix")), "order_id")
+    val out = java.nio.file.Files.createTempDirectory("blob-null").toString
+    val n = sources.BlobSink.write(joined, out, "s3_prefix", "order_blob")
+    assert(n == 2, s"wrote $n of 2 writable blobs (row 2 skipped)")
+    // writeThrough: every row passes through, only writable blobs land
+    val through = sources.BlobSink.writeThrough(joined, out + "2",
+      "s3_prefix", "order_blob")
+    assert(through.count() == 3, "pointer rows all reach the table")
+  }
+}
