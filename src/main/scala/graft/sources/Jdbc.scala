@@ -91,6 +91,17 @@ object Jdbc {
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
+      // the idempotency contract rests on delete-then-insert matching
+      // per key — a NULL key never matches `IN (...)`, so a re-run
+      // would re-insert it forever. Refuse inside the same transaction
+      // rather than silently converging to duplicates.
+      val rs = st.executeQuery(
+        s"SELECT COUNT(*) FROM $stagingTable WHERE $key IS NULL")
+      rs.next()
+      val nulls = rs.getLong(1)
+      require(nulls == 0,
+        s"$nulls staged row(s) have NULL $key: a NULL key cannot be " +
+          "upserted idempotently (DELETE..IN never matches NULL)")
       st.executeUpdate(
         s"DELETE FROM $table WHERE $key IN (SELECT $key FROM $stagingTable)")
       st.executeUpdate(

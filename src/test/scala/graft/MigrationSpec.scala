@@ -174,6 +174,24 @@ class MigrationSpec extends AnyFunSuite {
     // to the identical state — no double inserts
     Jdbc.writeStaged(batch, url2, "pointer_target", "pointer_staging", "id")
     assert(state() == after1)
+    // a NULL-key row can never be upserted idempotently (DELETE..IN
+    // does not match NULL, so every retry would re-insert it): the
+    // swap transaction must refuse it and leave the target untouched
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("descr",
+        org.apache.spark.sql.types.StringType)))
+    val nullBatch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(4L, "new-4"),
+        org.apache.spark.sql.Row(null, "keyless"))),
+      schema)
+    val e = intercept[IllegalArgumentException] {
+      Jdbc.writeStaged(nullBatch, url2, "pointer_target", "pointer_staging", "id")
+    }
+    assert(e.getMessage.contains("NULL"))
+    assert(state() == after1, "refused batch must not touch the target")
   }
 
   test("keyset pagination pages without overlap") {
