@@ -61,17 +61,22 @@ object Migration {
     * the pointer-table row. Pure per-row projection: no shuffle at
     * any scale. Pair with [[graft.sources.BlobSink]] to actually write
     * the objects. */
+  /** `blobs/<source>/<id>/<md5>` — NULL if ANY segment is NULL.
+    * concat_ws would silently SKIP a null segment and emit a malformed
+    * prefix: hashless for a null blob (a pointer encoding no content),
+    * id-less for a null key (an object no bridge read can ever reach).
+    * A NULL pointer is the explicit, validation-visible outcome; the
+    * ONE definition is shared by [[externalize]] and [[migrate]] so
+    * the two paths cannot drift. */
+  private def prefixExpr(key: Column, source: Column, blob: Column): Column =
+    when(key.isNull || source.isNull || blob.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("/", lit("blobs"), source, key,
+        md5(blob.cast("binary"))))
+
   def externalize(df: DataFrame, key: Column, source: Column, blob: Column): DataFrame =
     df.select(
       key.as("record_id"), source.as("source"),
-      // a NULL blob row gets a NULL pointer, EXPLICITLY: concat_ws
-      // would otherwise skip the null md5 segment and silently emit a
-      // hashless prefix ("blobs/<src>/<id>") — a pointer that encodes
-      // no content. There is no object to point at; the NULL pointer
-      // is what a9-style validation counts.
-      when(blob.isNull, lit(null).cast("string"))
-        .otherwise(concat_ws("/", lit("blobs"), source, key,
-          md5(blob.cast("binary")))).as("s3_prefix"),
+      prefixExpr(key, source, blob).as("s3_prefix"),
       octet_length(blob).as("nbytes"))
 
   /** Batch DELETE — order_rdbms_blob.js:557 — as an anti-join against
@@ -160,8 +165,7 @@ object Migration {
       storeBase: String, pointerOut: String): (Long, DataFrame) = {
     val staged = blobTable.select(
       key.as("record_id"), source.as("source"), blob.as("payload"),
-      concat_ws("/", lit("blobs"), source, key,
-        md5(blob.cast("binary"))).as("s3_prefix"),
+      prefixExpr(key, source, blob).as("s3_prefix"),
       octet_length(blob).as("nbytes"))
     graft.sources.BlobSink.writeThrough(staged, storeBase, "s3_prefix", "payload")
       .write.mode("overwrite").parquet(pointerOut)

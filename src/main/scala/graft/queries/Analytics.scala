@@ -430,12 +430,14 @@ object Analytics {
   }
 
   // ---- q20: JSON extraction + agg ------------------------------------
-  // TRY_CAST on BOTH sides: under ANSI a single malformed props value
-  // ('{"k":"abc"}') would otherwise throw CAST_INVALID_INPUT and kill
-  // the whole aggregation (and DuckDB's plain CAST errors identically);
-  // try_cast sends malformed/missing keys to the NULL bucket instead
+  // robust on BOTH sides: under ANSI a single malformed props value
+  // would throw CAST_INVALID_INPUT (Spark) — and DuckDB's
+  // json_extract_string throws on non-JSON input BEFORE any TRY_CAST
+  // applies, so the oracle needs the json_valid() guard as well as the
+  // TRY_CAST; malformed and missing keys route to the NULL bucket
   val q20 = Q("q20_json", Some("""
-    SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+    SELECT TRY_CAST(CASE WHEN json_valid(props)
+        THEN json_extract_string(props, '$.k') END AS BIGINT) % 10 AS bucket,
       count(*) AS n,
       CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
     FROM events GROUP BY bucket ORDER BY bucket""")) { (s, d) =>

@@ -51,7 +51,7 @@ object Crud {
 
   val a6 = Q("a6_externalize", Some("""
     SELECT doc_id AS record_id, source,
-      concat_ws('/', 'blobs', source, doc_id, md5(text)) AS s3_prefix,
+      CASE WHEN source IS NULL OR doc_id IS NULL OR text IS NULL THEN NULL ELSE concat_ws('/', 'blobs', source, doc_id, md5(text)) END AS s3_prefix,
       strlen(text) AS nbytes
     FROM documents ORDER BY record_id""")) { (s, d) =>
     Migration.externalize(t(s, d, "documents"),
@@ -127,9 +127,9 @@ object Crud {
     * inventory simulates the store listing (doc_id % 5 != 0) — so both
     * defect classes exist: orphan objects AND dangling pointers */
   val a13 = Q("a13_orphans", Some("""
-    WITH ptr AS (SELECT concat_ws('/', 'blobs', source, doc_id, md5(text)) AS s3_prefix
+    WITH ptr AS (SELECT CASE WHEN source IS NULL OR doc_id IS NULL OR text IS NULL THEN NULL ELSE concat_ws('/', 'blobs', source, doc_id, md5(text)) END AS s3_prefix
                  FROM documents WHERE doc_id % 7 <> 0),
-    inv AS (SELECT concat_ws('/', 'blobs', source, doc_id, md5(text)) AS s3_prefix
+    inv AS (SELECT CASE WHEN source IS NULL OR doc_id IS NULL OR text IS NULL THEN NULL ELSE concat_ws('/', 'blobs', source, doc_id, md5(text)) END AS s3_prefix
             FROM documents WHERE doc_id % 5 <> 0)
     SELECT s3_prefix, 'orphan_object' AS status FROM inv
     WHERE NOT EXISTS (SELECT 1 FROM ptr WHERE ptr.s3_prefix = inv.s3_prefix)
@@ -152,7 +152,7 @@ object Crud {
     * pointer), the rest still serve the legacy DB blob */
   val a14 = Q("a14_bridge", Some("""
     WITH ptr AS (SELECT doc_id,
-                   concat_ws('/', 'blobs', source, doc_id, md5(text)) AS s3_prefix
+                   CASE WHEN source IS NULL OR doc_id IS NULL OR text IS NULL THEN NULL ELSE concat_ws('/', 'blobs', source, doc_id, md5(text)) END AS s3_prefix
                  FROM documents WHERE doc_id % 3 = 0)
     SELECT d.doc_id,
       CASE WHEN p.doc_id IS NOT NULL THEN 's3' ELSE 'db' END AS origin,

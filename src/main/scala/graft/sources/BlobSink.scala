@@ -93,7 +93,13 @@ object BlobSink {
         // a NULL prefix/blob row passes through WITHOUT an object
         // write (same skip rule as [[write]]): the pointer row still
         // reaches the downstream table, where its null pointer is
-        // visible to validation
+        // visible to validation. NOTE the blob column is dropped from
+        // the output either way — for a row with a real payload but a
+        // NULL prefix (an upstream keying defect), the payload is NOT
+        // persisted by this job and survives only in the source; the
+        // NULL-pointer row is the quarantine signal to re-migrate it
+        // after fixing the key, not a license to delete the source row
+        // (validation a9/a13 counts exactly these).
         if (!r.isNullAt(prefixIdx) && !r.isNullAt(blobIdx)) {
           val p = new Path(basePath, r.getString(prefixIdx))
           val os = fs.create(p, true)

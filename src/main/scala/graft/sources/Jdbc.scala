@@ -99,6 +99,7 @@ object Jdbc {
         s"SELECT COUNT(*) FROM $stagingTable WHERE $key IS NULL")
       rs.next()
       val nulls = rs.getLong(1)
+      rs.close()
       require(nulls == 0,
         s"$nulls staged row(s) have NULL $key: a NULL key cannot be " +
           "upserted idempotently (DELETE..IN never matches NULL)")

@@ -22,14 +22,26 @@ class BlobNullSafetySpec extends AnyFunSuite {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
   }
 
-  test("externalize: NULL blob -> NULL pointer, never a hashless prefix") {
+  test("externalize: ANY null segment -> NULL pointer, never a malformed prefix") {
     val ext = operators.Migration.externalize(df, col("order_id"),
       col("description"), col("order_blob"))
     val byId = ext.collect().map(r => r.getLong(0) ->
       (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
     assert(byId(2L).isEmpty, "null blob must yield a NULL s3_prefix")
+    assert(byId(3L).isEmpty,
+      "null source must yield a NULL s3_prefix, not a segment-skipped one")
     assert(byId(1L).exists(_.split("/").length == 4),
       s"real blob gets the full blobs/<src>/<id>/<md5> prefix: ${byId(1L)}")
+  }
+
+  test("migrate derives the SAME guarded pointers as externalize") {
+    val out = java.nio.file.Files.createTempDirectory("blob-mig").toString
+    val (n, ptr) = operators.Migration.migrate(df, col("order_id"),
+      col("description"), col("order_blob"), s"$out/store", s"$out/ptr")
+    assert(n == 3, "every pointer row committed")
+    val nullPtrs = ptr.filter(col("s3_prefix").isNull).count()
+    assert(nullPtrs == 2,
+      "null-blob and null-source rows carry NULL pointers in the table")
   }
 
   test("blob sink skips unwritable rows instead of NPEing the task") {
@@ -39,7 +51,7 @@ class BlobNullSafetySpec extends AnyFunSuite {
       ext.select(col("record_id").as("order_id"), col("s3_prefix")), "order_id")
     val out = java.nio.file.Files.createTempDirectory("blob-null").toString
     val n = sources.BlobSink.write(joined, out, "s3_prefix", "order_blob")
-    assert(n == 2, s"wrote $n of 2 writable blobs (row 2 skipped)")
+    assert(n == 1, s"wrote $n: only row 1 has both a prefix and a payload")
     // writeThrough: every row passes through, only writable blobs land
     val through = sources.BlobSink.writeThrough(joined, out + "2",
       "s3_prefix", "order_blob")
