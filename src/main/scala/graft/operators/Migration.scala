@@ -158,9 +158,13 @@ object Migration {
     * the pointer parquet, so both artifacts come from one consistent
     * snapshot (two separate actions would re-extract a live JDBC
     * source twice and could diverge between scans). Returns
-    * (objectsWritten, pointerDf) — the count is read back from the
-    * committed pointer table, so retried/speculative tasks can't
-    * inflate it. */
+    * (objectsWritten, pointerDf) — objectsWritten counts the NON-NULL
+    * pointer rows of the committed table (a NULL pointer marks a row
+    * whose degenerate key/source/blob wrote no object — see
+    * [[externalize]]); reading it back from the committed parquet
+    * means retried/speculative tasks can't inflate it. pointerDf
+    * still carries every source row, NULL pointers included, for
+    * validation. */
   def migrate(blobTable: DataFrame, key: Column, source: Column, blob: Column,
       storeBase: String, pointerOut: String): (Long, DataFrame) = {
     val staged = blobTable.select(
@@ -170,6 +174,6 @@ object Migration {
     graft.sources.BlobSink.writeThrough(staged, storeBase, "s3_prefix", "payload")
       .write.mode("overwrite").parquet(pointerOut)
     val pointers = blobTable.sparkSession.read.parquet(pointerOut)
-    (pointers.count(), pointers)
+    (pointers.filter(col("s3_prefix").isNotNull).count(), pointers)
   }
 }

@@ -430,20 +430,27 @@ object Analytics {
   }
 
   // ---- q20: JSON extraction + agg ------------------------------------
-  // robust on BOTH sides: under ANSI a single malformed props value
-  // would throw CAST_INVALID_INPUT (Spark) — and DuckDB's
-  // json_extract_string throws on non-JSON input BEFORE any TRY_CAST
-  // applies, so the oracle needs the json_valid() guard as well as the
-  // TRY_CAST; malformed and missing keys route to the NULL bucket
+  // robust on BOTH sides, with identical edge semantics: under ANSI a
+  // malformed props value throws CAST_INVALID_INPUT (Spark), DuckDB's
+  // json_extract_string throws on non-JSON BEFORE any TRY_CAST, and
+  // the two engines' lenient casts disagree on fractional strings
+  // (DuckDB TRY_CAST('12.5') rounds to 13, Spark yields NULL) — so
+  // both sides admit only integer-literal keys via the same regex and
+  // route everything else (missing, malformed, fractional) to the
+  // NULL bucket
   val q20 = Q("q20_json", Some("""
-    SELECT TRY_CAST(CASE WHEN json_valid(props)
-        THEN json_extract_string(props, '$.k') END AS BIGINT) % 10 AS bucket,
+    WITH kx AS (SELECT CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS ks, value
+                FROM events)
+    SELECT CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+             THEN CAST(ks AS BIGINT) END % 10 AS bucket,
       count(*) AS n,
       CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
-    FROM events GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
+    FROM kx GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
     t(s, d, "events")
       .withColumn("bucket",
-        expr("try_cast(get_json_object(props, '$.k') as bigint)") % 10)
+        expr("case when get_json_object(props, '$.k') rlike '^-?[0-9]+$' " +
+          "then cast(get_json_object(props, '$.k') as bigint) end") % 10)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), termSum6(col("value")).as("total"))
       .orderBy("bucket")

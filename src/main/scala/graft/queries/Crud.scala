@@ -19,6 +19,13 @@ object Crud {
     Migration.countRecords(t(s, d, "orders"), "o_orderkey")
   }
 
+  /** the ONE oracle-side pointer definition, mirroring the Spark side's
+    * Migration.prefixExpr: NULL if ANY segment is NULL (concat_ws
+    * would silently skip the segment and emit a malformed prefix). */
+  private val guardedPrefixSql =
+    "CASE WHEN source IS NULL OR doc_id IS NULL OR text IS NULL THEN NULL " +
+      "ELSE concat_ws('/', 'blobs', source, doc_id, md5(text)) END AS s3_prefix"
+
   val a2 = Q("a2_page", Some("""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40""")) { (s, d) =>
@@ -49,9 +56,9 @@ object Crud {
     Migration.blobFetch(t(s, d, "documents"), "doc_id", "text", 7)
   }
 
-  val a6 = Q("a6_externalize", Some("""
+  val a6 = Q("a6_externalize", Some(s"""
     SELECT doc_id AS record_id, source,
-      CASE WHEN source IS NULL OR doc_id IS NULL OR text IS NULL THEN NULL ELSE concat_ws('/', 'blobs', source, doc_id, md5(text)) END AS s3_prefix,
+      $guardedPrefixSql,
       strlen(text) AS nbytes
     FROM documents ORDER BY record_id""")) { (s, d) =>
     Migration.externalize(t(s, d, "documents"),
@@ -126,10 +133,10 @@ object Crud {
     * pointers simulate a partially-migrated table (doc_id % 7 != 0),
     * inventory simulates the store listing (doc_id % 5 != 0) — so both
     * defect classes exist: orphan objects AND dangling pointers */
-  val a13 = Q("a13_orphans", Some("""
-    WITH ptr AS (SELECT CASE WHEN source IS NULL OR doc_id IS NULL OR text IS NULL THEN NULL ELSE concat_ws('/', 'blobs', source, doc_id, md5(text)) END AS s3_prefix
+  val a13 = Q("a13_orphans", Some(s"""
+    WITH ptr AS (SELECT $guardedPrefixSql
                  FROM documents WHERE doc_id % 7 <> 0),
-    inv AS (SELECT CASE WHEN source IS NULL OR doc_id IS NULL OR text IS NULL THEN NULL ELSE concat_ws('/', 'blobs', source, doc_id, md5(text)) END AS s3_prefix
+    inv AS (SELECT $guardedPrefixSql
             FROM documents WHERE doc_id % 5 <> 0)
     SELECT s3_prefix, 'orphan_object' AS status FROM inv
     WHERE NOT EXISTS (SELECT 1 FROM ptr WHERE ptr.s3_prefix = inv.s3_prefix)
@@ -150,12 +157,12 @@ object Crud {
   /** dual-serving bridge read (reference sites/js/app_bridge.js):
     * records with doc_id % 3 = 0 are already migrated (serve the
     * pointer), the rest still serve the legacy DB blob */
-  val a14 = Q("a14_bridge", Some("""
+  val a14 = Q("a14_bridge", Some(s"""
     WITH ptr AS (SELECT doc_id,
-                   CASE WHEN source IS NULL OR doc_id IS NULL OR text IS NULL THEN NULL ELSE concat_ws('/', 'blobs', source, doc_id, md5(text)) END AS s3_prefix
+                   $guardedPrefixSql
                  FROM documents WHERE doc_id % 3 = 0)
     SELECT d.doc_id,
-      CASE WHEN p.doc_id IS NOT NULL THEN 's3' ELSE 'db' END AS origin,
+      CASE WHEN p.s3_prefix IS NOT NULL THEN 's3' ELSE 'db' END AS origin,
       coalesce(p.s3_prefix, 'db://' || md5(d.text)) AS locator
     FROM documents d LEFT JOIN ptr p ON p.doc_id = d.doc_id
     ORDER BY d.doc_id""")) { (s, d) =>

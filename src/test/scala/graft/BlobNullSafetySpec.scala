@@ -38,7 +38,8 @@ class BlobNullSafetySpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("blob-mig").toString
     val (n, ptr) = operators.Migration.migrate(df, col("order_id"),
       col("description"), col("order_blob"), s"$out/store", s"$out/ptr")
-    assert(n == 3, "every pointer row committed")
+    assert(n == 1, "objectsWritten counts only rows whose object landed")
+    assert(ptr.count() == 3, "every pointer row committed, NULLs included")
     val nullPtrs = ptr.filter(col("s3_prefix").isNull).count()
     assert(nullPtrs == 2,
       "null-blob and null-source rows carry NULL pointers in the table")
