@@ -171,7 +171,12 @@ object TextAnalysis {
       .crossJoin(broadcast(evalArr))
       .select(col(id), size(col("sh")).cast("long").as("n_shingles"),
         sorted_intersect_count(col("sh"), col("__esh")).cast("long").as("n_hit"))
+      // a doc too short to shingle leaks nothing: contam = 0.0, not
+      // the 0/0 NaN (Spark) / decimal divide error (DuckDB) a bare
+      // ratio produces — downstream `contam < threshold` keep rules
+      // must see a judged value for EVERY doc
       .withColumn("contam",
-        roundA(col("n_hit") * 1.0 / col("n_shingles"), 4))
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(roundA(col("n_hit") * 1.0 / col("n_shingles"), 4)))
   }
 }

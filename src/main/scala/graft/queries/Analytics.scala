@@ -437,23 +437,30 @@ object Analytics {
   // (DuckDB TRY_CAST('12.5') rounds to 13, Spark yields NULL) — so
   // both sides admit only integer-literal keys via the same regex and
   // route everything else (missing, malformed, fractional) to the
-  // NULL bucket
+  // NULL bucket. The regex is bounded to 18 digits: an unbounded
+  // digit run ('99999999999999999999') passes '[0-9]+' yet still
+  // overflows the ANSI BIGINT cast on both engines; 18 digits always
+  // fits Int64, longer keys go to the NULL bucket. And the NULL
+  // bucket's SORT position is pinned explicitly (NULLS FIRST on both
+  // sides): Spark's default asc is nulls-first while DuckDB's is
+  // nulls-last, so on any corpus that produces the NULL bucket the
+  // ordered compare would diverge on defaults.
   val q20 = Q("q20_json", Some("""
     WITH kx AS (SELECT CASE WHEN json_valid(props)
                   THEN json_extract_string(props, '$.k') END AS ks, value
                 FROM events)
-    SELECT CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+    SELECT CASE WHEN regexp_matches(ks, '^-?[0-9]{1,18}$')
              THEN CAST(ks AS BIGINT) END % 10 AS bucket,
       count(*) AS n,
       CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
-    FROM kx GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
+    FROM kx GROUP BY bucket ORDER BY bucket NULLS FIRST""")) { (s, d) =>
     t(s, d, "events")
       .withColumn("bucket",
-        expr("case when get_json_object(props, '$.k') rlike '^-?[0-9]+$' " +
+        expr("case when get_json_object(props, '$.k') rlike '^-?[0-9]{1,18}$' " +
           "then cast(get_json_object(props, '$.k') as bigint) end") % 10)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), termSum6(col("value")).as("total"))
-      .orderBy("bucket")
+      .orderBy(col("bucket").asc_nulls_first)
   }
 
   // ---- q21: exact interpolated quantiles -----------------------------

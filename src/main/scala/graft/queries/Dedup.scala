@@ -228,8 +228,9 @@ object Dedup {
     tr AS (SELECT doc_id, sh FROM base WHERE source <> 'src0')
     SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
       CAST(len(list_intersect(sh, esh)) AS BIGINT) AS n_hit,
-      floor((len(list_intersect(sh, esh)) * 1.0 / len(sh)) * 10000.0 + 0.5)
-        / 10000.0 AS contam
+      CASE WHEN len(sh) = 0 THEN 0.0 ELSE
+        floor((len(list_intersect(sh, esh)) * 1.0 / len(sh)) * 10000.0 + 0.5)
+          / 10000.0 END AS contam
     FROM tr CROSS JOIN ev ORDER BY doc_id""")) { (s, d) =>
     graft.operators.TextAnalysis.contamination(
       t(s, d, "documents"), "doc_id", "text",

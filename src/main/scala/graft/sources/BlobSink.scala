@@ -100,12 +100,21 @@ object BlobSink {
         // NULL-pointer row is the quarantine signal to re-migrate it
         // after fixing the key, not a license to delete the source row
         // (validation a9/a13 counts exactly these).
-        if (!r.isNullAt(prefixIdx) && !r.isNullAt(blobIdx)) {
+        val wrote = !r.isNullAt(prefixIdx) && !r.isNullAt(blobIdx)
+        if (wrote) {
           val p = new Path(basePath, r.getString(prefixIdx))
           val os = fs.create(p, true)
           try os.write(r.getAs[Array[Byte]](blobIdx)) finally os.close()
         }
-        Row.fromSeq(keep.map(r.get))
+        // the inverse hazard: a non-NULL prefix with a NULL blob. The
+        // object write was skipped, so the prefix MUST NOT reach the
+        // pointer table — a pointer claiming an object that was never
+        // written is a dangling reference that reads as data loss
+        // downstream. The pointer column is nulled whenever no object
+        // was written, so pointer-non-null ⟺ object-exists holds for
+        // every row this operator emits.
+        Row.fromSeq(keep.map(i =>
+          if (i == prefixIdx && !wrote) null else r.get(i)))
       }
     }
     spark.createDataFrame(outRdd, outSchema)

@@ -58,4 +58,37 @@ class BlobNullSafetySpec extends AnyFunSuite {
       "s3_prefix", "order_blob")
     assert(through.count() == 3, "pointer rows all reach the table")
   }
+
+  test("writeThrough nulls the pointer when the object write is skipped") {
+    // a non-NULL prefix paired with a NULL blob is reachable through
+    // the generic API (Migration.prefixExpr guards its own callers
+    // only): the object write is skipped, so the emitted pointer must
+    // be NULL — a pointer row claiming an object that was never
+    // written is a dangling reference
+    val schema = T.StructType(Seq(
+      T.StructField("order_id", T.LongType),
+      T.StructField("s3_prefix", T.StringType),
+      T.StructField("order_blob", T.BinaryType)))
+    val rows = Seq(
+      Row(10L, "dangling/10/deadbeef", null),
+      Row(11L, "real/11/cafe", "bytes".getBytes("UTF-8")))
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val out = java.nio.file.Files.createTempDirectory("blob-dangle").toString
+    val through = sources.BlobSink.writeThrough(df2, out,
+      "s3_prefix", "order_blob")
+    val ptr = through.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(ptr(10L).isEmpty,
+      "skipped object write must null the emitted pointer")
+    assert(ptr(11L).contains("real/11/cafe"), "written row keeps its pointer")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "dangling/10/deadbeef")),
+      "no object may exist for the skipped row")
+    // the invariant the fix establishes: pointer-non-null ⟺ object-exists
+    val inv = sources.BlobSink.inventory(spark, out).collect()
+      .map(_.getString(0)).toSet
+    assert(inv == Set("real/11/cafe"), s"inventory = $inv")
+  }
 }

@@ -22,7 +22,11 @@ class EventsNullSafetySpec extends AnyFunSuite {
       Row(2L, base + 60L * 1000000000L, 1L, "view", 2.0, """{"k":"abc"}"""),
       Row(3L, base + 120L * 1000000000L, null, "click", 0.5, null),
       Row(4L, null, 2L, "purchase", null, "not json at all"),
-      Row(5L, base + 300L * 1000000000L, 2L, "error", 3.0, """{"nope":1}"""))
+      Row(5L, base + 300L * 1000000000L, 2L, "error", 3.0, """{"nope":1}"""),
+      // digit run longer than Int64: passes a naive [0-9]+ admit
+      // regex yet overflows the ANSI BIGINT cast on both engines
+      Row(6L, base + 360L * 1000000000L, 3L, "click", 1.0,
+        """{"k":"99999999999999999999"}"""))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     d
@@ -38,10 +42,15 @@ class EventsNullSafetySpec extends AnyFunSuite {
   }
 
   test("q20 routes malformed/missing JSON keys to the NULL bucket") {
-    val r = SparkEntry.queries("q20_json")(spark, dir).collect()
+    val rows = SparkEntry.queries("q20_json")(spark, dir).collect()
+    val r = rows
       .map(x => (if (x.isNullAt(0)) None else Some(x.getLong(0))) -> x.getLong(1))
       .toMap
     assert(r(Some(7L)) == 1L, s"numeric key bucket: $r")
-    assert(r(None) == 4L, "the 4 malformed/missing-key events group under NULL")
+    assert(r(None) == 5L, "malformed, missing-key, AND beyond-Int64 digit " +
+      "runs all group under NULL")
+    // the NULL bucket's position is part of the contract: the oracle
+    // pins NULLS FIRST, so the Spark side must sort it first too
+    assert(rows.head.isNullAt(0), "NULL bucket must sort FIRST on both engines")
   }
 }

@@ -51,4 +51,24 @@ class NullSafetySpec extends AnyFunSuite {
     assert(operators.TextAnalysis.langId(docs, "doc_id", "text").count() == 3)
     assert(operators.TextAnalysis.fingerprint(docs, "doc_id", "text").count() == 3)
   }
+
+  test("contamination never emits NaN: short/empty docs score a judged 0-or-valid value") {
+    import spark.implicits._
+    val train = Seq((1L, "one two"), (2L, ""), (3L, "a b c d e f g"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ev = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val c = operators.TextAnalysis.contaminationAgainst(train, ev,
+      "doc_id", "text")
+    // NaN is the poison value here: `contam < threshold` keep rules
+    // silently KEEP a NaN-scored doc (NaN comparisons are false), so
+    // decontaminate would wave contaminated-unknown docs through
+    assert(c.filter(isnan(col("contam"))).count() == 0, "no NaN scores")
+    val byId = c.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(byId(1L).exists(v => v >= 0.0 && v <= 1.0), s"short doc judged: $byId")
+    assert(byId(2L).exists(v => v >= 0.0 && v <= 1.0), s"empty doc judged: $byId")
+    assert(byId(3L).exists(_ > 0.9), s"fully-leaked doc flagged: $byId")
+    assert(byId(4L).isEmpty,
+      "null text has no token stream: NULL score (documented), not NaN")
+  }
 }
