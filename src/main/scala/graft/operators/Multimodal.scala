@@ -104,6 +104,41 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash near-dup signature for binary payloads: each
+    * 256-byte chunk votes its digest's low 32 bits; the per-bit
+    * MAJORITY over chunks is the record's signature. Payloads
+    * differing in a minority of chunks (re-encoded tail, small patch,
+    * appended metadata) still land on equal-or-near signatures, while
+    * unrelated payloads differ in ~16 of 32 bits — the image/video
+    * near-dup analogue of SimHash, with "feature = chunk digest"
+    * standing in for DCT coefficients (swap the feature, keep the
+    * plumbing, like [[StubDecoder]]).
+    *
+    * Shape at scale: explodes |chunks| narrow rows (one md5 + 8 small
+    * ints each — never payloads), partial-aggregates the 32 bit-votes
+    * per record. Linear in corpus bytes, one narrow shuffle. */
+  def phash(binDf: DataFrame): DataFrame = {
+    val chunks = binDf.select(col("record_id"),
+      explode(sequence(lit(0),
+        greatest((ceil(octet_length(col("payload")) / 256.0) - 1).cast("int"),
+          lit(0)))).as("ci"),
+      col("payload"))
+      .select(col("record_id"),
+        md5(expr("substring(payload, ci * 256 + 1, 256)")).as("hx"))
+    val digits = chunks.select(col("record_id") +:
+      (0 until 8).map(i =>
+        expr(s"instr('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1")
+          .as(s"d$i")): _*)
+    val sums = (0 until 32).map { b =>
+      expr(s"sum(((d${b / 4} div ${1 << (b % 4)}) % 2) * 2 - 1)").as(s"s$b")
+    }
+    digits.groupBy(col("record_id")).agg(sums.head, sums.tail: _*)
+      .select(col("record_id"),
+        (0 until 32).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("phash"))
+  }
+
   /** Frame/sample extraction: explode each asset into its (stub)
     * frames with a per-frame feature vector. Partition-local. */
   def sampleFrames(binDf: DataFrame, stride: Int = 256): Dataset[Frame] = {

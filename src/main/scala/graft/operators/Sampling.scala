@@ -58,4 +58,52 @@ object Sampling {
         coalesce(col("__rate"), lit(defaultRate)))
       .drop("__stratum", "__rate")
   }
+
+  /** Token-budget data mixing: downsample each stratum so the kept
+    * corpus approaches `budget` tokens split across strata in
+    * proportion to `weights` (default weight 1.0 per stratum,
+    * normalized over the strata actually present). The keep rate for
+    * stratum s is min(1, budget·w_s/Σw / tokens_s) — a stratum under
+    * its allocation is passed through whole (rate 1), never
+    * upsampled. Keep/drop is then [[hashFrac]]-deterministic per key,
+    * like [[stratifiedSample]].
+    *
+    * This is the step that turns "mix 30% code, 60% web, 10% books
+    * into a 2T-token training set" into a plan: at 100 TB the
+    * per-stratum token totals are ONE tiny partial aggregate
+    * (|strata| rows), the rate table is derived from it and
+    * broadcast, and the keep decision is map-only — the data itself
+    * is never shuffled.
+    *
+    * Rows with a NULL stratum receive no budget and are dropped
+    * (documented; a real pipeline routes them to a quarantine stratum
+    * first). Token counts must be non-negative; a NULL token count
+    * contributes nothing to its stratum's total. */
+  def mixToBudget(df: DataFrame, stratum: Column, key: Column,
+      nTok: Column, budget: Double,
+      weights: Map[String, Double] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wTable = weights.toSeq.toDF("__ws", "__w")
+    // per-stratum token totals: a partial agg down to |strata| rows
+    val strata = df.groupBy(stratum.as("__stratum"))
+      .agg(sum(nTok).cast("double").as("__toks"))
+      .join(broadcast(wTable), col("__stratum") === col("__ws"), "left_outer")
+      .select(col("__stratum"), col("__toks"),
+        coalesce(col("__w"), lit(1.0)).as("__w"))
+    // normalize weights over the strata present, derive keep rates;
+    // expression shape (budget * (w / wsum)) / toks is mirrored
+    // verbatim in the SQL oracle — IEEE ops in the same order give
+    // bit-identical rates on any engine
+    val rates = strata
+      .crossJoin(strata.agg(sum("__w").as("__wsum")))
+      .select(col("__stratum"),
+        least(lit(1.0),
+          (lit(budget) * (col("__w") / col("__wsum"))) / col("__toks"))
+          .as("__rate"))
+    df.join(broadcast(rates), stratum === col("__stratum"), "left_outer")
+      .filter(hashFrac(coalesce(key.cast("string"), lit(""))) <
+        coalesce(col("__rate"), lit(0.0)))
+      .drop("__stratum", "__rate")
+  }
 }

@@ -151,6 +151,36 @@ object TextAnalysis {
         .otherwise("keep").as("verdict"))
   }
 
+  /** PII patterns shared by the operator and its SQL oracle. The
+    * subset of regex syntax used (char classes, bounded repeats, \b,
+    * \.) means Java regex (Spark) and RE2 (DuckDB, Go/Rust engines)
+    * match identically — no lookarounds, no backrefs, nothing
+    * engine-specific. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val piiPhone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** PII scrub — the redaction pass every shipped training corpus
+    * runs (emails, phone numbers, IP addresses → typed placeholder
+    * tokens). Patterns apply in a FIXED order (email → ip → phone,
+    * each counting matches on the previous stage's output) so counts
+    * are well-defined when classes could overlap on a dotted digit
+    * run. Pure codegen'd column expressions: at 100 TB this is a
+    * map-only scan stage, no shuffle, no UDF. A NULL text passes
+    * through as NULL counts + NULL clean text (total like every
+    * per-doc scorer). */
+  def scrubPii(docs: DataFrame, id: String, text: String): DataFrame = {
+    val s0 = col(text)
+    val t1 = regexp_replace(s0, piiEmail, "<EMAIL>")
+    val t2 = regexp_replace(t1, piiIp, "<IP>")
+    val t3 = regexp_replace(t2, piiPhone, "<PHONE>")
+    docs.select(col(id),
+      regexp_count(s0, lit(piiEmail)).cast("long").as("n_email"),
+      regexp_count(t1, lit(piiIp)).cast("long").as("n_ip"),
+      regexp_count(t2, lit(piiPhone)).cast("long").as("n_phone"),
+      t3.as("text_clean"))
+  }
+
   def contamination(docs: DataFrame, id: String, text: String,
       isEval: Column): DataFrame =
     contaminationAgainst(docs.filter(!isEval), docs.filter(isEval),

@@ -716,7 +716,59 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // ---- q33: per-group mode (modal value) ------------------------------
+  /** most frequent l_quantity per returnflag, ties to the smallest
+    * value. The frequency table is a partial-agg groupBy down to
+    * |flags × distinct qty| rows (≤150 here, bounded at any SF); the
+    * argmax window runs over THAT, never the fact table — mode at
+    * 100 TB costs one narrow shuffle of (flag, qty, count) triples. */
+  val q33 = Q("q33_mode", Some("""
+    WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                 count(*) AS n
+               FROM lineitem GROUP BY l_returnflag, qty),
+    r AS (SELECT l_returnflag, qty, n, row_number() OVER (
+            PARTITION BY l_returnflag ORDER BY n DESC, qty) AS rn FROM c)
+    SELECT l_returnflag, qty AS mode_qty, n AS mode_n
+    FROM r WHERE rn = 1 ORDER BY l_returnflag""")) { (s, d) =>
+    val c = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag").orderBy(col("n").desc, col("qty"))
+    c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n").as("mode_n"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- q34: equi-width histogram --------------------------------------
+  /** 20-bucket equi-width histogram of l_extendedprice with bounds
+    * from the data: pass 1 is a scalar min/max agg (broadcast back),
+    * pass 2 buckets map-side and partial-aggs to ≤20 rows — the
+    * two-pass histogram build, no sort, no per-row state. The bucket
+    * expression floor((x - lo) / ((hi - lo) / 20.0)) is the same IEEE
+    * arithmetic on both engines (hi lands in bucket 20, clamped to
+    * 19, like every half-open-interval histogram). */
+  val q34 = Q("q34_histogram", Some("""
+    WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+               FROM lineitem),
+    h AS (SELECT least(CAST(floor((l_extendedprice - lo) /
+                    ((hi - lo) / 20.0)) AS BIGINT), 19) AS bucket,
+                 l_extendedprice
+          FROM lineitem CROSS JOIN b)
+    SELECT bucket, count(*) AS n,
+      CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS bucket_total
+    FROM h GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
+    val li = t(s, d, "lineitem")
+    val b = li.agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+    li.crossJoin(broadcast(b))
+      .select(least(floor((col("l_extendedprice") - col("lo")) /
+          ((col("hi") - col("lo")) / 20.0)).cast("long"), lit(19L)).as("bucket"),
+        col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("bucket_total"))
+      .orderBy("bucket")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }

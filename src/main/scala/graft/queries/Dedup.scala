@@ -262,5 +262,43 @@ object Dedup {
       .orderBy("lang")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, t6)
+  // the Sampling.hashFrac fold, reproduced digit by digit (same
+  // expression d10 uses inline)
+  private val fracExpr = (1 to 4)
+    .map(i => s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+    .mkString("(", " + ", ") / 65536.0")
+
+  /** token-budget data mixing — the step after d10's fixed rates:
+    * given target stratum WEIGHTS and a total token BUDGET, derive
+    * each source's keep rate min(1, budget·share/tokens) from ONE
+    * tiny per-stratum aggregate, then keep/drop deterministically per
+    * doc. Here: a 10k-token budget with source src0 weighted 3× —
+    * under-allocation passthrough (rate clamps at 1) and fractional
+    * downsampling both exercised. The rate arithmetic
+    * (budget * (w / wsum)) / toks is the SAME IEEE expression on both
+    * engines, so the boundary `frac < rate` bit-matches. */
+  val d12 = Q("d12_mix", Some(s"""
+    WITH tc AS (SELECT source,
+                  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS toks,
+                  CASE source WHEN 'src0' THEN 3.0 ELSE 1.0 END AS w
+                FROM documents GROUP BY source),
+    r AS (SELECT source,
+            least(1.0, (10000.0 * (w / (SELECT sum(w) FROM tc))) / toks) AS rate
+          FROM tc),
+    u AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+            $fracExpr AS frac FROM documents)
+    SELECT u.source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+    FROM u JOIN r ON u.source = r.source WHERE u.frac < r.rate
+    GROUP BY u.source ORDER BY u.source""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    graft.operators.Sampling.mixToBudget(
+        t(s, d, "documents"), col("source"), col("doc_id"),
+        size(split(col("text"), " ")), 10000.0, Map("src0" -> 3.0))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, t6)
 }

@@ -238,5 +238,68 @@ object Text {
       .orderBy("verdict", "lang")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, d1, m1, m2, m3, m4, m5)
+  /** PII scrub over the corpus. THIS corpus is PII-free by
+    * construction, which makes the oracle check the one that matters
+    * for a scrubber's other failure mode: zero false positives — 500
+    * clean docs must come back with zero redactions and byte-identical
+    * text (clean_fp = md5 of the scrubbed text, hash-compared against
+    * DuckDB's RE2 applying the same patterns). The true-positive side
+    * (planted emails/phones/IPs redacted, counts right) is pinned in
+    * TextMultimodalSpec, where PII can be synthesized freely. */
+  val t9 = Q("t9_pii", Some(s"""
+    WITH s1 AS (SELECT doc_id,
+        len(regexp_extract_all(text, '${TextAnalysis.piiEmail}')) AS n_email,
+        regexp_replace(text, '${TextAnalysis.piiEmail}', '<EMAIL>', 'g') AS t1
+      FROM documents),
+    s2 AS (SELECT doc_id, n_email,
+        len(regexp_extract_all(t1, '${TextAnalysis.piiIp}')) AS n_ip,
+        regexp_replace(t1, '${TextAnalysis.piiIp}', '<IP>', 'g') AS t2
+      FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ip,
+        len(regexp_extract_all(t2, '${TextAnalysis.piiPhone}')) AS n_phone,
+        regexp_replace(t2, '${TextAnalysis.piiPhone}', '<PHONE>', 'g') AS t3
+      FROM s2)
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+      CAST(n_ip AS BIGINT) AS n_ip, CAST(n_phone AS BIGINT) AS n_phone,
+      md5(t3) AS clean_fp
+    FROM s3 ORDER BY doc_id""")) { (s, d) =>
+    TextAnalysis.scrubPii(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        md5(col("text_clean").cast("binary")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  // m6's bit-majority SQL, mirroring queries/Dedup.d3's generators but
+  // over 256-byte chunk digests instead of token digests
+  private val chunkDigits = (0 until 8)
+    .map(i => s"instr('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1 AS d$i")
+    .mkString(", ")
+  private val voteSums = (0 until 32)
+    .map(b => s"sum(((d${b / 4} // ${1 << (b % 4)}) % 2) * 2 - 1) AS s$b")
+    .mkString(", ")
+  private val sigBits = (0 until 32)
+    .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+    .mkString(" + ")
+
+  /** perceptual-hash signatures for the blob corpus — the multimodal
+    * near-dup entry ([[graft.operators.Multimodal.phash]]): chunk-
+    * majority 32-bit signature per payload, value-checked bit by bit
+    * against the oracle's reproduction of the chunk grid + md5 votes. */
+  val m6 = Q("m6_phash", Some(s"""
+    WITH c AS (SELECT doc_id, text,
+      unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1))) AS ci
+      FROM documents),
+    k AS (SELECT doc_id, md5(substr(text, CAST(ci * 256 + 1 AS INT), 256)) AS hx
+          FROM c),
+    dg AS (SELECT doc_id, $chunkDigits FROM k),
+    sm AS (SELECT doc_id, $voteSums FROM dg GROUP BY doc_id)
+    SELECT doc_id AS record_id, CAST($sigBits AS BIGINT) AS phash
+    FROM sm ORDER BY record_id""")) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.phash(
+      Multimodal.asBinary(t(s, d, "documents"), "doc_id", "text"))
+      .orderBy("record_id")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, d1, m1, m2, m3, m4, m5, m6)
 }

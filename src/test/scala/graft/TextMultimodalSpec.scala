@@ -142,6 +142,88 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(!r.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("PII scrub: planted emails/phones/IPs redacted with right counts; clean text byte-identical") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact alice@example.com or bob.smith+tag@sub.domain.org today"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "server at 192.168.1.100 and 10.0.0.1 down"),
+      (4L, "clean document with no personal information at all"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(planted, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // (doc_id, n_email, n_ip, n_phone, text_clean)
+    assert(r(1L).getLong(1) == 2 && !r(1L).getString(4).contains("@"),
+      s"both emails scrubbed: ${r(1L)}")
+    assert(r(1L).getString(4) ==
+      "contact <EMAIL> or <EMAIL> today")
+    assert(r(2L).getLong(3) == 2 &&
+      r(2L).getString(4) == "call <PHONE> or <PHONE> now", s"${r(2L)}")
+    assert(r(3L).getLong(2) == 2 &&
+      r(3L).getString(4) == "server at <IP> and <IP> down", s"${r(3L)}")
+    assert(r(4L).getLong(1) == 0 && r(4L).getLong(2) == 0 &&
+      r(4L).getLong(3) == 0 &&
+      r(4L).getString(4) == "clean document with no personal information at all",
+      "a clean doc must come back byte-identical (zero false positives)")
+    assert(r(5L).isNullAt(4), "null text passes through as null, not a crash")
+  }
+
+  test("phash: payload differing in one chunk lands near; unrelated payload far") {
+    import spark.implicits._
+    // 32 chunks of 256 bytes each; `near` re-writes ONE chunk
+    def blob(chunks: Seq[String]) = chunks.map(_.padTo(256, 'x')).mkString
+    val base = (0 until 32).map(i => s"chunk $i content")
+    val near = base.updated(13, "tampered chunk !!")
+    val far = (0 until 32).map(i => s"totally different chunk $i")
+    val df = Seq((1L, blob(base)), (2L, blob(near)), (3L, blob(far)))
+      .toDF("doc_id", "text")
+    val p = Multimodal.phash(Multimodal.asBinary(df, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(p(1L), p(2L)) < ham(p(1L), p(3L)),
+      s"near-dup ${ham(p(1L), p(2L))} bits must beat unrelated ${ham(p(1L), p(3L))}")
+    assert(ham(p(1L), p(2L)) <= 10,
+      s"one changed chunk of 32 moves few majority bits: ${ham(p(1L), p(2L))}")
+    assert(ham(p(1L), p(3L)) >= 8,
+      s"unrelated payloads differ broadly: ${ham(p(1L), p(3L))}")
+  }
+
+  test("mixToBudget: budget split by weight, under-allocated strata pass through whole") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // every doc is exactly 10 tokens, so tokens = 10 × docs
+    val text = Seq.fill(10)("w").mkString(" ")
+    val rows =
+      (1 to 1000).map(i => (i.toLong, "big", text)) ++
+        (2001 to 2400).map(i => (i.toLong, "mid", text)) ++
+        (3001 to 3005).map(i => (i.toLong, "tiny", text)) ++
+        Seq((4001L, null.asInstanceOf[String], text))
+    val df = rows.toDF("id", "src", "text")
+    val nTok = size(split(col("text"), " "))
+    val out = Sampling.mixToBudget(df, col("src"), col("id"), nTok, 3000.0)
+    val kept = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // uniform weights, 3 strata -> 1000 tokens (100 docs) per stratum
+    assert(kept("tiny") == 5, s"tiny (50 tokens < 1000) passes through whole: $kept")
+    assert(kept("big") > 60 && kept("big") < 140,
+      s"big keeps ~100 of 1000 docs (rate 0.1): $kept")
+    assert(kept("mid") > 60 && kept("mid") < 140,
+      s"mid keeps ~100 of 400 docs (rate 0.25): $kept")
+    assert(!kept.contains(null), "NULL stratum receives no budget -> dropped")
+    // weights shift allocation: big at 2x weight doubles its keep rate
+    val weighted = Sampling.mixToBudget(df, col("src"), col("id"), nTok,
+      3000.0, Map("big" -> 2.0))
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(weighted("big") > kept("big") * 3 / 2,
+      s"2x weight must raise big's keep: $weighted vs $kept")
+    // deterministic: two identical calls agree row-for-row
+    val again = Sampling.mixToBudget(df, col("src"), col("id"), nTok, 3000.0)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // schema passes through unchanged
+    assert(out.columns.sameElements(df.columns))
+  }
+
   test("frame sampling yields ceil(bytes/stride) frames with features") {
     val bin = Multimodal.asBinary(docs.limit(20), "doc_id", "text")
     val frames = Multimodal.sampleFrames(bin, stride = 100)
