@@ -105,6 +105,26 @@ object LakeSink {
     n
   }
 
+  /** Sort-clustered write: range-partition on `sortCols` (distributed
+    * sample-based ranges), sort within partitions, write — so every
+    * output file covers a DISJOINT range of the leading key. Parquet/
+    * ORC footers carry per-file and per-row-group min/max; with
+    * disjoint ranges a predicate `k BETWEEN a AND b` skips every file
+    * whose range misses, making scan cost proportional to the
+    * predicate's selectivity instead of the table size. Alongside
+    * [[compact]] this is the post-ingest maintenance pass a 100 TB
+    * table runs so time-range queries (the q18/q28/q29 family) stop
+    * reading cold history. (Single-key clustering; multi-column
+    * locality needs an interleaved/Z-order key — compose one as a
+    * derived column and sort on it.) */
+  def writeSorted(df: DataFrame, path: String, format: String,
+      sortCols: Seq[String], nFiles: Int): Unit = {
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.format(format).mode("overwrite").save(path)
+  }
+
   /** Bucketed table write: hash-bucket rows on the join key at WRITE
     * time so repeated joins/aggregations on that key need no Exchange
     * at READ time — at 100 TB this converts every fact-fact join on

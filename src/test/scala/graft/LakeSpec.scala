@@ -124,6 +124,33 @@ class LakeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeSorted clusters files on disjoint key ranges (min/max file skipping)") {
+    val out = Files.createTempDirectory("graft_sorted").toString + "/events"
+    val events = Tables.load(spark, TestSpark.sf, "events")
+      .select("event_id", "ts", "user_id", "value")
+    LakeSink.writeSorted(events, out, "parquet", Seq("ts"), nFiles = 8)
+    val back = spark.read.parquet(out)
+    assert(back.count() == events.count())
+    // the property that makes footer min/max pruning work: each
+    // file's [min(ts), max(ts)] interval is disjoint from every other
+    // file's, so a time-range predicate can skip all but the hit files
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 4, s"range partitioner produced ${ranges.length} files")
+    ranges.sliding(2).foreach {
+      case Array((lo1, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: [$lo1,$hi1] then [$lo2,..]")
+      case _ =>
+    }
+    // and the range predicate reaches the scan as a pushed filter,
+    // where the footer stats can act on it
+    val sel = back.filter(col("ts") < ranges(1)._1)
+    val scan = sel.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(ts), LessThan(ts"),
+      scan.take(1500))
+  }
+
   test("incremental JDBC extraction reads only the delta") {
     val dbDir = Files.createTempDirectory("graft_derby2").toString
     val url = s"jdbc:derby:$dbDir/inc;create=true"
