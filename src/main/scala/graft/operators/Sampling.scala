@@ -94,9 +94,13 @@ object Sampling {
     // normalize weights over the strata present, derive keep rates;
     // expression shape (budget * (w / wsum)) / toks is mirrored
     // verbatim in the SQL oracle — IEEE ops in the same order give
-    // bit-identical rates on any engine
+    // bit-identical rates on any engine. The weight total comes from
+    // an unpartitioned window over the ALREADY-AGGREGATED strata
+    // table (|strata| rows): an agg-and-crossJoin would re-evaluate
+    // the strata subtree and cost a second full scan of the corpus
     val rates = strata
-      .crossJoin(strata.agg(sum("__w").as("__wsum")))
+      .withColumn("__wsum", sum(col("__w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
       .select(col("__stratum"),
         least(lit(1.0),
           (lit(budget) * (col("__w") / col("__wsum"))) / col("__toks"))

@@ -84,8 +84,14 @@ object BlobSink {
     val prefixIdx = df.schema.fieldIndex(prefixCol)
     val blobIdx = df.schema.fieldIndex(blobCol)
     val keep = df.schema.indices.filterNot(_ == blobIdx)
+    // the pointer field must be declared nullable regardless of the
+    // input schema: skipped object writes emit NULL pointers, and a
+    // schema claiming non-null over rows containing NULL is undefined
+    // behavior downstream
     val outSchema = org.apache.spark.sql.types.StructType(
-      keep.map(i => df.schema.fields(i)))
+      keep.map(i =>
+        if (i == prefixIdx) df.schema.fields(i).copy(nullable = true)
+        else df.schema.fields(i)))
     val conf = serConf(spark)
     val outRdd = df.rdd.mapPartitions { rows =>
       val (fs, basePath) = fsFor(base, conf.value)

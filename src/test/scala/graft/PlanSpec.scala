@@ -210,4 +210,40 @@ class PlanSpec extends AnyFunSuite {
     // codegen stages render as "*(n)" markers in the final plan
     assert(p.contains("*("), "expected whole-stage codegen stages")
   }
+
+  test("d12 mix: rates broadcast back, corpus scanned exactly twice") {
+    val p = plan("d12_mix")
+    // pass 1 aggregates per-stratum totals, pass 2 applies the keep
+    // rule; the rate table must arrive by broadcast (never shuffling
+    // the corpus for the join), and the wsum window must not cost a
+    // third scan of the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "rate table must broadcast")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected exactly 2 corpus scans, got $scans:\n${p.take(1500)}")
+  }
+
+  test("q34 histogram: bounds broadcast, bucket agg is partial before the shuffle") {
+    val p = plan("q34_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row bounds table must broadcast:\n" + p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).length >= 3,
+      "bounds agg + partial/final bucket aggs expected:\n" + p.take(1200))
+  }
+
+  test("t9 PII scrub is a map-only scan stage (no join, no aggregate)") {
+    val p = plan("t9_pii")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "redaction must not shuffle or aggregate:\n" + p.take(1200))
+    // the only exchange is the output ORDER BY's range partitioning
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(1200))
+  }
+
+  test("m6 phash: single scan, bit votes partially aggregated before the shuffle") {
+    val p = plan("m6_phash")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"chunk grid + votes must come from ONE scan, got $scans")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial + final vote aggregation:\n" + p.take(1200))
+  }
 }

@@ -134,6 +134,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < docs.size)
   }
 
+  test("PII scrub runs unchanged on a stream (stateless map-only stage)") {
+    // scrubPii is pure column expressions — no state, no shuffle — so
+    // redaction-on-ingest is the SAME operator code, not a parallel
+    // streaming implementation
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "mail alice@example.com at 10.0.0.1 or 555-123-4567"),
+      (2L, "nothing sensitive here"))
+    val scrubbed = TextAnalysis.scrubPii(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    runToMemory(scrubbed, "pii", OutputMode.Append)
+    val got = spark.sql(
+      "SELECT doc_id, n_email, n_ip, n_phone, text_clean FROM pii ORDER BY doc_id")
+      .collect()
+    assert(got(0).getString(4) == "mail <EMAIL> at <IP> or <PHONE>")
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) == ((1L, 1L, 1L)))
+    assert(got(1).getString(4) == "nothing sensitive here")
+  }
+
   test("decontamination on ingest: streamed docs scored against a static eval set") {
     // contaminationAgainst's eval side is ONE static broadcast array;
     // the train side is a stateless map-only stage, so a document
