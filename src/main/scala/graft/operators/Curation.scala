@@ -6,15 +6,19 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus curation — the pipeline the individual operators
   * exist to compose, in the order production corpus builds run it:
   *
-  *   1. quality filter   ([[TextAnalysis.filterChain]])
-  *   2. exact dedup      ([[Dedup.exact]] — min-id survivor per digest)
-  *   3. near-dup dedup   ([[Dedup.verifiedPairs]] →
+  *   1. PII scrub        ([[TextAnalysis.scrubbedText]] — in place;
+  *                        FIRST so docs identical up to their PII
+  *                        dedup together, and nothing downstream ever
+  *                        sees an unscrubbed byte)
+  *   2. quality filter   ([[TextAnalysis.filterChain]])
+  *   3. exact dedup      ([[Dedup.exact]] — min-id survivor per digest)
+  *   4. near-dup dedup   ([[Dedup.verifiedPairs]] →
   *                        [[Dedup.connectedComponents]] — one survivor
   *                        per transitive cluster)
-  *   4. decontamination  ([[TextAnalysis.contaminationAgainst]] vs a
+  *   5. decontamination  ([[TextAnalysis.contaminationAgainst]] vs a
   *                        held-out eval table)
-  *   5. stratified mix   ([[Sampling.stratifiedSample]])
-  *   6. split assignment (deterministic md5 mod 10 → train/val/test)
+  *   6. stratified mix   ([[Sampling.stratifiedSample]])
+  *   7. split assignment (deterministic md5 mod 10 → train/val/test)
   *
   * Every stage is deterministic in document keys, so the whole
   * pipeline is engine/run/partitioning-invariant and idempotent —
@@ -57,6 +61,10 @@ object Curation {
       curCount = outCount
     }
 
+    stage("pii_scrub") { d =>
+      // map-only in-place rewrite: docs_in == docs_out by construction
+      d.withColumn(text, TextAnalysis.scrubbedText(col(text)))
+    }
     stage("quality_filter") { d =>
       d.join(TextAnalysis.filterChain(d, id, text)
         .filter(col("verdict") === "keep").select(id), id)

@@ -160,6 +160,17 @@ object TextAnalysis {
   val piiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val piiPhone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
 
+  /** the ONE ordered rule list both [[scrubPii]] and
+    * [[scrubbedText]] derive from — order is semantics (each class
+    * counts matches on the previous class's output) */
+  val piiRules: Seq[(String, String)] =
+    Seq(piiEmail -> "<EMAIL>", piiIp -> "<IP>", piiPhone -> "<PHONE>")
+
+  /** the chained replacement as one column — the form a pipeline uses
+    * to scrub text in place ([[Curation]]'s pii_scrub stage) */
+  def scrubbedText(c: Column): Column =
+    piiRules.foldLeft(c) { case (s, (p, r)) => regexp_replace(s, p, r) }
+
   /** PII scrub — the redaction pass every shipped training corpus
     * runs (emails, phone numbers, IP addresses → typed placeholder
     * tokens). Patterns apply in a FIXED order (email → ip → phone,
@@ -170,15 +181,16 @@ object TextAnalysis {
     * through as NULL counts + NULL clean text (total like every
     * per-doc scorer). */
   def scrubPii(docs: DataFrame, id: String, text: String): DataFrame = {
-    val s0 = col(text)
-    val t1 = regexp_replace(s0, piiEmail, "<EMAIL>")
-    val t2 = regexp_replace(t1, piiIp, "<IP>")
-    val t3 = regexp_replace(t2, piiPhone, "<PHONE>")
+    // stages(k) = text after the first k rules; class k's count is
+    // taken on stages(k), so counts and replacements can never drift
+    val stages = piiRules.scanLeft(col(text)) {
+      case (s, (p, r)) => regexp_replace(s, p, r)
+    }
     docs.select(col(id),
-      regexp_count(s0, lit(piiEmail)).cast("long").as("n_email"),
-      regexp_count(t1, lit(piiIp)).cast("long").as("n_ip"),
-      regexp_count(t2, lit(piiPhone)).cast("long").as("n_phone"),
-      t3.as("text_clean"))
+      regexp_count(stages(0), lit(piiEmail)).cast("long").as("n_email"),
+      regexp_count(stages(1), lit(piiIp)).cast("long").as("n_ip"),
+      regexp_count(stages(2), lit(piiPhone)).cast("long").as("n_phone"),
+      stages(3).as("text_clean"))
   }
 
   def contamination(docs: DataFrame, id: String, text: String,

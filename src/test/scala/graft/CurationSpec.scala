@@ -18,8 +18,8 @@ class CurationSpec extends AnyFunSuite {
   test("pipeline stages run in order and only ever shrink the corpus") {
     val rows = report.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(rows.map(_._1).toSeq == Seq("quality_filter", "exact_dedup",
-      "neardup_dedup", "decontaminate", "stratified_mix"))
+    assert(rows.map(_._1).toSeq == Seq("pii_scrub", "quality_filter",
+      "exact_dedup", "neardup_dedup", "decontaminate", "stratified_mix"))
     rows.foreach { case (s, in, out) =>
       assert(out <= in, s"stage $s grew the corpus: $in -> $out")
     }
@@ -30,10 +30,30 @@ class CurationSpec extends AnyFunSuite {
       case _ =>
     }
     assert(rows.head._2 == train.count())
+    // the scrub rewrites in place, never drops
+    assert(rows.head._3 == rows.head._2, "pii_scrub must not drop docs")
     // the quality filter and the en-downsampling mix must both bite
-    assert(rows.head._3 < rows.head._2, "quality filter dropped nothing")
+    assert(rows(1)._3 < rows(1)._2, "quality filter dropped nothing")
     val mix = rows.last
     assert(mix._3 < mix._2, "stratified mix dropped nothing")
+  }
+
+  test("curate scrubs PII before anything downstream sees the text") {
+    import spark.implicits._
+    val filler = (1 to 30).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"reach me at alice@example.com please $filler", "en"),
+      (2L, s"server 10.0.0.1 fell over $filler", "en"),
+      (3L, s"nothing sensitive $filler", "en")).toDF("doc_id", "text", "lang")
+    val ev = Seq((100L, "held out benchmark text entirely unrelated"))
+      .toDF("doc_id", "text")
+    val (out, _) = Curation.curate(corpus, "doc_id", "text", col("lang"), ev)
+    assert(out.count() == 3, "all three docs survive this tiny build")
+    assert(out.filter(col("text").contains("@") ||
+      col("text").rlike("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")).count() == 0,
+      "no unscrubbed PII may reach the curated corpus")
+    assert(out.filter(col("doc_id") === 1)
+      .head().getAs[String]("text").contains("<EMAIL>"))
   }
 
   test("curated output carries a complete deterministic split") {
