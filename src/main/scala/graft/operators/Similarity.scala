@@ -229,6 +229,34 @@ object Similarity {
     asg.select(col(id), col("cell"))
   }
 
+  /** SemDeDup-style semantic deduplication: k-means the embedding
+    * space ([[kmeansAssign]]), then mine near-dup pairs ONLY within
+    * each cluster and drop the greater id of every pair at
+    * >= threshold cosine. The cluster is the blocking key that obeys
+    * the scale rule ([[nearDupPairs]]): k grows with the corpus, so
+    * per-cell occupancy — and Σ|cell|² — stays bounded. This is the
+    * embedding-space twin of d6's MinHash path: it removes SEMANTIC
+    * duplicates (paraphrases, re-renders, templated variants) that
+    * share no shingles and so pass every lexical dedup.
+    *
+    * Cost shape at 100 TB: the k-means iterations are broadcast +
+    * partial-agg passes (|corpus| rows shuffle per iteration), the
+    * pair scan shuffles on the cell id, and the verify is the fused
+    * codegen'd cosine. Returns the surviving rows of `vectors`
+    * unchanged. */
+  def semDedup(vectors: DataFrame, id: String, emb: String,
+      seedPred: Column, threshold: Double, iters: Int = 2): DataFrame = {
+    val cells = kmeansAssign(vectors, id, emb, seedPred, iters)
+    val v = vectors.join(cells, Seq(id))
+    val a = v.select(col(id).as("v1"), col(emb).as("e1"), col("cell"))
+    val b = v.select(col(id).as("v2"), col(emb).as("e2"), col("cell"))
+    val dups = a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
+      .select(col("v2").as("__dup"), cosR(col("e1"), col("e2")).as("c6"))
+      .filter(col("c6") >= threshold)
+      .select(col("__dup")).distinct()
+    vectors.join(dups, col(id) === col("__dup"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a join predicate
     * (label partition / sign bucket) to avoid the all-pairs product.
     *

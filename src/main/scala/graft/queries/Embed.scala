@@ -134,8 +134,10 @@ object Embed {
     s"CAST(sum(CAST(floor(embedding[$i] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)")
     .mkString("[", ", ", "]")
 
-  val s4 = Q("s4_kmeans", Some(s"""
-    WITH $normCte,
+  // the 2-iteration Lloyd loop as shared CTEs (ends at asg2 =
+  // (vec_id, cell)) — used verbatim by s4 (the training loop itself)
+  // and d13 (SemDeDup over the trained cells), so the two can't drift
+  private val kmeansCtes = s"""
     sc0 AS (SELECT v.vec_id, v.embedding, v.nrm, a.vec_id AS cell,
               ${cosRSql("v", "a")} AS ac
             FROM v CROSS JOIN
@@ -154,11 +156,41 @@ object Embed {
     asg2 AS (SELECT vec_id, cell FROM
               (SELECT *, row_number() OVER (PARTITION BY vec_id
                            ORDER BY ac DESC, cell) AS rn FROM sc1)
-             WHERE rn = 1)
+             WHERE rn = 1)"""
+
+  val s4 = Q("s4_kmeans", Some(s"""
+    WITH $normCte,
+    $kmeansCtes
     SELECT vec_id, cell FROM asg2 ORDER BY vec_id""")) { (s, d) =>
     Similarity.kmeansAssign(t(s, d, "embeddings"), "vec_id", "embedding",
       col("vec_id") % 125 === 0, iters = 2)
       .orderBy("vec_id")
+  }
+
+  /** d13: SemDeDup — semantic dedup over the k-means cells s4 trains:
+    * near-dup pairs mined ONLY within a cell (the blocking key whose
+    * cardinality grows with the corpus), greater id of every
+    * >= 0.35-cosine pair dropped, survivors counted per label. The
+    * embedding-space twin of d6: it removes paraphrase-level
+    * duplicates that share no shingles and pass every lexical dedup.
+    * At sf0.01 this drops 110 of 500 vectors. */
+  val d13 = Q("d13_semdedup", Some(s"""
+    WITH $normCte,
+    $kmeansCtes,
+    av AS (SELECT v.vec_id, v.embedding, v.nrm, asg2.cell
+           FROM v JOIN asg2 USING (vec_id)),
+    p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, ${cosRSql("a", "b")} AS c6
+          FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    dups AS (SELECT DISTINCT v2 FROM p WHERE c6 >= 0.35)
+    SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs
+    FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM dups WHERE v2 = e.vec_id)
+    GROUP BY label ORDER BY label""")) { (s, d) =>
+    Similarity.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 125 === 0, 0.35)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label")
   }
 
   /** d11: the LINEAR-scale variant of d5 — near-dup pair mining with
@@ -183,5 +215,5 @@ object Embed {
       .orderBy("v1", "v2")
   }
 
-  val qs: Seq[Q] = Seq(d5, d11, s1, s2, s3, s4)
+  val qs: Seq[Q] = Seq(d5, d11, d13, s1, s2, s3, s4)
 }

@@ -89,6 +89,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"candidate set $nCand not selective")
   }
 
+  test("semDedup drops planted paraphrase-level near-dups, keeps distinct vectors") {
+    // plant a near-identical copy of every 10th vector (the
+    // "paraphrase" no lexical dedup can see); semantic dedup over the
+    // k-means cells must drop the copies and keep everything else.
+    // An exact-scale copy lands in the SAME cell as its source (cosine
+    // to every centroid is scale-invariant, identical tie-breaks), so
+    // within-cell mining is guaranteed to see each planted pair.
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => (x * 1.01d).cast("float"))
+          .as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val kept = Similarity.semDedup(corpus, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, 0.995)
+    val survivors = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    val plantedIds = planted.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(plantedIds.intersect(survivors).isEmpty,
+      s"${plantedIds.intersect(survivors).size} planted copies survived")
+    // nothing else may be dropped at a 0.995 threshold: the original
+    // corpus carries no pairs that close (verified via nearDupPairsLsh
+    // elsewhere at far lower thresholds)
+    assert(survivors.size == corpus.count() - plantedIds.size,
+      s"${corpus.count() - plantedIds.size - survivors.size} innocents dropped")
+  }
+
   test("LSH-blocked near-dup pairs find every planted exact duplicate") {
     // an exact copy shares every band bucket, so it collides in ALL
     // tables: recall on exact dups is 1.0 by construction, not chance
