@@ -1,6 +1,18 @@
 package graft
 import scala.util.control.NonFatal
 object Bench {
+  /** Force FULL row production of the query's own plan.
+    *
+    * NOT `df.count()`: counting re-optimizes with `count(1)` on top,
+    * and column pruning then DELETES every aggregate expression whose
+    * value the count doesn't need — s4_kmeans under count() skips all
+    * |corpus|×k assignment cosines (the entire workload) and timed
+    * 3.2s where the honest run is ~7s at the 10x corpus; every
+    * agg-output query was under-measured the same way. toRdd executes
+    * the optimized plan exactly as the query defines it (AQE
+    * included), producing every output row. */
+  private def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -22,7 +34,7 @@ object Bench {
       .getPath
     if (sfDir != tiny && new java.io.File(tiny).isDirectory)
       suite.foreach { case (name, fn) =>
-        try { fn(spark, tiny).count() } catch {
+        try { force(fn(spark, tiny)) } catch {
           case NonFatal(e) => System.err.println(
             s"[bench] tiny-warmup $name failed: ${e.getClass.getName}: ${e.getMessage}")
         }
@@ -33,7 +45,7 @@ object Bench {
     // alphabetically-first query absorbed ~6s of session warmup).
     suite.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { force(fn(spark, sfDir)) } catch {
         case NonFatal(e) => System.err.println(
           s"[bench] warmup $name failed: ${e.getClass.getName}: ${e.getMessage}")
       }
@@ -64,7 +76,7 @@ object Bench {
         // heavy query can hit a fragmented heap and degrade 10-20x
         i += 1; if (i % 8 == 0) System.gc()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        val ok = try { force(fn(spark, sfDir)); true } catch {
           case NonFatal(e) =>
             System.err.println(
               s"[bench] timed $name failed: ${e.getClass.getName}: ${e.getMessage}")

@@ -41,7 +41,9 @@ object Profile {
     for (i <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
       inFlight = Some((name, t0)); dumped = false
-      val n = SparkEntry.queries(name)(spark, dir).count()
+      // toRdd, not count(): count() lets pruning delete unused aggregate
+      // expressions and profile a hollowed-out plan (see Bench.force)
+      val n = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
       inFlight = None
       println(f"[profile] $name run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }

@@ -77,10 +77,101 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine over float OR double arrays with the EXACT degenerate
+  * semantics of the composable chain
+  * `try_divide(aggregate(zip_with(a,b,*)), norm(a)*norm(b))`:
+  * NULL when lengths differ (zip_with pads the shorter side with
+  * nulls, poisoning the fold), NULL when either array holds a null
+  * element, NULL when either norm is zero (try_divide). For
+  * well-formed vectors the value is bit-identical to
+  * [[CosineSimilarity]] and to the SQL oracles' list_transform fold.
+  *
+  * Exists because the k-means round-2 path scores float vectors
+  * against DOUBLE centroid means: the composable HOF chain there runs
+  * as an interpreted expression tree, and at the 10× scale-up corpus
+  * it was 55 of semDedup's 62 wall-clock seconds. One fused codegen
+  * loop removes that entirely. */
+case class CosineSimilarityNullable(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim_nullable expects array<float|double> on both sides, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (isFloat(left)) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (isFloat(right)) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val bad = ctx.freshName("bad")
+      def get(arr: String, e: Expression) =
+        if (isFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+        int $n = $a.numElements();
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        boolean $bad = ($n != $b.numElements());
+        if (!$bad) {
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+            double xv = ${get(a, left)};
+            double yv = ${get(b, right)};
+            $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+          }
+        }
+        if ($bad || $na == 0.0 || $nb == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CosineSimilarity {
   /** Column-API form. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-API form of the null-propagating float/double variant. */
+  def cosine_sim_nullable(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarityNullable(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Register `cosine_sim` for SQL use on a session. */

@@ -721,9 +721,13 @@ object Analytics {
     * value. The frequency table is a partial-agg groupBy down to
     * |flags × distinct qty| rows (≤150 here, bounded at any SF); the
     * argmax window runs over THAT, never the fact table — mode at
-    * 100 TB costs one narrow shuffle of (flag, qty, count) triples. */
+    * 100 TB costs one narrow shuffle of (flag, qty, count) triples.
+    * The group key floors BEFORE the BIGINT cast on both sides:
+    * quantities are integral by generator design, but a fractional
+    * value would otherwise round in DuckDB's double→BIGINT cast and
+    * truncate in Spark's — floor pins one semantic. */
   val q33 = Q("q33_mode", Some("""
-    WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+    WITH c AS (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty,
                  count(*) AS n
                FROM lineitem GROUP BY l_returnflag, qty),
     r AS (SELECT l_returnflag, qty, n, row_number() OVER (
@@ -731,7 +735,7 @@ object Analytics {
     SELECT l_returnflag, qty AS mode_qty, n AS mode_n
     FROM r WHERE rn = 1 ORDER BY l_returnflag""")) { (s, d) =>
     val c = t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), floor(col("l_quantity")).as("qty"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("l_returnflag").orderBy(col("n").desc, col("qty"))
     c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -747,11 +751,16 @@ object Analytics {
     * expression floor((x - lo) / ((hi - lo) / 20.0)) is the same IEEE
     * arithmetic on both engines (hi lands in bucket 20, clamped to
     * 19, like every half-open-interval histogram). */
+  // a degenerate hi = lo table (every value equal) makes the bucket
+  // width 0 and the ratio 0/0 = NaN, which the ANSI BIGINT cast turns
+  // into a job-killing error on BOTH engines — route that case to
+  // bucket 0 explicitly instead
   val q34 = Q("q34_histogram", Some("""
     WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
                FROM lineitem),
-    h AS (SELECT least(CAST(floor((l_extendedprice - lo) /
-                    ((hi - lo) / 20.0)) AS BIGINT), 19) AS bucket,
+    h AS (SELECT least(CAST(floor(CASE WHEN hi = lo THEN 0.0 ELSE
+                    (l_extendedprice - lo) / ((hi - lo) / 20.0) END)
+                    AS BIGINT), 19) AS bucket,
                  l_extendedprice
           FROM lineitem CROSS JOIN b)
     SELECT bucket, count(*) AS n,
@@ -760,8 +769,9 @@ object Analytics {
     val li = t(s, d, "lineitem")
     val b = li.agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
     li.crossJoin(broadcast(b))
-      .select(least(floor((col("l_extendedprice") - col("lo")) /
-          ((col("hi") - col("lo")) / 20.0)).cast("long"), lit(19L)).as("bucket"),
+      .select(least(floor(when(col("hi") === col("lo"), 0.0)
+          .otherwise((col("l_extendedprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 20.0))).cast("long"), lit(19L)).as("bucket"),
         col("l_extendedprice"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("bucket_total"))

@@ -21,6 +21,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q33/q34 survive a degenerate constant-valued lineitem") {
+    // every price equal -> histogram width 0: the 0/0 NaN would kill
+    // the ANSI BIGINT cast; the guard routes all rows to bucket 0
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("li-const").toString
+    Seq((1L, 5.0, 100.0, "A"), (2L, 5.0, 100.0, "A"), (3L, 7.0, 100.0, "N"))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val h = SparkEntry.queries("q34_histogram")(spark, dir).collect()
+    assert(h.length == 1 && h.head.getLong(0) == 0 && h.head.getLong(1) == 3,
+      s"constant prices all land in bucket 0: ${h.toSeq}")
+    val m = SparkEntry.queries("q33_mode")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("A" -> 5L, "N" -> 7L), s"modes: $m")
+  }
+
   test("q27 approx distinct lands within 5% of exact") {
     val r = Registry.byName("q27_approx").run(spark, TestSpark.sf).collect().head
     val exact = Registry.byName("q10_distinct").run(spark, TestSpark.sf)

@@ -22,6 +22,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("nullable cosine is bit-identical to the composable try_divide chain") {
+    import graft.functions.CosineSimilarity.cosine_sim_nullable
+    // float vectors against DOUBLE centroid means — the k-means
+    // round-2 shape the native variant exists for
+    val cents = emb.groupBy("label").agg(
+      array((1 to 64).map(i =>
+        avg(element_at(col("embedding"), i))): _*).as("ce"))
+    val pairs = emb.crossJoin(cents)
+    val diff = pairs.select(
+      cosine_sim_nullable(col("embedding"), col("ce")).as("native"),
+      try_divide(Similarity.dot(col("embedding"), col("ce")),
+        Similarity.norm(col("embedding")) * Similarity.norm(col("ce")))
+        .as("composed"))
+      .filter(col("native") =!= col("composed") ||
+        (col("native").isNull =!= col("composed").isNull))
+    assert(diff.count() == 0)
+    // degenerate parity: zero-norm and short vectors -> NULL both ways
+    import spark.implicits._
+    val weird = Seq(
+      (Array.fill(64)(0.0f), Array.fill(64)(1.0)),
+      (Array.fill(8)(0.5f), Array.fill(64)(1.0))).toDF("a", "b")
+    val w = weird.select(
+      cosine_sim_nullable(col("a"), col("b")).as("native"),
+      try_divide(Similarity.dot(col("a"), col("b")),
+        Similarity.norm(col("a")) * Similarity.norm(col("b"))).as("composed"))
+      .collect()
+    w.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"want NULL/NULL: $r"))
+  }
+
   test("cosine of a vector with itself is 1") {
     val selfs = emb.select(cosine_sim(col("embedding"), col("embedding")).as("c"))
       .agg(min("c").as("lo"), max("c").as("hi")).collect().head
