@@ -239,6 +239,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 2, p.take(1200))
   }
 
+  test("d13 semdedup: pair mining is a cell equi-join with the fused cosine") {
+    val p = plan("d13_semdedup")
+    // the k-means loop is materialized behind a localCheckpoint before
+    // this plan; what remains must join on the cell key — never a
+    // cartesian — and verify with the native codegen'd cosine
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairs must come from an equi-join on cell:\n" + p.take(1200))
+    assert(p.contains("cosinesimilarity"),
+      "pair verification must use the native fused cosine")
+  }
+
   test("m6 phash: single scan, bit votes partially aggregated before the shuffle") {
     val p = plan("m6_phash")
     val scans = "Scan parquet".r.findAllIn(p).length
