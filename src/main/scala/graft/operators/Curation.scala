@@ -37,10 +37,16 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** `tokenBudget`: when set, the mixing stage becomes token-budget
+    * mixing ([[Sampling.mixToBudget]] with `rates` reinterpreted as
+    * stratum WEIGHTS) instead of fixed-rate stratified sampling —
+    * "curate this corpus down to ~B tokens at these source weights"
+    * as one pipeline argument. */
   def curate(docs: DataFrame, id: String, text: String, stratum: Column,
       evalDocs: DataFrame, jaccard: Double = 0.9, maxContam: Double = 0.2,
       rates: Map[String, Double] = Map.empty,
-      defaultRate: Double = 1.0): (DataFrame, DataFrame) = {
+      defaultRate: Double = 1.0,
+      tokenBudget: Option[Double] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
@@ -86,8 +92,19 @@ object Curation {
         .filter(col("contam") > maxContam).select(id)
       d.join(contaminated, Seq(id), "left_anti")
     }
-    stage("stratified_mix") { d =>
-      Sampling.stratifiedSample(d, stratum, col(id), rates, defaultRate)
+    tokenBudget match {
+      case Some(budget) =>
+        stage("budget_mix") { d =>
+          // fully-qualified split: the `split` column val below
+          // shadows functions.split in this scope
+          Sampling.mixToBudget(d, stratum, col(id),
+            size(org.apache.spark.sql.functions.split(col(text), " ")),
+            budget, rates)
+        }
+      case None =>
+        stage("stratified_mix") { d =>
+          Sampling.stratifiedSample(d, stratum, col(id), rates, defaultRate)
+        }
     }
     // deterministic 8/1/1 split — the ONE md5-fold definition d8 uses
     val v = Sampling.md5Mod10(col(id))

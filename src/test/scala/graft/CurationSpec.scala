@@ -56,6 +56,24 @@ class CurationSpec extends AnyFunSuite {
       .head().getAs[String]("text").contains("<EMAIL>"))
   }
 
+  test("token-budget curation lands near the budget and reports the stage") {
+    import spark.implicits._
+    val (out, rep) = Curation.curate(
+      train, "doc_id", "text", col("lang"), evalDocs,
+      jaccard = 0.9, maxContam = 0.9, tokenBudget = Some(10000.0))
+    val stages = rep.collect().map(_.getString(0)).toSeq
+    assert(stages.contains("budget_mix") && !stages.contains("stratified_mix"))
+    val kept = out.agg(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    // rate-1 strata keep whole allocations and rounding is per-doc, so
+    // the landing zone is loose — but it must be the budget's order of
+    // magnitude, far below the unmixed corpus
+    val unmixed = train.agg(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    assert(kept < unmixed / 2, s"budget mix must bite: $kept of $unmixed")
+    assert(kept > 2000 && kept < 20000, s"kept tokens $kept far from budget 10000")
+  }
+
   test("curated output carries a complete deterministic split") {
     assert(curated.columns.contains("split"))
     val splits = curated.groupBy("split").count().collect()
