@@ -163,10 +163,71 @@ case class CosineSimilarityNullable(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused dot product over two `array<float>` columns — the PQ/MIPS
+  * primitive (subspace scoring and ADC lookup tables are raw dots,
+  * no norms). Same left-to-right double accumulation as
+  * [[CosineSimilarity]]'s numerator, so a SQL
+  * `list_sum(list_transform(range(...), i -> a[i]*b[i]))` fold
+  * reproduces it bit-for-bit. Native for the same reason as the
+  * cosine: an `aggregate(zip_with(...))` HOF runs interpreted. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CosineSimilarity {
   /** Column-API form. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-API fused dot product. */
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Column-API form of the null-propagating float/double variant. */

@@ -179,6 +179,90 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-PQ ANN — the composition a production billion-vector index
+    * runs: the IVF coarse quantizer ([[ivfKnn]]'s max-cosine cell
+    * assignment) restricts each probe to its own cell, and PRODUCT
+    * QUANTIZATION scores candidates from small codes instead of raw
+    * vectors. Each vector is split into `m` subvectors of `d` dims;
+    * per subspace its code is the argmax-dot codebook entry; a probe
+    * precomputes one lookup table of subspace dots (LUT) and a
+    * candidate's estimated dot is Σ_m LUT[m][code_m] — m integer adds
+    * per pair instead of m·d multiplies, and the corpus's scored
+    * representation shrinks from raw floats to m codes (the
+    * memory-bandwidth win that makes 1e9-vector search fit).
+    *
+    * Determinism/oracle: the codebook is the anchors' subvectors (a
+    * production system trains per-subspace k-means — swap the
+    * codebook source, keep everything else); subspace dots are
+    * quantized to 6dp SCALED LONGS, so the ADC sum is an exact
+    * integer sum — order-independent and engine-identical — and the
+    * whole encode→LUT→rank path hash-checks against SQL.
+    *
+    * Scale shape: encode is |corpus|·m narrow rows against a
+    * broadcast codebook collapsed by map-side max_by (the s3 argmax
+    * rule); the LUT is probes×m×K broadcast; scoring joins CODES
+    * (fixed-width longs, never vectors) and partial-aggregates the
+    * per-pair sum. */
+  def ivfPqKnn(vectors: DataFrame, id: String, emb: String,
+      anchorPred: Column, probePred: Column, k: Int,
+      m: Int = 8, d: Int = 8): DataFrame = {
+    import graft.functions.CosineSimilarity.dot_product
+    val anchors = broadcast(vectors.filter(anchorPred)
+      .select(col(id).as("anchor_id"), col(emb).as("ae")))
+    val assigned = vectors.crossJoin(anchors)
+      .select(col(id), col(emb),
+        col("anchor_id"), cosR(col(emb), col("ae")).as("ac"))
+      .groupBy(col(id))
+      .agg(max_by(struct(col(emb).as("e"), col("anchor_id").as("a")),
+        struct(col("ac"), (-col("anchor_id")).as("na"))).as("mm"))
+      .select(col(id), col("mm.e").as(emb), col("mm.a").as("cell"))
+    // codebook: per-subspace slices of the anchor vectors, broadcast
+    val cb = broadcast(vectors.filter(anchorPred)
+      .select(col(id).as("cb_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("m"), slice(col(emb), j * d + 1, d).as("cvec"))): _*))
+          .as("s"))
+      .select(col("cb_id"), col("s.m").as("m"), col("s.cvec").as("cvec")))
+    // encode: argmax scaled-long subspace dot per (vector, subspace),
+    // collapsed map-side (only |corpus|·m narrow rows shuffle)
+    val codes = assigned
+      .select(col(id), col("cell"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("m"), slice(col(emb), j * d + 1, d).as("svec"))): _*))
+          .as("s"))
+      .select(col(id), col("cell"), col("s.m").as("m"), col("s.svec").as("svec"))
+      .join(cb, Seq("m"))
+      .select(col(id), col("cell"), col("m"), col("cb_id"),
+        floor(dot_product(col("svec"), col("cvec")) * 1000000.0 + 0.5).as("d6"))
+      .groupBy(col(id), col("m"))
+      .agg(max_by(struct(col("cb_id").as("c"), col("cell").as("cl")),
+        struct(col("d6"), (-col("cb_id")).as("nc"))).as("mm"))
+      .select(col(id), col("m"), col("mm.c").as("code"), col("mm.cl").as("cell"))
+    // probe lookup tables: scaled-long dot of every (probe subspace,
+    // codebook entry) pair — tiny, broadcast
+    val lut = broadcast(assigned.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe"), col("cell").as("pcell"))
+      .select(col("probe_id"), col("pcell"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("m"), slice(col("pe"), j * d + 1, d).as("qvec"))): _*))
+          .as("s"))
+      .select(col("probe_id"), col("pcell"), col("s.m").as("m"),
+        col("s.qvec").as("qvec"))
+      .join(cb, Seq("m"))
+      .select(col("probe_id"), col("pcell"), col("m"), col("cb_id"),
+        floor(dot_product(col("qvec"), col("cvec")) * 1000000.0 + 0.5).as("lutS")))
+    // ADC: estimated dot = EXACT long sum of the m LUT hits, within
+    // the probe's cell only
+    val est = codes.join(lut,
+        codes("m") === lut("m") && codes("code") === lut("cb_id") &&
+          codes("cell") === lut("pcell"))
+      .filter(col(id) =!= col("probe_id"))
+      .groupBy(col("probe_id"), col(id).as("neighbor_id"))
+      .agg((sum(col("lutS")) / 1000000.0).as("c6"))
+    topK(est.select(col("probe_id"), col("neighbor_id"), col("c6")), k)
+      .withColumnRenamed("cos6", "est6")
+  }
+
   /** 6dp cosine for DOUBLE-array centroids — same sequential fold
     * order as [[cosR]]'s native expression and the oracle's
     * list_sum/list_transform, so k-means round-2 cosines are

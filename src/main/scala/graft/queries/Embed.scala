@@ -96,11 +96,12 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
-  // s3: IVF — anchors are a fixed corpus subset (vec_id % 125 = 0);
-  // every vector is assigned to its max-cosine anchor (tie-break by
-  // anchor_id), probes search only their own cell.
-  val s3 = Q("s3_knn_ivf", Some(s"""
-    WITH $normCte,
+  // IVF coarse-quantizer CTEs (anchors = vec_id % 125 subset; asg =
+  // (vec_id, embedding, nrm, cell) by max-cosine anchor, anchor_id
+  // tie-break) — shared verbatim by s3 (cell-restricted exact search)
+  // and s5 (cell-restricted PQ code search), so the two index
+  // structures can never drift.
+  private val ivfCtes = s"""
     anch AS (SELECT vec_id AS anchor_id, embedding AS ae, nrm AS anrm
              FROM v WHERE vec_id % 125 = 0),
     asg0 AS (SELECT v.vec_id, v.embedding, v.nrm, anch.anchor_id,
@@ -111,7 +112,14 @@ object Embed {
     asg AS (SELECT vec_id, embedding, nrm, anchor_id AS cell FROM
               (SELECT *, row_number() OVER (PARTITION BY vec_id
                            ORDER BY ac DESC, anchor_id) AS arn FROM asg0)
-            WHERE arn = 1),
+            WHERE arn = 1)"""
+
+  // s3: IVF — anchors are a fixed corpus subset (vec_id % 125 = 0);
+  // every vector is assigned to its max-cosine anchor (tie-break by
+  // anchor_id), probes search only their own cell.
+  val s3 = Q("s3_knn_ivf", Some(s"""
+    WITH $normCte,
+    $ivfCtes,
     pr AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE vec_id % 17 = 0),
     sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
              ${cosRSql("a", "b")} AS c6
@@ -133,6 +141,50 @@ object Embed {
   private val meanExprs = (1 to 64).map(i =>
     s"CAST(sum(CAST(floor(embedding[$i] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)")
     .mkString("[", ", ", "]")
+
+  // s5: IVF-PQ — the 1e9-vector production composition: the s3 coarse
+  // quantizer restricts each probe to its cell; PRODUCT-QUANTIZED
+  // codes (per-subspace argmax-dot codebook entries, codebook = the
+  // anchors' subvectors) score candidates via a probe LUT, estimated
+  // dot = exact scaled-long sum of the 8 LUT hits. The whole
+  // index→encode→LUT→rank path is reproduced in SQL from the same
+  // constants, so PQ's approximation is hash-checked, not sampled.
+  private val mValues = (0 until 8).map(j => s"($j)").mkString(",")
+  private def subdot(vec: String, cbv: String) =
+    s"CAST(floor(list_sum(list_transform(range(1 + mm.m * 8, 9 + mm.m * 8), " +
+      s"i -> $vec[i]::DOUBLE * $cbv[i]::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+
+  val s5 = Q("s5_knn_pq", Some(s"""
+    WITH $normCte,
+    $ivfCtes,
+    cbv AS (SELECT vec_id AS cb_id, embedding AS ce FROM v WHERE vec_id % 125 = 0),
+    cd0 AS (SELECT s.vec_id, s.cell, mm.m, c.cb_id,
+              ${subdot("s.embedding", "c.ce")} AS d6
+            FROM asg s CROSS JOIN (VALUES $mValues) mm(m) CROSS JOIN cbv c),
+    codes AS (SELECT vec_id, cell, m, cb_id AS code FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY d6 DESC, cb_id) AS rn FROM cd0)
+              WHERE rn = 1),
+    pr AS (SELECT vec_id AS probe_id, embedding AS pe, cell AS pcell
+           FROM asg WHERE vec_id % 17 = 0),
+    plut AS (SELECT p.probe_id, p.pcell, mm.m, c.cb_id,
+               ${subdot("p.pe", "c.ce")} AS lutS
+             FROM pr p CROSS JOIN (VALUES $mValues) mm(m) CROSS JOIN cbv c),
+    est AS (SELECT l.probe_id, k.vec_id AS neighbor_id,
+              CAST(sum(l.lutS) AS DOUBLE) / 1000000.0 AS est6
+            FROM codes k JOIN plut l ON l.m = k.m AND l.cb_id = k.code
+              AND l.pcell = k.cell
+            WHERE k.vec_id <> l.probe_id
+            GROUP BY l.probe_id, k.vec_id),
+    r AS (SELECT probe_id, neighbor_id, est6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY est6 DESC, neighbor_id) AS rn FROM est)
+    SELECT probe_id, rn, neighbor_id, est6
+    FROM r WHERE rn <= 5 ORDER BY probe_id, rn""")) { (s, d) =>
+    Similarity.ivfPqKnn(t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") % 17 === 0, 5)
+      .orderBy("probe_id", "rn")
+  }
 
   // the 2-iteration Lloyd loop as shared CTEs (ends at asg2 =
   // (vec_id, cell)) — used verbatim by s4 (the training loop itself)
@@ -215,5 +267,5 @@ object Embed {
       .orderBy("v1", "v2")
   }
 
-  val qs: Seq[Q] = Seq(d5, d11, d13, s1, s2, s3, s4)
+  val qs: Seq[Q] = Seq(d5, d11, d13, s1, s2, s3, s4, s5)
 }

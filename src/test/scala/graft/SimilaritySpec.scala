@@ -118,6 +118,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"candidate set $nCand not selective")
   }
 
+  test("IVF-PQ surfaces planted exact copies in the estimate top-k") {
+    // an exact copy shares every PQ code with its source, and the
+    // source's codes are the per-subspace argmax for the probe's own
+    // subvectors — so NO vector can out-score the source in the ADC
+    // estimate (ties only with identically-coded vectors), and the
+    // copy lands in the same IVF cell (cosine ties break identically)
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        col("embedding"))
+    val corpus = emb.unionByName(copies)
+    val top = Similarity.ivfPqKnn(corpus, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") >= 1000000, 5)
+    val hits = top.filter(col("probe_id") - 1000000 === col("neighbor_id"))
+      .count()
+    val n = copies.count()
+    assert(hits >= (n * 8) / 10, s"PQ recall $hits/$n below 0.8")
+  }
+
   test("semDedup drops planted paraphrase-level near-dups, keeps distinct vectors") {
     // plant a near-identical copy of every 10th vector (the
     // "paraphrase" no lexical dedup can see); semantic dedup over the
