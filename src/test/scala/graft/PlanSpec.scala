@@ -70,6 +70,19 @@ class PlanSpec extends AnyFunSuite {
       "argmax must not be a Window over the anchor cross join:\n" + p.take(1200))
   }
 
+  test("s5 PQ: encode argmax is map-side, scoring joins codes against a broadcast LUT") {
+    val p = plan("s5_knn_pq")
+    assert(!p.contains("CartesianProduct"),
+      "assignment/encode must broadcast, never a shuffled cartesian")
+    // two argmaxes (cell assignment + per-subspace encode) both as
+    // max_by partial aggregates; the only Window is the final top-k
+    assert("max_by".r.findAllIn(p).length >= 2, p.take(1200))
+    assert("windowspecdefinition".r.findAllIn(p).length == 1,
+      "argmaxes must not be Windows over exploded relations:\n" + p.take(1200))
+    assert(p.contains("dotproduct"),
+      "subspace scoring must use the fused native dot")
+  }
+
   test("tokenized does not reshuffle an already-parallel input") {
     // earlier suites may have persisted the signature table for the
     // same logical plan; drop caches so the raw plan (not an
