@@ -23,15 +23,24 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine via the native codegen'd Catalyst expression
-    * ([[graft.functions.CosineSimilarity]]), rounded to 6dp by PURE
-    * ARITHMETIC (`floor(x*1e6+0.5)/1e6`): bit-identical in any engine
-    * (the raw cosine already is), and — unlike `round()` — free of
-    * BigDecimal/Double.toString in the per-pair hot loop, which
-    * profiling showed dominating the join stages. */
+  /** cosine via the native codegen'd Catalyst expression, rounded to
+    * 6dp by PURE ARITHMETIC (`floor(x*1e6+0.5)/1e6`): bit-identical
+    * in any engine (the raw cosine already is), and — unlike
+    * `round()` — free of BigDecimal/Double.toString in the per-pair
+    * hot loop, which profiling showed dominating the join stages.
+    *
+    * The NULLABLE variant, deliberately: the SQL oracles' fold
+    * (`list_transform(range(1,65), ...)`) yields NULL for a
+    * wrong-length vector, so the min-length variant's "prefix
+    * cosine" would diverge — and, worse, score a truncated vector as
+    * a PERFECT match of any vector sharing its prefix (semDedup then
+    * deletes a healthy doc because a malformed row resembles its
+    * prefix — caught by EmbeddingNullSafetySpec). NULL never crosses
+    * a `>= threshold` verify and ranks below every real score in a
+    * DESC top-k on both engines. */
   def cosR(a: Column, b: Column): Column =
-    floor(graft.functions.CosineSimilarity.cosine_sim(a, b) * 1000000.0 + 0.5) /
-      1000000.0
+    floor(graft.functions.CosineSimilarity.cosine_sim_nullable(a, b)
+      * 1000000.0 + 0.5) / 1000000.0
 
   // NOTE: outputs stay DOUBLE end-to-end — a DECIMAL presentation cast
   // was dropped because decimal stringification is reader-dependent

@@ -33,6 +33,18 @@ class EmbeddingNullSafetySpec extends AnyFunSuite {
       col("v1") === 3 || col("v2") === 3).count() == 0)
   }
 
+  test("PQ encode and semDedup stay total under degenerate rows") {
+    // a NULL embedding yields NULL subspace dots -> NULL codes -> the
+    // vector simply never matches a LUT row; a short vector's missing
+    // subspaces drop out the same way; nothing crashes
+    val top = operators.Similarity.ivfPqKnn(vecs, "vec_id", "embedding",
+      col("vec_id") === 1, col("vec_id") === 1, 3).collect()
+    assert(top.length <= 3)
+    val kept = operators.Similarity.semDedup(vecs, "vec_id", "embedding",
+      col("vec_id") === 1, 0.9).collect()
+    assert(kept.length == 4, "no degenerate row may be silently dropped")
+  }
+
   test("brute knn and kmeans stay total under degenerate rows") {
     // collect(), NOT count(): count lets Catalyst prune the aggregate
     // that evaluates the per-dim element accesses, so a crashing
