@@ -125,6 +125,28 @@ object LakeSink {
       .write.format(format).mode("overwrite").save(path)
   }
 
+  /** Bit-interleaved (Morton / Z-order) key over two non-negative
+    * integer columns: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1, so sorting by the key clusters rows that are close in
+    * BOTH dimensions. [[writeSorted]] on this key gives every file a
+    * bounded min/max box in both columns — footer stats then skip
+    * files for predicates on EITHER dimension, where a single-column
+    * sort leaves the second dimension spanning the whole domain in
+    * every file. This is the layout trick behind multi-dimensional
+    * clustering in modern lakehouses, as one pure codegen'd column
+    * expression (shift/mask arithmetic, no UDF).
+    *
+    * Callers pass bounded bucket ranks (e.g. `user_id % 64`,
+    * `hour % 64`), not raw values: `bits` bits per dimension. */
+  def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until bits).map { i =>
+      shiftright(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
   /** Bucketed table write: hash-bucket rows on the join key at WRITE
     * time so repeated joins/aggregations on that key need no Exchange
     * at READ time — at 100 TB this converts every fact-fact join on

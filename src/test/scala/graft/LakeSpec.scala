@@ -151,6 +151,33 @@ class LakeSpec extends AnyFunSuite {
       scan.take(1500))
   }
 
+  test("z-ordered layout bounds per-file ranges in BOTH dimensions") {
+    val events = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_id"),
+        (col("user_id") % 64).as("x"),
+        (expr("ts div 1000000000") % 64).as("y"))
+      .withColumn("zk", LakeSink.zOrderKey(col("x"), col("y"), bits = 6))
+    val base = Files.createTempDirectory("graft_zorder").toString
+    LakeSink.writeSorted(events, s"$base/z", "parquet", Seq("zk"), nFiles = 16)
+    // contrast: single-dimension sort leaves y spanning the whole
+    // domain in every file
+    LakeSink.writeSorted(events, s"$base/x", "parquet", Seq("x"), nFiles = 16)
+    def avgSpans(path: String): (Double, Double) = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      (spans.map(_._1).sum.toDouble / spans.length,
+        spans.map(_._2).sum.toDouble / spans.length)
+    }
+    val (zx, zy) = avgSpans(s"$base/z")
+    val (_, xy) = avgSpans(s"$base/x")
+    assert(xy > 55, s"x-only sort must leave y unclustered (avg y-span $xy)")
+    assert(zy < xy / 2,
+      s"z-order must cluster the SECOND dimension too: y-span $zy vs $xy")
+    assert(zx < 55, s"and still cluster the first: x-span $zx")
+  }
+
   test("incremental JDBC extraction reads only the delta") {
     val dbDir = Files.createTempDirectory("graft_derby2").toString
     val url = s"jdbc:derby:$dbDir/inc;create=true"
