@@ -3,14 +3,19 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Similarity search over embedding columns (SURVEY §2 C):
-  * brute-force cosine top-k as the correctness baseline and a
-  * sign-LSH (axis hyperplane) bucketed variant as the scale path.
+/** Similarity search over embedding columns (SURVEY §2 C): the full
+  * ANN progression — brute-force cosine top-k (exact baseline, s1),
+  * multi-table multi-probe sign-LSH (s2), IVF coarse cells (s3),
+  * cosine k-means training (s4), IVF-PQ code search (s5) — plus
+  * embedding near-dup mining (label-, LSH-, and k-means-cell-blocked)
+  * and SemDeDup-style semantic deduplication.
   *
-  * Scale posture: cosine math is pure column expressions
-  * (codegen'd); probe sets broadcast; the LSH variant turns the
-  * |Q|×|C| cross product into Σ per-bucket joins that shuffle on the
-  * bucket key — linear in corpus size for fixed bucket occupancy.
+  * Scale posture: all vector math is fused native Catalyst
+  * expressions (codegen'd — the composable HOF forms run interpreted,
+  * see §6); probe sets and codebooks broadcast; argmaxes collapse
+  * map-side via max_by partial aggregation; candidate generation is
+  * always blocked by a key whose cardinality grows with the corpus
+  * (LSH buckets, k-means cells), never all-pairs.
   */
 object Similarity {
 
