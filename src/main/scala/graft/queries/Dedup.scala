@@ -242,12 +242,15 @@ object Dedup {
     * over-represented stratum (en) is downsampled to 25% while tail
     * languages keep full weight; keep/drop is a pure function of
     * md5(doc_id) so the sample is engine/run/partitioning-invariant. */
+  // coalesce mirrors Sampling.hashFrac: a NULL key hashes as the
+  // empty string on BOTH engines (md5(NULL) would otherwise yield a
+  // NULL frac here and silently drop the row oracle-side only)
   val d10 = Q("d10_stratified", Some("""
     WITH u AS (SELECT lang, strlen(text) AS nbytes,
-      ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
-       (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
-       (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
-       (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) / 65536.0 AS frac
+      ((instr('0123456789abcdef', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 1)) - 1) * 4096 +
+       (instr('0123456789abcdef', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 2, 1)) - 1) * 256 +
+       (instr('0123456789abcdef', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 3, 1)) - 1) * 16 +
+       (instr('0123456789abcdef', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 4, 1)) - 1)) / 65536.0 AS frac
       FROM documents)
     SELECT lang, count(*) AS n_docs, CAST(sum(nbytes) AS BIGINT) AS sum_bytes
     FROM u WHERE frac < CASE lang WHEN 'en' THEN 0.25 ELSE 1.0 END
@@ -263,9 +266,10 @@ object Dedup {
   }
 
   // the Sampling.hashFrac fold, reproduced digit by digit (same
-  // expression d10 uses inline)
+  // expression d10 uses inline) — incl. its NULL-key-as-empty-string
+  // coalesce
   private val fracExpr = (1 to 4)
-    .map(i => s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+    .map(i => s"(instr('0123456789abcdef', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
     .mkString("(", " + ", ") / 65536.0")
 
   /** token-budget data mixing — the step after d10's fixed rates:
