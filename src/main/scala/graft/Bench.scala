@@ -17,9 +17,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
-    val spark = GraftSession.builder(cpus)
+    val spark = GraftSession.attach(GraftSession.builder(cpus)
       .master(s"local[$cpus]")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
     // pass 0 (untimed, tiny SF): whole-stage-codegen classes are

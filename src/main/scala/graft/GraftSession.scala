@@ -31,6 +31,14 @@ object GraftSession {
       : SparkSession = {
     val s = builder(cores).master(s"local[$cores]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    attach(s)
+  }
+
+  /** Register graft's native SQL functions (cosine_sim,
+    * cosine_sim_nullable, dot_product) on an existing session — for
+    * sessions built from [[builder]] directly rather than [[local]]. */
+  def attach(s: SparkSession): SparkSession = {
+    graft.functions.CosineSimilarity.register(s)
     s
   }
 }

@@ -11,9 +11,9 @@ object Verify {
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
-    val spark = GraftSession.builder(cpus)
+    val spark = GraftSession.attach(GraftSession.builder(cpus)
       .master(s"local[$cpus]")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -235,8 +235,16 @@ object CosineSimilarity {
     GraftBridge.column(CosineSimilarityNullable(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** Register `cosine_sim` for SQL use on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register the native vector functions for SQL use on a session
+    * (`cosine_sim`, `cosine_sim_nullable`, `dot_product`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_sim_nullable",
+      exprs => CosineSimilarityNullable(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 }

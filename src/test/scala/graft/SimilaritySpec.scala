@@ -51,6 +51,17 @@ class SimilaritySpec extends AnyFunSuite {
     w.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"want NULL/NULL: $r"))
   }
 
+  test("native vector functions are SQL-registered on graft sessions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(float(1.0), float(0.0)), array(float(1.0), float(0.0))) AS c, " +
+        "dot_product(array(float(2.0)), array(float(3.0))) AS d, " +
+        "cosine_sim_nullable(array(float(1.0)), array(float(1.0), float(1.0))) AS n")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 6.0)
+    assert(r.isNullAt(2), "length mismatch must be NULL through the SQL path")
+  }
+
   test("cosine of a vector with itself is 1") {
     val selfs = emb.select(cosine_sim(col("embedding"), col("embedding")).as("c"))
       .agg(min("c").as("lo"), max("c").as("hi")).collect().head
