@@ -79,6 +79,36 @@ object Sampling {
     * (documented; a real pipeline routes them to a quarantine stratum
     * first). Token counts must be non-negative; a NULL token count
     * contributes nothing to its stratum's total. */
+  /** Deterministic sequence PACKING — the last step before tokens hit
+    * a trainer: concatenate documents (EOS-separated) into fixed
+    * `seqLen`-token training sequences. Documents are sharded
+    * deterministically (md5 fold → shard), ordered by key within the
+    * shard, and a doc starts in sequence floor(tokens_before / seqLen)
+    * — the standard causal-LM concatenation packing where documents
+    * may straddle sequence boundaries. Returns one row per doc with
+    * its (shard, seq_id, offset-in-sequence).
+    *
+    * Scale shape: one shuffle on the shard key + an in-shard ordered
+    * running sum (the packing ORDER is inherently sequential per
+    * shard — that is what sharding is for: shards pack independently
+    * and in parallel, exactly like per-worker packing in a real
+    * pipeline; shard count scales with the cluster). Deterministic in
+    * (key, shard count, seqLen) on any engine/run/partitioning. */
+  def packSequences(df: DataFrame, key: Column, nTok: Column,
+      seqLen: Long, shards: Int): DataFrame = {
+    val shard = floor(hashFrac(coalesce(key.cast("string"), lit(""))) *
+      shards).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__shard").orderBy(key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__shard", shard)
+      .withColumn("__cum", sum(nTok).over(w))
+      .withColumn("seq_id", floor((col("__cum") - nTok) / seqLen.toDouble))
+      .withColumn("seq_offset", (col("__cum") - nTok) % seqLen)
+      .withColumnRenamed("__shard", "shard")
+      .drop("__cum")
+  }
+
   def mixToBudget(df: DataFrame, stratum: Column, key: Column,
       nTok: Column, budget: Double,
       weights: Map[String, Double] = Map.empty): DataFrame = {

@@ -304,5 +304,30 @@ object Dedup {
       .orderBy("source")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, t6)
+  /** sequence packing — concatenation-style: docs sharded by the
+    * hashFrac fold (16 shards), ordered by doc_id within the shard,
+    * each doc starting in sequence floor(tokens_before / 512); one
+    * row per (shard, sequence) with docs started + their tokens. The
+    * whole packing layout (shard → order → running sum → boundary
+    * arithmetic) is hash-checked against the oracle's window sum. */
+  val d14 = Q("d14_pack", Some(s"""
+    WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST(floor(($fracExpr) * 16) AS BIGINT) AS shard
+               FROM documents),
+    c AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+    SELECT shard, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS seq_id,
+      count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS toks
+    FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    graft.operators.Sampling.packSequences(
+        t(s, d, "documents"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), 512L, 16)
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .orderBy("shard", "seq_id")
+  }
+
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, t6)
 }

@@ -224,6 +224,32 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out.columns.sameElements(df.columns))
   }
 
+  test("sequence packing: exact boundary arithmetic, every doc packed once") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // 10 docs x 10 tokens, one shard, 25-token sequences: docs start
+    // at cumulative offsets 0,10,20,30,... -> seqs 0,0,0,1,1,2,2,2,3,3
+    val text = Seq.fill(10)("w").mkString(" ")
+    val docs = (1L to 10L).map((_, text)).toDF("doc_id", "text")
+    val packed = Sampling.packSequences(docs, col("doc_id"),
+      size(split(col("text"), " ")).cast("long"), 25L, 1)
+      .select("doc_id", "seq_id", "seq_offset")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 10L)), 3L -> ((0L, 20L)),
+      4L -> ((1L, 5L)), 5L -> ((1L, 15L)), 6L -> ((2L, 0L)),
+      7L -> ((2L, 10L)), 8L -> ((2L, 20L)), 9L -> ((3L, 5L)),
+      10L -> ((3L, 15L)))
+    assert(packed == want, s"got $packed")
+    // corpus-level: packing is a PARTITION of the docs (nothing lost,
+    // nothing doubled) and deterministic across runs
+    val full = Sampling.packSequences(docs.unionByName(
+        (11L to 200L).map((_, text)).toDF("doc_id", "text")),
+      col("doc_id"), size(split(col("text"), " ")).cast("long"), 512L, 16)
+    assert(full.count() == 200)
+    assert(full.select("doc_id").distinct().count() == 200)
+  }
+
   test("frame sampling yields ceil(bytes/stride) frames with features") {
     val bin = Multimodal.asBinary(docs.limit(20), "doc_id", "text")
     val frames = Multimodal.sampleFrames(bin, stride = 100)
