@@ -95,7 +95,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver tails stdout, which truncated the r6 artifact to the
+    // last ~10 per-query timings; the file copy is the complete record.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }
