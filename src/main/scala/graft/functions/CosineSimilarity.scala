@@ -163,37 +163,50 @@ case class CosineSimilarityNullable(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Fused dot product over two `array<float>` columns — the PQ/MIPS
-  * primitive (subspace scoring and ADC lookup tables are raw dots,
-  * no norms). Same left-to-right double accumulation as
+/** Fused dot product over `array<float|double>` columns — the
+  * PQ/MIPS primitive (subspace scoring and ADC lookup tables are raw
+  * dots, no norms). Same left-to-right double accumulation as
   * [[CosineSimilarity]]'s numerator, so a SQL
   * `list_sum(list_transform(range(...), i -> a[i]*b[i]))` fold
   * reproduces it bit-for-bit. Native for the same reason as the
-  * cosine: an `aggregate(zip_with(...))` HOF runs interpreted. */
+  * cosine: an `aggregate(zip_with(...))` HOF runs interpreted.
+  *
+  * Degenerate semantics match [[CosineSimilarityNullable]], NOT a
+  * silent prefix dot: NULL on length mismatch or any null element.
+  * The function is SQL-registered session-wide, and a partial dot
+  * over a malformed vector is exactly the "prefix scored as a real
+  * score" hazard the nullable cosine exists to prevent. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects (array<float>, array<float>), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  private def elemOk(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<float|double> on both sides, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  private def isFloat(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
-      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (isFloat(left)) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (isFloat(right)) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
       i += 1
     }
     dot
@@ -204,13 +217,24 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val bad = ctx.freshName("bad")
+      def get(arr: String, e: Expression) =
+        if (isFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         double $dot = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        boolean $bad = ($n != $b.numElements());
+        if (!$bad) {
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+            $dot += ${get(a, left)} * ${get(b, right)};
+          }
         }
-        ${ev.value} = $dot;
+        if ($bad) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot;
+        }
       """
     })
 

@@ -193,33 +193,95 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** PQ CODEBOOK TRAINING at FIXED cardinality — the piece that makes
+    * [[ivfPqKnn]]'s encode linear in the corpus. K seed vectors are a
+    * deterministic pseudo-random sample (global top-K by
+    * `(md5(id), id)` — a TakeOrdered, cheap at any corpus size, and
+    * engine/run/partitioning-invariant like d8's md5 split); their m
+    * subvector slices seed m per-subspace codebooks, refined by
+    * `iters-1` Lloyd update(s): every subvector re-assigned to its
+    * argmax-DOT codeword (the same MIPS objective the encode and ADC
+    * use — assignment, encode, and scoring share one metric), then
+    * each codeword replaced by the per-dim EXACT mean (6dp scaled
+    * longs, order-independent) of its assigned subvectors. A codeword
+    * that attracts no subvectors drops out — identically in SQL's
+    * GROUP BY, so the trained codebook is hash-checkable.
+    *
+    * K is FIXED — it does NOT grow with the corpus (contrast the
+    * anchor-subset demo codebook this replaced, whose K∝|corpus| made
+    * encode |corpus|·m·K super-linear, measured r=8.9 at 10× data).
+    * Scale shape per iteration: |corpus|·m narrow subvector rows
+    * against a BROADCAST K·m codebook, argmax collapsed map-side by
+    * max_by (the s3 rule), then one K·m-group partial-agg mean.
+    * Returns `(m, k, cvec: array<double>)`. */
+  def trainPqCodebook(vectors: DataFrame, id: String, emb: String,
+      codebookK: Int, m: Int, d: Int, iters: Int = 2): DataFrame = {
+    import graft.functions.CosineSimilarity.dot_product
+    val h = md5(col(id).cast("string").cast("binary")).as("h")
+    val seeds = vectors.select(col(id), col(emb), h)
+      .orderBy(col("h"), col(id)).limit(codebookK)
+      .withColumn("k", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("h"), col(id))) - 1)
+    val sub = vectors.select(col(id),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("m"), slice(col(emb), j * d + 1, d).as("svec"))): _*))
+        .as("s"))
+      .select(col(id), col("s.m").as("m"), col("s.svec").as("svec"))
+    var cb: DataFrame = seeds.select(col("k"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("m"), slice(col(emb), j * d + 1, d)
+          .cast("array<double>").as("cvec"))): _*)).as("s"))
+      .select(col("s.m").as("m"), col("k"), col("s.cvec").as("cvec"))
+    (1 until iters).foreach { _ =>
+      cb = sub.join(broadcast(cb), Seq("m"))
+        .select(col(id), col("m"), col("svec"), col("k"),
+          floor(dot_product(col("svec"), col("cvec")) * 1000000.0 + 0.5)
+            .as("d6"))
+        .groupBy(col(id), col("m"))
+        .agg(max_by(struct(col("svec").as("sv"), col("k").as("kk")),
+          struct(col("d6"), (-col("k")).as("nk"))).as("mm"))
+        .select(col("m"), col("mm.kk").as("k"), col("mm.sv").as("svec"))
+        .groupBy(col("m"), col("k"))
+        .agg(array((1 to d).map(i =>
+          sum(floor(try_element_at(col("svec"), lit(i)) * 1000000.0 + 0.5))
+            .cast("double") / 1000000.0 / count(lit(1))): _*).as("cvec"))
+    }
+    // materialize ONCE: the result is K·m tiny rows but its lineage
+    // holds the full training loop over the corpus, and every consumer
+    // (encode + probe LUT) references it — same rule as semDedup's
+    // checkpointed k-means assignment
+    cb.localCheckpoint(true)
+  }
+
   /** IVF-PQ ANN — the composition a production billion-vector index
     * runs: the IVF coarse quantizer ([[ivfKnn]]'s max-cosine cell
     * assignment) restricts each probe to its own cell, and PRODUCT
     * QUANTIZATION scores candidates from small codes instead of raw
     * vectors. Each vector is split into `m` subvectors of `d` dims;
-    * per subspace its code is the argmax-dot codebook entry; a probe
-    * precomputes one lookup table of subspace dots (LUT) and a
-    * candidate's estimated dot is Σ_m LUT[m][code_m] — m integer adds
-    * per pair instead of m·d multiplies, and the corpus's scored
-    * representation shrinks from raw floats to m codes (the
-    * memory-bandwidth win that makes 1e9-vector search fit).
+    * per subspace its code is the argmax-dot entry of a TRAINED
+    * fixed-K codebook ([[trainPqCodebook]]); a probe precomputes one
+    * lookup table of subspace dots (LUT) and a candidate's estimated
+    * dot is Σ_m LUT[m][code_m] — m integer adds per pair instead of
+    * m·d multiplies, and the corpus's scored representation shrinks
+    * from raw floats to m codes (the memory-bandwidth win that makes
+    * 1e9-vector search fit).
     *
-    * Determinism/oracle: the codebook is the anchors' subvectors (a
-    * production system trains per-subspace k-means — swap the
-    * codebook source, keep everything else); subspace dots are
-    * quantized to 6dp SCALED LONGS, so the ADC sum is an exact
-    * integer sum — order-independent and engine-identical — and the
-    * whole encode→LUT→rank path hash-checks against SQL.
+    * Determinism/oracle: seeds, Lloyd means, subspace dots, and the
+    * ADC sum are all exact scaled-long arithmetic on deterministic
+    * inputs, so the whole train→encode→LUT→rank path hash-checks
+    * against SQL. Encode shares the argmax-dot objective with the
+    * ADC: a probe that IS a corpus vector hits that vector's own
+    * per-subspace maxima, so an exact copy can never be out-scored
+    * (the recall property SimilaritySpec pins).
     *
-    * Scale shape: encode is |corpus|·m narrow rows against a
-    * broadcast codebook collapsed by map-side max_by (the s3 argmax
-    * rule); the LUT is probes×m×K broadcast; scoring joins CODES
-    * (fixed-width longs, never vectors) and partial-aggregates the
-    * per-pair sum. */
+    * Scale shape: training and encode are |corpus|·m narrow rows
+    * against a BROADCAST fixed-size codebook collapsed by map-side
+    * max_by (the s3 argmax rule) — linear in the corpus; the LUT is
+    * probes×m×K broadcast; scoring joins CODES (fixed-width longs,
+    * never vectors) and partial-aggregates the per-pair sum. */
   def ivfPqKnn(vectors: DataFrame, id: String, emb: String,
       anchorPred: Column, probePred: Column, k: Int,
-      m: Int = 8, d: Int = 8): DataFrame = {
+      m: Int = 8, d: Int = 8, codebookK: Int = 64): DataFrame = {
     import graft.functions.CosineSimilarity.dot_product
     val anchors = broadcast(vectors.filter(anchorPred)
       .select(col(id).as("anchor_id"), col(emb).as("ae")))
@@ -230,13 +292,9 @@ object Similarity {
       .agg(max_by(struct(col(emb).as("e"), col("anchor_id").as("a")),
         struct(col("ac"), (-col("anchor_id")).as("na"))).as("mm"))
       .select(col(id), col("mm.e").as(emb), col("mm.a").as("cell"))
-    // codebook: per-subspace slices of the anchor vectors, broadcast
-    val cb = broadcast(vectors.filter(anchorPred)
-      .select(col(id).as("cb_id"),
-        explode(array((0 until m).map(j =>
-          struct(lit(j).as("m"), slice(col(emb), j * d + 1, d).as("cvec"))): _*))
-          .as("s"))
-      .select(col("cb_id"), col("s.m").as("m"), col("s.cvec").as("cvec")))
+    // trained fixed-K codebook, broadcast (K·m rows, corpus-size-free)
+    val cb = broadcast(
+      trainPqCodebook(vectors, id, emb, codebookK, m, d))
     // encode: argmax scaled-long subspace dot per (vector, subspace),
     // collapsed map-side (only |corpus|·m narrow rows shuffle)
     val codes = assigned
@@ -246,11 +304,11 @@ object Similarity {
           .as("s"))
       .select(col(id), col("cell"), col("s.m").as("m"), col("s.svec").as("svec"))
       .join(cb, Seq("m"))
-      .select(col(id), col("cell"), col("m"), col("cb_id"),
+      .select(col(id), col("cell"), col("m"), col("k"),
         floor(dot_product(col("svec"), col("cvec")) * 1000000.0 + 0.5).as("d6"))
       .groupBy(col(id), col("m"))
-      .agg(max_by(struct(col("cb_id").as("c"), col("cell").as("cl")),
-        struct(col("d6"), (-col("cb_id")).as("nc"))).as("mm"))
+      .agg(max_by(struct(col("k").as("c"), col("cell").as("cl")),
+        struct(col("d6"), (-col("k")).as("nc"))).as("mm"))
       .select(col(id), col("m"), col("mm.c").as("code"), col("mm.cl").as("cell"))
     // probe lookup tables: scaled-long dot of every (probe subspace,
     // codebook entry) pair — tiny, broadcast
@@ -263,12 +321,12 @@ object Similarity {
       .select(col("probe_id"), col("pcell"), col("s.m").as("m"),
         col("s.qvec").as("qvec"))
       .join(cb, Seq("m"))
-      .select(col("probe_id"), col("pcell"), col("m"), col("cb_id"),
+      .select(col("probe_id"), col("pcell"), col("m"), col("k"),
         floor(dot_product(col("qvec"), col("cvec")) * 1000000.0 + 0.5).as("lutS")))
     // ADC: estimated dot = EXACT long sum of the m LUT hits, within
     // the probe's cell only
     val est = codes.join(lut,
-        codes("m") === lut("m") && codes("code") === lut("cb_id") &&
+        codes("m") === lut("m") && codes("code") === lut("k") &&
           codes("cell") === lut("pcell"))
       .filter(col(id) =!= col("probe_id"))
       .groupBy(col("probe_id"), col(id).as("neighbor_id"))

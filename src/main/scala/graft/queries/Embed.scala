@@ -138,41 +138,79 @@ object Embed {
   // s4: IVF training — 2 Lloyd iterations of cosine k-means. Seeds =
   // vec_id % 125 = 0; iteration-2 centroids are per-dim EXACT means
   // (6dp scaled longs, order-independent in both engines).
+  // ::DOUBLE before the multiply is LOAD-BEARING: DuckDB keeps
+  // FLOAT * 1000000.0 in FLOAT precision (typeof = FLOAT), so without
+  // the cast the scaled-long floor can land one unit off Spark's
+  // double-math value near .5 boundaries (seen in s5's LUT as a 1e-6
+  // est6 mismatch; latent here because s4/d13's outputs survived the
+  // boundary flips at test SF)
   private val meanExprs = (1 to 64).map(i =>
-    s"CAST(sum(CAST(floor(embedding[$i] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)")
+    s"CAST(sum(CAST(floor(embedding[$i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)")
     .mkString("[", ", ", "]")
 
   // s5: IVF-PQ — the 1e9-vector production composition: the s3 coarse
   // quantizer restricts each probe to its cell; PRODUCT-QUANTIZED
-  // codes (per-subspace argmax-dot codebook entries, codebook = the
-  // anchors' subvectors) score candidates via a probe LUT, estimated
-  // dot = exact scaled-long sum of the 8 LUT hits. The whole
-  // index→encode→LUT→rank path is reproduced in SQL from the same
-  // constants, so PQ's approximation is hash-checked, not sampled.
+  // codes score candidates via a probe LUT, estimated dot = exact
+  // scaled-long sum of the 8 LUT hits. The codebook is TRAINED at
+  // FIXED K=64: seeds = global top-64 by (md5(vec_id), vec_id) — a
+  // deterministic pseudo-random sample — then one Lloyd update
+  // (argmax-dot assignment, per-dim exact 6dp-scaled-long means).
+  // The whole train→index→encode→LUT→rank path is reproduced in SQL
+  // from the same constants, so PQ's approximation is hash-checked,
+  // not sampled.
   private val mValues = (0 until 8).map(j => s"($j)").mkString(",")
-  private def subdot(vec: String, cbv: String) =
-    s"CAST(floor(list_sum(list_transform(range(1 + mm.m * 8, 9 + mm.m * 8), " +
-      s"i -> $vec[i]::DOUBLE * $cbv[i]::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+  // per-dim exact mean of the assigned subvectors' dim i (i = 1..8
+  // within subspace t.m) — same scaled-long arithmetic as meanExprs
+  private val cwMeanExprs = (1 to 8).map(i =>
+    s"CAST(sum(CAST(floor(s.embedding[t.m * 8 + $i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)")
+    .mkString("[", ", ", "]")
+  // scaled-long dot of subspace c.m of full vector `vec` against the
+  // trained 8-dim codeword c.cvec
+  private def cwDot(vec: String) =
+    s"CAST(floor(list_sum(list_transform(range(1, 9), " +
+      s"i -> $vec[c.m * 8 + i]::DOUBLE * c.cvec[i])) * 1000000.0 + 0.5) AS BIGINT)"
+
+  // PQ codebook training CTEs (fixed K=64, one Lloyd update; ends at
+  // cw = (m, k, cvec DOUBLE[8])) — mirrors Similarity.trainPqCodebook
+  private val pqTrainCtes = s"""
+    sk AS (SELECT * FROM
+            (SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS k
+             FROM v)
+           WHERE k < 64),
+    ta0 AS (SELECT s.vec_id, mm.m, sk.k,
+              CAST(floor(list_sum(list_transform(range(1 + mm.m * 8, 9 + mm.m * 8),
+                i -> s.embedding[i]::DOUBLE * sk.embedding[i]::DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS d6
+            FROM v s CROSS JOIN (VALUES $mValues) mm(m) CROSS JOIN sk),
+    ta AS (SELECT vec_id, m, k FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                         ORDER BY d6 DESC, k) AS rn FROM ta0)
+           WHERE rn = 1),
+    cw AS (SELECT t.m, t.k, $cwMeanExprs AS cvec
+           FROM ta t JOIN v s ON s.vec_id = t.vec_id
+           GROUP BY t.m, t.k)"""
 
   val s5 = Q("s5_knn_pq", Some(s"""
     WITH $normCte,
     $ivfCtes,
-    cbv AS (SELECT vec_id AS cb_id, embedding AS ce FROM v WHERE vec_id % 125 = 0),
-    cd0 AS (SELECT s.vec_id, s.cell, mm.m, c.cb_id,
-              ${subdot("s.embedding", "c.ce")} AS d6
-            FROM asg s CROSS JOIN (VALUES $mValues) mm(m) CROSS JOIN cbv c),
-    codes AS (SELECT vec_id, cell, m, cb_id AS code FROM
+    $pqTrainCtes,
+    cd0 AS (SELECT s.vec_id, s.cell, c.m, c.k,
+              ${cwDot("s.embedding")} AS d6
+            FROM asg s CROSS JOIN cw c),
+    codes AS (SELECT vec_id, cell, m, k AS code FROM
                (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                            ORDER BY d6 DESC, cb_id) AS rn FROM cd0)
+                            ORDER BY d6 DESC, k) AS rn FROM cd0)
               WHERE rn = 1),
     pr AS (SELECT vec_id AS probe_id, embedding AS pe, cell AS pcell
            FROM asg WHERE vec_id % 17 = 0),
-    plut AS (SELECT p.probe_id, p.pcell, mm.m, c.cb_id,
-               ${subdot("p.pe", "c.ce")} AS lutS
-             FROM pr p CROSS JOIN (VALUES $mValues) mm(m) CROSS JOIN cbv c),
+    plut AS (SELECT p.probe_id, p.pcell, c.m, c.k,
+               ${cwDot("p.pe")} AS lutS
+             FROM pr p CROSS JOIN cw c),
     est AS (SELECT l.probe_id, k.vec_id AS neighbor_id,
               CAST(sum(l.lutS) AS DOUBLE) / 1000000.0 AS est6
-            FROM codes k JOIN plut l ON l.m = k.m AND l.cb_id = k.code
+            FROM codes k JOIN plut l ON l.m = k.m AND l.k = k.code
               AND l.pcell = k.cell
             WHERE k.vec_id <> l.probe_id
             GROUP BY l.probe_id, k.vec_id),

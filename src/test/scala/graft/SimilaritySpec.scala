@@ -55,11 +55,18 @@ class SimilaritySpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT cosine_sim(array(float(1.0), float(0.0)), array(float(1.0), float(0.0))) AS c, " +
         "dot_product(array(float(2.0)), array(float(3.0))) AS d, " +
-        "cosine_sim_nullable(array(float(1.0)), array(float(1.0), float(1.0))) AS n")
+        "cosine_sim_nullable(array(float(1.0)), array(float(1.0), float(1.0))) AS n, " +
+        // dot_product over mixed float/double inputs (the trained-PQ
+        // encode shape) and NULL — not a silent prefix dot — on
+        // length mismatch, matching the nullable cosine's contract
+        "dot_product(array(float(2.0), float(4.0)), array(double(3.0), double(0.5))) AS dm, " +
+        "dot_product(array(float(1.0)), array(float(1.0), float(1.0))) AS dn")
       .collect().head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) == 6.0)
     assert(r.isNullAt(2), "length mismatch must be NULL through the SQL path")
+    assert(r.getDouble(3) == 8.0)
+    assert(r.isNullAt(4), "dot_product length mismatch must be NULL, not a prefix dot")
   }
 
   test("cosine of a vector with itself is 1") {
@@ -145,6 +152,24 @@ class SimilaritySpec extends AnyFunSuite {
       .count()
     val n = copies.count()
     assert(hits >= (n * 8) / 10, s"PQ recall $hits/$n below 0.8")
+  }
+
+  test("PQ codebook cardinality is FIXED: K·m bound holds when the corpus doubles") {
+    // the scale property the trained codebook exists for — the old
+    // anchor-subset demo codebook had K ∝ |corpus|, making encode
+    // |corpus|·m·K super-linear
+    val cb1 = Similarity.trainPqCodebook(emb, "vec_id", "embedding", 64, 8, 8)
+    val doubled = emb.unionByName(emb.select(
+      (col("vec_id") + 2000000).as("vec_id"), col("label"), col("embedding")))
+    val cb2 = Similarity.trainPqCodebook(doubled, "vec_id", "embedding", 64, 8, 8)
+    assert(cb1.count() <= 64 * 8, "codebook exceeds K*m")
+    assert(cb2.count() <= 64 * 8, "codebook must not grow with the corpus")
+    val shape = cb1.select(max("k").as("mk"), max("m").as("mm"),
+      min(size(col("cvec"))).as("lo"), max(size(col("cvec"))).as("hi"))
+      .collect().head
+    assert(shape.getInt(0) < 64 && shape.getInt(1) < 8)
+    assert(shape.getInt(2) == 8 && shape.getInt(3) == 8,
+      "every codeword is a d-dim double vector")
   }
 
   test("semDedup drops planted paraphrase-level near-dups, keeps distinct vectors") {
