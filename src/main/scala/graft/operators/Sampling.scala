@@ -59,6 +59,89 @@ object Sampling {
       .drop("__stratum", "__rate")
   }
 
+  /** Deterministic sequence PACKING — the last step before tokens hit
+    * a trainer: concatenate documents back to back into fixed
+    * `seqLen`-token training sequences (no separator tokens are
+    * accounted — callers budgeting an EOS between docs should fold it
+    * into `nTok`). Documents are sharded deterministically (md5 fold
+    * → shard), ordered by key within the shard, and a doc starts in
+    * sequence floor(tokens_before / seqLen) — the standard causal-LM
+    * concatenation packing where documents may straddle sequence
+    * boundaries. Returns one row per doc with its
+    * (shard, seq_id, offset-in-sequence).
+    *
+    * PRECONDITION: `key` must be unique per shard (it is the only
+    * window-order term, so duplicate keys would make seq_id/seq_offset
+    * rank-dependent and nondeterministic). With unique keys the layout
+    * is deterministic in (key, shard count, seqLen) on any
+    * engine/run/partitioning.
+    *
+    * Scale shape: one shuffle on the shard key + an in-shard ordered
+    * running sum (the packing ORDER is inherently sequential per
+    * shard — that is what sharding is for: shards pack independently
+    * and in parallel, exactly like per-worker packing in a real
+    * pipeline; shard count scales with the cluster). */
+  def packSequences(df: DataFrame, key: Column, nTok: Column,
+      seqLen: Long, shards: Int): DataFrame = {
+    val shard = floor(hashFrac(coalesce(key.cast("string"), lit(""))) *
+      shards).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__shard").orderBy(key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__shard", shard)
+      .withColumn("__cum", sum(nTok).over(w))
+      .withColumn("seq_id", floor((col("__cum") - nTok) / seqLen.toDouble))
+      .withColumn("seq_offset", (col("__cum") - nTok) % seqLen)
+      .withColumnRenamed("__shard", "shard")
+      .drop("__cum")
+  }
+
+  /** Packed SPANS — the trainer-facing decomposition of
+    * [[packSequences]]: one row per (shard, seq_id, doc-slice), where
+    * a document that crosses a sequence boundary is split into
+    * consecutive slices — `slice_start`/`slice_len` are the token
+    * range WITHIN the doc, `seq_offset` is where the slice lands in
+    * its sequence. Per-sequence slice_len sums equal `seqLen` for
+    * every sequence except each shard's last (the property
+    * SamplingSpec pins); per-doc slice_len sums equal the doc's token
+    * count, and consecutive slices are contiguous in both coordinate
+    * systems.
+    *
+    * Totality: a NULL token count packs as 0 tokens — the doc emits
+    * one zero-length slice at its deterministic position rather than
+    * vanishing (same rule for genuinely zero-token docs). Same
+    * unique-`key` precondition and scale shape as [[packSequences]];
+    * the explode adds only ceil(nTok/seqLen) extra rows per
+    * boundary-crossing doc, map-side after the one shard shuffle. */
+  def packSpans(df: DataFrame, key: Column, nTok: Column,
+      seqLen: Long, shards: Int): DataFrame = {
+    val shard = floor(hashFrac(coalesce(key.cast("string"), lit(""))) *
+      shards).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__shard").orderBy(key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__shard", shard)
+      .withColumn("__tok", coalesce(nTok.cast("long"), lit(0L)))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("__bef", col("__cum") - col("__tok"))
+      .withColumn("__q0", floor(col("__bef") / seqLen.toDouble).cast("long"))
+      // last sequence the doc touches; a zero-token doc still owns one
+      // (empty) slice at __q0, hence the greatest()
+      .withColumn("__q1", greatest(col("__q0"),
+        floor((col("__cum") - 1) / seqLen.toDouble).cast("long")))
+      .withColumn("seq_id", explode(sequence(col("__q0"), col("__q1"))))
+      .withColumn("slice_start",
+        greatest(lit(0L), col("seq_id") * seqLen - col("__bef")))
+      .withColumn("slice_len",
+        least((col("seq_id") + 1) * seqLen, col("__cum")) -
+          greatest(col("seq_id") * seqLen, col("__bef")))
+      .withColumn("seq_offset",
+        greatest(col("seq_id") * seqLen, col("__bef")) -
+          col("seq_id") * seqLen)
+      .withColumnRenamed("__shard", "shard")
+      .drop("__tok", "__cum", "__bef", "__q0", "__q1")
+  }
+
   /** Token-budget data mixing: downsample each stratum so the kept
     * corpus approaches `budget` tokens split across strata in
     * proportion to `weights` (default weight 1.0 per stratum,
@@ -79,36 +162,6 @@ object Sampling {
     * (documented; a real pipeline routes them to a quarantine stratum
     * first). Token counts must be non-negative; a NULL token count
     * contributes nothing to its stratum's total. */
-  /** Deterministic sequence PACKING — the last step before tokens hit
-    * a trainer: concatenate documents (EOS-separated) into fixed
-    * `seqLen`-token training sequences. Documents are sharded
-    * deterministically (md5 fold → shard), ordered by key within the
-    * shard, and a doc starts in sequence floor(tokens_before / seqLen)
-    * — the standard causal-LM concatenation packing where documents
-    * may straddle sequence boundaries. Returns one row per doc with
-    * its (shard, seq_id, offset-in-sequence).
-    *
-    * Scale shape: one shuffle on the shard key + an in-shard ordered
-    * running sum (the packing ORDER is inherently sequential per
-    * shard — that is what sharding is for: shards pack independently
-    * and in parallel, exactly like per-worker packing in a real
-    * pipeline; shard count scales with the cluster). Deterministic in
-    * (key, shard count, seqLen) on any engine/run/partitioning. */
-  def packSequences(df: DataFrame, key: Column, nTok: Column,
-      seqLen: Long, shards: Int): DataFrame = {
-    val shard = floor(hashFrac(coalesce(key.cast("string"), lit(""))) *
-      shards).cast("long")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__shard").orderBy(key)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("__shard", shard)
-      .withColumn("__cum", sum(nTok).over(w))
-      .withColumn("seq_id", floor((col("__cum") - nTok) / seqLen.toDouble))
-      .withColumn("seq_offset", (col("__cum") - nTok) % seqLen)
-      .withColumnRenamed("__shard", "shard")
-      .drop("__cum")
-  }
-
   def mixToBudget(df: DataFrame, stratum: Column, key: Column,
       nTok: Column, budget: Double,
       weights: Map[String, Double] = Map.empty): DataFrame = {

@@ -329,5 +329,39 @@ object Dedup {
       .orderBy("shard", "seq_id")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, t6)
+  /** packed spans — d14's trainer-facing decomposition: one row per
+    * (shard, seq_id, doc-slice), boundary-crossing docs split into
+    * contiguous slices across consecutive sequences. The full span
+    * table (slice_start/slice_len within the doc, seq_offset within
+    * the sequence) is hash-checked against the oracle's window-sum +
+    * generate_series arithmetic. */
+  val d15 = Q("d15_pack_spans", Some(s"""
+    WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST(floor(($fracExpr) * 16) AS BIGINT) AS shard
+               FROM documents),
+    c AS (SELECT doc_id, shard, coalesce(n_tok, 0) AS tok,
+            sum(coalesce(n_tok, 0)) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+    b AS (SELECT *, cum - tok AS bef,
+            CAST(floor((cum - tok) / 512.0) AS BIGINT) AS q0,
+            greatest(CAST(floor((cum - tok) / 512.0) AS BIGINT),
+                     CAST(floor((cum - 1) / 512.0) AS BIGINT)) AS q1
+          FROM c),
+    s AS (SELECT doc_id, shard, tok, cum, bef,
+            unnest(generate_series(q0, q1)) AS seq_id FROM b)
+    SELECT shard, seq_id, doc_id,
+      CAST(greatest(0, seq_id * 512 - bef) AS BIGINT) AS slice_start,
+      CAST(least((seq_id + 1) * 512, cum) - greatest(seq_id * 512, bef) AS BIGINT) AS slice_len,
+      CAST(greatest(seq_id * 512, bef) - seq_id * 512 AS BIGINT) AS seq_offset
+    FROM s ORDER BY shard, seq_id, doc_id""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    graft.operators.Sampling.packSpans(
+        t(s, d, "documents"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), 512L, 16)
+      .select("shard", "seq_id", "doc_id", "slice_start", "slice_len",
+        "seq_offset")
+      .orderBy("shard", "seq_id", "doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15, t6)
 }

@@ -250,6 +250,49 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(full.select("doc_id").distinct().count() == 200)
   }
 
+  test("packSpans splits straddling docs into contiguous slices, fills every sequence") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // 10 docs x 10 tokens, one shard, 25-token sequences: docs 3 and 8
+    // straddle the 25/75 boundaries and must split into two slices
+    val text = Seq.fill(10)("w").mkString(" ")
+    val docs10 = (1L to 10L).map((_, text)).toDF("doc_id", "text")
+    val spans = Sampling.packSpans(docs10, col("doc_id"),
+      size(split(col("text"), " ")).cast("long"), 25L, 1)
+      .select("doc_id", "seq_id", "slice_start", "slice_len", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = Set(
+      (1L, 0L, 0L, 10L, 0L), (2L, 0L, 0L, 10L, 10L),
+      (3L, 0L, 0L, 5L, 20L), (3L, 1L, 5L, 5L, 0L),
+      (4L, 1L, 0L, 10L, 5L), (5L, 1L, 0L, 10L, 15L),
+      (6L, 2L, 0L, 10L, 0L), (7L, 2L, 0L, 10L, 10L),
+      (8L, 2L, 0L, 5L, 20L), (8L, 3L, 5L, 5L, 0L),
+      (9L, 3L, 0L, 10L, 5L), (10L, 3L, 0L, 10L, 15L))
+    assert(spans == want, s"got $spans")
+    // real corpus: every sequence's slices sum to seqLen except each
+    // shard's LAST sequence, and per-doc slices sum to the doc's tokens
+    val full = Sampling.packSpans(docs, col("doc_id"),
+      size(split(col("text"), " ")).cast("long"), 512L, 16)
+    val perSeq = full.groupBy("shard", "seq_id")
+      .agg(sum("slice_len").as("tok"))
+    val lastSeq = perSeq.groupBy("shard").agg(max("seq_id").as("last"))
+    val short = perSeq.join(lastSeq, "shard")
+      .filter(col("seq_id") =!= col("last") && col("tok") =!= 512L)
+    assert(short.count() == 0, "a non-final sequence is not fully packed")
+    val perDoc = full.groupBy("doc_id").agg(sum("slice_len").as("tok"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("want")), "doc_id")
+    assert(perDoc.filter(col("tok") =!= col("want")).count() == 0,
+      "per-doc slice lengths must sum to the doc's token count")
+    // totality: a NULL-text doc packs as a zero-length slice, not a drop
+    val weird = docs10.unionByName(Seq((11L, null: String)).toDF("doc_id", "text"))
+    val wspans = Sampling.packSpans(weird, col("doc_id"),
+      size(split(col("text"), " ")).cast("long"), 25L, 1)
+    assert(wspans.filter(col("doc_id") === 11L && col("slice_len") === 0L)
+      .count() == 1, "NULL-token doc must emit one empty slice")
+  }
+
   test("frame sampling yields ceil(bytes/stride) frames with features") {
     val bin = Multimodal.asBinary(docs.limit(20), "doc_id", "text")
     val frames = Multimodal.sampleFrames(bin, stride = 100)
