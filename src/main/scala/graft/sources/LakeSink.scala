@@ -105,6 +105,92 @@ object LakeSink {
     n
   }
 
+  /** Register `path` as an EXTERNAL table in the session catalog —
+    * the prerequisite for [[compactTable]]'s no-gap swap (a
+    * path-addressed table has nothing to flip; the catalog pointer is
+    * what makes the swap atomic for readers). Idempotent. */
+  def registerExternal(spark: SparkSession, table: String, path: String,
+      format: String = "parquet"): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` USING $format LOCATION '$path'")
+
+  /** NO-GAP compaction for a catalog-addressed table: the compacted
+    * copy is fully written to the NEXT GENERATION directory
+    * (`<stem>.g<n+1>`), verified, then published with one
+    * `ALTER TABLE ... SET LOCATION` — a single catalog metadata flip,
+    * so a reader resolving the table name sees the old complete copy
+    * up to the instant of the flip and the new complete copy after
+    * it; at no point is the table absent (the gap [[compact]]'s
+    * two-rename path-swap cannot avoid).
+    *
+    * The superseded generation is kept on disk for in-flight readers
+    * that resolved their file listing before the flip, and
+    * garbage-collected on the NEXT compaction run (entry GC deletes
+    * every generation dir except the live one — which also recovers
+    * the half-written `.g<n+1>` of a run that crashed before its
+    * flip). Readers must therefore finish within one compaction
+    * period — the same contract lakehouse table formats expose as
+    * snapshot-retention. Verification mirrors [[compact]]: a short
+    * copy aborts before the flip with the live table untouched.
+    * Returns the row count (unchanged by design). */
+  def compactTable(spark: SparkSession, table: String,
+      targetRecordsPerFile: Long): Long =
+    compactTableImpl(spark, table, targetRecordsPerFile,
+      (df, nFiles, dest, format) => df.repartition(nFiles).write.format(format)
+        .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+        .mode("overwrite").save(dest))
+
+  /** rewrite step injectable so the spec can plant a short write and
+    * assert the verify aborts before the location flip */
+  private[graft] def compactTableImpl(spark: SparkSession, table: String,
+      targetRecordsPerFile: Long,
+      rewrite: (DataFrame, Int, String, String) => Unit): Long = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    require(catalog.tableExists(ident), s"unknown table $table")
+    val meta = catalog.getTableMetadata(ident)
+    val format = meta.provider.getOrElse("parquet")
+    val curLoc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = curLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // generation arithmetic: live location is <stem> (gen 0, the
+    // originally-registered dir) or <stem>.g<n>
+    val name = curLoc.getName
+    val gIdx = name.lastIndexOf(".g")
+    val (stem, gen) =
+      if (gIdx > 0 && name.length > gIdx + 2 &&
+          name.substring(gIdx + 2).forall(_.isDigit))
+        (name.substring(0, gIdx), name.substring(gIdx + 2).toLong)
+      else (name, 0L)
+    // entry GC: every generation except the live one is either the
+    // previous gen (in-flight grace expired) or a crashed run's
+    // half-written copy — both go
+    def glob(p: org.apache.hadoop.fs.Path) =   // null, not empty, on no match
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val stale = (glob(new org.apache.hadoop.fs.Path(
+        curLoc.getParent, stem + ".g*")) ++
+        glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem)))
+      .map(_.getPath).filterNot(_ == curLoc)
+    stale.foreach(p => require(fs.delete(p, true), s"stale generation $p undeletable"))
+    val next = new org.apache.hadoop.fs.Path(curLoc.getParent, s"$stem.g${gen + 1}")
+    val df = spark.table(table)
+    val n = df.count()
+    val nFiles = math.max(1L,
+      (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    rewrite(df, nFiles, next.toString, format)
+    // verify BEFORE the flip: a short copy aborts with the live table
+    // untouched and still continuously readable
+    val nextCount = spark.read.format(format).load(next.toString).count()
+    if (nextCount != n) {
+      fs.delete(next, true)
+      throw new java.io.IOException(
+        s"compacted copy at $next has $nextCount rows, expected $n; " +
+          "aborting — table location unchanged")
+    }
+    // THE no-gap publish: one catalog metadata operation
+    spark.sql(s"ALTER TABLE `$table` SET LOCATION '${next.toString}'")
+    spark.catalog.refreshTable(table)
+    n
+  }
+
   /** Sort-clustered write: range-partition on `sortCols` (distributed
     * sample-based ranges), sort within partitions, write — so every
     * output file covers a DISJOINT range of the leading key. Parquet/

@@ -98,6 +98,71 @@ class LakeSpec extends AnyFunSuite {
     assert(!new java.io.File(out + ".compact_old").exists(), "no stale old copy")
   }
 
+  test("catalog compact flips the location with NO read gap, GCs old generations") {
+    val out = Files.createTempDirectory("graft_cnogap").toString + "/t"
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeSink.writeParquet(orders, out, maxRecordsPerFile = 50)
+    LakeSink.registerExternal(spark, "cnogap_t", out)
+    val nOrig = spark.table("cnogap_t").count()
+    // hammer the table from another thread across BOTH swaps: every
+    // read must see a complete table — never empty, never absent
+    @volatile var stop = false
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        try seen.add(spark.table("cnogap_t").count())
+        catch { case t: Throwable => errs.add(t) }
+      }
+    })
+    reader.start()
+    try {
+      val n1 = LakeSink.compactTable(spark, "cnogap_t", 100000)
+      val n2 = LakeSink.compactTable(spark, "cnogap_t", 100000)
+      assert(n1 == nOrig && n2 == nOrig)
+    } finally { stop = true; reader.join() }
+    assert(errs.isEmpty, s"reader saw a gap: ${errs.peek()}")
+    assert(seen.size() > 0)
+    seen.forEach(c => assert(c == nOrig, s"reader saw a partial table: $c"))
+    // generation bookkeeping: live = .g2; .g1 kept for in-flight
+    // readers; the original dir GC'd on the second run's entry
+    val parent = new java.io.File(out).getParentFile
+    assert(!new java.io.File(out).exists, "gen-0 dir must be GC'd by run 2")
+    assert(new java.io.File(parent, "t.g1").exists, "previous gen kept")
+    assert(new java.io.File(parent, "t.g2").exists, "live gen missing")
+    val live = new java.io.File(parent, "t.g2")
+    assert(live.listFiles().count(_.getName.endsWith(".parquet")) < 5,
+      "compaction must have collapsed the small files")
+    assert(spark.table("cnogap_t").agg(sum("o_orderkey")).collect().head.getLong(0)
+      == orders.agg(sum("o_orderkey")).collect().head.getLong(0))
+    spark.sql("DROP TABLE cnogap_t")
+  }
+
+  test("catalog compact aborts on a short write BEFORE the location flip") {
+    val out = Files.createTempDirectory("graft_cnogap2").toString + "/t"
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeSink.writeParquet(orders, out, maxRecordsPerFile = 50)
+    LakeSink.registerExternal(spark, "cnogap_abort", out)
+    val nOrig = spark.table("cnogap_abort").count()
+    val ex = intercept[java.io.IOException] {
+      LakeSink.compactTableImpl(spark, "cnogap_abort", 100000,
+        (df, _, dest, fmt) => df.limit(10).repartition(1)
+          .write.format(fmt).save(dest))
+    }
+    assert(ex.getMessage.contains("location unchanged"))
+    // live location untouched, short copy cleaned up, reads intact
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("cnogap_abort")).location
+    assert(new org.apache.hadoop.fs.Path(loc).getName == "t",
+      s"location must not have flipped: $loc")
+    assert(spark.table("cnogap_abort").count() == nOrig)
+    assert(!new java.io.File(new java.io.File(out).getParentFile, "t.g1").exists,
+      "short copy cleaned up")
+    spark.sql("DROP TABLE cnogap_abort")
+  }
+
   test("bucketed tables join with zero Exchange (shuffle-free co-located join)") {
     val orders = Tables.load(spark, TestSpark.sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
