@@ -51,6 +51,50 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("sigkey")
       .drop("sigkey")
 
+  /** Streaming embedding near-dup suppression against a STATIC corpus
+    * — the vector twin of [[minhashDedup]] and the streaming analogue
+    * of batch d11: an incoming vector is dropped when any corpus
+    * vector sharing one of its multi-table sign-LSH band buckets
+    * verifies at >= `threshold` cosine (paraphrase-level re-ingests
+    * that share no shingles and pass every lexical dedup).
+    *
+    * Plan shape — fully STATELESS, which beats bounded state: the
+    * corpus side is grouped ONCE per (table, bucket) into candidate
+    * lists and persisted; each micro-batch row computes its own
+    * bucket per table (same codegen'd difference-hyperplane bits as
+    * batch, so stream and batch can never disagree on banding) and
+    * makes one 1:1 stream-static LEFT join per table — no stream-side
+    * explode, no aggregation, no watermark state; the only per-row
+    * work beyond the joins is the fused-cosine verify over the
+    * candidate list, whose length the LSH sizing rule (BITS ∝
+    * log₂|corpus|) keeps bounded. A degenerate (short/NULL-element)
+    * vector yields NULL cosines, never matches, and passes through —
+    * a malformed row cannot crash the ingest or vanish silently. */
+  def embedNearDupSuppress(stream: DataFrame, corpus: DataFrame,
+      id: String = "vec_id", emb: String = "embedding",
+      threshold: Double = 0.99): DataFrame = {
+    import graft.operators.Similarity.{LSH_TABLES, tableBucket, cosR}
+    val gbs = (0 until LSH_TABLES).map { t =>
+      corpus.select(col(id).as(s"__cid$t"), col(emb).as("__cemb"))
+        .withColumn(s"__bkt$t", tableBucket(col("__cemb"), t))
+        .groupBy(col(s"__bkt$t"))
+        .agg(collect_list(struct(col(s"__cid$t").as("cid"),
+          col("__cemb").as("cemb"))).as(s"__cands$t"))
+        .persist()
+    }
+    val joined = (0 until LSH_TABLES).foldLeft(stream) { (acc, t) =>
+      acc.join(gbs(t), tableBucket(col(emb), t) === col(s"__bkt$t"),
+        "left_outer").drop(s"__bkt$t")
+    }
+    val dup = (0 until LSH_TABLES).map(t =>
+      coalesce(exists(col(s"__cands$t"), c =>
+        c("cid") =!= col(id) && cosR(col(emb), c("cemb")) >= threshold),
+        lit(false)))
+      .reduce(_ || _)
+    joined.filter(!dup)
+      .drop((0 until LSH_TABLES).map(t => s"__cands$t"): _*)
+  }
+
   /** Watermarked stream-stream interval join (streaming q28): each
     * error event joined to the same user's click events within the
     * preceding 5 minutes. Both sides carry watermarks and the join

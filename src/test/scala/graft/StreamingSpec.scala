@@ -63,6 +63,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.intersect(Set(1L, 2L)).size == 1)
   }
 
+  test("streaming embedding near-dup of a corpus vector is suppressed, novel kept") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.load(spark, TestSpark.sf, "embeddings")
+    // planted near-dup: a scaled copy of corpus vector 40 (cosine 1.0
+    // to its source — the paraphrase-style re-ingest no lexical dedup
+    // sees); novel: an axis-aligned vector nothing in the corpus is
+    // 0.995-close to; degenerate: a short vector must pass through
+    val src = corpus.filter(col("vec_id") === 40)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val novel = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val in = MemoryStream[(Long, Array[Float])]
+    in.addData(
+      (1000001L, src.map(x => x * 1.01f)),
+      (1000002L, novel),
+      (1000003L, Array(0.5f, 0.25f)))
+    val out = EventStreams.embedNearDupSuppress(
+      in.toDF().toDF("vec_id", "embedding"), corpus, threshold = 0.995)
+    runToMemory(out.select("vec_id"), "nds", OutputMode.Append)
+    val kept = spark.sql("SELECT vec_id FROM nds").collect()
+      .map(_.getLong(0)).toSet
+    assert(!kept.contains(1000001L), "planted near-dup must be suppressed")
+    assert(kept.contains(1000002L), "novel vector must pass")
+    assert(kept.contains(1000003L), "degenerate vector must pass through")
+  }
+
   test("stream-stream interval join pairs errors with recent clicks only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
