@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *   4. near-dup dedup   ([[Dedup.verifiedPairs]] →
   *                        [[Dedup.connectedComponents]] — one survivor
   *                        per transitive cluster)
+  *   4b. semantic dedup  (OPTIONAL, when an embeddings table is given:
+  *                        [[Similarity.semDedup]] over k-means cells —
+  *                        drops paraphrase-level duplicates lexical
+  *                        dedup can't see)
   *   5. decontamination  ([[TextAnalysis.contaminationAgainst]] vs a
   *                        held-out eval table)
   *   6. stratified mix   ([[Sampling.stratifiedSample]])
@@ -41,12 +45,29 @@ object Curation {
     * mixing ([[Sampling.mixToBudget]] with `rates` reinterpreted as
     * stratum WEIGHTS) instead of fixed-rate stratified sampling —
     * "curate this corpus down to ~B tokens at these source weights"
-    * as one pipeline argument. */
+    * as one pipeline argument.
+    *
+    * `embeddings`: when set — an (embId, embCol) table mapping doc
+    * keys to vectors — a `semantic_dedup` stage ([[Similarity.semDedup]],
+    * SemDeDup over k-means cells) runs AFTER the lexical near-dup
+    * stage: it removes the paraphrase-level duplicates that share no
+    * shingles and so pass every lexical dedup, and runs after it so
+    * only lexical survivors pay the embedding-space pass. Seeds are a
+    * deterministic [[Sampling.hashFrac]] sample at `semSeedRate`, so
+    * cell count grows with the corpus (the SemDeDup scale rule);
+    * choose `semSeedRate` ≳ 125/|corpus| — an empty seed sample
+    * leaves no cells and the stage keeps everything. A doc with no
+    * embedding row cannot be judged and is KEPT — the stage never
+    * silently drops unembedded docs. */
   def curate(docs: DataFrame, id: String, text: String, stratum: Column,
       evalDocs: DataFrame, jaccard: Double = 0.9, maxContam: Double = 0.2,
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
-      tokenBudget: Option[Double] = None): (DataFrame, DataFrame) = {
+      tokenBudget: Option[Double] = None,
+      embeddings: Option[DataFrame] = None,
+      embId: String = "vec_id", embCol: String = "embedding",
+      semCosine: Double = 0.995,
+      semSeedRate: Double = 0.008): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
@@ -85,6 +106,20 @@ object Curation {
       val drops = Dedup.connectedComponents(pairs, "d1", "d2")
         .filter(col("node") =!= col("comp")).select(col("node").as(id))
       d.join(drops, Seq(id), "left_anti")
+    }
+    embeddings.foreach { embTab =>
+      stage("semantic_dedup") { d =>
+        // restrict to the lexical survivors' vectors, then SemDeDup;
+        // drops = embedded docs that did NOT survive (anti of the
+        // survivor set), so unembedded docs are untouched
+        val vecs = embTab.select(col(embId).as("__eid"), col(embCol).as("__e"))
+          .join(d.select(col(id).as("__eid")), Seq("__eid"), "left_semi")
+        val kept = Similarity.semDedup(vecs, "__eid", "__e",
+          Sampling.hashFrac(col("__eid")) < semSeedRate, semCosine)
+        val drops = vecs.select("__eid")
+          .join(kept.select("__eid"), Seq("__eid"), "left_anti")
+        d.join(drops, col(id) === col("__eid"), "left_anti")
+      }
     }
     stage("decontaminate") { d =>
       val contaminated = TextAnalysis

@@ -56,6 +56,37 @@ class CurationSpec extends AnyFunSuite {
       .head().getAs[String]("text").contains("<EMAIL>"))
   }
 
+  test("semantic_dedup drops a planted paraphrase pair, keeps unembedded docs") {
+    import spark.implicits._
+    // docs 1 and 2 share ZERO shingles (every lexical dedup keeps
+    // both) but their embeddings are scaled copies — the SemDeDup
+    // case; doc 3 has NO embedding row and must pass untouched
+    val fillerA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val fillerB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val fillerC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"the cat sat on the mat $fillerA", "en"),
+      (2L, s"a feline rested upon the rug $fillerB", "en"),
+      (3L, s"completely unrelated quarterly report $fillerC", "en"))
+      .toDF("doc_id", "text", "lang")
+    val vec = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    val emb = Seq(
+      (1L, vec), (2L, vec.map(x => x * 1.01f)))
+      .toDF("vec_id", "embedding")
+    val ev = Seq((100L, "held out benchmark text entirely unrelated"))
+      .toDF("doc_id", "text")
+    val (out, rep) = Curation.curate(corpus, "doc_id", "text", col("lang"), ev,
+      embeddings = Some(emb), semSeedRate = 1.0)
+    val stages = rep.collect().map(_.getString(0)).toSeq
+    assert(stages == Seq("pii_scrub", "quality_filter", "exact_dedup",
+      "neardup_dedup", "semantic_dedup", "decontaminate", "stratified_mix"),
+      s"got $stages")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L), "planted paraphrase must be dropped")
+    assert(kept.contains(1L), "the min-id survivor of the pair stays")
+    assert(kept.contains(3L), "an unembedded doc must never be dropped")
+  }
+
   test("token-budget curation lands near the budget and reports the stage") {
     import spark.implicits._
     val (out, rep) = Curation.curate(
