@@ -35,10 +35,12 @@ object GraftSession {
   }
 
   /** Register graft's native SQL functions (cosine_sim,
-    * cosine_sim_nullable, dot_product) on an existing session — for
-    * sessions built from [[builder]] directly rather than [[local]]. */
+    * cosine_sim_nullable, dot_product, luhn_valid) on an existing
+    * session — for sessions built from [[builder]] directly rather
+    * than [[local]]. */
   def attach(s: SparkSession): SparkSession = {
     graft.functions.CosineSimilarity.register(s)
+    graft.functions.LuhnValid.register(s)
     s
   }
 }

@@ -159,27 +159,50 @@ object TextAnalysis {
   val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val piiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val piiPhone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  /** card-shaped digit runs (4-4-4-{1,4}, optional space/dash
+    * separators). A match is only REDACTED when
+    * [[graft.functions.LuhnValid]] confirms the mod-10 checksum —
+    * regex alone would redact every 16-digit order/tracking id. */
+  val piiCc = "\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}\\b"
 
   /** the ONE ordered rule list both [[scrubPii]] and
     * [[scrubbedText]] derive from — order is semantics (each class
-    * counts matches on the previous class's output) */
+    * counts matches on the previous class's output); the
+    * checksum-gated credit-card rule runs LAST, on the output of the
+    * regex rules ([[ccScrub]]) */
   val piiRules: Seq[(String, String)] =
     Seq(piiEmail -> "<EMAIL>", piiIp -> "<IP>", piiPhone -> "<PHONE>")
+
+  /** Luhn-verified matches of [[piiCc]] in `c` — the VALIDATED
+    * candidates only, in match order. */
+  def ccMatches(c: Column): Column =
+    filter(regexp_extract_all(c, lit(piiCc), lit(0)),  // idx 0: whole match
+      m => graft.functions.LuhnValid.luhn_valid(m))
+
+  /** redact every Luhn-verified card match — conditional replacement,
+    * which regexp_replace cannot express: the validated match list is
+    * folded over the text with literal replaces. The fold is an HOF
+    * (interpreted), but it iterates the MATCH list — empty for the
+    * overwhelming majority of rows — never the text. */
+  def ccScrub(c: Column): Column =
+    aggregate(ccMatches(c), c, (acc, m) => replace(acc, m, lit("<CC>")))
 
   /** the chained replacement as one column — the form a pipeline uses
     * to scrub text in place ([[Curation]]'s pii_scrub stage) */
   def scrubbedText(c: Column): Column =
-    piiRules.foldLeft(c) { case (s, (p, r)) => regexp_replace(s, p, r) }
+    ccScrub(piiRules.foldLeft(c) { case (s, (p, r)) => regexp_replace(s, p, r) })
 
   /** PII scrub — the redaction pass every shipped training corpus
-    * runs (emails, phone numbers, IP addresses → typed placeholder
-    * tokens). Patterns apply in a FIXED order (email → ip → phone,
-    * each counting matches on the previous stage's output) so counts
-    * are well-defined when classes could overlap on a dotted digit
-    * run. Pure codegen'd column expressions: at 100 TB this is a
-    * map-only scan stage, no shuffle, no UDF. A NULL text passes
-    * through as NULL counts + NULL clean text (total like every
-    * per-doc scorer). */
+    * runs (emails, phone numbers, IP addresses, credit cards → typed
+    * placeholder tokens). Patterns apply in a FIXED order
+    * (email → ip → phone → card, each counting matches on the
+    * previous stage's output) so counts are well-defined when classes
+    * could overlap on a dotted digit run. The card class is
+    * checksum-gated: only [[ccMatches]] (Luhn-verified) candidates
+    * count and redact. Pure codegen'd column expressions plus the
+    * match-list fold: at 100 TB this is a map-only scan stage, no
+    * shuffle, no UDF. A NULL text passes through as NULL counts +
+    * NULL clean text (total like every per-doc scorer). */
   def scrubPii(docs: DataFrame, id: String, text: String): DataFrame = {
     // stages(k) = text after the first k rules; class k's count is
     // taken on stages(k), so counts and replacements can never drift
@@ -190,7 +213,8 @@ object TextAnalysis {
       regexp_count(stages(0), lit(piiEmail)).cast("long").as("n_email"),
       regexp_count(stages(1), lit(piiIp)).cast("long").as("n_ip"),
       regexp_count(stages(2), lit(piiPhone)).cast("long").as("n_phone"),
-      stages(3).as("text_clean"))
+      size(ccMatches(stages(3))).cast("long").as("n_cc"),
+      ccScrub(stages(3)).as("text_clean"))
   }
 
   def contamination(docs: DataFrame, id: String, text: String,

@@ -238,13 +238,27 @@ object Text {
       .orderBy("verdict", "lang")
   }
 
+  // the Luhn mod-10 check as a SQL boolean over candidate string `m`:
+  // right-to-left fold over the separator-stripped digits, doubling
+  // every second digit — mirrors graft.functions.LuhnValid exactly
+  private def luhnSql(m: String): String = {
+    val clean = s"replace(replace($m, ' ', ''), '-', '')"
+    val dig = s"CAST(substr($clean, strlen($clean) - i + 1, 1) AS INT)"
+    s"""(list_sum(list_transform(range(1, strlen($clean) + 1),
+        i -> CASE WHEN i % 2 = 0 THEN
+               CASE WHEN 2 * $dig > 9 THEN 2 * $dig - 9 ELSE 2 * $dig END
+             ELSE $dig END)) % 10 = 0)"""
+  }
+
   /** PII scrub over the corpus. THIS corpus is PII-free by
     * construction, which makes the oracle check the one that matters
     * for a scrubber's other failure mode: zero false positives — 500
     * clean docs must come back with zero redactions and byte-identical
     * text (clean_fp = md5 of the scrubbed text, hash-compared against
-    * DuckDB's RE2 applying the same patterns). The true-positive side
-    * (planted emails/phones/IPs redacted, counts right) is pinned in
+    * DuckDB's RE2 applying the same patterns — including the
+    * Luhn-gated card rule, reproduced as a list_filter + fold). The
+    * true-positive side (planted emails/phones/IPs/cards redacted,
+    * counts right, Luhn false-positives kept) is pinned in
     * TextMultimodalSpec, where PII can be synthesized freely. */
   val t9 = Q("t9_pii", Some(s"""
     WITH s1 AS (SELECT doc_id,
@@ -258,14 +272,20 @@ object Text {
     s3 AS (SELECT doc_id, n_email, n_ip,
         len(regexp_extract_all(t2, '${TextAnalysis.piiPhone}')) AS n_phone,
         regexp_replace(t2, '${TextAnalysis.piiPhone}', '<PHONE>', 'g') AS t3
-      FROM s2)
+      FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ip, n_phone, t3,
+        list_filter(regexp_extract_all(t3, '${TextAnalysis.piiCc}'),
+          m -> ${luhnSql("m")}) AS ccs
+      FROM s3)
     SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
       CAST(n_ip AS BIGINT) AS n_ip, CAST(n_phone AS BIGINT) AS n_phone,
-      md5(t3) AS clean_fp
-    FROM s3 ORDER BY doc_id""")) { (s, d) =>
+      CAST(len(ccs) AS BIGINT) AS n_cc,
+      md5(list_reduce(list_prepend(t3, ccs),
+        (acc, x) -> replace(acc, x, '<CC>'))) AS clean_fp
+    FROM s4 ORDER BY doc_id""")) { (s, d) =>
     TextAnalysis.scrubPii(t(s, d, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
-        md5(col("text_clean").cast("binary")).as("clean_fp"))
+        col("n_cc"), md5(col("text_clean").cast("binary")).as("clean_fp"))
       .orderBy("doc_id")
   }
 

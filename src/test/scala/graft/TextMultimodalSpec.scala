@@ -142,30 +142,42 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(!r.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
-  test("PII scrub: planted emails/phones/IPs redacted with right counts; clean text byte-identical") {
+  test("PII scrub: planted emails/phones/IPs/cards redacted with right counts; clean text byte-identical") {
     import spark.implicits._
     val planted = Seq(
       (1L, "contact alice@example.com or bob.smith+tag@sub.domain.org today"),
       (2L, "call 555-123-4567 or 555.987.6543 now"),
       (3L, "server at 192.168.1.100 and 10.0.0.1 down"),
       (4L, "clean document with no personal information at all"),
-      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      (5L, null.asInstanceOf[String]),
+      // Luhn-valid cards in all three separator styles -> redacted
+      (6L, "pay with 4111 1111 1111 1111 or 4111-1111-1111-1111 or 4111111111111111 ok"),
+      // card-SHAPED but Luhn-invalid digit runs (an order id and a
+      // tracking number) -> the checksum gate must KEEP them
+      (7L, "order 4111 1111 1111 1112 tracking 1234-5678-9012-3456 intact")
+    ).toDF("doc_id", "text")
     val r = TextAnalysis.scrubPii(planted, "doc_id", "text").collect()
       .map(x => x.getLong(0) -> x).toMap
-    // (doc_id, n_email, n_ip, n_phone, text_clean)
-    assert(r(1L).getLong(1) == 2 && !r(1L).getString(4).contains("@"),
+    // (doc_id, n_email, n_ip, n_phone, n_cc, text_clean)
+    assert(r(1L).getLong(1) == 2 && !r(1L).getString(5).contains("@"),
       s"both emails scrubbed: ${r(1L)}")
-    assert(r(1L).getString(4) ==
+    assert(r(1L).getString(5) ==
       "contact <EMAIL> or <EMAIL> today")
     assert(r(2L).getLong(3) == 2 &&
-      r(2L).getString(4) == "call <PHONE> or <PHONE> now", s"${r(2L)}")
+      r(2L).getString(5) == "call <PHONE> or <PHONE> now", s"${r(2L)}")
     assert(r(3L).getLong(2) == 2 &&
-      r(3L).getString(4) == "server at <IP> and <IP> down", s"${r(3L)}")
+      r(3L).getString(5) == "server at <IP> and <IP> down", s"${r(3L)}")
     assert(r(4L).getLong(1) == 0 && r(4L).getLong(2) == 0 &&
-      r(4L).getLong(3) == 0 &&
-      r(4L).getString(4) == "clean document with no personal information at all",
+      r(4L).getLong(3) == 0 && r(4L).getLong(4) == 0 &&
+      r(4L).getString(5) == "clean document with no personal information at all",
       "a clean doc must come back byte-identical (zero false positives)")
-    assert(r(5L).isNullAt(4), "null text passes through as null, not a crash")
+    assert(r(5L).isNullAt(5), "null text passes through as null, not a crash")
+    assert(r(6L).getLong(4) == 3 &&
+      r(6L).getString(5) == "pay with <CC> or <CC> or <CC> ok", s"${r(6L)}")
+    assert(r(7L).getLong(4) == 0 &&
+      r(7L).getString(5) ==
+        "order 4111 1111 1111 1112 tracking 1234-5678-9012-3456 intact",
+      s"Luhn-invalid digit runs must survive untouched: ${r(7L)}")
   }
 
   test("phash: payload differing in one chunk lands near; unrelated payload far") {
