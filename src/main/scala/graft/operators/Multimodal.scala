@@ -105,8 +105,9 @@ object Multimodal {
   }
 
   /** Perceptual-hash near-dup signature for binary payloads: each
-    * 256-byte chunk votes its digest's low 32 bits; the per-bit
-    * MAJORITY over chunks is the record's signature. Payloads
+    * 256-byte chunk votes the first 32 bits (8 leading hex digits) of
+    * its digest; the per-bit MAJORITY over chunks is the record's
+    * signature. Payloads
     * differing in a minority of chunks (re-encoded tail, small patch,
     * appended metadata) still land on equal-or-near signatures, while
     * unrelated payloads differ in ~16 of 32 bits — the image/video
@@ -116,12 +117,18 @@ object Multimodal {
     *
     * Shape at scale: explodes |chunks| narrow rows (one md5 + 8 small
     * ints each — never payloads), partial-aggregates the 32 bit-votes
-    * per record. Linear in corpus bytes, one narrow shuffle. */
+    * per record. Linear in corpus bytes, one narrow shuffle.
+    *
+    * TOTAL over the input: the chunk count is coalesced so a NULL or
+    * empty payload still explodes one row (NULL digest → zero votes →
+    * phash 0) — explicitly, not via greatest()'s skip-NULL behavior,
+    * so a degenerate row can never silently vanish from the
+    * signature table. */
   def phash(binDf: DataFrame): DataFrame = {
     val chunks = binDf.select(col("record_id"),
       explode(sequence(lit(0),
-        greatest((ceil(octet_length(col("payload")) / 256.0) - 1).cast("int"),
-          lit(0)))).as("ci"),
+        greatest((ceil(coalesce(octet_length(col("payload")), lit(0)) / 256.0)
+          - 1).cast("int"), lit(0)))).as("ci"),
       col("payload"))
       .select(col("record_id"),
         md5(expr("substring(payload, ci * 256 + 1, 256)")).as("hx"))

@@ -22,6 +22,17 @@ class BlobNullSafetySpec extends AnyFunSuite {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
   }
 
+  test("phash is total: NULL and empty payloads emit phash 0, not a dropped row") {
+    val bin = df.select(col("order_id").as("record_id"),
+      col("order_blob").as("payload"))
+    val p = operators.Multimodal.phash(bin).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p.keySet == Set(1L, 2L, 3L),
+      s"every record gets a signature row: ${p.keySet}")
+    assert(p(2L) == 0L, "NULL payload votes nothing -> all-zero signature")
+    assert(p(1L) != 0L, "a real payload must produce a real signature")
+  }
+
   test("externalize: ANY null segment -> NULL pointer, never a malformed prefix") {
     val ext = operators.Migration.externalize(df, col("order_id"),
       col("description"), col("order_blob"))
