@@ -122,28 +122,32 @@ object LakeSink {
     * it; at no point is the table absent (the gap [[compact]]'s
     * two-rename path-swap cannot avoid).
     *
-    * The superseded generation is kept on disk for in-flight readers
+    * Superseded generations are kept on disk for in-flight readers
     * that resolved their file listing before the flip, and
-    * garbage-collected on the NEXT compaction run (entry GC deletes
-    * every generation dir except the live one — which also recovers
-    * the half-written `.g<n+1>` of a run that crashed before its
-    * flip). Readers must therefore finish within one compaction
-    * period — the same contract lakehouse table formats expose as
-    * snapshot-retention. Verification mirrors [[compact]]: a short
+    * garbage-collected on a LATER run's entry once older than
+    * `retainMs` — the snapshot-retention contract lakehouse table
+    * formats expose: a reader is safe as long as its scan finishes
+    * within the retention window (back-to-back compactions with zero
+    * retention WOULD delete a generation mid-scan — the race the
+    * LakeSpec reader thread pins). Generations NEWER than the live
+    * one are a crashed run's half-written, never-published copy — no
+    * reader can hold them, so they are reclaimed immediately
+    * regardless of age. Verification mirrors [[compact]]: a short
     * copy aborts before the flip with the live table untouched.
     * Returns the row count (unchanged by design). */
   def compactTable(spark: SparkSession, table: String,
-      targetRecordsPerFile: Long): Long =
+      targetRecordsPerFile: Long, retainMs: Long = 600000L): Long =
     compactTableImpl(spark, table, targetRecordsPerFile,
       (df, nFiles, dest, format) => df.repartition(nFiles).write.format(format)
         .option("maxRecordsPerFile", targetRecordsPerFile.toString)
-        .mode("overwrite").save(dest))
+        .mode("overwrite").save(dest), retainMs)
 
   /** rewrite step injectable so the spec can plant a short write and
     * assert the verify aborts before the location flip */
   private[graft] def compactTableImpl(spark: SparkSession, table: String,
       targetRecordsPerFile: Long,
-      rewrite: (DataFrame, Int, String, String) => Unit): Long = {
+      rewrite: (DataFrame, Int, String, String) => Unit,
+      retainMs: Long = 600000L): Long = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
     require(catalog.tableExists(ident), s"unknown table $table")
@@ -153,23 +157,29 @@ object LakeSink {
     val fs = curLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // generation arithmetic: live location is <stem> (gen 0, the
     // originally-registered dir) or <stem>.g<n>
-    val name = curLoc.getName
-    val gIdx = name.lastIndexOf(".g")
-    val (stem, gen) =
-      if (gIdx > 0 && name.length > gIdx + 2 &&
-          name.substring(gIdx + 2).forall(_.isDigit))
-        (name.substring(0, gIdx), name.substring(gIdx + 2).toLong)
-      else (name, 0L)
-    // entry GC: every generation except the live one is either the
-    // previous gen (in-flight grace expired) or a crashed run's
-    // half-written copy — both go
+    def parseGen(n: String): (String, Long) = {
+      val gIdx = n.lastIndexOf(".g")
+      if (gIdx > 0 && n.length > gIdx + 2 &&
+          n.substring(gIdx + 2).forall(_.isDigit))
+        (n.substring(0, gIdx), n.substring(gIdx + 2).toLong)
+      else (n, 0L)
+    }
+    val (stem, gen) = parseGen(curLoc.getName)
+    // entry GC under the retention contract: a generation NEWER than
+    // the live one was never published (a crashed run's half-written
+    // copy) — reclaim immediately; a SUPERSEDED generation may still
+    // be mid-scan by a reader that resolved before the last flip —
+    // reclaim only once older than retainMs
     def glob(p: org.apache.hadoop.fs.Path) =   // null, not empty, on no match
       Option(fs.globStatus(p)).getOrElse(Array.empty)
-    val stale = (glob(new org.apache.hadoop.fs.Path(
-        curLoc.getParent, stem + ".g*")) ++
+    val now = System.currentTimeMillis()
+    (glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem + ".g*")) ++
         glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem)))
-      .map(_.getPath).filterNot(_ == curLoc)
-    stale.foreach(p => require(fs.delete(p, true), s"stale generation $p undeletable"))
+      .filterNot(_.getPath == curLoc)
+      .filter(st => parseGen(st.getPath.getName)._2 > gen ||
+        now - st.getModificationTime > retainMs)
+      .foreach(st => require(fs.delete(st.getPath, true),
+        s"stale generation ${st.getPath} undeletable"))
     val next = new org.apache.hadoop.fs.Path(curLoc.getParent, s"$stem.g${gen + 1}")
     val df = spark.table(table)
     val n = df.count()

@@ -118,6 +118,8 @@ class LakeSpec extends AnyFunSuite {
     })
     reader.start()
     try {
+      // default retention: superseded gens survive back-to-back runs,
+      // so a reader mid-scan of gen 0 across BOTH flips never 404s
       val n1 = LakeSink.compactTable(spark, "cnogap_t", 100000)
       val n2 = LakeSink.compactTable(spark, "cnogap_t", 100000)
       assert(n1 == nOrig && n2 == nOrig)
@@ -125,13 +127,21 @@ class LakeSpec extends AnyFunSuite {
     assert(errs.isEmpty, s"reader saw a gap: ${errs.peek()}")
     assert(seen.size() > 0)
     seen.forEach(c => assert(c == nOrig, s"reader saw a partial table: $c"))
-    // generation bookkeeping: live = .g2; .g1 kept for in-flight
-    // readers; the original dir GC'd on the second run's entry
     val parent = new java.io.File(out).getParentFile
-    assert(!new java.io.File(out).exists, "gen-0 dir must be GC'd by run 2")
-    assert(new java.io.File(parent, "t.g1").exists, "previous gen kept")
-    assert(new java.io.File(parent, "t.g2").exists, "live gen missing")
-    val live = new java.io.File(parent, "t.g2")
+    // retention held gens 0 and 1 on disk while readers were live
+    assert(new java.io.File(out).exists, "gen-0 must survive within retention")
+    assert(new java.io.File(parent, "t.g1").exists, "gen-1 must survive within retention")
+    // readers done → a zero-retention run's entry GC reclaims every
+    // superseded generation, keeping only its own predecessor + live
+    val n3 = LakeSink.compactTable(spark, "cnogap_t", 100000, retainMs = 0L)
+    assert(n3 == nOrig)
+    assert(!new java.io.File(out).exists, "gen-0 must be GC'd past retention")
+    assert(!new java.io.File(parent, "t.g1").exists, "gen-1 must be GC'd past retention")
+    // g2 was LIVE at run 3's entry (GC never touches the live gen);
+    // it is superseded only by run 3's own flip, after the GC ran
+    assert(new java.io.File(parent, "t.g2").exists, "run-3's input generation kept")
+    assert(new java.io.File(parent, "t.g3").exists, "live gen missing")
+    val live = new java.io.File(parent, "t.g3")
     assert(live.listFiles().count(_.getName.endsWith(".parquet")) < 5,
       "compaction must have collapsed the small files")
     assert(spark.table("cnogap_t").agg(sum("o_orderkey")).collect().head.getLong(0)

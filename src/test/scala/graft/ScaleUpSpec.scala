@@ -57,4 +57,29 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(distinctTexts > srcCnt * 2,
       s"only $distinctTexts distinct texts across ${srcCnt * 3} docs")
   }
+
+  test("second decade: factor > 10 keeps replicas distinct (two-alphabet rotation)") {
+    // replica 10 shares replica 0's Alpha shift and differs only in
+    // the Beta rotation — the exact collision the single-alphabet
+    // design had; 12 replicas must still be pairwise non-identical
+    val out12 = java.nio.file.Files
+      .createTempDirectory("scaleup-spec-12").toString
+    ScaleUp.run(spark, TestSpark.sf, out12, 12, Set("documents"))
+    val docs = spark.read.parquet(s"$out12/documents.parquet")
+    val srcCnt = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(docs.count() == srcCnt * 12)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(distinctTexts > srcCnt * 11,
+      s"only $distinctTexts distinct texts across ${srcCnt * 12} docs — " +
+        "replicas 10+ must not collapse onto replicas 0-9")
+    // the subset arg materialized ONLY documents
+    assert(!new java.io.File(s"$out12/lineitem.parquet").exists())
+  }
+
+  test("factor past the 100 distinct re-letterings is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.run(spark, TestSpark.sf, "/tmp/never-written", 101)
+    }
+    assert(e.getMessage.contains("[1, 100]"))
+  }
 }
