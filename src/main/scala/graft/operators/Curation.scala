@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *                        [[Dedup.connectedComponents]] — one survivor
   *                        per transitive cluster)
   *   4b. semantic dedup  (OPTIONAL, when an embeddings table is given:
-  *                        [[Similarity.semDedup]] over k-means cells —
+  *                        [[Similarity.semDedupLsh]] over k-means cells —
   *                        drops paraphrase-level duplicates lexical
   *                        dedup can't see)
   *   5. decontamination  ([[TextAnalysis.contaminationAgainst]] vs a
@@ -48,7 +48,7 @@ object Curation {
     * as one pipeline argument.
     *
     * `embeddings`: when set — an (embId, embCol) table mapping doc
-    * keys to vectors — a `semantic_dedup` stage ([[Similarity.semDedup]],
+    * keys to vectors — a `semantic_dedup` stage ([[Similarity.semDedupLsh]],
     * SemDeDup over k-means cells) runs AFTER the lexical near-dup
     * stage: it removes the paraphrase-level duplicates that share no
     * shingles and so pass every lexical dedup, and runs after it so
@@ -114,8 +114,14 @@ object Curation {
         // survivor set), so unembedded docs are untouched
         val vecs = embTab.select(col(embId).as("__eid"), col(embCol).as("__e"))
           .join(d.select(col(id).as("__eid")), Seq("__eid"), "left_semi")
-        val kept = Similarity.semDedup(vecs, "__eid", "__e",
-          Sampling.hashFrac(col("__eid")) < semSeedRate, semCosine)
+        // the LSH-assigned SemDeDup (d16's operator): the Lloyd
+        // assignment stays linear when the seed count — k ∝ corpus
+        // under the constant-cell-size rule — grows; bits sized from
+        // the seed count (one cheap count on the survivor vectors)
+        val seedPred = Sampling.hashFrac(col("__eid")) < semSeedRate
+        val bits = Similarity.corpusBits(vecs.filter(seedPred).count(), 4)
+        val kept = Similarity.semDedupLsh(vecs, "__eid", "__e",
+          seedPred, semCosine, bits)
         val drops = vecs.select("__eid")
           .join(kept.select("__eid"), Seq("__eid"), "left_anti")
         d.join(drops, col(id) === col("__eid"), "left_anti")

@@ -69,6 +69,20 @@ object Similarity {
   val LSH_BITS = 12
   val LSH_TABLES = 4
 
+  /** The BITS ∝ log₂|corpus| sizing rule as code: smallest bits
+    * keeping per-table bucket occupancy ≤ `occupancy` (clamped to
+    * [2, 15]: below 2 the probes cover every bucket anyway; above 15
+    * the 64-entry difference-hyperplane pool would recycle planes
+    * across tables — at >2^19-vector corpora, widen [[planeDims]]'s
+    * pair family instead). A FIXED bits is the quadratic trap the §6
+    * second-decade run measured on s2/d11: occupancy — and so
+    * candidates per probe/pair scan — grows 10× per decade. Callers
+    * get n from a metadata-cheap count (parquet footers / catalog
+    * stats), so sizing costs no data scan. */
+  def corpusBits(n: Long, occupancy: Int = 8): Int =
+    math.min(15, math.max(2, math.ceil(
+      math.log(math.max(n, 1L).toDouble / occupancy) / math.log(2.0)).toInt))
+
   /** dim-pair index for hyperplane `idx`: bit = [e[a] >= e[b]].
     * Difference hyperplanes (x_a - x_b >= 0) are valid LSH planes and
     * are expressible IDENTICALLY in any SQL engine — no random
@@ -416,6 +430,107 @@ object Similarity {
     // and without the checkpoint each side re-runs the training loop
     // (measured 66s vs 9s at the 10x scale-up corpus).
     val cells = kmeansAssign(vectors, id, emb, seedPred, iters)
+      .localCheckpoint(true)
+    val v = vectors.join(cells, Seq(id))
+    val a = v.select(col(id).as("v1"), col(emb).as("e1"), col("cell"))
+    val b = v.select(col(id).as("v2"), col(emb).as("e2"), col("cell"))
+    val dups = a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
+      .select(col("v2").as("__dup"), cosR(col("e1"), col("e2")).as("c6"))
+      .filter(col("c6") >= threshold)
+      .select(col("__dup")).distinct()
+    vectors.join(dups, col(id) === col("__dup"), "left_anti")
+  }
+
+  /** One LSH-ACCELERATED Lloyd assignment pass — the fix for the
+    * coarse quantizer's hidden quadratic term. [[argmaxAssign]] is
+    * |corpus|·k dot products per pass; with SemDeDup's k ∝ |corpus|
+    * sizing (constant cell occupancy) that is |corpus|²-grade work —
+    * invisible at the first scale decade (§6 r=5.0) and dominant at
+    * the second (d13's sf10 assignment is 100× its sf1 cost).
+    *
+    * Here each vector scores only CANDIDATE centroids that share a
+    * sign-LSH band with it ([[tableBucket]] over TABLES tables +
+    * Hamming-1 probes on the vector side — the s2/d11 machinery
+    * pointed at the centroid table), and the argmax is the same
+    * map-side max_by. Vectors sharing no band with any centroid fall
+    * back to the EXACT brute argmax — approximation can degrade an
+    * assignment, never lose a vector. With `bits` sized so per-table
+    * occupancy k/2^bits stays constant (bits ∝ log₂ k, the [[LSH_BITS]]
+    * rule), candidates per vector are O(1) and the pass is LINEAR in
+    * the corpus at any k.
+    *
+    * Plan shape: the banded centroid table (k·TABLES rows) and the
+    * centroid table itself both BROADCAST; band-probe generation is a
+    * map-side explode (TABLES·(bits+1) keys/vector); both joins are
+    * broadcast-hash; both argmaxes collapse map-side (max_by partial
+    * agg) — only |corpus| assigned rows ever shuffle, same as the
+    * exact pass. */
+  private def argmaxAssignLsh(vectors: DataFrame, id: String, emb: String,
+      cents: DataFrame, bits: Int, tables: Int,
+      cos: (Column, Column) => Column): DataFrame = {
+    val cb = broadcast(cents.select(col("cell"), col("ce"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), tableBucket(col("ce"), t, bits).as("bkt"))): _*))
+        .as("b"))
+      .select(col("cell"), col("ce"), col("b.t").as("t"), col("b.bkt").as("bkt")))
+    val vb0 = vectors.select(col(id), col(emb),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), tableBucket(col(emb), t, bits).as("bkt"))): _*))
+        .as("b"))
+      .select(col(id), col(emb), col("b.t").as("t"), col("b.bkt").as("bkt"))
+    val probes = vb0.unionByName(vb0.select(col(id), col(emb), col("t"),
+      explode(array((0 until bits).map(i => flipBit(col("bkt"), i)): _*)).as("bkt")))
+    // duplicate (id, cell) candidate rows (multi-table collisions) are
+    // harmless under max_by — same (ac, cell) ordering struct — so no
+    // dedupe shuffle is spent on them
+    def argmax(cand: DataFrame): DataFrame = cand
+      .select(col(id), col(emb), col("cell"), cos(col(emb), col("ce")).as("ac"))
+      .groupBy(col(id))
+      .agg(max_by(struct(col(emb).as("e"), col("cell").as("a")),
+        struct(col("ac"), (-col("cell")).as("na"))).as("m"))
+      .select(col(id), col("m.e").as(emb), col("m.a").as("cell"))
+    val assigned = argmax(probes.join(cb, Seq("t", "bkt")))
+    val fallback = argmax(vectors
+      .join(assigned.select(col(id)), Seq(id), "left_anti")
+      .crossJoin(broadcast(cents)))
+    assigned.unionByName(fallback)
+  }
+
+  /** [[kmeansAssign]] with the LSH-accelerated assignment pass:
+    * identical Lloyd structure (deterministic seed subset, exact
+    * scaled-long centroid means, max-cosine/min-cell argmax over the
+    * CANDIDATE set), linear per pass at any centroid count. `bits`
+    * follows the [[LSH_BITS]] sizing rule against k = |seeds|. */
+  def kmeansAssignLsh(vectors: DataFrame, id: String, emb: String,
+      seedPred: Column, iters: Int, bits: Int,
+      tables: Int = LSH_TABLES, dims: Int = 64): DataFrame = {
+    val seeds = vectors.filter(seedPred)
+      .select(col(id).as("cell"), col(emb).as("ce"))
+    var asg = argmaxAssignLsh(vectors, id, emb, seeds, bits, tables,
+      (a, b) => cosR(a, b))
+    (1 until iters).foreach { _ =>
+      val cents = asg.groupBy("cell").agg(
+        array((1 to dims).map(i =>
+          sum(floor(try_element_at(col(emb), lit(i)) * 1000000.0 + 0.5))
+            .cast("double") / 1000000.0 / count(lit(1))): _*).as("ce"))
+      asg = argmaxAssignLsh(vectors, id, emb, cents, bits, tables,
+        (a, b) => cosRD(a, b))
+    }
+    asg.select(col(id), col("cell"))
+  }
+
+  /** [[semDedup]] with the LSH-accelerated coarse assignment — the
+    * SHIPPED linear form of SemDeDup for the k ∝ |corpus| sizing, the
+    * same relationship d11 has to d5: identical pair-mine/verify/drop
+    * semantics within each cell, only the cell ASSIGNMENT swaps the
+    * |corpus|·k brute argmax for band-blocked candidates + exact
+    * fallback. A vector can land in a non-nearest cell (its near-dup
+    * may then sit in another cell and survive) — the standard
+    * ANN-assignment recall trade, bounded by TABLES·(bits+1) probes. */
+  def semDedupLsh(vectors: DataFrame, id: String, emb: String,
+      seedPred: Column, threshold: Double, bits: Int,
+      iters: Int = 2): DataFrame = {
+    val cells = kmeansAssignLsh(vectors, id, emb, seedPred, iters, bits)
       .localCheckpoint(true)
     val v = vectors.join(cells, Seq(id))
     val a = v.select(col(id).as("v1"), col(emb).as("e1"), col("cell"))

@@ -30,17 +30,23 @@ object Embed {
     s"floor((${dotSql(a, b)} / ($a.nrm * $b.nrm)) * 1000000.0 + 0.5) / 1000000.0"
   // multi-table LSH oracle, generated from the SAME constants the
   // Spark operator uses (bits/tables/dim-pair hyperplanes) so the two
-  // can never drift
-  private val B = Similarity.LSH_BITS
+  // can never drift. BITS follows the corpusBits occupancy rule, not
+  // a fixed constant (§6's second-decade run measured fixed-bits s2 at
+  // quadratic growth: occupancy ×10 per decade × probes ×10): the
+  // Spark queries size it from a metadata-cheap corpus count, and the
+  // oracle pins the value the rule yields at the correctness gate's SF
+  // (500 vectors, occupancy 8 → bits = 6).
   private val T = Similarity.LSH_TABLES
-  private def tableBucketSql(t: Int): String = (0 until B).map { i =>
-    val (a, b) = Similarity.planeDims(t * B + i)
-    s"(CASE WHEN embedding[${a + 1}] >= embedding[${b + 1}] THEN ${1 << i} ELSE 0 END)"
-  }.mkString(" + ")
+  private val CB = Similarity.corpusBits(500)
+  private def bandSqlOf(src: String, t: Int, bits: Int): String =
+    (0 until bits).map { i =>
+      val (a, b) = Similarity.planeDims(t * bits + i)
+      s"(CASE WHEN $src[${a + 1}] >= $src[${b + 1}] THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
   private val corpusBandsSql = (0 until T)
-    .map(t => s"SELECT vec_id, embedding, nrm, $t AS t, ${tableBucketSql(t)} AS bkt FROM v")
+    .map(t => s"SELECT vec_id, embedding, nrm, $t AS t, ${bandSqlOf("embedding", t, CB)} AS bkt FROM v")
     .mkString("\n      UNION ALL ")
-  private val flipValuesSql = (0 until B).map(i => s"(${1 << i})").mkString(",")
+  private val flipValuesSql = (0 until CB).map(i => s"(${1 << i})").mkString(",")
 
   val d5 = Q("d5_embed_neardup", Some(s"""
     WITH $normCte,
@@ -91,8 +97,10 @@ object Embed {
     SELECT probe_id, rn, neighbor_id, c6 AS cos6
     FROM r WHERE rn <= 5
     ORDER BY probe_id, rn""")) { (s, d) =>
-    Similarity.lshKnn(t(s, d, "embeddings"), "vec_id", "embedding",
-      col("vec_id") % 17 === 0, 5)
+    val vecs = t(s, d, "embeddings")
+    Similarity.lshKnn(vecs, "vec_id", "embedding",
+      col("vec_id") % 17 === 0, 5,
+      bits = Similarity.corpusBits(vecs.count()))
       .orderBy("probe_id", "rn")
   }
 
@@ -283,6 +291,112 @@ object Embed {
       .orderBy("label")
   }
 
+  // ---- d16: SemDeDup with the LSH-accelerated coarse assignment ----
+  // The assignment-side twin of d11's fix: d13's Lloyd passes score
+  // every vector against every centroid (|corpus|·k dots; k ∝ corpus
+  // under SemDeDup's constant-cell-size rule → quadratic — measured at
+  // the SECOND scale decade, §6: invisible at sf1, dominant at sf10).
+  // d16 scores only centroids sharing a sign-LSH band with the vector
+  // (+ Hamming-1 probes), with an EXACT brute fallback for vectors
+  // sharing no band with any centroid. `bits` follows the LSH_BITS
+  // sizing rule against k; the oracle pins the rule's value at the
+  // correctness gate's SF (k = 4 seeds at sf0.01 → bits = 2) and
+  // regenerates the same hyperplanes/flips from the shared constants.
+  private val DB = Similarity.corpusBits(4, 4) // = 2 at the gate SF (k = 4 seeds)
+  private val dFlipValues = (0 until DB).map(i => s"(${1 << i})").mkString(",")
+  // cosine of vector p against a DOUBLE-array centroid c.ce (norm
+  // computed from the centroid itself) — same expression as sc1
+  private val cosCentSql =
+    """floor(((list_sum(list_transform(range(1, 65),
+         i -> p.embedding[i]::DOUBLE * c.ce[i])) /
+       (p.nrm * sqrt(list_sum(list_transform(c.ce, x -> x * x))))))
+       * 1000000.0 + 0.5) / 1000000.0"""
+  private val lshKmeansCtes = s"""
+    seeds AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cnrm
+              FROM v WHERE vec_id % 125 = 0),
+    cb1 AS (${(0 until T).map(t =>
+      s"SELECT cell, ce, cnrm, $t AS t, ${bandSqlOf("ce", t, DB)} AS bkt FROM seeds")
+      .mkString("\n      UNION ALL ")}),
+    vb0 AS (${(0 until T).map(t =>
+      s"SELECT vec_id, embedding, nrm, $t AS t, ${bandSqlOf("embedding", t, DB)} AS bkt FROM v")
+      .mkString("\n      UNION ALL ")}),
+    vp AS (SELECT vec_id, embedding, nrm, t, bkt FROM vb0
+           UNION ALL
+           SELECT vec_id, embedding, nrm, t,
+             CASE WHEN (bkt // f) % 2 = 1 THEN bkt - f ELSE bkt + f END AS bkt
+           FROM vb0 CROSS JOIN (VALUES $dFlipValues) fl(f)),
+    ca1 AS (SELECT p.vec_id, p.embedding, p.nrm, c.cell,
+              floor((list_sum(list_transform(range(1, 65),
+                       i -> p.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+                     (p.nrm * c.cnrm)) * 1000000.0 + 0.5) / 1000000.0 AS ac
+            FROM vp p JOIN cb1 c ON p.t = c.t AND p.bkt = c.bkt),
+    as1c AS (SELECT vec_id, embedding, cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY ac DESC, cell) AS rn FROM ca1)
+             WHERE rn = 1),
+    fb1 AS (SELECT vec_id, embedding, cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ac DESC, cell) AS rn FROM
+               (SELECT w.vec_id, w.embedding, s.cell,
+                  floor((list_sum(list_transform(range(1, 65),
+                           i -> w.embedding[i]::DOUBLE * s.ce[i]::DOUBLE)) /
+                         (w.nrm * s.cnrm)) * 1000000.0 + 0.5) / 1000000.0 AS ac
+                FROM v w CROSS JOIN seeds s
+                WHERE NOT EXISTS (SELECT 1 FROM as1c x
+                                  WHERE x.vec_id = w.vec_id)) q0) q1
+            WHERE q1.rn = 1),
+    lasg1 AS (SELECT vec_id, embedding, cell FROM as1c
+              UNION ALL SELECT vec_id, embedding, cell FROM fb1),
+    lcent AS (SELECT cell, $meanExprs AS ce FROM lasg1 GROUP BY cell),
+    cb2 AS (${(0 until T).map(t =>
+      s"SELECT cell, ce, $t AS t, ${bandSqlOf("ce", t, DB)} AS bkt FROM lcent")
+      .mkString("\n      UNION ALL ")}),
+    ca2 AS (SELECT p.vec_id, c.cell, $cosCentSql AS ac
+            FROM vp p JOIN cb2 c ON p.t = c.t AND p.bkt = c.bkt),
+    as2c AS (SELECT vec_id, cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY ac DESC, cell) AS rn FROM ca2)
+             WHERE rn = 1),
+    fb2 AS (SELECT vec_id, cell FROM
+             (SELECT p.vec_id, c.cell,
+                row_number() OVER (PARTITION BY p.vec_id
+                                   ORDER BY $cosCentSql DESC, c.cell) AS rn
+              FROM v p CROSS JOIN lcent c
+              WHERE NOT EXISTS (SELECT 1 FROM as2c x WHERE x.vec_id = p.vec_id)) q
+            WHERE q.rn = 1),
+    lasg2 AS (SELECT vec_id, cell FROM as2c
+              UNION ALL SELECT vec_id, cell FROM fb2)"""
+
+  /** d16: SemDeDup over LSH-assigned k-means cells — the SHIPPED
+    * linear form of d13 for the k ∝ |corpus| sizing (d11 : d5 ::
+    * d16 : d13). Identical within-cell pair-mine/verify/drop; only
+    * the Lloyd ASSIGNMENT swaps the |corpus|·k brute argmax for
+    * band-blocked candidate centroids + exact brute fallback. The
+    * Spark side sizes `bits` from the seed count with the LSH_BITS
+    * rule (one cheap count action — a production caller reads its
+    * corpus size from catalog stats instead); the rule yields 2 at
+    * the correctness gate's SF, which the oracle pins. */
+  val d16 = Q("d16_semdedup_lsh", Some(s"""
+    WITH $normCte,
+    $lshKmeansCtes,
+    av AS (SELECT v.vec_id, v.embedding, v.nrm, lasg2.cell
+           FROM v JOIN lasg2 USING (vec_id)),
+    p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, ${cosRSql("a", "b")} AS c6
+          FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    dups AS (SELECT DISTINCT v2 FROM p WHERE c6 >= 0.35)
+    SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs
+    FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM dups WHERE v2 = e.vec_id)
+    GROUP BY label ORDER BY label""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val k = vecs.filter(col("vec_id") % 125 === 0).count()
+    Similarity.semDedupLsh(vecs, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, 0.35, Similarity.corpusBits(k, 4))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label")
+  }
+
   /** d11: the LINEAR-scale variant of d5 — near-dup pair mining with
     * candidates from the multi-table sign-LSH bands instead of a
     * fixed-cardinality label block (SURVEY §6 measured d5 at r=13.9
@@ -301,9 +415,11 @@ object Embed {
                       JOIN v b ON b.vec_id = c.v2)
     SELECT v1, v2, c6 AS cos6 FROM p
     WHERE c6 >= 0.2 ORDER BY v1, v2""")) { (s, d) =>
-    Similarity.nearDupPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.2)
+    val vecs = t(s, d, "embeddings")
+    Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding", 0.2,
+      bits = Similarity.corpusBits(vecs.count()))
       .orderBy("v1", "v2")
   }
 
-  val qs: Seq[Q] = Seq(d5, d11, d13, s1, s2, s3, s4, s5)
+  val qs: Seq[Q] = Seq(d5, d11, d13, d16, s1, s2, s3, s4, s5)
 }

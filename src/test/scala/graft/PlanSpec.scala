@@ -215,6 +215,26 @@ class PlanSpec extends AnyFunSuite {
       "verification must use the native fused cosine")
   }
 
+  test("d16 band candidates join broadcast-hash; only the exact fallback nests") {
+    // the LSH-accelerated assignment must look like: banded centroid
+    // table BROADCAST + hash join on (t, bkt); the sole nested-loop
+    // allowed is the exact brute fallback against the (tiny, broadcast)
+    // centroid table — a CartesianProduct anywhere means a vectors-side
+    // blow-up snuck in. Pinned on the assignment plan itself (the
+    // shipped query localCheckpoints it, which would hide the lineage).
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val p = operators.Similarity.kmeansAssignLsh(emb, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, iters = 2, bits = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "band candidate join must be broadcast-hash")
+    assert(!p.contains("CartesianProduct"),
+      "no non-broadcast cross product anywhere in the assignment")
+    assert(p.contains("cosinesimilarity"),
+      "assignment scoring must use the native fused cosine")
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val df = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.sf)
     df.collect() // materialise the AQE final plan

@@ -197,6 +197,36 @@ class SimilaritySpec extends AnyFunSuite {
       s"${corpus.count() - plantedIds.size - survivors.size} innocents dropped")
   }
 
+  test("LSH-assigned semDedup: total, deterministic, and drops planted near-dups") {
+    // the scaled copy shares every sign-LSH band with its source
+    // (x_a >= x_b is invariant under positive scaling), so source and
+    // copy see IDENTICAL candidate centroids — fallback or not — and
+    // land in the same cell: the planted pair is always mined
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => (x * 1.01d).cast("float"))
+          .as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val kept = Similarity.semDedupLsh(corpus, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, 0.995, bits = 2)
+    val survivors = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    val plantedIds = planted.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(plantedIds.intersect(survivors).isEmpty,
+      s"${plantedIds.intersect(survivors).size} planted copies survived")
+    assert(survivors.size == corpus.count() - plantedIds.size,
+      s"${corpus.count() - plantedIds.size - survivors.size} innocents dropped")
+    // assignment totality: band candidates OR exact fallback — a
+    // vector can land in a worse cell, never in no cell / two cells
+    val asg = Similarity.kmeansAssignLsh(emb, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, iters = 2, bits = 2)
+    assert(asg.count() == emb.count() &&
+      asg.select("vec_id").distinct().count() == emb.count())
+    // and deterministic: two independent builds agree row-for-row
+    val asg2 = Similarity.kmeansAssignLsh(emb, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, iters = 2, bits = 2)
+    assert(asg.exceptAll(asg2).count() == 0 && asg2.exceptAll(asg).count() == 0)
+  }
+
   test("LSH-blocked near-dup pairs find every planted exact duplicate") {
     // an exact copy shares every band bucket, so it collides in ALL
     // tables: recall on exact dups is 1.0 by construction, not chance
