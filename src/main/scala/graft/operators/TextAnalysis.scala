@@ -222,6 +222,60 @@ object TextAnalysis {
     contaminationAgainst(docs.filter(!isEval), docs.filter(isEval),
       id, text)
 
+  /** Corpus-trained bigram language-model scoring — the perplexity
+    * quality filter (CCNet/Gopher-style: score every document by how
+    * "expected" its word sequences are under a model of the corpus
+    * itself; outliers at either tail are spam/boilerplate/garble
+    * candidates). Self-contained: the LM IS the corpus's own bigram
+    * table — no external model file.
+    *
+    * Model: Laplace-smoothed bigram MLE. With c12(w1,w2) = corpus
+    * bigram count, c1(w1) = Σ_w2 c12(w1,w2) (the context count, so
+    * the conditional sums to 1 by construction) and V = corpus
+    * unigram vocabulary size, each bigram scores
+    * ln((c12 + 1) / (c1 + V)).
+    *
+    * Determinism across engines: a per-doc avg of doubles is
+    * summation-order-dependent, so each bigram's log-prob is rounded
+    * half-up to MICRO units and cast to long FIRST; the per-doc sum
+    * is then exact integer arithmetic (order-free), and only the
+    * final avg_ll is a (4dp-rounded) double. ln() differs by ≤1 ulp
+    * across IEEE libms — 10 orders below the 1e-6 grid.
+    *
+    * Scale shape: bigram extraction is a map-only arrays_zip over the
+    * pre-split token array (codegen'd — no HOF lambda, no self-join);
+    * c12/c1/V are partial-agg shuffles of narrow (w1,w2,count) rows;
+    * the score join is a standard fact-dim shuffle join on the bigram
+    * key (dim side = one row per DISTINCT bigram; AQE skew-split
+    * covers hot function-word bigrams), with V broadcast as one row.
+    * Nothing ever shuffles documents. Total over the input: docs with
+    * <2 tokens (or NULL text) get n_bigrams=0, ll_micro=0,
+    * avg_ll=NULL — scored "no evidence", never silently dropped. */
+  def lmScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(col(id), tokens(col(text)).as("tk"))
+    val bg = toks.select(col(id),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+      .select(col(id), col("p.0").as("w1"), col("p.1").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val v = toks.select(explode(col("tk")).as("w"))
+      .agg(count_distinct(col("w")).as("vs"))
+    val lp = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col(id),
+        floor(log((col("n12") + 1.0) / (col("n1") + col("vs"))) * 1e6 + 0.5)
+          .cast("long").as("lp_micro"))
+    val agg = lp.groupBy(col(id)).agg(
+      count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("ll_micro"))
+    docs.select(col(id)).join(agg, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ll_micro"), lit(0L)).as("ll_micro"),
+        roundA(col("ll_micro") / 1e6 / col("n_bigrams"), 4).as("avg_ll"))
+  }
+
   /** [[contamination]] with the eval set as its own table — the usual
     * pipeline shape (benchmarks live in a separate, static table; the
     * train side may even be a STREAM: the eval array is a static

@@ -289,6 +289,34 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** corpus-trained bigram LM scoring ([[TextAnalysis.lmScore]]) —
+    * the perplexity quality filter. The oracle retrains the same
+    * Laplace bigram model in SQL (list_zip bigrams → count CTEs) and
+    * reproduces the micro-unit fixed-point log-probs, so the whole
+    * train→score path is hash-checked; per-doc sums are exact longs
+    * (summation-order-free), only the final avg is a rounded double. */
+  val t10 = Q("t10_lm", Some("""
+    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+    bg AS (SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+           FROM tok, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(p)),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY w1),
+    v AS (SELECT count(DISTINCT w) AS vs FROM (SELECT unnest(l) AS w FROM tok)),
+    lp AS (SELECT b.doc_id,
+             CAST(floor(ln((c12.n12 + 1.0) / (c1.n1 + v.vs)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS lp_micro
+           FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp_micro) AS ll_micro
+            FROM lp GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+      CAST(coalesce(a.ll_micro, 0) AS BIGINT) AS ll_micro,
+      floor((a.ll_micro / 1000000.0 / a.n_bigrams) * 10000.0 + 0.5) / 10000.0 AS avg_ll
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id""")) { (s, d) =>
+    TextAnalysis.lmScore(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // m6's bit-majority SQL, mirroring queries/Dedup.d3's generators but
   // over 256-byte chunk digests instead of token digests
   private val chunkDigits = (0 until 8)
@@ -321,5 +349,5 @@ object Text {
       .orderBy("record_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, d1, m1, m2, m3, m4, m5, m6)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, d1, m1, m2, m3, m4, m5, m6)
 }

@@ -290,4 +290,19 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "expected partial + final vote aggregation:\n" + p.take(1200))
   }
+
+  test("t10 LM: bigram extraction is a codegen'd generate, vocab size broadcast") {
+    val p = plan("t10_lm")
+    // arrays_zip over pre-split slices — a Generate, NOT an HOF lambda
+    // (zip_with/transform run interpreted: the §6 trap) and NOT a
+    // positional self-join (which would shuffle the token stream)
+    assert(p.contains("Generate explode"), p.take(1200))
+    assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
+      "bigrams must not come from an interpreted HOF:\n" + p.take(1200))
+    // V (one row) joins the score stage by broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    // bigram counts map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "expected partial+final aggregation for c12 and the per-doc sums")
+  }
 }

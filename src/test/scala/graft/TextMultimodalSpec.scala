@@ -305,6 +305,28 @@ class TextMultimodalSpec extends AnyFunSuite {
       .count() == 1, "NULL-token doc must emit one empty slice")
   }
 
+  test("lmScore: hand-computed Laplace bigram log-probs, total over degenerate docs") {
+    import spark.implicits._
+    val planted = Seq((1L, "a b a b a c"), (2L, "x"), (3L, null: String))
+      .toDF("doc_id", "text")
+    // corpus model: c12 = {(a,b):2, (b,a):2, (a,c):1}, c1 = {a:3, b:2},
+    // V = |{a,b,c,x}| = 4; doc 1's five bigrams score
+    // 2·ln(3/7) + 2·ln(3/6) + ln(2/7) in micro units (half-up):
+    // 2·(-847298) + 2·(-693147) + (-1252763) = -4333653
+    val r = TextAnalysis.lmScore(planted, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), Option(x.get(3))))).toMap
+    assert(r(1L) == ((5L, -4333653L, Some(-0.8667))))
+    assert(r(2L) == ((0L, 0L, None)), "single-token doc: no evidence, not a drop")
+    assert(r(3L) == ((0L, 0L, None)), "NULL-text doc: no evidence, not a drop")
+    // full corpus: every doc scored exactly once; scored docs' avg_ll
+    // is a well-formed negative log-prob
+    val full = TextAnalysis.lmScore(docs, "doc_id", "text")
+    assert(full.count() == docs.count())
+    assert(full.filter(col("n_bigrams") > 0 &&
+      (col("avg_ll").isNull || col("avg_ll") >= 0)).count() == 0)
+  }
+
   test("frame sampling yields ceil(bytes/stride) frames with features") {
     val bin = Multimodal.asBinary(docs.limit(20), "doc_id", "text")
     val frames = Multimodal.sampleFrames(bin, stride = 100)
