@@ -59,6 +59,30 @@ object Sampling {
       .drop("__stratum", "__rate")
   }
 
+  /** Exact fixed-COUNT per-stratum sampling — the complement of the
+    * rate-based [[stratifiedSample]]: keep exactly `n` rows per
+    * stratum (all of them when a stratum holds fewer), chosen
+    * deterministically as the first `n` in md5(key) order. The
+    * hash-order pick means the sample is uniform-without-replacement,
+    * reproducible on any engine/run/partitioning, and STABLE under
+    * corpus growth: a doc already in the sample stays in it unless a
+    * new doc hashes ahead of it (the standard bottom-k sketch
+    * property — this IS bottom-k per stratum).
+    *
+    * Scale shape: the `row_number <= n` filter is recognized by
+    * Spark's WindowGroupLimit rule, which runs a PARTIAL top-n in
+    * each input partition BEFORE the stratum shuffle — so the
+    * exchange carries at most n rows per (partition, stratum), never
+    * the corpus. A NULL key hashes as the empty string (one stable
+    * position, not a silent drop). */
+  def sampleN(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame = {
+    val h = md5(coalesce(key.cast("string"), lit("")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(h, key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Deterministic sequence PACKING — the last step before tokens hit
     * a trainer: concatenate documents back to back into fixed
     * `seqLen`-token training sequences (no separator tokens are

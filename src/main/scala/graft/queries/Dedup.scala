@@ -363,5 +363,25 @@ object Dedup {
       .orderBy("shard", "seq_id", "doc_id")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15, t6)
+  /** exact fixed-count per-stratum sampling
+    * ([[graft.operators.Sampling.sampleN]]): the first 15 docs per
+    * language in md5(doc_id) order — bottom-k per stratum. The
+    * SELECTED SET itself is the output (not an aggregate), so the
+    * oracle pins exactly which documents the sample contains on any
+    * engine. */
+  val d17 = Q("d17_sample_n", Some("""
+    WITH r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')), doc_id) AS rn
+               FROM documents)
+    SELECT lang, doc_id FROM r WHERE rn <= 15
+    ORDER BY lang, doc_id""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    graft.operators.Sampling.sampleN(
+        t(s, d, "documents"), col("lang"), col("doc_id"), 15)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15, d17, t6)
 }

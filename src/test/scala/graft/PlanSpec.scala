@@ -291,6 +291,15 @@ class PlanSpec extends AnyFunSuite {
       "expected partial + final vote aggregation:\n" + p.take(1200))
   }
 
+  test("d17 sampleN: partial top-n runs before the stratum shuffle (WindowGroupLimit)") {
+    val p = plan("d17_sample_n")
+    // Partial + Final WindowGroupLimit: each input partition prunes to
+    // its own top-n BEFORE the exchange, so the shuffle carries at most
+    // n rows per (partition, stratum) — never the corpus
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "expected partial+final WindowGroupLimit:\n" + p.take(1200))
+  }
+
   test("t10 LM: bigram extraction is a codegen'd generate, vocab size broadcast") {
     val p = plan("t10_lm")
     // arrays_zip over pre-split slices — a Generate, NOT an HOF lambda

@@ -305,6 +305,36 @@ class TextMultimodalSpec extends AnyFunSuite {
       .count() == 1, "NULL-token doc must emit one empty slice")
   }
 
+  test("sampleN: exact counts, bottom-k stability under growth, short strata whole") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val s = Sampling.sampleN(docs, col("lang"), col("doc_id"), 15)
+    // exactly min(15, |stratum|) per stratum
+    val got = s.groupBy("lang").count()
+    val want = docs.groupBy("lang").count()
+      .select(col("lang"), least(col("count"), lit(15L)).as("want"))
+    assert(got.join(want, "lang").filter(col("count") =!= col("want"))
+      .count() == 0)
+    // bottom-k property: sampling a SUPERSET never invents a new pick
+    // that hashes behind an existing one — the sample from half the
+    // corpus is the bottom-15 of that half, so every doc sampled from
+    // the full corpus that is present in the half must also be in the
+    // half's sample unless displaced by a lower hash
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val sHalf = Sampling.sampleN(half, col("lang"), col("doc_id"), 15)
+      .select(col("lang"), col("doc_id"))
+    val sFullOnHalf = s.filter(col("doc_id") % 2 === 0)
+      .select(col("lang"), col("doc_id"))
+    // full-corpus picks that live in the half are a SUBSET of the
+    // half's own picks (growth only ever displaces, never admits)
+    assert(sFullOnHalf.except(sHalf).count() == 0)
+    // determinism: same call twice, identical set
+    val s2 = Sampling.sampleN(docs, col("lang"), col("doc_id"), 15)
+      .select("lang", "doc_id")
+    assert(s.select("lang", "doc_id").except(s2).count() == 0 &&
+      s2.except(s.select("lang", "doc_id")).count() == 0)
+  }
+
   test("lmScore: hand-computed Laplace bigram log-probs, total over degenerate docs") {
     import spark.implicits._
     val planted = Seq((1L, "a b a b a c"), (2L, "x"), (3L, null: String))
