@@ -509,10 +509,18 @@ object Similarity {
     var asg = argmaxAssignLsh(vectors, id, emb, seeds, bits, tables,
       (a, b) => cosR(a, b))
     (1 until iters).foreach { _ =>
+      // localCheckpoint the (tiny, k-row) centroid table: without it
+      // the next assignment pass INLINES these 64 per-dim aggregate
+      // expressions into every LSH bucket bit of the banded-centroid
+      // side, and optimizer time on the compounded tree (measured
+      // ~15s of d16's 20s cold run at sf0.1) dwarfs the one small job
+      // the materialization costs. Values are unchanged — only the
+      // plan boundary moves.
       val cents = asg.groupBy("cell").agg(
         array((1 to dims).map(i =>
           sum(floor(try_element_at(col(emb), lit(i)) * 1000000.0 + 0.5))
             .cast("double") / 1000000.0 / count(lit(1))): _*).as("ce"))
+        .localCheckpoint(true)
       asg = argmaxAssignLsh(vectors, id, emb, cents, bits, tables,
         (a, b) => cosRD(a, b))
     }
