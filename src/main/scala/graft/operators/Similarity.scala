@@ -296,7 +296,6 @@ object Similarity {
   def ivfPqKnn(vectors: DataFrame, id: String, emb: String,
       anchorPred: Column, probePred: Column, k: Int,
       m: Int = 8, d: Int = 8, codebookK: Int = 64): DataFrame = {
-    import graft.functions.CosineSimilarity.dot_product
     val anchors = broadcast(vectors.filter(anchorPred)
       .select(col(id).as("anchor_id"), col(emb).as("ae")))
     val assigned = vectors.crossJoin(anchors)
@@ -306,6 +305,43 @@ object Similarity {
       .agg(max_by(struct(col(emb).as("e"), col("anchor_id").as("a")),
         struct(col("ac"), (-col("anchor_id")).as("na"))).as("mm"))
       .select(col(id), col("mm.e").as(emb), col("mm.a").as("cell"))
+    pqSearch(vectors, assigned, id, emb, probePred, k, m, d, codebookK)
+  }
+
+  /** [[ivfPqKnn]] with the LSH-banded coarse assignment — the fully
+    * linear IVF-PQ composition. The trained fixed-K codebook already
+    * made ENCODE linear, but the brute coarse quantizer is still
+    * |corpus|·k_cells cosines, and with the cell count growing with
+    * the corpus (IVF's constant-cell-depth rule — required to keep
+    * per-probe candidate work bounded) that term is quadratic: it was
+    * invisible at sf1 and dominated the §6 second-decade run. Here
+    * the assignment swaps in [[argmaxAssignLsh]] (band-blocked
+    * candidate anchors + Hamming-1 probes + exact brute fallback —
+    * the d16 machinery pointed at the anchor table), with `bits`
+    * following the [[corpusBits]] occupancy rule against the anchor
+    * COUNT, so candidates per vector stay constant at any k. A vector
+    * can land in a non-nearest cell (the standard ANN-assignment
+    * recall trade); everything after the assignment — train, encode,
+    * LUT, ADC rank — is byte-identical to [[ivfPqKnn]] via the shared
+    * [[pqSearch]] tail. */
+  def ivfPqKnnLsh(vectors: DataFrame, id: String, emb: String,
+      anchorPred: Column, probePred: Column, k: Int, bits: Int,
+      m: Int = 8, d: Int = 8, codebookK: Int = 64): DataFrame = {
+    val anchors = vectors.filter(anchorPred)
+      .select(col(id).as("cell"), col(emb).as("ce"))
+    val assigned = argmaxAssignLsh(vectors, id, emb, anchors, bits,
+      LSH_TABLES, (a, b) => cosR(a, b))
+    pqSearch(vectors, assigned, id, emb, probePred, k, m, d, codebookK)
+  }
+
+  /** the shared PQ tail (train → encode → LUT → ADC rank) over an
+    * already cell-ASSIGNED corpus — factored out so the brute
+    * ([[ivfPqKnn]]) and LSH ([[ivfPqKnnLsh]]) coarse quantizers can
+    * never drift in scoring semantics. */
+  private def pqSearch(vectors: DataFrame, assigned: DataFrame,
+      id: String, emb: String, probePred: Column, k: Int,
+      m: Int, d: Int, codebookK: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.dot_product
     // trained fixed-K codebook, broadcast (K·m rows, corpus-size-free)
     val cb = broadcast(
       trainPqCodebook(vectors, id, emb, codebookK, m, d))

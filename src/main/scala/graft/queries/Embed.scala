@@ -200,10 +200,11 @@ object Embed {
            FROM ta t JOIN v s ON s.vec_id = t.vec_id
            GROUP BY t.m, t.k)"""
 
-  val s5 = Q("s5_knn_pq", Some(s"""
-    WITH $normCte,
-    $ivfCtes,
-    $pqTrainCtes,
+  // the PQ encode→LUT→ADC-rank tail over an `asg`(vec_id, embedding,
+  // cell) CTE — shared verbatim by s5 (brute coarse quantizer) and s6
+  // (LSH coarse quantizer), mirroring Similarity.pqSearch so the two
+  // oracles can't drift in scoring semantics
+  private val pqTailSql = s"""
     cd0 AS (SELECT s.vec_id, s.cell, c.m, c.k,
               ${cwDot("s.embedding")} AS d6
             FROM asg s CROSS JOIN cw c),
@@ -224,7 +225,13 @@ object Embed {
             GROUP BY l.probe_id, k.vec_id),
     r AS (SELECT probe_id, neighbor_id, est6,
             row_number() OVER (PARTITION BY probe_id
-                               ORDER BY est6 DESC, neighbor_id) AS rn FROM est)
+                               ORDER BY est6 DESC, neighbor_id) AS rn FROM est)"""
+
+  val s5 = Q("s5_knn_pq", Some(s"""
+    WITH $normCte,
+    $ivfCtes,
+    $pqTrainCtes,
+    $pqTailSql
     SELECT probe_id, rn, neighbor_id, est6
     FROM r WHERE rn <= 5 ORDER BY probe_id, rn""")) { (s, d) =>
     Similarity.ivfPqKnn(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -311,7 +318,12 @@ object Embed {
          i -> p.embedding[i]::DOUBLE * c.ce[i])) /
        (p.nrm * sqrt(list_sum(list_transform(c.ce, x -> x * x))))))
        * 1000000.0 + 0.5) / 1000000.0"""
-  private val lshKmeansCtes = s"""
+  // pass-1 LSH-banded assignment (seeds → banded candidates →
+  // Hamming-1 probes → argmax + exact brute fallback, ending at
+  // lasg1 = (vec_id, embedding, cell)) — shared by the d16 Lloyd
+  // loop (as its first iteration) and s6 (as its entire coarse
+  // quantizer), so the band machinery can't drift between them
+  private val lshAssign1Ctes = s"""
     seeds AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cnrm
               FROM v WHERE vec_id % 125 = 0),
     cb1 AS (${(0 until T).map(t =>
@@ -346,7 +358,9 @@ object Embed {
                                   WHERE x.vec_id = w.vec_id)) q0) q1
             WHERE q1.rn = 1),
     lasg1 AS (SELECT vec_id, embedding, cell FROM as1c
-              UNION ALL SELECT vec_id, embedding, cell FROM fb1),
+              UNION ALL SELECT vec_id, embedding, cell FROM fb1)"""
+
+  private val lshKmeansCtes = s"""$lshAssign1Ctes,
     lcent AS (SELECT cell, $meanExprs AS ce FROM lasg1 GROUP BY cell),
     cb2 AS (${(0 until T).map(t =>
       s"SELECT cell, ce, $t AS t, ${bandSqlOf("ce", t, DB)} AS bkt FROM lcent")
@@ -421,5 +435,29 @@ object Embed {
       .orderBy("v1", "v2")
   }
 
-  val qs: Seq[Q] = Seq(d5, d11, d13, d16, s1, s2, s3, s4, s5)
+  /** s6: IVF-PQ with the LSH-banded coarse quantizer
+    * ([[Similarity.ivfPqKnnLsh]]) — the fully linear composition: the
+    * trained fixed-K codebook made encode linear (s5), this makes the
+    * cell ASSIGNMENT linear too (band-blocked candidate anchors +
+    * exact fallback — the d16 machinery as a single pass). The oracle
+    * reuses the shared pass-1 assignment CTEs and the shared PQ tail
+    * verbatim, so only the quantizer differs from s5 — by
+    * construction, not by reimplementation. */
+  val s6 = Q("s6_knn_pq_lsh", Some(s"""
+    WITH $normCte,
+    $lshAssign1Ctes,
+    asg AS (SELECT vec_id, embedding, cell FROM lasg1),
+    $pqTrainCtes,
+    $pqTailSql
+    SELECT probe_id, rn, neighbor_id, est6
+    FROM r WHERE rn <= 5 ORDER BY probe_id, rn""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val k = vecs.filter(col("vec_id") % 125 === 0).count()
+    Similarity.ivfPqKnnLsh(vecs, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") % 17 === 0, 5,
+      Similarity.corpusBits(k, 4))
+      .orderBy("probe_id", "rn")
+  }
+
+  val qs: Seq[Q] = Seq(d5, d11, d13, d16, s1, s2, s3, s4, s5, s6)
 }

@@ -154,6 +154,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= (n * 8) / 10, s"PQ recall $hits/$n below 0.8")
   }
 
+  test("LSH-assigned IVF-PQ surfaces planted exact copies in the estimate top-k") {
+    // same recall property as the brute-quantizer composition: an
+    // exact copy shares every band bucket with its source (collides
+    // in ALL tables), so probe and source land in the SAME cell even
+    // under approximate assignment, and the shared-code ADC argument
+    // carries over unchanged
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        col("embedding"))
+    val corpus = emb.unionByName(copies)
+    val top = Similarity.ivfPqKnnLsh(corpus, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") >= 1000000, 5,
+      bits = 2)
+    val hits = top.filter(col("probe_id") - 1000000 === col("neighbor_id"))
+      .count()
+    val n = copies.count()
+    assert(hits >= (n * 8) / 10, s"LSH IVF-PQ recall $hits/$n below 0.8")
+  }
+
   test("PQ codebook cardinality is FIXED: K·m bound holds when the corpus doubles") {
     // the scale property the trained codebook exists for — the old
     // anchor-subset demo codebook had K ∝ |corpus|, making encode
