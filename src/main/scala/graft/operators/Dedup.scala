@@ -381,6 +381,35 @@ object Dedup {
     labels
   }
 
+  /** Cluster-representative selection — the KEEP side of fuzzy dedup
+    * (the RefinedWeb/C4 shape): instead of dropping the greater id of
+    * every near-dup pair, group the corpus into duplicate CLUSTERS
+    * ([[verifiedPairs]] → [[connectedComponents]]) and keep each
+    * cluster's highest-QUALITY member (ties → min id), so the best
+    * copy survives — a min-id drop rule deletes the clean original
+    * whenever a lower-id boilerplate twin exists. `scores` is any
+    * (id, score) table (t2's quality signal in the shipped query; a
+    * model score in production).
+    *
+    * Scale shape: everything heavy is the already-linear candidate
+    * machinery; the selection itself is one partial-agg max_by over
+    * (comp, score) pairs — no window sort over members, no document
+    * payloads past the pair stage. Returns one row per multi-member
+    * cluster: (comp, keeper, n_members). Singletons never enter the
+    * pair graph and are implicitly kept — emitting them would just
+    * re-list the corpus. */
+  def clusterRepresentatives(docs: DataFrame, id: String, text: String,
+      scores: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val pairs = verifiedPairs(docs, id, text, threshold)
+    val cc = connectedComponents(pairs, "d1", "d2")
+    cc.join(scores, cc("node") === scores(id))
+      .groupBy(col("comp"))
+      .agg(
+        max_by(col("node"), struct(col("score"), (-col("node")).as("ni")))
+          .as("keeper"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** n-gram Jaccard on length-blocked candidate pairs: docs within
     * ±8 chars meet via a banded equi-join (each right row explodes to
     * 3 neighbor keys — no range-join cartesian). Length blocking is a

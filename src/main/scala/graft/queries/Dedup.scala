@@ -21,6 +21,10 @@ object Dedup {
   private val shingleExpr =
     "list_transform(range(1, greatest(len(tk) - 1, 2)), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
 
+  // t2's stopword predicate, re-derived from the one lexicon
+  private val stopPredD = graft.operators.TextAnalysis.stopwords
+    .map(w => s"w = '$w'").mkString(" OR ")
+
   private val minExprs = (0 until D.K)
     .map(k => s"min(md5('$k:' || s)) AS h$k").mkString(", ")
   private val bandCase = (0 until D.BANDS).map { j =>
@@ -154,8 +158,11 @@ object Dedup {
     * `WITH RECURSIVE` reachability, so the fixpoint itself is
     * hash-checked, not just the pair set. Output: one row per cluster
     * of size >= 2 — (survivor, n_members). */
-  val d9 = Q("d9_dedup_cc", Some(s"""
-    WITH RECURSIVE $tokCte,
+  // minhash → bands → candidates → ≥0.9 exact-Jaccard verify →
+  // undirected edges → recursive min-label closure (ends at
+  // cc = (node, comp)) — shared by d9 (cluster census) and d18
+  // (representative selection), so the cluster definition can't drift
+  private val ccCtes = s"""$tokCte,
     sh AS (SELECT doc_id, unnest($shingleExpr) AS s FROM tok),
     mh AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
     bands AS (SELECT doc_id, j, CASE j $bandCase END AS bb
@@ -175,7 +182,10 @@ object Dedup {
     reach AS (SELECT src AS node, src AS comp FROM edges
               UNION
               SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
-    cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)"""
+
+  val d9 = Q("d9_dedup_cc", Some(s"""
+    WITH RECURSIVE $ccCtes
     SELECT comp AS survivor, count(*) AS n_members
     FROM cc GROUP BY comp ORDER BY survivor""")) { (s, d) =>
     import org.apache.spark.sql.functions._
@@ -363,6 +373,37 @@ object Dedup {
       .orderBy("shard", "seq_id", "doc_id")
   }
 
+  /** cluster-representative selection
+    * ([[graft.operators.Dedup.clusterRepresentatives]]): d9's
+    * duplicate clusters, but each cluster keeps its highest-QUALITY
+    * member (t2's score; ties → min id) instead of its min id — the
+    * keep rule real pipelines use so the clean copy survives its
+    * boilerplate twins. Oracle reuses d9's cluster CTEs verbatim and
+    * re-derives t2's score expression. */
+  val d18 = Q("d18_dedup_rep", Some(s"""
+    WITH RECURSIVE $ccCtes,
+    sq AS (SELECT doc_id,
+             floor((least(1.0, len(string_split(lower(text), ' ')) / 100.0) * 0.5 +
+               (len(list_filter(string_split(lower(text), ' '), w -> $stopPredD)) * 1.0 /
+                len(string_split(lower(text), ' '))) * 0.5) * 10000.0 + 0.5) / 10000.0 AS score
+           FROM documents),
+    g AS (SELECT c.comp, c.node, s.score FROM cc c
+          JOIN sq s ON s.doc_id = c.node),
+    r AS (SELECT comp, node,
+            row_number() OVER (PARTITION BY comp
+                               ORDER BY score DESC, node) AS rn,
+            count(*) OVER (PARTITION BY comp) AS n_members
+          FROM g)
+    SELECT comp, node AS keeper, CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1 ORDER BY comp""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val docs = t(s, d, "documents")
+    val scores = graft.operators.TextAnalysis
+      .quality(docs, "doc_id", "text").select(col("doc_id"), col("score"))
+    D.clusterRepresentatives(docs, "doc_id", "text", scores, 0.9)
+      .orderBy("comp")
+  }
+
   /** exact fixed-count per-stratum sampling
     * ([[graft.operators.Sampling.sampleN]]): the first 15 docs per
     * language in md5(doc_id) order — bottom-k per stratum. The
@@ -383,5 +424,5 @@ object Dedup {
       .orderBy("lang", "doc_id")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15, d17, t6)
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15, d17, d18, t6)
 }

@@ -114,6 +114,29 @@ class DedupSpec extends AnyFunSuite {
     assert(D.releasePersisted(spark) == 0)
   }
 
+  test("clusterRepresentatives keeps the best-quality member, not the min id") {
+    import spark.implicits._
+    // a 3-doc near-dup chain (10–20 and 20–30 at >=0.9 shingle
+    // jaccard) where QUALITY rises with id: doc 30's stopword-rich
+    // tail gives it the top t2 score, so the keeper must be 30 —
+    // a min-id drop rule would delete it and keep the stopword-free 10
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (10L, base),
+      (20L, base + " the the"),
+      (30L, base + " the the the")).toDF("doc_id", "text")
+    val scores = graft.operators.TextAnalysis
+      .quality(planted, "doc_id", "text").select(col("doc_id"), col("score"))
+    val rep = D.clusterRepresentatives(planted, "doc_id", "text", scores, 0.9)
+      .collect()
+    D.releasePersisted(spark)
+    assert(rep.length == 1)
+    assert(rep.head.getAs[Long]("comp") == 10L, "component label = min id")
+    assert(rep.head.getAs[Long]("keeper") == 30L,
+      "keeper must be the best-quality member")
+    assert(rep.head.getAs[Long]("n_members") == 3L)
+  }
+
   test("exact dedup groups are singletons in a dup-free corpus") {
     val d = D.exact(docs, "doc_id", "text")
     assert(d.count() == docs.count())

@@ -291,6 +291,20 @@ class PlanSpec extends AnyFunSuite {
       "expected partial + final vote aggregation:\n" + p.take(1200))
   }
 
+  test("s6 LSH coarse quantizer: band join broadcast-hash, no cartesian, native cosine") {
+    // same contract as d16's assignment pin, on the single-pass
+    // quantizer: banded anchors BROADCAST + hash join on (t, bkt);
+    // the only nested-loop is the exact fallback against the tiny
+    // anchor table; scoring is the fused native cosine
+    val p = plan("s6_knn_pq_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      "band candidate join must be broadcast-hash")
+    assert(!p.contains("CartesianProduct"),
+      "no non-broadcast cross product anywhere in the s6 plan")
+    assert(p.contains("cosinesimilarity"),
+      "assignment scoring must use the native fused cosine")
+  }
+
   test("d17 sampleN: partial top-n runs before the stratum shuffle (WindowGroupLimit)") {
     val p = plan("d17_sample_n")
     // Partial + Final WindowGroupLimit: each input partition prunes to
