@@ -58,7 +58,15 @@ object Curation {
     * choose `semSeedRate` ≳ 125/|corpus| — an empty seed sample
     * leaves no cells and the stage keeps everything. A doc with no
     * embedding row cannot be judged and is KEPT — the stage never
-    * silently drops unembedded docs. */
+    * silently drops unembedded docs.
+    *
+    * `keepBestQuality`: when true, the near-dup stage keeps each
+    * cluster's highest-QUALITY member ([[Dedup.clusterRepresentatives]]'
+    * rule over [[TextAnalysis.quality]]'s score, ties → min id)
+    * instead of the min id — the RefinedWeb keep rule, so the clean
+    * copy survives its boilerplate twins. Scores are computed on the
+    * stage's own (scrubbed, quality-filtered) input, so the judged
+    * text is exactly the text being kept. */
   def curate(docs: DataFrame, id: String, text: String, stratum: Column,
       evalDocs: DataFrame, jaccard: Double = 0.9, maxContam: Double = 0.2,
       rates: Map[String, Double] = Map.empty,
@@ -67,7 +75,8 @@ object Curation {
       embeddings: Option[DataFrame] = None,
       embId: String = "vec_id", embCol: String = "embedding",
       semCosine: Double = 0.995,
-      semSeedRate: Double = 0.008): (DataFrame, DataFrame) = {
+      semSeedRate: Double = 0.008,
+      keepBestQuality: Boolean = false): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
@@ -103,8 +112,24 @@ object Curation {
       // persist = true: this IS the corpus-scale path — both verify-join
       // sides must read one computed signature/shingle copy
       val pairs = Dedup.verifiedPairs(d, id, text, jaccard)
-      val drops = Dedup.connectedComponents(pairs, "d1", "d2")
-        .filter(col("node") =!= col("comp")).select(col("node").as(id))
+      val cc = Dedup.connectedComponents(pairs, "d1", "d2")
+      val drops =
+        if (keepBestQuality) {
+          // keep each cluster's max-(score, -id) member; drops =
+          // members that are not their cluster's keeper
+          val sc = TextAnalysis.quality(d, id, text)
+            .select(col(id).as("node"), col("score"))
+          // partial-agg argmax per cluster, then a fact-dim join back
+          // (never a per-cluster collected array — a pathological
+          // million-member cluster must stay row-shaped)
+          val keep = cc.join(sc, "node").groupBy("comp")
+            .agg(max_by(col("node"),
+              struct(col("score"), (-col("node")).as("ni"))).as("__keep"))
+          cc.join(keep, "comp")
+            .filter(col("node") =!= col("__keep"))
+            .select(col("node").as(id))
+        } else
+          cc.filter(col("node") =!= col("comp")).select(col("node").as(id))
       d.join(drops, Seq(id), "left_anti")
     }
     embeddings.foreach { embTab =>

@@ -87,6 +87,33 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.contains(3L), "an unembedded doc must never be dropped")
   }
 
+  test("keepBestQuality: the near-dup stage keeps the best copy, not the min id") {
+    import spark.implicits._
+    // 1 and 2 are near-dups (>=0.9 shingle jaccard); 2 has the
+    // stopword-rich tail and so the higher t2 score. Default rule
+    // keeps min id 1; keepBestQuality must keep 2 instead.
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " the the"),
+      (3L, s"unrelated ${(1 to 30).map(i => s"other$i").mkString(" ")}"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val ev = Seq((100L, "held out benchmark text entirely unrelated"))
+      .toDF("doc_id", "text")
+    val (outDefault, _) = Curation.curate(corpus, "doc_id", "text",
+      col("lang"), ev)
+    val keptD = outDefault.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptD == Set(1L, 3L), s"min-id rule: got $keptD")
+    val (outBest, rep) = Curation.curate(corpus, "doc_id", "text",
+      col("lang"), ev, keepBestQuality = true)
+    val keptB = outBest.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(2L, 3L), s"keep-best rule: got $keptB")
+    // stage order unchanged — the keep rule is inside neardup_dedup
+    assert(rep.collect().map(_.getString(0)).toSeq == Seq("pii_scrub",
+      "quality_filter", "exact_dedup", "neardup_dedup", "decontaminate",
+      "stratified_mix"))
+  }
+
   test("token-budget curation lands near the budget and reports the stage") {
     import spark.implicits._
     val (out, rep) = Curation.curate(
