@@ -251,22 +251,45 @@ object TextAnalysis {
     * Nothing ever shuffles documents. Total over the input: docs with
     * <2 tokens (or NULL text) get n_bigrams=0, ll_micro=0,
     * avg_ll=NULL — scored "no evidence", never silently dropped. */
-  def lmScore(docs: DataFrame, id: String, text: String): DataFrame = {
-    val toks = docs.select(col(id), tokens(col(text)).as("tk"))
-    val bg = toks.select(col(id),
-        explode(arrays_zip(
-          slice(col("tk"), lit(1), size(col("tk")) - 1),
-          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
-      .select(col(id), col("p.0").as("w1"), col("p.1").as("w2"))
+  /** the (w1, w2) bigram structs of a pre-split token array — a
+    * codegen'd arrays_zip over two slices (no HOF lambda, no
+    * positional self-join); <2-token arrays yield an empty zip */
+  def bigramPairs(tk: Column): Column =
+    arrays_zip(slice(tk, lit(1), size(tk) - 1),
+      slice(tk, lit(2), size(tk) - 1))
+
+  /** the ONE per-bigram Laplace log-prob expression (micro-unit
+    * fixed-point long) batch [[lmScore]] and the streaming twin
+    * ([[graft.streaming.EventStreams.lmScoreStream]]) both use —
+    * shared so the two can never drift */
+  def lpMicro(n12: Column, n1: Column, vs: Column): Column =
+    floor(log((n12 + 1.0) / (n1 + vs)) * 1e6 + 0.5).cast("long")
+
+  /** the trained bigram LM as three tables: c12 = (w1, w2, n12)
+    * bigram counts, c1 = (w1, n1) context counts (Σ_w2 n12, so the
+    * conditional sums to 1), v = the 1-row unigram vocabulary size.
+    * Pure aggregates of narrow token rows — at 100 TB two partial-agg
+    * shuffles plus a global count-distinct. */
+  def lmModel(docs: DataFrame, text: String): (DataFrame, DataFrame, DataFrame) = {
+    val toks = docs.select(tokens(col(text)).as("tk"))
+    val bg = toks.select(explode(bigramPairs(col("tk"))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     val v = toks.select(explode(col("tk")).as("w"))
       .agg(count_distinct(col("w")).as("vs"))
+    (c12, c1, v)
+  }
+
+  def lmScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val (c12, c1, v) = lmModel(docs, text)
+    val bg = docs.select(col(id),
+        explode(bigramPairs(tokens(col(text)))).as("p"))
+      .select(col(id), col("p.0").as("w1"), col("p.1").as("w2"))
     val lp = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col(id),
-        floor(log((col("n12") + 1.0) / (col("n1") + col("vs"))) * 1e6 + 0.5)
-          .cast("long").as("lp_micro"))
+        lpMicro(col("n12"), col("n1"), col("vs")).as("lp_micro"))
     val agg = lp.groupBy(col(id)).agg(
       count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("ll_micro"))
     docs.select(col(id)).join(agg, Seq(id), "left_outer")

@@ -95,6 +95,49 @@ object EventStreams {
       .drop((0 until LSH_TABLES).map(t => s"__cands$t"): _*)
   }
 
+  /** Streaming LM quality scoring (streaming t10): score documents ON
+    * INGEST against a bigram model pre-trained on a static corpus —
+    * the perplexity gate a live ingestion pipeline runs before
+    * admitting a document. Model = [[graft.operators.TextAnalysis.lmModel]]
+    * (c12/c1/V tables, computed once on the static side); scoring =
+    * the SAME fixed-point per-bigram expression as batch t10
+    * ([[graft.operators.TextAnalysis.lpMicro]]), so a doc scores
+    * identically whether it arrives in a batch build or on a stream.
+    *
+    * Two differences forced by streaming semantics, both principled:
+    * (a) count joins are LEFT outer with 0-coalesce — a stream doc
+    * may contain bigrams/contexts the static model never saw, which
+    * Laplace smoothing scores as ln(addK/(n1+V)) (in batch t10 every
+    * bigram is in the model by construction, so inner ≡ left there);
+    * (b) the per-doc aggregation is keyed by (doc_id, ts) under the
+    * watermark, so scoring state evicts as event time advances —
+    * bounded memory at any stream length. Docs with <2 tokens emit no
+    * bigram rows and so no score row (a stream cannot left-join back
+    * to itself); the ingest gate treats absence as "no evidence".
+    * Expects (doc_id, ts, text). */
+  def lmScoreStream(docs: DataFrame, corpus: DataFrame,
+      text: String = "text"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val (c12, c1, v) = TextAnalysis.lmModel(corpus, text)
+    // V is one static scalar: pinned at stream definition (a lazy
+    // cross join of a streaming side is not a supported stream-static
+    // shape, and the value cannot change mid-run anyway)
+    val vs = lit(v.head().getLong(0))
+    docs.withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        explode(TextAnalysis.bigramPairs(TextAnalysis.tokens(col(text))))
+          .as("p"))
+      .select(col("doc_id"), col("ts"),
+        col("p.0").as("w1"), col("p.1").as("w2"))
+      .join(c12, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .select(col("doc_id"), col("ts"),
+        TextAnalysis.lpMicro(coalesce(col("n12"), lit(0L)),
+          coalesce(col("n1"), lit(0L)), vs).as("lp_micro"))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("ll_micro"))
+  }
+
   /** Watermarked stream-stream interval join (streaming q28): each
     * error event joined to the same user's click events within the
     * preceding 5 minutes. Both sides carry watermarks and the join

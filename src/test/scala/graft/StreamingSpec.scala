@@ -90,6 +90,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.contains(1000003L), "degenerate vector must pass through")
   }
 
+  test("streaming LM scoring matches the batch fixed-point model, smooths unseen bigrams") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static model = the batch lmScore spec's corpus: c12 {(a,b):2,
+    // (b,a):2, (a,c):1}, c1 {a:3, b:2}, V = |{a,b,c,x}| = 4
+    val corpus = Seq((1L, "a b a b a c"), (2L, "x")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    in.addData(
+      (101L, ts(0), "a b a"), // seen bigrams: ln(3/7) + ln(3/6) in micro
+      (102L, ts(1), "z q"),   // unseen bigram: Laplace ln(1/(0+4))
+      (103L, ts(2), "x"))     // <2 tokens: no bigram rows, no score row
+    runToMemory(EventStreams.lmScoreStream(
+      in.toDF().toDF("doc_id", "ts", "text"), corpus),
+      "lms", OutputMode.Complete)
+    val got = spark.sql("SELECT doc_id, n_bigrams, ll_micro FROM lms")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(101L) == ((2L, -847298L - 693147L)),
+      "seen bigrams must score exactly as the batch model does")
+    assert(got(102L) == ((1L, -1386294L)),
+      "an unseen bigram must score the Laplace floor ln(1/(n1+V))")
+    assert(!got.contains(103L), "a <2-token doc emits no score row")
+  }
+
   test("stream-stream interval join pairs errors with recent clicks only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
