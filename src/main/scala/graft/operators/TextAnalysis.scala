@@ -251,6 +251,37 @@ object TextAnalysis {
     * Nothing ever shuffles documents. Total over the input: docs with
     * <2 tokens (or NULL text) get n_bigrams=0, ll_micro=0,
     * avg_ll=NULL — scored "no evidence", never silently dropped. */
+  /** Token-distribution entropy per document — the information-theoretic
+    * complement of [[repetition]]'s ratio signals: H = -Σ p·ln p over
+    * the doc's token-type distribution, low for boilerplate/spam
+    * (mass concentrated on few types), ≈ln(n_uniq) for varied text.
+    * Per-type terms are rounded half-up to MICRO units and summed as
+    * longs (order-free → engine-deterministic, t10's rule); only the
+    * final entropy is a rounded double. Same two narrow partial-agg
+    * shuffles as [[repetition]] plus one fact-dim join of per-type
+    * counts against per-doc totals — never documents. Total over the
+    * input: NULL-text docs report n_tok=0 and NULL entropy. */
+  def entropy(docs: DataFrame, id: String, text: String): DataFrame = {
+    val perTok = docs
+      .select(col(id), explode(tokens(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("n"))
+    val totals = perTok.groupBy(col(id)).agg(
+      sum("n").as("n_tok"), count(lit(1)).as("n_uniq"))
+    val h = perTok.join(totals, Seq(id))
+      .select(col(id), col("n_tok"), col("n_uniq"),
+        floor(-(col("n") / col("n_tok")) *
+          log(col("n") / col("n_tok")) * 1e6 + 0.5)
+          .cast("long").as("t_micro"))
+      .groupBy(col(id), col("n_tok"), col("n_uniq"))
+      .agg(sum(col("t_micro")).as("h_micro"))
+    docs.select(col(id)).join(h, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_uniq"), lit(0L)).as("n_uniq"),
+        coalesce(col("h_micro"), lit(0L)).as("h_micro"),
+        roundA(col("h_micro") / 1e6, 4).as("entropy"))
+  }
+
   /** the (w1, w2) bigram structs of a pre-split token array — a
     * codegen'd arrays_zip over two slices (no HOF lambda, no
     * positional self-join); <2-token arrays yield an empty zip */

@@ -317,6 +317,33 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** token-distribution entropy ([[TextAnalysis.entropy]]) — the
+    * information-theoretic boilerplate signal. Per-type -p·ln p terms
+    * are micro-unit fixed-point longs before the per-doc sum (t10's
+    * determinism rule), so the whole H computation hash-checks. */
+  val t11 = Q("t11_entropy", Some("""
+    WITH pt AS (SELECT doc_id, w, count(*) AS n FROM
+                 (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+                GROUP BY doc_id, w),
+    tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok,
+              count(*) AS n_uniq FROM pt GROUP BY doc_id),
+    h AS (SELECT p.doc_id, t.n_tok, t.n_uniq,
+            CAST(sum(CAST(floor(-(p.n * 1.0 / t.n_tok) *
+              ln(p.n * 1.0 / t.n_tok) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+              AS h_micro
+          FROM pt p JOIN tot t USING (doc_id)
+          GROUP BY p.doc_id, t.n_tok, t.n_uniq)
+    SELECT d.doc_id, coalesce(h.n_tok, 0) AS n_tok,
+      coalesce(h.n_uniq, 0) AS n_uniq,
+      CAST(coalesce(h.h_micro, 0) AS BIGINT) AS h_micro,
+      floor((h.h_micro / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS entropy
+    FROM documents d LEFT JOIN h USING (doc_id)
+    ORDER BY d.doc_id""")) { (s, d) =>
+    TextAnalysis.entropy(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // m6's bit-majority SQL, mirroring queries/Dedup.d3's generators but
   // over 256-byte chunk digests instead of token digests
   private val chunkDigits = (0 until 8)
@@ -349,5 +376,5 @@ object Text {
       .orderBy("record_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, d1, m1, m2, m3, m4, m5, m6)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, d1, m1, m2, m3, m4, m5, m6)
 }

@@ -335,6 +335,26 @@ class TextMultimodalSpec extends AnyFunSuite {
       s2.except(s.select("lang", "doc_id")).count() == 0)
   }
 
+  test("entropy: zero for single-type spam, ln(k) for uniform, total over NULL") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "spam spam spam spam"),      // one type: H = 0 exactly
+      (2L, "one two three four"),       // uniform over 4: H = ln 4
+      (3L, null: String)).toDF("doc_id", "text")
+    val r = TextAnalysis.entropy(planted, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), Option(x.get(4))))).toMap
+    assert(r(1L) == ((4L, 1L, 0L, Some(0.0))))
+    // 4 · floor(0.25·ln4 · 1e6 + 0.5) = 4 · 346574 = 1386296
+    assert(r(2L) == ((4L, 4L, 1386296L, Some(1.3863))))
+    assert(r(3L) == ((0L, 0L, 0L, None)), "NULL text: judged empty, not dropped")
+    // full corpus: one row per doc, H bounded by ln(n_uniq)
+    val full = TextAnalysis.entropy(docs, "doc_id", "text")
+    assert(full.count() == docs.count())
+    assert(full.filter(col("entropy") < 0 ||
+      col("entropy") > log(col("n_uniq")) + 0.0001).count() == 0)
+  }
+
   test("lmScore: hand-computed Laplace bigram log-probs, total over degenerate docs") {
     import spark.implicits._
     val planted = Seq((1L, "a b a b a c"), (2L, "x"), (3L, null: String))
