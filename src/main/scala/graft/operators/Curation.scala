@@ -122,9 +122,12 @@ object Curation {
           // partial-agg argmax per cluster, then a fact-dim join back
           // (never a per-cluster collected array — a pathological
           // million-member cluster must stay row-shaped)
-          val keep = cc.join(sc, "node").groupBy("comp")
+          // left + -Inf coalesce like Dedup.clusterRepresentatives: a
+          // node the score pass somehow missed must still be judged
+          val keep = cc.join(sc, Seq("node"), "left_outer").groupBy("comp")
             .agg(max_by(col("node"),
-              struct(col("score"), (-col("node")).as("ni"))).as("__keep"))
+              struct(coalesce(col("score"), lit(Double.NegativeInfinity)),
+                (-col("node")).as("ni"))).as("__keep"))
           cc.join(keep, "comp")
             .filter(col("node") =!= col("__keep"))
             .select(col("node").as(id))

@@ -402,11 +402,18 @@ object Dedup {
       scores: DataFrame, threshold: Double = 0.9): DataFrame = {
     val pairs = verifiedPairs(docs, id, text, threshold)
     val cc = connectedComponents(pairs, "d1", "d2")
-    cc.join(scores, cc("node") === scores(id))
+    // LEFT join + -Inf coalesce: a member the score table missed still
+    // COUNTS (n_members must be the true cluster size) and still has a
+    // deterministic keeper path — unscored members lose to any scored
+    // one, and an all-unscored cluster falls back to the min id (the
+    // -Inf tie broken by -node). An inner join here would silently
+    // shrink clusters whenever scores cover a subset.
+    cc.join(scores, cc("node") === scores(id), "left_outer")
       .groupBy(col("comp"))
       .agg(
-        max_by(col("node"), struct(col("score"), (-col("node")).as("ni")))
-          .as("keeper"),
+        max_by(col("node"),
+          struct(coalesce(col("score"), lit(Double.NegativeInfinity)),
+            (-col("node")).as("ni"))).as("keeper"),
         count(lit(1)).as("n_members"))
   }
 

@@ -135,6 +135,16 @@ class DedupSpec extends AnyFunSuite {
     assert(rep.head.getAs[Long]("keeper") == 30L,
       "keeper must be the best-quality member")
     assert(rep.head.getAs[Long]("n_members") == 3L)
+    // a member the score table missed still counts and still loses to
+    // any scored member; it must never shrink the cluster
+    val partial = scores.filter(col("doc_id") =!= 30L)
+    val rep2 = D.clusterRepresentatives(planted, "doc_id", "text",
+      partial, 0.9).collect()
+    D.releasePersisted(spark)
+    assert(rep2.head.getAs[Long]("n_members") == 3L,
+      "unscored member silently dropped from its cluster")
+    assert(rep2.head.getAs[Long]("keeper") == 20L,
+      "keeper must be the best SCORED member when one is unscored")
   }
 
   test("exact dedup groups are singletons in a dup-free corpus") {

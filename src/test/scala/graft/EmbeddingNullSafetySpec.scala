@@ -43,6 +43,13 @@ class EmbeddingNullSafetySpec extends AnyFunSuite {
     val kept = operators.Similarity.semDedup(vecs, "vec_id", "embedding",
       col("vec_id") === 1, 0.9).collect()
     assert(kept.length == 4, "no degenerate row may be silently dropped")
+    // the LSH coarse quantizer (s6) must be exactly as total: a
+    // null/short/zero vector's band bits fall to 0 and its candidate
+    // cosines are NULL — it still gets a deterministic assignment (or
+    // the fallback) and cannot crash the encode
+    val topL = operators.Similarity.ivfPqKnnLsh(vecs, "vec_id", "embedding",
+      col("vec_id") === 1, col("vec_id") === 1, 3, bits = 2).collect()
+    assert(topL.length <= 3)
   }
 
   test("brute knn and kmeans stay total under degenerate rows") {
