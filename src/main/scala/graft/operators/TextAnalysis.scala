@@ -265,9 +265,14 @@ object TextAnalysis {
     val perTok = docs
       .select(col(id), explode(tokens(col(text))).as("w"))
       .groupBy(col(id), col("w")).agg(count(lit(1)).as("n"))
-    val totals = perTok.groupBy(col(id)).agg(
-      sum("n").as("n_tok"), count(lit(1)).as("n_uniq"))
-    val h = perTok.join(totals, Seq(id))
+    // per-doc totals via a WINDOW over the already-aggregated type
+    // rows (the d12 rule: not a second agg + join, which would run
+    // the corpus explode+combine twice) — one extra narrow shuffle of
+    // (id, w, n) rows instead of a second pass over the documents
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+    val h = perTok
+      .withColumn("n_tok", sum(col("n")).over(w))
+      .withColumn("n_uniq", count(lit(1)).over(w))
       .select(col(id), col("n_tok"), col("n_uniq"),
         floor(-(col("n") / col("n_tok")) *
           log(col("n") / col("n_tok")) * 1e6 + 0.5)

@@ -291,6 +291,12 @@ class PlanSpec extends AnyFunSuite {
       "expected partial + final vote aggregation:\n" + p.take(1200))
   }
 
+  test("t11 entropy: ONE token explode — totals come from a window, not a second pass") {
+    val p = plan("t11_entropy")
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      "per-doc totals must window over the aggregated type rows:\n" + p.take(1200))
+  }
+
   test("s6 LSH coarse quantizer: band join broadcast-hash, no cartesian, native cosine") {
     // same contract as d16's assignment pin, on the single-pass
     // quantizer: banded anchors BROADCAST + hash join on (t, bkt);
