@@ -778,7 +778,33 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  // ---- q35: GROUPING SETS (the general form q8/q24 specialize) -------
+  // grouping_id disambiguates a real NULL group member from an
+  // aggregated-out column — the textbook reason coalesce('ALL') alone
+  // is not enough; Spark and DuckDB share the bitmask convention
+  // (bit = 1 when the column is aggregated out, leading column =
+  // high bit).
+  val q35 = Q("q35_grouping_sets", Some("""
+    SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      count(*) AS n,
+      CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY gid, flag, status""")) { (s, d) =>
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("qty"))
+      .orderBy("gid", "flag", "status")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }
