@@ -184,8 +184,18 @@ object Similarity {
     * |corpus| rows ever move. (A Window.partitionBy(id) argmax here
     * would instead Exchange the *exploded* corpus×anchors relation —
     * a |anchors|× shuffle blow-up at 100 TB.) */
+  /** `nprobe`: how many nearest cells each PROBE searches (corpus
+    * vectors always live in exactly one cell). 1 = classic IVF; >1 is
+    * the standard recall knob — a true neighbor assigned to the
+    * probe's second-closest cell becomes reachable at the cost of
+    * scoring nprobe× candidates. Probe-side only and the probe set is
+    * small, so the top-nprobe cells come from a window over the
+    * probe×anchor scores (a per-PROBE top-n, not a corpus-side one);
+    * a neighbor lives in one cell, so multi-cell probing can never
+    * double-count a candidate. */
   def ivfKnn(vectors: DataFrame, id: String, emb: String,
-      anchorPred: Column, probePred: Column, k: Int): DataFrame = {
+      anchorPred: Column, probePred: Column, k: Int,
+      nprobe: Int = 1): DataFrame = {
     val anchors = broadcast(vectors.filter(anchorPred)
       .select(col(id).as("anchor_id"), col(emb).as("ae")))
     // nearest anchor per vector: max cosine, min-anchor_id tie-break —
@@ -198,8 +208,23 @@ object Similarity {
       .agg(max_by(struct(col(emb).as("e"), col("anchor_id").as("a")),
         struct(col("ac"), (-col("anchor_id")).as("na"))).as("m"))
       .select(col(id), col("m.e").as(emb), col("m.a").as("cell"))
-    val probes = broadcast(assigned.filter(probePred)
-      .select(col(id).as("probe_id"), col(emb).as("pe"), col("cell")))
+    val probes = broadcast(
+      if (nprobe == 1)
+        assigned.filter(probePred)
+          .select(col(id).as("probe_id"), col(emb).as("pe"), col("cell"))
+      else {
+        val pw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("ac").desc, col("anchor_id"))
+        vectors.filter(probePred)
+          .select(col(id).as("probe_id"), col(emb).as("pe"))
+          .crossJoin(anchors)
+          .select(col("probe_id"), col("pe"), col("anchor_id"),
+            cosR(col("pe"), col("ae")).as("ac"))
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") <= nprobe)
+          .select(col("probe_id"), col("pe"), col("anchor_id").as("cell"))
+      })
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col(id) =!= col("probe_id"))
       .select(col("probe_id"), col(id).as("neighbor_id"),

@@ -143,6 +143,38 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  /** s7: multi-probe IVF — the standard recall knob: each probe
+    * searches its TWO nearest cells (corpus vectors still live in
+    * exactly one), so a true neighbor assigned to the probe's
+    * second-closest cell becomes reachable. Same assignment CTEs as
+    * s3; only the probe-side cell set widens (rn <= 2 over the
+    * probe×anchor scores). */
+  val s7 = Q("s7_knn_ivf_mp", Some(s"""
+    WITH $normCte,
+    $ivfCtes,
+    pra AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm,
+              anchor_id AS cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ac DESC, anchor_id) AS arn
+            FROM asg0 WHERE vec_id % 17 = 0),
+    pr AS (SELECT probe_id, pe, pnrm, cell FROM pra WHERE arn <= 2),
+    sc AS (SELECT p.probe_id, b.vec_id AS neighbor_id,
+             floor((list_sum(list_transform(range(1, 65),
+                      i -> p.pe[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                    (p.pnrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS c6
+           FROM pr p JOIN asg b ON p.cell = b.cell
+             AND b.vec_id <> p.probe_id),
+    r AS (SELECT probe_id, neighbor_id, c6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
+    FROM r WHERE rn <= 5
+    ORDER BY probe_id, rn""")) { (s, d) =>
+    Similarity.ivfKnn(t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") % 17 === 0, 5, nprobe = 2)
+      .orderBy("probe_id", "rn")
+  }
+
   // s4: IVF training — 2 Lloyd iterations of cosine k-means. Seeds =
   // vec_id % 125 = 0; iteration-2 centroids are per-dim EXACT means
   // (6dp scaled longs, order-independent in both engines).
@@ -459,5 +491,5 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
-  val qs: Seq[Q] = Seq(d5, d11, d13, d16, s1, s2, s3, s4, s5, s6)
+  val qs: Seq[Q] = Seq(d5, d11, d13, d16, s1, s2, s3, s4, s5, s6, s7)
 }

@@ -154,6 +154,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= (n * 8) / 10, s"PQ recall $hits/$n below 0.8")
   }
 
+  test("multi-probe IVF: nprobe=2 recall dominates nprobe=1 against brute truth") {
+    val probePred = col("vec_id") % 17 === 0
+    val anchorPred = col("vec_id") % 125 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteKnn(emb, "vec_id", "embedding",
+      probePred, 5))
+    val r1 = pairs(Similarity.ivfKnn(emb, "vec_id", "embedding",
+      anchorPred, probePred, 5)).intersect(truth).size
+    val r2 = pairs(Similarity.ivfKnn(emb, "vec_id", "embedding",
+      anchorPred, probePred, 5, nprobe = 2)).intersect(truth).size
+    // widening the probed cell set can only add candidates: recall is
+    // monotone in nprobe, and on this corpus strictly better coverage
+    // of the truth set is expected to at least hold
+    assert(r2 >= r1, s"nprobe=2 recall $r2 fell below nprobe=1 $r1")
+    assert(r2 * 10 >= truth.size * 5, s"nprobe=2 recall $r2/${truth.size} below 0.5")
+  }
+
   test("LSH-assigned IVF-PQ surfaces planted exact copies in the estimate top-k") {
     // same recall property as the brute-quantizer composition: an
     // exact copy shares every band bucket with its source (collides
