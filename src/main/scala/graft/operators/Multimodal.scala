@@ -146,6 +146,37 @@ object Multimodal {
           .as("phash"))
   }
 
+  /** Perceptual-hash near-dup pairs — the multimodal dedup step over
+    * [[phash]]'s 32-bit signatures: two payloads are near-dups when
+    * their signatures differ in at most `maxDist` bits. Candidates
+    * come from 4 byte-band buckets (pigeonhole: Hamming ≤ 3 ⇒ at
+    * least one of 4 bands EQUAL, so for maxDist ≤ 3 the blocking is
+    * EXACT — every qualifying pair is found, not sampled); each
+    * candidate is verified by the true popcount of the XOR. Scale
+    * shape is d11's: band equi-join over narrow (id, sig, band) rows,
+    * Σ|bucket|² bounded by signature entropy, never payloads; the
+    * verify is one integer op. */
+  def phashNearDups(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole is exact only for maxDist <= 3")
+    val banded = sigs.select(col("record_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          pmod(floor(col("phash") / (1L << (8 * b))).cast("long"), lit(256L))
+            .as("bv"))): _*)).as("bb"))
+      .select(col("record_id"), col("phash"),
+        col("bb.b").as("b"), col("bb.bv").as("bv"))
+    val l = banded.select(col("record_id").as("r1"), col("phash").as("s1"),
+      col("b"), col("bv"))
+    val r = banded.select(col("record_id").as("r2"), col("phash").as("s2"),
+      col("b"), col("bv"))
+    l.join(r, Seq("b", "bv")).filter(col("r1") < col("r2"))
+      .select(col("r1"), col("r2"), col("s1"), col("s2"))
+      .dropDuplicates("r1", "r2")
+      .select(col("r1"), col("r2"),
+        expr("bit_count(s1 ^ s2)").cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Frame/sample extraction: explode each asset into its (stub)
     * frames with a per-frame feature vector. Partition-local. */
   def sampleFrames(binDf: DataFrame, stride: Int = 256): Dataset[Frame] = {

@@ -376,5 +376,35 @@ object Text {
       .orderBy("record_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, d1, m1, m2, m3, m4, m5, m6)
+  /** perceptual-hash near-dup pairs over m6's signatures
+    * ([[graft.operators.Multimodal.phashNearDups]]) — multimodal
+    * dedup: 4 byte-band buckets (pigeonhole-EXACT for Hamming ≤ 3),
+    * popcount-of-XOR verify. Oracle rebuilds the same signatures and
+    * bands in SQL. */
+  val m7 = Q("m7_phash_pairs", Some(s"""
+    WITH c AS (SELECT doc_id, text,
+      unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1))) AS ci
+      FROM documents),
+    k AS (SELECT doc_id, md5(substr(text, CAST(ci * 256 + 1 AS INT), 256)) AS hx
+          FROM c),
+    dg AS (SELECT doc_id, $chunkDigits FROM k),
+    sm AS (SELECT doc_id, $voteSums FROM dg GROUP BY doc_id),
+    sg AS (SELECT doc_id AS record_id, CAST($sigBits AS BIGINT) AS phash FROM sm),
+    bd AS (SELECT record_id, phash, b,
+             (phash // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 256
+                        WHEN 2 THEN 65536 ELSE 16777216 END)) % 256 AS bv
+           FROM sg CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+    pp AS (SELECT DISTINCT a.record_id AS r1, a.phash AS s1,
+             bb.record_id AS r2, bb.phash AS s2
+           FROM bd a JOIN bd bb ON a.b = bb.b AND a.bv = bb.bv
+             AND a.record_id < bb.record_id)
+    SELECT r1, r2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS dist
+    FROM pp WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY r1, r2""")) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.phashNearDups(Multimodal.phash(
+      Multimodal.asBinary(t(s, d, "documents"), "doc_id", "text")))
+      .orderBy("r1", "r2")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, d1, m1, m2, m3, m4, m5, m6, m7)
 }

@@ -200,6 +200,34 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"unrelated payloads differ broadly: ${ham(p(1L), p(3L))}")
   }
 
+  test("phashNearDups: exact-dup pair at dist 0, unrelated pair absent") {
+    import spark.implicits._
+    def blob(chunks: Seq[String]) = chunks.map(_.padTo(256, 'x')).mkString
+    val base = (0 until 32).map(i => s"chunk $i content")
+    val far = (0 until 32).map(i => s"totally different chunk $i")
+    val df = Seq((1L, blob(base)), (2L, blob(base)), (3L, blob(far)))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.phashNearDups(
+      Multimodal.phash(Multimodal.asBinary(df, "doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)),
+      s"identical payloads pair at dist 0 and nothing else: ${pairs.toSeq}")
+    // pigeonhole exactness: every Hamming<=3 pair is FOUND, not
+    // sampled — brute-force over the full corpus's signatures agrees
+    // with the banded join exactly
+    val sigs = Multimodal.phash(Multimodal.asBinary(
+      docs.limit(200), "doc_id", "text"))
+    val got = Multimodal.phashNearDups(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, s1) <- all; (i2, s2) <- all
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (i1, i2)).toSet
+    assert(got == brute, s"banded pairs must equal brute pairs: " +
+      s"missing ${brute -- got}, extra ${got -- brute}")
+  }
+
   test("mixToBudget: budget split by weight, under-allocated strata pass through whole") {
     import graft.operators.Sampling
     import spark.implicits._
