@@ -138,16 +138,26 @@ object TextAnalysis {
     * shuffles, then a pure codegen'd CASE; nothing new moves. */
   def filterChain(docs: DataFrame, id: String, text: String,
       minTokens: Long = 25, maxDupRatio: Double = 0.65,
-      maxTopFrac: Double = 0.15): DataFrame = {
+      maxTopFrac: Double = 0.15, minEntropy: Double = 0.0): DataFrame = {
     // TOTAL over the input: a NULL-text doc would silently vanish from
     // the exploded aggregates (and so from the verdict table — unjudged
     // rather than dropped); coalescing to "" makes it one empty token
     // → too_short, so every input doc gets exactly one verdict
     val totalDocs = docs.withColumn(text, coalesce(col(text), lit("")))
-    repetition(totalDocs, id, text).select(col(id),
+    // the entropy gate ([[entropy]]'s H) is OFF at the default 0.0
+    // (H >= 0 always, strict <) and its join is only paid when a
+    // caller turns it on — the default chain stays two shuffles
+    val base = repetition(totalDocs, id, text)
+    val judged =
+      if (minEntropy > 0)
+        base.join(entropy(totalDocs, id, text)
+          .select(col(id), col("entropy")), Seq(id))
+      else base.withColumn("entropy", lit(Double.MaxValue))
+    judged.select(col(id),
       when(col("n_tok") < minTokens, "too_short")
         .when(col("dup_ratio") > maxDupRatio, "too_repetitive")
         .when(col("top_frac") > maxTopFrac, "top_heavy")
+        .when(col("entropy") < minEntropy, "low_entropy")
         .otherwise("keep").as("verdict"))
   }
 

@@ -82,6 +82,19 @@ class TextMultimodalSpec extends AnyFunSuite {
       .select("verdict").distinct().collect().map(_.getString(0)).toSet
     assert(verdicts == Set("keep", "too_short", "too_repetitive", "top_heavy"),
       s"corpus verdicts $verdicts")
+    // optional entropy gate: 20 types over 30 tokens passes every
+    // ratio rule (dup 0.33, top 0.067) but H ≈ ln 20 < 3.2, while 30
+    // distinct tokens (H = ln 30) keep; gate OFF by default
+    val lowH = ((1 to 10).map(i => s"t$i") ++ (1 to 10).map(i => s"t$i") ++
+      (1 to 10).map(i => s"u$i")).mkString(" ")
+    val he = Seq((5L, lowH), (6L, varied)).toDF("doc_id", "text")
+    val vh = TextAnalysis.filterChain(he, "doc_id", "text", minEntropy = 3.2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vh == Map(5L -> "low_entropy", 6L -> "keep"), s"got $vh")
+    val voff = TextAnalysis.filterChain(he, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(voff == Map(5L -> "keep", 6L -> "keep"),
+      s"entropy gate must be off by default: $voff")
   }
 
   test("contamination: planted eval overlap is found, clean doc reports zero") {
