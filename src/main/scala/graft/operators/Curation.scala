@@ -115,19 +115,15 @@ object Curation {
       val cc = Dedup.connectedComponents(pairs, "d1", "d2")
       val drops =
         if (keepBestQuality) {
-          // keep each cluster's max-(score, -id) member; drops =
-          // members that are not their cluster's keeper
+          // the ONE keeper rule ([[Dedup.componentKeepers]]): best
+          // t2-quality member per cluster, ties → min id. Partial-agg
+          // argmax then a fact-dim join back — never a per-cluster
+          // collected array (a pathological million-member cluster
+          // must stay row-shaped).
           val sc = TextAnalysis.quality(d, id, text)
-            .select(col(id).as("node"), col("score"))
-          // partial-agg argmax per cluster, then a fact-dim join back
-          // (never a per-cluster collected array — a pathological
-          // million-member cluster must stay row-shaped)
-          // left + -Inf coalesce like Dedup.clusterRepresentatives: a
-          // node the score pass somehow missed must still be judged
-          val keep = cc.join(sc, Seq("node"), "left_outer").groupBy("comp")
-            .agg(max_by(col("node"),
-              struct(coalesce(col("score"), lit(Double.NegativeInfinity)),
-                (-col("node")).as("ni"))).as("__keep"))
+            .select(col(id), col("score"))
+          val keep = Dedup.componentKeepers(cc, sc, id)
+            .select(col("comp"), col("keeper").as("__keep"))
           cc.join(keep, "comp")
             .filter(col("node") =!= col("__keep"))
             .select(col("node").as(id))

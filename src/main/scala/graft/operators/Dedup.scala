@@ -398,23 +398,33 @@ object Dedup {
     * cluster: (comp, keeper, n_members). Singletons never enter the
     * pair graph and are implicitly kept — emitting them would just
     * re-list the corpus. */
+  /** keeper per component: highest (coalesced) score, ties → MIN
+    * node. min_by over (-score, node) rather than max_by over
+    * (score, -node): negating the NODE would cast a string id to
+    * double (NULL — the tie-break silently vanishes and the keeper
+    * becomes partitioning-dependent); negating the SCORE is always a
+    * double. LEFT join + -Inf coalesce: a member the score table
+    * missed still COUNTS (n_members must be the true cluster size)
+    * and loses to any scored member; an all-unscored cluster falls
+    * back to the min id. The ONE keeper rule —
+    * [[clusterRepresentatives]] and Curation's keepBestQuality both
+    * call this, so the two cannot drift. */
+  def componentKeepers(cc: DataFrame, scores: DataFrame,
+      scoreId: String): DataFrame =
+    cc.join(scores.select(col(scoreId).as("node"), col("score")),
+        Seq("node"), "left_outer")
+      .groupBy(col("comp"))
+      .agg(
+        min_by(col("node"),
+          struct((-coalesce(col("score"), lit(Double.NegativeInfinity)))
+            .as("ns"), col("node"))).as("keeper"),
+        count(lit(1)).as("n_members"))
+
   def clusterRepresentatives(docs: DataFrame, id: String, text: String,
       scores: DataFrame, threshold: Double = 0.9): DataFrame = {
     val pairs = verifiedPairs(docs, id, text, threshold)
     val cc = connectedComponents(pairs, "d1", "d2")
-    // LEFT join + -Inf coalesce: a member the score table missed still
-    // COUNTS (n_members must be the true cluster size) and still has a
-    // deterministic keeper path — unscored members lose to any scored
-    // one, and an all-unscored cluster falls back to the min id (the
-    // -Inf tie broken by -node). An inner join here would silently
-    // shrink clusters whenever scores cover a subset.
-    cc.join(scores, cc("node") === scores(id), "left_outer")
-      .groupBy(col("comp"))
-      .agg(
-        max_by(col("node"),
-          struct(coalesce(col("score"), lit(Double.NegativeInfinity)),
-            (-col("node")).as("ni"))).as("keeper"),
-        count(lit(1)).as("n_members"))
+    componentKeepers(cc, scores, id)
   }
 
   /** n-gram Jaccard on length-blocked candidate pairs: docs within

@@ -73,8 +73,17 @@ object Sampling {
     * Spark's WindowGroupLimit rule, which runs a PARTIAL top-n in
     * each input partition BEFORE the stratum shuffle — so the
     * exchange carries at most n rows per (partition, stratum), never
-    * the corpus. A NULL key hashes as the empty string (one stable
-    * position, not a silent drop). */
+    * the corpus.
+    *
+    * PRECONDITION (same as [[packSequences]]): `key` must be UNIQUE
+    * and non-null within each stratum for the determinism claim —
+    * (md5(key), key) is the entire sort order, so duplicate keys tie
+    * and their relative rank at the n-boundary is
+    * partitioning-dependent. A NULL key hashes as the empty string
+    * (judged, not silently dropped) but two NULLs tie with each other
+    * — and with a real empty-string key — and NULL ordering differs
+    * across engines, so NULL keys also void oracle parity at the
+    * boundary. */
   def sampleN(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame = {
     val h = md5(coalesce(key.cast("string"), lit("")).cast("binary"))
     val w = org.apache.spark.sql.expressions.Window

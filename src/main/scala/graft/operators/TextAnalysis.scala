@@ -21,6 +21,12 @@ object TextAnalysis {
 
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
 
+  /** the stopword membership predicate over a lambda variable `w` —
+    * the ONE SQL text the Spark filter expressions ([[quality]]) and
+    * every DuckDB oracle (t2, d18) derive from, so the score
+    * definition cannot drift between engines or queries */
+  val stopPredSql: String = stopwords.map(w => s"w = '$w'").mkString(" OR ")
+
   def tokens(text: Column): Column = split(lower(text), " ")
 
   /** Language ID: explode tokens, broadcast-join the lexicon, argmax
@@ -56,9 +62,8 @@ object TextAnalysis {
     * engine (DECIMAL outputs stringify reader-dependently). */
   def quality(docs: DataFrame, id: String, text: String): DataFrame = {
     val nTok = size(tokens(col(text))).cast("long")
-    val stopPred = stopwords.map(w => s"w = '$w'").mkString(" OR ")
     val stopCnt =
-      expr(s"cast(size(filter(split(lower($text), ' '), w -> $stopPred)) as long)")
+      expr(s"cast(size(filter(split(lower($text), ' '), w -> $stopPredSql)) as long)")
     docs.select(col(id), nTok.as("n_tok"), stopCnt.as("stop_cnt"),
         octet_length(col(text)).as("nbytes"))
       .select(col(id), col("n_tok"), col("stop_cnt"),
@@ -108,16 +113,27 @@ object TextAnalysis {
     * training. Two partial-agg shuffles of narrow (id, token, count)
     * rows — never documents; at 100 TB this is the scalable form (an
     * in-array mode computation would be O(uniq x total) per row). */
-  def repetition(docs: DataFrame, id: String, text: String): DataFrame = {
-    val perTok = docs
-      .select(col(id), explode(tokens(col(text))).as("w"))
+  /** per-(doc, token-type) counts — the ONE exploded aggregate every
+    * token-distribution signal ([[repetition]], [[entropy]], the
+    * gated [[filterChain]]) derives from */
+  private def perTokCounts(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), explode(tokens(col(text))).as("w"))
       .groupBy(col(id), col("w")).agg(count(lit(1)).as("n"))
-    perTok.groupBy(col(id)).agg(
+
+  private def dupRatioCol(nUniq: Column, nTok: Column): Column =
+    roundA(lit(1.0) - nUniq * 1.0 / nTok, 4)
+  private def topFracCol(topN: Column, nTok: Column): Column =
+    roundA(topN * 1.0 / nTok, 4)
+  /** one type's -p·ln p entropy term in micro fixed-point */
+  private def entropyTermMicro(n: Column, nTok: Column): Column =
+    floor(-(n / nTok) * log(n / nTok) * 1e6 + 0.5).cast("long")
+
+  def repetition(docs: DataFrame, id: String, text: String): DataFrame =
+    perTokCounts(docs, id, text).groupBy(col(id)).agg(
         sum("n").as("n_tok"), count(lit(1)).as("n_uniq"), max("n").as("top_n"))
       .select(col(id), col("n_tok"), col("n_uniq"), col("top_n"),
-        roundA(lit(1.0) - col("n_uniq") * 1.0 / col("n_tok"), 4).as("dup_ratio"),
-        roundA(col("top_n") * 1.0 / col("n_tok"), 4).as("top_frac"))
-  }
+        dupRatioCol(col("n_uniq"), col("n_tok")).as("dup_ratio"),
+        topFracCol(col("top_n"), col("n_tok")).as("top_frac"))
 
   /** Eval-set decontamination: for every non-eval document, the count
     * and fraction of its distinct word-3-gram digests that appear
@@ -145,14 +161,28 @@ object TextAnalysis {
     // → too_short, so every input doc gets exactly one verdict
     val totalDocs = docs.withColumn(text, coalesce(col(text), lit("")))
     // the entropy gate ([[entropy]]'s H) is OFF at the default 0.0
-    // (H >= 0 always, strict <) and its join is only paid when a
-    // caller turns it on — the default chain stays two shuffles
-    val base = repetition(totalDocs, id, text)
+    // (H >= 0 always, strict <). Gated ON, every signal still comes
+    // from ONE exploded aggregate: the repetition stats move to a
+    // window over the shared perTokCounts rows so the corpus is not
+    // tokenized a second time for H (values identical to
+    // repetition ⨝ entropy — same expressions, same rounding)
     val judged =
-      if (minEntropy > 0)
-        base.join(entropy(totalDocs, id, text)
-          .select(col(id), col("entropy")), Seq(id))
-      else base.withColumn("entropy", lit(Double.MaxValue))
+      if (minEntropy > 0) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+        perTokCounts(totalDocs, id, text)
+          .withColumn("n_tok", sum(col("n")).over(w))
+          .withColumn("n_uniq", count(lit(1)).over(w))
+          .withColumn("top_n", max(col("n")).over(w))
+          .select(col(id), col("n_tok"), col("n_uniq"), col("top_n"),
+            entropyTermMicro(col("n"), col("n_tok")).as("t_micro"))
+          .groupBy(col(id), col("n_tok"), col("n_uniq"), col("top_n"))
+          .agg(sum(col("t_micro")).as("h_micro"))
+          .select(col(id), col("n_tok"),
+            dupRatioCol(col("n_uniq"), col("n_tok")).as("dup_ratio"),
+            topFracCol(col("top_n"), col("n_tok")).as("top_frac"),
+            roundA(col("h_micro") / 1e6, 4).as("entropy"))
+      } else repetition(totalDocs, id, text)
+        .withColumn("entropy", lit(Double.MaxValue))
     judged.select(col(id),
       when(col("n_tok") < minTokens, "too_short")
         .when(col("dup_ratio") > maxDupRatio, "too_repetitive")
@@ -272,21 +302,16 @@ object TextAnalysis {
     * counts against per-doc totals — never documents. Total over the
     * input: NULL-text docs report n_tok=0 and NULL entropy. */
   def entropy(docs: DataFrame, id: String, text: String): DataFrame = {
-    val perTok = docs
-      .select(col(id), explode(tokens(col(text))).as("w"))
-      .groupBy(col(id), col("w")).agg(count(lit(1)).as("n"))
     // per-doc totals via a WINDOW over the already-aggregated type
     // rows (the d12 rule: not a second agg + join, which would run
     // the corpus explode+combine twice) — one extra narrow shuffle of
     // (id, w, n) rows instead of a second pass over the documents
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
-    val h = perTok
+    val h = perTokCounts(docs, id, text)
       .withColumn("n_tok", sum(col("n")).over(w))
       .withColumn("n_uniq", count(lit(1)).over(w))
       .select(col(id), col("n_tok"), col("n_uniq"),
-        floor(-(col("n") / col("n_tok")) *
-          log(col("n") / col("n_tok")) * 1e6 + 0.5)
-          .cast("long").as("t_micro"))
+        entropyTermMicro(col("n"), col("n_tok")).as("t_micro"))
       .groupBy(col(id), col("n_tok"), col("n_uniq"))
       .agg(sum(col("t_micro")).as("h_micro"))
     docs.select(col(id)).join(h, Seq(id), "left_outer")

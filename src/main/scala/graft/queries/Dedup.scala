@@ -21,9 +21,8 @@ object Dedup {
   private val shingleExpr =
     "list_transform(range(1, greatest(len(tk) - 1, 2)), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
 
-  // t2's stopword predicate, re-derived from the one lexicon
-  private val stopPredD = graft.operators.TextAnalysis.stopwords
-    .map(w => s"w = '$w'").mkString(" OR ")
+  // t2's stopword predicate — the ONE shared SQL text
+  private val stopPredD = graft.operators.TextAnalysis.stopPredSql
 
   private val minExprs = (0 until D.K)
     .map(k => s"min(md5('$k:' || s)) AS h$k").mkString(", ")

@@ -13,8 +13,7 @@ object Text {
 
   private val lexValues = TextAnalysis.lexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
-  private val stopPred = TextAnalysis.stopwords
-    .map(w => s"w = '$w'").mkString(" OR ")
+  private val stopPred = TextAnalysis.stopPredSql
 
   val t1 = Q("t1_langid", Some(s"""
     WITH lex(w, lex_lang) AS (VALUES $lexValues),
@@ -360,16 +359,23 @@ object Text {
     * near-dup entry ([[graft.operators.Multimodal.phash]]): chunk-
     * majority 32-bit signature per payload, value-checked bit by bit
     * against the oracle's reproduction of the chunk grid + md5 votes. */
-  val m6 = Q("m6_phash", Some(s"""
-    WITH c AS (SELECT doc_id, text,
+  // the phash signature construction (chunk grid → md5 votes →
+  // bit-majority, ending at sg = (record_id, phash)) — shared by m6
+  // (signatures) and m7 (near-dup pairs) so the signature definition
+  // cannot drift between the two oracles
+  private val phashSigCtes = s"""
+    c AS (SELECT doc_id, text,
       unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1))) AS ci
       FROM documents),
     k AS (SELECT doc_id, md5(substr(text, CAST(ci * 256 + 1 AS INT), 256)) AS hx
           FROM c),
     dg AS (SELECT doc_id, $chunkDigits FROM k),
-    sm AS (SELECT doc_id, $voteSums FROM dg GROUP BY doc_id)
-    SELECT doc_id AS record_id, CAST($sigBits AS BIGINT) AS phash
-    FROM sm ORDER BY record_id""")) { (s, d) =>
+    sm AS (SELECT doc_id, $voteSums FROM dg GROUP BY doc_id),
+    sg AS (SELECT doc_id AS record_id, CAST($sigBits AS BIGINT) AS phash FROM sm)"""
+
+  val m6 = Q("m6_phash", Some(s"""
+    WITH $phashSigCtes
+    SELECT record_id, phash FROM sg ORDER BY record_id""")) { (s, d) =>
     import graft.operators.Multimodal
     Multimodal.phash(
       Multimodal.asBinary(t(s, d, "documents"), "doc_id", "text"))
@@ -382,14 +388,7 @@ object Text {
     * popcount-of-XOR verify. Oracle rebuilds the same signatures and
     * bands in SQL. */
   val m7 = Q("m7_phash_pairs", Some(s"""
-    WITH c AS (SELECT doc_id, text,
-      unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1))) AS ci
-      FROM documents),
-    k AS (SELECT doc_id, md5(substr(text, CAST(ci * 256 + 1 AS INT), 256)) AS hx
-          FROM c),
-    dg AS (SELECT doc_id, $chunkDigits FROM k),
-    sm AS (SELECT doc_id, $voteSums FROM dg GROUP BY doc_id),
-    sg AS (SELECT doc_id AS record_id, CAST($sigBits AS BIGINT) AS phash FROM sm),
+    WITH $phashSigCtes,
     bd AS (SELECT record_id, phash, b,
              (phash // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 256
                         WHEN 2 THEN 65536 ELSE 16777216 END)) % 256 AS bv

@@ -118,7 +118,15 @@ object EventStreams {
   def lmScoreStream(docs: DataFrame, corpus: DataFrame,
       text: String = "text"): DataFrame = {
     import graft.operators.TextAnalysis
-    val (c12, c1, v) = TextAnalysis.lmModel(corpus, text)
+    val (c12r, c1r, v) = TextAnalysis.lmModel(corpus, text)
+    // materialize the model at stream definition: a stream-static
+    // join re-executes the static side EVERY micro-batch, so lazy
+    // count tables would re-tokenize and re-aggregate the whole
+    // training corpus per batch — persisted, each batch pays a
+    // dim-table join instead (same rule as embedNearDupSuppress's
+    // banded corpus)
+    val c12 = c12r.persist()
+    val c1 = c1r.persist()
     // V is one static scalar: pinned at stream definition (a lazy
     // cross join of a streaming side is not a supported stream-static
     // shape, and the value cannot change mid-run anyway)

@@ -147,6 +147,22 @@ class DedupSpec extends AnyFunSuite {
       "keeper must be the best SCORED member when one is unscored")
   }
 
+  test("componentKeepers: STRING ids tie-break to min id (no numeric-cast NULL)") {
+    import spark.implicits._
+    // the old max_by ordering negated the NODE, which casts a string
+    // id to double -> NULL and made equal-score keepers
+    // partitioning-dependent; min_by over (-score, node) keeps the
+    // tie-break in the id's native ordering
+    val cc = Seq(("b", "a"), ("a", "a"), ("c", "a")).toDF("node", "comp")
+    val scores = Seq(("a", 0.5), ("b", 0.5), ("c", 0.5))
+      .toDF("doc_id", "score")
+    val k = D.componentKeepers(cc, scores, "doc_id").collect()
+    assert(k.length == 1)
+    assert(k.head.getAs[String]("keeper") == "a",
+      "equal scores must break to the MIN string id deterministically")
+    assert(k.head.getAs[Long]("n_members") == 3L)
+  }
+
   test("exact dedup groups are singletons in a dup-free corpus") {
     val d = D.exact(docs, "doc_id", "text")
     assert(d.count() == docs.count())
