@@ -124,7 +124,18 @@ object Multimodal {
     * phash 0) — explicitly, not via greatest()'s skip-NULL behavior,
     * so a degenerate row can never silently vanish from the
     * signature table. */
-  def phash(binDf: DataFrame): DataFrame = {
+  /** `bits` (default 32, max 60, multiple of 4): signature width. The
+    * WIDTH is the near-dup blocking's scale lever — [[phashNearDups]]
+    * cuts the signature into 4 pigeonhole bands, so bucket count per
+    * band is 2^(bits/4): at 32 bits that is a FIXED 256 buckets
+    * (measured quadratic at sf1, r=27 — the d5 trap in multimodal
+    * clothing), at 60 bits it is 32768. Grow bits with log₂|corpus|
+    * exactly like [[graft.operators.Similarity.corpusBits]]; 60 is
+    * the cap because bit 59 is the last that sums into a BIGINT
+    * identically on every engine. */
+  def phash(binDf: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits % 4 == 0 && bits >= 8 && bits <= 60,
+      "phash width must be a multiple of 4 in [8, 60]")
     val chunks = binDf.select(col("record_id"),
       explode(sequence(lit(0),
         greatest((ceil(coalesce(octet_length(col("payload")), lit(0)) / 256.0)
@@ -133,15 +144,15 @@ object Multimodal {
       .select(col("record_id"),
         md5(expr("substring(payload, ci * 256 + 1, 256)")).as("hx"))
     val digits = chunks.select(col("record_id") +:
-      (0 until 8).map(i =>
+      (0 until bits / 4).map(i =>
         expr(s"instr('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1")
           .as(s"d$i")): _*)
-    val sums = (0 until 32).map { b =>
+    val sums = (0 until bits).map { b =>
       expr(s"sum(((d${b / 4} div ${1 << (b % 4)}) % 2) * 2 - 1)").as(s"s$b")
     }
     digits.groupBy(col("record_id")).agg(sums.head, sums.tail: _*)
       .select(col("record_id"),
-        (0 until 32).map(b =>
+        (0 until bits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
           .as("phash"))
   }
@@ -156,12 +167,21 @@ object Multimodal {
     * shape is d11's: band equi-join over narrow (id, sig, band) rows,
     * Σ|bucket|² bounded by signature entropy, never payloads; the
     * verify is one integer op. */
-  def phashNearDups(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4-band pigeonhole is exact only for maxDist <= 3")
+  /** band-colliding candidate pairs with their EXACT Hamming
+    * distance — [[phashNearDups]]' candidate stage, exposed because
+    * it is the value-checkable artifact (sig construction + banding +
+    * popcount all observable even when no pair clears the near-dup
+    * threshold, as on a corpus with no payload-level dups). */
+  def phashCandidates(sigs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits % 4 == 0 && bits <= 60, "bits must match the phash width")
+    // integer `div`, not double division: a 60-bit signature does not
+    // round-trip through a double (2^53 mantissa), so floor(x / 2^45)
+    // could land one bucket off near boundaries
+    val bw = bits / 4
     val banded = sigs.select(col("record_id"), col("phash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
-          pmod(floor(col("phash") / (1L << (8 * b))).cast("long"), lit(256L))
+          pmod(expr(s"phash div ${1L << (bw * b)}"), lit(1L << bw))
             .as("bv"))): _*)).as("bb"))
       .select(col("record_id"), col("phash"),
         col("bb.b").as("b"), col("bb.bv").as("bv"))
@@ -174,7 +194,12 @@ object Multimodal {
       .dropDuplicates("r1", "r2")
       .select(col("r1"), col("r2"),
         expr("bit_count(s1 ^ s2)").cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+  }
+
+  def phashNearDups(sigs: DataFrame, maxDist: Int = 3,
+      bits: Int = 32): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole is exact only for maxDist <= 3")
+    phashCandidates(sigs, bits).filter(col("dist") <= maxDist)
   }
 
   /** Frame/sample extraction: explode each asset into its (stub)

@@ -343,15 +343,17 @@ object Text {
       .orderBy("doc_id")
   }
 
-  // m6's bit-majority SQL, mirroring queries/Dedup.d3's generators but
-  // over 256-byte chunk digests instead of token digests
-  private val chunkDigits = (0 until 8)
+  // m6/m7's bit-majority SQL, mirroring queries/Dedup.d3's generators
+  // but over 256-byte chunk digests instead of token digests —
+  // parametrized by signature width (m6 ships 32-bit signatures; m7
+  // blocks on 60-bit ones, the width ∝ log₂|corpus| rule)
+  private def chunkDigits(bits: Int) = (0 until bits / 4)
     .map(i => s"instr('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1 AS d$i")
     .mkString(", ")
-  private val voteSums = (0 until 32)
+  private def voteSums(bits: Int) = (0 until bits)
     .map(b => s"sum(((d${b / 4} // ${1 << (b % 4)}) % 2) * 2 - 1) AS s$b")
     .mkString(", ")
-  private val sigBits = (0 until 32)
+  private def sigBits(bits: Int) = (0 until bits)
     .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
     .mkString(" + ")
 
@@ -360,21 +362,21 @@ object Text {
     * majority 32-bit signature per payload, value-checked bit by bit
     * against the oracle's reproduction of the chunk grid + md5 votes. */
   // the phash signature construction (chunk grid → md5 votes →
-  // bit-majority, ending at sg = (record_id, phash)) — shared by m6
-  // (signatures) and m7 (near-dup pairs) so the signature definition
-  // cannot drift between the two oracles
-  private val phashSigCtes = s"""
+  // bit-majority, ending at sg = (record_id, phash)) — ONE generator
+  // shared by m6 (signatures) and m7 (near-dup pairs) so the
+  // signature definition cannot drift between the two oracles
+  private def phashSigCtes(bits: Int) = s"""
     c AS (SELECT doc_id, text,
       unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1))) AS ci
       FROM documents),
     k AS (SELECT doc_id, md5(substr(text, CAST(ci * 256 + 1 AS INT), 256)) AS hx
           FROM c),
-    dg AS (SELECT doc_id, $chunkDigits FROM k),
-    sm AS (SELECT doc_id, $voteSums FROM dg GROUP BY doc_id),
-    sg AS (SELECT doc_id AS record_id, CAST($sigBits AS BIGINT) AS phash FROM sm)"""
+    dg AS (SELECT doc_id, ${chunkDigits(bits)} FROM k),
+    sm AS (SELECT doc_id, ${voteSums(bits)} FROM dg GROUP BY doc_id),
+    sg AS (SELECT doc_id AS record_id, CAST(${sigBits(bits)} AS BIGINT) AS phash FROM sm)"""
 
   val m6 = Q("m6_phash", Some(s"""
-    WITH $phashSigCtes
+    WITH ${phashSigCtes(32)}
     SELECT record_id, phash FROM sg ORDER BY record_id""")) { (s, d) =>
     import graft.operators.Multimodal
     Multimodal.phash(
@@ -382,26 +384,35 @@ object Text {
       .orderBy("record_id")
   }
 
-  /** perceptual-hash near-dup pairs over m6's signatures
-    * ([[graft.operators.Multimodal.phashNearDups]]) — multimodal
-    * dedup: 4 byte-band buckets (pigeonhole-EXACT for Hamming ≤ 3),
-    * popcount-of-XOR verify. Oracle rebuilds the same signatures and
-    * bands in SQL. */
+  /** perceptual-hash band candidates + exact Hamming distance
+    * ([[graft.operators.Multimodal.phashCandidates]] — the candidate
+    * stage of [[graft.operators.Multimodal.phashNearDups]], whose
+    * ≤3-bit threshold and pigeonhole-exactness are spec'd with
+    * planted payloads; this corpus has no payload-level dups, so the
+    * gate checks the candidate stage, which is non-empty). Blocks on
+    * 60-BIT signatures: bucket count per band is 2^(bits/4), so m6's
+    * 32-bit width is a FIXED 256 buckets — measured quadratic at sf1
+    * (r=27, the d5 trap in multimodal clothing); at 60 bits each band
+    * has 2^15 buckets and occupancy follows the width ∝
+    * log₂\|corpus\| rule (corpusBits' twin). Oracle rebuilds the same
+    * signatures and bands in SQL from the ONE shared generator. */
   val m7 = Q("m7_phash_pairs", Some(s"""
-    WITH $phashSigCtes,
+    WITH ${phashSigCtes(60)},
     bd AS (SELECT record_id, phash, b,
-             (phash // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 256
-                        WHEN 2 THEN 65536 ELSE 16777216 END)) % 256 AS bv
+             (phash // (CASE b WHEN 0 THEN 1 WHEN 1 THEN ${1L << 15}
+                        WHEN 2 THEN ${1L << 30} ELSE ${1L << 45} END))
+               % ${1 << 15} AS bv
            FROM sg CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
     pp AS (SELECT DISTINCT a.record_id AS r1, a.phash AS s1,
              bb.record_id AS r2, bb.phash AS s2
            FROM bd a JOIN bd bb ON a.b = bb.b AND a.bv = bb.bv
              AND a.record_id < bb.record_id)
     SELECT r1, r2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS dist
-    FROM pp WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY r1, r2""")) { (s, d) =>
+    FROM pp ORDER BY r1, r2""")) { (s, d) =>
     import graft.operators.Multimodal
-    Multimodal.phashNearDups(Multimodal.phash(
-      Multimodal.asBinary(t(s, d, "documents"), "doc_id", "text")))
+    Multimodal.phashCandidates(Multimodal.phash(
+      Multimodal.asBinary(t(s, d, "documents"), "doc_id", "text"), 60),
+      bits = 60)
       .orderBy("r1", "r2")
   }
 

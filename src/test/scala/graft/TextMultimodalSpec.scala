@@ -225,20 +225,23 @@ class TextMultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0L)),
       s"identical payloads pair at dist 0 and nothing else: ${pairs.toSeq}")
-    // pigeonhole exactness: every Hamming<=3 pair is FOUND, not
-    // sampled — brute-force over the full corpus's signatures agrees
-    // with the banded join exactly
-    val sigs = Multimodal.phash(Multimodal.asBinary(
-      docs.limit(200), "doc_id", "text"))
-    val got = Multimodal.phashNearDups(sigs)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val brute = (for {
-      (i1, s1) <- all; (i2, s2) <- all
-      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
-    } yield (i1, i2)).toSet
-    assert(got == brute, s"banded pairs must equal brute pairs: " +
-      s"missing ${brute -- got}, extra ${got -- brute}")
+    // pigeonhole exactness at BOTH widths: every Hamming<=3 pair is
+    // FOUND, not sampled — brute-force over the corpus's signatures
+    // agrees with the banded join exactly (60 bits is the shipped m7
+    // width; its band arithmetic must stay exact past double's 2^53)
+    for (bits <- Seq(32, 60)) {
+      val sigs = Multimodal.phash(Multimodal.asBinary(
+        docs.limit(200), "doc_id", "text"), bits)
+      val got = Multimodal.phashNearDups(sigs, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (i1, s1) <- all; (i2, s2) <- all
+        if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+      } yield (i1, i2)).toSet
+      assert(got == brute, s"banded pairs at $bits bits must equal brute: " +
+        s"missing ${brute -- got}, extra ${got -- brute}")
+    }
   }
 
   test("mixToBudget: budget split by weight, under-allocated strata pass through whole") {
