@@ -21,6 +21,10 @@ object Bench {
       .master(s"local[$cpus]")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+    // schema-contract gate (footer-only, costs nothing): drift is one
+    // named line here instead of a family of -1.0 sentinels below
+    Tables.checkContract(spark, sfDir)
+      .foreach(d => System.err.println(s"[bench] SCHEMA DRIFT: $d"))
     // SPARK_GRAFT_BENCH_ONLY=d1_dedup_exact,s2_knn_lsh,... restricts
     // the suite — used for the family-only second-decade (sf10) scale
     // runs where materializing every table would be pure waste. The
@@ -102,8 +106,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // -1.0 failure sentinels must not be summed into the headline
+    // total (they'd UNDERSTATE it); publish the failure count instead
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
     // The driver tails stdout, which truncated the r6 artifact to the
     // last ~10 per-query timings; the file copy is the complete record.
     val out = java.nio.file.Paths.get(

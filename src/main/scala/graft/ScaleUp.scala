@@ -105,11 +105,12 @@ object ScaleUp {
     require(factor >= 1 && factor <= maxF,
       s"factor must be in [1, $maxF]: the re-lettering rotations " +
         "repeat past that and replicas would be exact text duplicates")
-    // NOTE: the copy is for the SPARK bench only — events.ts
-    // round-trips from TIMESTAMP(NANOS) to plain INT64 (nanosAsLong),
-    // which Spark reads identically but a SQL oracle binding
-    // timestamp functions would reject. Never point the DuckDB
-    // correctness gate at a scaled directory.
+    // NOTE: the copy is for the SPARK bench only — if the source
+    // carried events.ts as TIMESTAMP(NANOS), it round-trips here to
+    // plain INT64 (nanosAsLong), which the engine reads identically
+    // (Tables.tsSec adapts) but a SQL oracle binding timestamp
+    // functions would reject. Never point the DuckDB correctness gate
+    // at a scaled directory.
     def want(n: String) = only.isEmpty || only.contains(n)
     def rd(n: String) = Tables.load(spark, src, n)
     def wr(df: DataFrame, n: String): Unit =

@@ -15,6 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+    // schema-contract gate: input-type drift must surface as ONE
+    // named diagnostic up front, not N scattered query failures
+    Tables.checkContract(spark, sfDir)
+      .foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
     new java.io.File(outDir).mkdirs()
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }

@@ -71,13 +71,19 @@ object Analytics {
     floor(c * p + 0.5) / p
   }
 
-  /** epoch seconds (floor) from the events table's nanosecond LONG
-    * `ts` — integer division (double math would lose precision above
-    * 2^53 ns) */
-  val tsSec: Column = expr("ts div 1000000000")
-
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
+
+  /** events with an epoch-seconds `sec` column appended — extraction
+    * is schema-adaptive ([[Tables.tsSec]]): the same query works
+    * whether the lake delivered `ts` as TIMESTAMP(MICROS),
+    * TIMESTAMP_NTZ, or a raw nanosecond LONG. Catalyst prunes the
+    * original `ts` (and any other unused column) out of the scan when
+    * a query selects a subset. */
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    e.withColumn("sec", Tables.tsSec(e))
+  }
 
   // ---- q1: scan-filter-group-agg (TPC-H Q1 shape) --------------------
   val q1 = Q("q1_agg", Some("""
@@ -365,8 +371,8 @@ object Analytics {
            min(sec) AS start_s, max(sec) AS end_s, max(sec)-min(sec) AS dur_s
     FROM s GROUP BY user_id, sid ORDER BY user_id, sid""")) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    t(s, d, "events")
-      .select(col("user_id"), col("event_id"), tsSec.as("sec"))
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("sec"))
       .withColumn("prev", lag("sec", 1).over(w))
       .withColumn("new_s",
         when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
@@ -403,8 +409,8 @@ object Analytics {
     SELECT sec - sec % 3600 AS hour_s, event_type, count(*) AS n,
       CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
     FROM e GROUP BY hour_s, event_type ORDER BY hour_s, event_type""")) { (s, d) =>
-    t(s, d, "events")
-      .select(tsSec.as("sec"), col("event_type"), col("value"))
+    ev(s, d)
+      .select(col("sec"), col("event_type"), col("value"))
       .withColumn("hour_s", col("sec") - col("sec") % 3600)
       .groupBy("hour_s", "event_type")
       .agg(count(lit(1)).as("n"), termSum6(col("value")).as("total"))
@@ -422,8 +428,8 @@ object Analytics {
     FROM e ORDER BY user_id, event_id""")) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    t(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("value"), tsSec.as("sec"))
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("sec"))
       .select(col("user_id"), col("event_id"),
         (sum(floor(col("value") * 1000000.0 + 0.5)).over(w) / 1000000.0).as("run_total"))
       .orderBy("user_id", "event_id")
@@ -505,8 +511,8 @@ object Analytics {
     FROM w WHERE event_type = 'error' ORDER BY event_id""")) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    t(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("sec"))
       .withColumn("asof_click",
         last(when(col("event_type") === "click", col("sec")), ignoreNulls = true).over(w))
       .filter(col("event_type") === "error")
@@ -563,8 +569,8 @@ object Analytics {
     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
     ORDER BY event_id""")) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    t(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("sec"))
       .select(col("event_id"), col("user_id"),
         lag("event_type", 1).over(w).as("prev_type"),
         lead("event_type", 1).over(w).as("next_type"),
@@ -589,8 +595,8 @@ object Analytics {
       AND a.event_type = 'error' AND b.event_type = 'click'
       AND abs(a.sec - b.sec) <= 300
     GROUP BY a.user_id ORDER BY a.user_id""")) { (s, d) =>
-    val e = t(s, d, "events")
-      .select(col("user_id"), col("event_type"), tsSec.as("sec"))
+    val e = ev(s, d)
+      .select(col("user_id"), col("event_type"), col("sec"))
     val err = e.filter(col("event_type") === "error")
       .select(col("user_id"), col("sec").as("esec"), expr("sec div 300").as("b0"))
       .select(col("user_id"), col("esec"),
@@ -623,8 +629,8 @@ object Analytics {
     FROM e ORDER BY user_id, event_id""")) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("sec")
       .rangeBetween(-3600L, Window.currentRow)
-    t(s, d, "events")
-      .select(col("user_id"), col("event_id"), tsSec.as("sec"),
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("sec"),
         floor(col("value") * 1000000.0 + 0.5).as("v6"))
       .select(col("user_id"), col("event_id"),
         (sum("v6").over(w) / 1000000.0).as("hour_sum"),
@@ -661,8 +667,8 @@ object Analytics {
     SELECT (SELECT count(*) FROM v) AS n_view,
            (SELECT count(*) FROM c) AS n_click,
            (SELECT count(*) FROM p) AS n_purchase""")) { (s, d) =>
-    val e = t(s, d, "events")
-      .select(col("user_id"), col("event_type"), tsSec.as("sec"))
+    val e = ev(s, d)
+      .select(col("user_id"), col("event_type"), col("sec"))
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("sec").as("v_sec"))
     val c = e.join(v, "user_id")
@@ -688,8 +694,8 @@ object Analytics {
           FROM e JOIN f USING (user_id))
     SELECT cohort, offs, count(*) AS n_users FROM r
     WHERE offs <= 7 GROUP BY cohort, offs ORDER BY cohort, offs""")) { (s, d) =>
-    val e = t(s, d, "events")
-      .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"))
+    val e = ev(s, d)
+      .select(col("user_id"), expr("sec div 86400").as("day"))
       .distinct()
     val f = e.groupBy("user_id").agg(min("day").as("cohort"))
     e.join(f, "user_id")

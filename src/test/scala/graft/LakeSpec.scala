@@ -208,29 +208,35 @@ class LakeSpec extends AnyFunSuite {
     assert(back.count() == events.count())
     // the property that makes footer min/max pruning work: each
     // file's [min(ts), max(ts)] interval is disjoint from every other
-    // file's, so a time-range predicate can skip all but the hit files
+    // file's, so a time-range predicate can skip all but the hit
+    // files. Read the stats type-generically: ts may surface as a
+    // nanosecond Long, a java.time.LocalDateTime (TIMESTAMP_NTZ), or
+    // an Instant/Timestamp — all Comparable, which is all we need.
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     val ranges = back.groupBy(input_file_name().as("f"))
       .agg(min("ts").as("lo"), max("ts").as("hi"))
-      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      .collect().map(r => (r.get(1), r.get(2))).sortWith((p, q) => lt(p._1, q._1))
     assert(ranges.length >= 4, s"range partitioner produced ${ranges.length} files")
     ranges.sliding(2).foreach {
       case Array((lo1, hi1), (lo2, _)) =>
-        assert(hi1 <= lo2, s"file ranges overlap: [$lo1,$hi1] then [$lo2,..]")
+        assert(!lt(lo2, hi1), s"file ranges overlap: [$lo1,$hi1] then [$lo2,..]")
       case _ =>
     }
     // and the range predicate reaches the scan as a pushed filter,
     // where the footer stats can act on it
-    val sel = back.filter(col("ts") < ranges(1)._1)
+    val sel = back.filter(col("ts") < lit(ranges(1)._1))
     val scan = sel.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters: [IsNotNull(ts), LessThan(ts"),
       scan.take(1500))
   }
 
   test("z-ordered layout bounds per-file ranges in BOTH dimensions") {
-    val events = Tables.load(spark, TestSpark.sf, "events")
+    val raw = Tables.load(spark, TestSpark.sf, "events")
+    val events = raw
       .select(col("event_id"),
         (col("user_id") % 64).as("x"),
-        (expr("ts div 1000000000") % 64).as("y"))
+        (Tables.tsSec(raw) % 64).as("y"))
       .withColumn("zk", LakeSink.zOrderKey(col("x"), col("y"), bits = 6))
     val base = Files.createTempDirectory("graft_zorder").toString
     LakeSink.writeSorted(events, s"$base/z", "parquet", Seq("zk"), nFiles = 16)
