@@ -529,6 +529,33 @@ object Similarity {
   private def argmaxAssignLsh(vectors: DataFrame, id: String, emb: String,
       cents: DataFrame, bits: Int, tables: Int,
       cos: (Column, Column) => Column): DataFrame = {
+    // duplicate (id, cell) candidate rows (multi-table collisions) are
+    // harmless under max_by — same (ac, cell) ordering struct — so no
+    // dedupe shuffle is spent on them
+    def argmax(cand: DataFrame): DataFrame = cand
+      .select(col(id), col(emb), col("cell"), cos(col(emb), col("ce")).as("ac"))
+      .groupBy(col(id))
+      .agg(max_by(struct(col(emb).as("e"), col("cell").as("a")),
+        struct(col("ac"), (-col("cell")).as("na"))).as("m"))
+      .select(col(id), col("m.e").as(emb), col("m.a").as("cell"))
+    val assigned = argmax(bandedCandidates(vectors, id, emb, cents, bits, tables))
+    val fallback = argmax(vectors
+      .join(assigned.select(col(id)), Seq(id), "left_anti")
+      .crossJoin(broadcast(cents)))
+    assigned.unionByName(fallback)
+  }
+
+  /** band-blocked (vector, centroid) CANDIDATE rows — the shared
+    * front half of every LSH-accelerated quantizer pass: the centroid
+    * table is banded per LSH table and BROADCAST; each vector emits
+    * its own band per table plus `bits` Hamming-1 probe bands
+    * (map-side explode, TABLES·(bits+1) keys/vector); the join is
+    * broadcast-hash. Output: (id, emb, cell, ce), possibly with
+    * duplicate (id, cell) pairs from multi-table collisions — callers
+    * collapse via max_by (argmax) or groupBy (top-n), never a
+    * distinct shuffle. */
+  private def bandedCandidates(vectors: DataFrame, id: String, emb: String,
+      cents: DataFrame, bits: Int, tables: Int): DataFrame = {
     val cb = broadcast(cents.select(col("cell"), col("ce"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), tableBucket(col("ce"), t, bits).as("bkt"))): _*))
@@ -541,20 +568,62 @@ object Similarity {
       .select(col(id), col(emb), col("b.t").as("t"), col("b.bkt").as("bkt"))
     val probes = vb0.unionByName(vb0.select(col(id), col(emb), col("t"),
       explode(array((0 until bits).map(i => flipBit(col("bkt"), i)): _*)).as("bkt")))
-    // duplicate (id, cell) candidate rows (multi-table collisions) are
-    // harmless under max_by — same (ac, cell) ordering struct — so no
-    // dedupe shuffle is spent on them
-    def argmax(cand: DataFrame): DataFrame = cand
-      .select(col(id), col(emb), col("cell"), cos(col(emb), col("ce")).as("ac"))
-      .groupBy(col(id))
-      .agg(max_by(struct(col(emb).as("e"), col("cell").as("a")),
-        struct(col("ac"), (-col("cell")).as("na"))).as("m"))
-      .select(col(id), col("m.e").as(emb), col("m.a").as("cell"))
-    val assigned = argmax(probes.join(cb, Seq("t", "bkt")))
-    val fallback = argmax(vectors
-      .join(assigned.select(col(id)), Seq(id), "left_anti")
-      .crossJoin(broadcast(cents)))
-    assigned.unionByName(fallback)
+    probes.join(cb, Seq("t", "bkt"))
+      .select(col(id), col(emb), col("cell"), col("ce"))
+  }
+
+  /** Multi-probe IVF with the LSH-banded coarse quantizer — the
+    * recall knob ([[ivfKnn]]'s `nprobe`) composed onto the LINEAR
+    * assignment path, i.e. the production IVF composition: corpus
+    * vectors are cell-assigned by [[argmaxAssignLsh]] (band-blocked
+    * candidate anchors + Hamming-1 probes + exact brute fallback —
+    * O(1) candidates/vector under the [[corpusBits]] sizing, linear
+    * at any anchor count), and each probe searches its top-`nprobe`
+    * cells OF ITS BANDED CANDIDATE SET (ranked by cosine, cell-id
+    * tie-break; a probe sharing no band with any anchor falls back to
+    * the exact brute top-`nprobe`). A corpus vector still lives in
+    * exactly one cell, so multi-cell probing never double-counts a
+    * candidate.
+    *
+    * Scale shape: anchors band + broadcast (k·TABLES rows); both the
+    * corpus assignment and the probe cell-ranking collapse map-side
+    * (max_by / partial max before the small probe window); the search
+    * join moves |probes|·nprobe probe rows against cell-partitioned
+    * corpus rows — with k ∝ corpus (constant occupancy) every stage
+    * is O(n log n) in the corpus, the same band as s2/s6. */
+  def ivfKnnLsh(vectors: DataFrame, id: String, emb: String,
+      anchorPred: Column, probePred: Column, k: Int, nprobe: Int,
+      bits: Int, tables: Int = LSH_TABLES): DataFrame = {
+    val anchors = vectors.filter(anchorPred)
+      .select(col(id).as("cell"), col(emb).as("ce"))
+    val assigned = argmaxAssignLsh(vectors, id, emb, anchors, bits, tables,
+      (a, b) => cosR(a, b))
+    val pv = vectors.filter(probePred)
+      .select(col(id), col(emb))
+    // top-nprobe candidate cells per probe: collapse multi-table
+    // duplicate (probe, cell) rows by a PARTIAL-agg max (the cosine is
+    // identical across duplicates, so max = the value and no window
+    // slot is wasted on a repeat), then a small per-probe window
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("ac").desc, col("cell"))
+    def rankCells(cand: DataFrame): DataFrame = cand
+      .groupBy(col(id).as("probe_id"), col("cell"))
+      .agg(max(col("ac")).as("ac"), first(col(emb)).as("pe"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("cell"))
+    val banded = rankCells(bandedCandidates(pv, id, emb, anchors, bits, tables)
+      .select(col(id), col(emb), col("cell"), cosR(col(emb), col("ce")).as("ac")))
+    val fallback = rankCells(pv
+      .join(banded.select(col("probe_id").as(id)).distinct(), Seq(id), "left_anti")
+      .crossJoin(broadcast(anchors))
+      .select(col(id), col(emb), col("cell"), cosR(col(emb), col("ce")).as("ac")))
+    val probes = banded.unionByName(fallback)
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col(id) =!= col("probe_id"))
+      .select(col("probe_id"), col(id).as("neighbor_id"),
+        cosR(col("pe"), col(emb)).as("c6"))
+    topK(scored, k)
   }
 
   /** [[kmeansAssign]] with the LSH-accelerated assignment pass:

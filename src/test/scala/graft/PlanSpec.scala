@@ -311,6 +311,22 @@ class PlanSpec extends AnyFunSuite {
       "assignment scoring must use the native fused cosine")
   }
 
+  test("s8 banded multi-probe: assignment joins broadcast-hash, no cartesian past the tiny fallback") {
+    // the VERDICT-r7 contract: the recall knob must live on the
+    // LINEAR quantizer — s8's corpus assignment AND probe cell-ranking
+    // both come from the banded broadcast-hash join (the d16/s6
+    // machinery); brute scoring exists only in the exact fallbacks
+    // against the broadcast anchor table, never as a corpus-sized
+    // CartesianProduct
+    val p = plan("s8_knn_ivf_mp_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      "band candidate join must be broadcast-hash")
+    assert(!p.contains("CartesianProduct"),
+      "no non-broadcast cross product anywhere in the s8 plan")
+    assert(p.contains("cosinesimilarity"),
+      "assignment scoring must use the native fused cosine")
+  }
+
   test("d17 sampleN: partial top-n runs before the stratum shuffle (WindowGroupLimit)") {
     val p = plan("d17_sample_n")
     // Partial + Final WindowGroupLimit: each input partition prunes to

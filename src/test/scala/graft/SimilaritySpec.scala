@@ -173,6 +173,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 * 10 >= truth.size * 5, s"nprobe=2 recall $r2/${truth.size} below 0.5")
   }
 
+  test("banded multi-probe IVF: recall knob works on the linear path too") {
+    // same contract as the brute multi-probe test, on ivfKnnLsh (the
+    // shipped composition: LSH-banded assignment × nprobe): widening
+    // the probed cell set is monotone in recall vs brute truth
+    val probePred = col("vec_id") % 17 === 0
+    val anchorPred = col("vec_id") % 125 === 0
+    val bits = Similarity.corpusBits(emb.filter(anchorPred).count(), 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteKnn(emb, "vec_id", "embedding",
+      probePred, 5))
+    val r1 = pairs(Similarity.ivfKnnLsh(emb, "vec_id", "embedding",
+      anchorPred, probePred, 5, nprobe = 1, bits = bits)).intersect(truth).size
+    val r2 = pairs(Similarity.ivfKnnLsh(emb, "vec_id", "embedding",
+      anchorPred, probePred, 5, nprobe = 2, bits = bits)).intersect(truth).size
+    assert(r2 >= r1, s"banded nprobe=2 recall $r2 fell below nprobe=1 $r1")
+    assert(r2 * 10 >= truth.size * 5,
+      s"banded nprobe=2 recall $r2/${truth.size} below 0.5")
+  }
+
   test("LSH-assigned IVF-PQ surfaces planted exact copies in the estimate top-k") {
     // same recall property as the brute-quantizer composition: an
     // exact copy shares every band bucket with its source (collides
