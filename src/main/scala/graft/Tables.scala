@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Single place mapping `(sfDir, table) → DataFrame`.
@@ -43,6 +43,22 @@ object Tables {
     case LongType         => expr("ts div 1000000000")
     case TimestampType    => expr("unix_micros(ts) div 1000000")
     case TimestampNTZType => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported physical type $other — expected " +
+        "TIMESTAMP, TIMESTAMP_NTZ, or nanosecond BIGINT")
+  }
+
+  /** `ts` as a NATIVE TimestampNTZ column (for date_trunc-style
+    * timestamp semantics, vs [[tsSec]]'s integer seconds), adaptive
+    * to the same three encodings. The canonical type is NTZ because
+    * that is what a naive-timestamp parquet column decodes to; the
+    * session's pinned UTC makes the TZ→NTZ cast wall-clock exact, and
+    * the NANOS long truncates to micros (every consumer here works at
+    * second granularity or coarser). */
+  def tsNative(df: DataFrame): Column = df.schema("ts").dataType match {
+    case TimestampNTZType => col("ts")
+    case TimestampType    => expr("cast(ts as timestamp_ntz)")
+    case LongType         => expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
     case other => throw new IllegalArgumentException(
       s"events.ts: unsupported physical type $other — expected " +
         "TIMESTAMP, TIMESTAMP_NTZ, or nanosecond BIGINT")

@@ -810,7 +810,27 @@ object Analytics {
       .orderBy("gid", "flag", "status")
   }
 
+  // ---- q36: q18's time buckets with NATIVE timestamp semantics -------
+  /** hour buckets via `date_trunc` on a real TimestampNTZ column —
+    * exercises timestamp types end-to-end (input decode → truncation
+    * → group key → parquet output), not just integer epoch seconds.
+    * [[Tables.tsNative]] canonicalizes whatever encoding the lake
+    * delivered; the session's pinned UTC makes truncation identical
+    * in both engines. A 24h bucket spec-checks against q18's hour_s
+    * (hour_ts == epoch hour_s·1e6 micros) in QueriesSpec. */
+  val q36 = Q("q36_timeagg_native", Some("""
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
+      CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
+    FROM events GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""")) { (s, d) =>
+    val e = t(s, d, "events")
+    e.select(date_trunc("hour", Tables.tsNative(e)).as("hour_ts"),
+        col("event_type"), col("value"))
+      .groupBy("hour_ts", "event_type")
+      .agg(count(lit(1)).as("n"), termSum6(col("value")).as("total"))
+      .orderBy("hour_ts", "event_type")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }

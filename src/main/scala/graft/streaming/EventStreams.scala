@@ -181,8 +181,16 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
+            // flush the open session but KEEP a tombstone (nEvents=0,
+            // no timeout armed) holding the per-user sid counter:
+            // removing state here would restart sids at 1 and break
+            // row-for-row parity with batch q16's cumulative
+            // per-user session rank (StreamingSpec pins the
+            // equivalence). The tombstone is a few dozen bytes per
+            // user ever seen — callers that don't need cumulative
+            // sids can remove() instead.
             val s = state.get
-            state.remove()
+            state.update(SessionState(s.sid, s.lastSec, 0, s.startSec))
             Iterator(SessionOut(userId, s.sid, s.nEvents, s.startSec, s.lastSec))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
@@ -191,16 +199,24 @@ object EventStreams {
             sorted.foreach { e =>
               val sec = e.ts.getTime / 1000
               cur match {
-                case Some(s) if sec - s.lastSec <= 1800 =>
+                // nEvents == 0 is the timeout tombstone: no open
+                // session, sid counter preserved. An event reaching
+                // here is never a late continuation of the flushed
+                // session — the timeout fired because the watermark
+                // passed lastSec + gap, and anything at or before the
+                // watermark is dropped as late upstream.
+                case Some(s) if s.nEvents > 0 && sec - s.lastSec <= 1800 =>
                   cur = Some(s.copy(lastSec = sec, nEvents = s.nEvents + 1))
-                case Some(s) =>
+                case Some(s) if s.nEvents > 0 =>
                   closed += SessionOut(userId, s.sid, s.nEvents, s.startSec, s.lastSec)
                   cur = Some(SessionState(s.sid + 1, sec, 1, sec))
+                case Some(tomb) =>
+                  cur = Some(SessionState(tomb.sid + 1, sec, 1, sec))
                 case None =>
                   cur = Some(SessionState(1, sec, 1, sec))
               }
             }
-            cur.foreach { s =>
+            cur.filter(_.nEvents > 0).foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(math.max(s.lastSec * 1000L + 1800 * 1000L,
                 state.getCurrentWatermarkMs() + 1))

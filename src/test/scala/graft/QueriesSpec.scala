@@ -21,6 +21,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q36 native hour buckets coincide with q18's integer epoch hours") {
+    // the two time-bucket forms must be the SAME partition of events:
+    // q18's hour_s (epoch-seconds arithmetic) and q36's hour_ts
+    // (native date_trunc on TimestampNTZ) differ only in the key's
+    // representation
+    import org.apache.spark.sql.functions._
+    def keyed(name: String, key: org.apache.spark.sql.Column) =
+      Registry.byName(name).run(spark, TestSpark.sf)
+        .select(key.cast("long").as("h"), col("event_type"), col("n"), col("total"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val a = keyed("q18_timeagg", col("hour_s"))
+    val b = keyed("q36_timeagg_native",
+      expr("unix_micros(cast(hour_ts as timestamp)) div 1000000"))
+    assert(a == b, s"q18/q36 bucket drift: only18=${(a -- b).take(3)} " +
+      s"only36=${(b -- a).take(3)}")
+  }
+
   test("q33/q34 survive a degenerate constant-valued lineitem") {
     // every price equal -> histogram width 0: the 0/0 NaN would kill
     // the ANSI BIGINT cast; the guard routes all rows to bucket 0

@@ -155,6 +155,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed(1).getLong(2) == 1) // session 2 flushed by timeout
   }
 
+  test("streamed sessionization ≡ batch q16 row-for-row on the real events table") {
+    // the batch/stream unification proof for SESSIONS (d10 proved it
+    // for sampling): micro-batch the actual sf0.001 events table
+    // through the stateful sessionizer and require its output set to
+    // equal the oracle-checked batch q16 on the same rows. A
+    // far-future sentinel event advances the watermark past every
+    // real session's end + gap, so the event-time timeout flushes
+    // tail sessions deterministically.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Tables.load(spark, TestSpark.sf, "events")
+    val evs = raw
+      .select(col("event_id"), Tables.tsNative(raw).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_full")
+      .outputMode(OutputMode.Append).start()
+    // event-time-ordered micro-batches: watermark only advances at
+    // batch boundaries, so ordered chunks can never drop a late row
+    evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentinel = Event(Long.MaxValue,
+      new java.sql.Timestamp(evs.last.ts.getTime + 100L * 86400 * 1000), -1L,
+      "view", 0.0)
+    in.addData(sentinel); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, sid, n_events, start_s, end_s FROM sess_full WHERE user_id >= 0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = Registry.byName("q16_sessionize").run(spark, TestSpark.sf)
+      .select("user_id", "sid", "n_events", "start_s", "end_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream/batch drift: stream-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)} " +
+        s"(|stream|=${streamed.size}, |batch|=${batch.size})")
+  }
+
   test("stratified sample runs unchanged on a stream and agrees with batch") {
     // keep/drop is a pure function of md5(key), so the operator is
     // STATELESS: the same code path works as a streaming map-only
