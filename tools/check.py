@@ -39,6 +39,26 @@ def badtypes(sql):
     return [(r[0], r[1]) for r in rows
             if "DECIMAL" in r[1] or "HUGEINT" in r[1]]
 
+def typefam(t):
+    """Collapse concrete types to stringification families: a Spark
+    output whose column lands in a DIFFERENT family than the oracle's
+    (e.g. DOUBLE vs BIGINT -> '5.0' vs '5') hash-mismatches on equal
+    values. Same-family width differences (INT vs BIGINT) are safe."""
+    t = t.upper()
+    if "DECIMAL" in t or "HUGEINT" in t: return "unsafe"
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+             "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"): return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"): return "float"
+    if t.startswith("TIMESTAMP"): return "timestamp"
+    return t
+
+def typedrift(name, spark_sql, oracle_sql):
+    """Lint: per-column (sorted by name) stringification-family diff
+    between the Spark dump and the oracle output."""
+    s = {r[0]: typefam(r[1]) for r in con.execute(f"DESCRIBE {spark_sql}").fetchall()}
+    o = {r[0]: typefam(r[1]) for r in con.execute(f"DESCRIBE {oracle_sql}").fetchall()}
+    return [(c, s[c], o[c]) for c in sorted(set(s) & set(o)) if s[c] != o[c]]
+
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
 ok = fail = 0
 for name in sorted(oracle):
@@ -50,6 +70,10 @@ for name in sorted(oracle):
              badtypes(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
         if bt:
             print(f"TYPES    {name}: unsafe output types {bt}"); fail += 1; continue
+        td = typedrift(name, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')",
+                       oracle[name])
+        if td:
+            print(f"TYPEDRIFT {name}: (col, spark, oracle) {td}"); fail += 1; continue
         got = con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
         gc, gr = canon([d[0] for d in got.description], got.fetchall())
         want = con.execute(oracle[name])
