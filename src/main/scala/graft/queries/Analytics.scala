@@ -830,7 +830,33 @@ object Analytics {
       .orderBy("hour_ts", "event_type")
   }
 
+  // ---- q37: latest-event-per-key (CDC/compaction dedup) --------------
+  /** the standard change-data-capture read shape: one surviving row
+    * per (user, event_type) — the latest by event time, event_id as
+    * the deterministic tie-break. Window is a partial-sort per key
+    * group; only (key, ts) ordering moves, and the native timestamp
+    * is both the ordering AND an output column (second
+    * timestamp-end-to-end query after q36, schema-adaptive via
+    * [[Tables.tsNative]]). */
+  val q37 = Q("q37_latest", Some("""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+        row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    ORDER BY user_id, event_type""")) { (s, d) =>
+    val e = t(s, d, "events")
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.select(col("user_id"), col("event_type"), col("event_id"),
+        Tables.tsNative(e).as("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("user_id", "event_type")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.operators.{Dedup => D}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** SURVEY §2 C — near-dup detection: MinHash+LSH, SimHash, n-gram
   * Jaccard. Oracle SQL is generated from the same K/BANDS constants
@@ -423,5 +424,82 @@ object Dedup {
       .orderBy("lang", "doc_id")
   }
 
-  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15, d17, d18, t6)
+  /** d19: cross-document repeated-n-gram rate — the exact-substring
+    * duplication signal (the Lee-et-al "dedup makes LMs better"
+    * diagnostic, shingle-granular): for each doc, the fraction of its
+    * distinct word-3-gram digests that occur in at least one OTHER
+    * document. High dup_frac = boilerplate/template text that
+    * document-level dedup (d2/d6) keeps because the docs as wholes
+    * differ. Scale shape: only 48-bit digests ever shuffle (explode →
+    * digest-count partial agg → digest-keyed join back → doc-keyed
+    * partial agg); documents never leave their scan partitions. Note
+    * df counts DOCS per digest (each doc's set is distinct), so
+    * df >= 2 ⇔ "appears in another doc". */
+  val d19 = Q("d19_dup_ngrams", Some(s"""
+    WITH $tokCte,
+    base AS (SELECT doc_id, list_distinct($hashedShingles) AS shh FROM tok),
+    ex AS (SELECT doc_id, unnest(shh) AS g FROM base),
+    freq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+    per AS (SELECT e.doc_id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+            FROM ex e JOIN freq f ON e.g = f.g GROUP BY e.doc_id)
+    SELECT doc_id, n_shingles, n_dup,
+      floor((n_dup * 1.0 / n_shingles) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+    FROM per ORDER BY doc_id""")) { (s, d) =>
+    val ex = D.shingleSets(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    ex.join(freq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        Analytics.roundA(col("n_dup") * 1.0 / col("n_shingles"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** d20: asymmetric CONTAINMENT dedup — |A∩B|/|A| (and /|B|) over
+    * the 48-bit shingle-digest sets, candidates from d2's MinHash-LSH
+    * bands: catches doc-IN-doc duplication (a short doc quoted or
+    * template-wrapped inside a longer one) that symmetric Jaccard
+    * misses — the small doc's containment is ~1 while the pair's
+    * Jaccard is only |A|/|B|. Verify is the native two-pointer
+    * sorted-intersect (no per-pair hash sets); band candidates keep
+    * the pair count linear, same as d6. */
+  val d20 = Q("d20_containment", Some(s"""
+    WITH $tokCte,
+    sh AS (SELECT doc_id, unnest($shingleExpr) AS s FROM tok),
+    mh AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, j, CASE j $bandCase END AS bb
+              FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) v(j)),
+    cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             FROM bands x JOIN bands y ON x.j = y.j AND x.bb = y.bb
+               AND x.doc_id < y.doc_id),
+    base AS (SELECT doc_id, list_distinct($hashedShingles) AS shh FROM tok),
+    pairs AS (SELECT c.d1, c.d2,
+        floor((len(list_intersect(a.shh, b.shh)) * 1.0 / len(a.shh))
+          * 10000.0 + 0.5) / 10000.0 AS cont1,
+        floor((len(list_intersect(a.shh, b.shh)) * 1.0 / len(b.shh))
+          * 10000.0 + 0.5) / 10000.0 AS cont2
+      FROM cand c JOIN base a ON a.doc_id = c.d1
+                  JOIN base b ON b.doc_id = c.d2)
+    SELECT d1, d2, cont1, cont2 FROM pairs
+    WHERE greatest(cont1, cont2) >= 0.8 ORDER BY d1, d2""")) { (s, d) =>
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val docs = t(s, d, "documents")
+    val sets = D.shingleSets(docs, "doc_id", "text")
+    val a = sets.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = sets.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    D.minhashCandidates(docs, "doc_id", "text").select("d1", "d2")
+      .join(a, "d1").join(b, "d2")
+      .withColumn("ic", sorted_intersect_count(col("sh1"), col("sh2")))
+      .select(col("d1"), col("d2"),
+        Analytics.roundA(col("ic") * 1.0 / size(col("sh1")), 4).as("cont1"),
+        Analytics.roundA(col("ic") * 1.0 / size(col("sh2")), 4).as("cont2"))
+      .filter(greatest(col("cont1"), col("cont2")) >= 0.8)
+      .orderBy("d1", "d2")
+  }
+
+  val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15,
+    d17, d18, d19, d20, t6)
 }

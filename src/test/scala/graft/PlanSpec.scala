@@ -206,6 +206,23 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffle carries document payloads: $shuffled")
   }
 
+  test("d19 repeated-ngram rate: digests shuffle, documents never do; no cross product") {
+    val p = plan("d19_dup_ngrams")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "digest-frequency join must be an equi-join on the digest:\n" + p.take(1200))
+    // both aggregations are partial before their exchanges
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "digest-count and per-doc aggs must partial-aggregate:\n" + p.take(1200))
+  }
+
+  test("d20 containment verify: candidates from the band equi-join, native sorted-intersect") {
+    val p = plan("d20_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment candidates must come from the LSH band equi-join:\n" + p.take(1200))
+    assert(p.toLowerCase.contains("sortedintersectcount"),
+      "verify must use the native two-pointer sorted-intersect:\n" + p.take(1200))
+  }
+
   test("d11 LSH near-dup candidates come from a band equi-join, never a cross product") {
     val p = plan("d11_embed_neardup_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
