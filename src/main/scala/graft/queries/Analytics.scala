@@ -856,7 +856,52 @@ object Analytics {
       .orderBy("user_id", "event_type")
   }
 
+  // ---- q38: gaps-and-islands / SCD2 state segmentation ---------------
+  /** collapse each user's consecutive same-type events into validity
+    * intervals — the slowly-changing-dimension (type 2) build from a
+    * change-event log, and the canonical gaps-and-islands shape: a
+    * change flag (lag ≠ current), a running island id (cumulative sum
+    * of flags), then one row per island with [valid_from, valid_to)
+    * bounds (valid_to = next island's start, -1 for the open tail).
+    * Two window passes + one partial agg over (user, island) — only
+    * (user_id, sec-ordered) narrow rows shuffle, once. */
+  val q38 = Q("q38_scd2_islands", Some("""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    g AS (SELECT user_id, event_id, event_type, sec,
+            CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY sec, event_id) IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg FROM e),
+    s AS (SELECT user_id, event_type, sec,
+            CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+          FROM g),
+    i AS (SELECT user_id, island, min(event_type) AS state,
+            min(sec) AS valid_from, count(*) AS n_events
+          FROM s GROUP BY user_id, island)
+    SELECT user_id, island, state, valid_from,
+      coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                 ORDER BY island) - 1, -1) AS valid_to, n_events
+    FROM i ORDER BY user_id, island""")) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val iw = Window.partitionBy("user_id").orderBy("island")
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("sec"))
+      .withColumn("chg",
+        when(not(lag("event_type", 1).over(w) <=> col("event_type")), 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "island")
+      .agg(min("event_type").as("state"), min("sec").as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("island"), col("state"), col("valid_from"),
+        coalesce(lead("valid_from", 1).over(iw) - 1, lit(-1L)).as("valid_to"),
+        col("n_events"))
+      .orderBy("user_id", "island")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

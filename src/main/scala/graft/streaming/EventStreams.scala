@@ -18,6 +18,32 @@ object EventStreams {
   case class SessionOut(user_id: Long, sid: Long, n_events: Long,
       start_s: Long, end_s: Long)
 
+  case class LatestOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+
+  /** Streaming latest-event-per-key — batch q37's CDC read as
+    * incremental state: one state row per (user, event_type) holding
+    * the current latest event (max by (ts, event_id), the same
+    * ordering rule as q37's window); each micro-batch emits the new
+    * latest for every key it touched (Update-mode sink). State is one
+    * fixed-width row per key — the log-compaction memory shape, no
+    * watermark needed because the state never grows past key
+    * cardinality. StreamingSpec pins final emitted state ≡ batch q37
+    * on the real events table. */
+  def latestPerKey(events: Dataset[Event]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[LatestOut, LatestOut](GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[LatestOut]) =>
+          val newest = (rows.map(e =>
+            LatestOut(e.user_id, e.event_type, e.event_id, e.ts, e.value))
+            ++ state.getOption.iterator)
+            .maxBy(o => (o.ts.getTime, o.event_id))
+          state.update(newest)
+          newest
+      }
+  }
+
   /** Watermarked sliding-window aggregation (streaming q18). */
   def windowedAgg(events: DataFrame): DataFrame =
     events

@@ -199,6 +199,46 @@ class StreamingSpec extends AnyFunSuite {
         s"(|stream|=${streamed.size}, |batch|=${batch.size})")
   }
 
+  test("streamed latest-per-key ≡ batch q37 on the real events table") {
+    // the CDC/log-compaction twin of the sessionize parity test: the
+    // per-key state after the last micro-batch must equal the batch
+    // q37 survivors exactly (same (ts, event_id) ordering rule)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Tables.load(spark, TestSpark.sf, "events")
+    val evs = raw
+      .select(col("event_id"), Tables.tsNative(raw).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Event]
+    val q = EventStreams.latestPerKey(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("latest_full")
+      .outputMode(OutputMode.Update).start()
+    evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // Update-mode memory sink appends each batch's emissions: the
+    // final state per key is its (ts, event_id)-max emitted row
+    val streamed = spark.sql(
+      "SELECT user_id, event_type, event_id, ts, value FROM latest_full")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getDouble(4)))
+      .groupBy(t => (t._1, t._2)).values
+      .map(_.maxBy(t => (t._4, t._3))).toSet
+    val batch = Registry.byName("q37_latest").run(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ms"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3) / 1000, r.getDouble(4))).toSet
+    assert(streamed == batch,
+      s"latest-per-key drift: stream-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("stratified sample runs unchanged on a stream and agrees with batch") {
     // keep/drop is a pure function of md5(key), so the operator is
     // STATELESS: the same code path works as a streaming map-only
