@@ -15,6 +15,14 @@ object Text {
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
   private val stopPred = TextAnalysis.stopPredSql
 
+  /** 48-bit fold of an md5-hex EXPRESSION via the portable instr
+    * decode (operators.Dedup.shingleHashes' rule applied to a scalar
+    * expression — identical SQL text runs in Spark and DuckDB; both
+    * engines CSE the repeated md5 subexpression). */
+  private[queries] def fold48(md5HexExpr: String): String = (1 to 12)
+    .map(i => s"cast(instr('0123456789abcdef', substr($md5HexExpr, $i, 1)) - 1 as bigint) * cast(${math.pow(16, 12 - i).toLong} as bigint)")
+    .mkString(" + ")
+
   val t1 = Q("t1_langid", Some(s"""
     WITH lex(w, lex_lang) AS (VALUES $lexValues),
     tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
@@ -416,5 +424,54 @@ object Text {
       .orderBy("r1", "r2")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, d1, m1, m2, m3, m4, m5, m6, m7)
+  /** m8: frame-level video near-dup — which payloads share SAMPLED
+    * FRAMES: m4's every-4th-chunk frame grid, each frame keyed by a
+    * 48-bit digest of its content; two payloads pair when they share
+    * >= 1 distinct frame digest (a shared 256-byte frame is already
+    * an exact content match; raise the threshold for longer media) (clip reuse / re-encode detection,
+    * the multimodal twin of d20's containment). STOP-FRAME CAP: a
+    * digest occurring in > 32 docs (intros, black frames, silence) is
+    * excluded BEFORE pairing — the stopword rule for frames; without
+    * it one pervasive frame makes the digest-bucket self-join
+    * quadratic in the corpus. With the cap, per-digest buckets are
+    * O(1) and the pair stage is linear, d11's band-join shape over
+    * (doc, digest) rows — payloads never shuffle. */
+  val m8 = Q("m8_frame_neardup", Some(s"""
+    WITH c AS (SELECT doc_id, text,
+      unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1))) AS chunk_id
+      FROM documents),
+    fr AS (SELECT DISTINCT doc_id,
+             ${Text.fold48("md5(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256))")} AS f
+           FROM c WHERE chunk_id % 4 = 0),
+    keep AS (SELECT f FROM fr GROUP BY f
+             HAVING count(*) >= 2 AND count(*) <= 32),
+    fk AS (SELECT fr.doc_id, fr.f FROM fr JOIN keep USING (f)),
+    p AS (SELECT a.doc_id AS r1, b.doc_id AS r2, count(*) AS n_shared
+          FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
+          GROUP BY r1, r2)
+    SELECT r1, r2, n_shared FROM p WHERE n_shared >= 1
+    ORDER BY r1, r2""")) { (s, d) =>
+    val fr = t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest((ceil(octet_length(col("text")) / 256.0) - 1).cast("int"),
+            lit(0)))).as("chunk_id"))
+      .filter(col("chunk_id") % 4 === 0)
+      .select(col("doc_id"),
+        expr(Text.fold48("md5(cast(substring(text, chunk_id * 256 + 1, 256) as binary))"))
+          .as("f"))
+      .distinct()
+    val keep = fr.groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 32)
+      .select("f")
+    val fk = fr.join(keep, "f")
+    fk.select(col("doc_id").as("r1"), col("f"))
+      .join(fk.select(col("doc_id").as("r2"), col("f")), "f")
+      .filter(col("r1") < col("r2"))
+      .groupBy("r1", "r2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 1)
+      .orderBy("r1", "r2")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, d1, m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -40,6 +40,27 @@ object LakeSink {
   def read(spark: SparkSession, path: String, format: String): DataFrame =
     spark.read.format(format).load(path)
 
+  /** Dynamic-partition OVERWRITE — INSERT OVERWRITE semantics on a
+    * Hive-layout table: replace ONLY the partitions present in `df`,
+    * leave every other partition untouched. The incremental-reload
+    * primitive (backfill one day, re-land one source) — a full-table
+    * `mode(overwrite)` at 100 TB rewrites everything to change one
+    * partition, and the STATIC overwrite mode silently DELETES the
+    * partitions the batch doesn't mention. Session-config-free: the
+    * overwrite mode is set per-write via the DataFrameWriter option,
+    * so concurrent jobs with different semantics don't fight over one
+    * session conf. */
+  def overwritePartitions(df: DataFrame, path: String, format: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.format(format)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .save(path)
+
   /** Small-file compaction: rewrite a lake directory so each output
     * file holds ~targetRecordsPerFile rows. Streaming and per-batch
     * writers accrete KB-scale files; at 100 TB scan throughput then

@@ -199,6 +199,36 @@ class LakeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("overwritePartitions replaces only the partitions in the batch") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_dyn").toString + "/docs"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text", "lang")
+    LakeSink.overwritePartitions(docs, out, "parquet", Seq("lang"))
+    val before = LakeSink.read(spark, out, "parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.size >= 2, s"need >=2 partitions to prove isolation: $before")
+    // re-land ONE partition with a transformed batch (half the rows)
+    val enOnly = docs.filter(col("lang") === "en")
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("text", concat(lit("v2 "), col("text")))
+    LakeSink.overwritePartitions(enOnly, out, "parquet", Seq("lang"))
+    val after = LakeSink.read(spark, out, "parquet")
+    val counts = after.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the re-landed partition reflects ONLY the new batch...
+    assert(counts("en") == enOnly.count(), s"en not replaced: $counts")
+    assert(after.filter(col("lang") === "en" && !col("text").startsWith("v2 "))
+      .count() == 0, "stale en rows survived the overwrite")
+    // ...and every OTHER partition is byte-for-byte untouched
+    (before - "en").foreach { case (l, n) =>
+      assert(counts(l) == n, s"partition $l was clobbered: $counts vs $before")
+    }
+    assert(after.filter(col("lang") =!= "en" && col("text").startsWith("v2 "))
+      .count() == 0)
+  }
+
   test("writeSorted clusters files on disjoint key ranges (min/max file skipping)") {
     val out = Files.createTempDirectory("graft_sorted").toString + "/events"
     val events = Tables.load(spark, TestSpark.sf, "events")
