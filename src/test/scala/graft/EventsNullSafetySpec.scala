@@ -33,11 +33,17 @@ class EventsNullSafetySpec extends AnyFunSuite {
   }
 
   test("every event query completes over nulls and malformed props") {
+    // also the nanos-LONG branch of Tables.tsSec/tsNative: this
+    // synthetic table is the TIMESTAMP(NANOS) encoding the adaptive
+    // extraction must keep supporting alongside the lake's MICROS
     for (q <- Seq("q16_sessionize", "q17_pivot", "q18_timeagg", "q19_running",
-        "q20_json", "q23_asof", "q26_leadlag", "q29_rangewindow",
-        "q30_funnel", "q31_retention")) {
+        "q20_json", "q23_asof", "q26_leadlag", "q28_rangejoin",
+        "q29_rangewindow", "q30_funnel", "q31_retention",
+        "q36_timeagg_native", "q37_latest", "q38_scd2_islands")) {
       val rows = SparkEntry.queries(q)(spark, dir).collect()
-      assert(rows.nonEmpty, s"$q returned no rows")
+      // q28's ±300s error×click pairing is legitimately EMPTY on this
+      // six-event table — completion is its contract here
+      if (q != "q28_rangejoin") assert(rows.nonEmpty, s"$q returned no rows")
     }
   }
 
