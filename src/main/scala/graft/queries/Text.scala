@@ -302,8 +302,10 @@ object Text {
     * reproduces the micro-unit fixed-point log-probs, so the whole
     * train→score path is hash-checked; per-doc sums are exact longs
     * (summation-order-free), only the final avg is a rounded double. */
-  val t10 = Q("t10_lm", Some("""
-    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+  // the Laplace-bigram LM train+score CTE chain (ends at agg =
+  // (doc_id, n_bigrams, ll_micro)) — shared verbatim by t10 (per-doc
+  // scores) and t13 (decile buckets), so the model can't drift
+  private val lmCtes = """tok AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
     bg AS (SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
            FROM tok, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(p)),
     c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2),
@@ -314,7 +316,10 @@ object Text {
                   AS BIGINT) AS lp_micro
            FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
     agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp_micro) AS ll_micro
-            FROM lp GROUP BY doc_id)
+            FROM lp GROUP BY doc_id)"""
+
+  val t10 = Q("t10_lm", Some(s"""
+    WITH $lmCtes
     SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
       CAST(coalesce(a.ll_micro, 0) AS BIGINT) AS ll_micro,
       floor((a.ll_micro / 1000000.0 / a.n_bigrams) * 10000.0 + 0.5) / 10000.0 AS avg_ll
@@ -473,5 +478,43 @@ object Text {
       .orderBy("r1", "r2")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, d1, m1, m2, m3, m4, m5, m6, m7, m8)
+  /** t13: perplexity-decile pruning buckets — the CCNet curation
+    * step: score every doc with t10's bigram LM, rank into 10 deciles
+    * (best avg log-prob = decile 1), report each decile's size and
+    * exact mean score; a curation run keeps the head/middle deciles.
+    * Determinism: avg_ll is already 4dp-rounded, so the per-decile
+    * mean is an exact scaled-long sum (summation-order-free); decile
+    * assignment tie-breaks on doc_id. SCALE NOTE: ntile is a global
+    * sort of NARROW (doc_id, score) rows — fine to ~1e9 docs; past
+    * that the production form broadcasts approx-quantile cutpoints
+    * (q32's sketch) instead of ranking, trading exact decile
+    * boundaries for a map-only pass. The oracle shares t10's lmCtes
+    * verbatim. */
+  val t13 = Q("t13_ppl_buckets", Some(s"""
+    WITH $lmCtes,
+    scored AS (SELECT doc_id, n_bigrams,
+        floor((ll_micro / 1000000.0 / n_bigrams) * 10000.0 + 0.5) / 10000.0 AS avg_ll
+      FROM agg WHERE n_bigrams > 0),
+    qn AS (SELECT doc_id, n_bigrams, avg_ll,
+             ntile(10) OVER (ORDER BY avg_ll DESC, doc_id) AS decile
+           FROM scored)
+    SELECT decile, count(*) AS n_docs,
+      CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+      CAST(sum(CAST(floor(avg_ll * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 10000.0 / count(*) AS mean_avg_ll
+    FROM qn GROUP BY decile ORDER BY decile""")) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_ll").desc, col("doc_id"))
+    TextAnalysis.lmScore(t(s, d, "documents"), "doc_id", "text")
+      .filter(col("n_bigrams") > 0)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sum_bigrams"),
+        (sum(floor(col("avg_ll") * 10000.0 + 0.5)) / 10000.0 / count(lit(1)))
+          .as("mean_avg_ll"))
+      .orderBy("decile")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, d1, m1, m2, m3, m4, m5, m6, m7, m8)
 }
