@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *                        [[Similarity.semDedupLsh]] over k-means cells —
   *                        drops paraphrase-level duplicates lexical
   *                        dedup can't see)
+  *   4c. perplexity prune (OPTIONAL, `pplKeepDeciles`: CCNet's LM
+  *                        pruning — train [[TextAnalysis.lmScore]]'s
+  *                        bigram model on the deduped survivors, keep
+  *                        the best k of 10 avg-log-prob deciles;
+  *                        after dedup so duplicate mass can't skew
+  *                        the model)
   *   5. decontamination  ([[TextAnalysis.contaminationAgainst]] vs a
   *                        held-out eval table)
   *   6. stratified mix   ([[Sampling.stratifiedSample]])
@@ -76,7 +82,8 @@ object Curation {
       embId: String = "vec_id", embCol: String = "embedding",
       semCosine: Double = 0.995,
       semSeedRate: Double = 0.008,
-      keepBestQuality: Boolean = false): (DataFrame, DataFrame) = {
+      keepBestQuality: Boolean = false,
+      pplKeepDeciles: Option[Int] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
@@ -149,6 +156,27 @@ object Curation {
         val drops = vecs.select("__eid")
           .join(kept.select("__eid"), Seq("__eid"), "left_anti")
         d.join(drops, col(id) === col("__eid"), "left_anti")
+      }
+    }
+    pplKeepDeciles.foreach { k =>
+      stage("ppl_prune") { d =>
+        // CCNet's perplexity pruning (t13's decile rule inside the
+        // pipeline): train the bigram LM on the deduped survivors,
+        // keep the top-k deciles by avg log-prob. Runs AFTER dedup so
+        // duplicate mass can't skew the model it is judged by. A doc
+        // with no bigrams can't be judged and is KEPT (the
+        // semantic_dedup unembedded-doc rule). ntile ranks NARROW
+        // (id, score) rows; the 100 TB form swaps in broadcast
+        // approx-quantile cutpoints (see t13's scaladoc).
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("avg_ll").desc, col(id))
+        val scored = TextAnalysis.lmScore(d, id, text)
+        val keep = scored.filter(col("n_bigrams") > 0)
+          .withColumn("__dec", ntile(10).over(w))
+          .filter(col("__dec") <= k)
+          .select(id)
+          .unionByName(scored.filter(col("n_bigrams") === 0).select(id))
+        d.join(keep, Seq(id), "left_semi")
       }
     }
     stage("decontaminate") { d =>

@@ -147,6 +147,42 @@ class CurationSpec extends AnyFunSuite {
       "stratified_mix"))
   }
 
+  test("ppl_prune drops the gibberish decile, keeps normal and unjudgeable docs") {
+    import spark.implicits._
+    // 40 docs of ordinary repeating language (high bigram probability
+    // under the self-trained LM), 4 of unique-token gibberish (every
+    // bigram unseen elsewhere -> Laplace floor), 1 single-token doc
+    // (no bigrams -> unjudgeable, must be KEPT)
+    // (0-bigram docs would be KEPT by the stage's unjudgeable rule,
+    // but the upstream quality filter already removes them — the rule
+    // is a safety net for curate() calls with a laxer filter chain)
+    val common = (1 to 40).map { i =>
+      val sent = "the quick brown fox jumps over the lazy dog again and again"
+      (i.toLong, s"$sent $sent number item $i", "en")
+    }
+    val gibberish = (41 to 44).map { i =>
+      (i.toLong, (1 to 24).map(j => s"zq${i}x$j").mkString(" "), "en")
+    }
+    val corpus = (common ++ gibberish).toDF("doc_id", "text", "lang")
+    val ev = Seq((1000L, "held out benchmark text entirely unrelated"))
+      .toDF("doc_id", "text")
+    val (out, rep) = Curation.curate(corpus, "doc_id", "text", col("lang"), ev,
+      jaccard = 0.99, pplKeepDeciles = Some(9))
+    val stages = rep.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ppl = stages.find(_._1 == "ppl_prune")
+    assert(ppl.isDefined, s"stage missing: $stages")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((41L to 44L).forall(!kept(_)),
+      s"gibberish decile must be pruned, kept=$kept")
+    assert((1L to 40L).count(kept) >= 30,
+      s"ordinary docs must dominate the kept set: $kept")
+    // the stage's own audit row shows exactly the bottom decile cut
+    val (_, in, outN) = ppl.get
+    assert(in - outN >= 4 && in - outN <= in / 10 + 4,
+      s"ppl_prune cut $in -> $outN; expected ~the worst decile")
+  }
+
   test("token-budget curation lands near the budget and reports the stage") {
     import spark.implicits._
     val (out, rep) = Curation.curate(
