@@ -13,6 +13,32 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
 
+  test("suite-wide: no CartesianProduct outside the documented demo set") {
+    // the whole-registry join-degeneracy guard: a refactor that turns
+    // an equi-join into an unkeyed cross product anywhere in the 100
+    // queries fails HERE by name, not in a 100 TB run. The suite
+    // plans ZERO shuffle cartesians — no exceptions, not even the
+    // quadratic demos (s1/d5/d4 pay their cost through a BROADCAST
+    // nested loop or an exploded equi-join, never a shuffle cross).
+    // BroadcastNestedLoop appears ONLY where a broadcast-small side
+    // is the design: scalar count/vocab/bound cross joins
+    // (q30/q34/t10/t13), the broadcast eval-digest array (t6), the
+    // broadcast probe set (s1), and the IVF/k-means family's
+    // broadcast anchor tables.
+    val bnljOk = Set(
+      "q30_funnel", "q34_histogram", "t6_contamination", "t10_lm",
+      "t13_ppl_buckets", "s1_knn_brute", "s3_knn_ivf", "s4_kmeans",
+      "s5_knn_pq", "s6_knn_pq_lsh", "s7_knn_ivf_mp", "s8_knn_ivf_mp_lsh")
+    val offenders = Registry.all.flatMap { q =>
+      val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljOk(q.name)
+      if (cart || bnlj) Some(s"${q.name}(cart=$cart)") else None
+    }
+    assert(offenders.isEmpty,
+      s"unplanned cross products in: ${offenders.mkString(", ")}")
+  }
+
   test("q2 dim joins are broadcast, not shuffled") {
     val p = plan("q2_join_broadcast")
     assert(p.contains("BroadcastHashJoin"))
