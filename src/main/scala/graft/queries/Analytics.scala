@@ -901,7 +901,30 @@ object Analytics {
       .orderBy("user_id", "island")
   }
 
+  // ---- q39: relative-rank windows (percent_rank / cume_dist) ---------
+  /** the remaining window-rank surface after q7 (row_number/rank) and
+    * q26 (ntile): per-nation customer balance percentiles — the
+    * "where does this row sit in its group's distribution" read.
+    * Ranks are exact integers scaled to doubles by (n-1)/n divisors,
+    * so 4dp rounding is engine-stable; ties share a percent_rank and
+    * take the group-max cume_dist in both engines. */
+  val q39 = Q("q39_percent_rank", Some("""
+    SELECT c_nationkey, c_custkey,
+      floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank,
+      floor(cume_dist()   OVER w * 10000.0 + 0.5) / 10000.0 AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_custkey""")) { (s, d) =>
+    val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    t(s, d, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        roundA(percent_rank().over(w), 4).as("pct_rank"),
+        roundA(cume_dist().over(w), 4).as("cume"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
+    q37, q38, q39)
 }

@@ -33,6 +33,41 @@ class JsonLinesSpec extends AnyFunSuite {
     assert(b.contains("not json at all"))
   }
 
+  test("streaming file-source ingest: files land, parse, and quarantine continuously") {
+    // the only non-MemoryStream streaming path in the suite: a real
+    // FileStreamSource watching a landing directory — the shape a
+    // continuous crawl ingest actually has. Same schema contract as
+    // the batch reader: good rows typed, bad lines quarantined, both
+    // from ONE readStream.
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_jsonl_stream").toString
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(JsonLines.CorruptCol, StringType))
+    val parsed = spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", JsonLines.CorruptCol)
+      .json(landing)
+    val q = parsed.writeStream.format("memory").queryName("jsonl_ingest")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    def land(name: String, lines: Seq[String]): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$landing/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+    }
+    land("a.jsonl", Seq("""{"doc_id": 1, "text": "first", "lang": "en"}"""))
+    land("b.jsonl", Seq("""{"doc_id": 2, "text": "second", "lang": "de"}""",
+      """garbage line"""))
+    q.stop()
+    val all = spark.table("jsonl_ingest")
+    assert(all.filter(col(JsonLines.CorruptCol).isNull).count() == 2)
+    assert(all.filter(col(JsonLines.CorruptCol).isNotNull)
+      .collect().map(_.getAs[String](JsonLines.CorruptCol)).toSeq ==
+      Seq("garbage line"))
+  }
+
   test("write/read round-trips the documents table") {
     val dir = Files.createTempDirectory("graft_jsonl_rt").toString + "/docs"
     val docs = Tables.load(spark, TestSpark.sf, "documents")
