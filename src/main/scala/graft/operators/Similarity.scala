@@ -680,6 +680,29 @@ object Similarity {
     vectors.join(dups, col(id) === col("__dup"), "left_anti")
   }
 
+  /** SEMANTIC eval-set decontamination — the embedding-space twin of
+    * the shingle-digest contamination check ([[graft.operators.TextAnalysis]]
+    * `contaminationAgainst`): training vectors whose cosine to ANY
+    * held-out eval vector reaches `threshold` are flagged, catching
+    * PARAPHRASED eval leakage that shares no n-grams and so passes
+    * every lexical decontamination. Candidates come from the
+    * multi-table sign-LSH bands (the eval table is banded and
+    * BROADCAST — eval sets are small by construction; train vectors
+    * emit own-band + Hamming-1 probe keys map-side), so train-side
+    * work is O(1) candidates per vector and the pass is linear in the
+    * corpus — the train table is never self-joined and never moves.
+    * Approximate by design (a leaked pair sharing no band survives,
+    * the d11 recall trade); returns the DISTINCT flagged train ids. */
+  def semContaminatedIds(train: DataFrame, evalVecs: DataFrame,
+      id: String, emb: String, threshold: Double, bits: Int,
+      tables: Int = LSH_TABLES): DataFrame = {
+    val cents = evalVecs.select(col(id).as("cell"), col(emb).as("ce"))
+    bandedCandidates(train, id, emb, cents, bits, tables)
+      .select(col(id), cosR(col(emb), col("ce")).as("c6"))
+      .filter(col("c6") >= threshold)
+      .select(col(id)).distinct()
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a join predicate
     * (label partition / sign bucket) to avoid the all-pairs product.
     *

@@ -572,5 +572,45 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
-  val qs: Seq[Q] = Seq(d5, d11, d13, d16, s1, s2, s3, s4, s5, s6, s7, s8)
+  /** d22: SEMANTIC eval-set decontamination
+    * ([[Similarity.semContaminatedIds]]) — t6's embedding-space twin:
+    * the eval set is every 17th vector, and any TRAINING vector
+    * within 0.35 cosine of an eval vector (candidates from the
+    * shared sign-LSH bands, eval side broadcast) is dropped as
+    * paraphrase-level leakage; survivors counted per label. Catches
+    * what lexical decontamination cannot: a reworded eval document
+    * shares no shingles but keeps its embedding neighborhood. */
+  val d22 = Q("d22_sem_decontam", Some(s"""
+    WITH $normCte,
+    cb AS ($corpusBandsSql),
+    ev AS (SELECT vec_id, t, bkt FROM cb WHERE vec_id % 17 = 0),
+    tr0 AS (SELECT vec_id, t, bkt FROM cb WHERE vec_id % 17 <> 0),
+    tr AS (SELECT vec_id, t, bkt FROM tr0
+           UNION ALL
+           SELECT vec_id, t,
+             CASE WHEN (bkt // f) % 2 = 1 THEN bkt - f ELSE bkt + f END AS bkt
+           FROM tr0 CROSS JOIN (VALUES $flipValuesSql) fl(f)),
+    cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS ev_id
+             FROM tr a JOIN ev b ON a.t = b.t AND a.bkt = b.bkt),
+    cont AS (SELECT DISTINCT c.vec_id FROM cand c
+               JOIN v a ON a.vec_id = c.vec_id
+               JOIN v b ON b.vec_id = c.ev_id
+             WHERE ${cosRSql("a", "b")} >= 0.35)
+    SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs
+    FROM embeddings e
+    WHERE e.vec_id % 17 <> 0
+      AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.vec_id = e.vec_id)
+    GROUP BY label ORDER BY label""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val evalVecs = vecs.filter(col("vec_id") % 17 === 0)
+    val train = vecs.filter(col("vec_id") % 17 =!= 0)
+    val cont = Similarity.semContaminatedIds(train, evalVecs,
+      "vec_id", "embedding", 0.35, Similarity.corpusBits(vecs.count()))
+    train.join(cont, Seq("vec_id"), "left_anti")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label")
+  }
+
+  val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6, s7, s8)
 }
