@@ -249,6 +249,27 @@ class PlanSpec extends AnyFunSuite {
       "verify must use the native two-pointer sorted-intersect:\n" + p.take(1200))
   }
 
+  test("d22 semantic decontamination: eval bands broadcast, train never self-joined") {
+    // pin the CONTAMINATION CHECK itself (semContaminatedIds): the
+    // full d22 query then applies the drop set with one legitimate
+    // anti-join shuffle, which is not this stage's concern
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.load(spark, TestSpark.sf, "embeddings")
+    val cont = graft.operators.Similarity.semContaminatedIds(
+      vecs.filter(col("vec_id") % 17 =!= 0),
+      vecs.filter(col("vec_id") % 17 === 0),
+      "vec_id", "embedding", 0.35,
+      graft.operators.Similarity.corpusBits(vecs.count()))
+    cont.collect()
+    val p = cont.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "eval band table must broadcast into a hash join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "train side must never shuffle for the contamination check:\n" + p.take(1200))
+    assert(p.contains("cosinesimilarity"),
+      "verification must use the native fused cosine")
+  }
+
   test("d11 LSH near-dup candidates come from a band equi-join, never a cross product") {
     val p = plan("d11_embed_neardup_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
