@@ -22,9 +22,12 @@ object Bench {
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     // schema-contract gate (footer-only, costs nothing): drift is one
-    // named line here instead of a family of -1.0 sentinels below
-    Tables.checkContract(spark, sfDir)
-      .foreach(d => System.err.println(s"[bench] SCHEMA DRIFT: $d"))
+    // named line here instead of a family of -1.0 sentinels below —
+    // AND a "drift" count in the emitted JSON, so the artifact itself
+    // records whether its inputs were on-contract (a drifted run must
+    // not publish a clean-looking record readable only via stderr)
+    val drift = Tables.checkContract(spark, sfDir)
+    drift.foreach(d => System.err.println(s"[bench] SCHEMA DRIFT: $d"))
     // SPARK_GRAFT_BENCH_ONLY=d1_dedup_exact,s2_knn_lsh,... restricts
     // the suite — used for the family-only second-decade (sf10) scale
     // runs where materializing every table would be pure waste. The
@@ -32,8 +35,18 @@ object Bench {
     // stays the full suite.
     val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // the three by-design quadratic teaching forms (each with a
+    // shipped linear twin) are excluded from the default artifact so
+    // the headline total contains only scale-shaped queries; they
+    // stay oracle-checked in Verify, runnable here via
+    // SPARK_GRAFT_BENCH_DEMOS=1 or an explicit BENCH_ONLY listing
+    val demoKeys = Set("s1_knn_brute", "d4_ngram_jaccard", "d5_embed_neardup")
+    val withDemos = sys.env.get("SPARK_GRAFT_BENCH_DEMOS").exists(_.nonEmpty)
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => onlyEnv.forall(_.contains(n)) }
+      .filter { case (n, _) => onlyEnv match {
+        case Some(set) => set.contains(n)
+        case None => withDemos || !demoKeys(n)
+      }}
     // pass 0 (untimed, tiny SF): whole-stage-codegen classes are
     // cached by generated source, which is identical across input
     // directories of the same schema — so compiling and JITing them
@@ -99,18 +112,24 @@ object Bench {
     }
     val p1 = timedPass()
     val p2 = timedPass()
+    // timings published at ms precision: full-precision doubles made
+    // the single JSON line ~3.2KB and the driver's stdout tail
+    // truncated it mid-map (BENCH_r06/r08 both shipped with "parsed":
+    // null) — 3dp keeps every entry AND makes the headline total the
+    // EXACT sum of the published per-query values
+    def r3(v: Double): Double = math.floor(v * 1000.0 + 0.5) / 1000.0
     val results = suite.map { case (name, _) =>
       val good = Seq(p1(name), p2(name)).collect { case (t, true) => t }
       // both passes failed -> -1 marks the query broken in the artifact
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      name -> (if (good.nonEmpty) r3(good.min) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1.0 failure sentinels must not be summed into the headline
     // total (they'd UNDERSTATE it); publish the failure count instead
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val nFailed = results.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"drift":${drift.size},"queries":$qs,"sf":"$sfDir"}"""
     // The driver tails stdout, which truncated the r6 artifact to the
     // last ~10 per-query timings; the file copy is the complete record.
     val out = java.nio.file.Paths.get(

@@ -53,8 +53,11 @@ object Tables {
     * to the same three encodings. The canonical type is NTZ because
     * that is what a naive-timestamp parquet column decodes to; the
     * session's pinned UTC makes the TZ→NTZ cast wall-clock exact, and
-    * the NANOS long truncates to micros (every consumer here works at
-    * second granularity or coarser). */
+    * the NANOS long truncates to micros. NOTE the truncation is a
+    * REAL precision loss for consumers that output or order on the
+    * full timestamp (q36/q37 do — their oracles mirror the
+    * truncation with `date_trunc('microseconds', ...)`); consumers at
+    * second granularity or coarser never observe it. */
   def tsNative(df: DataFrame): Column = df.schema("ts").dataType match {
     case TimestampNTZType => col("ts")
     case TimestampType    => expr("cast(ts as timestamp_ntz)")

@@ -520,15 +520,19 @@ object Similarity {
     * rule), candidates per vector are O(1) and the pass is LINEAR in
     * the corpus at any k.
     *
-    * Plan shape: the banded centroid table (k·TABLES rows) and the
-    * centroid table itself both BROADCAST; band-probe generation is a
-    * map-side explode (TABLES·(bits+1) keys/vector); both joins are
-    * broadcast-hash; both argmaxes collapse map-side (max_by partial
-    * agg) — only |corpus| assigned rows ever shuffle, same as the
-    * exact pass. */
+    * Plan shape: band-probe generation is a map-side explode
+    * (TABLES·(bits+1) keys/vector); both argmaxes collapse map-side
+    * (max_by partial agg) — only |corpus| assigned rows ever shuffle,
+    * same as the exact pass. Join strategy is SIZE-AWARE: under the
+    * broadcast threshold the banded centroid table and the fallback's
+    * centroid table broadcast (zero extra shuffles); past it — the
+    * k ∝ |corpus| regime — the band join degrades to shuffle-hash on
+    * (t, bkt) and the fallback to the salted [[allPairs]] product, so
+    * no stage ever ships an unbounded table to every executor. */
   private def argmaxAssignLsh(vectors: DataFrame, id: String, emb: String,
       cents: DataFrame, bits: Int, tables: Int,
-      cos: (Column, Column) => Column): DataFrame = {
+      cos: (Column, Column) => Column,
+      fits: Option[Boolean] = None): DataFrame = {
     // duplicate (id, cell) candidate rows (multi-table collisions) are
     // harmless under max_by — same (ac, cell) ordering struct — so no
     // dedupe shuffle is spent on them
@@ -538,29 +542,80 @@ object Similarity {
       .agg(max_by(struct(col(emb).as("e"), col("cell").as("a")),
         struct(col("ac"), (-col("cell")).as("na"))).as("m"))
       .select(col(id), col("m.e").as(emb), col("m.a").as("cell"))
-    val assigned = argmax(bandedCandidates(vectors, id, emb, cents, bits, tables))
-    val fallback = argmax(vectors
-      .join(assigned.select(col(id)), Seq(id), "left_anti")
-      .crossJoin(broadcast(cents)))
+    val assigned =
+      argmax(bandedCandidates(vectors, id, emb, cents, bits, tables, fits))
+    val fallback = argmax(allPairs(vectors
+      .join(assigned.select(col(id)), Seq(id), "left_anti"), cents, fits))
     assigned.unionByName(fallback)
   }
 
+  /** Does `cents` (replicated `repl`× by banding) fit under the
+    * session's broadcast threshold? The decision input is the
+    * OPTIMIZED-plan size estimate — metadata-cheap (parquet footers /
+    * checkpoint stats), never a scan — times the banding replication.
+    * `-1` (broadcast disabled) and unknown/huge estimates both fall
+    * to `false`: at 100 TB the occupancy rule makes k ∝ |corpus|, so
+    * the banded anchor table GROWS WITH THE DATA and an unconditional
+    * broadcast is a hard stop at ~1e6 cells (the r8-judged ceiling).
+    * Unknown-size must therefore fail safe to the shuffle path. */
+  private def fitsBroadcast(cents: DataFrame, repl: Int = 1): Boolean = {
+    val s = cents.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val thr =
+      if (s.startsWith("-")) -1L
+      else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+      catch { case _: IllegalArgumentException | _: NumberFormatException =>
+        10L << 20 }
+    thr >= 0 &&
+      cents.queryExecution.optimizedPlan.stats.sizeInBytes * repl <= BigInt(thr)
+  }
+
+  /** all (left × cents) pairs WITHOUT an unbounded broadcast — the
+    * exact-fallback shape for anchor tables past the broadcast
+    * threshold. Each centroid gets one deterministic salt
+    * (murmur3(cell) mod P); each left row explodes to all P salts, so
+    * every (row, centroid) pair meets EXACTLY once and the product is
+    * spread over P shuffle-hash partitions instead of one driver
+    * broadcast. P× replication is of the LEFT side only — callers
+    * pass the (small by construction) band-missed remainder. */
+  private def allPairs(left: DataFrame, cents: DataFrame,
+      fits: Option[Boolean] = None): DataFrame =
+    if (fits.getOrElse(fitsBroadcast(cents))) left.crossJoin(broadcast(cents))
+    else {
+      val p = left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        .toInt
+      val salted = cents.withColumn("__salt", pmod(hash(col("cell")), lit(p)))
+      left.withColumn("__salt",
+          explode(array((0 until p).map(i => lit(i)): _*)))
+        .join(salted.hint("shuffle_hash"), Seq("__salt"))
+        .drop("__salt")
+    }
+
   /** band-blocked (vector, centroid) CANDIDATE rows — the shared
     * front half of every LSH-accelerated quantizer pass: the centroid
-    * table is banded per LSH table and BROADCAST; each vector emits
-    * its own band per table plus `bits` Hamming-1 probe bands
-    * (map-side explode, TABLES·(bits+1) keys/vector); the join is
-    * broadcast-hash. Output: (id, emb, cell, ce), possibly with
-    * duplicate (id, cell) pairs from multi-table collisions — callers
-    * collapse via max_by (argmax) or groupBy (top-n), never a
-    * distinct shuffle. */
+    * table is banded per LSH table; each vector emits its own band
+    * per table plus `bits` Hamming-1 probe bands (map-side explode,
+    * TABLES·(bits+1) keys/vector). Join strategy is SIZE-AWARE
+    * ([[fitsBroadcast]]): a banded table under the session broadcast
+    * threshold joins broadcast-hash (zero shuffle of the corpus
+    * side); past it — k ∝ |corpus| under the occupancy rule, so this
+    * WILL happen at scale — the band key (t, bkt) is already an
+    * equi-join key and the join degrades gracefully to a
+    * SHUFFLE-HASH join: both sides exchange on the band key, build
+    * side is the banded anchors, semantics identical. Output:
+    * (id, emb, cell, ce), possibly with duplicate (id, cell) pairs
+    * from multi-table collisions — callers collapse via max_by
+    * (argmax) or groupBy (top-n), never a distinct shuffle. */
   private def bandedCandidates(vectors: DataFrame, id: String, emb: String,
-      cents: DataFrame, bits: Int, tables: Int): DataFrame = {
-    val cb = broadcast(cents.select(col("cell"), col("ce"),
+      cents: DataFrame, bits: Int, tables: Int,
+      fits: Option[Boolean] = None): DataFrame = {
+    val banded = cents.select(col("cell"), col("ce"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), tableBucket(col("ce"), t, bits).as("bkt"))): _*))
         .as("b"))
-      .select(col("cell"), col("ce"), col("b.t").as("t"), col("b.bkt").as("bkt")))
+      .select(col("cell"), col("ce"), col("b.t").as("t"), col("b.bkt").as("bkt"))
+    val cb = if (fits.getOrElse(fitsBroadcast(cents, tables))) broadcast(banded)
+             else banded.hint("shuffle_hash")
     val vb0 = vectors.select(col(id), col(emb),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), tableBucket(col(emb), t, bits).as("bkt"))): _*))
@@ -614,9 +669,9 @@ object Similarity {
       .select(col("probe_id"), col("pe"), col("cell"))
     val banded = rankCells(bandedCandidates(pv, id, emb, anchors, bits, tables)
       .select(col(id), col(emb), col("cell"), cosR(col(emb), col("ce")).as("ac")))
-    val fallback = rankCells(pv
-      .join(banded.select(col("probe_id").as(id)).distinct(), Seq(id), "left_anti")
-      .crossJoin(broadcast(anchors))
+    val fallback = rankCells(allPairs(pv
+      .join(banded.select(col("probe_id").as(id)).distinct(), Seq(id), "left_anti"),
+        anchors)
       .select(col(id), col(emb), col("cell"), cosR(col(emb), col("ce")).as("ac")))
     val probes = banded.unionByName(fallback)
     val scored = probes.join(assigned, Seq("cell"))
@@ -636,8 +691,16 @@ object Similarity {
       tables: Int = LSH_TABLES, dims: Int = 64): DataFrame = {
     val seeds = vectors.filter(seedPred)
       .select(col(id).as("cell"), col(emb).as("ce"))
+    // broadcast decision computed ONCE from the seeds (a scan+filter,
+    // whose size estimate is metadata-accurate) and reused for every
+    // Lloyd pass: the round-2+ centroid tables have <= |seeds| rows at
+    // the same width, but their plan stats — an aggregate over a join
+    // lineage, then a stat-less checkpoint — are garbage-large, and a
+    // per-pass decision would wrongly route tiny centroid tables to
+    // the shuffle path (caught by the d16 PlanSpec pin)
+    val fits = Some(fitsBroadcast(seeds, tables))
     var asg = argmaxAssignLsh(vectors, id, emb, seeds, bits, tables,
-      (a, b) => cosR(a, b))
+      (a, b) => cosR(a, b), fits)
     (1 until iters).foreach { _ =>
       // localCheckpoint the (tiny, k-row) centroid table: without it
       // the next assignment pass INLINES these 64 per-dim aggregate
@@ -652,7 +715,7 @@ object Similarity {
             .cast("double") / 1000000.0 / count(lit(1))): _*).as("ce"))
         .localCheckpoint(true)
       asg = argmaxAssignLsh(vectors, id, emb, cents, bits, tables,
-        (a, b) => cosRD(a, b))
+        (a, b) => cosRD(a, b), fits)
     }
     asg.select(col(id), col("cell"))
   }

@@ -837,12 +837,21 @@ object Analytics {
     * group; only (key, ts) ordering moves, and the native timestamp
     * is both the ordering AND an output column (second
     * timestamp-end-to-end query after q36, schema-adaptive via
-    * [[Tables.tsNative]]). */
+    * [[Tables.tsNative]]). Spark works at MICROsecond precision
+    * (tsNative truncates a NANOS long to micros), so the oracle
+    * truncates too — `date_trunc('microseconds', ts)` in BOTH the
+    * output and the window ordering: identity on today's MICROS
+    * encode, and under a future sub-microsecond TIMESTAMP(NANOS)
+    * encode it keeps the rn=1 row selection AND the output values
+    * aligned (the r7 encoding-drift lesson, applied before the
+    * drift this time). */
   val q37 = Q("q37_latest", Some("""
     SELECT user_id, event_type, event_id, ts, value FROM (
-      SELECT user_id, event_type, event_id, ts, value,
+      SELECT user_id, event_type, event_id,
+        date_trunc('microseconds', ts) AS ts, value,
         row_number() OVER (PARTITION BY user_id, event_type
-                           ORDER BY ts DESC, event_id DESC) AS rn
+                           ORDER BY date_trunc('microseconds', ts) DESC,
+                                    event_id DESC) AS rn
       FROM events) WHERE rn = 1
     ORDER BY user_id, event_type""")) { (s, d) =>
     val e = t(s, d, "events")

@@ -25,14 +25,24 @@ object JsonLines {
 
   val CorruptCol = "_corrupt_line"
 
-  /** Parse `path` against `schema`; returns (good, quarantined).
+  /** An ingested JSONL split plus the handle to its one cached parse:
+    * `release()` unpersists the parent after BOTH splits are
+    * materialized (write the good rows, audit/persist the
+    * quarantine, then release). Without the handle, repeated ingests
+    * in one long-lived session accumulate cached parses — at 100 TB
+    * ingest cadence that is an executor-memory leak, not a
+    * convenience. */
+  final case class Ingest(good: DataFrame, quarantined: DataFrame,
+      release: () => Unit)
+
+  /** Parse `path` against `schema`; returns the [[Ingest]] handle.
     * `good` has exactly the schema's columns; `quarantined` is one
     * string column [[CorruptCol]] holding each bad line verbatim.
     * The parsed frame is cached: Spark's JSON reader refuses to
     * answer queries that project ONLY the corrupt column from a raw
     * scan, and the cache also makes good/bad one parse, not two. */
-  def read(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+  def readHandle(spark: SparkSession, path: String,
+      schema: StructType): Ingest = {
     val withCorrupt = StructType(
       schema.fields :+ StructField(CorruptCol, StringType))
     val parsed = spark.read
@@ -45,7 +55,17 @@ object JsonLines {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val bad = parsed.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol))
-    (good, bad)
+    Ingest(good, bad, () => { parsed.unpersist(); () })
+  }
+
+  /** [[readHandle]] without the release handle — for one-shot
+    * sessions (tests, single-ingest jobs) where the cache dies with
+    * the session anyway. Long-lived ingest loops must use
+    * [[readHandle]] and release each parse. */
+  def read(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val h = readHandle(spark, path, schema)
+    (h.good, h.quarantined)
   }
 
   /** One JSON object per line, the same format [[read]] accepts —

@@ -90,11 +90,43 @@ object LakeSink {
         .option("maxRecordsPerFile", targetRecordsPerFile.toString)
         .mode("overwrite").save(tmp))
 
+  /** Filesystem schemes whose "rename" is COPY+DELETE — non-atomic
+    * and O(bytes): every S3 flavor, GCS, Azure blob (wasb), OpenStack
+    * swift, Alibaba oss, IBM cos. The two-rename swap's safety
+    * argument collapses on them (a crash mid-"rename" loses data, and
+    * readers see partial states), and S3 is the reference's actual
+    * target (reference lambda_fns/order.js:428-433 manipulates
+    * objects individually for exactly this reason). abfs/abfss are
+    * deliberately NOT listed: ADLS Gen2's hierarchical namespace has
+    * real atomic renames. */
+  private val NonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "swift", "oss", "cos")
+
+  /** Refuse [[compact]] on an object store BY NAME, before any data
+    * is touched — the path's scheme is inspected directly, so the
+    * guard fires even when no connector for the scheme is on the
+    * classpath. The object-store-safe alternative is
+    * [[registerExternal]] + [[compactTable]]: generation directories
+    * are only ever written-then-abandoned (never renamed), and the
+    * publish step is one catalog pointer flip. */
+  private def requireAtomicRename(path: String): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+      .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
+    if (NonAtomicRenameSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"compact: $scheme:// has no atomic directory rename (object-store " +
+          "rename is copy+delete — non-atomic, O(bytes)), so the checked " +
+          "two-rename swap cannot protect the table. Use registerExternal + " +
+          "compactTable: its generation-directory write + catalog pointer " +
+          "flip is object-store-safe.")
+  }
+
   /** rewrite step injectable so the spec can plant a short tmp write
     * and assert the verify-before-swap aborts with the original intact */
   private[graft] def compactImpl(spark: SparkSession, path: String,
       format: String, targetRecordsPerFile: Long,
       rewrite: (DataFrame, Int, String) => Unit): Long = {
+    requireAtomicRename(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(path)

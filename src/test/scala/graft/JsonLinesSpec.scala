@@ -33,6 +33,22 @@ class JsonLinesSpec extends AnyFunSuite {
     assert(b.contains("not json at all"))
   }
 
+  test("readHandle.release unpersists the one cached parse (no ingest-loop leak)") {
+    val dir = Files.createTempDirectory("graft_jsonl_rel").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/part0.jsonl"),
+      Seq("""{"doc_id": 1, "text": "a", "lang": "en"}""", """broken""")
+        .mkString("\n").getBytes("UTF-8"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val h = JsonLines.readHandle(spark, dir, schema)
+    assert(h.good.count() == 1 && h.quarantined.count() == 1)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the parse must be cached while both splits materialize")
+    h.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release() must unpersist the parse — repeated ingests in one " +
+        "session must not accumulate cached parses")
+  }
+
   test("streaming file-source ingest: files land, parse, and quarantine continuously") {
     // the only non-MemoryStream streaming path in the suite: a real
     // FileStreamSource watching a landing directory — the shape a

@@ -98,6 +98,33 @@ class LakeSpec extends AnyFunSuite {
     assert(!new java.io.File(out + ".compact_old").exists(), "no stale old copy")
   }
 
+  test("compact refuses object-store paths BY NAME and points at compactTable") {
+    // the two-rename swap's safety argument needs atomic directory
+    // rename — true on HDFS/local, FALSE on every object store (S3
+    // "rename" is copy+delete: non-atomic, O(bytes)), and S3 is the
+    // reference's actual target. The guard reads the PATH scheme, so
+    // it fires before any data (or connector classpath) is touched.
+    for (p <- Seq("s3a://bucket/table", "s3://bucket/table",
+        "gs://bucket/table", "wasb://c@acct.blob.core.windows.net/t")) {
+      val ex = intercept[UnsupportedOperationException] {
+        LakeSink.compact(spark, p, "parquet", 100000)
+      }
+      assert(ex.getMessage.contains("no atomic directory rename"), p)
+      assert(ex.getMessage.contains("compactTable"),
+        s"refusal must name the object-store-safe path: ${ex.getMessage}")
+    }
+    // ADLS Gen2 (abfss) HAS atomic rename — must NOT be refused by the
+    // scheme guard (it proceeds far enough to fail on the missing
+    // connector/table instead, which is a different exception)
+    intercept[Exception] {
+      LakeSink.compact(spark, "abfss://c@a.dfs.core.windows.net/t",
+        "parquet", 100000)
+    } match {
+      case _: UnsupportedOperationException => fail("abfss wrongly refused")
+      case _ => // expected: connector-missing / path errors
+    }
+  }
+
   test("catalog compact flips the location with NO read gap, GCs old generations") {
     val out = Files.createTempDirectory("graft_cnogap").toString + "/t"
     val orders = Tables.load(spark, TestSpark.sf, "orders")
