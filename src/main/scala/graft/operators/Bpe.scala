@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and application — the
+  * subword tokenization a trainer actually consumes (whitespace token
+  * counts over-estimate rare words and under-estimate agglutinative
+  * text; packing/mixing budgets keyed on them drift from real model
+  * cost). Pure DataFrame algebra, deterministic on any engine:
+  *
+  *  - TRAIN runs over the DISTINCT-WORD vocabulary with frequencies,
+  *    not the corpus: Heaps' law keeps |vocab| strongly sublinear in
+  *    corpus size, so at 100 TB the iterative part touches millions
+  *    of rows while the corpus is read ONCE for the frequency count
+  *    (and in production the freq count itself runs on a sample —
+  *    BPE statistics converge long before 100 TB).
+  *  - One merge round = (a) adjacent-pair counts, freq-weighted
+  *    (partial agg, vocab-sized shuffle), (b) argmax pair — count
+  *    DESC, then lexicographic (lhs, rhs), a 1-row broadcast,
+  *    (c) GREEDY NON-OVERLAPPING merge of that pair in every word:
+  *    runs of consecutive matches keep alternate positions
+  *    (gaps-and-islands windows — "aaaa" under (a,a) becomes
+  *    "aa aa", exactly Sennrich's left-to-right scan), then symbols
+  *    renumber. Windows partition on the word key only.
+  *  - APPLY to the corpus is a join of per-doc word counts against
+  *    the trained vocab tokenization — the corpus shuffles once on
+  *    the word key (or not at all when the vocab side broadcasts);
+  *    the iterative machinery never sees a document row.
+  *
+  * Every step is expressible as identical SQL (unrolled CTEs, no
+  * recursion): [[oracleCtes]] generates the DuckDB twin the
+  * correctness gate runs, so the trained merge table itself is
+  * hash-checked — not just spec'd.
+  */
+object Bpe {
+
+  /** tokenization shared with [[TextAnalysis.tokens]] (lower +
+    * space-split) minus empty tokens: (doc id, word) pairs. */
+  def docWords(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), explode(split(lower(col(text)), " ")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** (word, freq) vocabulary of the corpus — the only corpus-sized
+    * pass in training. */
+  def wordFreq(docs: DataFrame, id: String, text: String): DataFrame =
+    docWords(docs, id, text).groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** initial symbol table: one row per (word, position), symbols are
+    * single characters. (word, freq, pos, sym). */
+  private def initSyms(vocab: DataFrame): DataFrame =
+    vocab.select(col("word"), col("freq"),
+      explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("freq"), col("pos").cast("long").as("pos"),
+        col("word").substr(col("pos"), lit(1)).as("sym"))
+
+  private val wWord = Window.partitionBy("word").orderBy("pos")
+
+  /** one greedy merge round: returns (best pair — 0 or 1 row of
+    * (lhs, rhs) — and the merged symbol table). Checkpoints both: the
+    * round's output feeds the next round on BOTH join sides, and
+    * without the cut the unrolled window lineage compounds. */
+  private def mergeRound(syms: DataFrame): (DataFrame, DataFrame) = {
+    val n = syms.withColumn("nxt", lead("sym", 1).over(wWord))
+    val best = n.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+      .select(col("lhs"), col("rhs"))
+      .localCheckpoint(true)
+    val marked = n.join(broadcast(best),
+      col("sym") === col("lhs") && col("nxt") === col("rhs"))
+      .select(col("word"), col("pos"))
+    // greedy left-to-right: in each run of consecutive matches keep
+    // positions at odd offset within the run (1st, 3rd, ...)
+    val starts = marked
+      .withColumn("grp", col("pos") - row_number().over(wWord))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy("word", "grp").orderBy("pos")))
+      .filter(pmod(col("rn2"), lit(2)) === 1)
+      .select(col("word"), col("pos"))
+    val merged = n
+      .join(starts.withColumn("st", lit(true)), Seq("word", "pos"), "left")
+      .join(starts.select(col("word"), (col("pos") + 1).as("pos"),
+        lit(true).as("cons")), Seq("word", "pos"), "left")
+      .filter(col("cons").isNull)
+      .select(col("word"), col("freq"), col("pos"),
+        when(col("st"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
+          .as("sym"))
+      .withColumn("pos", row_number().over(wWord).cast("long"))
+      .localCheckpoint(true)
+    (best, merged)
+  }
+
+  /** train `nMerges` rounds; returns (merges: (merge_rank, lhs, rhs),
+    * vocabTok: (word, n_tok) — each vocab word's trained token
+    * count). A corpus whose pairs exhaust early yields fewer than
+    * `nMerges` rows, never a throw. */
+  def train(docs: DataFrame, id: String, text: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
+    var syms = initSyms(wordFreq(docs, id, text)).localCheckpoint(true)
+    val merges = (1 to nMerges).map { r =>
+      val (best, next) = mergeRound(syms)
+      syms = next
+      best.select(lit(r.toLong).as("merge_rank"), col("lhs"), col("rhs"))
+    }
+    val mergeTable = merges.reduce(_ unionByName _)
+    val vocabTok = syms.groupBy("word").agg(count(lit(1)).as("n_tok"))
+    (mergeTable, vocabTok)
+  }
+
+  /** per-document BPE token counts under a trained vocab: total over
+    * the doc's words of each word's trained token count; docs with no
+    * words (empty/NULL text) count 0 rather than vanishing. */
+  def docTokens(docs: DataFrame, id: String, text: String,
+      vocabTok: DataFrame): DataFrame = {
+    val wc = docWords(docs, id, text).groupBy(col(id), col("word"))
+      .agg(count(lit(1)).as("c"))
+    docs.select(col(id))
+      .join(wc.join(vocabTok, Seq("word"))
+        .groupBy(col(id)).agg(sum(col("c") * col("n_tok")).as("t")),
+        Seq(id), "left")
+      .select(col(id), coalesce(col("t"), lit(0L)).as("n_tok"))
+  }
+
+  /** The DuckDB twin of [[train]] — `nMerges` unrolled CTE rounds of
+    * the identical arithmetic (same tie-breaks, same islands), ending
+    * with symbol table `s<nMerges>` and merge-pair CTEs `b1..b<n>`.
+    * Prefix for the t14/t15 oracle queries. */
+  def oracleCtes(nMerges: Int): String = {
+    val rounds = (0 until nMerges).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT word, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s$i),
+    b${i + 1} AS MATERIALIZED (SELECT lhs, rhs FROM (
+           SELECT sym AS lhs, nxt AS rhs, sum(freq) AS cnt FROM n$i
+           WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+         ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    m$i AS MATERIALIZED (SELECT n.word, n.pos FROM n$i n
+         JOIN b${i + 1} b ON n.sym = b.lhs AND n.nxt = b.rhs),
+    st$i AS MATERIALIZED (SELECT word, pos FROM (
+           SELECT word, pos, row_number() OVER (PARTITION BY word, grp
+             ORDER BY pos) AS rn2
+           FROM (SELECT word, pos,
+                   pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+                     AS grp FROM m$i))
+         WHERE rn2 % 2 = 1),
+    s${i + 1} AS MATERIALIZED (SELECT word, freq,
+           CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT)
+             AS pos,
+           CASE WHEN spos IS NOT NULL THEN sym || nxt ELSE sym END AS sym
+         FROM (SELECT n.word, n.freq, n.pos, n.sym, n.nxt,
+                 a.pos AS spos, c.pos AS cpos
+               FROM n$i n
+               LEFT JOIN st$i a ON n.word = a.word AND n.pos = a.pos
+               LEFT JOIN st$i c ON n.word = c.word AND n.pos = c.pos + 1)
+         WHERE cpos IS NULL)"""
+    }.mkString(",\n    ")
+    s"""dwords AS MATERIALIZED (SELECT doc_id, w AS word FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents) WHERE w <> ''),
+    vocab AS MATERIALIZED (SELECT word, count(*) AS freq FROM dwords GROUP BY word),
+    s0 AS MATERIALIZED (SELECT word, freq, CAST(t.pos AS BIGINT) AS pos,
+           substr(word, CAST(t.pos AS INT), 1) AS sym
+         FROM vocab, unnest(generate_series(1, length(word))) AS t(pos)),
+    $rounds"""
+  }
+}

@@ -516,5 +516,44 @@ object Text {
       .orderBy("decile")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, d1, m1, m2, m3, m4, m5, m6, m7, m8)
+  // ---- t14/t15: BPE subword tokenizer (trained merges + counts) ------
+  /** the trained BPE merge table itself ([[graft.operators.Bpe]]):
+    * 8 greedy merge rounds over the documents vocabulary,
+    * freq-weighted, count-then-lexicographic argmax per round. The
+    * oracle re-derives every round as unrolled CTEs of the identical
+    * arithmetic, so the trained ARTIFACT is hash-checked — the one
+    * LLM-pipeline operator class (subword tokenization) that had no
+    * representative before round 9. */
+  val t14 = Q("t14_bpe_merges", Some(s"""
+    WITH ${graft.operators.Bpe.oracleCtes(8)},
+    mt AS (${(1 to 8).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs FROM b$r")
+        .mkString("\n      UNION ALL ")})
+    SELECT merge_rank, lhs, rhs FROM mt ORDER BY merge_rank""")) { (s, d) =>
+    graft.operators.Bpe.train(t(s, d, "documents"), "doc_id", "text", 8)._1
+      .orderBy("merge_rank")
+  }
+
+  /** per-document token counts under the t14-trained merges — the
+    * REAL token count the packing/mixing operators (d12/d14/d15)
+    * should key their budgets on (whitespace counts over-estimate
+    * rare words); docs with no words count 0 rather than vanish. */
+  val t15 = Q("t15_bpe_tokens", Some(s"""
+    WITH ${graft.operators.Bpe.oracleCtes(8)},
+    wcnt AS (SELECT doc_id, word, count(*) AS c FROM dwords
+             GROUP BY doc_id, word),
+    vt AS (SELECT word, count(*) AS n_tok FROM s8 GROUP BY word)
+    SELECT d.doc_id,
+      CAST(coalesce(sum(w.c * v.n_tok), 0) AS BIGINT) AS n_tok
+    FROM documents d
+    LEFT JOIN wcnt w ON w.doc_id = d.doc_id
+    LEFT JOIN vt v ON v.word = w.word
+    GROUP BY d.doc_id ORDER BY d.doc_id""")) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val (_, vocabTok) = graft.operators.Bpe.train(docs, "doc_id", "text", 8)
+    graft.operators.Bpe.docTokens(docs, "doc_id", "text", vocabTok)
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, d1, m1, m2, m3, m4, m5, m6, m7, m8)
 }
