@@ -239,6 +239,101 @@ class StreamingSpec extends AnyFunSuite {
         s"batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("streamed windowed aggregation ≡ batch q18 buckets on the real events table") {
+    // the batch/stream unification proof for WINDOWED AGGS (q16/q37
+    // proved sessions and CDC): micro-batch the real events table
+    // through the watermarked hourly aggregation and require its final
+    // windows to equal the oracle-checked batch q18 buckets. Counts
+    // compare EXACTLY; totals compare at the 1e-6 grid — the streaming
+    // state sums doubles in arrival order while batch q18 sums a
+    // fixed-point term (summation-order-free by construction), so the
+    // last-ulp float difference is the documented cost of reusing
+    // plain sum() in the incremental path.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Tables.load(spark, TestSpark.sf, "events")
+    val evs = raw
+      .select(col("event_id"), Tables.tsNative(raw).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedAgg(in.toDF())
+      .writeStream.format("memory").queryName("win_full")
+      .outputMode(OutputMode.Complete).start()
+    evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT unix_seconds(hour_start) AS hour_s, event_type, n, total FROM win_full")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = Registry.byName("q18_timeagg").run(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"bucket drift: stream-only=${(streamed.keySet -- batch.keySet).take(3)} " +
+        s"batch-only=${(batch.keySet -- streamed.keySet).take(3)}")
+    batch.foreach { case (k, (n, total)) =>
+      assert(streamed(k)._1 == n, s"count drift in bucket $k")
+      assert(math.abs(streamed(k)._2 - total) <= 1e-6 * (1.0 + math.abs(total)),
+        s"total drift in bucket $k: stream=${streamed(k)._2} batch=$total")
+    }
+  }
+
+  test("streamed interval join ≡ batch banded range join on the real events table") {
+    // q28's streaming twin pinned against batch on REAL data: every
+    // (error, click-in-preceding-5min) pair the watermarked
+    // stream-stream join emits must equal the batch banded range join
+    // with the identical one-sided predicate. Both sides fed in
+    // event-time-ordered chunks; the 10-minute watermark delay exceeds
+    // the 5-minute join range, so no qualifying pair can be evicted
+    // before it matches.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Tables.load(spark, TestSpark.sf, "events")
+    val evs = raw
+      .select(col("event_id"), Tables.tsNative(raw).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val errs = MemoryStream[Event]
+    val clks = MemoryStream[Event]
+    val q = EventStreams.intervalJoin(errs.toDF(), clks.toDF())
+      .writeStream.format("memory").queryName("ij_full")
+      .outputMode(OutputMode.Append).start()
+    evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
+      errs.addData(chunk.toSeq); clks.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.sql("SELECT err_id, click_id, gap_s FROM ij_full")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin: q28's banded equi-join shape (band + neighbor bands,
+    // residual filter) with the stream's one-sided [ets-300s, ets]
+    // predicate — each qualifying pair matches in exactly one band
+    val e = raw.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_seconds(Tables.tsNative(raw).cast("timestamp")).as("sec"))
+    val be = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("sec").as("esec"), expr("sec div 300").as("b0"))
+      .select(col("user_id"), col("err_id"), col("esec"),
+        explode(array(col("b0") - 1, col("b0"))).as("bkt"))
+    val bc = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("sec").as("csec"), expr("sec div 300").as("bkt"))
+    val batch = be.join(bc, Seq("user_id", "bkt"))
+      .filter(col("csec") >= col("esec") - 300 && col("csec") <= col("esec"))
+      .select(col("err_id"), col("click_id"),
+        (col("esec") - col("csec")).as("gap_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"interval-join drift: stream-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)} " +
+        s"(|stream|=${streamed.size}, |batch|=${batch.size})")
+  }
+
   test("stratified sample runs unchanged on a stream and agrees with batch") {
     // keep/drop is a pure function of md5(key), so the operator is
     // STATELESS: the same code path works as a streaming map-only
