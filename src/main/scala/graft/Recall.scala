@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN recall-vs-cost measurement (SURVEY §6 artifact): recall@5 of
+  * each shipped ANN composition against the brute-force ground truth
+  * on the same probe set, with wall time — so the recall/cost
+  * tradeoff is a MEASURED record, not a spec-only claim.
+  *
+  * Usage: runMain graft.Recall <sfDir> [probeMod]
+  * `probeMod` thins the probe set at large SFs (brute truth is
+  * probes × corpus — exact, so its cost bounds the measurable SF;
+  * the ANN methods themselves run the full linear path).
+  * Prints ONE JSON line.
+  */
+object Recall {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val probeMod = if (args.length > 1) args(1).toInt else 17
+    val k = 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = GraftSession.attach(GraftSession.builder(cpus)
+      .master(s"local[$cpus]").getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val vecs = Tables.load(spark, dir, "embeddings").localCheckpoint(true)
+    val n = vecs.count()
+    val probePred = col("vec_id") % probeMod === 0
+    val anchorPred = col("vec_id") % 125 === 0
+    val kAnchors = vecs.filter(anchorPred).count()
+    val bits = Similarity.corpusBits(kAnchors, 4)
+    val bitsCorpus = Similarity.corpusBits(n)
+    val nProbes = vecs.filter(probePred).count()
+
+    // exact ground truth: same topK ordering rule as every method
+    val (truth, truthSec) = timed {
+      Similarity.bruteKnn(vecs, "vec_id", "embedding", probePred, k)
+        .select(col("probe_id"), col("neighbor_id")).localCheckpoint(true)
+    }
+    val denom = truth.count().toDouble // <= nProbes*k (tiny corpora)
+
+    def recallOf(df: DataFrame): Double =
+      df.select(col("probe_id"), col("neighbor_id"))
+        .join(truth, Seq("probe_id", "neighbor_id")).count() / denom
+
+    val methods: Seq[(String, () => DataFrame)] = Seq(
+      "s2_lsh" -> (() => Similarity.lshKnn(vecs, "vec_id", "embedding",
+        probePred, k, bitsCorpus)),
+      "s6_ivfpq_lsh" -> (() => Similarity.ivfPqKnnLsh(vecs, "vec_id",
+        "embedding", anchorPred, probePred, k, bits)),
+      "s8_np1" -> (() => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
+        anchorPred, probePred, k, nprobe = 1, bits = bits)),
+      "s8_np2" -> (() => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
+        anchorPred, probePred, k, nprobe = 2, bits = bits)),
+      "s8_np4" -> (() => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
+        anchorPred, probePred, k, nprobe = 4, bits = bits)))
+
+    val results = methods.map { case (name, mk) =>
+      val (r, sec) = timed {
+        val out = mk().localCheckpoint(true) // materialize = the timed work
+        recallOf(out)
+      }
+      name -> ((r, sec))
+    }
+    def r3(v: Double) = math.floor(v * 1000.0 + 0.5) / 1000.0
+    val rec = results.map { case (m, (r, _)) => s"\"$m\":${r3(r)}" }
+      .mkString("{", ",", "}")
+    val secs = results.map { case (m, (_, s)) => s"\"$m\":${r3(s)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"sf":"$dir","n":$n,"probes":$nProbes,"k":$k,"anchors":$kAnchors,"bits":$bits,"brute_sec":${r3(truthSec)},"recall":$rec,"secs":$secs}""")
+    spark.stop()
+  }
+}
