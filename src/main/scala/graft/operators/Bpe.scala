@@ -57,6 +57,35 @@ object Bpe {
 
   private val wWord = Window.partitionBy("word").orderBy("pos")
 
+  /** apply ONE pair (the 1-row broadcast `best`: (lhs, rhs)) to a
+    * symbol table with Sennrich left-to-right greedy semantics: in
+    * each run of consecutive matches keep alternate positions
+    * (1st, 3rd, ...), consume the follower, renumber. Shared by
+    * TRAINING rounds and [[applyMerges]], so the two paths cannot
+    * drift — the apply-reproduces-training property BpeSpec pins is
+    * structural, not coincidental. */
+  private def applyPair(syms: DataFrame, best: DataFrame): DataFrame = {
+    val n = syms.withColumn("nxt", lead("sym", 1).over(wWord))
+    val marked = n.join(broadcast(best),
+      col("sym") === col("lhs") && col("nxt") === col("rhs"))
+      .select(col("word"), col("pos"))
+    val starts = marked
+      .withColumn("grp", col("pos") - row_number().over(wWord))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy("word", "grp").orderBy("pos")))
+      .filter(pmod(col("rn2"), lit(2)) === 1)
+      .select(col("word"), col("pos"))
+    n.join(starts.withColumn("st", lit(true)), Seq("word", "pos"), "left")
+      .join(starts.select(col("word"), (col("pos") + 1).as("pos"),
+        lit(true).as("cons")), Seq("word", "pos"), "left")
+      .filter(col("cons").isNull)
+      .select(col("word"), col("freq"), col("pos"),
+        when(col("st"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
+          .as("sym"))
+      .withColumn("pos", row_number().over(wWord).cast("long"))
+      .localCheckpoint(true)
+  }
+
   /** one greedy merge round: returns (best pair — 0 or 1 row of
     * (lhs, rhs) — and the merged symbol table). Checkpoints both: the
     * round's output feeds the next round on BOTH join sides, and
@@ -69,28 +98,28 @@ object Bpe {
       .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
       .select(col("lhs"), col("rhs"))
       .localCheckpoint(true)
-    val marked = n.join(broadcast(best),
-      col("sym") === col("lhs") && col("nxt") === col("rhs"))
-      .select(col("word"), col("pos"))
-    // greedy left-to-right: in each run of consecutive matches keep
-    // positions at odd offset within the run (1st, 3rd, ...)
-    val starts = marked
-      .withColumn("grp", col("pos") - row_number().over(wWord))
-      .withColumn("rn2", row_number().over(
-        Window.partitionBy("word", "grp").orderBy("pos")))
-      .filter(pmod(col("rn2"), lit(2)) === 1)
-      .select(col("word"), col("pos"))
-    val merged = n
-      .join(starts.withColumn("st", lit(true)), Seq("word", "pos"), "left")
-      .join(starts.select(col("word"), (col("pos") + 1).as("pos"),
-        lit(true).as("cons")), Seq("word", "pos"), "left")
-      .filter(col("cons").isNull)
-      .select(col("word"), col("freq"), col("pos"),
-        when(col("st"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
-          .as("sym"))
-      .withColumn("pos", row_number().over(wWord).cast("long"))
+    (best, applyPair(syms, best))
+  }
+
+  /** tokenize ARBITRARY words with an already-trained merge table —
+    * the production 100 TB shape: [[train]] runs once on a SAMPLE
+    * (or one corpus snapshot), the merge table (a few thousand tiny
+    * rows) ships everywhere, and new text tokenizes without touching
+    * the trainer. Merges apply in rank order with the training
+    * round's own [[applyPair]]; a word never seen in training still
+    * tokenizes (to characters, or to whatever trained subwords its
+    * spans recombine — standard BPE open-vocabulary behavior).
+    * Input: distinct (word) rows; returns (word, n_tok). */
+  def applyMerges(words: DataFrame, merges: DataFrame,
+      nMerges: Int): DataFrame = {
+    var syms = initSyms(words.select(col("word"), lit(1L).as("freq")))
       .localCheckpoint(true)
-    (best, merged)
+    (1 to nMerges).foreach { r =>
+      val best = merges.filter(col("merge_rank") === r)
+        .select(col("lhs"), col("rhs")).localCheckpoint(true)
+      syms = applyPair(syms, best)
+    }
+    syms.groupBy("word").agg(count(lit(1)).as("n_tok"))
   }
 
   /** train `nMerges` rounds; returns (merges: (merge_rank, lhs, rhs),
