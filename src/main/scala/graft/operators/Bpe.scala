@@ -36,11 +36,24 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Longest word admitted to the pipeline. The cap is the skew
+    * guard, not a modeling choice: every position of a word lands in
+    * ONE word-partitioned window task, so a single pathological
+    * "word" (a 100 MB no-whitespace document — 100 TB corpora
+    * contain them) would otherwise serialize 8 merge rounds through
+    * one task. 256 chars is far past natural-language word length
+    * (identity on real corpora — the correctness gate's vocab tops
+    * out well under it); over-cap tokens are EXCLUDED, identically
+    * in the oracle, not truncated (a truncated token would collide
+    * with a real word and corrupt its pair counts). */
+  val MaxWordLen = 256
+
   /** tokenization shared with [[TextAnalysis.tokens]] (lower +
-    * space-split) minus empty tokens: (doc id, word) pairs. */
+    * space-split) minus empty tokens and [[MaxWordLen]]-breakers:
+    * (doc id, word) pairs. */
   def docWords(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), explode(split(lower(col(text)), " ")).as("word"))
-      .filter(col("word") =!= "")
+      .filter(col("word") =!= "" && length(col("word")) <= MaxWordLen)
 
   /** (word, freq) vocabulary of the corpus — the only corpus-sized
     * pass in training. */
@@ -187,7 +200,7 @@ object Bpe {
     }.mkString(",\n    ")
     s"""dwords AS MATERIALIZED (SELECT doc_id, w AS word FROM (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-           FROM documents) WHERE w <> ''),
+           FROM documents) WHERE w <> '' AND length(w) <= $MaxWordLen),
     vocab AS MATERIALIZED (SELECT word, count(*) AS freq FROM dwords GROUP BY word),
     s0 AS MATERIALIZED (SELECT word, freq, CAST(t.pos AS BIGINT) AS pos,
            substr(word, CAST(t.pos AS INT), 1) AS sym

@@ -65,6 +65,21 @@ class BpeSpec extends AnyFunSuite {
     assert(vocabTok.collect().map(_.getLong(1)).forall(_ == 1L))
   }
 
+  test("a no-whitespace monster doc cannot pin training to one window task") {
+    // the skew guard: a single over-cap "word" is excluded from the
+    // pipeline entirely (both engines), so its positions never
+    // serialize the word-partitioned windows; normal words untouched
+    val monster = "z" * 100000
+    val d = docs((1L, s"hello $monster world"), (2L, "hello world"))
+    val (merges, vocabTok) = Bpe.train(d, "doc_id", "text", 2)
+    assert(!vocabTok.collect().map(_.getString(0)).contains(monster))
+    assert(merges.count() > 0)
+    val toks = Bpe.docTokens(d, "doc_id", "text", vocabTok)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 counts only its admitted words — present, not poisoned
+    assert(toks(1L) == toks(2L) && toks(1L) > 0)
+  }
+
   test("applyMerges reproduces training tokenization on the training vocab") {
     // the classic BPE property, pinned on REAL documents: greedy
     // rank-order application of the trained merges to the training
