@@ -461,4 +461,47 @@ object Dedup {
       .filter(col("jr") >= threshold)
       .select(col("d1"), col("d2"), col("jr").as("jacc"))
   }
+
+  /** Cross-document SPAN-level dedup (the CCNet/RefinedWeb
+    * paragraph-dedup shape, on a corpus whose "paragraphs" are
+    * fixed `span`-token blocks): every document is cut into
+    * non-overlapping spans, each span keyed by a 48-bit content
+    * digest, and only the globally FIRST occurrence of each digest
+    * ((doc_id, span_idx) order — the deterministic keep rule) is
+    * retained; later copies are the boilerplate/quote duplication
+    * doc-level dedup ([[exact]], [[lshDuplicates]]) cannot see,
+    * because the containing documents differ. Returns per-doc
+    * retention stats: span/token counts kept vs total — the rewrite
+    * decision a curation pass applies.
+    *
+    * Scale shape: span digests are a map-only explode of the
+    * pre-split token array (≤ n_tok/span narrow rows per doc); the
+    * only shuffle carries (digest, doc_id, span_idx, span_len) — 32
+    * bytes per span, never text. The first-occurrence pick is a
+    * window over the digest key whose partitions are duplicate
+    * chains (bounded by duplication depth, not corpus size — the
+    * same reasoning as d18's keeper pick); the final per-doc rollup
+    * is one partial agg. At 100 TB nothing wide ever moves. */
+  def spanDedup(docs: DataFrame, id: String, text: String,
+      span: Int = 16): DataFrame = {
+    val spans = tokenized(docs, id, text)
+      .select(col(id), col("__tk"), size(col("__tk")).as("n_tok"))
+      .select(col(id), col("__tk"), col("n_tok"),
+        explode(sequence(lit(0),
+          ceil(col("n_tok") / (span * 1.0)).cast("int") - 1)).as("sp"))
+      .select(col(id), col("n_tok"), col("sp"),
+        least(lit(span), col("n_tok") - col("sp") * span).as("span_len"),
+        expr(graft.queries.Text.fold48(
+          s"md5(cast(array_join(slice(__tk, sp * $span + 1, $span), ' ') as binary))"))
+          .as("dig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dig")).orderBy(col(id), col("sp"))
+    spans.withColumn("rn", row_number().over(w))
+      .groupBy(col(id))
+      .agg(max(col("n_tok")).cast("long").as("n_tok"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_spans"),
+        sum(when(col("rn") === 1, col("span_len")).otherwise(0L))
+          .as("kept_tokens"))
+  }
 }

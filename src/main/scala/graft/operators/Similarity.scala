@@ -139,12 +139,13 @@ object Similarity {
     * shared so the banding can never desynchronize between the ANN
     * and near-dup paths (both must match the oracle's corpusBandsSql). */
   private def corpusBands(vectors: DataFrame, id: String, emb: String,
-      bits: Int, tables: Int): DataFrame =
-    vectors.select(col(id), col(emb),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), tableBucket(col(emb), t, bits).as("bkt"))): _*))
-        .as("band"))
-      .select(col(id), col(emb), col("band.t").as("t"), col("band.bkt").as("bkt"))
+      bits: Int, tables: Int, extra: Seq[String] = Nil): DataFrame =
+    vectors.select(col(id) +: col(emb) +: extra.map(col) :+
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), tableBucket(col(emb), t, bits).as("bkt"))): _*))
+          .as("band"): _*)
+      .select(col(id) +: col(emb) +: extra.map(col) :+
+        col("band.t").as("t") :+ col("band.bkt").as("bkt"): _*)
 
   def lshKnn(vectors: DataFrame, id: String, emb: String,
       probePred: Column, k: Int, bits: Int = LSH_BITS,
@@ -156,6 +157,45 @@ object Similarity {
       explode(array((0 until bits).map(i => flipBit(col("bkt"), i)): _*)).as("bkt"))
     val probes = broadcast(pb0.unionByName(flips))
     val cand = probes.join(cb, Seq("t", "bkt"))
+      .filter(col(id) =!= col("probe_id"))
+      .select(col("probe_id"), col("pe"), col(id), col(emb))
+      .dropDuplicates("probe_id", id)
+    val scored = cand.select(col("probe_id"), col(id).as("neighbor_id"),
+      cosR(col("pe"), col(emb)).as("c6"))
+    topK(scored, k)
+  }
+
+  /** FILTERED ANN — the [[lshKnn]] machinery with a metadata
+    * constraint: each probe retrieves neighbors only from vectors
+    * sharing its `part` value (tenant / language / shard / label —
+    * the "filtered vector search" every production vector store
+    * exposes). The filter attribute JOINS THE BAND KEY rather than
+    * post-filtering candidates: buckets are per-(part, t, bkt), so a
+    * highly selective filter cannot hollow out recall the way
+    * post-filtering does (with f-selective post-filtering, a top-k
+    * candidate set keeps ≈ f·k eligible rows; per-part bucketing
+    * keeps the full candidate budget inside the filter).
+    *
+    * Sizing: per-bucket occupancy is |largest part|/2^bits — size
+    * `bits` with [[corpusBits]] of the LARGEST partition (a
+    * metadata-cheap groupBy count), not the corpus. Scale shape is
+    * exactly [[lshKnn]]'s: the corpus shuffles once on the widened
+    * band key (narrower buckets than unfiltered — the filter makes
+    * the join MORE selective), probes broadcast with their Hamming-1
+    * flips. Skewed part cardinalities (one giant tenant) are the
+    * band key's problem only within that part — the same occupancy
+    * rule applies per part, and AQE skew-split covers the rest. */
+  def lshKnnFiltered(vectors: DataFrame, id: String, emb: String,
+      part: String, probePred: Column, k: Int, bits: Int,
+      tables: Int = LSH_TABLES): DataFrame = {
+    val cb = corpusBands(vectors, id, emb, bits, tables, Seq(part))
+    val pb0 = cb.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe"), col(part),
+        col("t"), col("bkt"))
+    val flips = pb0.select(col("probe_id"), col("pe"), col(part), col("t"),
+      explode(array((0 until bits).map(i => flipBit(col("bkt"), i)): _*)).as("bkt"))
+    val probes = broadcast(pb0.unionByName(flips))
+    val cand = probes.join(cb, Seq(part, "t", "bkt"))
       .filter(col(id) =!= col("probe_id"))
       .select(col("probe_id"), col("pe"), col(id), col(emb))
       .dropDuplicates("probe_id", id)

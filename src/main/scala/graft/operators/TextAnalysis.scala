@@ -191,6 +191,95 @@ object TextAnalysis {
         .otherwise("keep").as("verdict"))
   }
 
+  /** symbol regex for [[gopher]]'s symbol-to-word rule: the hash mark
+    * and the ellipsis (ASCII triple-dot or U+2026), the two symbol
+    * classes the published rule names. `[.]` char classes keep the
+    * pattern escape-free and identical across regex engines. */
+  val gopherSymbolRe = "#|[.][.][.]|…"
+
+  /** The Gopher document-quality rule set (Rae et al. 2021, app. A —
+    * the published heuristic filter battery most shipped corpora
+    * apply before training), as one map-only pass: per document,
+    * word count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, alphabetic-word fraction, and a required minimum of
+    * DISTINCT stopwords; the verdict applies the rules in the
+    * published order, first failure wins (the [[filterChain]]
+    * contract, so drop reasons are attributable).
+    *
+    * Every signal is a codegen'd column expression over the row's own
+    * text (mean word length from byte arithmetic — single-space
+    * tokenization means word chars = bytes - (words-1); stopword
+    * presence as per-word `array_contains` terms, NOT a set
+    * intersection, whose dedup semantics differ across engines). No
+    * explode, no shuffle, no UDF: at 100 TB this is a pure scan
+    * stage, and the same expressions apply unchanged to a streaming
+    * ingest (the batch≡stream pin in StreamingSpec). NULL text
+    * coalesces to "" → one empty token → `too_few_words`, so every
+    * input row gets exactly one verdict (total, like
+    * [[filterChain]]). */
+  def gopher(docs: DataFrame, id: String, text: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStops: Int = 2): DataFrame = {
+    val tx = coalesce(col(text), lit(""))
+    val l = tokens(tx)
+    val nWords = size(l).cast("long")
+    val nStop = stopwords.map(w =>
+      when(array_contains(l, w), 1).otherwise(0)).reduce(_ + _)
+    docs.select(col(id), nWords.as("n_words"),
+        octet_length(tx).as("nbytes"), tx.as("tx"), l.as("l"),
+        nStop.cast("long").as("n_stop"))
+      .select(col(id), col("n_words"),
+        roundA((col("nbytes") - col("n_words") + 1) * 1.0 / col("n_words"), 4)
+          .as("mean_wlen"),
+        roundA(regexp_count(col("tx"), lit(gopherSymbolRe)) * 1.0 /
+          col("n_words"), 4).as("symbol_ratio"),
+        roundA(expr("size(filter(l, w -> w rlike '[a-z]'))") * 1.0 /
+          col("n_words"), 4).as("alpha_frac"),
+        col("n_stop"))
+      .select(col(id), col("n_words"), col("mean_wlen"),
+        col("symbol_ratio"), col("alpha_frac"), col("n_stop"),
+        when(col("n_words") < minWords, "too_few_words")
+          .when(col("n_words") > maxWords, "too_many_words")
+          .when(col("mean_wlen") < minWlen, "words_too_short")
+          .when(col("mean_wlen") > maxWlen, "words_too_long")
+          .when(col("symbol_ratio") > maxSymbolRatio, "too_symbolic")
+          .when(col("alpha_frac") < minAlphaFrac, "non_alpha")
+          .when(col("n_stop") < minStops, "no_stopwords")
+          .otherwise("keep").as("verdict"))
+  }
+
+  /** TF-IDF top-k terms per document — the classic per-doc keyword /
+    * feature-extraction operator (the retrieval-side complement of
+    * [[topTerms]]'s corpus profile). idf = ln(N/df) over DISTINCT
+    * doc frequency; each term scores tf·idf in MICRO fixed-point
+    * longs (t10's determinism rule — the ranking and the hash check
+    * never touch a float), rank ties break on the term.
+    *
+    * Scale shape: one partial-agg of (id, term, tf) rows, one
+    * partial-agg of (term, df) over the distinct pairs, a fact-dim
+    * shuffle join on the term key (dim side = one row per distinct
+    * term; AQE skew-split covers hot function words), then a per-doc
+    * top-k window over ≤|doc vocab| narrow rows. Documents never
+    * shuffle; N comes from one count. */
+  def tfidfTopTerms(docs: DataFrame, id: String, text: String,
+      k: Int = 5): DataFrame = {
+    val nDocs = docs.count()
+    val tf = perTokCounts(docs, id, text).withColumnRenamed("n", "tf")
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "w")
+      .select(col(id), col("w"), col("tf"), col("df"),
+        floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6 + 0.5)
+          .cast("long").as("score_micro"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("score_micro").desc, col("w"))
+    scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col(id), col("rn"), col("w"), col("tf"), col("df"),
+        col("score_micro"))
+  }
+
   /** PII patterns shared by the operator and its SQL oracle. The
     * subset of regex syntax used (char classes, bounded repeats, \b,
     * \.) means Java regex (Spark) and RE2 (DuckDB, Go/Rust engines)

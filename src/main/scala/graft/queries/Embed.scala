@@ -612,5 +612,51 @@ object Embed {
       .orderBy("label")
   }
 
-  val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6, s7, s8)
+  // FILTERED-ANN band constants: bits sized on the LARGEST label
+  // partition (the per-part occupancy rule — the Spark query computes
+  // the same from a groupBy count; the gate SF's largest label holds
+  // 59 vectors → bits = 3)
+  private val CBF = Similarity.corpusBits(59)
+  private val corpusBandsLblSql = (0 until T)
+    .map(t => s"SELECT vec_id, label, embedding, nrm, $t AS t, ${bandSqlOf("embedding", t, CBF)} AS bkt FROM v")
+    .mkString("\n      UNION ALL ")
+  private val flipValuesLblSql = (0 until CBF).map(i => s"(${1 << i})").mkString(",")
+
+  /** s9: FILTERED ANN ([[Similarity.lshKnnFiltered]]) — label-
+    * constrained top-k: each probe retrieves only among vectors with
+    * ITS label, the filter folded into the band join key (per-part
+    * buckets), not post-filtered. The oracle rebuilds the same
+    * per-label bands at the bits value the occupancy rule yields for
+    * the gate SF's largest label. */
+  val s9 = Q("s9_knn_filtered", Some(s"""
+    WITH $normCte,
+    cb AS ($corpusBandsLblSql),
+    pb0 AS (SELECT vec_id, label, t, bkt FROM cb WHERE vec_id % 17 = 0),
+    pb AS (SELECT vec_id, label, t, bkt FROM pb0
+           UNION ALL
+           SELECT vec_id, label, t,
+             CASE WHEN (bkt // f) % 2 = 1 THEN bkt - f ELSE bkt + f END AS bkt
+           FROM pb0 CROSS JOIN (VALUES $flipValuesLblSql) fl(f)),
+    cand AS (SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+             FROM pb a JOIN cb b ON a.label = b.label AND a.t = b.t
+               AND a.bkt = b.bkt AND b.vec_id <> a.vec_id),
+    sc AS (SELECT c.probe_id, c.neighbor_id, ${cosRSql("a", "b")} AS c6
+           FROM cand c JOIN v a ON a.vec_id = c.probe_id
+                       JOIN v b ON b.vec_id = c.neighbor_id),
+    r AS (SELECT probe_id, neighbor_id, c6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
+    FROM r WHERE rn <= 5
+    ORDER BY probe_id, rn""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val maxPart = vecs.groupBy("label").count()
+      .agg(max("count")).head().getLong(0)
+    Similarity.lshKnnFiltered(vecs, "vec_id", "embedding", "label",
+      col("vec_id") % 17 === 0, 5,
+      bits = Similarity.corpusBits(maxPart))
+      .orderBy("probe_id", "rn")
+  }
+
+  val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6, s7, s8, s9)
 }

@@ -19,7 +19,7 @@ object Text {
     * decode (operators.Dedup.shingleHashes' rule applied to a scalar
     * expression — identical SQL text runs in Spark and DuckDB; both
     * engines CSE the repeated md5 subexpression). */
-  private[queries] def fold48(md5HexExpr: String): String = (1 to 12)
+  private[graft] def fold48(md5HexExpr: String): String = (1 to 12)
     .map(i => s"cast(instr('0123456789abcdef', substr($md5HexExpr, $i, 1)) - 1 as bigint) * cast(${math.pow(16, 12 - i).toLong} as bigint)")
     .mkString(" + ")
 
@@ -555,5 +555,86 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, d1, m1, m2, m3, m4, m5, m6, m7, m8)
+  /** the Gopher heuristic rule battery ([[TextAnalysis.gopher]]) —
+    * published thresholds (Rae et al. 2021 app. A), first-failure
+    * verdicts; the corpus's 10–99-word spread exercises both the
+    * too_few_words drop and every passing rule. */
+  val t16 = Q("t16_gopher", Some(s"""
+    WITH f AS (SELECT doc_id, coalesce(text, '') AS tx,
+        string_split(lower(coalesce(text, '')), ' ') AS l,
+        strlen(coalesce(text, '')) AS nbytes FROM documents),
+    m AS (SELECT doc_id,
+        CAST(len(l) AS BIGINT) AS n_words,
+        floor(((nbytes - len(l) + 1) * 1.0 / len(l)) * 10000.0 + 0.5) / 10000.0 AS mean_wlen,
+        floor((len(regexp_extract_all(tx, '${TextAnalysis.gopherSymbolRe}')) * 1.0 / len(l)) * 10000.0 + 0.5) / 10000.0 AS symbol_ratio,
+        floor((CAST(len(list_filter(l, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(l)) * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
+        CAST(${TextAnalysis.stopwords.map(w =>
+          s"(CASE WHEN list_contains(l, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")} AS BIGINT) AS n_stop
+      FROM f)
+    SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac, n_stop,
+      CASE WHEN n_words < 50 THEN 'too_few_words'
+           WHEN n_words > 100000 THEN 'too_many_words'
+           WHEN mean_wlen < 3.0 THEN 'words_too_short'
+           WHEN mean_wlen > 10.0 THEN 'words_too_long'
+           WHEN symbol_ratio > 0.1 THEN 'too_symbolic'
+           WHEN alpha_frac < 0.8 THEN 'non_alpha'
+           WHEN n_stop < 2 THEN 'no_stopwords'
+           ELSE 'keep' END AS verdict
+    FROM m ORDER BY doc_id""")) { (s, d) =>
+    TextAnalysis.gopher(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top-5 terms per document ([[TextAnalysis.tfidfTopTerms]])
+    * — keyword extraction; scores are micro fixed-point longs (t10's
+    * rule) so ranking and hash both stay float-free. */
+  val t17 = Q("t17_tfidf", Some("""
+    WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM
+                 (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+                GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS nd FROM documents),
+    sc AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+             CAST(floor(tf.tf * ln(n.nd * 1.0 / df.df) * 1000000.0 + 0.5)
+                  AS BIGINT) AS score_micro
+           FROM tf JOIN df USING (w) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score_micro DESC, w) AS rn FROM sc)
+    SELECT doc_id, rn, w, CAST(tf AS BIGINT) AS tf,
+      CAST(df AS BIGINT) AS df, score_micro
+    FROM r WHERE rn <= 5 ORDER BY doc_id, rn""")) { (s, d) =>
+    TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 5)
+      .orderBy("doc_id", "rn")
+  }
+
+  /** cross-document span-level dedup
+    * ([[graft.operators.Dedup.spanDedup]]): 16-token spans, global
+    * first-occurrence keep, per-doc retention stats. The generator
+    * plants duplicated spans across documents (78 cross-doc 16-token
+    * chunk dups at the gate SF), so kept < total and the keep rule is
+    * exercised. Spans are cut from the RAW text (span dedup is exact
+    * content match — no casefold). */
+  val d23 = Q("d23_span_dedup", Some(s"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sp AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok, l,
+             unnest(range(0, greatest(CAST(ceil(len(l) / 16.0) AS INT), 1))) AS sp
+           FROM tk),
+    dg AS (SELECT doc_id, n_tok, sp,
+             least(16, n_tok - sp * 16) AS span_len,
+             ${Text.fold48("md5(array_to_string(l[CAST(sp * 16 + 1 AS INT):CAST(sp * 16 + 16 AS INT)], ' '))")} AS dig
+           FROM sp),
+    r AS (SELECT *, row_number() OVER (PARTITION BY dig
+                      ORDER BY doc_id, sp) AS rn FROM dg)
+    SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+      CAST(count(*) AS BIGINT) AS n_spans,
+      CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+      CAST(sum(CASE WHEN rn = 1 THEN span_len ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM r GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+    graft.operators.Dedup.spanDedup(t(s, d, "documents"), "doc_id", "text", 16)
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, d1, d23, m1, m2, m3, m4, m5, m6, m7, m8)
 }

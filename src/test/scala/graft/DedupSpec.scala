@@ -175,4 +175,29 @@ class DedupSpec extends AnyFunSuite {
     assert(d.count() == 5)
     assert(d.agg(max("n")).collect().head.getLong(0) == 2L)
   }
+
+  test("span dedup: first occurrence kept, later cross-doc copies dropped") {
+    import spark.implicits._
+    val a = (1 to 16).map(i => s"w$i").mkString(" ")   // span A
+    val b = (17 to 32).map(i => s"w$i").mkString(" ")  // span B
+    val c = (33 to 48).map(i => s"w$i").mkString(" ")  // span C
+    val planted = Seq(
+      (1L, s"$a $b"),        // first occurrence of A and B: all kept
+      (2L, s"$a $c"),        // A is a copy → 1 of 2 spans kept
+      (3L, s"$b $a"),        // both copies → 0 kept
+      (4L, (1 to 20).map(i => s"u$i").mkString(" "))) // 16+4 split, unique
+      .toDF("doc_id", "text")
+    val r = D.spanDedup(planted, "doc_id", "text", 16)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) == ((32L, 2L, 2L, 32L)))
+    assert(r(2L) == ((32L, 2L, 1L, 16L)))
+    assert(r(3L) == ((32L, 2L, 0L, 0L)))
+    assert(r(4L) == ((20L, 2L, 2L, 20L)), "short tail span counts its real length")
+    // real corpus: totals consistent, kept ≤ total per doc
+    val full = D.spanDedup(docs, "doc_id", "text", 16)
+    assert(full.count() == docs.count())
+    assert(full.filter(col("kept_spans") > col("n_spans") ||
+      col("kept_tokens") > col("n_tok")).count() == 0)
+  }
 }

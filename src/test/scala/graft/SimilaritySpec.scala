@@ -299,4 +299,28 @@ class SimilaritySpec extends AnyFunSuite {
     // and the pair set is deduped: no (v1, v2) appears twice
     assert(pairs.groupBy("v1", "v2").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("filtered ANN ≡ per-label lshKnn; every neighbor shares the probe's label") {
+    val bits = 3
+    val filtered = Similarity.lshKnnFiltered(emb, "vec_id", "embedding",
+      "label", col("vec_id") % 17 === 0, 5, bits = bits)
+    // label purity: join both sides' labels and compare
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val labeled = filtered
+      .join(lbl.withColumnRenamed("vec_id", "probe_id")
+        .withColumnRenamed("label", "pl"), "probe_id")
+      .join(lbl.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nl"), "neighbor_id")
+    assert(labeled.filter(col("pl") =!= col("nl")).count() == 0)
+    // per-part banding ≡ running the unfiltered machinery on each
+    // label subset separately (same band functions, same bits): the
+    // candidate sets — and so the exact top-k — must coincide
+    val labels = emb.select("label").distinct().collect().map(_.getInt(0))
+    val perLabel = labels.map { l =>
+      Similarity.lshKnn(emb.filter(col("label") === l), "vec_id",
+        "embedding", col("vec_id") % 17 === 0, 5, bits = bits)
+    }.reduce(_ unionAll _)
+    assert(filtered.exceptAll(perLabel).count() == 0)
+    assert(perLabel.exceptAll(filtered).count() == 0)
+  }
 }

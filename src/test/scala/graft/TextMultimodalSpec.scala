@@ -421,6 +421,57 @@ class TextMultimodalSpec extends AnyFunSuite {
       (col("avg_ll").isNull || col("avg_ll") >= 0)).count() == 0)
   }
 
+  test("gopher rules: each failure mode fires on its planted doc, in order") {
+    import spark.implicits._
+    def rep(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val planted = Seq(
+      (1L, "too short"),
+      (2L, rep("supercalifragilistic", 60)),               // wlen 20 > 10
+      (3L, rep("a", 60)),                                  // wlen 1 < 3
+      (4L, rep("word#", 60)),                              // symbol ratio 1
+      (5L, rep("12345", 60)),                              // no alpha words
+      (6L, (1 to 60).map(i => s"word$i").mkString(" ")),   // no stopwords
+      (7L, "the " + rep("good", 58) + " a"),               // keep
+      (8L, null.asInstanceOf[String]))                     // NULL → total
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.gopher(planted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(v == Map(1L -> "too_few_words", 2L -> "words_too_long",
+      3L -> "words_too_short", 4L -> "too_symbolic", 5L -> "non_alpha",
+      6L -> "no_stopwords", 7L -> "keep", 8L -> "too_few_words"))
+    // real corpus: total (one verdict per doc), metrics well-formed
+    val g = TextAnalysis.gopher(docs, "doc_id", "text")
+    assert(g.count() == docs.count())
+    assert(g.filter(col("alpha_frac") < 0 || col("alpha_frac") > 1 ||
+      col("symbol_ratio") < 0 || col("n_stop") < 0 ||
+      col("n_stop") > TextAnalysis.stopwords.size).count() == 0)
+    // map-only: the whole battery runs without an exchange
+    assert(!g.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("tfidf: hand-computed scores, rank order, and df semantics") {
+    import spark.implicits._
+    val tiny = Seq((1L, "x x y the"), (2L, "y z the"), (3L, "w w w the"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(tiny, "doc_id", "text", 5)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getString(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // idf: ln(3/1)=1.0986..., ln(3/2)=0.4055..., ln(3/3)=0
+    assert(r((1L, 1)) == (("x", 2L, 1L,
+      math.floor(2 * math.log(3.0) * 1e6 + 0.5).toLong)))
+    assert(r((1L, 2)) == (("y", 1L, 2L,
+      math.floor(math.log(1.5) * 1e6 + 0.5).toLong)))
+    assert(r((1L, 3))._1 == "the") // idf 0 → score 0, ranked last
+    assert(r((3L, 1)) == (("w", 3L, 1L,
+      math.floor(3 * math.log(3.0) * 1e6 + 0.5).toLong)))
+    // real corpus: ≤5 rows per doc, rn consecutive from 1
+    val full = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 5)
+    val perDoc = full.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"), min("rn").as("mn"))
+    assert(perDoc.filter(col("n") > 5 || col("mx") =!= col("n") ||
+      col("mn") =!= 1).count() == 0)
+  }
+
   test("frame sampling yields ceil(bytes/stride) frames with features") {
     val bin = Multimodal.asBinary(docs.limit(20), "doc_id", "text")
     val frames = Multimodal.sampleFrames(bin, stride = 100)
