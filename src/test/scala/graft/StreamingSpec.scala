@@ -385,6 +385,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1).getString(4) == "nothing sensitive here")
   }
 
+  test("gopher quality filter on ingest ≡ batch t16 on the real documents table") {
+    // the Gopher rule battery is pure per-row column expressions
+    // (no explode, no agg), so filter-on-ingest is the SAME operator
+    // code; pinned row-for-row against the batch run on the real
+    // corpus, not planted rows
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    in.addData(rows: _*)
+    val streamed = TextAnalysis.gopher(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    runToMemory(streamed, "gopher_stream", OutputMode.Append)
+    val got = spark.sql("SELECT * FROM gopher_stream ORDER BY doc_id")
+    val want = TextAnalysis.gopher(docs, "doc_id", "text").orderBy("doc_id")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "streamed gopher verdicts must equal batch row-for-row")
+    assert(got.count() == rows.size)
+  }
+
   test("decontamination on ingest: streamed docs scored against a static eval set") {
     // contaminationAgainst's eval side is ONE static broadcast array;
     // the train side is a stateless map-only stage, so a document
