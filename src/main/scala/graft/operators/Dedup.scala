@@ -504,4 +504,54 @@ object Dedup {
         sum(when(col("rn") === 1, col("span_len")).otherwise(0L))
           .as("kept_tokens"))
   }
+
+  /** Token-blocked edit-distance FUZZY JOIN over a string-valued
+    * column (entity resolution: near-identical product names,
+    * author variants, typo'd domains). Returns every unordered pair
+    * of DISTINCT values within Levenshtein `tau`, weighted by each
+    * value's fact-table multiplicity — the merge decision + blast
+    * radius an ER pass consumes.
+    *
+    * Scale shape: the ONLY pass over the fact table is the
+    * distinct+count aggregation — value domains grow sublinearly
+    * with row count (the Heaps-law argument the BPE vocab uses), so
+    * everything after operates on the much smaller domain table.
+    * Candidates come from TOKEN BLOCKING (pairs sharing ≥1 blocking
+    * token, an equi-join on the token key — never all-pairs);
+    * tokens occurring in more than `maxTokenNames` distinct values
+    * are EXCLUDED from blocking (the stop-frame rule — m8: one
+    * pervasive token, e.g. a unit suffix in every product name,
+    * would otherwise make one block quadratic in the domain).
+    * The exact Levenshtein filter runs only on blocked candidates.
+    *
+    * Token blocking is a RECALL choice, not an approximation the
+    * caller can't see: a pair within `tau` whose every shared token
+    * was edited (or stop-capped) is missed — the classic
+    * prefix/partition-filter tradeoff (PassJoin's pigeonhole
+    * segments are the guaranteed-complete production alternative;
+    * same family as m7's pigeonhole bands). The oracle mirrors the
+    * blocking, so what ships is exactly what's checked. */
+  def fuzzyPairs(rows: DataFrame, valueCol: String, tau: Int = 3,
+      maxTokenNames: Long = 32): DataFrame = {
+    val names = rows.groupBy(col(valueCol).as("nm"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tok = names.select(col("nm"), explode(split(col("nm"), " ")).as("w"))
+    val blockable = tok.groupBy(col("w")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") <= maxTokenNames).select(col("w"))
+    val blk = tok.join(blockable, Seq("w"))
+    val cand = blk.as("a").join(blk.as("b"),
+        col("a.w") === col("b.w") && col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"))
+      .distinct()
+    val pairs = cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= tau)
+    pairs
+      .join(names.select(col("nm").as("name_a"), col("n_rows").as("n_a")),
+        Seq("name_a"))
+      .join(names.select(col("nm").as("name_b"), col("n_rows").as("n_b")),
+        Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_a"), col("n_b"))
+  }
 }

@@ -482,4 +482,72 @@ object TextAnalysis {
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(roundA(col("n_hit") * 1.0 / col("n_shingles"), 4)))
   }
+
+  /** Multinomial Naive Bayes classifier trained on the corpus's own
+    * labels — the MODEL-BASED filtering operator class (real
+    * pipelines score documents with trained classifiers: fastText
+    * language ID, quality/edu-value classifiers) that the heuristic
+    * battery ([[langId]], [[gopher]]) cannot represent. Training is
+    * pure counting: per-label priors, per-(label, word) Laplace
+    * log-likelihoods over the label's token total and the global
+    * vocabulary size — every log-prob is a MICRO fixed-point long
+    * via the t10 rule ([[lpMicro]] — the SAME smoothing arithmetic
+    * as the bigram LM with (label,word) in place of (w1,w2)), so
+    * scoring, argmax, and the oracle hash are all float-free.
+    *
+    * Scale shape: the model is three partial-agg shuffles of narrow
+    * token rows (per-(label,word) counts, per-label totals, one
+    * count-distinct) — at 100 TB the model itself is O(L·V), data-
+    * independent. Scoring fans each (doc, word, count) row out by
+    * the L-row broadcast label table (L is a CONSTANT factor, 5
+    * here), LEFT-joins the (word,label) model on the word-bearing
+    * equi-key (unseen pairs coalesce to the Laplace floor — no L×V
+    * densification is ever materialized), and partial-aggs back to
+    * (doc, label) scores. Documents never shuffle; the only wide
+    * exchange carries (doc_id, word, label, count).
+    *
+    * Returns one row per input doc: predicted label, its score in
+    * micro-units, and an is_match flag vs the training label (the
+    * self-consistency accuracy signal). Ties break on label asc;
+    * docs with no tokens in the vocabulary score prior-only. */
+  def nbClassify(docs: DataFrame, id: String, text: String,
+      label: String): DataFrame = {
+    val tx = coalesce(col(text), lit(""))
+    val tok = docs.select(col(id), explode(tokens(tx)).as("w"))
+    val cnt = tok.groupBy(col(id), col("w")).agg(count(lit(1)).as("c"))
+    // model: (label, word) counts, per-label token totals, vocab size
+    val labeled = docs.select(col(id), col(label).as("lab"))
+    val wl = tok.join(labeled, Seq(id))
+      .groupBy(col("lab"), col("w")).agg(count(lit(1)).as("n_wl"))
+    val tot = wl.groupBy(col("lab")).agg(sum(col("n_wl")).as("tot_l"))
+    val v = tok.agg(count_distinct(col("w")).as("vs"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val priors = docs.groupBy(col(label).as("lab"))
+      .agg(count(lit(1)).as("n_l")).crossJoin(broadcast(nd))
+      .select(col("lab"),
+        floor(log(col("n_l") * 1.0 / col("nd")) * 1e6 + 0.5).cast("long")
+          .as("prior_micro"))
+    // score: fan (doc, word, count) by the L labels, Laplace via LEFT
+    val ll = cnt.crossJoin(broadcast(tot))
+      .join(wl, Seq("w", "lab"), "left_outer")
+      .crossJoin(broadcast(v))
+      .groupBy(col(id), col("lab"))
+      .agg(sum(col("c") *
+        lpMicro(coalesce(col("n_wl"), lit(0L)), col("tot_l"), col("vs")))
+        .as("ll_micro"))
+    val scored = docs.select(col(id), col(label).as("true_lab"))
+      .crossJoin(broadcast(priors))
+      .join(ll, Seq(id, "lab"), "left_outer")
+      .select(col(id), col("lab"), col("true_lab"),
+        (coalesce(col("ll_micro"), lit(0L)) + col("prior_micro"))
+          .as("score_micro"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id))
+      .orderBy(col("score_micro").desc, col("lab"))
+    scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col(id), col("lab").as("pred_lab"), col("score_micro"),
+        when(col("lab") === col("true_lab"), 1L).otherwise(0L)
+          .as("is_match"))
+  }
 }

@@ -500,6 +500,33 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** token-blocked edit-distance fuzzy join over the part-name
+    * domain ([[graft.operators.Dedup.fuzzyPairs]]) — entity
+    * resolution. Distinct-domain-first (the only fact-table pass is
+    * the count agg), token blocking with the stop-token cap, exact
+    * levenshtein ≤ 3 on candidates, pair weights = fact
+    * multiplicities. The oracle mirrors the blocking (what ships is
+    * what's checked); both engines' `levenshtein` is the standard
+    * unit-cost edit distance. */
+  val d24 = Q("d24_fuzzy_join", Some("""
+    WITH names AS (SELECT p_name AS nm, count(*) AS n_rows FROM part GROUP BY p_name),
+    tok AS (SELECT nm, unnest(string_split(nm, ' ')) AS w FROM names),
+    ok AS (SELECT w FROM tok GROUP BY w HAVING count(*) <= 32),
+    blk AS (SELECT t.nm, t.w FROM tok t JOIN ok USING (w)),
+    cand AS (SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+             FROM blk a JOIN blk b ON a.w = b.w AND a.nm < b.nm),
+    p AS (SELECT name_a, name_b,
+            CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+          FROM cand WHERE levenshtein(name_a, name_b) <= 3)
+    SELECT p.name_a, p.name_b, p.dist,
+      CAST(na.n_rows AS BIGINT) AS n_a, CAST(nb.n_rows AS BIGINT) AS n_b
+    FROM p JOIN names na ON na.nm = p.name_a
+           JOIN names nb ON nb.nm = p.name_b
+    ORDER BY p.name_a, p.name_b""")) { (s, d) =>
+    D.fuzzyPairs(t(s, d, "part"), "p_name", tau = 3, maxTokenNames = 32)
+      .orderBy("name_a", "name_b")
+  }
+
   val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15,
-    d17, d18, d19, d20, t6)
+    d17, d18, d19, d20, d24, t6)
 }

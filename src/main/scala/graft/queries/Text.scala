@@ -609,6 +609,45 @@ object Text {
       .orderBy("doc_id", "rn")
   }
 
+  /** trained multinomial Naive Bayes language classifier
+    * ([[TextAnalysis.nbClassify]]) — the model-based filtering
+    * operator class (fastText-style lang-ID / quality classifiers).
+    * The oracle re-derives the ENTIRE model (priors, per-(label,word)
+    * Laplace log-probs, vocabulary size) as the identical micro
+    * fixed-point arithmetic, so the trained model's predictions are
+    * hash-checked end to end; is_match vs the training label is the
+    * self-consistency accuracy signal. */
+  val t18 = Q("t18_nb_lang", Some("""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS w
+                 FROM documents),
+    cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    wl AS (SELECT d.lang AS lab, t.w, count(*) AS n_wl
+           FROM tok t JOIN documents d USING (doc_id) GROUP BY d.lang, t.w),
+    tot AS (SELECT lab, CAST(sum(n_wl) AS BIGINT) AS tot_l FROM wl GROUP BY lab),
+    v AS (SELECT count(DISTINCT w) AS vs FROM tok),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    pri AS (SELECT lang AS lab,
+              CAST(floor(ln(count(*) * 1.0 / nd.nd) * 1000000.0 + 0.5) AS BIGINT) AS prior_micro
+            FROM documents CROSS JOIN nd GROUP BY lang, nd.nd),
+    ll AS (SELECT c.doc_id, tot.lab,
+             CAST(sum(c.c * CAST(floor(ln((coalesce(w.n_wl, 0) + 1.0) / (tot.tot_l + v.vs)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ll_micro
+           FROM cnt c CROSS JOIN tot
+           LEFT JOIN wl w ON w.w = c.w AND w.lab = tot.lab
+           CROSS JOIN v
+           GROUP BY c.doc_id, tot.lab),
+    sc AS (SELECT d.doc_id, p.lab, d.lang AS true_lab,
+             coalesce(l.ll_micro, 0) + p.prior_micro AS score_micro
+           FROM documents d CROSS JOIN pri p
+           LEFT JOIN ll l ON l.doc_id = d.doc_id AND l.lab = p.lab),
+    pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_micro DESC, lab) AS rn FROM sc)
+    SELECT doc_id, lab AS pred_lab, CAST(score_micro AS BIGINT) AS score_micro,
+      CAST(CASE WHEN lab = true_lab THEN 1 ELSE 0 END AS BIGINT) AS is_match
+    FROM pick WHERE rn = 1 ORDER BY doc_id""")) { (s, d) =>
+    TextAnalysis.nbClassify(t(s, d, "documents"), "doc_id", "text", "lang")
+      .orderBy("doc_id")
+  }
+
   /** cross-document span-level dedup
     * ([[graft.operators.Dedup.spanDedup]]): 16-token spans, global
     * first-occurrence keep, per-doc retention stats. The generator
@@ -636,5 +675,5 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, d1, d23, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, d1, d23, m1, m2, m3, m4, m5, m6, m7, m8)
 }

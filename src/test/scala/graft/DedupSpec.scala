@@ -200,4 +200,52 @@ class DedupSpec extends AnyFunSuite {
     assert(full.filter(col("kept_spans") > col("n_spans") ||
       col("kept_tokens") > col("n_tok")).count() == 0)
   }
+
+  test("fuzzyPairs: planted typo found with multiplicities; far pair absent") {
+    import spark.implicits._
+    val rows = Seq(
+      "acme widget", "acme widget", "acme widget",  // n_rows = 3
+      "acme widgot",                                 // 1 sub from widget
+      "acme wídgét extra",                           // blocked via "acme" but dist 8 > tau
+      "zinc bolt", "zinc bolts"                      // dist 1, share "zinc"
+    ).toDF("nm")
+    val byPair = D.fuzzyPairs(rows, "nm", tau = 2, maxTokenNames = 32)
+      .collect().map(r => ((r.getAs[String]("name_a"), r.getAs[String]("name_b")),
+        (r.getAs[Long]("dist"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
+    assert(byPair(("acme widget", "acme widgot")) == ((1L, 3L, 1L)))
+    assert(byPair(("zinc bolt", "zinc bolts")) == ((1L, 1L, 1L)))
+    // the accented long variant is > tau from everything: absent
+    assert(!byPair.keySet.exists { case (a, b) =>
+      a.contains("extra") || b.contains("extra") })
+  }
+
+  test("fuzzyPairs: stop-token cap drops pervasive-token-only blocks, keeps rare-token pairs") {
+    import spark.implicits._
+    // "unit" appears in EVERY name (the pervasive token); each pair
+    // below is within tau=2 and shares ONLY "unit" except the last,
+    // which also shares the rare token "zeta".
+    val rows = Seq(
+      "unit aa", "unit ab",     // dist 1, shared tokens: only "unit"
+      "unit zeta x", "unit zeta y" // dist 1, share rare "zeta"
+    ).toDF("nm")
+    val capped = D.fuzzyPairs(rows, "nm", tau = 2, maxTokenNames = 3)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // cap=3 < 4 names containing "unit" → "unit" is a stop token;
+    // the aa/ab pair loses its only block, the zeta pair survives
+    assert(capped == Set(("unit zeta x", "unit zeta y")))
+    val uncapped = D.fuzzyPairs(rows, "nm", tau = 2, maxTokenNames = 32)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped.contains(("unit aa", "unit ab")))
+  }
+
+  test("fuzzyPairs on parts: ordered pairs, dist bound, weights cover the fact table") {
+    val part = Tables.load(spark, TestSpark.sf, "part")
+    val p = D.fuzzyPairs(part, "p_name", tau = 3, maxTokenNames = 32)
+    assert(p.filter(col("name_a") >= col("name_b")).count() == 0)
+    assert(p.filter(col("dist") > 3 || col("dist") < 1).count() == 0)
+    assert(p.filter(col("n_a") < 1 || col("n_b") < 1).count() == 0)
+    assert(p.count() > 0, "the bounded name domain must contain near pairs")
+  }
 }

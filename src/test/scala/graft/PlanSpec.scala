@@ -23,12 +23,14 @@ class PlanSpec extends AnyFunSuite {
     // BroadcastNestedLoop appears ONLY where a broadcast-small side
     // is the design: scalar count/vocab/bound cross joins
     // (q30/q34/t10/t13), the broadcast eval-digest array (t6), the
-    // broadcast probe set (s1), and the IVF/k-means family's
-    // broadcast anchor tables.
+    // broadcast probe set (s1), the IVF/k-means family's broadcast
+    // anchor tables, and t18's broadcast NB model scalars (the
+    // 1-row vocab/doc-count and L-row label tables).
     val bnljOk = Set(
       "q30_funnel", "q34_histogram", "t6_contamination", "t10_lm",
       "t13_ppl_buckets", "s1_knn_brute", "s3_knn_ivf", "s4_kmeans",
-      "s5_knn_pq", "s6_knn_pq_lsh", "s7_knn_ivf_mp", "s8_knn_ivf_mp_lsh")
+      "s5_knn_pq", "s6_knn_pq_lsh", "s7_knn_ivf_mp", "s8_knn_ivf_mp_lsh",
+      "t18_nb_lang")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")

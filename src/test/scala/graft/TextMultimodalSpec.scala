@@ -482,4 +482,43 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(joined.filter(col("count") =!= col("want")).count() == 0)
     assert(frames.filter(size(col("feature")) =!= 8).count() == 0)
   }
+
+  test("nbClassify: separable fixture learns its labels; degenerate docs total") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "aaa aaa aaa", "A"), (2L, "aaa aaa", "A"), (3L, "aaa ccc", "A"),
+      (4L, "bbb bbb bbb", "B"), (5L, "bbb ccc", "B"),
+      (6L, null.asInstanceOf[String], "A"),  // null text must not vanish
+      (7L, "", "B"))                         // empty text: "" is a token
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.nbClassify(planted, "doc_id", "text", "lang")
+    assert(r.count() == 7, "one row per input doc, nulls included")
+    val m = r.collect().map(x => x.getLong(0) ->
+      ((x.getString(1), x.getLong(3)))).toMap
+    // pure docs classify to their own label (is_match = 1)
+    assert(m(1L) == (("A", 1L)) && m(2L) == (("A", 1L)))
+    assert(m(4L) == (("B", 1L)) && m(5L) == (("B", 1L)))
+    // the shared-word doc leans to the heavier "aaa" class
+    assert(m(3L)._1 == "A")
+    // is_match is exactly (pred == label) everywhere
+    val mism = TextAnalysis.nbClassify(planted, "doc_id", "text", "lang")
+      .join(planted.select(col("doc_id"), col("lang")), "doc_id")
+      .filter((col("pred_lab") === col("lang")).cast("long") =!= col("is_match"))
+    assert(mism.count() == 0)
+  }
+
+  test("nbClassify on the corpus beats the majority-class baseline") {
+    val n = docs.count()
+    val majority = docs.groupBy("lang").count()
+      .agg(max("count")).collect().head.getLong(0)
+    val acc = TextAnalysis.nbClassify(docs, "doc_id", "text", "lang")
+      .agg(sum("is_match")).collect().head.getLong(0)
+    // the planted lexicon function-words carry real signal the
+    // trained model must pick up through the shared-vocab noise
+    assert(acc > majority,
+      s"NB accuracy $acc/$n should beat majority $majority/$n")
+    // prediction is total and unique per doc
+    val p = TextAnalysis.nbClassify(docs, "doc_id", "text", "lang")
+    assert(p.count() == n && p.select("doc_id").distinct().count() == n)
+  }
 }
