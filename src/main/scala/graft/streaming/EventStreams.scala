@@ -172,6 +172,31 @@ object EventStreams {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("ll_micro"))
   }
 
+  /** BPE tokenization on ingest — the t14-trained merge table
+    * applied to a document stream (the model-application serve
+    * path: a tokenizer trained offline counts tokens for every
+    * arriving doc, the budget signal d12/d14 consume). The trained
+    * (word → n_tok) vocabulary is materialized ONCE at stream
+    * definition (lmScoreStream's rule — a lazy static side would
+    * re-run 8 merge rounds every micro-batch) and joined as a dim
+    * table on the word key. Unseen, empty, and over-cap words
+    * contribute 0 via the LEFT join — exactly the batch
+    * [[graft.operators.Bpe.docTokens]] inner-join-plus-coalesce
+    * semantics, so a doc of only unknown words still emits a 0-count
+    * row. Per-(doc, ts) sum under a watermark; state is one counter
+    * per in-flight doc. */
+  def bpeTokensStream(docs: DataFrame, corpus: DataFrame,
+      text: String = "text", nMerges: Int = 8): DataFrame = {
+    val vocabTok = graft.operators.Bpe
+      .train(corpus, "doc_id", text, nMerges)._2.persist()
+    docs.withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        explode(split(lower(coalesce(col(text), lit(""))), " ")).as("word"))
+      .join(vocabTok, Seq("word"), "left_outer")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(sum(coalesce(col("n_tok"), lit(0L))).as("n_tok"))
+  }
+
   /** Watermarked stream-stream interval join (streaming q28): each
     * error event joined to the same user's click events within the
     * preceding 5 minutes. Both sides carry watermarks and the join

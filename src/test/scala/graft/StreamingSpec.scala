@@ -409,6 +409,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == rows.size)
   }
 
+  test("BPE tokenize on ingest ≡ batch t15 counts on the real documents table") {
+    // the trained tokenizer as a serving-path dim table: stream the
+    // real corpus through bpeTokensStream (model trained on the same
+    // corpus, as t15 does) and pin per-doc counts ≡ batch docTokens
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text")
+    val rows = docs.collect().map(r => (r.getLong(0), ts(0), r.getString(1)))
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    in.addData(rows.toSeq: _*)
+    in.addData((999999L, ts(1), "qqqqxx zzzzyy")) // all-unseen words
+    runToMemory(EventStreams.bpeTokensStream(
+      in.toDF().toDF("doc_id", "ts", "text"), docs),
+      "bpe_stream", OutputMode.Complete)
+    val got = spark.sql("SELECT doc_id, n_tok FROM bpe_stream")
+    val (_, vocabTok) = graft.operators.Bpe.train(docs, "doc_id", "text", 8)
+    val want = graft.operators.Bpe.docTokens(docs, "doc_id", "text", vocabTok)
+    assert(got.filter($"doc_id" === 999999L).collect()
+      .map(_.getLong(1)).toSeq == Seq(0L),
+      "a doc of only unseen words emits an explicit 0-count row")
+    val gotKnown = got.filter($"doc_id" =!= 999999L)
+    assert(gotKnown.count() == docs.count())
+    assert(gotKnown.exceptAll(want).count() == 0 &&
+      want.exceptAll(gotKnown).count() == 0,
+      "streamed BPE counts must equal the batch t15 counts row-for-row")
+  }
+
   test("decontamination on ingest: streamed docs scored against a static eval set") {
     // contaminationAgainst's eval side is ONE static broadcast array;
     // the train side is a stateless map-only stage, so a document
