@@ -329,4 +329,61 @@ object LakeSink {
       .bucketBy(nBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** SCHEMA EVOLUTION — append a new generation whose schema may ADD
+    * columns but must not mutate existing ones. The guard runs
+    * BEFORE any byte is written: every column shared with the
+    * current lake schema must carry the identical dataType (a lake
+    * where gen1 says `val: bigint` and gen2 says `val: string` is
+    * corrupt — every merged read from then on throws a
+    * reader-dependent error far from the writer that caused it; the
+    * refusal here names the columns at write time instead, the
+    * checkContract philosophy applied to the WRITE side). Added
+    * columns are implicitly nullable: older generations null-fill.
+    * Dropping columns is also refused — a "dropped" column would
+    * silently null-fill for every NEW row on merged reads, which is
+    * indistinguishable from data loss; writers that mean it should
+    * write `lit(null)` explicitly. */
+  def appendEvolved(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    // the guard must see the UNION of all prior generations (a plain
+    // read picks an arbitrary footer for the schema)
+    val existing = scala.util.Try(
+      spark.read.option("mergeSchema", "true").parquet(path).schema).toOption
+    existing.foreach { old =>
+      val newTypes = df.schema.map(f => f.name -> f.dataType).toMap
+      val conflicts = old.flatMap { f =>
+        newTypes.get(f.name) match {
+          case Some(t) if t != f.dataType =>
+            Some(s"${f.name}: lake=${f.dataType.simpleString} " +
+              s"incoming=${t.simpleString}")
+          case _ => None
+        }
+      }
+      require(conflicts.isEmpty,
+        s"SCHEMA EVOLUTION REFUSED (type change): ${conflicts.mkString("; ")}")
+      val dropped = old.map(_.name).filterNot(newTypes.contains)
+      require(dropped.isEmpty,
+        s"SCHEMA EVOLUTION REFUSED (dropped columns): " +
+          s"${dropped.mkString(", ")} — write explicit NULLs to mean it")
+    }
+    df.write.format("parquet").mode("append").save(path)
+  }
+
+  /** Merged-schema read across evolved generations: the union of all
+    * generations' columns; generations written before a column was
+    * added null-fill it. `mergeSchema` reconciles footers at PLAN
+    * time — O(#files) footer reads, fine for a partitioned scan's
+    * pruned file set, but at a 100 TB table's full listing the
+    * production form passes the CATALOG's schema instead
+    * (`spark.read.schema(cat).parquet(...)` — zero footer merging;
+    * parquet null-fills missing columns natively), which is why the
+    * explicit-schema overload exists. Predicate pushdown and column
+    * pruning are unaffected by either path (spec-pinned). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  def readEvolved(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
 }

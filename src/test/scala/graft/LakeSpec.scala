@@ -29,6 +29,44 @@ class LakeSpec extends AnyFunSuite {
     assert(counts.forall(_ <= 200))
   }
 
+  test("schema evolution: added column null-fills old generations; type change and drop refused by name") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // gen1: (id, val)
+    LakeSink.appendEvolved(Seq((1L, 10L), (2L, 20L)).toDF("id", "val"), out)
+    // gen2 adds a column — accepted; gen1 rows null-fill it
+    LakeSink.appendEvolved(
+      Seq((3L, 30L, "x")).toDF("id", "val", "extra"), out)
+    val merged = LakeSink.readEvolved(spark, out).orderBy("id")
+    assert(merged.columns.sorted.toSeq == Seq("extra", "id", "val"))
+    assert(merged.filter(col("id") < 3 && col("extra").isNull).count() == 2)
+    assert(merged.filter(col("id") === 3).select("extra")
+      .collect().head.getString(0) == "x")
+    // the explicit-schema production path reads the same rows with
+    // zero footer merging, and pushdown still reaches the scan
+    val bySchema = LakeSink.readEvolved(spark, out, merged.schema)
+    assert(bySchema.exceptAll(merged).count() == 0 &&
+      merged.exceptAll(bySchema).count() == 0)
+    val plan = bySchema.filter(col("id") === 3).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,3)"),
+      s"pushdown must survive the explicit-schema read:\n$plan")
+    // a type mutation is refused BEFORE writing, naming the column
+    val retyped = intercept[IllegalArgumentException] {
+      LakeSink.appendEvolved(Seq(("4", 40L)).toDF("id", "val"), out)
+    }
+    assert(retyped.getMessage.contains("type change") &&
+      retyped.getMessage.contains("id:"))
+    // a dropped column is refused too (silent null-fill = data loss)
+    val dropped = intercept[IllegalArgumentException] {
+      LakeSink.appendEvolved(Seq((5L, "y")).toDF("id", "extra"), out)
+    }
+    assert(dropped.getMessage.contains("dropped columns") &&
+      dropped.getMessage.contains("val"))
+    // nothing from the refused writes landed
+    assert(LakeSink.readEvolved(spark, out).count() == 3)
+  }
+
   test("orc-sourced query equals the parquet-sourced result (format parity)") {
     // the engine's queries are format-agnostic: the same q1-shaped
     // aggregation over an ORC copy of lineitem must produce the exact
