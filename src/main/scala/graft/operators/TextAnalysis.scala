@@ -483,6 +483,78 @@ object TextAnalysis {
           .otherwise(roundA(col("n_hit") * 1.0 / col("n_shingles"), 4)))
   }
 
+  /** the j-th Bloom position of a 48-bit shingle digest column named
+    * `dig`, as SQL text — fold48 of a salted md5, mod the filter
+    * width. The Spark and DuckDB variants differ ONLY in cast
+    * spelling (string vs VARCHAR, binary input vs text input);
+    * the arithmetic is byte-identical, so each engine derives the
+    * SAME deterministic positions (false positives included). */
+  def bloomPosSpark(j: Int, mBits: Int): String =
+    s"((${graft.queries.Text.fold48(
+      s"md5(cast(concat('$j:', cast(dig as string)) as binary))")}) % $mBits)"
+  def bloomPosDuck(j: Int, mBits: Int): String =
+    s"((${graft.queries.Text.fold48(
+      s"md5(concat('$j:', CAST(dig AS VARCHAR)))")}) % $mBits)"
+
+  /** MEMORY-BOUNDED decontamination — [[contamination]]'s sketch
+    * twin: the eval set is compressed into an `mBits`-wide Bloom
+    * filter (k salted positions per shingle digest, bitmap as an
+    * array of 32-bits-per-long words — shift ≤ 31 keeps the word
+    * arithmetic inside every engine's signed-BIGINT range), so the
+    * broadcast side is FIXED SIZE no matter how many benchmarks the
+    * eval table accumulates — t6's exact digest array grows with the
+    * eval set and is the term that breaks first when "the eval set"
+    * is every public benchmark ever released. Membership tests are
+    * k O(1) word probes per shingle (element_at + mask — never a
+    * scan of the filter). One-sided error, and DETERMINISTIC: a
+    * leaked shingle always hits (no false negatives — the guarantee
+    * decontamination needs: a real leak is never missed), and the
+    * false-positive rate is set by occupancy (mBits vs k·|eval
+    * digests|); both engines compute identical positions, so the
+    * exact same shingles false-positive in the oracle — the sketch
+    * is hash-checkable, not just bounded. Train side: map-only over
+    * (doc, digest) rows + one partial agg; documents never shuffle. */
+  def bloomContamination(docs: DataFrame, id: String, text: String,
+      isEval: Column, mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    require(mBits % 32 == 0, "mBits must fill whole 32-bit words")
+    val spark = docs.sparkSession
+    val nWords = mBits / 32
+    val evalPos = Dedup.shingleSets(docs.filter(isEval), id, text)
+      .select(explode(col("sh")).as("dig"))
+      .select(explode(array((0 until k)
+        .map(j => expr(bloomPosSpark(j, mBits))): _*)).as("p"))
+    val wordRows = evalPos
+      .select((col("p") / 32).cast("long").as("idx"),
+        expr("shiftleft(1L, cast(p % 32 as int))").as("b"))
+      .groupBy(col("idx")).agg(bit_or(col("b")).as("w"))
+    val bloom = spark.range(nWords).toDF("idx")
+      .join(wordRows, Seq("idx"), "left_outer")
+      .select(col("idx"), coalesce(col("w"), lit(0L)).as("w"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, w))), x -> x.w)")
+        .as("bloom"))
+    val probes = Dedup.shingleSets(docs.filter(!isEval), id, text)
+      .select(col(id), size(col("sh")).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("dig"))
+      .crossJoin(broadcast(bloom))
+    val withPos = probes.select(
+      Seq(col(id), col("n_shingles"), col("bloom"), col("dig")) ++
+        (0 until k).map(j => expr(bloomPosSpark(j, mBits)).as(s"p$j")): _*)
+    val hitJ = (0 until k).map { j =>
+      (element_at(col("bloom"), (col(s"p$j") / 32).cast("int") + 1)
+        .bitwiseAND(expr(s"shiftleft(1L, cast(p$j % 32 as int))")) =!= 0)
+    }.reduce(_ && _)
+    withPos
+      .select(col(id), col("n_shingles"),
+        when(col("dig").isNull, lit(0L))
+          .otherwise(when(hitJ, 1L).otherwise(0L)).as("hit"))
+      .groupBy(col(id), col("n_shingles"))
+      .agg(sum(col("hit")).as("n_hit"))
+      .select(col(id), col("n_shingles"), col("n_hit"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(roundA(col("n_hit") * 1.0 / col("n_shingles"), 4))
+          .as("contam"))
+  }
+
   /** Multinomial Naive Bayes classifier trained on the corpus's own
     * labels — the MODEL-BASED filtering operator class (real
     * pipelines score documents with trained classifiers: fastText

@@ -500,6 +500,55 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** memory-bounded Bloom decontamination
+    * ([[graft.operators.TextAnalysis.bloomContamination]]) — t6's
+    * sketch twin: the eval set compressed into a fixed 64 Kbit Bloom
+    * filter (3 salted fold48 positions per shingle digest, 32 bits
+    * per array word), broadcast at CONSTANT size however large the
+    * eval set grows; per-shingle membership is 3 O(1) word probes.
+    * One-sided error — a leaked shingle ALWAYS hits — and fully
+    * deterministic: both engines derive identical positions, so the
+    * oracle reproduces the exact same false positives and the sketch
+    * output is hash-checked, not just bounded. */
+  val d25 = {
+    import graft.operators.TextAnalysis.bloomPosDuck
+    val m = 1 << 16
+    val k = 3
+    val nWords = m / 32
+    Q("d25_bloom_decontam", Some(s"""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                 FROM documents),
+    base AS (SELECT doc_id, source,
+               list_sort(list_distinct($hashedShingles)) AS sh FROM tok),
+    ed AS (SELECT unnest(sh) AS dig FROM base WHERE source = 'src0'),
+    ep AS (${(0 until k).map(j =>
+      s"SELECT ${bloomPosDuck(j, m)} AS p FROM ed").mkString(" UNION ALL ")}),
+    wr AS (SELECT p // 32 AS idx,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS w
+           FROM ep GROUP BY 1),
+    bl AS (SELECT list(coalesce(w.w, 0) ORDER BY r.range) AS bloom
+           FROM range(0, $nWords) r LEFT JOIN wr w ON w.idx = r.range),
+    tr AS (SELECT doc_id, sh FROM base WHERE source <> 'src0'),
+    pr AS (SELECT doc_id, unnest(sh) AS dig FROM tr),
+    hits AS (SELECT pr.doc_id,
+               sum(CASE WHEN ${(0 until k).map(j =>
+      s"(bl.bloom[CAST(${bloomPosDuck(j, m)} // 32 AS INT) + 1] & " +
+        s"(1::BIGINT << CAST(${bloomPosDuck(j, m)} % 32 AS INT))) <> 0")
+      .mkString("\n                 AND ")} THEN 1 ELSE 0 END) AS n_hit
+             FROM pr CROSS JOIN bl GROUP BY pr.doc_id)
+    SELECT t.doc_id, CAST(len(t.sh) AS BIGINT) AS n_shingles,
+      CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      CASE WHEN len(t.sh) = 0 THEN 0.0 ELSE
+        floor((coalesce(h.n_hit, 0) * 1.0 / len(t.sh)) * 10000.0 + 0.5)
+          / 10000.0 END AS contam
+    FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id""")) { (s, d) =>
+      graft.operators.TextAnalysis.bloomContamination(
+        t(s, d, "documents"), "doc_id", "text",
+        col("source") === "src0", mBits = m, k = k)
+        .orderBy("doc_id")
+    }
+  }
+
   /** token-blocked edit-distance fuzzy join over the part-name
     * domain ([[graft.operators.Dedup.fuzzyPairs]]) — entity
     * resolution. Distinct-domain-first (the only fact-table pass is
@@ -528,5 +577,5 @@ object Dedup {
   }
 
   val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15,
-    d17, d18, d19, d20, d24, t6)
+    d17, d18, d19, d20, d24, d25, t6)
 }

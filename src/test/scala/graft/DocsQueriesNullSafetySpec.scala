@@ -39,4 +39,35 @@ class DocsQueriesNullSafetySpec extends AnyFunSuite {
     val d1 = SparkEntry.queries("d1_dedup_exact")(spark, dir).collect()
     assert(d1.exists(r => r.getLong(2) == 2L), "planted dup pair missed")
   }
+
+  test("round-9 document queries complete over null/empty/tiny docs") {
+    for (q <- Seq("t14_bpe_merges", "t15_bpe_tokens", "t16_gopher",
+        "t17_tfidf", "t18_nb_lang", "d23_span_dedup")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows != null, s"$q crashed")
+    }
+    // the per-doc queries stay TOTAL: one row per doc, nulls included
+    for (q <- Seq("t15_bpe_tokens", "t16_gopher", "t18_nb_lang")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.length == 5, s"$q must emit a row for every doc")
+    }
+  }
+
+  test("d24 fuzzy join completes over null/empty/degenerate part names") {
+    val d = java.nio.file.Files.createTempDirectory("part-degenerate").toString
+    val schema = T.StructType(Seq(
+      T.StructField("p_partkey", T.LongType), T.StructField("p_name", T.StringType),
+      T.StructField("p_brand", T.StringType), T.StructField("p_type", T.StringType),
+      T.StructField("p_size", T.LongType), T.StructField("p_retailprice", T.DoubleType)))
+    val rows = Seq(
+      Row(1L, null, "b", "t", 1L, 1.0),           // null name: never pairs
+      Row(2L, "", "b", "t", 1L, 1.0),             // empty name
+      Row(3L, "blue widget", "b", "t", 1L, 1.0),
+      Row(4L, "blue widgot", "b", "t", 1L, 1.0))  // dist 1 via "blue"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val got = SparkEntry.queries("d24_fuzzy_join")(spark, d).collect()
+    assert(got.length == 1 && got.head.getString(0) == "blue widget",
+      "only the real typo pair pairs; null/empty names pass through silently")
+  }
 }

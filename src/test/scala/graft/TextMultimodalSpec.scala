@@ -483,6 +483,31 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(frames.filter(size(col("feature")) =!= 8).count() == 0)
   }
 
+  test("bloomContamination: one-sided error vs exact; FP rate tracks occupancy") {
+    val isEval = col("source") === "src0"
+    val exact = TextAnalysis.contamination(docs, "doc_id", "text", isEval)
+      .select(col("doc_id"), col("n_shingles"), col("n_hit").as("exact_hit"))
+    def bloomAt(m: Int) =
+      TextAnalysis.bloomContamination(docs, "doc_id", "text", isEval, mBits = m)
+        .select(col("doc_id"), col("n_hit").as("bloom_hit"))
+    val j = exact.join(bloomAt(1 << 16), "doc_id").persist()
+    // the decontamination guarantee: a real leak is NEVER missed
+    assert(j.filter(col("bloom_hit") < col("exact_hit")).count() == 0,
+      "bloom must have no false negatives")
+    val r = j.agg(sum(col("bloom_hit") - col("exact_hit")).as("fp"),
+      sum(col("n_shingles")).as("probes")).collect().head
+    val fpRate = r.getLong(0).toDouble / r.getLong(1)
+    assert(fpRate < 0.01, s"64Kbit filter FP rate $fpRate should be <1%")
+    // shrinking the filter raises occupancy → more FPs, never FNs
+    val tiny = exact.join(bloomAt(1 << 10), "doc_id").persist()
+    assert(tiny.filter(col("bloom_hit") < col("exact_hit")).count() == 0)
+    val rt = tiny.agg(sum(col("bloom_hit") - col("exact_hit")).as("fp"))
+      .collect().head
+    assert(rt.getLong(0) > r.getLong(0),
+      "a saturated 1Kbit filter must show more false positives")
+    j.unpersist(); tiny.unpersist()
+  }
+
   test("nbClassify: separable fixture learns its labels; degenerate docs total") {
     import spark.implicits._
     val planted = Seq(
