@@ -83,7 +83,8 @@ object Curation {
       semCosine: Double = 0.995,
       semSeedRate: Double = 0.008,
       keepBestQuality: Boolean = false,
-      pplKeepDeciles: Option[Int] = None): (DataFrame, DataFrame) = {
+      pplKeepDeciles: Option[Int] = None,
+      spanDedup: Option[Int] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
@@ -137,6 +138,21 @@ object Curation {
         } else
           cc.filter(col("node") =!= col("comp")).select(col("node").as(id))
       d.join(drops, Seq(id), "left_anti")
+    }
+    spanDedup.foreach { spanLen =>
+      stage("span_dedup") { d =>
+        // cross-document span REWRITE (d26's operator): doc-level
+        // dedup above removed whole-document copies; this strips the
+        // residual repeated spans (boilerplate/quotes) from the
+        // survivors' TEXT, so the later text-judging stages
+        // (ppl_prune, decontaminate) and the token-budget mix see
+        // the cleaned corpus. In-place rewrite: docs_in == docs_out
+        // by construction — an all-duplicate doc becomes an empty
+        // string here and the judging stages decide its fate.
+        d.drop(text).join(
+          Dedup.spanDedupRewrite(d, id, text, spanLen)
+            .select(col(id), col("text_kept").as(text)), Seq(id))
+      }
     }
     embeddings.foreach { embTab =>
       stage("semantic_dedup") { d =>

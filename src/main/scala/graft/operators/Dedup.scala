@@ -505,6 +505,50 @@ object Dedup {
           .as("kept_tokens"))
   }
 
+  /** The APPLY side of [[spanDedup]]: REWRITE each document keeping
+    * only its globally-first-occurrence spans — the curation action
+    * the d23 stats justify (CCNet/RefinedWeb drop repeated
+    * paragraphs from later documents rather than dropping the
+    * documents). Same digest/window machinery as [[spanDedup]]; the
+    * kept spans reassemble IN ORIGINAL ORDER via a per-doc sorted
+    * struct collect (the per-group array is ≤ n_tok/span slices of
+    * one document — bounded by document length, never by corpus).
+    * Output is TOTAL: a doc whose every span was seen earlier
+    * rewrites to the empty string, and a NULL-text doc reports
+    * n_tok=0 with an empty rewrite — downstream stages must see a
+    * judged row for every input. */
+  def spanDedupRewrite(docs: DataFrame, id: String, text: String,
+      span: Int = 16): DataFrame = {
+    val spans = tokenized(docs, id, text)
+      .select(col(id), col("__tk"), size(col("__tk")).as("n_tok"))
+      .select(col(id), col("__tk"), col("n_tok"),
+        explode(sequence(lit(0),
+          ceil(col("n_tok") / (span * 1.0)).cast("int") - 1)).as("sp"))
+      .select(col(id), col("n_tok"), col("sp"),
+        least(lit(span), col("n_tok") - col("sp") * span).as("span_len"),
+        expr(s"array_join(slice(__tk, sp * $span + 1, $span), ' ')")
+          .as("sp_text"),
+        expr(graft.queries.Text.fold48(
+          s"md5(cast(array_join(slice(__tk, sp * $span + 1, $span), ' ') as binary))"))
+          .as("dig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dig")).orderBy(col(id), col("sp"))
+    val agg = spans.withColumn("rn", row_number().over(w))
+      .groupBy(col(id))
+      .agg(max(col("n_tok")).cast("long").as("n_tok"),
+        sum(when(col("rn") === 1, col("span_len")).otherwise(0L))
+          .as("kept_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN rn = 1 THEN struct(sp, sp_text) END)), x -> x.sp_text)"))
+          .as("text_kept"))
+    docs.select(col(id)).join(agg, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Token-blocked edit-distance FUZZY JOIN over a string-valued
     * column (entity resolution: near-identical product names,
     * author variants, typo'd domains). Returns every unordered pair

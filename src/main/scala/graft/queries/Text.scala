@@ -675,5 +675,35 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, d1, d23, m1, m2, m3, m4, m5, m6, m7, m8)
+  /** span-dedup REWRITE ([[graft.operators.Dedup.spanDedupRewrite]])
+    * — the apply side of d23: each doc keeps only its
+    * globally-first-occurrence 16-token spans, reassembled in
+    * original order; the rewritten corpus itself is hash-checked
+    * (text_kept is an output column). Total: all-duplicate docs
+    * rewrite to '', not absence. */
+  val d26 = Q("d26_span_rewrite", Some(s"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sp AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok, l,
+             unnest(range(0, greatest(CAST(ceil(len(l) / 16.0) AS INT), 1))) AS sp
+           FROM tk),
+    dg1 AS (SELECT doc_id, n_tok, sp,
+              least(16, n_tok - sp * 16) AS span_len,
+              array_to_string(l[CAST(sp * 16 + 1 AS INT):CAST(sp * 16 + 16 AS INT)], ' ') AS sp_text
+            FROM sp),
+    dg AS (SELECT *, ${Text.fold48("md5(sp_text)")} AS dig FROM dg1),
+    r AS (SELECT *, row_number() OVER (PARTITION BY dig
+                      ORDER BY doc_id, sp) AS rn FROM dg),
+    k AS (SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+            CAST(sum(CASE WHEN rn = 1 THEN span_len ELSE 0 END) AS BIGINT) AS kept_tokens,
+            coalesce(string_agg(CASE WHEN rn = 1 THEN sp_text END, ' ' ORDER BY sp), '') AS text_kept
+          FROM r GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(k.n_tok, 0) AS n_tok,
+      coalesce(k.kept_tokens, 0) AS kept_tokens,
+      coalesce(k.text_kept, '') AS text_kept
+    FROM documents d LEFT JOIN k USING (doc_id) ORDER BY d.doc_id""")) { (s, d) =>
+    graft.operators.Dedup.spanDedupRewrite(t(s, d, "documents"),
+      "doc_id", "text", 16).orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, d1, d23, d26, m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -183,6 +183,30 @@ class CurationSpec extends AnyFunSuite {
       s"ppl_prune cut $in -> $outN; expected ~the worst decile")
   }
 
+  test("span_dedup stage strips a planted cross-doc span from the survivor's text") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val uniq1 = (1 to 40).map(i => s"u$i").mkString(" ")
+    val uniq2 = (1 to 40).map(i => s"v$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$boiler $uniq1", "en", "srcA"),
+      (2L, s"$boiler $uniq2", "en", "srcA")) // shares only the boilerplate span
+      .toDF("doc_id", "text", "lang", "source")
+    val eval = Seq((99L, "nothing here overlaps at all truly", "en", "srcE"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (out, rep) = Curation.curate(corpus, "doc_id", "text", col("lang"),
+      eval, jaccard = 0.95, maxContam = 0.9, spanDedup = Some(16))
+    val rows = rep.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).contains("span_dedup"), "stage must appear in the audit")
+    val sd = rows.find(_._1 == "span_dedup").get
+    assert(sd._2 == sd._3, "span_dedup rewrites in place, never drops docs")
+    val texts = out.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L).startsWith("b1 "), "first occurrence keeps its boilerplate")
+    assert(!texts(2L).contains("b1"), "later copy loses the shared span")
+    assert(texts(2L).contains("v1"), "unique content survives the rewrite")
+  }
+
   test("token-budget curation lands near the budget and reports the stage") {
     import spark.implicits._
     val (out, rep) = Curation.curate(

@@ -201,6 +201,38 @@ class DedupSpec extends AnyFunSuite {
       col("kept_tokens") > col("n_tok")).count() == 0)
   }
 
+  test("spanDedupRewrite: keeps first occurrences in order, totals agree with the stats") {
+    import spark.implicits._
+    val a = (1 to 16).map(i => s"w$i").mkString(" ")
+    val b = (17 to 32).map(i => s"w$i").mkString(" ")
+    val c = (33 to 48).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$a $b"),   // first occurrences: rewrite = identity
+      (2L, s"$a $c"),   // A already seen → keeps only C
+      (3L, s"$b $a"),   // both seen → rewrites to ""
+      (4L, null.asInstanceOf[String])) // NULL text: total, empty
+      .toDF("doc_id", "text")
+    val r = D.spanDedupRewrite(planted, "doc_id", "text", 16)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((32L, 32L, s"$a $b")))
+    assert(r(2L) == ((32L, 16L, c)), "kept span reassembles in position order")
+    assert(r(3L) == ((32L, 0L, "")), "all-duplicate doc rewrites to empty, not absence")
+    assert(r(4L) == ((0L, 0L, "")), "NULL text stays total")
+    // real corpus: rewrite totals must agree with the d23 stats, and
+    // the rewritten text's own token count must equal kept_tokens
+    val stats = D.spanDedup(docs, "doc_id", "text", 16)
+      .select(col("doc_id"), col("kept_tokens").as("want_kept"))
+    val rw = D.spanDedupRewrite(docs, "doc_id", "text", 16)
+    assert(rw.join(stats, "doc_id")
+      .filter(col("kept_tokens") =!= col("want_kept")).count() == 0)
+    val badLen = rw.filter(
+      when(col("text_kept") === "", lit(0L))
+        .otherwise(size(split(col("text_kept"), " ")).cast("long"))
+        =!= col("kept_tokens"))
+    assert(badLen.count() == 0, "rewritten token count = kept_tokens")
+  }
+
   test("fuzzyPairs: planted typo found with multiplicities; far pair absent") {
     import spark.implicits._
     val rows = Seq(
