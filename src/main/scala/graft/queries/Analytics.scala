@@ -932,8 +932,47 @@ object Analytics {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** PageRank over the part–supplier bipartite graph
+    * ([[graft.operators.Graph.pageRank]]) — iterative stationary-mass
+    * centrality in exact micro-long arithmetic (contributions are
+    * integer divisions, damping is integer: bit-identical in any
+    * engine), 2 rounds unrolled in the oracle as CTEs. Node encoding:
+    * part → 2k, supplier → 2k+1 (collision-free in one long key
+    * space). The LLM-pipeline reading: source/domain authority for
+    * crawl curation. */
+  val q40 = {
+    def c(i: Int, r: String) =
+      s"""c$i AS (SELECT und.v, sum(r0.r // deg.deg) AS s
+            FROM und JOIN deg USING (u) JOIN $r r0 ON r0.node = und.u
+            GROUP BY und.v),
+          r$i AS (SELECT deg.u AS node,
+              CAST(150000 + (coalesce(c$i.s, 0) * 85) // 100 AS BIGINT) AS r
+            FROM deg LEFT JOIN c$i ON c$i.v = deg.u)"""
+    Q("q40_pagerank", Some(s"""
+    WITH e0 AS (SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+                FROM lineitem),
+    und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+    r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    ${c(1, "r0")},
+    ${c(2, "r1")}
+    SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supp' END AS node_type,
+      CAST(node // 2 AS BIGINT) AS key, CAST(r AS BIGINT) AS rank_micro
+    FROM r2 ORDER BY node_type, key""")) { (s, d) =>
+      val edges = t(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+      graft.operators.Graph.pageRank(edges, "u", "v", 2)
+        .select(
+          when(col("node") % 2 === 0, "part").otherwise("supp")
+            .as("node_type"),
+          expr("node div 2").as("key"), col("r").as("rank_micro"))
+        .orderBy("node_type", "key")
+    }
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39)
+    q37, q38, q39, q40)
 }
