@@ -555,6 +555,50 @@ object TextAnalysis {
           .as("contam"))
   }
 
+  /** the j-th Count-Min position of a token column named `w` — the
+    * bloomPos arithmetic over a STRING key (salted md5 → fold48 →
+    * mod width); Spark/DuckDB variants differ only in cast spelling. */
+  def cmsPosSpark(j: Int, m: Int): String =
+    s"((${graft.queries.Text.fold48(
+      s"md5(cast(concat('$j:', w) as binary))")}) % $m)"
+  def cmsPosDuck(j: Int, m: Int): String =
+    s"((${graft.queries.Text.fold48(s"md5(concat('$j:', w))")}) % $m)"
+
+  /** COUNT-MIN SKETCH heavy hitters — the frequency sketch
+    * ([[bloomContamination]]'s counting sibling): token frequencies
+    * summarized into a depth×width counter grid of FIXED size (the
+    * sketch is k·m longs at ANY corpus size — the property that lets
+    * a 100 TB stream keep frequency state in memory), estimates =
+    * min over the k salted rows, then top-n terms by estimate. Held
+    * RELATIONALLY: counters are (row, pos, count) rows built by one
+    * partial agg over per-word positions, estimates come from a
+    * fact-dim join back on (row, pos) + a min agg — no dense array,
+    * no driver state. One-sided error (est ≥ true; collisions only
+    * ADD — the true count column sits alongside so the overestimate
+    * is visible) and deterministic: both engines derive identical
+    * positions, so the oracle reproduces the exact same collisions
+    * and the sketch output is hash-checked. Ranking ties break on
+    * the term. */
+  def cmsTopTerms(docs: DataFrame, id: String, text: String,
+      width: Int = 16, depth: Int = 3, topN: Int = 10): DataFrame = {
+    val tf = docs.select(explode(tokens(coalesce(col(text), lit(""))))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val wpos = tf.select(Seq(col("w"), col("n")) ++
+      (0 until depth).map(j => expr(cmsPosSpark(j, width)).as(s"p$j")): _*)
+    val posLong = wpos.select(col("w"), col("n"),
+      explode(array((0 until depth).map(j =>
+        struct(lit(j).as("rw"), col(s"p$j").as("pos"))): _*)).as("rp"))
+      .select(col("w"), col("n"), col("rp.rw").as("rw"),
+        col("rp.pos").as("pos"))
+    val ctr = posLong.groupBy(col("rw"), col("pos"))
+      .agg(sum(col("n")).as("c"))
+    posLong.join(ctr, Seq("rw", "pos"))
+      .groupBy(col("w"), col("n")).agg(min(col("c")).as("est"))
+      .select(col("w"), col("est"), col("n").as("n_true"))
+      .orderBy(col("est").desc, col("w")).limit(topN)
+  }
+
   /** Multinomial Naive Bayes classifier trained on the corpus's own
     * labels — the MODEL-BASED filtering operator class (real
     * pipelines score documents with trained classifiers: fastText

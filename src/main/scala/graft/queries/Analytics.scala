@@ -971,8 +971,70 @@ object Analytics {
     }
   }
 
+  /** time-series RESAMPLING with last-observation-carried-forward —
+    * the grid-alignment operator (metrics/feature stores emit
+    * irregular events; training frames need regular intervals):
+    * per user, a 6-hour grid spanning that user's activity, each
+    * grid point carrying the latest event value at-or-before the
+    * bucket end. One union + one per-user ordered window
+    * (`last(value, ignoreNulls)` over grid markers interleaved with
+    * events — never an as-of self-join per grid point); the grid
+    * explode is bounded by span/bucket per user. Total order pinned
+    * by (sec, is_grid, event_id) so same-second events resolve
+    * identically in both engines; every emitted bucket is non-NULL
+    * by construction (a user's first bucket contains their first
+    * event). */
+  val q41 = Q("q41_resample", Some("""
+    WITH e AS (SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+    span AS (SELECT user_id, min(sec) AS mn, max(sec) AS mx
+             FROM e GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(range(mn // 21600, mx // 21600 + 1)) AS bkt
+             FROM span),
+    marks AS (
+      SELECT user_id, bkt * 21600 + 21599 AS sec0, 1 AS is_grid,
+             CAST(0 AS BIGINT) AS event_id, bkt,
+             CAST(NULL AS DOUBLE) AS value
+      FROM grid
+      UNION ALL
+      SELECT user_id, sec AS sec0, 0 AS is_grid, event_id,
+             CAST(NULL AS BIGINT) AS bkt, value FROM e),
+    locf AS (SELECT user_id, bkt, is_grid,
+               last_value(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id
+                 ORDER BY sec0, is_grid, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             FROM marks)
+    SELECT user_id, CAST(bkt * 21600 AS BIGINT) AS bucket_s, v AS value_locf
+    FROM locf WHERE is_grid = 1 ORDER BY user_id, bucket_s""")) { (s, d) =>
+    val e = ev(s, d).select(col("user_id"), col("event_id"), col("sec"),
+      col("value"))
+    val span = e.groupBy(col("user_id"))
+      .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(expr("mn div 21600"), expr("mx div 21600"))).as("bkt"))
+    val gm = grid.select(col("user_id"),
+      (col("bkt") * 21600 + 21599).as("sec0"), lit(1).as("is_grid"),
+      lit(0L).as("event_id"), col("bkt"),
+      lit(null).cast("double").as("value"))
+    val em = e.select(col("user_id"), col("sec").as("sec0"),
+      lit(0).as("is_grid"), col("event_id"),
+      lit(null).cast("long").as("bkt"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("sec0"), col("is_grid"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    gm.unionByName(em)
+      .withColumn("v", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), (col("bkt") * 21600).cast("long").as("bucket_s"),
+        col("v").as("value_locf"))
+      .orderBy("user_id", "bucket_s")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40)
+    q37, q38, q39, q40, q41)
 }

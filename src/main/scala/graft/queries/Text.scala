@@ -675,6 +675,37 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Count-Min sketch heavy hitters
+    * ([[TextAnalysis.cmsTopTerms]]) — frequency estimation from a
+    * FIXED k×m counter grid (here deliberately narrow, 3×16, so the
+    * 31-word vocab actually collides and the one-sided overestimate
+    * is exercised at the gate SF — est ≥ true, never under); both
+    * engines derive identical salted positions, so the oracle
+    * reproduces the exact same collisions and the sketch output is
+    * hash-checked alongside the true counts. */
+  val t19 = {
+    import graft.operators.TextAnalysis.cmsPosDuck
+    val (m, depth, topN) = (16, 3, 10)
+    Q("t19_cms_heavyhitters", Some(s"""
+    WITH tf AS (SELECT w, count(*) AS n FROM
+                 (SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS w
+                  FROM documents)
+                GROUP BY w),
+    pos AS (SELECT w, n, ${(0 until depth).map(j =>
+      s"${cmsPosDuck(j, m)} AS p$j").mkString(", ")} FROM tf),
+    pl AS (${(0 until depth).map(j =>
+      s"SELECT w, n, $j AS rw, p$j AS pos FROM pos").mkString("\n      UNION ALL ")}),
+    ctr AS (SELECT rw, pos, CAST(sum(n) AS BIGINT) AS c
+            FROM pl GROUP BY rw, pos),
+    est AS (SELECT pl.w, pl.n, min(ctr.c) AS est
+            FROM pl JOIN ctr USING (rw, pos) GROUP BY pl.w, pl.n)
+    SELECT w, CAST(est AS BIGINT) AS est, CAST(n AS BIGINT) AS n_true
+    FROM est ORDER BY est DESC, w LIMIT $topN""")) { (s, d) =>
+      graft.operators.TextAnalysis.cmsTopTerms(t(s, d, "documents"),
+        "doc_id", "text", width = m, depth = depth, topN = topN)
+    }
+  }
+
   /** span-dedup REWRITE ([[graft.operators.Dedup.spanDedupRewrite]])
     * — the apply side of d23: each doc keeps only its
     * globally-first-occurrence 16-token spans, reassembled in
@@ -705,5 +736,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, d1, d23, d26, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, d1, d23, d26, m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -508,6 +508,21 @@ class TextMultimodalSpec extends AnyFunSuite {
     j.unpersist(); tiny.unpersist()
   }
 
+  test("cmsTopTerms: one-sided estimates, narrow sketch collides, wide sketch exact") {
+    // full-vocab view: rank over every word so the sketch bound is
+    // checked corpus-wide, not just on the emitted top-n
+    val narrow = TextAnalysis.cmsTopTerms(docs, "doc_id", "text",
+      width = 16, depth = 3, topN = 10000)
+    assert(narrow.filter(col("est") < col("n_true")).count() == 0,
+      "Count-Min never underestimates")
+    val over = narrow.filter(col("est") > col("n_true")).count()
+    assert(over > 0, "a 3x16 grid over a 31-word vocab must collide somewhere")
+    val wide = TextAnalysis.cmsTopTerms(docs, "doc_id", "text",
+      width = 4096, depth = 3, topN = 10000)
+    assert(wide.filter(col("est") =!= col("n_true")).count() == 0,
+      "a wide sketch resolves every count exactly on this vocab")
+  }
+
   test("nbClassify: separable fixture learns its labels; degenerate docs total") {
     import spark.implicits._
     val planted = Seq(
