@@ -197,6 +197,28 @@ object EventStreams {
       .agg(sum(coalesce(col("n_tok"), lit(0L))).as("n_tok"))
   }
 
+  /** Count-Min counters as STREAMING STATE — the sketch's native
+    * habitat (t19's batch query summarizes a static corpus; a
+    * production ingest keeps the counters as running state). The
+    * aggregation key space is the k×m grid itself, so the state is
+    * FIXED SIZE by construction — no watermark, no eviction, no
+    * growth with stream length: the property that makes frequency
+    * tracking viable on an unbounded stream. The same function runs
+    * on a static frame (it is one explode + one count agg), which is
+    * how StreamingSpec pins stream ≡ batch without a second code
+    * path. */
+  def cmsCounters(docs: DataFrame, text: String = "text",
+      width: Int = 16, depth: Int = 3): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs.select(explode(TextAnalysis.tokens(
+        coalesce(col(text), lit("")))).as("w"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("rw"),
+          expr(TextAnalysis.cmsPosSpark(j, width)).as("pos"))): _*)).as("rp"))
+      .groupBy(col("rp.rw").as("rw"), col("rp.pos").as("pos"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Watermarked stream-stream interval join (streaming q28): each
     * error event joined to the same user's click events within the
     * preceding 5 minutes. Both sides carry watermarks and the join

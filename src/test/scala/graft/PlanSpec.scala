@@ -416,4 +416,44 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       "expected partial+final aggregation for c12 and the per-doc sums")
   }
+
+  test("d24 fuzzy join reads the fact table once (checkpointed domain)") {
+    // the domain-first contract: everything downstream of the
+    // distinct+count derives from the ONE materialized domain table —
+    // the final plan re-scans no parquet (the unchecked form planned
+    // SIX scans of the input)
+    val p = plan("d24_fuzzy_join")
+    assert(!p.contains("Scan parquet"),
+      "fuzzy join must not re-scan the fact table:\n" + p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "candidate generation must be an equi-join on the token key")
+  }
+
+  test("q41 resample is one union + one window — no join at all") {
+    val p = plan("q41_resample")
+    assert(!p.contains("Join"),
+      "LOCF must come from a window over interleaved marks, not an " +
+        "as-of join per grid point:\n" + p.take(1200))
+    assert(p.contains("Window"), p.take(600))
+    assert(p.contains("Union"), p.take(600))
+  }
+
+  test("q40 pagerank rounds derive from checkpointed tables, equi-joins only") {
+    val p = plan("q40_pagerank")
+    assert(!p.contains("Scan parquet"),
+      "iteration lineage must start at the checkpointed edge/degree " +
+        "tables, not re-scan lineitem per round:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("t19 CMS is relational: partial aggs + equi-join, no window, no dense state") {
+    val p = plan("t19_cms_heavyhitters")
+    assert(!p.contains("Window"),
+      "estimates must come from the (row,pos) join + min agg:\n" + p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "expected partial+final aggregation for tf and the counters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-n must be a TakeOrdered, not a global sort")
+  }
 }

@@ -437,6 +437,27 @@ class StreamingSpec extends AnyFunSuite {
       "streamed BPE counts must equal the batch t15 counts row-for-row")
   }
 
+  test("CMS counters on a stream ≡ batch grid on the real corpus; state is fixed-size") {
+    // the frequency sketch as stream state: the aggregation key space
+    // IS the k×m grid, so state cannot grow with the stream — pinned
+    // equal to the same function run batch-side on the same rows
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    in.addData(rows.toSeq: _*)
+    runToMemory(EventStreams.cmsCounters(
+      in.toDF().toDF("doc_id", "text")), "cms_stream", OutputMode.Complete)
+    val got = spark.sql("SELECT rw, pos, c FROM cms_stream")
+    val want = EventStreams.cmsCounters(docs)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "streamed counters must equal the batch grid cell-for-cell")
+    assert(got.count() <= 3L * 16L, "state bounded by the grid, not the stream")
+  }
+
   test("decontamination on ingest: streamed docs scored against a static eval set") {
     // contaminationAgainst's eval side is ONE static broadcast array;
     // the train side is a stateless map-only stage, so a document
