@@ -59,7 +59,9 @@ object Recall {
       "s8_np2" -> (() => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
         anchorPred, probePred, k, nprobe = 2, bits = bits)),
       "s8_np4" -> (() => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
-        anchorPred, probePred, k, nprobe = 4, bits = bits)))
+        anchorPred, probePred, k, nprobe = 4, bits = bits)),
+      "s10_rerank" -> (() => Similarity.pqRerank(vecs, "vec_id", "embedding",
+        anchorPred, probePred, k, bits)))
 
     val results = methods.map { case (name, mk) =>
       val (r, sec) = timed {

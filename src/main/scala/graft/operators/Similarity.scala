@@ -399,6 +399,38 @@ object Similarity {
     pqSearch(vectors, assigned, id, emb, probePred, k, m, d, codebookK)
   }
 
+  /** TWO-STAGE retrieval — the production serving shape every vector
+    * store runs (FAISS/ScaNN "refine" stage): the compressed index
+    * ([[ivfPqKnnLsh]]'s ADC estimates over 8-byte codes) nominates
+    * `cFactor·k` candidates per probe, then ONLY those candidates'
+    * RAW vectors are fetched and re-scored with the exact fused
+    * cosine, and the final top-k ranks on the exact score. ADC
+    * quantization error can demote a true neighbor within the
+    * candidate list but rarely out of it — re-ranking recovers the
+    * ordering at the cost of |probes|·cFactor·k exact cosines
+    * instead of |probes|·|corpus| (the brute bill). The re-fetch is
+    * a fact-dim equi-join of the small candidate list against the
+    * vector table on the id key — at 100 TB exactly the point
+    * lookup-join a serving tier does against the vector store.
+    * Candidate generation stays fully linear (the s6 machinery,
+    * banded coarse quantizer, corpusBits sizing). */
+  def pqRerank(vectors: DataFrame, id: String, emb: String,
+      anchorPred: Column, probePred: Column, k: Int, bits: Int,
+      cFactor: Int = 4): DataFrame = {
+    val cand = ivfPqKnnLsh(vectors, id, emb, anchorPred, probePred,
+        cFactor * k, bits)
+      .select(col("probe_id"), col("neighbor_id"))
+    val probes = vectors.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe"))
+    val corpus = vectors
+      .select(col(id).as("neighbor_id"), col(emb).as("ne"))
+    val exact = cand.join(probes, Seq("probe_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosR(col("pe"), col("ne")).as("c6"))
+    topK(exact, k)
+  }
+
   /** the shared PQ tail (train → encode → LUT → ADC rank) over an
     * already cell-ASSIGNED corpus — factored out so the brute
     * ([[ivfPqKnn]]) and LSH ([[ivfPqKnnLsh]]) coarse quantizers can

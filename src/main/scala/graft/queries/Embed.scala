@@ -658,5 +658,36 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
-  val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6, s7, s8, s9)
+  /** two-stage retrieval ([[Similarity.pqRerank]]) — s6's compressed
+    * ADC index nominates 4·k candidates, their RAW vectors are
+    * re-fetched by an id equi-join and re-scored with the exact
+    * cosine, final top-k ranks on the exact score (the FAISS/ScaNN
+    * refine stage). Oracle = s6's full CTE chain widened to rn ≤ 20
+    * plus the exact re-score — candidate generation shared verbatim,
+    * so the two stages can't drift. */
+  val s10 = Q("s10_knn_rerank", Some(s"""
+    WITH $normCte,
+    $lshAssign1Ctes,
+    asg AS (SELECT vec_id, embedding, cell FROM lasg1),
+    $pqTrainCtes,
+    $pqTailSql,
+    cnd AS (SELECT probe_id, neighbor_id FROM r WHERE rn <= 20),
+    ex AS (SELECT c.probe_id, c.neighbor_id, ${cosRSql("a", "b")} AS c6
+           FROM cnd c JOIN v a ON a.vec_id = c.probe_id
+                      JOIN v b ON b.vec_id = c.neighbor_id),
+    rr AS (SELECT probe_id, neighbor_id, c6,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY c6 DESC, neighbor_id) AS rn
+           FROM ex)
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
+    FROM rr WHERE rn <= 5 ORDER BY probe_id, rn""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val k = vecs.filter(col("vec_id") % 125 === 0).count()
+    Similarity.pqRerank(vecs, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") % 17 === 0, 5,
+      Similarity.corpusBits(k, 4))
+      .orderBy("probe_id", "rn")
+  }
+
+  val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
 }

@@ -213,6 +213,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= (n * 8) / 10, s"LSH IVF-PQ recall $hits/$n below 0.8")
   }
 
+  test("re-rank stage: exact copies score cos 1.0 at rank 1; recall ≥ the ADC ranking") {
+    // the refine-stage property: ADC quantization can demote a true
+    // neighbor WITHIN the candidate list; exact re-scoring restores
+    // it. A planted exact copy that survives candidate generation
+    // must re-rank to position 1 with an exact 1.0 cosine — the ADC
+    // estimate can only approximate that.
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        col("embedding"))
+    val corpus = emb.unionByName(copies)
+    val probeP = col("vec_id") >= 1000000
+    val rerank = Similarity.pqRerank(corpus, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, probeP, 5, bits = 2)
+    val adc = Similarity.ivfPqKnnLsh(corpus, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, probeP, 5, bits = 2)
+    val n = copies.count()
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("probe_id") - 1000000 === col("neighbor_id")).count()
+    val rr = recallOf(rerank)
+    assert(rr >= recallOf(adc),
+      "exact re-ranking must not lose neighbors the ADC ranking found")
+    assert(rr >= (n * 8) / 10, s"re-rank recall $rr/$n below 0.8")
+    // every surfaced copy ranks FIRST with an exact 1.0 cosine
+    val copyRows = rerank.filter(col("probe_id") - 1000000 === col("neighbor_id"))
+    assert(copyRows.filter(col("rn") =!= 1 || col("cos6") =!= 1.0).count() == 0,
+      "an exact copy must re-rank to position 1 at cosine 1.0")
+  }
+
   test("PQ codebook cardinality is FIXED: K·m bound holds when the corpus doubles") {
     // the scale property the trained codebook exists for — the old
     // anchor-subset demo codebook had K ∝ |corpus|, making encode
