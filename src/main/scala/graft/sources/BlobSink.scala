@@ -152,4 +152,54 @@ object BlobSink {
         buf
       }.toDF("object_key", "nbytes")
   }
+
+  /** Orphan-object GC — the DELETE side of a13's reconciliation (the
+    * reference removes the S3 object in lockstep with the row,
+    * order.js:420 deleteS3Asset; this is the batch lifecycle form
+    * that collects whatever that lockstep missed): every object
+    * under `base` whose key has no pointer row is deleted,
+    * executor-parallel, idempotently (an object that vanished
+    * between listing and delete counts as already collected — a
+    * concurrent GC or a retried task must not fail the job).
+    *
+    * SAFETY GUARD: refuses BY NAME when the orphan fraction exceeds
+    * `maxOrphanFrac`. A stale, truncated, or mis-pathed pointer
+    * table makes every object look orphaned — and "GC" becomes
+    * "delete the store". Destructive lifecycle ops get the same
+    * treatment as compact-on-S3: a named refusal over a silent
+    * catastrophe. Raising the threshold is a deliberate caller act.
+    *
+    * Empty prefix DIRECTORIES are left behind on local/HDFS runs —
+    * on the object stores this sink models, directories don't exist,
+    * so sweeping them would be modeling a non-problem.
+    *
+    * Returns (objects scanned, objects deleted). */
+  def gcOrphans(spark: SparkSession, base: String, pointers: DataFrame,
+      prefixCol: String, maxOrphanFrac: Double = 0.5): (Long, Long) = {
+    import spark.implicits._
+    val inv = inventory(spark, base).select(col("object_key"))
+    val scanned = inv.count()
+    val orphans = inv.join(
+        pointers.select(col(prefixCol).cast("string").as("object_key"))
+          .filter(col("object_key").isNotNull).distinct(),
+        Seq("object_key"), "left_anti")
+      .localCheckpoint(true)
+    val nOrph = orphans.count()
+    if (scanned > 0)
+      require(nOrph.toDouble / scanned <= maxOrphanFrac,
+        s"ORPHAN GC REFUSED: $nOrph of $scanned objects have no pointer " +
+          s"(frac ${nOrph.toDouble / scanned} > $maxOrphanFrac) — a stale " +
+          "or mis-pathed pointer table would turn GC into store deletion; " +
+          "raise maxOrphanFrac only deliberately")
+    val conf = serConf(spark)
+    val deleted = orphans.as[String].mapPartitions { it =>
+      var n = 0L
+      it.foreach { key =>
+        val (fs, p) = fsFor(base + "/" + key, conf.value)
+        if (fs.delete(p, false)) n += 1
+      }
+      Iterator.single(n)
+    }.toDF("n").agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    (scanned, deleted)
+  }
 }

@@ -117,6 +117,34 @@ class MigrationSpec extends AnyFunSuite {
     assert(byStatus("dangling_pointer") == "blobs/x/ghost")
   }
 
+  test("gcOrphans deletes exactly the unpointed objects, idempotently; mass-delete guarded") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_gc").toString
+    val rows = (1L to 10L)
+      .map(i => (i, s"blobs/$i/h$i", s"payload-$i".getBytes("UTF-8")))
+      .toDF("id", "s3_prefix", "blob")
+    assert(BlobSink.write(rows, base, "s3_prefix", "blob") == 10L)
+    // pointers cover 8 of the 10 objects → 2 orphans
+    val pointers = rows.filter(col("id") <= 8).select("s3_prefix")
+    val (scanned, deleted) = BlobSink.gcOrphans(spark, base, pointers, "s3_prefix")
+    assert(scanned == 10L && deleted == 2L)
+    val left = BlobSink.inventory(spark, base)
+    assert(left.count() == 8)
+    assert(left.filter(col("object_key").contains("/9/") ||
+      col("object_key").contains("/10/")).count() == 0,
+      "exactly the unpointed objects must be gone")
+    // idempotent re-run: nothing left to collect
+    val (s2, d2) = BlobSink.gcOrphans(spark, base, pointers, "s3_prefix")
+    assert(s2 == 8L && d2 == 0L)
+    // a stale/empty pointer table must refuse BY NAME, not delete the store
+    val err = intercept[IllegalArgumentException] {
+      BlobSink.gcOrphans(spark, base, pointers.limit(0), "s3_prefix")
+    }
+    assert(err.getMessage.contains("ORPHAN GC REFUSED"))
+    assert(BlobSink.inventory(spark, base).count() == 8,
+      "the refused run must not have deleted anything")
+  }
+
   test("bridgeRead serves migrated rows from the pointer and the rest from the blob") {
     val legacy = spark.range(6).select(col("id").as("k"),
       concat(lit("payload-"), col("id")).cast("binary").as("b"))
