@@ -30,7 +30,7 @@ class PlanSpec extends AnyFunSuite {
       "q30_funnel", "q34_histogram", "t6_contamination", "t10_lm",
       "t13_ppl_buckets", "s1_knn_brute", "s3_knn_ivf", "s4_kmeans",
       "s5_knn_pq", "s6_knn_pq_lsh", "s7_knn_ivf_mp", "s8_knn_ivf_mp_lsh",
-      "t18_nb_lang", "d25_bloom_decontam")
+      "s10_knn_rerank", "t18_nb_lang", "d25_bloom_decontam")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
