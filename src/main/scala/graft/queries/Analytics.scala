@@ -1033,8 +1033,43 @@ object Analytics {
       .orderBy("user_id", "bucket_s")
   }
 
+  /** user-path analysis — the "common journeys" product-analytics
+    * op: each user's event stream in (sec, event_id) order yields
+    * its consecutive event-type TRIGRAMS via two LEADs over the
+    * per-user window (narrow (user, type) rows — never a self-join
+    * on the event table), counted corpus-wide, top 20 by frequency
+    * (ties → path). The per-user window partitions by a
+    * high-cardinality key, the count is a partial agg of trigram
+    * strings, and the top-n is a TakeOrdered — every stage
+    * corpus-linear. */
+  val q42 = Q("q42_paths", Some("""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    t AS (SELECT user_id, event_type AS a,
+            lead(event_type, 1) OVER w AS b,
+            lead(event_type, 2) OVER w AS c
+          FROM e WINDOW w AS (PARTITION BY user_id
+                              ORDER BY sec, event_id)),
+    p AS (SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+          FROM t WHERE b IS NOT NULL AND c IS NOT NULL
+          GROUP BY 1)
+    SELECT path, CAST(n AS BIGINT) AS n FROM p
+    ORDER BY n DESC, path LIMIT 20""")) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    ev(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+        col("sec"))
+      .select(col("event_type").as("a"),
+        lead(col("event_type"), 1).over(w).as("b"),
+        lead(col("event_type"), 2).over(w).as("c"))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .select(concat_ws(">", col("a"), col("b"), col("c")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41)
+    q37, q38, q39, q40, q41, q42)
 }
