@@ -586,7 +586,12 @@ object Dedup {
     val names = rows.groupBy(col(valueCol).as("nm"))
       .agg(count(lit(1)).as("n_rows"))
       .localCheckpoint(true)
-    val tok = names.select(col("nm"), explode(split(col("nm"), " ")).as("w"))
+    // per-name DISTINCT tokens, so the stop cap below counts the
+    // distinct VALUES containing a token (its documented contract) —
+    // a value repeating a token ("green green widget") must not push
+    // that token over the cap
+    val tok = names.select(col("nm"),
+      explode(array_distinct(split(col("nm"), " "))).as("w"))
     val blockable = tok.groupBy(col("w")).agg(count(lit(1)).as("nn"))
       .filter(col("nn") <= maxTokenNames).select(col("w"))
     val blk = tok.join(blockable, Seq("w"))

@@ -628,17 +628,24 @@ object TextAnalysis {
     * docs with no tokens in the vocabulary score prior-only. */
   def nbClassify(docs: DataFrame, id: String, text: String,
       label: String): DataFrame = {
+    // ONE fact-table scan and ONE tokenize pass (the fuzzyPairs
+    // one-pass rule): the slim (id, label) projection and the
+    // exploded token table are each materialized once — unchecked,
+    // the model counts, the vocab count, the priors, and the scoring
+    // fan each re-derived them (6 scans, 3 tokenizations per call)
+    val labeled = docs.select(col(id), col(label).as("lab"))
+      .localCheckpoint(true)
     val tx = coalesce(col(text), lit(""))
     val tok = docs.select(col(id), explode(tokens(tx)).as("w"))
+      .localCheckpoint(true)
     val cnt = tok.groupBy(col(id), col("w")).agg(count(lit(1)).as("c"))
     // model: (label, word) counts, per-label token totals, vocab size
-    val labeled = docs.select(col(id), col(label).as("lab"))
     val wl = tok.join(labeled, Seq(id))
       .groupBy(col("lab"), col("w")).agg(count(lit(1)).as("n_wl"))
     val tot = wl.groupBy(col("lab")).agg(sum(col("n_wl")).as("tot_l"))
     val v = tok.agg(count_distinct(col("w")).as("vs"))
-    val nd = docs.agg(count(lit(1)).as("nd"))
-    val priors = docs.groupBy(col(label).as("lab"))
+    val nd = labeled.agg(count(lit(1)).as("nd"))
+    val priors = labeled.groupBy(col("lab"))
       .agg(count(lit(1)).as("n_l")).crossJoin(broadcast(nd))
       .select(col("lab"),
         floor(log(col("n_l") * 1.0 / col("nd")) * 1e6 + 0.5).cast("long")
@@ -651,7 +658,7 @@ object TextAnalysis {
       .agg(sum(col("c") *
         lpMicro(coalesce(col("n_wl"), lit(0L)), col("tot_l"), col("vs")))
         .as("ll_micro"))
-    val scored = docs.select(col(id), col(label).as("true_lab"))
+    val scored = labeled.select(col(id), col("lab").as("true_lab"))
       .crossJoin(broadcast(priors))
       .join(ll, Seq(id, "lab"), "left_outer")
       .select(col(id), col("lab"), col("true_lab"),

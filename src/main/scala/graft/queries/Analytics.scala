@@ -986,7 +986,8 @@ object Analytics {
     * event). */
   val q41 = Q("q41_resample", Some("""
     WITH e AS (SELECT user_id, event_id,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     span AS (SELECT user_id, min(sec) AS mn, max(sec) AS mx
              FROM e GROUP BY user_id),
     grid AS (SELECT user_id, unnest(range(mn // 21600, mx // 21600 + 1)) AS bkt
@@ -1007,8 +1008,12 @@ object Analytics {
              FROM marks)
     SELECT user_id, CAST(bkt * 21600 AS BIGINT) AS bucket_s, v AS value_locf
     FROM locf WHERE is_grid = 1 ORDER BY user_id, bucket_s""")) { (s, d) =>
+    // an untimed or unkeyed event can't be placed on any user's grid:
+    // excluded in BOTH engines (Spark's NULLS FIRST vs DuckDB's NULLS
+    // LAST window ordering would otherwise diverge on the LOCF order)
     val e = ev(s, d).select(col("user_id"), col("event_id"), col("sec"),
-      col("value"))
+        col("value"))
+      .filter(col("sec").isNotNull && col("user_id").isNotNull)
     val span = e.groupBy(col("user_id"))
       .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
     val grid = span.select(col("user_id"),
@@ -1044,7 +1049,9 @@ object Analytics {
     * corpus-linear. */
   val q42 = Q("q42_paths", Some("""
     WITH e AS (SELECT user_id, event_id, event_type,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                 AND event_type IS NOT NULL),
     t AS (SELECT user_id, event_type AS a,
             lead(event_type, 1) OVER w AS b,
             lead(event_type, 2) OVER w AS c
@@ -1057,8 +1064,13 @@ object Analytics {
     ORDER BY n DESC, path LIMIT 20""")) { (s, d) =>
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    // untyped/untimed/unkeyed events are excluded in BOTH engines
+    // BEFORE the window (a NULL event_type mid-stream would otherwise
+    // diverge: concat_ws skips NULLs where the oracle's || propagates)
     ev(s, d).select(col("user_id"), col("event_id"), col("event_type"),
         col("sec"))
+      .filter(col("sec").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
       .select(col("event_type").as("a"),
         lead(col("event_type"), 1).over(w).as("b"),
         lead(col("event_type"), 2).over(w).as("c"))

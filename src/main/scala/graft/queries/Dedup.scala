@@ -559,7 +559,7 @@ object Dedup {
     * unit-cost edit distance. */
   val d24 = Q("d24_fuzzy_join", Some("""
     WITH names AS (SELECT p_name AS nm, count(*) AS n_rows FROM part GROUP BY p_name),
-    tok AS (SELECT nm, unnest(string_split(nm, ' ')) AS w FROM names),
+    tok AS (SELECT nm, unnest(list_distinct(string_split(nm, ' '))) AS w FROM names),
     ok AS (SELECT w FROM tok GROUP BY w HAVING count(*) <= 32),
     blk AS (SELECT t.nm, t.w FROM tok t JOIN ok USING (w)),
     cand AS (SELECT DISTINCT a.nm AS name_a, b.nm AS name_b

@@ -177,7 +177,12 @@ object BlobSink {
   def gcOrphans(spark: SparkSession, base: String, pointers: DataFrame,
       prefixCol: String, maxOrphanFrac: Double = 0.5): (Long, Long) = {
     import spark.implicits._
+    // ONE store listing: scanned and the orphan set must come from
+    // the SAME snapshot (unchecked, the recursive listing ran twice
+    // and objects landing between the two made the guard's fraction
+    // compare counts from different store states)
     val inv = inventory(spark, base).select(col("object_key"))
+      .localCheckpoint(true)
     val scanned = inv.count()
     val orphans = inv.join(
         pointers.select(col(prefixCol).cast("string").as("object_key"))

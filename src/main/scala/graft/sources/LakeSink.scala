@@ -347,9 +347,23 @@ object LakeSink {
   def appendEvolved(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     // the guard must see the UNION of all prior generations (a plain
-    // read picks an arbitrary footer for the schema)
-    val existing = scala.util.Try(
-      spark.read.option("mergeSchema", "true").parquet(path).schema).toOption
+    // read picks an arbitrary footer for the schema). ONLY an absent
+    // or not-yet-populated lake means "no prior generations" — any
+    // other failure (transient FS error, permission denial, corrupt
+    // footer) must PROPAGATE, not silently disable the guard this
+    // method exists to enforce.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(p)) None
+      else
+        try Some(spark.read.option("mergeSchema", "true").parquet(path).schema)
+        catch {
+          // empty directory: no generation written yet (Spark cannot
+          // infer a schema from zero files) — everything else rethrows
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+        }
     existing.foreach { old =>
       val newTypes = df.schema.map(f => f.name -> f.dataType).toMap
       val conflicts = old.flatMap { f =>

@@ -270,6 +270,17 @@ class DedupSpec extends AnyFunSuite {
       .select("name_a", "name_b").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(uncapped.contains(("unit aa", "unit ab")))
+    // the cap counts DISTINCT values containing a token: a value
+    // repeating it ("zz zz ab") must not push it over the cap
+    import spark.implicits._
+    // "zz" is the ONLY shared token: 2 distinct names, 3 occurrences;
+    // lev("zz aaaa", "zz zz a") = 3 (three substitutions)
+    val repeated = Seq("zz aaaa", "zz zz a").toDF("nm")
+    val got = D.fuzzyPairs(repeated, "nm", tau = 3, maxTokenNames = 2)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("zz aaaa", "zz zz a")),
+      "2 distinct names ≤ cap 2 — occurrence-counting would drop the block")
   }
 
   test("fuzzyPairs on parts: ordered pairs, dist bound, weights cover the fact table") {

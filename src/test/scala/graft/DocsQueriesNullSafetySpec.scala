@@ -42,12 +42,14 @@ class DocsQueriesNullSafetySpec extends AnyFunSuite {
 
   test("round-9 document queries complete over null/empty/tiny docs") {
     for (q <- Seq("t14_bpe_merges", "t15_bpe_tokens", "t16_gopher",
-        "t17_tfidf", "t18_nb_lang", "d23_span_dedup")) {
+        "t17_tfidf", "t18_nb_lang", "t19_cms_heavyhitters",
+        "d23_span_dedup", "d25_bloom_decontam", "d26_span_rewrite")) {
       val rows = SparkEntry.queries(q)(spark, dir).collect()
       assert(rows != null, s"$q crashed")
     }
     // the per-doc queries stay TOTAL: one row per doc, nulls included
-    for (q <- Seq("t15_bpe_tokens", "t16_gopher", "t18_nb_lang")) {
+    for (q <- Seq("t15_bpe_tokens", "t16_gopher", "t18_nb_lang",
+        "d26_span_rewrite")) {
       val rows = SparkEntry.queries(q)(spark, dir).collect()
       assert(rows.length == 5, s"$q must emit a row for every doc")
     }
