@@ -287,10 +287,11 @@ object Dedup {
   /** Sorted distinct 48-bit shingle-digest set per doc — the
     * exact-verify side of near-dup detection (one fused two-pointer
     * merge per candidate pair, no per-pair hash sets). */
-  def shingleSets(docs: DataFrame, id: String, text: String): DataFrame =
-    tokenized(docs, id, text).select(col(id),
+  def shingleSets(docs: DataFrame, id: String, text: String,
+      extra: Seq[Column] = Nil): DataFrame =
+    tokenized(docs, id, text, extra).select((col(id) +: extra) :+
       array_sort(array_distinct(
-        graft.functions.TextHashes.shingle_hash48(col("__tk")))).as("sh"))
+        graft.functions.TextHashes.shingle_hash48(col("__tk")))).as("sh"): _*)
 
   /** Duplicate ids at >=threshold Jaccard, with candidate pairs from
     * the MinHash-LSH band buckets — the scale path for near-dup

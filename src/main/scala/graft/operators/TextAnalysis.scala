@@ -515,11 +515,35 @@ object TextAnalysis {
     * is hash-checkable, not just bounded. Train side: map-only over
     * (doc, digest) rows + one partial agg; documents never shuffle. */
   def bloomContamination(docs: DataFrame, id: String, text: String,
-      isEval: Column, mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+      isEval: Column, mBits: Int = 1 << 16, k: Int = 3): DataFrame =
+    bloomContaminationAgainst(docs.filter(!isEval), docs.filter(isEval),
+      id, text, mBits, k)
+
+  /** [[bloomContamination]] with the eval set as its own table — the
+    * [[contaminationAgainst]] shape: benchmarks live in a static
+    * table, the train side may be a STREAM (the filter is one static
+    * 1-row broadcast; probing is stateless map-only —
+    * [[graft.streaming.EventStreams.bloomDecontamStream]] reuses the
+    * SAME filter builder and probe core, pinned ≡ batch). */
+  def bloomContaminationAgainst(train: DataFrame, evalDocs: DataFrame,
+      id: String, text: String, mBits: Int = 1 << 16,
+      k: Int = 3): DataFrame = {
+    val shingled = Dedup.shingleSets(train, id, text)
+      .select(col(id), size(col("sh")).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("dig"))
+    bloomScore(shingled, bloomFilterOf(evalDocs, id, text, mBits, k),
+      Seq(id), mBits, k)
+  }
+
+  /** the eval side as a standalone fixed-size filter: ONE row whose
+    * `bloom` column is the mBits-wide bitmap (array of
+    * 32-bits-per-long words) over the eval set's shingle digests. */
+  def bloomFilterOf(evalDocs: DataFrame, id: String, text: String,
+      mBits: Int, k: Int): DataFrame = {
     require(mBits % 32 == 0, "mBits must fill whole 32-bit words")
-    val spark = docs.sparkSession
+    val spark = evalDocs.sparkSession
     val nWords = mBits / 32
-    val evalPos = Dedup.shingleSets(docs.filter(isEval), id, text)
+    val evalPos = Dedup.shingleSets(evalDocs, id, text)
       .select(explode(col("sh")).as("dig"))
       .select(explode(array((0 until k)
         .map(j => expr(bloomPosSpark(j, mBits))): _*)).as("p"))
@@ -527,32 +551,40 @@ object TextAnalysis {
       .select((col("p") / 32).cast("long").as("idx"),
         expr("shiftleft(1L, cast(p % 32 as int))").as("b"))
       .groupBy(col("idx")).agg(bit_or(col("b")).as("w"))
-    val bloom = spark.range(nWords).toDF("idx")
+    spark.range(nWords).toDF("idx")
       .join(wordRows, Seq("idx"), "left_outer")
       .select(col("idx"), coalesce(col("w"), lit(0L)).as("w"))
       .agg(expr("transform(array_sort(collect_list(struct(idx, w))), x -> x.w)")
         .as("bloom"))
-    val probes = Dedup.shingleSets(docs.filter(!isEval), id, text)
-      .select(col(id), size(col("sh")).cast("long").as("n_shingles"),
-        explode_outer(col("sh")).as("dig"))
-      .crossJoin(broadcast(bloom))
+  }
+
+  /** the shared probe core: `shingled` carries (keyCols...,
+    * n_shingles, dig — one row per shingle, dig NULL for a
+    * zero-shingle doc); joins the broadcast 1-row filter, tests the
+    * k word probes, and rolls up per key. Batch keys on the doc id;
+    * the streaming twin keys on (id, ts) under its watermark — SAME
+    * positions, SAME hit predicate, so the two cannot drift. */
+  private[graft] def bloomScore(shingled: DataFrame, bloom: DataFrame,
+      keyCols: Seq[String], mBits: Int, k: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val probes = shingled.crossJoin(broadcast(bloom))
     val withPos = probes.select(
-      Seq(col(id), col("n_shingles"), col("bloom"), col("dig")) ++
+      keys ++ Seq(col("n_shingles"), col("bloom"), col("dig")) ++
         (0 until k).map(j => expr(bloomPosSpark(j, mBits)).as(s"p$j")): _*)
     val hitJ = (0 until k).map { j =>
       (element_at(col("bloom"), (col(s"p$j") / 32).cast("int") + 1)
         .bitwiseAND(expr(s"shiftleft(1L, cast(p$j % 32 as int))")) =!= 0)
     }.reduce(_ && _)
     withPos
-      .select(col(id), col("n_shingles"),
+      .select(keys ++ Seq(col("n_shingles"),
         when(col("dig").isNull, lit(0L))
-          .otherwise(when(hitJ, 1L).otherwise(0L)).as("hit"))
-      .groupBy(col(id), col("n_shingles"))
+          .otherwise(when(hitJ, 1L).otherwise(0L)).as("hit")): _*)
+      .groupBy(keys :+ col("n_shingles"): _*)
       .agg(sum(col("hit")).as("n_hit"))
-      .select(col(id), col("n_shingles"), col("n_hit"),
+      .select(keys ++ Seq(col("n_shingles"), col("n_hit"),
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(roundA(col("n_hit") * 1.0 / col("n_shingles"), 4))
-          .as("contam"))
+          .as("contam")): _*)
   }
 
   /** the j-th Count-Min position of a token column named `w` — the

@@ -197,6 +197,30 @@ object EventStreams {
       .agg(sum(coalesce(col("n_tok"), lit(0L))).as("n_tok"))
   }
 
+  /** Bloom decontamination on ingest — the memory-bounded sketch in
+    * its intended seat: the eval set's FIXED-SIZE filter is built
+    * once at stream definition (persisted — the lmScoreStream rule:
+    * a lazy static side would re-aggregate the eval set every
+    * micro-batch) and broadcast into a stateless map-only probe
+    * stage; d25's batch form and this stream share
+    * [[graft.operators.TextAnalysis.bloomScore]] — same positions,
+    * same hit predicate — so they cannot drift (pinned ≡ batch on
+    * the real corpus). Keyed (doc_id, ts) under the watermark. */
+  def bloomDecontamStream(docs: DataFrame, evalDocs: DataFrame,
+      text: String = "text", mBits: Int = 1 << 16,
+      k: Int = 3): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val bloom = TextAnalysis
+      .bloomFilterOf(evalDocs, "doc_id", text, mBits, k).persist()
+    val shingled = Dedup
+      .shingleSets(docs.withWatermark("ts", "1 hour"), "doc_id", text,
+        Seq(col("ts")))
+      .select(col("doc_id"), col("ts"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("dig"))
+    TextAnalysis.bloomScore(shingled, bloom, Seq("doc_id", "ts"), mBits, k)
+  }
+
   /** Count-Min counters as STREAMING STATE — the sketch's native
     * habitat (t19's batch query summarizes a static corpus; a
     * production ingest keeps the counters as running state). The

@@ -437,6 +437,32 @@ class StreamingSpec extends AnyFunSuite {
       "streamed BPE counts must equal the batch t15 counts row-for-row")
   }
 
+  test("Bloom decontamination on ingest ≡ batch d25 on the real corpus") {
+    // the sketch in its intended seat: static fixed-size filter,
+    // stateless probes on the stream — pinned against the batch form
+    // (same filter builder, same probe core) on the real documents
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val evalDocs = docs.filter($"source" === "src0")
+    val train = docs.filter($"source" =!= "src0")
+    val rows = train.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), ts(0), r.getString(1)))
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    in.addData(rows.toSeq: _*)
+    runToMemory(EventStreams.bloomDecontamStream(
+      in.toDF().toDF("doc_id", "ts", "text"), evalDocs),
+      "bloom_stream", OutputMode.Complete)
+    val got = spark.sql(
+      "SELECT doc_id, n_shingles, n_hit, contam FROM bloom_stream")
+    val want = graft.operators.TextAnalysis.bloomContaminationAgainst(
+      train, evalDocs, "doc_id", "text")
+    assert(got.count() == train.count())
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "streamed bloom scores must equal the batch d25 rows exactly")
+  }
+
   test("CMS counters on a stream ≡ batch grid on the real corpus; state is fixed-size") {
     // the frequency sketch as stream state: the aggregation key space
     // IS the k×m grid, so state cannot grow with the stream — pinned
