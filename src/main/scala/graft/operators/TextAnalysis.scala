@@ -257,20 +257,28 @@ object TextAnalysis {
     * longs (t10's determinism rule — the ranking and the hash check
     * never touch a float), rank ties break on the term.
     *
-    * Scale shape: one partial-agg of (id, term, tf) rows, one
-    * partial-agg of (term, df) over the distinct pairs, a fact-dim
-    * shuffle join on the term key (dim side = one row per distinct
-    * term; AQE skew-split covers hot function words), then a per-doc
-    * top-k window over ≤|doc vocab| narrow rows. Documents never
-    * shuffle; N comes from one count. */
+    * Scale shape: one partial-agg of (id, term, tf) rows; df comes
+    * from a COUNT WINDOW over those same aggregated rows partitioned
+    * on the term (the t11 rule — a separate df aggregate re-joined on
+    * the term key would re-scan the corpus; the window shuffles the
+    * same narrow rows once on w, AQE skew-split covers hot function
+    * words), then a per-doc top-k window over ≤|doc vocab| narrow
+    * rows. Documents never shuffle; N is a SCALAR AGGREGATE broadcast
+    * back into the plan (the q34 bounds shape) — not a driver-side
+    * `docs.count()` action, which ran a separate corpus-scanning job
+    * before the tf pass even started (the VERDICT-r9 finding; this
+    * was the only operator with a mid-build driver action). The N
+    * scan is column-pruned to nothing (footer row counts), so the
+    * plan's second "scan" costs metadata only. */
   def tfidfTopTerms(docs: DataFrame, id: String, text: String,
       k: Int = 5): DataFrame = {
-    val nDocs = docs.count()
+    val nd = docs.agg(count(lit(1)).cast("double").as("__nd"))
     val tf = perTokCounts(docs, id, text).withColumnRenamed("n", "tf")
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "w")
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+    val scored = tf.withColumn("df", count(lit(1)).over(dfw))
+      .crossJoin(broadcast(nd))
       .select(col(id), col("w"), col("tf"), col("df"),
-        floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6 + 0.5)
+        floor(col("tf") * log(col("__nd") / col("df")) * 1e6 + 0.5)
           .cast("long").as("score_micro"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col("score_micro").desc, col("w"))

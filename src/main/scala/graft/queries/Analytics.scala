@@ -71,6 +71,17 @@ object Analytics {
     floor(c * p + 0.5) / p
   }
 
+  /** FLOOR division of an integer column by a positive constant —
+    * pinned to DuckDB's `//` semantics for NEGATIVE inputs too
+    * (Spark's `div` truncates toward zero: `-1 div 2 = 0` where
+    * `-1 // 2 = -1`), so grid/bucket assignment cannot silently
+    * diverge between engines on pre-epoch timestamps or signed keys.
+    * `x - pmod(x, d)` is exactly divisible and pmod is non-negative,
+    * so the double division is exact for |x| < 2^53 — far above any
+    * epoch-seconds or key domain this engine buckets. */
+  private[graft] def floorDiv(x: Column, d: Long): Column =
+    ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
@@ -966,7 +977,7 @@ object Analytics {
         .select(
           when(col("node") % 2 === 0, "part").otherwise("supp")
             .as("node_type"),
-          expr("node div 2").as("key"), col("r").as("rank_micro"))
+          floorDiv(col("node"), 2).as("key"), col("r").as("rank_micro"))
         .orderBy("node_type", "key")
     }
   }
@@ -1014,12 +1025,42 @@ object Analytics {
     val e = ev(s, d).select(col("user_id"), col("event_id"), col("sec"),
         col("value"))
       .filter(col("sec").isNotNull && col("user_id").isNotNull)
+    locfResample(e).orderBy("user_id", "bucket_s")
+  }
+
+  /** q41's engine over pre-projected (user_id, event_id, sec, value)
+    * rows, factored so the grid guard and the negative-timestamp
+    * floor semantics are directly testable. Grid buckets use
+    * [[floorDiv]] (≡ the oracle's `//` — truncating `div` diverges on
+    * pre-epoch seconds). `maxBucketsPerUser` bounds the per-user grid
+    * explode: span/bucket is per-user (never global), but one
+    * pathological row pair — a 1970 default-epoch artifact next to a
+    * current event — would emit millions of grid rows into that
+    * user's partition. The guard is a per-ROW `raise_error` refusal
+    * BY NAME inside the plan (no extra driver action — the t17
+    * lesson), sized so no realistic span trips it (100k buckets =
+    * ~68 years at the 6-hour default). */
+  private[graft] def locfResample(e: DataFrame, bucket: Long = 21600L,
+      maxBucketsPerUser: Long = 100000L): DataFrame = {
     val span = e.groupBy(col("user_id"))
       .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
-    val grid = span.select(col("user_id"),
-      explode(sequence(expr("mn div 21600"), expr("mx div 21600"))).as("bkt"))
+    val bounds = span.select(col("user_id"),
+      floorDiv(col("mn"), bucket).as("bmn"),
+      floorDiv(col("mx"), bucket).as("bmx"))
+    val nBuckets = col("bmx") - col("bmn") + 1
+    val bmxChecked = when(nBuckets > maxBucketsPerUser,
+      raise_error(concat(lit("RESAMPLE GRID REFUSED: user "),
+        col("user_id").cast("string"), lit(" spans "),
+        nBuckets.cast("string"),
+        lit(s" grid buckets > $maxBucketsPerUser — one degenerate " +
+          "timestamp pair would explode this user's partition; widen " +
+          "the bucket or raise maxBucketsPerUser deliberately")))
+        .cast("long"))
+      .otherwise(col("bmx"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("bmn"), bmxChecked)).as("bkt"))
     val gm = grid.select(col("user_id"),
-      (col("bkt") * 21600 + 21599).as("sec0"), lit(1).as("is_grid"),
+      (col("bkt") * bucket + (bucket - 1)).as("sec0"), lit(1).as("is_grid"),
       lit(0L).as("event_id"), col("bkt"),
       lit(null).cast("double").as("value"))
     val em = e.select(col("user_id"), col("sec").as("sec0"),
@@ -1033,9 +1074,8 @@ object Analytics {
     gm.unionByName(em)
       .withColumn("v", last(col("value"), ignoreNulls = true).over(w))
       .filter(col("is_grid") === 1)
-      .select(col("user_id"), (col("bkt") * 21600).cast("long").as("bucket_s"),
+      .select(col("user_id"), (col("bkt") * bucket).cast("long").as("bucket_s"),
         col("v").as("value_locf"))
-      .orderBy("user_id", "bucket_s")
   }
 
   /** user-path analysis — the "common journeys" product-analytics

@@ -126,10 +126,14 @@ object BlobSink {
     spark.createDataFrame(outRdd, outSchema)
   }
 
-  /** Read back a blob store's inventory. The driver lists only the
-    * first level under `base`; the recursive walk of each prefix runs
-    * in parallel on executors — at 100 TB / millions of objects the
-    * driver never buffers the full listing. */
+  /** Read back a blob store's inventory: (object_key, nbytes, mtime).
+    * The driver lists only the first level under `base`; the
+    * recursive walk of each prefix runs in parallel on executors — at
+    * 100 TB / millions of objects the driver never buffers the full
+    * listing. `mtime` is the store's modification timestamp (epoch
+    * millis) — the signal [[gcOrphans]]'s grace window needs to tell
+    * an abandoned orphan from an object whose pointer row is still
+    * in flight. */
   def inventory(spark: SparkSession, base: String): DataFrame = {
     import spark.implicits._
     val conf = serConf(spark)
@@ -143,14 +147,14 @@ object BlobSink {
       .flatMap { prefix =>
         val (pfs, pPath) = fsFor(prefix, conf.value)
         val it = pfs.listFiles(pPath, true)
-        val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
         while (it.hasNext) {
           val f = it.next()
           buf += ((f.getPath.toString.stripPrefix(baseStr).stripPrefix("/"),
-            f.getLen))
+            f.getLen, f.getModificationTime))
         }
         buf
-      }.toDF("object_key", "nbytes")
+      }.toDF("object_key", "nbytes", "mtime")
   }
 
   /** Orphan-object GC — the DELETE side of a13's reconciliation (the
@@ -162,12 +166,27 @@ object BlobSink {
     * between listing and delete counts as already collected — a
     * concurrent GC or a retried task must not fail the job).
     *
-    * SAFETY GUARD: refuses BY NAME when the orphan fraction exceeds
-    * `maxOrphanFrac`. A stale, truncated, or mis-pathed pointer
-    * table makes every object look orphaned — and "GC" becomes
-    * "delete the store". Destructive lifecycle ops get the same
-    * treatment as compact-on-S3: a named refusal over a silent
-    * catastrophe. Raising the threshold is a deliberate caller act.
+    * SAFETY GUARD 1 (mass delete): refuses BY NAME when the orphan
+    * fraction exceeds `maxOrphanFrac`. A stale, truncated, or
+    * mis-pathed pointer table makes every object look orphaned — and
+    * "GC" becomes "delete the store". Destructive lifecycle ops get
+    * the same treatment as compact-on-S3: a named refusal over a
+    * silent catastrophe. Raising the threshold is a deliberate
+    * caller act.
+    *
+    * SAFETY GUARD 2 (in-flight writers): only objects whose store
+    * mtime is older than `graceMs` are collectable. An object
+    * written by an in-flight [[write]]/[[writeThrough]] whose
+    * pointer row has not yet committed LOOKS orphaned to this pass —
+    * without the grace window a concurrent migration's freshest
+    * objects would be deleted the moment they land (the mass-delete
+    * guard only catches bulk mismatches, not a handful of in-flight
+    * rows). Size `graceMs` above the longest pointer-commit lag
+    * (write job duration + catalog publish); with the default 0 the
+    * CALLER asserts no writer is concurrent. Young objects are
+    * excluded from both the orphan set and the guard-1 denominator
+    * (they are not evidence about pointer-table staleness either
+    * way).
     *
     * Empty prefix DIRECTORIES are left behind on local/HDFS runs —
     * on the object stores this sink models, directories don't exist,
@@ -175,27 +194,32 @@ object BlobSink {
     *
     * Returns (objects scanned, objects deleted). */
   def gcOrphans(spark: SparkSession, base: String, pointers: DataFrame,
-      prefixCol: String, maxOrphanFrac: Double = 0.5): (Long, Long) = {
+      prefixCol: String, maxOrphanFrac: Double = 0.5,
+      graceMs: Long = 0L): (Long, Long) = {
     import spark.implicits._
     // ONE store listing: scanned and the orphan set must come from
     // the SAME snapshot (unchecked, the recursive listing ran twice
     // and objects landing between the two made the guard's fraction
     // compare counts from different store states)
-    val inv = inventory(spark, base).select(col("object_key"))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val invAll = inventory(spark, base)
+      .select(col("object_key"), col("mtime"))
       .localCheckpoint(true)
-    val scanned = inv.count()
+    val scanned = invAll.count()
+    val inv = invAll.filter(col("mtime") <= cutoff).select(col("object_key"))
+    val eligible = inv.count()
     val orphans = inv.join(
         pointers.select(col(prefixCol).cast("string").as("object_key"))
           .filter(col("object_key").isNotNull).distinct(),
         Seq("object_key"), "left_anti")
       .localCheckpoint(true)
     val nOrph = orphans.count()
-    if (scanned > 0)
-      require(nOrph.toDouble / scanned <= maxOrphanFrac,
-        s"ORPHAN GC REFUSED: $nOrph of $scanned objects have no pointer " +
-          s"(frac ${nOrph.toDouble / scanned} > $maxOrphanFrac) — a stale " +
-          "or mis-pathed pointer table would turn GC into store deletion; " +
-          "raise maxOrphanFrac only deliberately")
+    if (eligible > 0)
+      require(nOrph.toDouble / eligible <= maxOrphanFrac,
+        s"ORPHAN GC REFUSED: $nOrph of $eligible grace-aged objects have no " +
+          s"pointer (frac ${nOrph.toDouble / eligible} > $maxOrphanFrac) — a " +
+          "stale or mis-pathed pointer table would turn GC into store " +
+          "deletion; raise maxOrphanFrac only deliberately")
     val conf = serConf(spark)
     val deleted = orphans.as[String].mapPartitions { it =>
       var n = 0L

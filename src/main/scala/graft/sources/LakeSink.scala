@@ -343,7 +343,15 @@ object LakeSink {
     * Dropping columns is also refused — a "dropped" column would
     * silently null-fill for every NEW row on merged reads, which is
     * indistinguishable from data loss; writers that mean it should
-    * write `lit(null)` explicitly. */
+    * write `lit(null)` explicitly.
+    *
+    * SINGLE-WRITER assumption: the guard's check-then-append is not
+    * atomic (plain parquet has no table-level lock), so two
+    * concurrent evolving writers can both pass the guard and
+    * interleave conflicting generations. Serialize evolving appends
+    * per table (one ingest job per lake path — the same contract
+    * compactTable's generation flip assumes); a multi-writer
+    * deployment needs a catalog/lock service in front. */
   def appendEvolved(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     // the guard must see the UNION of all prior generations (a plain
@@ -360,9 +368,13 @@ object LakeSink {
         try Some(spark.read.option("mergeSchema", "true").parquet(path).schema)
         catch {
           // empty directory: no generation written yet (Spark cannot
-          // infer a schema from zero files) — everything else rethrows
+          // infer a schema from zero files) — everything else
+          // rethrows. Matched on the ERROR CLASS, not message text:
+          // the message wording is version-volatile, the error-class
+          // id is the stable contract (SparkThrowable.getCondition).
           case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+              if Option(e.getCondition)
+                .exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) => None
         }
     existing.foreach { old =>
       val newTypes = df.schema.map(f => f.name -> f.dataType).toMap

@@ -145,14 +145,19 @@ object EventStreams {
       text: String = "text"): DataFrame = {
     import graft.operators.TextAnalysis
     val (c12r, c1r, v) = TextAnalysis.lmModel(corpus, text)
-    // materialize the model at stream definition: a stream-static
+    // materialize the model AT STREAM DEFINITION: a stream-static
     // join re-executes the static side EVERY micro-batch, so lazy
     // count tables would re-tokenize and re-aggregate the whole
     // training corpus per batch — persisted, each batch pays a
     // dim-table join instead (same rule as embedNearDupSuppress's
-    // banded corpus)
-    val c12 = c12r.persist()
-    val c1 = c1r.persist()
+    // banded corpus). persist() alone is LAZY (the first micro-batch
+    // would pay the training pass); the count() forces the blocks
+    // now. The CALLER owns the cache entries' lifetime: unpersist
+    // them (or clear the session cache) when the stream is torn
+    // down — repeatedly re-defining streams without that leaks cache
+    // entries for the session's lifetime.
+    val c12 = c12r.persist(); c12.count()
+    val c1 = c1r.persist(); c1.count()
     // V is one static scalar: pinned at stream definition (a lazy
     // cross join of a streaming side is not a supported stream-static
     // shape, and the value cannot change mid-run anyway)
@@ -178,8 +183,11 @@ object EventStreams {
     * arriving doc, the budget signal d12/d14 consume). The trained
     * (word → n_tok) vocabulary is materialized ONCE at stream
     * definition (lmScoreStream's rule — a lazy static side would
-    * re-run 8 merge rounds every micro-batch) and joined as a dim
-    * table on the word key. Unseen, empty, and over-cap words
+    * re-run 8 merge rounds every micro-batch; persist is forced by a
+    * count so the 8 rounds run NOW, not on the first micro-batch; the
+    * caller owns unpersisting when the stream is torn down) and
+    * joined as a dim table on the word key. Unseen, empty, and
+    * over-cap words
     * contribute 0 via the LEFT join — exactly the batch
     * [[graft.operators.Bpe.docTokens]] inner-join-plus-coalesce
     * semantics, so a doc of only unknown words still emits a 0-count
@@ -189,6 +197,7 @@ object EventStreams {
       text: String = "text", nMerges: Int = 8): DataFrame = {
     val vocabTok = graft.operators.Bpe
       .train(corpus, "doc_id", text, nMerges)._2.persist()
+    vocabTok.count()
     docs.withWatermark("ts", "1 hour")
       .select(col("doc_id"), col("ts"),
         explode(split(lower(coalesce(col(text), lit(""))), " ")).as("word"))
@@ -199,9 +208,10 @@ object EventStreams {
 
   /** Bloom decontamination on ingest — the memory-bounded sketch in
     * its intended seat: the eval set's FIXED-SIZE filter is built
-    * once at stream definition (persisted — the lmScoreStream rule:
-    * a lazy static side would re-aggregate the eval set every
-    * micro-batch) and broadcast into a stateless map-only probe
+    * once at stream definition (persisted AND forced — the
+    * lmScoreStream rule: a lazy static side would re-aggregate the
+    * eval set every micro-batch; the caller owns unpersisting at
+    * stream teardown) and broadcast into a stateless map-only probe
     * stage; d25's batch form and this stream share
     * [[graft.operators.TextAnalysis.bloomScore]] — same positions,
     * same hit predicate — so they cannot drift (pinned ≡ batch on
@@ -212,6 +222,7 @@ object EventStreams {
     import graft.operators.{Dedup, TextAnalysis}
     val bloom = TextAnalysis
       .bloomFilterOf(evalDocs, "doc_id", text, mBits, k).persist()
+    bloom.count()
     val shingled = Dedup
       .shingleSets(docs.withWatermark("ts", "1 hour"), "doc_id", text,
         Seq(col("ts")))

@@ -50,6 +50,39 @@ class EventsNullSafetySpec extends AnyFunSuite {
     }
   }
 
+  test("q41 grid buckets FLOOR on pre-epoch timestamps (oracle `//` parity)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // sec = -1 (1969-12-31T23:59:59): floor(-1/21600) = -1; Spark's
+    // truncating `div` would say 0 and silently diverge from DuckDB
+    val e = Seq((9L, 1L, -1L, 10.0), (9L, 2L, 30000L, 20.0))
+      .toDF("user_id", "event_id", "sec", "value")
+    val out = queries.Analytics.locfResample(e)
+      .orderBy("bucket_s").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(-21600L, 0L, 21600L),
+      s"grid must start at bucket floor(-1/21600) = -1: ${out.mkString(",")}")
+    assert(out.map(_.getDouble(2)).toSeq == Seq(10.0, 10.0, 20.0),
+      "LOCF must carry the pre-epoch observation forward")
+  }
+
+  test("q41 refuses BY NAME a span that would explode one user's grid; a decade passes") {
+    import spark.implicits._
+    def flat(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + flat(t.getCause)
+    // one degenerate pair 201 buckets apart against a 100-bucket cap
+    val e = Seq((1L, 1L, 0L, 1.0), (1L, 2L, 21600L * 200L, 2.0))
+      .toDF("user_id", "event_id", "sec", "value")
+    val err = intercept[Exception] {
+      queries.Analytics.locfResample(e, maxBucketsPerUser = 100L).collect()
+    }
+    assert(flat(err).contains("RESAMPLE GRID REFUSED"), flat(err).take(800))
+    // a planted DECADE-span user (~14.6k buckets) sails under the
+    // default cap — the guard is for degenerate pairs, not real spans
+    val decade = Seq((2L, 1L, 0L, 1.0), (2L, 2L, 21600L * 14610L, 2.0))
+      .toDF("user_id", "event_id", "sec", "value")
+    assert(queries.Analytics.locfResample(decade).count() == 14611L)
+  }
+
   test("q20 routes malformed/missing JSON keys to the NULL bucket") {
     val rows = SparkEntry.queries("q20_json")(spark, dir).collect()
     val r = rows

@@ -145,6 +145,44 @@ class MigrationSpec extends AnyFunSuite {
       "the refused run must not have deleted anything")
   }
 
+  test("gcOrphans grace window: a young unpointed object (in-flight writer) survives") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_gc_grace").toString
+    val rows = (1L to 6L)
+      .map(i => (i, s"blobs/$i/h$i", s"payload-$i".getBytes("UTF-8")))
+      .toDF("id", "s3_prefix", "blob")
+    assert(BlobSink.write(rows, base, "s3_prefix", "blob") == 6L)
+    // pointers cover 4 of 6 → orphans are 5 (aged) and 6 (just written)
+    val pointers = rows.filter(col("id") <= 4).select("s3_prefix")
+    // age objects 1..5 past the grace window; object 6 keeps its
+    // fresh mtime (the in-flight write whose pointer isn't visible yet)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 5L).foreach(i =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$base/blobs/$i/h$i"),
+        System.currentTimeMillis() - 7200000L, -1))
+    val (scanned, deleted) = BlobSink.gcOrphans(spark, base, pointers,
+      "s3_prefix", graceMs = 3600000L)
+    assert(scanned == 6L && deleted == 1L,
+      "only the grace-aged orphan is collectable")
+    val left = BlobSink.inventory(spark, base)
+    assert(left.count() == 5)
+    assert(left.filter(col("object_key") === "blobs/5/h5").count() == 0,
+      "the aged orphan must be gone")
+    assert(left.filter(col("object_key") === "blobs/6/h6").count() == 1,
+      "the in-flight-young orphan must survive the grace window")
+    // guard denominator excludes young objects: age ALL objects, wipe
+    // the pointers — now every eligible object is orphaned → refusal
+    (1L to 6L).filterNot(_ == 5L).foreach(i =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$base/blobs/$i/h$i"),
+        System.currentTimeMillis() - 7200000L, -1))
+    val err = intercept[IllegalArgumentException] {
+      BlobSink.gcOrphans(spark, base, pointers.limit(0), "s3_prefix",
+        graceMs = 3600000L)
+    }
+    assert(err.getMessage.contains("ORPHAN GC REFUSED"))
+  }
+
   test("bridgeRead serves migrated rows from the pointer and the rest from the blob") {
     val legacy = spark.range(6).select(col("id").as("k"),
       concat(lit("payload-"), col("id")).cast("binary").as("b"))

@@ -30,7 +30,12 @@ class PlanSpec extends AnyFunSuite {
       "q30_funnel", "q34_histogram", "t6_contamination", "t10_lm",
       "t13_ppl_buckets", "s1_knn_brute", "s3_knn_ivf", "s4_kmeans",
       "s5_knn_pq", "s6_knn_pq_lsh", "s7_knn_ivf_mp", "s8_knn_ivf_mp_lsh",
-      "s10_knn_rerank", "t18_nb_lang", "d25_bloom_decontam")
+      "s10_knn_rerank", "t18_nb_lang", "d25_bloom_decontam",
+      "t17_tfidf", // the 1-row N scalar broadcast (q34's shape)
+      // index probes: the exact brute FALLBACK for probes sharing no
+      // band nests against the broadcast anchor table (tiny) — the
+      // same allowance as the inline s6/s8/s10 compositions
+      "s11_index_probe", "s12_index_rerank")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
@@ -445,6 +450,89 @@ class PlanSpec extends AnyFunSuite {
         "tables, not re-scan lineitem per round:\n" + p.take(1200))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("t17 tfidf: N is an in-plan broadcast scalar — no mid-build corpus action") {
+    // Building ANY parquet-backed query launches one footer job
+    // (schema inference), so "zero jobs" is not the invariant —
+    // "no MORE jobs than a query with no mid-build action" is: t16
+    // loads the same single table and is pure column expressions,
+    // making it the clean baseline. The r9 defect (a driver-side
+    // docs.count() before the tf pass) costs exactly one extra job
+    // and fails this pin.
+    def buildJobs(name: String): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        SparkEntry.queries(name)(spark, TestSpark.sf)
+        org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+        jobs.get
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val baseline = buildJobs("t16_gopher")
+    val t17 = buildJobs("t17_tfidf")
+    assert(t17 <= baseline,
+      s"building t17 launched $t17 jobs vs the clean baseline's $baseline — " +
+        "N must be an in-plan scalar aggregate, not a driver-side action")
+    // plan shape: the tf pass + the column-pruned N aggregate (its
+    // scan reads zero data columns — footer row counts only)
+    val p = SparkEntry.queries("t17_tfidf")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"tf pass + pruned N agg = 2 scans, got $scans:\n" +
+      p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row N aggregate must broadcast:\n" + p.take(1200))
+  }
+
+  test("suite-wide: no corpus-sized unpartitioned window outside the documented set") {
+    // `WindowExec: No Partition Defined` = every row through ONE task.
+    // t13's global ntile is the one documented corpus-sized case (its
+    // input is narrow (id, score) rows, documented to ~1e9 docs); the
+    // PQ family's seed-ranking window is bounded by construction (it
+    // runs above a LIMIT codebookK = 64 rows). ANY other query
+    // planning a global window fails here by name — a future operator
+    // cannot silently introduce a single-task sort of the corpus.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(p: SparkPlan): Int = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here + kids.map(globalWindows).sum
+    }
+    // corpus-sized-by-design: t13 (global decile rank). Bounded-input
+    // (allowed, but still pinned so growth is visible): the trained-PQ
+    // queries' 64-row seed ranking (s5/s6/s10 — the window sits above
+    // a LIMIT codebookK) and d12's weight-total window over the
+    // |strata|-row aggregate (PlanSpec's own d12 pin covers its
+    // 2-scan shape).
+    val corpusSized = Set("t13_ppl_buckets")
+    val boundedInput = Set("s5_knn_pq", "s6_knn_pq_lsh", "s10_knn_rerank",
+      "d12_mix")
+    val offenders = Registry.all.flatMap { q =>
+      val n = globalWindows(
+        q.run(spark, TestSpark.sf).queryExecution.executedPlan)
+      if (n > 0 && !corpusSized(q.name) && !boundedInput(q.name))
+        Some(s"${q.name}($n)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned Window outside the documented set — a global sort " +
+        s"of the corpus at 100 TB: ${offenders.mkString(", ")}")
   }
 
   test("t19 CMS is relational: partial aggs + equi-join, no window, no dense state") {
