@@ -204,7 +204,7 @@ object Similarity {
     topK(scored, k)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("c6").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -434,17 +434,32 @@ object Similarity {
   /** the shared PQ tail (train → encode → LUT → ADC rank) over an
     * already cell-ASSIGNED corpus — factored out so the brute
     * ([[ivfPqKnn]]) and LSH ([[ivfPqKnnLsh]]) coarse quantizers can
-    * never drift in scoring semantics. */
+    * never drift in scoring semantics. The encode and ADC stages are
+    * themselves factored ([[pqEncode]] / [[adcRank]]) so the
+    * PERSISTED-index path ([[VectorIndex]]) runs the identical
+    * arithmetic over codes read from the lake. */
   private def pqSearch(vectors: DataFrame, assigned: DataFrame,
       id: String, emb: String, probePred: Column, k: Int,
       m: Int, d: Int, codebookK: Int): DataFrame = {
-    import graft.functions.CosineSimilarity.dot_product
     // trained fixed-K codebook, broadcast (K·m rows, corpus-size-free)
     val cb = broadcast(
       trainPqCodebook(vectors, id, emb, codebookK, m, d))
-    // encode: argmax scaled-long subspace dot per (vector, subspace),
-    // collapsed map-side (only |corpus|·m narrow rows shuffle)
-    val codes = assigned
+    val codes = pqEncode(assigned, id, emb, cb, m, d)
+    val probesA = assigned.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe"),
+        col("cell").as("pcell"))
+    adcRank(codes, probesA, cb, id, m, d, k)
+  }
+
+  /** PQ ENCODE: argmax scaled-long subspace dot per (vector,
+    * subspace), collapsed map-side (only |corpus|·m narrow rows
+    * shuffle). `cb` must be the (broadcast-wrapped) trained codebook.
+    * Output: one (id, m, code, cell) row per (vector, subspace) —
+    * the fixed-width representation a persisted index stores. */
+  private[operators] def pqEncode(assigned: DataFrame, id: String,
+      emb: String, cb: DataFrame, m: Int, d: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.dot_product
+    assigned
       .select(col(id), col("cell"),
         explode(array((0 until m).map(j =>
           struct(lit(j).as("m"), slice(col(emb), j * d + 1, d).as("svec"))): _*))
@@ -457,10 +472,17 @@ object Similarity {
       .agg(max_by(struct(col("k").as("c"), col("cell").as("cl")),
         struct(col("d6"), (-col("k")).as("nc"))).as("mm"))
       .select(col(id), col("m"), col("mm.c").as("code"), col("mm.cl").as("cell"))
+  }
+
+  /** ADC RANK: probes (probe_id, pe, pcell) score the coded corpus
+    * via a broadcast LUT — estimated dot = EXACT long sum of the m
+    * LUT hits, within the probe's cell only; final per-probe top-k. */
+  private[operators] def adcRank(codes: DataFrame, probesAssigned: DataFrame,
+      cb: DataFrame, id: String, m: Int, d: Int, k: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.dot_product
     // probe lookup tables: scaled-long dot of every (probe subspace,
     // codebook entry) pair — tiny, broadcast
-    val lut = broadcast(assigned.filter(probePred)
-      .select(col(id).as("probe_id"), col(emb).as("pe"), col("cell").as("pcell"))
+    val lut = broadcast(probesAssigned
       .select(col("probe_id"), col("pcell"),
         explode(array((0 until m).map(j =>
           struct(lit(j).as("m"), slice(col("pe"), j * d + 1, d).as("qvec"))): _*))
@@ -470,8 +492,6 @@ object Similarity {
       .join(cb, Seq("m"))
       .select(col("probe_id"), col("pcell"), col("m"), col("k"),
         floor(dot_product(col("qvec"), col("cvec")) * 1000000.0 + 0.5).as("lutS")))
-    // ADC: estimated dot = EXACT long sum of the m LUT hits, within
-    // the probe's cell only
     val est = codes.join(lut,
         codes("m") === lut("m") && codes("code") === lut("k") &&
           codes("cell") === lut("pcell"))
@@ -601,8 +621,8 @@ object Similarity {
     * k ∝ |corpus| regime — the band join degrades to shuffle-hash on
     * (t, bkt) and the fallback to the salted [[allPairs]] product, so
     * no stage ever ships an unbounded table to every executor. */
-  private def argmaxAssignLsh(vectors: DataFrame, id: String, emb: String,
-      cents: DataFrame, bits: Int, tables: Int,
+  private[operators] def argmaxAssignLsh(vectors: DataFrame, id: String,
+      emb: String, cents: DataFrame, bits: Int, tables: Int,
       cos: (Column, Column) => Column,
       fits: Option[Boolean] = None): DataFrame = {
     // duplicate (id, cell) candidate rows (multi-table collisions) are
@@ -650,7 +670,7 @@ object Similarity {
     * spread over P shuffle-hash partitions instead of one driver
     * broadcast. P× replication is of the LEFT side only — callers
     * pass the (small by construction) band-missed remainder. */
-  private def allPairs(left: DataFrame, cents: DataFrame,
+  private[operators] def allPairs(left: DataFrame, cents: DataFrame,
       fits: Option[Boolean] = None): DataFrame =
     if (fits.getOrElse(fitsBroadcast(cents))) left.crossJoin(broadcast(cents))
     else {
@@ -678,8 +698,8 @@ object Similarity {
     * (id, emb, cell, ce), possibly with duplicate (id, cell) pairs
     * from multi-table collisions — callers collapse via max_by
     * (argmax) or groupBy (top-n), never a distinct shuffle. */
-  private def bandedCandidates(vectors: DataFrame, id: String, emb: String,
-      cents: DataFrame, bits: Int, tables: Int,
+  private[operators] def bandedCandidates(vectors: DataFrame, id: String,
+      emb: String, cents: DataFrame, bits: Int, tables: Int,
       fits: Option[Boolean] = None): DataFrame = {
     val banded = cents.select(col("cell"), col("ce"),
       explode(array((0 until tables).map(t =>
@@ -725,8 +745,19 @@ object Similarity {
       .select(col(id).as("cell"), col(emb).as("ce"))
     val assigned = argmaxAssignLsh(vectors, id, emb, anchors, bits, tables,
       (a, b) => cosR(a, b))
-    val pv = vectors.filter(probePred)
-      .select(col(id), col(emb))
+    searchAssigned(vectors.filter(probePred).select(col(id), col(emb)),
+      assigned, anchors, id, emb, k, nprobe, bits, tables)
+  }
+
+  /** the PROBE SIDE of [[ivfKnnLsh]] over an already cell-assigned
+    * corpus — factored out so the persisted-index path
+    * ([[VectorIndex.probe]]) runs the identical cell-ranking and
+    * search semantics over an assignment read from the lake.
+    * `pv` = (id, emb) probe rows; `assigned` = (id, emb, cell);
+    * `anchors` = (cell, ce). */
+  private[operators] def searchAssigned(pv: DataFrame, assigned: DataFrame,
+      anchors: DataFrame, id: String, emb: String, k: Int, nprobe: Int,
+      bits: Int, tables: Int): DataFrame = {
     // top-nprobe candidate cells per probe: collapse multi-table
     // duplicate (probe, cell) rows by a PARTIAL-agg max (the cosine is
     // identical across duplicates, so max = the value and no window

@@ -524,7 +524,10 @@ object Embed {
     * fixed-K teaching forms give up), yet every stage stays
     * O(n log n) because candidates per vector are pinned by the
     * corpusBits occupancy rule. */
-  val s8 = Q("s8_knn_ivf_mp_lsh", Some(s"""
+  // s8's oracle, factored so the persisted-index probe (s11) can pin
+  // against the IDENTICAL SQL — the index path must be bit-for-bit
+  // the inline composition, so they share one oracle by construction
+  private val s8OracleSql = s"""
     WITH $normCte,
     $lshAssign1Ctes,
     prc AS (SELECT p.vec_id AS probe_id, c.cell,
@@ -563,7 +566,9 @@ object Embed {
                                ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
     SELECT probe_id, rn, neighbor_id, c6 AS cos6
     FROM r WHERE rn <= 5
-    ORDER BY probe_id, rn""")) { (s, d) =>
+    ORDER BY probe_id, rn"""
+
+  val s8 = Q("s8_knn_ivf_mp_lsh", Some(s8OracleSql)) { (s, d) =>
     val vecs = t(s, d, "embeddings")
     val k = vecs.filter(col("vec_id") % 125 === 0).count()
     Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
@@ -665,7 +670,9 @@ object Embed {
     * refine stage). Oracle = s6's full CTE chain widened to rn ≤ 20
     * plus the exact re-score — candidate generation shared verbatim,
     * so the two stages can't drift. */
-  val s10 = Q("s10_knn_rerank", Some(s"""
+  // s10's oracle, factored for the same reason as s8's: the
+  // persisted-index rerank (s12) is pinned against the identical SQL
+  private val s10OracleSql = s"""
     WITH $normCte,
     $lshAssign1Ctes,
     asg AS (SELECT vec_id, embedding, cell FROM lasg1),
@@ -680,7 +687,9 @@ object Embed {
                                 ORDER BY c6 DESC, neighbor_id) AS rn
            FROM ex)
     SELECT probe_id, rn, neighbor_id, c6 AS cos6
-    FROM rr WHERE rn <= 5 ORDER BY probe_id, rn""")) { (s, d) =>
+    FROM rr WHERE rn <= 5 ORDER BY probe_id, rn"""
+
+  val s10 = Q("s10_knn_rerank", Some(s10OracleSql)) { (s, d) =>
     val vecs = t(s, d, "embeddings")
     val k = vecs.filter(col("vec_id") % 125 === 0).count()
     Similarity.pqRerank(vecs, "vec_id", "embedding",
@@ -689,5 +698,61 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
-  val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
+  // ---- s11/s12: the PERSISTED index lifecycle (build once, probe
+  // many — graft.operators.VectorIndex). The index for a corpus
+  // directory is built ON FIRST USE into a content-stamped location
+  // and REUSED by every later probe in any session: Verify/Bench
+  // warmups pay the build, the timed/checked passes measure the
+  // probe-only serving path — exactly the amortization a deployed
+  // vector store gets (the bench artifact's s11/s12 lines vs s8/s10
+  // are the measured build-vs-serve gap). The stamp digests the
+  // source table's file listing (name/size/mtime — metadata-only), so
+  // a regenerated corpus rebuilds instead of serving a stale index.
+  private def corpusStamp(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def ensureIndex(s: SparkSession, d: String): String = {
+    val stamp = corpusStamp(s, d)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_vindex_$stamp").getPath
+    val fresh =
+      try graft.operators.VectorIndex.readMeta(s, dir).stamp == stamp
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!fresh)
+      graft.operators.VectorIndex.write(t(s, d, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 125 === 0, dir,
+        stamp = stamp)
+    dir
+  }
+
+  /** s11: multi-probe IVF served FROM THE PERSISTED INDEX — zero
+    * training stages in the probe plan (IndexSpec pins the plan reads
+    * only index tables); results ≡ inline s8 bit-for-bit, so the
+    * oracle IS s8's SQL. */
+  val s11 = Q("s11_index_probe", Some(s8OracleSql)) { (s, d) =>
+    val dir = ensureIndex(s, d)
+    graft.operators.VectorIndex.probe(s, dir,
+      t(s, d, "embeddings").filter(col("vec_id") % 17 === 0), 5, nprobe = 2)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** s12: two-stage refine served from the persisted index — the
+    * production serving read (compressed-code nomination + exact
+    * re-rank, both over stored tables); ≡ inline s10 bit-for-bit. */
+  val s12 = Q("s12_index_rerank", Some(s10OracleSql)) { (s, d) =>
+    val dir = ensureIndex(s, d)
+    graft.operators.VectorIndex.probeRerank(s, dir,
+      t(s, d, "embeddings").filter(col("vec_id") % 17 === 0), 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
+    s7, s8, s9, s10, s11, s12)
 }

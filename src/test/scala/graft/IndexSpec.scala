@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{Similarity, VectorIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted ANN index lifecycle (VectorIndex): build once, probe
+  * many. Pins the two properties that make it a serving path rather
+  * than a cached demo:
+  *  (a) probe plans read ONLY the index tables — zero training
+  *      stages (training requires scanning the corpus; the corpus
+  *      parquet never appears in a probe plan);
+  *  (b) probe results are BIT-IDENTICAL to the inline s8/s6/s10
+  *      compositions on the same corpus and probe set — the index is
+  *      the same computation persisted, not an approximation of it. */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val anchorPred = col("vec_id") % 125 === 0
+  private val probePred = col("vec_id") % 17 === 0
+
+  private lazy val vecs =
+    Tables.load(spark, TestSpark.sf, "embeddings")
+  // probes handed to the index with their lineage CUT, so any corpus
+  // scan in a probe plan could only come from the index path itself
+  private lazy val probes = vecs.filter(probePred).localCheckpoint(true)
+
+  private lazy val idxDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    VectorIndex.write(vecs, "vec_id", "embedding", anchorPred, dir,
+      stamp = "spec")
+    dir
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("meta pins the build-time sizing (bits from the corpusBits rule)") {
+    val mt = VectorIndex.readMeta(spark, idxDir)
+    val kA = vecs.filter(anchorPred).count()
+    assert(mt.kAnchors == kA && mt.n == vecs.count())
+    assert(mt.bits == Similarity.corpusBits(kA, 4),
+      "probes must band with the INDEX's bits, pinned at build time")
+    assert(mt.stamp == "spec")
+  }
+
+  test("probe plans read only index tables — no corpus scan, no training stage") {
+    for ((name, df) <- Seq(
+        "probe" -> VectorIndex.probe(spark, idxDir, probes, 5, nprobe = 2),
+        "probePq" -> VectorIndex.probePq(spark, idxDir, probes, 5),
+        "probeRerank" -> VectorIndex.probeRerank(spark, idxDir, probes, 5))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("embeddings.parquet"),
+        s"$name plan scans the corpus — a training stage leaked into " +
+          s"the serving path:\n${p.take(1500)}")
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans >= 1 && p.contains(idxDir),
+        s"$name must read the persisted index tables:\n${p.take(800)}")
+    }
+  }
+
+  test("probe ≡ inline s8 (ivfKnnLsh) bit-for-bit") {
+    val mt = VectorIndex.readMeta(spark, idxDir)
+    val inline = Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
+      anchorPred, probePred, 5, nprobe = 2, bits = mt.bits)
+    val probed = VectorIndex.probe(spark, idxDir, probes, 5, nprobe = 2)
+    assert(rows(probed) == rows(inline))
+  }
+
+  test("probePq ≡ inline s6 (ivfPqKnnLsh) bit-for-bit") {
+    val mt = VectorIndex.readMeta(spark, idxDir)
+    val inline = Similarity.ivfPqKnnLsh(vecs, "vec_id", "embedding",
+      anchorPred, probePred, 5, mt.bits)
+    val probed = VectorIndex.probePq(spark, idxDir, probes, 5)
+    assert(rows(probed) == rows(inline))
+  }
+
+  test("probeRerank ≡ inline s10 (pqRerank) bit-for-bit") {
+    val mt = VectorIndex.readMeta(spark, idxDir)
+    val inline = Similarity.pqRerank(vecs, "vec_id", "embedding",
+      anchorPred, probePred, 5, mt.bits)
+    val probed = VectorIndex.probeRerank(spark, idxDir, probes, 5)
+    assert(rows(probed) == rows(inline))
+  }
+
+  test("assigned/codes land sort-clustered on cell (disjoint file ranges)") {
+    // every persisted corpus-sized table must be cell-clustered so a
+    // cell-restricted probe batch can skip files on footer min/max
+    for (tbl <- Seq("assigned", "codes")) {
+      val df = spark.read.parquet(s"$idxDir/$tbl")
+        .select(col("cell"), input_file_name().as("f"))
+      val ranges = df.groupBy("f")
+        .agg(min("cell").as("lo"), max("cell").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"$tbl files overlap on cell: $hi1 > $lo2")
+        case _ =>
+      }
+    }
+  }
+}
