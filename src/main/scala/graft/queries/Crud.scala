@@ -175,6 +175,53 @@ object Crud {
       .orderBy("doc_id")
   }
 
+  /** full keyed MERGE semantics ([[graft.sources.LakeSink.mergedView]]
+    * — the computation `LakeSink.mergeKeyed` publishes as a lake
+    * generation; reference order.js:675,709 UPDATE/DELETE by PK):
+    * updates UPSERT by key (every 7th order re-priced to status 'U'),
+    * NEW keys insert (every 13th order cloned past the key space as
+    * status 'N'), tombstoned keys drop (o_orderkey % 11 = 3), the
+    * rest survive. Output = per-status counts + exact sums over the
+    * merged relation. */
+  val a15 = Q("a15_merge", Some("""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.05 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, 'N' AS o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0),
+    del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 3),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey)
+        AND NOT EXISTS (SELECT 1 FROM del WHERE del.o_orderkey = o.o_orderkey))
+    SELECT o_orderstatus, count(*) AS n,
+      CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+    val base = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.05)
+      .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .withColumn("o_orderstatus", lit("N")))
+    val deletes = base.filter(col("o_orderkey") % 11 === 3)
+      .select("o_orderkey")
+    graft.sources.LakeSink.mergedView(base, updates, "o_orderkey",
+      Some(deletes))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), termSum6(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   // int sums CAST AS BIGINT: DuckDB sum() yields HUGEINT, which
   // stringifies differently from Spark's LONG in the driver compare
   val a9 = Q("a9_validate", Some("""
@@ -197,5 +244,5 @@ object Crud {
   }
 
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14)
+    a12, a13, a14, a15)
 }

@@ -200,7 +200,27 @@ object LakeSink {
   private[graft] def compactTableImpl(spark: SparkSession, table: String,
       targetRecordsPerFile: Long,
       rewrite: (DataFrame, Int, String, String) => Unit,
-      retainMs: Long = 600000L): Long = {
+      retainMs: Long = 600000L): Long =
+    publishGeneration(spark, table, retainMs) { (df, dest, format) =>
+      val n = df.count()
+      val nFiles = math.max(1L,
+        (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      rewrite(df, nFiles, dest, format)
+      n
+    }
+
+  /** The generation-publish machinery [[compactTable]] and
+    * [[mergeKeyed]] share: resolve the live generation, entry-GC
+    * stale generations under the retention contract, run
+    * `write(live, destPath, format)` — which lands the next
+    * generation and returns the row count it MUST contain — verify
+    * the landed copy against that count, then publish with ONE
+    * `ALTER TABLE ... SET LOCATION` catalog flip. A short/failed
+    * write aborts with the live table untouched and continuously
+    * readable. Factored so a new lifecycle op composes the publish
+    * instead of re-implementing its safety argument. */
+  private[graft] def publishGeneration(spark: SparkSession, table: String,
+      retainMs: Long)(write: (DataFrame, String, String) => Long): Long = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
     require(catalog.tableExists(ident), s"unknown table $table")
@@ -234,24 +254,88 @@ object LakeSink {
       .foreach(st => require(fs.delete(st.getPath, true),
         s"stale generation ${st.getPath} undeletable"))
     val next = new org.apache.hadoop.fs.Path(curLoc.getParent, s"$stem.g${gen + 1}")
-    val df = spark.table(table)
-    val n = df.count()
-    val nFiles = math.max(1L,
-      (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    rewrite(df, nFiles, next.toString, format)
+    val expected = write(spark.table(table), next.toString, format)
     // verify BEFORE the flip: a short copy aborts with the live table
     // untouched and still continuously readable
     val nextCount = spark.read.format(format).load(next.toString).count()
-    if (nextCount != n) {
+    if (nextCount != expected) {
       fs.delete(next, true)
       throw new java.io.IOException(
-        s"compacted copy at $next has $nextCount rows, expected $n; " +
+        s"new generation at $next has $nextCount rows, expected $expected; " +
           "aborting — table location unchanged")
     }
     // THE no-gap publish: one catalog metadata operation
     spark.sql(s"ALTER TABLE `$table` SET LOCATION '${next.toString}'")
     spark.catalog.refreshTable(table)
-    n
+    expected
+  }
+
+  /** The pure MERGE relation — updates win by key, tombstoned keys
+    * drop, every other base row survives: [[mergeKeyed]]'s
+    * computation without the publish (and the oracle-checkable a15
+    * query form). Anti-join + union: only KEYS shuffle for the
+    * survivor selection, payloads move once. */
+  def mergedView(base: DataFrame, updates: DataFrame, key: String,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val delKeys = deletes.map(_.select(col(key)))
+      .getOrElse(updates.select(col(key)).limit(0))
+    val gone = updates.select(col(key)).unionByName(delKeys).distinct()
+    base.join(gone, Seq(key), "left_anti").unionByName(updates)
+  }
+
+  /** Keyed MERGE on a catalog-addressed lake table — the reference's
+    * UPDATE/DELETE-by-PK surface (reference lambda_fns/order.js:675,
+    * 709) brought to the immutable lake: updates UPSERT by key,
+    * `deletes` keys drop, everything else survives, all landed as ONE
+    * new generation and published with compactTable's no-gap catalog
+    * flip. Readers see the pre-merge table until the flip and the
+    * post-merge table after — never a mix; superseded generations
+    * honor the snapshot-retention window, so a scan planned before
+    * the merge finishes safely.
+    *
+    * Refusals BEFORE any byte lands (the writeStaged philosophy):
+    * a NULL update/delete key can never merge or retry idempotently,
+    * and a duplicate update key would merge one key to two rows —
+    * both refuse BY NAME. The landed generation is verified against
+    * the independently-computed expected count (base − matched −
+    * deleted + updates) before the flip, so a short write aborts with
+    * the live table untouched.
+    *
+    * Scale shape: one anti-join of the base on the (distinct) merged
+    * key set — keys shuffle, payloads move once into the new
+    * generation. Same single-writer assumption as [[appendEvolved]].
+    * Returns the merged row count. */
+  def mergeKeyed(spark: SparkSession, table: String, updates: DataFrame,
+      key: String, deletes: Option[DataFrame] = None,
+      retainMs: Long = 600000L): Long = {
+    import org.apache.spark.sql.functions.col
+    val nNullU = updates.filter(col(key).isNull).count()
+    require(nNullU == 0,
+      s"MERGE REFUSED: $nNullU update rows carry a NULL $key — a NULL key " +
+        "can never be merged or retried idempotently")
+    val nDup = updates.groupBy(col(key)).count()
+      .filter(col("count") > 1).count()
+    require(nDup == 0,
+      s"MERGE REFUSED: $nDup duplicate $key values in the update batch — " +
+        "one key must merge to exactly one row")
+    deletes.foreach { dels =>
+      val nNullD = dels.filter(col(key).isNull).count()
+      require(nNullD == 0,
+        s"MERGE REFUSED: $nNullD delete rows carry a NULL $key")
+    }
+    publishGeneration(spark, table, retainMs) { (live, dest, format) =>
+      mergedView(live, updates, key, deletes)
+        .write.format(format).mode("overwrite").save(dest)
+      // expected count computed independently of the written bytes,
+      // so the pre-flip verify actually verifies
+      val updKeys = updates.select(col(key)).distinct()
+      val matched = live.join(updKeys, Seq(key), "left_semi").count()
+      val deleted = deletes.map(dels =>
+        live.join(dels.select(col(key)).distinct(), Seq(key), "left_semi")
+          .join(updKeys, Seq(key), "left_anti").count()).getOrElse(0L)
+      live.count() - matched - deleted + updates.count()
+    }
   }
 
   /** Sort-clustered write: range-partition on `sortCols` (distributed

@@ -238,6 +238,69 @@ class LakeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cnogap_abort")
   }
 
+  test("mergeKeyed: upsert+delete as one generation flip; no read gap; refusals by name") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_merge").toString + "/t"
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    LakeSink.writeParquet(base, out, maxRecordsPerFile = 25)
+    LakeSink.registerExternal(spark, "merge_t", out)
+    // updates: keys 10,20 changed + key 200 inserted; delete key 30
+    val updates = Seq((10L, "U10"), (20L, "U20"), (200L, "N200"))
+      .toDF("k", "v")
+    val deletes = Seq(Tuple1(30L)).toDF("k")
+    // hammer the table from another thread across the flip: every
+    // read sees either the full pre-merge or full post-merge table
+    @volatile var stop = false
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        try seen.add(spark.table("merge_t").count())
+        catch { case t: Throwable => errs.add(t) }
+      }
+    })
+    reader.start()
+    val n = try LakeSink.mergeKeyed(spark, "merge_t", updates, "k",
+      Some(deletes)) finally { stop = true; reader.join() }
+    assert(errs.isEmpty, s"reader saw a gap: ${errs.peek()}")
+    // pre- and post-merge counts are BOTH 100 by construction
+    // (−1 delete +1 insert), so any other value is a partial read
+    seen.forEach(c => assert(c == 100L, s"partial table: $c"))
+    assert(n == 100L) // 100 - 2 matched - 1 deleted + 3 updates
+    val after = spark.table("merge_t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 100)
+    assert(after(10L) == "U10" && after(20L) == "U20", "updates must win")
+    assert(after(200L) == "N200", "new key must insert")
+    assert(!after.contains(30L), "tombstoned key must be gone")
+    assert(after(31L) == "v31", "untouched rows must survive verbatim")
+    // the superseded generation survives within retention (a scan
+    // planned pre-merge finishes against it)
+    assert(new java.io.File(out).exists, "pre-merge gen must survive retention")
+    // refusals BEFORE any byte lands: NULL key, duplicate key
+    val nullUpd = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(null, "x"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSink.mergeKeyed(spark, "merge_t", nullUpd, "k")
+    }
+    assert(e1.getMessage.contains("MERGE REFUSED") &&
+      e1.getMessage.contains("NULL"))
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSink.mergeKeyed(spark, "merge_t",
+        Seq((5L, "a"), (5L, "b")).toDF("k", "v"), "k")
+    }
+    assert(e2.getMessage.contains("MERGE REFUSED") &&
+      e2.getMessage.contains("duplicate"))
+    assert(spark.table("merge_t").count() == 100L,
+      "refused merges must not touch the table")
+    spark.sql("DROP TABLE merge_t")
+  }
+
   test("bucketed tables join with zero Exchange (shuffle-free co-located join)") {
     val orders = Tables.load(spark, TestSpark.sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
