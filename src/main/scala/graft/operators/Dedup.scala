@@ -506,6 +506,53 @@ object Dedup {
           .as("kept_tokens"))
   }
 
+  /** OVERLAPPING-window exact-substring duplication — the Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") window form of [[spanDedup]]: every `w`-token window
+    * at `stride`-token steps is keyed by a 48-bit digest, and a
+    * window is DUPLICATED when an identical window occurs EARLIER in
+    * the corpus ((doc_id, start) order — d23's first-occurrence
+    * rule). d23's non-overlapping aligned spans MISS a duplicated
+    * run that straddles a span boundary: each containing span
+    * differs by its non-duplicated remainder, so neither span
+    * matches anything. Overlapping windows close that gap with a
+    * hard guarantee: at stride s, ANY duplicated run of
+    * ≥ w + s − 1 tokens contains at least one aligned identical
+    * window pair — stride 1 gives the paper's exact ≥ w-token
+    * guarantee at w× d23's digest rows. Docs shorter than w emit one
+    * whole-doc window (short exact duplicates still collide).
+    *
+    * Returns per-doc (n_tok, n_windows, dup_windows) — the
+    * window-granular drop/rewrite signal.
+    *
+    * Scale shape: digest rows are a map-only explode — ~n_tok/stride
+    * NARROW rows per doc ((digest, doc, start) = 24 bytes; text
+    * never leaves its scan); `stride` is the cost lever (stride s
+    * divides rows by s and weakens the guarantee to w+s−1). The
+    * first-occurrence window partitions on the digest — bounded by
+    * duplication depth, never corpus size (d23's argument); the
+    * rollup is one partial agg. */
+  def windowDupStats(docs: DataFrame, id: String, text: String,
+      w: Int = 16, stride: Int = 1): DataFrame = {
+    val spans = tokenized(docs, id, text)
+      .select(col(id), col("__tk"), size(col("__tk")).as("n_tok"))
+      .select(col(id), col("__tk"), col("n_tok"),
+        explode(sequence(lit(0),
+          floor(greatest(col("n_tok") - w, lit(0)) / stride).cast("int")))
+          .as("wi"))
+      .select(col(id), col("n_tok"), (col("wi") * stride).as("st"),
+        expr(graft.queries.Text.fold48(
+          s"md5(cast(array_join(slice(__tk, wi * $stride + 1, $w), ' ') as binary))"))
+          .as("dig"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dig")).orderBy(col(id), col("st"))
+    spans.withColumn("rn", row_number().over(win))
+      .groupBy(col(id))
+      .agg(max(col("n_tok")).cast("long").as("n_tok"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_windows"))
+  }
+
   /** The APPLY side of [[spanDedup]]: REWRITE each document keeping
     * only its globally-first-occurrence spans — the curation action
     * the d23 stats justify (CCNet/RefinedWeb drop repeated

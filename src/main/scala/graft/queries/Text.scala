@@ -675,6 +675,32 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** overlapping-window exact-substring duplication
+    * ([[graft.operators.Dedup.windowDupStats]]) — the Lee-et-al form
+    * of d23: 16-token windows at stride 1, so ANY duplicated run of
+    * ≥ 16 tokens is caught even when it STRADDLES d23's aligned
+    * span boundaries (the planted-straddle spec shows d23 provably
+    * missing one d27 catches). Per-doc window counts + how many are
+    * later occurrences of an earlier identical window. */
+  val d27 = Q("d27_window_dedup", Some(s"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sp AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok, l,
+             unnest(range(0, greatest(CAST(len(l) AS INT) - 16, 0) + 1)) AS st
+           FROM tk),
+    dg AS (SELECT doc_id, n_tok, st,
+             ${Text.fold48("md5(array_to_string(l[CAST(st + 1 AS INT):CAST(st + 16 AS INT)], ' '))")} AS dig
+           FROM sp),
+    r AS (SELECT *, row_number() OVER (PARTITION BY dig
+                      ORDER BY doc_id, st) AS rn FROM dg)
+    SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+      CAST(count(*) AS BIGINT) AS n_windows,
+      CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+    FROM r GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+    graft.operators.Dedup.windowDupStats(t(s, d, "documents"),
+      "doc_id", "text", 16, 1)
+      .orderBy("doc_id")
+  }
+
   /** Count-Min sketch heavy hitters
     * ([[TextAnalysis.cmsTopTerms]]) — frequency estimation from a
     * FIXED k×m counter grid (here deliberately narrow, 3×16, so the
@@ -736,5 +762,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, d1, d23, d26, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, d1, d23, d26, d27, m1, m2, m3, m4, m5, m6, m7, m8)
 }

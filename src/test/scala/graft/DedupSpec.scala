@@ -31,6 +31,38 @@ class DedupSpec extends AnyFunSuite {
     assert(ham < 8.0, s"avg hamming distance of near-dups was $ham / 32")
   }
 
+  test("d27 catches a straddling duplicated run that d23's aligned spans provably miss") {
+    import spark.implicits._
+    // doc 1 = a0..a39; doc 2 = 8 own tokens, then a COPY of doc 1's
+    // tokens a8..a27 (a 20-token run), then 8 own tokens. The copied
+    // run straddles doc 2's 16-token span boundary, so every d23 span
+    // containing it also contains non-duplicated remainder tokens —
+    // no span matches any doc-1 span.
+    val d1tok = (0 until 40).map(i => s"a$i")
+    val d2tok = (0 until 8).map(i => s"b$i") ++ d1tok.slice(8, 28) ++
+      (0 until 8).map(i => s"c$i")
+    val two = Seq((1L, d1tok.mkString(" ")), (2L, d2tok.mkString(" ")))
+      .toDF("doc_id", "text")
+    val span = D.spanDedup(two, "doc_id", "text", 16)
+      .filter(col("doc_id") === 2).head()
+    assert(span.getAs[Long]("kept_spans") == span.getAs[Long]("n_spans"),
+      "d23 must NOT see the straddle — that is exactly the gap d27 closes")
+    val win = D.windowDupStats(two, "doc_id", "text", 16, 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("dup_windows"))).toMap
+    // doc 2's windows fully inside the copied run start at offsets
+    // 8..12 — exactly 5 aligned pairs with doc 1's windows 8..12
+    assert(win(1L) == ((25L, 0L)), s"doc 1 is the first occurrence: $win")
+    assert(win(2L) == ((21L, 5L)),
+      s"the 20-token straddle must yield 5 duplicated 16-windows: $win")
+    // the w+s-1 guarantee boundary: at stride 4 the same run is only
+    // caught when its alignment cooperates — stride is a recall lever,
+    // 20 >= 16+4-1 so at least one aligned window pair must survive
+    val s4 = D.windowDupStats(two, "doc_id", "text", 16, 4)
+      .filter(col("doc_id") === 2).head().getAs[Long]("dup_windows")
+    assert(s4 >= 1, s"stride-4 must still catch a 20-token run, got $s4")
+  }
+
   test("short docs (<3 tokens): native, SQL, and truncated-shingle forms agree") {
     import spark.implicits._
     val short = Seq((1L, "solo"), (2L, "two words"), (3L, "three word doc"),
