@@ -43,30 +43,48 @@ object Recall {
       Similarity.bruteKnn(vecs, "vec_id", "embedding", probePred, k)
         .select(col("probe_id"), col("neighbor_id")).localCheckpoint(true)
     }
-    val denom = truth.count().toDouble // <= nProbes*k (tiny corpora)
+    // FILTERED ground truth for s9: per-label brute — the relevant
+    // set for a constrained probe is its own partition's true top-k
+    // (recall against the unfiltered truth would punish the filter
+    // for working). Built from the public brute path per label.
+    val labels = vecs.select("label").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val truthF = labels.map(l =>
+        Similarity.bruteKnn(vecs.filter(col("label") === l),
+          "vec_id", "embedding", probePred, k))
+      .reduce(_ unionByName _)
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint(true)
+    val maxPart = vecs.groupBy("label").count()
+      .agg(max("count")).head().getLong(0)
+    val bitsPart = Similarity.corpusBits(maxPart)
 
-    def recallOf(df: DataFrame): Double =
+    def recallOf(df: DataFrame, t: DataFrame): Double =
       df.select(col("probe_id"), col("neighbor_id"))
-        .join(truth, Seq("probe_id", "neighbor_id")).count() / denom
+        .join(t, Seq("probe_id", "neighbor_id")).count() / t.count().toDouble
 
-    val methods: Seq[(String, () => DataFrame)] = Seq(
-      "s2_lsh" -> (() => Similarity.lshKnn(vecs, "vec_id", "embedding",
-        probePred, k, bitsCorpus)),
-      "s6_ivfpq_lsh" -> (() => Similarity.ivfPqKnnLsh(vecs, "vec_id",
-        "embedding", anchorPred, probePred, k, bits)),
-      "s8_np1" -> (() => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
-        anchorPred, probePred, k, nprobe = 1, bits = bits)),
-      "s8_np2" -> (() => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
-        anchorPred, probePred, k, nprobe = 2, bits = bits)),
-      "s8_np4" -> (() => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
-        anchorPred, probePred, k, nprobe = 4, bits = bits)),
-      "s10_rerank" -> (() => Similarity.pqRerank(vecs, "vec_id", "embedding",
-        anchorPred, probePred, k, bits)))
+    val methods: Seq[(String, () => DataFrame, DataFrame)] = Seq(
+      ("s2_lsh", () => Similarity.lshKnn(vecs, "vec_id", "embedding",
+        probePred, k, bitsCorpus), truth),
+      ("s6_ivfpq_lsh", () => Similarity.ivfPqKnnLsh(vecs, "vec_id",
+        "embedding", anchorPred, probePred, k, bits), truth),
+      ("s8_np1", () => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
+        anchorPred, probePred, k, nprobe = 1, bits = bits), truth),
+      ("s8_np2", () => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
+        anchorPred, probePred, k, nprobe = 2, bits = bits), truth),
+      ("s8_np4", () => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
+        anchorPred, probePred, k, nprobe = 4, bits = bits), truth),
+      ("s10_rerank", () => Similarity.pqRerank(vecs, "vec_id", "embedding",
+        anchorPred, probePred, k, bits), truth),
+      // recall-under-filter: does a selective label constraint cost
+      // recall at fixed per-part bits? (the number a production
+      // vector store quotes for filtered search)
+      ("s9_filtered", () => Similarity.lshKnnFiltered(vecs, "vec_id",
+        "embedding", "label", probePred, k, bits = bitsPart), truthF))
 
-    val results = methods.map { case (name, mk) =>
+    val results = methods.map { case (name, mk, t) =>
       val (r, sec) = timed {
         val out = mk().localCheckpoint(true) // materialize = the timed work
-        recallOf(out)
+        recallOf(out, t)
       }
       name -> ((r, sec))
     }
