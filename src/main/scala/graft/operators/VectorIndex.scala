@@ -95,6 +95,61 @@ object VectorIndex {
     Meta(n, kA, bits, tables, m, d, codebookK, id, emb, stamp)
   }
 
+  /** INCREMENTAL index maintenance — the other half of build-once:
+    * new vectors are quantized by the FROZEN coarse quantizer and
+    * codebook (assigned + encoded against the stored anchors/
+    * codebook — the standard IVF insert contract: incremental adds
+    * never retrain; drifted distributions retrain via a fresh
+    * [[write]]) and APPENDED to the assigned/codes tables, each
+    * batch internally cell-clustered. Cost is |batch|, never
+    * |corpus| — the existing tables are only touched by the id-
+    * collision guard's column-pruned key scan.
+    *
+    * REFUSES BY NAME a batch carrying ids already in the index (a
+    * duplicate id would answer probes with two rows for one vector)
+    * or a NULL id. For the exact-vector probe path the result
+    * equals a full rebuild with the same anchors bit-for-bit
+    * (IndexSpec pins it); the PQ path differs from a rebuild only in
+    * that the codebook stays frozen (rebuild re-seeds it from the
+    * grown corpus). Returns the new total vector count. */
+  def append(spark: SparkSession, dir: String, newVectors: DataFrame): Long = {
+    val mt = readMeta(spark, dir)
+    val (id, emb) = (mt.idCol, mt.embCol)
+    val nNull = newVectors.filter(col(id).isNull).count()
+    require(nNull == 0,
+      s"INDEX APPEND REFUSED: $nNull rows carry a NULL $id")
+    val existing = spark.read.parquet(s"$dir/assigned").select(col(id))
+    val nDup = newVectors.select(col(id)).join(existing, Seq(id), "left_semi")
+      .count()
+    require(nDup == 0,
+      s"INDEX APPEND REFUSED: $nDup ids already present in the index — " +
+        "a duplicate id would serve two rows for one vector; merge/" +
+        "delete needs a rebuild (or a lake-side mergeKeyed on the tables)")
+    val anchors = spark.read.parquet(s"$dir/anchors")
+    val cb = broadcast(spark.read.parquet(s"$dir/codebook"))
+    // assignment computed once (localCheckpoint: consumed by both the
+    // assigned append and the encode), then landed cell-clustered
+    val na = Similarity.argmaxAssignLsh(
+        newVectors.select(col(id), col(emb)), id, emb, anchors,
+        mt.bits, mt.tables, (a, b) => Similarity.cosR(a, b))
+      .localCheckpoint(true)
+    val nNew = na.count()
+    val nFiles = math.max(1L, nNew / 500000L).toInt
+    na.repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$dir/assigned")
+    Similarity.pqEncode(na, id, emb, cb, mt.m, mt.d)
+      .repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$dir/codes")
+    import spark.implicits._
+    val total = mt.n + nNew
+    Seq((total, mt.kAnchors, mt.bits, mt.tables, mt.m, mt.d, mt.codebookK,
+        id, emb, mt.stamp))
+      .toDF("n", "k_anchors", "bits", "tables", "m", "d", "codebook_k",
+        "id_col", "emb_col", "stamp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    total
+  }
+
   def readMeta(spark: SparkSession, dir: String): Meta = {
     val r = spark.read.parquet(s"$dir/meta").head()
     Meta(r.getAs[Long]("n"), r.getAs[Long]("k_anchors"),

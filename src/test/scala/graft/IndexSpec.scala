@@ -83,6 +83,54 @@ class IndexSpec extends AnyFunSuite {
     assert(rows(probed) == rows(inline))
   }
 
+  test("append: frozen-quantizer inserts; exact-vector probe ≡ same-anchor rebuild; refusals") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_idx_a").toString
+    val dirAB = java.nio.file.Files.createTempDirectory("graft_idx_ab").toString
+    // corpus A and batch B split so B carries NO anchors (v%125==0 ⇒
+    // v%5==0 ≠ 4): a rebuild on A∪B then picks exactly A's anchors,
+    // making append ≡ rebuild a meaningful bit-for-bit pin for the
+    // exact-vector probe path (the PQ codebook is frozen by design —
+    // rebuild would re-seed it from the grown corpus)
+    val a = vecs.filter(col("vec_id") % 5 =!= 4)
+    val b = vecs.filter(col("vec_id") % 5 === 4).localCheckpoint(true)
+    VectorIndex.write(a, "vec_id", "embedding", anchorPred, dirA, stamp = "A")
+    val total = VectorIndex.append(spark, dirA, b)
+    assert(total == vecs.count(), "meta must track the appended total")
+    VectorIndex.write(vecs, "vec_id", "embedding", anchorPred, dirAB,
+      stamp = "AB")
+    assert(rows(VectorIndex.probe(spark, dirA, probes, 5, nprobe = 2)) ==
+      rows(VectorIndex.probe(spark, dirAB, probes, 5, nprobe = 2)),
+      "probe over append must equal probe over the same-anchor rebuild")
+    // an appended vector is SERVED: a probe that is its exact copy
+    // reaches it with the maximal ADC estimate (the encode/ADC shared
+    // argmax objective — an exact copy can never be out-scored)
+    val v = b.orderBy("vec_id").head()
+    val copy = b.filter(col("vec_id") === v.getLong(0))
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    val served = VectorIndex.probePq(spark, dirA, copy, 5).collect()
+    assert(served.nonEmpty, "the exact-copy probe must return results")
+    val best = served.map(_.getAs[Double]("est6")).max
+    val own = served.find(_.getAs[Long]("neighbor_id") == v.getLong(0))
+    assert(own.exists(_.getAs[Double]("est6") == best),
+      s"the appended vector must score the maximal ADC estimate: " +
+        served.mkString(", "))
+    // refusals BEFORE any byte lands
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.append(spark, dirA, b.limit(1))
+    }
+    assert(e1.getMessage.contains("INDEX APPEND REFUSED") &&
+      e1.getMessage.contains("already present"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.append(spark, dirA,
+        b.limit(1).select(lit(null).cast("long").as("vec_id"),
+          col("embedding")))
+    }
+    assert(e2.getMessage.contains("INDEX APPEND REFUSED") &&
+      e2.getMessage.contains("NULL"))
+    assert(VectorIndex.readMeta(spark, dirA).n == total,
+      "refused appends must not touch the meta")
+  }
+
   test("assigned/codes land sort-clustered on cell (disjoint file ranges)") {
     // every persisted corpus-sized table must be cell-clustered so a
     // cell-restricted probe batch can skip files on footer min/max
