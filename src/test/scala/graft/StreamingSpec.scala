@@ -543,4 +543,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(corpusIds.toSet == Set(1L, 3L, 5L), s"corpus = $corpusIds")
   }
+
+  test("continuous probe serving: foreachBatch answers micro-batches from the persisted index") {
+    // the serving loop a deployed vector store runs: the index is
+    // built ONCE (the amortized cost), then every arriving probe
+    // batch is answered by VectorIndex.probe — the probe-only path
+    // whose plan contains zero training stages (IndexSpec). Pinned ≡
+    // the batch probe over the same probe set: per-probe work is
+    // independent, so micro-batching cannot change an answer.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.VectorIndex
+    val vecs = Tables.load(spark, TestSpark.sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_srv").toString
+    VectorIndex.write(vecs, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, dir, stamp = "srv")
+    val probeVecs = vecs.filter(col("vec_id") % 17 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(probeVecs.length >= 4, "need a few probes to micro-batch")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val answers = scala.collection.mutable.ArrayBuffer[String]()
+    val q = in.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        answers ++= VectorIndex.probe(spark, dir,
+          batch.withColumn("embedding", col("embedding").cast("array<float>")),
+          5, nprobe = 2).collect().map(_.toString)
+        ()
+      }.start()
+    val (req1, req2) = probeVecs.splitAt(2)
+    in.addData(req1.toSeq); q.processAllAvailable()
+    in.addData(req2.toSeq); q.processAllAvailable()
+    q.stop()
+    val expected = VectorIndex.probe(spark, dir,
+      vecs.filter(col("vec_id") % 17 === 0), 5, nprobe = 2)
+      .collect().map(_.toString)
+    assert(answers.sorted.toSeq == expected.sorted.toSeq,
+      s"streamed answers must equal the batch probe: ${answers.size} vs ${expected.length}")
+  }
 }
