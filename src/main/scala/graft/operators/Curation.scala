@@ -66,6 +66,14 @@ object Curation {
     * embedding row cannot be judged and is KEPT — the stage never
     * silently drops unembedded docs.
     *
+    * `maxDupWindowFrac`: when set, a `window_dup_filter` stage runs
+    * after the span rewrite: documents whose d27 overlapping-window
+    * duplication fraction ([[Dedup.windowDupStats]] at `dupWindow`
+    * tokens, stride 1) exceeds the cap are DROPPED — the
+    * boilerplate-mass rule for duplication that straddles span
+    * boundaries; first-occurrence keep means a passage's first
+    * carrier always survives.
+    *
     * `keepBestQuality`: when true, the near-dup stage keeps each
     * cluster's highest-QUALITY member ([[Dedup.clusterRepresentatives]]'
     * rule over [[TextAnalysis.quality]]'s score, ties → min id)
@@ -84,7 +92,9 @@ object Curation {
       semSeedRate: Double = 0.008,
       keepBestQuality: Boolean = false,
       pplKeepDeciles: Option[Int] = None,
-      spanDedup: Option[Int] = None): (DataFrame, DataFrame) = {
+      spanDedup: Option[Int] = None,
+      maxDupWindowFrac: Option[Double] = None,
+      dupWindow: Int = 16): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
@@ -152,6 +162,24 @@ object Curation {
         d.drop(text).join(
           Dedup.spanDedupRewrite(d, id, text, spanLen)
             .select(col(id), col("text_kept").as(text)), Seq(id))
+      }
+    }
+    maxDupWindowFrac.foreach { maxFrac =>
+      stage("window_dup_filter") { d =>
+        // d27's overlapping-window signal as a DROP rule: a doc whose
+        // duplicated-window fraction exceeds the cap is mostly text
+        // seen EARLIER in the corpus — boilerplate/template mass that
+        // straddles span boundaries, which doc-level dedup kept (the
+        // docs as wholes differ) and aligned span_dedup under-counts.
+        // Drop, not rewrite (the rewrite seat is span_dedup's); the
+        // first-occurrence rule means the first carrier of a popular
+        // passage always survives, so the stage can never drop a
+        // passage's every copy.
+        val stats = Dedup.windowDupStats(d, id, text, dupWindow)
+        val drops = stats.filter(col("n_windows") > 0 &&
+            col("dup_windows") * 1.0 / col("n_windows") > maxFrac)
+          .select(id)
+        d.join(drops, Seq(id), "left_anti")
       }
     }
     embeddings.foreach { embTab =>

@@ -71,6 +71,35 @@ class CurationSpec extends AnyFunSuite {
         "re-executing stage lineages instead of sharing the persisted stage output")
   }
 
+  test("window_dup_filter drops the straddling-boilerplate doc, keeps the first carrier") {
+    import spark.implicits._
+    // doc 2 = 8 own tokens + a 28-token copy of doc 1's tokens 5..32:
+    // a straddle doc-level dedup keeps (the docs differ) and aligned
+    // span dedup under-counts — 13 of its 21 overlapping 16-windows
+    // (62%) duplicate doc 1's, over the 0.5 cap
+    val aTok = (0 until 40).map(i => s"alpha$i")
+    val bTok = (0 until 8).map(i => s"beta$i") ++ aTok.slice(5, 33)
+    val cTok = (0 until 40).map(i => s"gamma$i")
+    val corpus = Seq((1L, aTok.mkString(" "), "en"),
+      (2L, bTok.mkString(" "), "en"), (3L, cTok.mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val ev = Seq((9L, "held out benchmark text entirely unrelated"))
+      .toDF("doc_id", "text")
+    val (out, rep) = Curation.curate(corpus, "doc_id", "text", col("lang"),
+      ev, maxContam = 0.9, maxDupWindowFrac = Some(0.5))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"the first carrier and the unique doc must survive: kept = $kept")
+    val stages = rep.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stages("window_dup_filter") == ((3L, 2L)), s"stages = $stages")
+    // without the option the stage is absent and the straddle survives
+    val (out2, rep2) = Curation.curate(corpus, "doc_id", "text",
+      col("lang"), ev, maxContam = 0.9)
+    assert(!rep2.collect().map(_.getString(0)).contains("window_dup_filter"))
+    assert(out2.count() == 3)
+  }
+
   test("curate scrubs PII before anything downstream sees the text") {
     import spark.implicits._
     val filler = (1 to 30).map(i => s"word$i").mkString(" ")
