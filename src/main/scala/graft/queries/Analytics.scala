@@ -1120,8 +1120,52 @@ object Analytics {
       .orderBy(col("n").desc, col("path")).limit(20)
   }
 
+  /** correlated DOUBLE-EXISTS (the TPC-H Q21 "suppliers who kept
+    * waiting" shape, on this schema: sole-blame suppliers — the only
+    * supplier with a RETURNED line in a multi-supplier order):
+    * `EXISTS (another supplier in the order) AND NOT EXISTS (another
+    * supplier with a returned line)`. The Spark plan DECORRELATES
+    * both subqueries into ONE per-order partial aggregate
+    * (n_distinct suppliers, n_distinct returned suppliers) joined
+    * back on the order key — two narrow partial-agg shuffles + one
+    * equi-join, where the naive correlated form self-joins the fact
+    * table twice. The supplier name join is a broadcast dim. Oracle
+    * keeps the EXISTS form, so the decorrelation itself is
+    * hash-checked. */
+  val q43 = Q("q43_multi_exists", Some("""
+    WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+               WHERE l_returnflag = 'R'),
+    cand AS (SELECT r.l_orderkey, r.l_suppkey FROM r
+             WHERE EXISTS (SELECT 1 FROM lineitem l2
+                           WHERE l2.l_orderkey = r.l_orderkey
+                             AND l2.l_suppkey <> r.l_suppkey)
+               AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                               WHERE l3.l_orderkey = r.l_orderkey
+                                 AND l3.l_suppkey <> r.l_suppkey
+                                 AND l3.l_returnflag = 'R'))
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM cand JOIN supplier s ON s.s_suppkey = cand.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey LIMIT 20""")) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val perOrder = li.groupBy("l_orderkey").agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+        .as("n_supp_r"))
+    val rPairs = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    rPairs.join(perOrder, "l_orderkey")
+      .filter(col("n_supp") > 1 && col("n_supp_r") === 1)
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey")).limit(20)
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42)
+    q37, q38, q39, q40, q41, q42, q43)
 }
