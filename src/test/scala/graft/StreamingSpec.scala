@@ -544,6 +544,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusIds.toSet == Set(1L, 3L, 5L), s"corpus = $corpusIds")
   }
 
+  test("CDC apply loop: streamed upserts/deletes merge into the lake table per micro-batch") {
+    // the reference's UPDATE/DELETE-by-PK surface (order.js:675,709)
+    // as CONTINUOUS ingestion: each micro-batch of keyed changes
+    // lands through LakeSink.mergeKeyed — one new generation + one
+    // catalog pointer flip per batch, so a reader sees complete
+    // table states only, never a half-applied batch. Cross-batch
+    // semantics pinned: batch 2 updates a batch-1 INSERT and deletes
+    // a batch-1 UPDATE, proving each batch merges against the
+    // previous batch's published generation.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_cdc")
+      .toString + "/t"
+    val base = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    LakeSink.writeParquet(base, out)
+    LakeSink.registerExternal(spark, "cdc_t", out)
+    val in = MemoryStream[(Long, String, String)] // (key, value, op)
+    val q = in.toDF().toDF("k", "v", "op").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ups = batch.filter(col("op") === "upsert").select("k", "v")
+        val dels = batch.filter(col("op") === "delete").select("k")
+        if (!ups.isEmpty || !dels.isEmpty)
+          LakeSink.mergeKeyed(spark, "cdc_t", ups, "k",
+            if (dels.isEmpty) None else Some(dels))
+        ()
+      }.start()
+    in.addData((10L, "u10", "upsert"), (60L, "n60", "upsert"),
+      (3L, "", "delete"))
+    q.processAllAvailable()
+    in.addData((60L, "u60", "upsert"), (10L, "", "delete"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cdc_t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 49, s"50 − del(3) − del(10) + ins(60): ${got.size}")
+    assert(!got.contains(3L) && !got.contains(10L), "deletes must apply")
+    assert(got(60L) == "u60", "batch 2 must update the batch-1 insert")
+    assert(got(31L) == "v31", "untouched rows survive verbatim")
+    spark.sql("DROP TABLE cdc_t")
+  }
+
   test("continuous probe serving: foreachBatch answers micro-batches from the persisted index") {
     // the serving loop a deployed vector store runs: the index is
     // built ONCE (the amortized cost), then every arriving probe
