@@ -553,6 +553,67 @@ object Dedup {
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_windows"))
   }
 
+  /** The APPLY side of [[windowDupStats]] — Lee et al.'s actual cut:
+    * REWRITE each document dropping exactly the tokens covered by
+    * its LATER-occurrence duplicated windows (first-occurrence keep,
+    * so a passage's first carrier is never cut), keeping everything
+    * else in original order. Because windows overlap at stride 1,
+    * the dropped set is the token-interval UNION of the dup windows
+    * — i.e. precisely the duplicated run itself, wherever it sits
+    * relative to span boundaries (the straddle d26's aligned spans
+    * cannot cut exactly; the spec pins a 20-token straddle whose
+    * rewrite removes exactly those 20 tokens).
+    *
+    * Scale shape: drop positions are a bounded explode of DUP
+    * windows only (≤ w rows per dup window — proportional to
+    * duplicated mass, not corpus); token rows are narrow (id, pos,
+    * tok); the reassembly collect is bounded by document length
+    * (d26's argument). Total: NULL-text docs report 0/'' — a judged
+    * row for every input. */
+  def windowDedupRewrite(docs: DataFrame, id: String, text: String,
+      w: Int = 16, stride: Int = 1): DataFrame = {
+    val base = tokenized(docs, id, text)
+      .select(col(id), col("__tk"), size(col("__tk")).as("n_tok"))
+    val spans = base
+      .select(col(id), col("__tk"), col("n_tok"),
+        explode(sequence(lit(0),
+          floor(greatest(col("n_tok") - w, lit(0)) / stride).cast("int")))
+          .as("wi"))
+      .select(col(id), col("n_tok"), (col("wi") * stride).as("st"),
+        expr(graft.queries.Text.fold48(
+          s"md5(cast(array_join(slice(__tk, wi * $stride + 1, $w), ' ') as binary))"))
+          .as("dig"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dig")).orderBy(col(id), col("st"))
+    val dropPos = spans.withColumn("rn", row_number().over(win))
+      .filter(col("rn") > 1)
+      .select(col(id),
+        explode(sequence(col("st") + 1,
+          least(col("st") + w, col("n_tok")))).as("pos"))
+      .distinct()
+    val toks = base
+      .select(col(id), col("n_tok"),
+        posexplode(col("__tk")).as(Seq("pos0", "tok")))
+      .select(col(id), col("n_tok"), (col("pos0") + 1).as("pos"), col("tok"))
+    // flag-join rather than anti-join: an ALL-duplicate doc must still
+    // aggregate (reporting its true n_tok with an empty rewrite), not
+    // vanish into the left-outer's 0-fill
+    val agg = toks
+      .join(dropPos.withColumn("__drop", lit(1)), Seq(id, "pos"), "left_outer")
+      .groupBy(col(id))
+      .agg(max(col("n_tok")).cast("long").as("n_tok"),
+        sum(when(col("__drop").isNull, 1L).otherwise(0L)).as("kept_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN __drop IS NULL THEN struct(pos, tok) END)), x -> x.tok)"))
+          .as("text_kept"))
+    docs.select(col(id)).join(agg, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** The APPLY side of [[spanDedup]]: REWRITE each document keeping
     * only its globally-first-occurrence spans — the curation action
     * the d23 stats justify (CCNet/RefinedWeb drop repeated

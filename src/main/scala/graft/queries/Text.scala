@@ -701,6 +701,49 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** window-dedup REWRITE ([[graft.operators.Dedup.windowDedupRewrite]])
+    * — the APPLY side of d27 (Lee et al.'s cut): each document drops
+    * exactly the tokens covered by its later-occurrence duplicated
+    * windows (the interval union of overlapping dup windows = the
+    * duplicated run itself, wherever it sits relative to span
+    * boundaries), keeps the rest in order; the REWRITTEN CORPUS is
+    * hash-checked (text_kept is an output column). Total: NULL text
+    * → 0/''; an all-duplicate doc keeps its true n_tok with an
+    * empty rewrite. */
+  val d28 = Q("d28_window_rewrite", Some(s"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sp AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok, l,
+             unnest(range(0, greatest(CAST(len(l) AS INT) - 16, 0) + 1)) AS st
+           FROM tk),
+    dg AS (SELECT doc_id, n_tok, st,
+             ${Text.fold48("md5(array_to_string(l[CAST(st + 1 AS INT):CAST(st + 16 AS INT)], ' '))")} AS dig
+           FROM sp),
+    r AS (SELECT *, row_number() OVER (PARTITION BY dig
+                      ORDER BY doc_id, st) AS rn FROM dg),
+    dp AS (SELECT DISTINCT doc_id, pos FROM
+            (SELECT doc_id,
+               unnest(range(st + 1, least(st + 16, n_tok) + 1)) AS pos
+             FROM r WHERE rn > 1)),
+    tok0 AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok, l,
+               unnest(range(1, len(l) + 1)) AS pos
+             FROM tk),
+    tok2 AS (SELECT t.doc_id, t.n_tok, t.pos, t.l[CAST(t.pos AS INT)] AS tok,
+               CASE WHEN dp.pos IS NULL THEN 0 ELSE 1 END AS dropped
+             FROM tok0 t LEFT JOIN dp
+               ON dp.doc_id = t.doc_id AND dp.pos = t.pos),
+    k AS (SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+            CAST(sum(CASE WHEN dropped = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_tokens,
+            coalesce(string_agg(CASE WHEN dropped = 0 THEN tok END,
+              ' ' ORDER BY pos), '') AS text_kept
+          FROM tok2 GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(k.n_tok, 0) AS n_tok,
+      coalesce(k.kept_tokens, 0) AS kept_tokens,
+      coalesce(k.text_kept, '') AS text_kept
+    FROM documents d LEFT JOIN k USING (doc_id) ORDER BY d.doc_id""")) { (s, d) =>
+    graft.operators.Dedup.windowDedupRewrite(t(s, d, "documents"),
+      "doc_id", "text", 16, 1).orderBy("doc_id")
+  }
+
   /** Count-Min sketch heavy hitters
     * ([[TextAnalysis.cmsTopTerms]]) — frequency estimation from a
     * FIXED k×m counter grid (here deliberately narrow, 3×16, so the
@@ -762,5 +805,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, d1, d23, d26, d27, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -61,6 +61,18 @@ class DedupSpec extends AnyFunSuite {
     val s4 = D.windowDupStats(two, "doc_id", "text", 16, 4)
       .filter(col("doc_id") === 2).head().getAs[Long]("dup_windows")
     assert(s4 >= 1, s"stride-4 must still catch a 20-token run, got $s4")
+    // the APPLY side (d28): the interval union of doc 2's dup windows
+    // is EXACTLY the copied run — the rewrite removes those 20 tokens
+    // and nothing else; the first carrier is uncut
+    val rw = D.windowDedupRewrite(two, "doc_id", "text", 16, 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rw(1L) == ((40L, 40L, d1tok.mkString(" "))),
+      s"first carrier must be uncut: ${rw(1L)}")
+    val expect2 = ((0 until 8).map(i => s"b$i") ++
+      (0 until 8).map(i => s"c$i")).mkString(" ")
+    assert(rw(2L) == ((36L, 16L, expect2)),
+      s"rewrite must remove exactly the 20-token run: ${rw(2L)}")
   }
 
   test("short docs (<3 tokens): native, SQL, and truncated-shingle forms agree") {
