@@ -1164,8 +1164,47 @@ object Analytics {
       .orderBy(col("numwait").desc, col("s_suppkey")).limit(20)
   }
 
+  /** FULL OUTER join — the reconciliation read (two systems' daily
+    * aggregates compared with NEITHER side allowed to drop: a day
+    * present only in shipments and a day present only in events must
+    * BOTH surface, null-filled on the absent side). The one join
+    * type the suite didn't yet exercise; both sides are pre-aggregated
+    * to one row per day BEFORE the join, so the full-outer is a
+    * dim-×-dim-sized merge however large the fact tables are. */
+  val q44 = Q("q44_full_outer", Some("""
+    WITH ship AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                    count(*) AS n_ship FROM lineitem GROUP BY 1),
+    act AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+              count(*) AS n_events FROM events
+            WHERE ts IS NOT NULL GROUP BY 1)
+    SELECT coalesce(ship.day, act.day) AS day,
+      CAST(coalesce(n_ship, 0) AS BIGINT) AS n_ship,
+      CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+      CAST(CASE WHEN ship.day IS NULL THEN 'events_only'
+                WHEN act.day IS NULL THEN 'ship_only'
+                ELSE 'both' END AS VARCHAR) AS presence
+    FROM ship FULL OUTER JOIN act ON ship.day = act.day
+    ORDER BY day""")) { (s, d) =>
+    val e = t(s, d, "events")
+    val ship = t(s, d, "lineitem")
+      .groupBy(col("l_shipdate").cast("date").as("sday"))
+      .agg(count(lit(1)).as("n_ship"))
+    val act = e.filter(col("ts").isNotNull)
+      .select(Tables.tsNative(e).as("tsn"))
+      .groupBy(date_trunc("day", col("tsn")).cast("date").as("aday"))
+      .agg(count(lit(1)).as("n_events"))
+    ship.join(act, col("sday") === col("aday"), "full_outer")
+      .select(coalesce(col("sday"), col("aday")).as("day"),
+        coalesce(col("n_ship"), lit(0L)).as("n_ship"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("sday").isNull, "events_only")
+          .when(col("aday").isNull, "ship_only")
+          .otherwise("both").as("presence"))
+      .orderBy("day")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43)
+    q37, q38, q39, q40, q41, q42, q43, q44)
 }
