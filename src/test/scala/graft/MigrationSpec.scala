@@ -197,6 +197,55 @@ class MigrationSpec extends AnyFunSuite {
     }
   }
 
+  test("replaceBlobs: new objects land, pointers merge, superseded objects GC — not dangle") {
+    import spark.implicits._
+    // the reference's UPDATE order_blob lifecycle (order.js:675) end
+    // to end: migrate → replace 5 payloads → merged pointers resolve
+    // to the NEW objects while the old ones await GC → gcOrphans
+    // collects exactly the superseded set
+    val store = Files.createTempDirectory("graft_upd").toString
+    val ptr = Files.createTempDirectory("graft_updp").toString + "/p"
+    val src = (1L to 20L)
+      .map(i => (i, "docs", s"payload-$i".getBytes("UTF-8")))
+      .toDF("rid", "src", "blob")
+    val (w0, pointers) = Migration.migrate(src,
+      col("rid"), col("src"), col("blob"), store, ptr)
+    assert(w0 == 20)
+    val updates = (1L to 5L)
+      .map(i => (i, "docs", s"payload-$i-v2".getBytes("UTF-8")))
+      .toDF("rid", "src", "blob")
+    val (w1, merged, superseded) = Migration.replaceBlobs(pointers,
+      updates, col("rid"), col("src"), col("blob"), store)
+    assert(w1 == 5)
+    assert(superseded.count() == 5, "5 old objects are superseded")
+    assert(merged.count() == 20, "merge must not change cardinality")
+    // every merged pointer resolves to a live object of matching size
+    val inv = BlobSink.inventory(spark, store)
+      .withColumnRenamed("nbytes", "obj_bytes")
+    assert(inv.count() == 25, "old objects must still exist pre-GC " +
+      "(in-flight readers of the old snapshot)")
+    val resolved = merged.join(inv, col("s3_prefix") === col("object_key"))
+    assert(resolved.count() == 20)
+    assert(resolved.filter(col("nbytes") =!= col("obj_bytes")).count() == 0)
+    // updated rows carry the NEW content hash
+    val p1 = merged.filter(col("record_id") === 1L).head.getString(2)
+    val newHex = java.security.MessageDigest.getInstance("MD5")
+      .digest("payload-1-v2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(p1.endsWith(newHex), p1)
+    // GC under the merged pointer table collects EXACTLY the
+    // superseded objects (grace 0: no concurrent writer here)
+    val (scanned, deleted) = BlobSink.gcOrphans(spark, store,
+      merged, "s3_prefix")
+    assert(scanned == 25 && deleted == 5)
+    assert(BlobSink.inventory(spark, store).count() == 20)
+    // idempotent-content update: replacing with IDENTICAL bytes
+    // supersedes nothing (content-addressed prefix unchanged)
+    val (w2, _, sup2) = Migration.replaceBlobs(merged,
+      updates, col("rid"), col("src"), col("blob"), store)
+    assert(w2 == 5 && sup2.count() == 0,
+      "same-bytes replacement must supersede nothing")
+  }
+
   test("jdbc write-back of pointer table (reference target schema)") {
     val pointers = spark.range(5).select(
       col("id").as("order_id"),
