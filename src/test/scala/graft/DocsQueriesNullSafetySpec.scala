@@ -55,6 +55,24 @@ class DocsQueriesNullSafetySpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 document queries complete over null/empty/tiny docs") {
+    for (q <- Seq("d27_window_dedup", "d28_window_rewrite")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows != null, s"$q crashed")
+    }
+    // the rewrite stays TOTAL: a row per doc, NULL text → 0/''
+    val rw = SparkEntry.queries("d28_window_rewrite")(spark, dir).collect()
+    assert(rw.length == 5, "d28 must emit a row for every doc")
+    val byId = rw.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId(1L) == ((0L, 0L, "")), s"NULL text → 0/'': ${byId(1L)}")
+    // the planted exact-dup pair: doc 5's windows all duplicate doc
+    // 4's, so its rewrite is empty BUT its true token count survives
+    assert(byId(5L)._1 > 0 && byId(5L)._2 == 0L && byId(5L)._3 == "",
+      s"all-duplicate doc keeps n_tok with an empty rewrite: ${byId(5L)}")
+    assert(byId(4L)._2 == byId(4L)._1, "first carrier uncut")
+  }
+
   test("d24 fuzzy join completes over null/empty/degenerate part names") {
     val d = java.nio.file.Files.createTempDirectory("part-degenerate").toString
     val schema = T.StructType(Seq(
