@@ -149,6 +149,31 @@ object Migration {
     externalized.groupBy("source")
       .agg(count(lit(1)).as("n_objects"), sum("nbytes").as("total_bytes"))
 
+  /** Column-level table PROFILE — the ANALYZE / data-observability
+    * surface (row counts, null counts, EXACT distinct cardinalities,
+    * lexicographic bounds of the stringified domain, per column):
+    * what a migration validates about a table's SHAPE before and
+    * after the move, and what a lake catalog publishes as statistics.
+    * ONE scan: every column unpivots map-side into narrow
+    * (col_name, value) rows — the equivalent per-column UNION (the
+    * oracle's form) scans the table k times, and at 100 TB one pass
+    * vs k is the whole game. The distinct count is a grouped single
+    * distinct aggregate (partial distinct on (col_name, v) — no
+    * Expand, the q43 lesson). Values compare as STRINGS on both
+    * engines; callers exclude double columns (their stringification
+    * is engine-dependent — the a9 checksum covers content equality
+    * for those). */
+  def profileColumns(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val stacked = df.select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("col_name"), c.cast("string").as("v")) }: _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+    stacked.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col("v")).as("n_distinct"),
+      min(col("v")).as("min_s"), max(col("v")).as("max_s"))
+  }
+
   /** Batch blob UPDATE — the reference's `updateOrderBlob` path
     * (order.js:675: write the NEW S3 object, rewrite the pointer row,
     * remove the superseded object) as one distributed pass over a

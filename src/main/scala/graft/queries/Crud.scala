@@ -222,6 +222,34 @@ object Crud {
       .orderBy("o_orderstatus")
   }
 
+  /** table profile ([[Migration.profileColumns]]) — the ANALYZE /
+    * observability read: per-column nulls, exact distinct counts,
+    * stringified domain bounds over orders' non-double columns. The
+    * Spark side is ONE unpivoted scan; the oracle is the k-scan
+    * UNION form, so the single-pass plan is hash-checked against the
+    * straightforward semantics. */
+  val a16 = Q("a16_profile", Some("""
+    WITH u AS (
+      SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+      UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders)
+    SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+      min(v) AS min_s, max(v) AS max_s
+    FROM u GROUP BY col_name ORDER BY col_name""")) { (s, d) =>
+    val o = t(s, d, "orders")
+    Migration.profileColumns(o, Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_orderdate" -> col("o_orderdate").cast("date")))
+      .orderBy("col_name")
+  }
+
   // int sums CAST AS BIGINT: DuckDB sum() yields HUGEINT, which
   // stringifies differently from Spark's LONG in the driver compare
   val a9 = Q("a9_validate", Some("""
@@ -244,5 +272,5 @@ object Crud {
   }
 
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14, a15)
+    a12, a13, a14, a15, a16)
 }
