@@ -534,7 +534,24 @@ object Dedup {
     * rollup is one partial agg. */
   def windowDupStats(docs: DataFrame, id: String, text: String,
       w: Int = 16, stride: Int = 1): DataFrame = {
-    val spans = tokenized(docs, id, text)
+    val spans = windowDigests(docs, id, text, w, stride)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dig")).orderBy(col(id), col("st"))
+    spans.withColumn("rn", row_number().over(win))
+      .groupBy(col(id))
+      .agg(max(col("n_tok")).cast("long").as("n_tok"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_windows"))
+  }
+
+  /** the ONE overlapping-window digest definition every window-dedup
+    * consumer shares ([[windowDupStats]], [[windowDedupRewrite]], and
+    * the continuous-ingest loop in StreamingSpec): (id, n_tok, st,
+    * dig) — one 48-bit digest per w-token window at `stride` steps,
+    * whole-doc window for docs shorter than w. Map-only. */
+  private[graft] def windowDigests(docs: DataFrame, id: String,
+      text: String, w: Int, stride: Int): DataFrame =
+    tokenized(docs, id, text)
       .select(col(id), col("__tk"), size(col("__tk")).as("n_tok"))
       .select(col(id), col("__tk"), col("n_tok"),
         explode(sequence(lit(0),
@@ -544,14 +561,6 @@ object Dedup {
         expr(graft.queries.Text.fold48(
           s"md5(cast(array_join(slice(__tk, wi * $stride + 1, $w), ' ') as binary))"))
           .as("dig"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dig")).orderBy(col(id), col("st"))
-    spans.withColumn("rn", row_number().over(win))
-      .groupBy(col(id))
-      .agg(max(col("n_tok")).cast("long").as("n_tok"),
-        count(lit(1)).as("n_windows"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_windows"))
-  }
 
   /** The APPLY side of [[windowDupStats]] — Lee et al.'s actual cut:
     * REWRITE each document dropping exactly the tokens covered by
@@ -574,15 +583,7 @@ object Dedup {
       w: Int = 16, stride: Int = 1): DataFrame = {
     val base = tokenized(docs, id, text)
       .select(col(id), col("__tk"), size(col("__tk")).as("n_tok"))
-    val spans = base
-      .select(col(id), col("__tk"), col("n_tok"),
-        explode(sequence(lit(0),
-          floor(greatest(col("n_tok") - w, lit(0)) / stride).cast("int")))
-          .as("wi"))
-      .select(col(id), col("n_tok"), (col("wi") * stride).as("st"),
-        expr(graft.queries.Text.fold48(
-          s"md5(cast(array_join(slice(__tk, wi * $stride + 1, $w), ' ') as binary))"))
-          .as("dig"))
+    val spans = windowDigests(docs, id, text, w, stride)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dig")).orderBy(col(id), col("st"))
     val dropPos = spans.withColumn("rn", row_number().over(win))

@@ -544,6 +544,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusIds.toSet == Set(1L, 3L, 5L), s"corpus = $corpusIds")
   }
 
+  test("continuous window-dedup: a straddle of a PREVIOUS batch's doc is flagged on ingest") {
+    // incremental d27: each micro-batch's overlapping-window digests
+    // are checked against the GROWING corpus digest table (the
+    // incrementalDedup shape at window granularity) — so boilerplate
+    // copied from an earlier ingest is flagged even when it straddles
+    // span boundaries and the containing docs differ. Join side is
+    // digests only, never documents.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup => D}
+    val aTok = (0 until 40).map(i => s"al$i")
+    val seed = Seq((1L, aTok.mkString(" "))).toDF("doc_id", "text")
+    var corpusDigs = D.windowDigests(seed, "doc_id", "text", 16, 1)
+      .select("dig").distinct().localCheckpoint(true)
+    val dupFrac = scala.collection.mutable.Map[Long, Double]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bd = D.windowDigests(batch, "doc_id", "text", 16, 1)
+          .localCheckpoint(true)
+        bd.join(corpusDigs.withColumn("__hit", org.apache.spark.sql.functions.lit(1)),
+            Seq("dig"), "left_outer")
+          .groupBy("doc_id")
+          .agg(org.apache.spark.sql.functions.avg(
+            org.apache.spark.sql.functions.when(col("__hit").isNotNull, 1.0)
+              .otherwise(0.0)).as("frac"))
+          .collect().foreach(r => dupFrac(r.getLong(0)) = r.getDouble(1))
+        corpusDigs = corpusDigs.unionByName(bd.select("dig")).distinct()
+          .localCheckpoint(true)
+        ()
+      }.start()
+    // batch 1: a straddling partial copy of the SEED + a novel doc
+    val straddle = (0 until 8).map(i => s"b$i") ++ aTok.slice(8, 28) ++
+      (0 until 8).map(i => s"c$i")
+    in.addData((2L, straddle.mkString(" ")),
+      (3L, (0 until 40).map(i => s"nx$i").mkString(" ")))
+    q.processAllAvailable()
+    // batch 2: a straddle of BATCH 1's novel doc — proves the digest
+    // table grew with the stream, not just the static seed
+    val straddle2 = (0 until 8).map(i => s"d$i") ++
+      (0 until 40).map(i => s"nx$i").slice(8, 28) ++
+      (0 until 8).map(i => s"e$i")
+    in.addData((4L, straddle2.mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    assert(dupFrac(2L) > 0.2 && dupFrac(2L) < 0.5,
+      s"seed straddle flagged: ${dupFrac(2L)}") // 5 of 21 windows hit
+    assert(dupFrac(3L) == 0.0, s"novel doc clean: ${dupFrac(3L)}")
+    assert(dupFrac(4L) > 0.2,
+      s"a straddle of a PREVIOUS batch's doc must be flagged: ${dupFrac(4L)}")
+  }
+
   test("CDC apply loop: streamed upserts/deletes merge into the lake table per micro-batch") {
     // the reference's UPDATE/DELETE-by-PK surface (order.js:675,709)
     // as CONTINUOUS ingestion: each micro-batch of keyed changes
