@@ -34,7 +34,7 @@ object Dedup {
   private val hooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
 
-  private def registerPersisted(df: DataFrame): DataFrame = {
+  private[operators] def registerPersisted(df: DataFrame): DataFrame = {
     // an abandoned session must not pin registry entries forever: every
     // registration first drops sessions whose context is gone, and the
     // context carries a listener that empties its sessions' entries on

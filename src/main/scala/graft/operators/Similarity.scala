@@ -869,6 +869,31 @@ object Similarity {
       .select(col(id)).distinct()
   }
 
+  /** RECIPROCAL-RANK FUSION — the standard ensemble-retrieval merge
+    * (Cormack et al. 2009; what every hybrid/multi-index search
+    * deployment uses to combine rankings whose scores aren't
+    * comparable): each input list contributes 1/(c + rank) per
+    * (probe, neighbor), summed across lists, re-ranked on the fused
+    * score. Held in EXACT integers — the contribution is the
+    * integer-micro `1000000 div (c + rn)` so fused scores are
+    * engine/order-exact (no float sums to diverge). Inputs are the
+    * (probe_id, rn, neighbor_id) shapes every ANN query here emits;
+    * at 100 TB the fusion is |lists|·|probes|·k narrow rows — the
+    * retrieval lists, never the corpus. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    val u = lists.map(_.select(col("probe_id"), col("neighbor_id"),
+        expr(s"CAST(1000000 AS BIGINT) div ($c + rn)").as("cst")))
+      .reduce(_ unionByName _)
+    val f = u.groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("cst")).as("rrf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    f.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("neighbor_id"),
+        col("rrf_micro"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a join predicate
     * (label partition / sign bucket) to avoid the all-pairs product.
     *

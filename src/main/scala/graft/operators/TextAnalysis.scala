@@ -288,6 +288,54 @@ object TextAnalysis {
         col("score_micro"))
   }
 
+  /** BM25 "more-like-this" LEXICAL RETRIEVAL — the keyword-ranking
+    * operator class (Robertson/Spärck Jones; the lexical half of
+    * every hybrid-search deployment next to the ANN family): rank
+    * every document against the query document's term set by
+    * Okapi BM25 (k1, b), excluding the query doc itself. Per-(doc,
+    * matched-term) scores quantize to MICRO fixed-point longs BEFORE
+    * the per-doc sum (t10's determinism rule — ln differs ≤1 ulp
+    * across libms, orders under the grid; the integer sum is
+    * summation-order-free), so ranking and hash are engine-stable.
+    *
+    * Scale shape: ONE corpus tokenize/aggregate pass (tf is
+    * registry-persisted — [[Dedup.registerPersisted]] — because four
+    * derivations reference it: doc lengths, the corpus token total,
+    * the query term set, and the matched rows; unpersisted, the plan
+    * re-scans the corpus per consumer, the d24 lesson); the query
+    * term set and its df table are broadcast dims; N and Σdl are
+    * 1-row broadcast scalar aggregates (the t17 shape — no mid-build
+    * driver action); the final top-k is a TakeOrdered. Only matched
+    * (doc, term) rows — |query terms| columns of the posting list —
+    * ever join, never the full tf relation. */
+  def bm25MoreLikeThis(docs: DataFrame, id: String, text: String,
+      queryId: Long, k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tf = graft.operators.Dedup.registerPersisted(
+      perTokCounts(docs, id, text).withColumnRenamed("n", "tf"))
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).cast("double").as("dl"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val sumdl = tf.agg(sum(col("tf")).as("sumdl"))
+    val qt = tf.filter(col(id) === queryId).select(col("w")).distinct()
+    val mtf = tf.join(broadcast(qt), Seq("w"))
+    val dfT = mtf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // expression structure mirrors the oracle TOKEN FOR TOKEN (same
+    // IEEE op order → bit-identical doubles before the one floor)
+    val scored = mtf.join(broadcast(dfT), Seq("w"))
+      .join(dl, Seq(id))
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(sumdl))
+      .filter(col(id) =!= queryId)
+      .select(col(id),
+        floor(log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+            (col("sumdl") * 1.0 / col("n")))) * 1000000.0 + 0.5)
+          .cast("long").as("s_micro"))
+    scored.groupBy(col(id))
+      .agg(sum(col("s_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col(id)).limit(k)
+  }
+
   /** PII patterns shared by the operator and its SQL oracle. The
     * subset of regex syntax used (char classes, bounded repeats, \b,
     * \.) means Java regex (Spark) and RE2 (DuckDB, Go/Rust engines)

@@ -76,7 +76,8 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
-  val s2 = Q("s2_knn_lsh", Some(s"""
+  // factored like s8's: the RRF fusion (s13) composes this verbatim
+  private val s2OracleSql = s"""
     WITH $normCte,
     cb AS ($corpusBandsSql),
     pb0 AS (SELECT vec_id, t, bkt FROM cb WHERE vec_id % 17 = 0),
@@ -96,7 +97,9 @@ object Embed {
                                ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
     SELECT probe_id, rn, neighbor_id, c6 AS cos6
     FROM r WHERE rn <= 5
-    ORDER BY probe_id, rn""")) { (s, d) =>
+    ORDER BY probe_id, rn"""
+
+  val s2 = Q("s2_knn_lsh", Some(s2OracleSql)) { (s, d) =>
     val vecs = t(s, d, "embeddings")
     Similarity.lshKnn(vecs, "vec_id", "embedding",
       col("vec_id") % 17 === 0, 5,
@@ -753,6 +756,40 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  /** s13: RECIPROCAL-RANK FUSION ([[Similarity.rrfFuse]]) — ensemble
+    * retrieval over the two shipped ANN families: s2's banded
+    * high-recall list and s8's IVF multi-probe list fuse per probe at
+    * 1/(60+rank) in exact integer micros, re-ranked on the fused
+    * score — the score-free merge every hybrid/multi-index search
+    * runs (incomparable scores, comparable RANKS). Oracle composes
+    * s2's and s8's full SQL verbatim as subqueries, so the fusion is
+    * hash-checked on top of two already-hash-checked rankings. */
+  val s13 = Q("s13_rrf_fusion", Some(s"""
+    WITH la AS (SELECT * FROM ($s2OracleSql)),
+    lb AS (SELECT * FROM ($s8OracleSql)),
+    u AS (SELECT probe_id, neighbor_id, 1000000 // (60 + rn) AS cst FROM la
+          UNION ALL
+          SELECT probe_id, neighbor_id, 1000000 // (60 + rn) AS cst FROM lb),
+    f AS (SELECT probe_id, neighbor_id, CAST(sum(cst) AS BIGINT) AS rrf_micro
+          FROM u GROUP BY probe_id, neighbor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY rrf_micro DESC, neighbor_id) AS rn FROM f)
+    SELECT probe_id, rn, neighbor_id, rrf_micro
+    FROM r WHERE rn <= 5 ORDER BY probe_id, rn""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val kA = vecs.filter(col("vec_id") % 125 === 0).count()
+    val la = Similarity.lshKnn(vecs, "vec_id", "embedding",
+      col("vec_id") % 17 === 0, 5,
+      bits = Similarity.corpusBits(vecs.count()))
+    val lb = Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") % 17 === 0, 5, nprobe = 2,
+      bits = Similarity.corpusBits(kA, 4))
+    Similarity.rrfFuse(Seq(
+        la.select("probe_id", "rn", "neighbor_id"),
+        lb.select("probe_id", "rn", "neighbor_id")), 5)
+      .orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
-    s7, s8, s9, s10, s11, s12)
+    s7, s8, s9, s10, s11, s12, s13)
 }

@@ -648,6 +648,39 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** BM25 more-like-this retrieval
+    * ([[TextAnalysis.bm25MoreLikeThis]]) — the LEXICAL RETRIEVAL
+    * class (the keyword half of hybrid search, next to the s-family's
+    * vector half): every doc ranked against doc 1's term set by
+    * Okapi BM25 (k1=1.2, b=0.75), per-term scores in micro
+    * fixed-point longs before the per-doc sum (t10's rule), top 20.
+    * The oracle reproduces the identical expression token for token,
+    * so the trained-free but parameterized ranking is hash-checked. */
+  val t20 = Q("t20_bm25", Some("""
+    WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM
+                 (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+                GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+    st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                  (SELECT sum(tf) FROM tf) AS sumdl),
+    qt AS (SELECT DISTINCT w FROM tf WHERE doc_id = 1),
+    dft AS (SELECT tf.w, count(*) AS df FROM tf JOIN qt USING (w) GROUP BY tf.w),
+    sc AS (SELECT tf.doc_id,
+             CAST(floor(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) *
+               (tf.tf * 2.2) /
+               (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                 (st.sumdl * 1.0 / st.n))) * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+           FROM tf JOIN qt USING (w) JOIN dft ON dft.w = tf.w
+             JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+           WHERE tf.doc_id <> 1)
+    SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT 20""")) { (s, d) =>
+    TextAnalysis.bm25MoreLikeThis(t(s, d, "documents"), "doc_id", "text",
+      queryId = 1L, k = 20)
+  }
+
   /** cross-document span-level dedup
     * ([[graft.operators.Dedup.spanDedup]]): 16-token spans, global
     * first-occurrence keep, per-doc retention stats. The generator
@@ -805,5 +838,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
 }

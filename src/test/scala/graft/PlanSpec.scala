@@ -31,11 +31,12 @@ class PlanSpec extends AnyFunSuite {
       "t13_ppl_buckets", "s1_knn_brute", "s3_knn_ivf", "s4_kmeans",
       "s5_knn_pq", "s6_knn_pq_lsh", "s7_knn_ivf_mp", "s8_knn_ivf_mp_lsh",
       "s10_knn_rerank", "t18_nb_lang", "d25_bloom_decontam",
-      "t17_tfidf", // the 1-row N scalar broadcast (q34's shape)
+      "t17_tfidf", "t20_bm25", // 1-row N/Σdl scalar broadcasts (q34's shape)
       // index probes: the exact brute FALLBACK for probes sharing no
       // band nests against the broadcast anchor table (tiny) — the
       // same allowance as the inline s6/s8/s10 compositions
-      "s11_index_probe", "s12_index_rerank")
+      "s11_index_probe", "s12_index_rerank",
+      "s13_rrf_fusion") // composes s8's machinery incl. its fallback
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
