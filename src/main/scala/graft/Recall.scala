@@ -79,7 +79,15 @@ object Recall {
       // recall at fixed per-part bits? (the number a production
       // vector store quotes for filtered search)
       ("s9_filtered", () => Similarity.lshKnnFiltered(vecs, "vec_id",
-        "embedding", "label", probePred, k, bits = bitsPart), truthF))
+        "embedding", "label", probePred, k, bits = bitsPart), truthF),
+      // ensemble fusion: does rank-fusing the high-recall banded list
+      // with the IVF list keep the better member's recall?
+      ("s13_rrf", () => Similarity.rrfFuse(Seq(
+        Similarity.lshKnn(vecs, "vec_id", "embedding", probePred, k,
+          bitsCorpus).select("probe_id", "rn", "neighbor_id"),
+        Similarity.ivfKnnLsh(vecs, "vec_id", "embedding", anchorPred,
+          probePred, k, nprobe = 2, bits = bits)
+          .select("probe_id", "rn", "neighbor_id")), k), truth))
 
     val results = methods.map { case (name, mk, t) =>
       val (r, sec) = timed {

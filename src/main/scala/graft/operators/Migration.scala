@@ -162,7 +162,15 @@ object Migration {
     * Expand, the q43 lesson). Values compare as STRINGS on both
     * engines; callers exclude double columns (their stringification
     * is engine-dependent — the a9 checksum covers content equality
-    * for those). */
+    * for those).
+    *
+    * Cost shape: EXACT distinct over a high-cardinality key column
+    * is a distinct shuffle of its stringified domain (measured r=7.2
+    * at 10× data on orders — linear, but the dominant term). The
+    * 100 TB production form swaps `countDistinct` for
+    * `approx_count_distinct` (q27's HLL — map-side mergeable k-byte
+    * sketches instead of the domain); exact is kept here because the
+    * ORACLE checks it. */
   def profileColumns(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     val stacked = df.select(explode(array(cols.map { case (n, c) =>
         struct(lit(n).as("col_name"), c.cast("string").as("v")) }: _*)).as("s"))

@@ -56,6 +56,10 @@ class DocsQueriesNullSafetySpec extends AnyFunSuite {
   }
 
   test("round-10 document queries complete over null/empty/tiny docs") {
+    // t20's query doc (doc_id 1) carries NULL text here: its term set
+    // is EMPTY and the ranking must return zero rows, not crash
+    assert(SparkEntry.queries("t20_bm25")(spark, dir).collect().isEmpty,
+      "a NULL-text query doc has no terms — empty ranking, no crash")
     for (q <- Seq("d27_window_dedup", "d28_window_rewrite")) {
       val rows = SparkEntry.queries(q)(spark, dir).collect()
       assert(rows != null, s"$q crashed")
