@@ -205,7 +205,13 @@ object Migration {
     *
     * Expects `pointers` in [[migrate]]'s schema (record_id, source,
     * s3_prefix, nbytes). A replacement whose new content-addressed
-    * prefix equals the old one (same bytes) supersedes nothing.
+    * prefix equals the old one (same bytes) supersedes nothing. A
+    * NULL-payload replacement writes no object and NULLS the pointer
+    * ([[externalize]]'s quarantine rule — validation-visible, a9/a13
+    * count it) and the old object IS superseded: the record no
+    * longer references it, so by a13's definition it is an orphan
+    * either way — an update-to-NULL is a delete, and pretending
+    * otherwise would only defer the same GC.
     * Returns (objectsWritten, mergedPointers, supersededPrefixes). */
   def replaceBlobs(pointers: DataFrame, updates: DataFrame, updKey: Column,
       updSource: Column, updBlob: Column,

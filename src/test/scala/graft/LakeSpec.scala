@@ -32,6 +32,10 @@ class LakeSpec extends AnyFunSuite {
   test("schema evolution: added column null-fills old generations; type change and drop refused by name") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // an EXISTING-but-EMPTY lake dir must read as "no prior
+    // generations" via the UNABLE_TO_INFER_SCHEMA error-CLASS match
+    // (message text is version-volatile) — not rethrow
+    new java.io.File(out).mkdirs()
     // gen1: (id, val)
     LakeSink.appendEvolved(Seq((1L, 10L), (2L, 20L)).toDF("id", "val"), out)
     // gen2 adds a column — accepted; gen1 rows null-fill it
