@@ -73,6 +73,28 @@ class BandScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted-index probes: threshold=-1 answers identical (serving is strategy-invariant)") {
+    // the SERVING path must give the same answers whatever join
+    // strategy the session/config picks — a vector store cannot
+    // return different neighbors because an executor count changed
+    // the broadcast decision. Build once, probe under both regimes.
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_bs").toString
+    operators.VectorIndex.write(emb, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, dir, stamp = "bs")
+    val probes = emb.filter(col("vec_id") % 17 === 0).localCheckpoint(true)
+    val baseP = rows(operators.VectorIndex.probe(spark, dir, probes, 5, 2))
+    val baseR = rows(operators.VectorIndex.probeRerank(spark, dir, probes, 5))
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = operators.VectorIndex.probe(spark, dir, probes, 5, 2)
+      assert(!p.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+      assert(rows(p) == baseP,
+        "probe answers must be identical across join strategies")
+      assert(rows(operators.VectorIndex.probeRerank(spark, dir, probes, 5))
+        == baseR,
+        "rerank answers must be identical across join strategies")
+    }
+  }
+
   test("s8 ivfKnnLsh: threshold=-1 plans no broadcast, top-k identical") {
     def run() = {
       val k = emb.filter(col("vec_id") % 125 === 0).count()
