@@ -389,14 +389,34 @@ object Similarity {
     * recall trade); everything after the assignment — train, encode,
     * LUT, ADC rank — is byte-identical to [[ivfPqKnn]] via the shared
     * [[pqSearch]] tail. */
+  /** `nprobe`: how many top-ranked candidate cells each probe's ADC
+    * scan covers ([[probeCells]] ranks them — banded candidates +
+    * exact fallback, the s8 rule). 1 = the classic own-cell scan
+    * (byte-identical to the original path: the probe's argmax cell
+    * IS its rank-1 candidate cell); >1 is the recall knob composed
+    * onto the COMPRESSED index — a true neighbor quantized into the
+    * probe's second-closest cell becomes reachable at nprobe× LUT
+    * join work (still codes, never raw vectors). */
   def ivfPqKnnLsh(vectors: DataFrame, id: String, emb: String,
       anchorPred: Column, probePred: Column, k: Int, bits: Int,
-      m: Int = 8, d: Int = 8, codebookK: Int = 64): DataFrame = {
+      m: Int = 8, d: Int = 8, codebookK: Int = 64,
+      nprobe: Int = 1): DataFrame = {
     val anchors = vectors.filter(anchorPred)
       .select(col(id).as("cell"), col(emb).as("ce"))
     val assigned = argmaxAssignLsh(vectors, id, emb, anchors, bits,
       LSH_TABLES, (a, b) => cosR(a, b))
-    pqSearch(vectors, assigned, id, emb, probePred, k, m, d, codebookK)
+    if (nprobe == 1)
+      pqSearch(vectors, assigned, id, emb, probePred, k, m, d, codebookK)
+    else {
+      val cb = broadcast(
+        trainPqCodebook(vectors, id, emb, codebookK, m, d))
+      val codes = pqEncode(assigned, id, emb, cb, m, d)
+      val probesA = probeCells(
+          vectors.filter(probePred).select(col(id), col(emb)),
+          anchors, id, emb, nprobe, bits, LSH_TABLES)
+        .select(col("probe_id"), col("pe"), col("cell").as("pcell"))
+      adcRank(codes, probesA, cb, id, m, d, k)
+    }
   }
 
   /** TWO-STAGE retrieval — the production serving shape every vector
@@ -413,12 +433,20 @@ object Similarity {
     * vector table on the id key — at 100 TB exactly the point
     * lookup-join a serving tier does against the vector store.
     * Candidate generation stays fully linear (the s6 machinery,
-    * banded coarse quantizer, corpusBits sizing). */
+    * banded coarse quantizer, corpusBits sizing).
+    *
+    * `nprobe` widens the CANDIDATE stage to the probe's top-nprobe
+    * cells ([[ivfPqKnnLsh]]'s knob) — the "refine × nprobe"
+    * production composition the §6 recall harness concluded with:
+    * rerank fixes ORDERING loss (ADC quantization demoting a
+    * candidate), nprobe fixes CANDIDATE loss (a true neighbor
+    * quantized into a neighboring cell); neither alone recovers
+    * both. Default 1 keeps the original single-cell behavior. */
   def pqRerank(vectors: DataFrame, id: String, emb: String,
       anchorPred: Column, probePred: Column, k: Int, bits: Int,
-      cFactor: Int = 4): DataFrame = {
+      cFactor: Int = 4, nprobe: Int = 1): DataFrame = {
     val cand = ivfPqKnnLsh(vectors, id, emb, anchorPred, probePred,
-        cFactor * k, bits)
+        cFactor * k, bits, nprobe = nprobe)
       .select(col("probe_id"), col("neighbor_id"))
     val probes = vectors.filter(probePred)
       .select(col(id).as("probe_id"), col(emb).as("pe"))
@@ -758,10 +786,30 @@ object Similarity {
   private[operators] def searchAssigned(pv: DataFrame, assigned: DataFrame,
       anchors: DataFrame, id: String, emb: String, k: Int, nprobe: Int,
       bits: Int, tables: Int): DataFrame = {
-    // top-nprobe candidate cells per probe: collapse multi-table
-    // duplicate (probe, cell) rows by a PARTIAL-agg max (the cosine is
-    // identical across duplicates, so max = the value and no window
-    // slot is wasted on a repeat), then a small per-probe window
+    val probes = probeCells(pv, anchors, id, emb, nprobe, bits, tables)
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col(id) =!= col("probe_id"))
+      .select(col("probe_id"), col(id).as("neighbor_id"),
+        cosR(col("pe"), col(emb)).as("c6"))
+    topK(scored, k)
+  }
+
+  /** top-`nprobe` candidate cells per probe — the probe side of every
+    * multi-probe composition, factored so the raw-vector search
+    * ([[searchAssigned]]/s8), the ADC multi-probe path
+    * ([[ivfPqKnnLsh]] at nprobe > 1), and the persisted-index probes
+    * ([[VectorIndex]]) all rank cells by the IDENTICAL rule: collapse
+    * multi-table duplicate (probe, cell) candidate rows by a
+    * PARTIAL-agg max (the cosine is identical across duplicates, so
+    * max = the value and no window slot is wasted on a repeat), then
+    * a small per-probe window (ac DESC, cell tie-break); a probe
+    * sharing no band with any anchor falls back to the exact brute
+    * top-`nprobe` ([[allPairs]] — approximation can narrow a
+    * candidate set, never lose a probe). Returns one
+    * (probe_id, pe, cell) row per (probe, candidate cell). */
+  private[operators] def probeCells(pv: DataFrame, anchors: DataFrame,
+      id: String, emb: String, nprobe: Int, bits: Int,
+      tables: Int): DataFrame = {
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("ac").desc, col("cell"))
     def rankCells(cand: DataFrame): DataFrame = cand
@@ -776,12 +824,7 @@ object Similarity {
       .join(banded.select(col("probe_id").as(id)).distinct(), Seq(id), "left_anti"),
         anchors)
       .select(col(id), col(emb), col("cell"), cosR(col(emb), col("ce")).as("ac")))
-    val probes = banded.unionByName(fallback)
-    val scored = probes.join(assigned, Seq("cell"))
-      .filter(col(id) =!= col("probe_id"))
-      .select(col("probe_id"), col(id).as("neighbor_id"),
-        cosR(col("pe"), col(emb)).as("c6"))
-    topK(scored, k)
+    banded.unionByName(fallback)
   }
 
   /** [[kmeansAssign]] with the LSH-accelerated assignment pass:
@@ -879,10 +922,28 @@ object Similarity {
     * engine/order-exact (no float sums to diverge). Inputs are the
     * (probe_id, rn, neighbor_id) shapes every ANN query here emits;
     * at 100 TB the fusion is |lists|·|probes|·k narrow rows — the
-    * retrieval lists, never the corpus. */
-  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
-    val u = lists.map(_.select(col("probe_id"), col("neighbor_id"),
-        expr(s"CAST(1000000 AS BIGINT) div ($c + rn)").as("cst")))
+    * retrieval lists, never the corpus.
+    *
+    * `weightsMicro` (one per list, micro-scaled: 1000000 = weight
+    * 1.0) is WEIGHTED RRF — the fix for the measured dilution of the
+    * equal-weight form (§6: fusing a 0.987-recall list with a weaker
+    * one read 0.691 fused): each list's contribution becomes
+    * `w_micro div (c + rank)`, so a deployment weights each retriever
+    * by its VALIDATED recall instead of letting a weak list outvote a
+    * strong one. Still exact integers (no float sums to diverge);
+    * empty = all 1000000, which reproduces the unweighted scores
+    * bit-for-bit. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60,
+      weightsMicro: Seq[Long] = Nil): DataFrame = {
+    val ws = if (weightsMicro.isEmpty) Seq.fill(lists.size)(1000000L)
+             else weightsMicro
+    require(ws.size == lists.size,
+      s"RRF FUSE REFUSED: ${ws.size} weights for ${lists.size} lists")
+    require(ws.forall(_ > 0L),
+      "RRF FUSE REFUSED: weights must be positive micro-integers")
+    val u = lists.zip(ws).map { case (l, w) =>
+        l.select(col("probe_id"), col("neighbor_id"),
+          expr(s"CAST($w AS BIGINT) div ($c + rn)").as("cst")) }
       .reduce(_ unionByName _)
     val f = u.groupBy(col("probe_id"), col("neighbor_id"))
       .agg(sum(col("cst")).as("rrf_micro"))

@@ -87,13 +87,42 @@ object VectorIndex {
     graft.sources.LakeSink.writeSorted(
       Similarity.pqEncode(assignedIdx, id, emb, cbIdx, m, d),
       s"$dir/codes", "parquet", Seq("cell"), nFiles)
-    import spark.implicits._
-    Seq((n, kA, bits, tables, m, d, codebookK, id, emb, stamp))
-      .toDF("n", "k_anchors", "bits", "tables", "m", "d", "codebook_k",
-        "id_col", "emb_col", "stamp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    Meta(n, kA, bits, tables, m, d, codebookK, id, emb, stamp)
+    val mt = Meta(n, kA, bits, tables, m, d, codebookK, id, emb, stamp)
+    writeMeta(spark, dir, mt)
+    mt
   }
+
+  /** Deterministic CONTENT TAG of a batch's key set — one aggregate
+    * (count, hashed-id sum/min/max), no collect, no wall clock: the
+    * same batch retried yields the same tag, which is what makes a
+    * crashed append's leftovers identifiable and a retry
+    * self-repairing ([[append]] publishes its files under this tag
+    * and sweeps same-tag leftovers before the duplicate-id guard
+    * runs). */
+  private def batchTag(batch: DataFrame, id: String): String = {
+    val r = batch.agg(count(col(id)), sum(hash(col(id)).cast("long")),
+      min(hash(col(id))), max(hash(col(id)))).head()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(r.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def hfs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** move every data file of staged dir `from` into live dir `to`,
+    * prefixed `ap-$tag-` so the batch's files stay identifiable (the
+    * crash-recovery sweep keys on the prefix). */
+  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
+      tag: String): Unit =
+    fs.listStatus(from).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-"))
+      .foreach { p =>
+        require(fs.rename(p, new org.apache.hadoop.fs.Path(to,
+          s"ap-$tag-${p.getName}")), s"publish rename failed for $p") }
 
   /** INCREMENTAL index maintenance — the other half of build-once:
     * new vectors are quantized by the FROZEN coarse quantizer and
@@ -106,48 +135,188 @@ object VectorIndex {
     * collision guard's column-pruned key scan.
     *
     * REFUSES BY NAME a batch carrying ids already in the index (a
-    * duplicate id would answer probes with two rows for one vector)
-    * or a NULL id. For the exact-vector probe path the result
-    * equals a full rebuild with the same anchors bit-for-bit
-    * (IndexSpec pins it); the PQ path differs from a rebuild only in
-    * that the codebook stays frozen (rebuild re-seeds it from the
-    * grown corpus). Returns the new total vector count. */
+    * duplicate id would answer probes with two rows for one vector),
+    * a NULL id, or an id duplicated WITHIN the batch. For the
+    * exact-vector probe path the result equals a full rebuild with
+    * the same anchors bit-for-bit (IndexSpec pins it); the PQ path
+    * differs from a rebuild only in that the codebook stays frozen
+    * (rebuild re-seeds it from the grown corpus). Returns the new
+    * total vector count.
+    *
+    * CRASH SAFETY (the LakeSink.publishGeneration discipline at the
+    * path level): the batch's assigned and codes files are written to
+    * a STAGING dir, count-verified against the independently-computed
+    * batch size, and only then MOVED into the live tables — tagged
+    * `ap-<contentTag>-` so a crash mid-publish is recoverable: a
+    * RETRY of the same batch (same key content → same tag) first
+    * sweeps any same-tag leftovers from both tables, so the
+    * duplicate-id guard sees a clean index and the append converges
+    * instead of refusing. `meta` is rewritten LAST, with `n`
+    * recomputed from the published table (never `old n + batch` — a
+    * stale meta can't survive a repaired crash). Files move codes
+    * first, then assigned: the window where the two tables disagree
+    * is bounded by two renames, and the SINGLE-WRITER contract
+    * (same as appendEvolved/mergeKeyed) says no concurrent appends;
+    * concurrent PROBES during the publish window may see the batch in
+    * one path and not the other — serving tiers that need a hard cut
+    * probe a copied index and flip directories, exactly like
+    * publishGeneration's catalog flip. */
   def append(spark: SparkSession, dir: String, newVectors: DataFrame): Long = {
     val mt = readMeta(spark, dir)
     val (id, emb) = (mt.idCol, mt.embCol)
     val nNull = newVectors.filter(col(id).isNull).count()
     require(nNull == 0,
       s"INDEX APPEND REFUSED: $nNull rows carry a NULL $id")
+    val nDupIn = newVectors.groupBy(col(id)).count()
+      .filter(col("count") > 1).count()
+    require(nDupIn == 0,
+      s"INDEX APPEND REFUSED: $nDupIn ids duplicated within the batch — " +
+        "a duplicate id would serve two rows for one vector")
+    val tag = batchTag(newVectors, id)
+    val (fs, _) = hfs(spark, dir)
+    // crash-recovery sweep: leftovers of a previous partial publish of
+    // THIS batch (same content tag) are removed from both tables
+    // before the duplicate-id guard reads them, so a retry after a
+    // mid-publish crash converges instead of refusing
+    Seq("assigned", "codes").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      if (fs.exists(live))
+        fs.listStatus(live).map(_.getPath)
+          .filter(_.getName.startsWith(s"ap-$tag-"))
+          .foreach(p => require(fs.delete(p, false), s"sweep failed: $p"))
+    }
     val existing = spark.read.parquet(s"$dir/assigned").select(col(id))
     val nDup = newVectors.select(col(id)).join(existing, Seq(id), "left_semi")
       .count()
     require(nDup == 0,
       s"INDEX APPEND REFUSED: $nDup ids already present in the index — " +
-        "a duplicate id would serve two rows for one vector; merge/" +
-        "delete needs a rebuild (or a lake-side mergeKeyed on the tables)")
+        "a duplicate id would serve two rows for one vector; removal is " +
+        s"[[delete]], replacement is delete + append")
     val anchors = spark.read.parquet(s"$dir/anchors")
     val cb = broadcast(spark.read.parquet(s"$dir/codebook"))
     // assignment computed once (localCheckpoint: consumed by both the
-    // assigned append and the encode), then landed cell-clustered
+    // assigned stage and the encode), then landed cell-clustered
     val na = Similarity.argmaxAssignLsh(
         newVectors.select(col(id), col(emb)), id, emb, anchors,
         mt.bits, mt.tables, (a, b) => Similarity.cosR(a, b))
       .localCheckpoint(true)
     val nNew = na.count()
     val nFiles = math.max(1L, nNew / 500000L).toInt
+    val stage = s"$dir/.stage-$tag"
     na.repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
-      .write.mode("append").parquet(s"$dir/assigned")
+      .write.mode("overwrite").parquet(s"$stage/assigned")
     Similarity.pqEncode(na, id, emb, cb, mt.m, mt.d)
       .repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(s"$stage/codes")
+    // verify the staged copies BEFORE any live table changes: a short
+    // write aborts with the index untouched
+    val stagedA = spark.read.parquet(s"$stage/assigned").count()
+    val stagedC = spark.read.parquet(s"$stage/codes").count()
+    if (stagedA != nNew || stagedC != nNew * mt.m) {
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      throw new java.io.IOException(
+        s"staged batch short: assigned=$stagedA (want $nNew), " +
+          s"codes=$stagedC (want ${nNew * mt.m}); aborting — index unchanged")
+    }
+    publishStaged(fs, new org.apache.hadoop.fs.Path(s"$stage/codes"),
+      new org.apache.hadoop.fs.Path(s"$dir/codes"), tag)
+    publishStaged(fs, new org.apache.hadoop.fs.Path(s"$stage/assigned"),
+      new org.apache.hadoop.fs.Path(s"$dir/assigned"), tag)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // meta LAST, n recomputed from the published table (parquet
+    // footer counts — no data scan), so a repaired crash can't leave
+    // a stale n behind
+    val total = spark.read.parquet(s"$dir/assigned").count()
+    writeMeta(spark, dir, mt.copy(n = total))
+    total
+  }
+
+  /** DELETE from the persisted index — the removal lifecycle a
+    * GDPR-style request needs without a full rebuild: the assigned
+    * and codes tables are REWRITTEN minus the given ids (cost is one
+    * column-pruned scan + filtered rewrite of each — |corpus|-sized
+    * but train-free: no k-means, no codebook, no banding), verified
+    * against independently-computed expected counts, then swapped in
+    * with one directory rename per table (the path-level form of
+    * publishGeneration's location flip). The superseded copies are
+    * retained as `<table>.old-g<gen>` for `retainMs` — a reader that
+    * resolved file paths before the flip finishes its scan — and
+    * reclaimed by the NEXT delete (gcOrphans' grace-window rule).
+    *
+    * REFUSES BY NAME a NULL id and ids not present in the index (a
+    * silently-ignored unknown id would report a removal that never
+    * happened). Duplicate ids in the request are harmless (distinct
+    * applied). Probe results after a delete ≡ a rebuild without the
+    * deleted vectors for the raw path (same assignment rows), and
+    * ≡ frozen-quantizer relative order for the PQ path (codes are
+    * the same bytes minus the deleted rows) — IndexSpec pins both,
+    * plus append-after-delete of the same ids (the replace cycle).
+    * Single-writer, like [[append]]. Returns the new total. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      retainMs: Long = 600000L): Long = {
+    val mt = readMeta(spark, dir)
+    val id = mt.idCol
+    val nNull = ids.filter(col(id).isNull).count()
+    require(nNull == 0,
+      s"INDEX DELETE REFUSED: $nNull rows carry a NULL $id")
+    val del = ids.select(col(id)).distinct().localCheckpoint(true)
+    val (fs, _) = hfs(spark, dir)
+    val now = System.currentTimeMillis()
+    // reclaim superseded copies past the retention window (and any
+    // half-written stage of a crashed previous delete)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/*.old-g*")))
+      .getOrElse(Array.empty)
+      .filter(st => now - st.getModificationTime > retainMs)
+      .foreach(st => fs.delete(st.getPath, true))
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val nUnknown = del.join(assigned.select(col(id)), Seq(id), "left_anti")
+      .count()
+    require(nUnknown == 0,
+      s"INDEX DELETE REFUSED: $nUnknown ids not present in the index — " +
+        "a silently-ignored id would report a removal that never happened")
+    val nDel = del.count()
+    val expectA = mt.n - nDel
+    val stage = s"$dir/.stage-del"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val nFiles = math.max(1L, expectA / 500000L).toInt
+    assigned.join(del, Seq(id), "left_anti")
+      .repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
+      .write.parquet(s"$stage/assigned")
+    spark.read.parquet(s"$dir/codes").join(del, Seq(id), "left_anti")
+      .repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
+      .write.parquet(s"$stage/codes")
+    val stagedA = spark.read.parquet(s"$stage/assigned").count()
+    val stagedC = spark.read.parquet(s"$stage/codes").count()
+    if (stagedA != expectA || stagedC != expectA * mt.m) {
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      throw new java.io.IOException(
+        s"staged delete short: assigned=$stagedA (want $expectA), " +
+          s"codes=$stagedC (want ${expectA * mt.m}); aborting — " +
+          "index unchanged")
+    }
+    // the flip: one rename pair per table; retained old copies are
+    // stamped with a generation counter so repeated deletes never
+    // collide
+    val gen = now
+    Seq("codes", "assigned").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old-g$gen")
+      require(fs.rename(live, old), s"flip failed: $live -> $old")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$t"), live),
+        s"flip failed: $stage/$t -> $live")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    writeMeta(spark, dir, mt.copy(n = expectA))
+    expectA
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, mt: Meta): Unit = {
     import spark.implicits._
-    val total = mt.n + nNew
-    Seq((total, mt.kAnchors, mt.bits, mt.tables, mt.m, mt.d, mt.codebookK,
-        id, emb, mt.stamp))
+    Seq((mt.n, mt.kAnchors, mt.bits, mt.tables, mt.m, mt.d, mt.codebookK,
+        mt.idCol, mt.embCol, mt.stamp))
       .toDF("n", "k_anchors", "bits", "tables", "m", "d", "codebook_k",
         "id_col", "emb_col", "stamp")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    total
   }
 
   def readMeta(spark: SparkSession, dir: String): Meta = {
@@ -179,19 +348,30 @@ object VectorIndex {
     * probe LUT; the per-batch work on the training side is ONLY the
     * probes' own cell assignment (|probes| rows against the anchor
     * table — the identical per-row arithmetic the inline build runs,
-    * so results ≡ inline [[Similarity.ivfPqKnnLsh]] bit-for-bit). */
+    * so results ≡ inline [[Similarity.ivfPqKnnLsh]] bit-for-bit).
+    * `nprobe` > 1 widens each probe's ADC scan to its top-nprobe
+    * candidate cells ([[Similarity.probeCells]] — the identical rule
+    * the raw-vector [[probe]] path ranks with), the served form of
+    * the inline nprobe knob. */
   def probePq(spark: SparkSession, dir: String, probes: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, nprobe: Int = 1): DataFrame = {
     val mt = readMeta(spark, dir)
     val anchors = spark.read.parquet(s"$dir/anchors")
     val codes = spark.read.parquet(s"$dir/codes")
     val cb = broadcast(spark.read.parquet(s"$dir/codebook"))
-    val probesA = Similarity.argmaxAssignLsh(
-        probes.select(col(mt.idCol), col(mt.embCol)),
-        mt.idCol, mt.embCol, anchors, mt.bits, mt.tables,
-        (a, b) => Similarity.cosR(a, b))
-      .select(col(mt.idCol).as("probe_id"), col(mt.embCol).as("pe"),
-        col("cell").as("pcell"))
+    val probesA =
+      if (nprobe == 1)
+        Similarity.argmaxAssignLsh(
+            probes.select(col(mt.idCol), col(mt.embCol)),
+            mt.idCol, mt.embCol, anchors, mt.bits, mt.tables,
+            (a, b) => Similarity.cosR(a, b))
+          .select(col(mt.idCol).as("probe_id"), col(mt.embCol).as("pe"),
+            col("cell").as("pcell"))
+      else
+        Similarity.probeCells(
+            probes.select(col(mt.idCol), col(mt.embCol)), anchors,
+            mt.idCol, mt.embCol, nprobe, mt.bits, mt.tables)
+          .select(col("probe_id"), col("pe"), col("cell").as("pcell"))
     Similarity.adcRank(codes, probesA, cb, mt.idCol, mt.m, mt.d, k)
   }
 
@@ -201,11 +381,14 @@ object VectorIndex {
     * are re-fetched from the stored assignment (a fact-dim equi-join
     * on the id — the serving tier's point-lookup join) and re-scored
     * with the exact fused cosine. Results ≡ inline
-    * [[Similarity.pqRerank]] bit-for-bit. */
+    * [[Similarity.pqRerank]] bit-for-bit. `nprobe` widens the
+    * nomination stage — the served "refine × nprobe" composition the
+    * §6 recall harness concluded with (rerank fixes ordering loss,
+    * nprobe fixes candidate loss). */
   def probeRerank(spark: SparkSession, dir: String, probes: DataFrame,
-      k: Int, cFactor: Int = 4): DataFrame = {
+      k: Int, cFactor: Int = 4, nprobe: Int = 1): DataFrame = {
     val mt = readMeta(spark, dir)
-    val cand = probePq(spark, dir, probes, cFactor * k)
+    val cand = probePq(spark, dir, probes, cFactor * k, nprobe)
       .select(col("probe_id"), col("neighbor_id"))
     val pr = probes
       .select(col(mt.idCol).as("probe_id"), col(mt.embCol).as("pe"))

@@ -253,18 +253,25 @@ object Embed {
            FROM ta t JOIN v s ON s.vec_id = t.vec_id
            GROUP BY t.m, t.k)"""
 
-  // the PQ encode→LUT→ADC-rank tail over an `asg`(vec_id, embedding,
-  // cell) CTE — shared verbatim by s5 (brute coarse quantizer) and s6
-  // (LSH coarse quantizer), mirroring Similarity.pqSearch so the two
-  // oracles can't drift in scoring semantics
-  private val pqTailSql = s"""
+  // the PQ ENCODE CTEs over an `asg`(vec_id, embedding, cell) CTE
+  // (ends at codes = (vec_id, cell, m, code)) — mirrors
+  // Similarity.pqEncode; factored from the single-cell probe tail so
+  // the multi-probe ADC oracle (s14) scores the IDENTICAL codes
+  private val pqCodesCtes = s"""
     cd0 AS (SELECT s.vec_id, s.cell, c.m, c.k,
               ${cwDot("s.embedding")} AS d6
             FROM asg s CROSS JOIN cw c),
     codes AS (SELECT vec_id, cell, m, k AS code FROM
                (SELECT *, row_number() OVER (PARTITION BY vec_id, m
                             ORDER BY d6 DESC, k) AS rn FROM cd0)
-              WHERE rn = 1),
+              WHERE rn = 1)"""
+
+  // the PQ encode→LUT→ADC-rank tail over an `asg`(vec_id, embedding,
+  // cell) CTE — shared verbatim by s5 (brute coarse quantizer) and s6
+  // (LSH coarse quantizer), mirroring Similarity.pqSearch so the two
+  // oracles can't drift in scoring semantics
+  private val pqTailSql = s"""
+    $pqCodesCtes,
     pr AS (SELECT vec_id AS probe_id, embedding AS pe, cell AS pcell
            FROM asg WHERE vec_id % 17 = 0),
     plut AS (SELECT p.probe_id, p.pcell, c.m, c.k,
@@ -527,12 +534,13 @@ object Embed {
     * fixed-K teaching forms give up), yet every stage stays
     * O(n log n) because candidates per vector are pinned by the
     * corpusBits occupancy rule. */
-  // s8's oracle, factored so the persisted-index probe (s11) can pin
-  // against the IDENTICAL SQL — the index path must be bit-for-bit
-  // the inline composition, so they share one oracle by construction
-  private val s8OracleSql = s"""
-    WITH $normCte,
-    $lshAssign1Ctes,
+  // the top-nprobe probe-cell CTEs (banded candidates grouped to
+  // (probe, cell) max cosine, ranked ac DESC / cell, brute fallback
+  // for probes sharing no band with any seed; ends at
+  // prall = (probe_id, cell)) — mirrors Similarity.probeCells.
+  // Factored so s8 (raw-vector multi-probe) and s14 (ADC multi-probe
+  // nomination) rank candidate cells from the IDENTICAL SQL.
+  private val probeCellsCtes = s"""
     prc AS (SELECT p.vec_id AS probe_id, c.cell,
               max(floor((list_sum(list_transform(range(1, 65),
                        i -> p.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
@@ -555,7 +563,15 @@ object Embed {
                WHERE w.vec_id % 17 = 0
                  AND NOT EXISTS (SELECT 1 FROM prc x WHERE x.probe_id = w.vec_id)) q
              WHERE q.rn <= 2),
-    prall AS (SELECT * FROM prn UNION ALL SELECT * FROM prfb),
+    prall AS (SELECT * FROM prn UNION ALL SELECT * FROM prfb)"""
+
+  // s8's oracle, factored so the persisted-index probe (s11) can pin
+  // against the IDENTICAL SQL — the index path must be bit-for-bit
+  // the inline composition, so they share one oracle by construction
+  private val s8OracleSql = s"""
+    WITH $normCte,
+    $lshAssign1Ctes,
+    $probeCellsCtes,
     sc AS (SELECT p.probe_id, g.vec_id AS neighbor_id,
              floor((list_sum(list_transform(range(1, 65),
                       i -> pv.embedding[i]::DOUBLE * g.embedding[i]::DOUBLE)) /
@@ -723,15 +739,34 @@ object Embed {
 
   private def ensureIndex(s: SparkSession, d: String): String = {
     val stamp = corpusStamp(s, d)
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_vindex_$stamp").getPath
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_vindex_$stamp").getPath
     val fresh =
       try graft.operators.VectorIndex.readMeta(s, dir).stamp == stamp
       catch { case scala.util.control.NonFatal(_) => false }
-    if (!fresh)
+    if (!fresh) {
+      // build into a PROCESS-UNIQUE dir and publish with one atomic
+      // rename: two concurrent harness JVMs over the same corpus each
+      // build privately and the loser of the rename race just serves
+      // the winner's (identical — same stamp ⇒ same inputs ⇒ same
+      // deterministic build) copy, instead of interleaving overwrites
+      // into one directory. Stale stamped dirs of REGENERATED corpora
+      // are pruned here (best-effort: a dir another live JVM still
+      // probes is simply skipped on its next listing).
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_vindex_") &&
+          f.getName != s"graft_vindex_$stamp")
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_vindex_build_${java.util.UUID.randomUUID().toString.take(8)}")
       graft.operators.VectorIndex.write(t(s, d, "embeddings"),
-        "vec_id", "embedding", col("vec_id") % 125 === 0, dir,
+        "vec_id", "embedding", col("vec_id") % 125 === 0, build.getPath,
         stamp = stamp)
+      if (!build.renameTo(new java.io.File(dir)))
+        // a concurrent builder published first — serve its copy
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
     dir
   }
 
@@ -790,6 +825,115 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  // s14's oracle: s10's refine tail over a MULTI-PROBE nomination
+  // stage — the codes CTEs verbatim (pqCodesCtes), the probe cells
+  // from s8's top-nprobe ranking verbatim (probeCellsCtes), the ADC
+  // LUT scored against every candidate cell, then the exact re-rank.
+  // Factored SQL means the composition is checked, never re-derived.
+  private val s14OracleSql = s"""
+    WITH $normCte,
+    $lshAssign1Ctes,
+    asg AS (SELECT vec_id, embedding, cell FROM lasg1),
+    $pqTrainCtes,
+    $pqCodesCtes,
+    $probeCellsCtes,
+    prx AS (SELECT pa.probe_id, w.embedding AS pe, pa.cell AS pcell
+            FROM prall pa JOIN v w ON w.vec_id = pa.probe_id),
+    plut AS (SELECT p.probe_id, p.pcell, c.m, c.k,
+               ${cwDot("p.pe")} AS lutS
+             FROM prx p CROSS JOIN cw c),
+    est AS (SELECT l.probe_id, k.vec_id AS neighbor_id,
+              CAST(sum(l.lutS) AS DOUBLE) / 1000000.0 AS est6
+            FROM codes k JOIN plut l ON l.m = k.m AND l.k = k.code
+              AND l.pcell = k.cell
+            WHERE k.vec_id <> l.probe_id
+            GROUP BY l.probe_id, k.vec_id),
+    r AS (SELECT probe_id, neighbor_id, est6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY est6 DESC, neighbor_id) AS rn FROM est),
+    cnd AS (SELECT probe_id, neighbor_id FROM r WHERE rn <= 20),
+    ex AS (SELECT c.probe_id, c.neighbor_id, ${cosRSql("a", "b")} AS c6
+           FROM cnd c JOIN v a ON a.vec_id = c.probe_id
+                      JOIN v b ON b.vec_id = c.neighbor_id),
+    rr AS (SELECT probe_id, neighbor_id, c6,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY c6 DESC, neighbor_id) AS rn
+           FROM ex)
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
+    FROM rr WHERE rn <= 5 ORDER BY probe_id, rn"""
+
+  /** s14: REFINE × NPROBE ([[Similarity.pqRerank]] at nprobe = 2) —
+    * the production serving composition the §6 recall harness
+    * concluded with: the compressed ADC index nominates candidates
+    * from each probe's top-2 cells (nprobe fixes CANDIDATE loss — a
+    * true neighbor quantized into the second-closest cell), and the
+    * exact re-rank scores only those candidates' raw vectors (refine
+    * fixes ORDERING loss — ADC quantization demoting a candidate).
+    * s10 is refine@np1, s8 is nprobe-without-refine; this is both. */
+  val s14 = Q("s14_knn_rerank_np", Some(s14OracleSql)) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val k = vecs.filter(col("vec_id") % 125 === 0).count()
+    Similarity.pqRerank(vecs, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") % 17 === 0, 5,
+      Similarity.corpusBits(k, 4), nprobe = 2)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** s15: refine × nprobe SERVED from the persisted index
+    * ([[graft.operators.VectorIndex.probeRerank]] at nprobe = 2) —
+    * ≡ inline s14 bit-for-bit (IndexSpec pins it), so the oracle IS
+    * s14's SQL; the probe plan stays training-free. */
+  val s15 = Q("s15_index_rerank_np", Some(s14OracleSql)) { (s, d) =>
+    val dir = ensureIndex(s, d)
+    graft.operators.VectorIndex.probeRerank(s, dir,
+      t(s, d, "embeddings").filter(col("vec_id") % 17 === 0), 5,
+      nprobe = 2)
+      .orderBy("probe_id", "rn")
+  }
+
+  // weighted-RRF weights: each retriever's VALIDATED recall@5 at sf1
+  // (recall_out.jsonl — s2 banded 0.987, s8 multi-probe@2 0.323) in
+  // exact micro-integers. The fix for s13's measured dilution: the
+  // equal-weight fusion read 0.691 where s2 alone read 0.987 because
+  // the weak list outvoted the strong one; weighting by validated
+  // recall makes a strong list's rank-5 outscore a weak list's
+  // rank-1 (987000/65 > 323000/61), so fused top-k keeps the
+  // dominant list's members while still letting agreement reorder.
+  private val W_S2 = 987000L
+  private val W_S8 = 323000L
+
+  /** s16: WEIGHTED reciprocal-rank fusion ([[Similarity.rrfFuse]]
+    * with per-list micro weights) — s13's operator with the
+    * documented production guidance ("weight by validated
+    * per-retriever recall") shipped as code. Same exact-integer
+    * arithmetic; equal weights reproduce s13 bit-for-bit (spec'd). */
+  val s16 = Q("s16_rrf_weighted", Some(s"""
+    WITH la AS (SELECT * FROM ($s2OracleSql)),
+    lb AS (SELECT * FROM ($s8OracleSql)),
+    u AS (SELECT probe_id, neighbor_id, $W_S2 // (60 + rn) AS cst FROM la
+          UNION ALL
+          SELECT probe_id, neighbor_id, $W_S8 // (60 + rn) AS cst FROM lb),
+    f AS (SELECT probe_id, neighbor_id, CAST(sum(cst) AS BIGINT) AS rrf_micro
+          FROM u GROUP BY probe_id, neighbor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY rrf_micro DESC, neighbor_id) AS rn FROM f)
+    SELECT probe_id, rn, neighbor_id, rrf_micro
+    FROM r WHERE rn <= 5 ORDER BY probe_id, rn""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val kA = vecs.filter(col("vec_id") % 125 === 0).count()
+    val la = Similarity.lshKnn(vecs, "vec_id", "embedding",
+      col("vec_id") % 17 === 0, 5,
+      bits = Similarity.corpusBits(vecs.count()))
+    val lb = Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",
+      col("vec_id") % 125 === 0, col("vec_id") % 17 === 0, 5, nprobe = 2,
+      bits = Similarity.corpusBits(kA, 4))
+    Similarity.rrfFuse(Seq(
+        la.select("probe_id", "rn", "neighbor_id"),
+        lb.select("probe_id", "rn", "neighbor_id")), 5,
+        weightsMicro = Seq(W_S2, W_S8))
+      .orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
-    s7, s8, s9, s10, s11, s12, s13)
+    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16)
 }
