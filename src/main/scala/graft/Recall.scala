@@ -75,6 +75,11 @@ object Recall {
         anchorPred, probePred, k, nprobe = 4, bits = bits), truth),
       ("s10_rerank", () => Similarity.pqRerank(vecs, "vec_id", "embedding",
         anchorPred, probePred, k, bits), truth),
+      // the r10-VERDICT composition: refine × nprobe — rerank fixes
+      // ordering loss, nprobe fixes candidate loss; measured against
+      // both parents (expect ≥ s8@np4 and ≥ s10_rerank@np1)
+      ("s14_rerank_np4", () => Similarity.pqRerank(vecs, "vec_id",
+        "embedding", anchorPred, probePred, k, bits, nprobe = 4), truth),
       // recall-under-filter: does a selective label constraint cost
       // recall at fixed per-part bits? (the number a production
       // vector store quotes for filtered search)
@@ -87,7 +92,17 @@ object Recall {
           bitsCorpus).select("probe_id", "rn", "neighbor_id"),
         Similarity.ivfKnnLsh(vecs, "vec_id", "embedding", anchorPred,
           probePred, k, nprobe = 2, bits = bits)
-          .select("probe_id", "rn", "neighbor_id")), k), truth))
+          .select("probe_id", "rn", "neighbor_id")), k), truth),
+      // recall-weighted fusion (s16): the same two lists weighted by
+      // their validated sf1 recalls — expect the dilution closed
+      // (fused ≥ max of the inputs, i.e. ≈ s2's recall)
+      ("s16_rrf_weighted", () => Similarity.rrfFuse(Seq(
+        Similarity.lshKnn(vecs, "vec_id", "embedding", probePred, k,
+          bitsCorpus).select("probe_id", "rn", "neighbor_id"),
+        Similarity.ivfKnnLsh(vecs, "vec_id", "embedding", anchorPred,
+          probePred, k, nprobe = 2, bits = bits)
+          .select("probe_id", "rn", "neighbor_id")), k,
+        weightsMicro = Seq(987000L, 323000L)), truth))
 
     val results = methods.map { case (name, mk, t) =>
       val (r, sec) = timed {

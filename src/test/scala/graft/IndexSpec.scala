@@ -131,6 +131,109 @@ class IndexSpec extends AnyFunSuite {
       "refused appends must not touch the meta")
   }
 
+  test("probeRerank at nprobe=2 ≡ inline pqRerank at nprobe=2 (served refine × nprobe)") {
+    val mt = VectorIndex.readMeta(spark, idxDir)
+    val inline = Similarity.pqRerank(vecs, "vec_id", "embedding",
+      anchorPred, probePred, 5, mt.bits, nprobe = 2)
+    val probed = VectorIndex.probeRerank(spark, idxDir, probes, 5,
+      nprobe = 2)
+    assert(rows(probed) == rows(inline))
+  }
+
+  test("delete: removed ids never answer any probe path; ≡ rebuild without them; replace cycle; refusals") {
+    val dirD = java.nio.file.Files.createTempDirectory("graft_idx_d").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft_idx_r").toString
+    VectorIndex.write(vecs, "vec_id", "embedding", anchorPred, dirD,
+      stamp = "D")
+    // delete NON-anchor, NON-probe ids so (a) a rebuild on the
+    // survivors picks the identical anchors (≡ is meaningful) and
+    // (b) the probe set is unchanged
+    val delPred = col("vec_id") % 5 === 4 && col("vec_id") % 17 =!= 0 &&
+      col("vec_id") % 11 === 3
+    val delIds = vecs.filter(delPred).select("vec_id").localCheckpoint(true)
+    val nDel = delIds.count()
+    assert(nDel > 0, "fixture must yield at least one deletable id")
+    val kept = VectorIndex.delete(spark, dirD, delIds)
+    assert(kept == vecs.count() - nDel, "meta must track the post-delete total")
+    assert(VectorIndex.readMeta(spark, dirD).n == kept)
+    // no probe path may ever serve a deleted id
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    for ((name, df) <- Seq(
+        "probe" -> VectorIndex.probe(spark, dirD, probes, 5, nprobe = 2),
+        "probePq" -> VectorIndex.probePq(spark, dirD, probes, 5),
+        "probeRerank" -> VectorIndex.probeRerank(spark, dirD, probes, 5,
+          nprobe = 2))) {
+      val leaked = df.collect()
+        .filter(r => delSet.contains(r.getAs[Long]("neighbor_id")))
+      assert(leaked.isEmpty, s"$name served deleted ids: ${leaked.toSeq}")
+    }
+    // raw-vector path ≡ a rebuild without the deleted vectors (same
+    // anchors by construction; the PQ path additionally keeps the
+    // frozen codebook, the append contract's documented difference)
+    VectorIndex.write(vecs.filter(!delPred), "vec_id", "embedding",
+      anchorPred, dirR, stamp = "R")
+    assert(rows(VectorIndex.probe(spark, dirD, probes, 5, nprobe = 2)) ==
+      rows(VectorIndex.probe(spark, dirR, probes, 5, nprobe = 2)),
+      "probe after delete must equal probe over the rebuilt survivor index")
+    // replace cycle: append the deleted vectors back — raw probe path
+    // returns to the original index's answers (frozen quantizer)
+    VectorIndex.append(spark, dirD, vecs.filter(delPred)
+      .select("vec_id", "embedding").localCheckpoint(true))
+    assert(rows(VectorIndex.probe(spark, dirD, probes, 5, nprobe = 2)) ==
+      rows(VectorIndex.probe(spark, idxDir, probes, 5, nprobe = 2)),
+      "delete + append of the same vectors must restore the raw probe path")
+    // refusals: unknown id, NULL id — and neither touches meta
+    val before = VectorIndex.readMeta(spark, dirD).n
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.delete(spark, dirD, delIds.select(
+        (col("vec_id") + 100000000L).as("vec_id")))
+    }
+    assert(e1.getMessage.contains("INDEX DELETE REFUSED") &&
+      e1.getMessage.contains("not present"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.delete(spark, dirD,
+        delIds.limit(1).select(lit(null).cast("long").as("vec_id")))
+    }
+    assert(e2.getMessage.contains("INDEX DELETE REFUSED") &&
+      e2.getMessage.contains("NULL"))
+    assert(VectorIndex.readMeta(spark, dirD).n == before,
+      "refused deletes must not touch the meta")
+  }
+
+  test("append retry after a torn publish converges (content-tag sweep)") {
+    val dirT = java.nio.file.Files.createTempDirectory("graft_idx_t").toString
+    val a = vecs.filter(col("vec_id") % 5 =!= 4)
+    val b = vecs.filter(col("vec_id") % 5 === 4).localCheckpoint(true)
+    VectorIndex.write(a, "vec_id", "embedding", anchorPred, dirT, stamp = "T")
+    val total = VectorIndex.append(spark, dirT, b)
+    // simulate the crash window: codes published, assigned not — by
+    // removing the batch's tagged files from assigned only (the
+    // publish order is codes-then-assigned, so this is the state a
+    // crash between the two renames leaves behind)
+    val assignedDir = new java.io.File(s"$dirT/assigned")
+    val tagged = assignedDir.listFiles().filter(_.getName.startsWith("ap-"))
+    assert(tagged.nonEmpty, "appended files must carry the content tag")
+    tagged.foreach(f => assert(f.delete()))
+    spark.catalog.clearCache()
+    // the RETRY of the same batch must converge — not refuse on the
+    // leftover codes — and restore the exact post-append state
+    assert(VectorIndex.append(spark, dirT, b) == total)
+    assert(spark.read.parquet(s"$dirT/assigned").count() == total)
+    val mt = VectorIndex.readMeta(spark, dirT)
+    assert(spark.read.parquet(s"$dirT/codes").count() == total * mt.m,
+      "swept leftover codes must not double-count after the retry")
+    // and within-batch duplicate ids refuse by name
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.append(spark, dirT,
+        b.limit(1).select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding"))
+          .unionAll(b.limit(1).select(
+            (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))))
+    }
+    assert(e.getMessage.contains("INDEX APPEND REFUSED") &&
+      e.getMessage.contains("within the batch"))
+  }
+
   test("assigned/codes land sort-clustered on cell (disjoint file ranges)") {
     // every persisted corpus-sized table must be cell-clustered so a
     // cell-restricted probe batch can skip files on footer min/max

@@ -241,6 +241,71 @@ class SimilaritySpec extends AnyFunSuite {
       "an exact copy must re-rank to position 1 at cosine 1.0")
   }
 
+  test("refine × nprobe: widening the nomination stage is monotone in recall") {
+    // the production composition (VERDICT r10 #1): rerank fixes
+    // ordering loss, nprobe fixes candidate loss. Against brute
+    // truth, pqRerank at nprobe=2 must dominate nprobe=1 — the wider
+    // nomination can only ADD candidate cells, and the exact re-rank
+    // scores both candidate sets with the same metric.
+    val probePred = col("vec_id") % 17 === 0
+    val anchorPred = col("vec_id") % 125 === 0
+    val bits = Similarity.corpusBits(emb.filter(anchorPred).count(), 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteKnn(emb, "vec_id", "embedding",
+      probePred, 5))
+    val r1 = pairs(Similarity.pqRerank(emb, "vec_id", "embedding",
+      anchorPred, probePred, 5, bits, nprobe = 1)).intersect(truth).size
+    val r2 = pairs(Similarity.pqRerank(emb, "vec_id", "embedding",
+      anchorPred, probePred, 5, bits, nprobe = 2)).intersect(truth).size
+    assert(r2 >= r1, s"rerank nprobe=2 recall $r2 fell below nprobe=1 $r1")
+  }
+
+  test("weighted RRF: equal micro weights ≡ unweighted bit-for-bit; refusals by name") {
+    val probePred = col("vec_id") % 17 === 0
+    val anchorPred = col("vec_id") % 125 === 0
+    val bits = Similarity.corpusBits(emb.filter(anchorPred).count(), 4)
+    val la = Similarity.lshKnn(emb, "vec_id", "embedding", probePred, 5,
+        bits = Similarity.corpusBits(emb.count()))
+      .select("probe_id", "rn", "neighbor_id").localCheckpoint(true)
+    val lb = Similarity.ivfKnnLsh(emb, "vec_id", "embedding", anchorPred,
+        probePred, 5, nprobe = 2, bits = bits)
+      .select("probe_id", "rn", "neighbor_id").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // 1000000 micro = weight 1.0: the weighted form must reproduce
+    // the unweighted scores exactly (same integer division), so a
+    // caller migrating to weights cannot silently change results
+    assert(rows(Similarity.rrfFuse(Seq(la, lb), 5,
+        weightsMicro = Seq(1000000L, 1000000L))) ==
+      rows(Similarity.rrfFuse(Seq(la, lb), 5)))
+    // recall-weighted fusion keeps the dominant list's members: with
+    // w_a/(c+k) > w_b/(c+1), every a-listed neighbor outscores every
+    // b-only neighbor, so the fused top-5 ⊆ a's members ∪ (a∩b)
+    val aSet = la.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fused = Similarity.rrfFuse(Seq(la, lb), 5,
+        weightsMicro = Seq(987000L, 323000L))
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // (restricted to probes where a's list is FULL — with fewer than
+    // k a-members, b-only candidates legitimately fill the tail)
+    val fullProbes = aSet.groupBy(_._1).filter(_._2.size == 5).keySet
+    val stray = fused.filter(p => fullProbes.contains(p._1) && !aSet.contains(p))
+    assert(stray.isEmpty,
+      s"dominant-weighted fusion must keep the dominant list's members " +
+        s"for probes it covers: ${stray.toSeq}")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq(la, lb), 5, weightsMicro = Seq(1000000L))
+    }
+    assert(e1.getMessage.contains("RRF FUSE REFUSED"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq(la, lb), 5, weightsMicro = Seq(0L, 1000000L))
+    }
+    assert(e2.getMessage.contains("RRF FUSE REFUSED") &&
+      e2.getMessage.contains("positive"))
+  }
+
   test("PQ codebook cardinality is FIXED: K·m bound holds when the corpus doubles") {
     // the scale property the trained codebook exists for — the old
     // anchor-subset demo codebook had K ∝ |corpus|, making encode
