@@ -166,19 +166,29 @@ object Migration {
     *
     * Cost shape: EXACT distinct over a high-cardinality key column
     * is a distinct shuffle of its stringified domain (measured r=7.2
-    * at 10× data on orders — linear, but the dominant term). The
-    * 100 TB production form swaps `countDistinct` for
-    * `approx_count_distinct` (q27's HLL — map-side mergeable k-byte
-    * sketches instead of the domain); exact is kept here because the
-    * ORACLE checks it. */
-  def profileColumns(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    * at 10× data on orders — linear, but the dominant term).
+    * `approxDistinct = true` is the 100 TB production form: it swaps
+    * `countDistinct` for `approx_count_distinct` (q27's HLL++ —
+    * map-side MERGEABLE fixed-size sketches instead of shuffling the
+    * stringified domain), turning the profile into one fully
+    * partial-aggregable pass whose shuffle is k sketch rows. Exact
+    * stays the default because the ORACLE checks it (a16); the
+    * sketch form registers rows-only with a spec-pinned <5% relative
+    * error against the exact twin (a17 — the q27 pattern). */
+  def profileColumns(df: DataFrame, cols: Seq[(String, Column)],
+      approxDistinct: Boolean = false): DataFrame = {
     val stacked = df.select(explode(array(cols.map { case (n, c) =>
         struct(lit(n).as("col_name"), c.cast("string").as("v")) }: _*)).as("s"))
       .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+    // rsd 0.02 — q27's setting: the default 0.05 sketch landed 10%
+    // off on o_orderdate at the gate SF; 0.02 holds the 3-sigma 6%
+    // bound the spec pins at a still-fixed (larger) sketch size
+    val nd = if (approxDistinct) approx_count_distinct(col("v"), 0.02)
+             else countDistinct(col("v"))
     stacked.groupBy("col_name").agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-      countDistinct(col("v")).as("n_distinct"),
+      nd.as("n_distinct"),
       min(col("v")).as("min_s"), max(col("v")).as("max_s"))
   }
 
@@ -216,6 +226,20 @@ object Migration {
   def replaceBlobs(pointers: DataFrame, updates: DataFrame, updKey: Column,
       updSource: Column, updBlob: Column,
       storeBase: String): (Long, DataFrame, DataFrame) = {
+    // the mergeKeyed refusals, BEFORE any object lands: a NULL update
+    // key can never merge or retry idempotently, and a duplicate
+    // update key would flow through upsert into two pointer rows for
+    // one record — exactly the corruption the lake-side merge refuses
+    val keys = updates.select(updKey.as("__k"))
+    val nNullK = keys.filter(col("__k").isNull).count()
+    require(nNullK == 0,
+      s"REPLACE REFUSED: $nNullK update rows carry a NULL key — a NULL " +
+        "key can never be merged or retried idempotently")
+    val nDupK = keys.groupBy(col("__k")).count()
+      .filter(col("count") > 1).count()
+    require(nDupK == 0,
+      s"REPLACE REFUSED: $nDupK duplicate keys in the update batch — " +
+        "one record must merge to exactly one pointer row")
     val staged = updates.select(
       updKey.as("record_id"), updSource.as("source"),
       updBlob.as("payload"),

@@ -160,8 +160,13 @@ object VectorIndex {
     * concurrent PROBES during the publish window may see the batch in
     * one path and not the other — serving tiers that need a hard cut
     * probe a copied index and flip directories, exactly like
-    * publishGeneration's catalog flip. */
-  def append(spark: SparkSession, dir: String, newVectors: DataFrame): Long = {
+    * publishGeneration's catalog flip.
+    *
+    * `newStamp` advances the index's staleness token with the batch
+    * (a streamed-maintenance loop stamps each micro-batch so serving
+    * tiers can observe index progress); None keeps the build stamp. */
+  def append(spark: SparkSession, dir: String, newVectors: DataFrame,
+      newStamp: Option[String] = None): Long = {
     val mt = readMeta(spark, dir)
     val (id, emb) = (mt.idCol, mt.embCol)
     val nNull = newVectors.filter(col(id).isNull).count()
@@ -227,7 +232,8 @@ object VectorIndex {
     // footer counts — no data scan), so a repaired crash can't leave
     // a stale n behind
     val total = spark.read.parquet(s"$dir/assigned").count()
-    writeMeta(spark, dir, mt.copy(n = total))
+    writeMeta(spark, dir, mt.copy(n = total,
+      stamp = newStamp.getOrElse(mt.stamp)))
     total
   }
 

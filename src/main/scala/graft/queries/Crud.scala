@@ -250,6 +250,26 @@ object Crud {
       .orderBy("col_name")
   }
 
+  /** a16's 100 TB form ([[Migration.profileColumns]] with
+    * `approxDistinct = true`): `n_distinct` becomes an HLL++ sketch
+    * merge — fixed-size, fully map-side-mergeable, no stringified
+    * domain shuffle. Sketch output ⇒ rows-only in the driver gate
+    * (q27's pattern); MigrationSpec pins <5% relative error per
+    * column against the exact a16 on the same table, and the
+    * exact-derivable columns (n_rows, n_null, bounds) are equal by
+    * construction. */
+  val a17 = Q("a17_profile_approx", None) { (s, d) =>
+    val o = t(s, d, "orders")
+    Migration.profileColumns(o, Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_orderdate" -> col("o_orderdate").cast("date")),
+      approxDistinct = true)
+      .orderBy("col_name")
+  }
+
   // int sums CAST AS BIGINT: DuckDB sum() yields HUGEINT, which
   // stringifies differently from Spark's LONG in the driver compare
   val a9 = Q("a9_validate", Some("""
@@ -272,5 +292,5 @@ object Crud {
   }
 
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14, a15, a16)
+    a12, a13, a14, a15, a16, a17)
 }

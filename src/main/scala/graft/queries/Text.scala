@@ -516,6 +516,37 @@ object Text {
       .orderBy("decile")
   }
 
+  /** t21: t13's 100 TB form — decile assignment from BROADCAST
+    * approx-quantile cutpoints instead of the global ntile rank.
+    * t13's ntile is a single-task sort of the corpus's (doc_id,
+    * score) rows (the suite's one documented corpus-sized window,
+    * fine to ~1e9 docs); here `approx_percentile` partial-aggregates
+    * a MERGEABLE sketch map-side (one narrow shuffle of sketch
+    * state, never rows), the 1-row cutpoint array broadcasts back,
+    * and each doc buckets MAP-SIDE by comparing its score against
+    * the 9 cutpoints — no global sort anywhere (PlanSpec pins it).
+    * The trade is exact decile boundaries for sketch boundaries:
+    * docs within the sketch's rank error of a cutpoint may land one
+    * decile off, so sizes are approximately n/10 (spec-bounded
+    * against exact t13) — which is why this registers rows-only
+    * (q32's pattern) while t13 stays the oracle-checked exact twin. */
+  val t21 = Q("t21_ppl_buckets_sketch", None) { (s, d) =>
+    val scored = TextAnalysis.lmScore(t(s, d, "documents"), "doc_id", "text")
+      .filter(col("n_bigrams") > 0)
+    val cuts = scored.agg(expr(
+      "approx_percentile(avg_ll, " +
+        "array(0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1), 10000)")
+      .as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile", expr("1 + size(filter(cuts, c -> avg_ll < c))"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sum_bigrams"),
+        (sum(floor(col("avg_ll") * 10000.0 + 0.5)) / 10000.0 / count(lit(1)))
+          .as("mean_avg_ll"))
+      .orderBy("decile")
+  }
+
   // ---- t14/t15: BPE subword tokenizer (trained merges + counts) ------
   /** the trained BPE merge table itself ([[graft.operators.Bpe]]):
     * 8 greedy merge rounds over the documents vocabulary,
@@ -838,5 +869,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
 }

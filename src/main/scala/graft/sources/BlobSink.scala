@@ -188,6 +188,17 @@ object BlobSink {
     * (they are not evidence about pointer-table staleness either
     * way).
     *
+    * CLOCK-SKEW RULE (ADVICE r10): object age compares STORE
+    * timestamps, so the cutoff must not trust the driver's clock —
+    * a driver running fast would age just-written objects past the
+    * window it exists to provide. The cutoff derives from the
+    * store's OWN clock, sampled by stat-ing a marker object this
+    * very pass writes (and removes): `cutoff = marker mtime −
+    * graceMs` compares store time against store time, so driver
+    * skew cancels out entirely. The marker is written AFTER the
+    * inventory snapshot, so it can never appear in its own orphan
+    * listing.
+    *
     * Empty prefix DIRECTORIES are left behind on local/HDFS runs —
     * on the object stores this sink models, directories don't exist,
     * so sweeping them would be modeling a non-problem.
@@ -201,11 +212,27 @@ object BlobSink {
     // the SAME snapshot (unchecked, the recursive listing ran twice
     // and objects landing between the two made the guard's fraction
     // compare counts from different store states)
-    val cutoff = System.currentTimeMillis() - graceMs
     val invAll = inventory(spark, base)
       .select(col("object_key"), col("mtime"))
       .localCheckpoint(true)
     val scanned = invAll.count()
+    // skew-safe cutoff (see CLOCK-SKEW RULE above): sample the
+    // store's own clock via a marker object — store time compares
+    // against store time, the driver's clock is never trusted. Grace
+    // 0 keeps the explicit no-concurrent-writer contract (everything
+    // eligible, no marker write).
+    val cutoff =
+      if (graceMs <= 0L) Long.MaxValue
+      else {
+        val marker = base + "/.graft-gc-clock-" +
+          java.util.UUID.randomUUID().toString
+        val (fs, p) = fsFor(marker,
+          spark.sparkContext.hadoopConfiguration)
+        fs.create(p, true).close()
+        val storeNow = fs.getFileStatus(p).getModificationTime
+        fs.delete(p, false)
+        storeNow - graceMs
+      }
     val inv = invAll.filter(col("mtime") <= cutoff).select(col("object_key"))
     val eligible = inv.count()
     val orphans = inv.join(

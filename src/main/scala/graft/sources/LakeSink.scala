@@ -309,13 +309,22 @@ object LakeSink {
   def mergeKeyed(spark: SparkSession, table: String, updates: DataFrame,
       key: String, deletes: Option[DataFrame] = None,
       retainMs: Long = 600000L): Long = {
-    import org.apache.spark.sql.functions.col
-    val nNullU = updates.filter(col(key).isNull).count()
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    // BOTH update-batch refusals from ONE aggregate action (null
+    // count + duplicated-key group count over one column-pruned key
+    // scan) — at 100 TB two separate passes over the batch are pure
+    // waste; the remaining per-call scans of the LIVE table below are
+    // the verify contract and stay
+    val chk = updates.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(
+        sum(when(col(key).isNull, col("c")).otherwise(lit(0L))).as("n_null"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .head()
+    val nNullU = Option(chk.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val nDup = Option(chk.get(1)).fold(0L)(_.asInstanceOf[Long])
     require(nNullU == 0,
       s"MERGE REFUSED: $nNullU update rows carry a NULL $key — a NULL key " +
         "can never be merged or retried idempotently")
-    val nDup = updates.groupBy(col(key)).count()
-      .filter(col("count") > 1).count()
     require(nDup == 0,
       s"MERGE REFUSED: $nDup duplicate $key values in the update batch — " +
         "one key must merge to exactly one row")

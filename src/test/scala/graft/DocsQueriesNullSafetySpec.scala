@@ -77,6 +77,39 @@ class DocsQueriesNullSafetySpec extends AnyFunSuite {
     assert(byId(4L)._2 == byId(4L)._1, "first carrier uncut")
   }
 
+  test("two NULL-text docs are not each other's duplicate windows (d27 ≡ oracle's zero rows)") {
+    // the ADVICE-r10 shape: windowDigests used to manufacture one
+    // whole-doc window with a NULL digest per NULL-text doc, and the
+    // digest window then grouped all NULL digests together — the
+    // SECOND NULL doc counted as a duplicated window (and Curation's
+    // window_dup_filter would have dropped it as 100% boilerplate).
+    // The oracle's range() over NULL emits zero rows; pin that shape.
+    val d = java.nio.file.Files.createTempDirectory("doc-2null").toString
+    val schema = T.StructType(Seq(
+      T.StructField("doc_id", T.LongType), T.StructField("text", T.StringType),
+      T.StructField("lang", T.StringType), T.StructField("source", T.StringType),
+      T.StructField("n_chars", T.LongType)))
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      Row(1L, null, "en", "src1", null),
+      Row(2L, null, "en", "src1", null),
+      Row(3L, body, "en", "src1", 260L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val stats = SparkEntry.queries("d27_window_dedup")(spark, d).collect()
+    assert(stats.map(_.getLong(0)).toSet == Set(3L),
+      s"NULL-text docs must emit NO window rows: ${stats.toSeq}")
+    assert(stats.forall(_.getLong(3) == 0L), "nothing here duplicates")
+    // the rewrite stays TOTAL and cuts nothing: NULL docs 0/'', the
+    // real doc uncut
+    val rw = SparkEntry.queries("d28_window_rewrite")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rw.keySet == Set(1L, 2L, 3L))
+    assert(rw(1L) == ((0L, 0L, "")) && rw(2L) == ((0L, 0L, "")))
+    assert(rw(3L)._1 == 40L && rw(3L)._2 == 40L && rw(3L)._3 == body)
+  }
+
   test("d24 fuzzy join completes over null/empty/degenerate part names") {
     val d = java.nio.file.Files.createTempDirectory("part-degenerate").toString
     val schema = T.StructType(Seq(

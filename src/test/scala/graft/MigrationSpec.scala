@@ -246,6 +246,68 @@ class MigrationSpec extends AnyFunSuite {
       "same-bytes replacement must supersede nothing")
   }
 
+  test("replaceBlobs refuses NULL and duplicate update keys before any object lands") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_updr").toString
+    val ptr = Files.createTempDirectory("graft_updrp").toString + "/p"
+    val src = (1L to 10L)
+      .map(i => (i, "docs", s"payload-$i".getBytes("UTF-8")))
+      .toDF("rid", "src", "blob")
+    val (_, pointers) = Migration.migrate(src,
+      col("rid"), col("src"), col("blob"), store, ptr)
+    val before = BlobSink.inventory(spark, store).count()
+    // duplicate key: would flow through upsert into TWO pointer rows
+    // for one record — the corruption mergeKeyed refuses by name
+    val dup = Seq((1L, "docs", "a".getBytes("UTF-8")),
+        (1L, "docs", "b".getBytes("UTF-8")))
+      .toDF("rid", "src", "blob")
+    val e1 = intercept[IllegalArgumentException] {
+      Migration.replaceBlobs(pointers, dup,
+        col("rid"), col("src"), col("blob"), store)
+    }
+    assert(e1.getMessage.contains("REPLACE REFUSED") &&
+      e1.getMessage.contains("duplicate"))
+    val nul = Seq((Option.empty[Long], "docs", "c".getBytes("UTF-8")))
+      .toDF("rid", "src", "blob")
+    val e2 = intercept[IllegalArgumentException] {
+      Migration.replaceBlobs(pointers, nul,
+        col("rid"), col("src"), col("blob"), store)
+    }
+    assert(e2.getMessage.contains("REPLACE REFUSED") &&
+      e2.getMessage.contains("NULL"))
+    assert(BlobSink.inventory(spark, store).count() == before,
+      "refused replaces must land no object")
+  }
+
+  test("approx profile (a17): sketch n_distinct within 5% of exact; other columns equal") {
+    val o = Tables.load(spark, TestSpark.sf, "orders")
+    val cols = Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_orderdate" -> col("o_orderdate").cast("date"))
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val exact = byCol(Migration.profileColumns(o, cols))
+    val approx = byCol(Migration.profileColumns(o, cols,
+      approxDistinct = true))
+    assert(exact.keySet == approx.keySet)
+    for ((name, e) <- exact) {
+      val a = approx(name)
+      // every non-sketch column is EXACT in both forms
+      for (f <- Seq("n_rows", "n_null"))
+        assert(a.getAs[Long](f) == e.getAs[Long](f), s"$name.$f")
+      for (f <- Seq("min_s", "max_s"))
+        assert(a.getAs[String](f) == e.getAs[String](f), s"$name.$f")
+      val ed = e.getAs[Long]("n_distinct").toDouble
+      val ad = a.getAs[Long]("n_distinct").toDouble
+      // rsd=0.02 sketch, 3 sigma — the q27 bound
+      assert(math.abs(ad - ed) <= 0.06 * ed,
+        s"$name: approx distinct $ad vs exact $ed exceeds 6% (rsd 0.02, 3σ)")
+    }
+  }
+
   test("jdbc write-back of pointer table (reference target schema)") {
     val pointers = spark.range(5).select(
       col("id").as("order_id"),

@@ -36,7 +36,12 @@ class PlanSpec extends AnyFunSuite {
       // band nests against the broadcast anchor table (tiny) — the
       // same allowance as the inline s6/s8/s10 compositions
       "s11_index_probe", "s12_index_rerank",
-      "s13_rrf_fusion") // composes s8's machinery incl. its fallback
+      "s13_rrf_fusion", // composes s8's machinery incl. its fallback
+      // r11: the nprobe'd PQ tail (probeCells' brute fallback + the
+      // codebook broadcast), its served twin, the weighted fusion
+      // (s13's allowance), and t21's 1-row cutpoint-array broadcast
+      "s14_knn_rerank_np", "s15_index_rerank_np", "s16_rrf_weighted",
+      "t21_ppl_buckets_sketch")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
@@ -523,7 +528,7 @@ class PlanSpec extends AnyFunSuite {
     // 2-scan shape).
     val corpusSized = Set("t13_ppl_buckets")
     val boundedInput = Set("s5_knn_pq", "s6_knn_pq_lsh", "s10_knn_rerank",
-      "d12_mix")
+      "s14_knn_rerank_np", "d12_mix")
     val offenders = Registry.all.flatMap { q =>
       val n = globalWindows(
         q.run(spark, TestSpark.sf).queryExecution.executedPlan)
@@ -564,6 +569,39 @@ class PlanSpec extends AnyFunSuite {
     // wide exchange); cheap proxy: the anti-join is hash/sort-merge
     // on the key with aggregation below it only for distinct keys
     assert(p.contains("LeftAnti"), p.take(1200))
+  }
+
+  test("d28 rewrite cuts map-side: no posexplode of the token stream, no (id,pos) token join") {
+    // the r10-VERDICT re-plan: dup windows aggregate to ONE
+    // drop-interval row per affected doc; the cut is array
+    // expressions over __tk after a doc-id join. The superseded form
+    // posexploded EVERY token and re-keyed the corpus on (id, pos) —
+    // |tokens| shuffled rows (measured 22.6s at sf10) vs |docs| +
+    // |dup windows| here.
+    val p = plan("d28_window_rewrite")
+    assert(!p.contains("posexplode"),
+      "token stream must never posexplode into a join:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // exactly the digest explode remains generate-shaped
+    val gens = p.linesIterator.count(l => l.contains("Generate"))
+    assert(gens <= 2, s"only the window-digest explode may generate " +
+      s"rows, got $gens:\n" + p.take(1500))
+  }
+
+  test("t21 sketch deciles: no global rank — cutpoints broadcast, bucketing map-side") {
+    // t13's documented 100 TB form: the global ntile (single-task
+    // sort of the corpus) must be GONE; deciles come from a 1-row
+    // approx_percentile aggregate broadcast back over the scored docs
+    val p = plan("t21_ppl_buckets_sketch")
+    // no Window operator ⇒ no ntile: the rank can only run inside one
+    // (a textual "ntile(" probe would false-positive on
+    // approx_percentile's own name)
+    assert(!p.contains("Window"),
+      "sketch variant must not rank:\n" + p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row cutpoint array must broadcast:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
   test("d27 window-dup digests: partial aggs, no cross product, text never in an exchange") {

@@ -83,6 +83,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t21 sketch deciles: totals conserved, boundary error bounded vs exact t13") {
+    val sk = Registry.byName("t21_ppl_buckets_sketch").run(spark, TestSpark.sf)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val ex = Registry.byName("t13_ppl_buckets").run(spark, TestSpark.sf)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    // conservation: every doc lands in exactly one decile in both forms
+    assert(sk.values.sum == ex.values.sum,
+      s"sketch deciles lost/duplicated docs: ${sk.values.sum} vs ${ex.values.sum}")
+    assert(sk.keySet.subsetOf((1L to 10L).toSet), s"decile range: ${sk.keySet}")
+    // boundary error: with accuracy 10000 the rank error is ~n/10000
+    // per cutpoint; at test SF allow each decile to drift by 15% of
+    // the exact size + a small absolute slack for ties at the cut
+    val n = ex.values.sum
+    for (d <- 1L to 10L) {
+      val e = ex.getOrElse(d, 0L)
+      val s = sk.getOrElse(d, 0L)
+      assert(math.abs(s - e) <= math.max(3L, (0.15 * n / 10).toLong),
+        s"decile $d: sketch $s vs exact $e drifted past the bound")
+    }
+  }
+
   test("d7 minhash estimate tracks true jaccard on near-dup pairs") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
