@@ -80,6 +80,15 @@ object Recall {
       // both parents (expect ≥ s8@np4 and ≥ s10_rerank@np1)
       ("s14_rerank_np4", () => Similarity.pqRerank(vecs, "vec_id",
         "embedding", anchorPred, probePred, k, bits, nprobe = 4), truth),
+      // cFactor is the third knob: when the COMPRESSED nomination
+      // binds (small-bits regimes where ADC estimate noise drops true
+      // neighbors out of the cFactor·k pool), widening the pool
+      // toward the probed cells' depth converges the refine path to
+      // the raw-vector scan's recall at a fraction of its exact-
+      // cosine work
+      ("s14_np4_c16", () => Similarity.pqRerank(vecs, "vec_id",
+        "embedding", anchorPred, probePred, k, bits, cFactor = 16,
+        nprobe = 4), truth),
       // recall-under-filter: does a selective label constraint cost
       // recall at fixed per-part bits? (the number a production
       // vector store quotes for filtered search)

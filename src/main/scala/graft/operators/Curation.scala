@@ -74,6 +74,14 @@ object Curation {
     * boundaries; first-occurrence keep means a passage's first
     * carrier always survives.
     *
+    * `windowDedup`: when set, a `window_dedup` stage rewrites each
+    * surviving doc IN PLACE through [[Dedup.windowDedupRewrite]]
+    * (the Lee et al. cut — drop exactly the tokens of
+    * later-occurrence duplicated `windowDedup`-token windows at
+    * stride 1), after `window_dup_filter` when both are on: the
+    * filter drops mostly-boilerplate docs, the rewrite strips
+    * residual duplicated runs from the keepers.
+    *
     * `keepBestQuality`: when true, the near-dup stage keeps each
     * cluster's highest-QUALITY member ([[Dedup.clusterRepresentatives]]'
     * rule over [[TextAnalysis.quality]]'s score, ties → min id)
@@ -94,7 +102,8 @@ object Curation {
       pplKeepDeciles: Option[Int] = None,
       spanDedup: Option[Int] = None,
       maxDupWindowFrac: Option[Double] = None,
-      dupWindow: Int = 16): (DataFrame, DataFrame) = {
+      dupWindow: Int = 16,
+      windowDedup: Option[Int] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
@@ -180,6 +189,27 @@ object Curation {
             col("dup_windows") * 1.0 / col("n_windows") > maxFrac)
           .select(id)
         d.join(drops, Seq(id), "left_anti")
+      }
+    }
+    windowDedup.foreach { w =>
+      stage("window_dedup") { d =>
+        // Lee et al.'s actual cut as a pipeline seat (d28's operator,
+        // the REWRITE complement of window_dup_filter's drop rule):
+        // each surviving doc loses exactly the tokens covered by its
+        // later-occurrence duplicated windows — the duplicated run
+        // itself, wherever it straddles span boundaries — keeping
+        // the rest in order. Runs AFTER the filter stage (when both
+        // are on): the filter drops the mostly-boilerplate docs
+        // outright, the rewrite strips the residual runs from the
+        // keepers, so the later text-judging stages (ppl_prune,
+        // decontaminate) and the token-budget mix see the cleaned
+        // text. In-place: docs_in == docs_out by construction; the
+        // map-side interval cut never shuffles a token row (the r11
+        // re-plan). First-occurrence keep: a passage's first carrier
+        // is never cut.
+        d.drop(text).join(
+          Dedup.windowDedupRewrite(d, id, text, w)
+            .select(col(id), col("text_kept").as(text)), Seq(id))
       }
     }
     embeddings.foreach { embTab =>

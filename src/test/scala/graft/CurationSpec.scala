@@ -236,6 +236,41 @@ class CurationSpec extends AnyFunSuite {
     assert(texts(2L).contains("v1"), "unique content survives the rewrite")
   }
 
+  test("window_dedup stage cuts a straddling duplicated run in place (filter + rewrite compose)") {
+    import spark.implicits._
+    // the window_dup_filter fixture's shape, below the drop cap: doc 2
+    // carries a 20-token copy of doc 1's tokens 5..24 inside its own
+    // text — span_dedup's aligned 16-spans cannot cut it exactly and
+    // the 11% dup fraction (5 of 45 windows) survives a 0.5 filter
+    // cap; the rewrite stage must remove exactly the copied run and
+    // nothing else
+    val aTok = (0 until 40).map(i => s"alpha$i")
+    val bTok = (0 until 20).map(i => s"beta$i") ++ aTok.slice(5, 25) ++
+      (20 until 40).map(i => s"beta$i")
+    val cTok = (0 until 40).map(i => s"gamma$i")
+    val corpus = Seq((1L, aTok.mkString(" "), "en"),
+      (2L, bTok.mkString(" "), "en"), (3L, cTok.mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val ev = Seq((9L, "held out benchmark text entirely unrelated"))
+      .toDF("doc_id", "text")
+    val (out, rep) = Curation.curate(corpus, "doc_id", "text", col("lang"),
+      ev, maxContam = 0.9, maxDupWindowFrac = Some(0.5),
+      windowDedup = Some(16))
+    val stages = rep.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stages("window_dup_filter") == ((3L, 3L)),
+      s"no doc crosses the drop cap here: $stages")
+    assert(stages("window_dedup") == ((3L, 3L)),
+      s"the rewrite is in place, never a drop: $stages")
+    val texts = out.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L) == aTok.mkString(" "),
+      "the first carrier is never cut")
+    assert(texts(2L) == (bTok.take(20) ++ bTok.drop(40)).mkString(" "),
+      s"exactly the 20 copied tokens go: ${texts(2L)}")
+    assert(texts(3L) == cTok.mkString(" "), "the unique doc is untouched")
+  }
+
   test("token-budget curation lands near the budget and reports the stage") {
     import spark.implicits._
     val (out, rep) = Curation.curate(
