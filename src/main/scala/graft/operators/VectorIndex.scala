@@ -266,14 +266,9 @@ object VectorIndex {
     require(nNull == 0,
       s"INDEX DELETE REFUSED: $nNull rows carry a NULL $id")
     val del = ids.select(col(id)).distinct().localCheckpoint(true)
-    val (fs, _) = hfs(spark, dir)
-    val now = System.currentTimeMillis()
     // reclaim superseded copies past the retention window (and any
     // half-written stage of a crashed previous delete)
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/*.old-g*")))
-      .getOrElse(Array.empty)
-      .filter(st => now - st.getModificationTime > retainMs)
-      .foreach(st => fs.delete(st.getPath, true))
+    gcOldGenerations(spark, dir, retainMs)
     val assigned = spark.read.parquet(s"$dir/assigned")
     val nUnknown = del.join(assigned.select(col(id)), Seq(id), "left_anti")
       .count()
@@ -281,14 +276,55 @@ object VectorIndex {
       s"INDEX DELETE REFUSED: $nUnknown ids not present in the index — " +
         "a silently-ignored id would report a removal that never happened")
     val nDel = del.count()
-    val expectA = mt.n - nDel
+    rewriteTables(spark, dir, mt, mt.n - nDel,
+      df => df.join(del, Seq(id), "left_anti"))
+  }
+
+  /** POST-MAINTENANCE COMPACTION — the index's [[graft.sources.LakeSink.compact]]:
+    * every [[append]] lands its own (internally cell-clustered)
+    * files, so after N batches the assigned/codes tables hold N+1
+    * file groups whose cell ranges OVERLAP — a cell-restricted probe
+    * stops skipping files on footer min/max. Compact rewrites both
+    * tables as ONE sort-clustered copy (global disjoint cell ranges
+    * restored, small files merged to the 500k-rows/file rule) through
+    * the same staged-verify-flip machinery as [[delete]]; values are
+    * untouched, so probes are bit-identical before and after
+    * (IndexSpec pins both properties). Run it on the append cadence,
+    * like a lakehouse OPTIMIZE. */
+  def compact(spark: SparkSession, dir: String,
+      retainMs: Long = 600000L): Long = {
+    val mt = readMeta(spark, dir)
+    gcOldGenerations(spark, dir, retainMs)
+    rewriteTables(spark, dir, mt, mt.n, identity)
+  }
+
+  private def gcOldGenerations(spark: SparkSession, dir: String,
+      retainMs: Long): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    val now = System.currentTimeMillis()
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/*.old-g*")))
+      .getOrElse(Array.empty)
+      .filter(st => now - st.getModificationTime > retainMs)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** the shared staged-rewrite-verify-flip of assigned+codes
+    * ([[delete]] filters, [[compact]] keeps everything): write both
+    * tables' transformed copies sort-clustered into a stage dir,
+    * verify counts against the independently-computed expectation,
+    * swap in with one rename pair per table (superseded copies
+    * retained as `<table>.old-g<stamp>` for the retention window),
+    * rewrite meta last. */
+  private def rewriteTables(spark: SparkSession, dir: String, mt: Meta,
+      expectA: Long, xform: DataFrame => DataFrame): Long = {
+    val (fs, _) = hfs(spark, dir)
     val stage = s"$dir/.stage-del"
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     val nFiles = math.max(1L, expectA / 500000L).toInt
-    assigned.join(del, Seq(id), "left_anti")
+    xform(spark.read.parquet(s"$dir/assigned"))
       .repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
       .write.parquet(s"$stage/assigned")
-    spark.read.parquet(s"$dir/codes").join(del, Seq(id), "left_anti")
+    xform(spark.read.parquet(s"$dir/codes"))
       .repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
       .write.parquet(s"$stage/codes")
     val stagedA = spark.read.parquet(s"$stage/assigned").count()
@@ -296,14 +332,14 @@ object VectorIndex {
     if (stagedA != expectA || stagedC != expectA * mt.m) {
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       throw new java.io.IOException(
-        s"staged delete short: assigned=$stagedA (want $expectA), " +
+        s"staged rewrite short: assigned=$stagedA (want $expectA), " +
           s"codes=$stagedC (want ${expectA * mt.m}); aborting — " +
           "index unchanged")
     }
     // the flip: one rename pair per table; retained old copies are
-    // stamped with a generation counter so repeated deletes never
+    // stamped with a generation counter so repeated rewrites never
     // collide
-    val gen = now
+    val gen = System.currentTimeMillis()
     Seq("codes", "assigned").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
       val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old-g$gen")

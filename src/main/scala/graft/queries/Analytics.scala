@@ -622,6 +622,47 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  // ---- q45: AS-OF join (temporal lookup, union-interleave plan) ------
+  /** each purchase matched to the SAME user's most recent view at or
+    * before it ([[graft.operators.AsOf.asofJoin]]) — the temporal
+    * lookup q28's banded range join cannot express (unbounded
+    * lookback; a band bounds |Δt|). Left-outer: an unattributed
+    * purchase keeps NULL view columns. The oracle is DuckDB's native
+    * ASOF LEFT JOIN over the identically tie-collapsed right side —
+    * the operator's union-interleave plan is hash-checked against
+    * the engine-native as-of semantics. */
+  val q45 = Q("q45_asof_join", Some("""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v6
+               FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, sec FROM e
+          WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, sec, arg_max(event_id, event_id) AS view_id,
+            arg_max(v6, event_id) AS view_v6
+          FROM e WHERE event_type = 'view' GROUP BY user_id, sec)
+    SELECT p.purchase_id, p.user_id, p.sec, v.view_id,
+      CAST(v.view_v6 AS DOUBLE) / 1000000.0 AS view_value,
+      p.sec - v.sec AS gap_s
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.sec >= v.sec
+    ORDER BY p.purchase_id""")) { (s, d) =>
+    val e = ev(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("sec"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("sec"),
+        col("event_id").as("view_id"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("view_v6"),
+        col("sec").as("view_sec"))
+    graft.operators.AsOf.asofJoin(p, v, "user_id", "sec",
+        Seq("view_id", "view_v6", "view_sec"), "view_id")
+      .select(col("purchase_id"), col("user_id"), col("sec"),
+        col("view_id"),
+        (col("view_v6").cast("double") / 1000000.0).as("view_value"),
+        (col("sec") - col("view_sec")).as("gap_s"))
+      .orderBy("purchase_id")
+  }
+
   // ---- q29: RANGE-frame sliding window (value-based, not row-based) --
   // trailing 1-hour sum per event: RANGE frames include sec-peers, so
   // ties contribute identically in both engines (ROWS frames — q19 —
@@ -1212,5 +1253,5 @@ object Analytics {
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43, q44)
+    q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }

@@ -40,7 +40,7 @@ class EventsNullSafetySpec extends AnyFunSuite {
         "q20_json", "q23_asof", "q26_leadlag", "q28_rangejoin",
         "q29_rangewindow", "q30_funnel", "q31_retention",
         "q36_timeagg_native", "q37_latest", "q38_scd2_islands",
-        "q41_resample", "q42_paths")) {
+        "q41_resample", "q42_paths", "q45_asof_join")) {
       val rows = SparkEntry.queries(q)(spark, dir).collect()
       // q28's ±300s error×click pairing and q42's 3-event paths are
       // legitimately EMPTY on this six-event table — completion is

@@ -234,6 +234,48 @@ class IndexSpec extends AnyFunSuite {
       e.getMessage.contains("within the batch"))
   }
 
+  test("compact restores global cell-clustering after appends; probes bit-identical") {
+    val dirC = java.nio.file.Files.createTempDirectory("graft_idx_c").toString
+    val a = vecs.filter(col("vec_id") % 5 =!= 4)
+    val b = vecs.filter(col("vec_id") % 5 === 4).localCheckpoint(true)
+    VectorIndex.write(a, "vec_id", "embedding", anchorPred, dirC, stamp = "C")
+    VectorIndex.append(spark, dirC, b)
+    // the appended batch is internally clustered but file ranges now
+    // OVERLAP across groups — the thing compact exists to fix
+    def ranges(tbl: String) = spark.read.parquet(s"$dirC/$tbl")
+      .select(col("cell"), input_file_name().as("f"))
+      .groupBy("f").agg(min("cell").as("lo"), max("cell").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def overlaps(rs: Array[(Long, Long)]) =
+      rs.length > 1 && rs.sliding(2).exists {
+        case Array((_, hi1), (lo2, _)) => hi1 > lo2
+        case _ => false
+      }
+    val pre = VectorIndex.probe(spark, dirC, probes, 5, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val prePq = VectorIndex.probePq(spark, dirC, probes, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(overlaps(ranges("assigned")),
+      "fixture must actually produce overlapping file ranges pre-compact " +
+        "(base + appended group) — otherwise this test pins nothing")
+    val n = VectorIndex.compact(spark, dirC)
+    assert(n == vecs.count(), "compact must not change the total")
+    assert(VectorIndex.readMeta(spark, dirC).n == n)
+    for (tbl <- Seq("assigned", "codes")) {
+      val rs = ranges(tbl)
+      rs.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"$tbl still overlaps after compact: $hi1 > $lo2")
+        case _ =>
+      }
+    }
+    // values untouched ⇒ probes identical on both paths
+    assert(VectorIndex.probe(spark, dirC, probes, 5, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq == pre)
+    assert(VectorIndex.probePq(spark, dirC, probes, 5)
+      .collect().map(_.toString).sorted.toSeq == prePq)
+  }
+
   test("assigned/codes land sort-clustered on cell (disjoint file ranges)") {
     // every persisted corpus-sized table must be cell-clustered so a
     // cell-restricted probe batch can skip files on footer min/max

@@ -449,6 +449,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), p.take(600))
   }
 
+  test("q45 as-of join plans NO join — union-interleave + per-key window") {
+    // the as-of predicate has unbounded lookback: q28's banded
+    // equi-join cannot express it and a theta-join is quadratic per
+    // key; the shipped plan unions both sides and fills with one
+    // running last() per key — one narrow shuffle, window partitions
+    // bounded by per-key activity
+    val p = plan("q45_asof_join")
+    assert(!p.contains("Join"),
+      "as-of must be the union-interleave window, not a join:\n" +
+        p.take(1200))
+    assert(p.contains("Window") && p.contains("Union"), p.take(800))
+  }
+
   test("q40 pagerank rounds derive from checkpointed tables, equi-joins only") {
     val p = plan("q40_pagerank")
     assert(!p.contains("Scan parquet"),
