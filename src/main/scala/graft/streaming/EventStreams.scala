@@ -44,6 +44,59 @@ object EventStreams {
       }
   }
 
+  case class AsOfIn(k: Long, ts: Long, side: Int, id: Long, payload: Double)
+
+  case class AsOfState(ts: Long, id: Long, payload: Double)
+
+  case class AsOfOut(k: Long, id: Long, ts: Long,
+      m_id: Option[Long], m_ts: Option[Long], m_payload: Option[Double])
+
+  /** Stream-stream AS-OF enrichment — q45's operator
+    * ([[graft.operators.AsOf.asofJoin]]) as continuous state: both
+    * sides arrive as ONE keyed stream (`side` 0 = right/reference,
+    * 1 = left/probe — the caller unions its two sources, the
+    * streaming twin of the batch union-interleave), and each left
+    * row is answered with the latest right payload AT OR BEFORE its
+    * event time among rows seen so far. State is ONE fixed-width row
+    * per key (the newest right seen — [[latestPerKey]]'s
+    * log-compaction shape, no watermark needed, never grows past key
+    * cardinality).
+    *
+    * SEMANTICS UNDER DISORDER, stated honestly: within a micro-batch
+    * rows are processed in (ts, side, id) order — right-before-left
+    * at equal ts, exactly the batch frame rule — so an event-ordered
+    * feed reproduces the batch as-of join row for row (StreamingSpec
+    * pins it on the real events table). ACROSS batches the state
+    * only ever advances (a late right row older than the stored
+    * state cannot regress it — monotone, deterministic), so a left
+    * row arriving before the right row it would have matched in
+    * batch is answered with the best value KNOWN at processing time
+    * — the standard streaming-enrichment contract; a deployment
+    * needing exact event-time as-of under unbounded disorder runs
+    * the batch operator over the closed table. Ties on (key, ts) on
+    * the right pick the max id — the same tiebreak as the batch
+    * operator's max_by / the oracle's arg_max. */
+  def asofEnrich(in: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.k)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k, rows, state: GroupState[AsOfState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[AsOfOut]()
+          var st = state.getOption
+          rows.toSeq.sortBy(r => (r.ts, r.side, r.id)).foreach { r =>
+            if (r.side == 0) {
+              if (st.forall(s => s.ts < r.ts || (s.ts == r.ts && s.id <= r.id)))
+                st = Some(AsOfState(r.ts, r.id, r.payload))
+            } else
+              out += AsOfOut(k, r.id, r.ts,
+                st.map(_.id), st.map(_.ts), st.map(_.payload))
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Watermarked sliding-window aggregation (streaming q18). */
   def windowedAgg(events: DataFrame): DataFrame =
     events

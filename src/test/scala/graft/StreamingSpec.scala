@@ -640,6 +640,77 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cdc_t")
   }
 
+  test("streamed as-of enrichment ≡ batch as-of join on the real events table; late rows can't regress state") {
+    // q45's operator as continuous state: purchases (left) answered
+    // with the latest view (right) at or before them. Fed in EVENT
+    // order the streamed answers must equal the batch asofJoin row
+    // for row — the same pin discipline as every other seat.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.AsOfIn
+    val e = Tables.load(spark, TestSpark.sf, "events")
+    val sec = Tables.tsSec(e)
+    val rows = e.withColumn("sec", sec)
+      .filter(col("event_type").isin("purchase", "view") &&
+        col("sec").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("sec"), col("event_type"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => AsOfIn(r.getLong(0), r.getLong(1),
+        if (r.getString(2) == "view") 0 else 1, r.getLong(3),
+        if (r.isNullAt(4)) 0.0 else r.getDouble(4)))
+      .sortBy(r => (r.ts, r.side, r.id)) // event-ordered feed
+    val in = MemoryStream[AsOfIn]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Option[Long])]()
+    val q = EventStreams.asofEnrich(in.toDS()).writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[EventStreams.AsOfOut],
+            _: Long) =>
+          got ++= batch.toDF().collect().map(r =>
+            r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+          ()
+      }.start()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // the batch truth: AsOf.asofJoin over the same filtered rows
+    val l = rows.filter(_.side == 1).toSeq
+      .toDF("k", "ts", "side", "id", "payload").drop("side")
+    val r = rows.filter(_.side == 0).toSeq
+      .toDF("k", "ts", "side", "view_id", "view_payload").drop("side")
+    val expect = graft.operators.AsOf
+      .asofJoin(l, r, "k", "ts", Seq("view_id"), "view_id")
+      .collect().map(x => x.getAs[Long]("id") ->
+        Option(x.getAs[Any]("view_id")).map(_.asInstanceOf[Long])).toMap
+    assert(got.nonEmpty && got.size == expect.size)
+    got.foreach { case (id, m) =>
+      assert(expect(id) == m, s"purchase $id: streamed $m vs batch ${expect(id)}")
+    }
+    // late-arrival monotonicity: an OLD right row after the fact must
+    // not regress the state a newer right already set
+    val in2 = MemoryStream[AsOfIn]
+    val got2 = scala.collection.mutable.ArrayBuffer[Option[Long]]()
+    val q2 = EventStreams.asofEnrich(in2.toDS()).writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[EventStreams.AsOfOut],
+            _: Long) =>
+          got2 ++= batch.toDF().collect().map(r =>
+            Option(r.get(3)).map(_.asInstanceOf[Long]))
+          ()
+      }.start()
+    in2.addData(AsOfIn(7L, 100L, 0, 1L, 1.0)); q2.processAllAvailable()
+    in2.addData(AsOfIn(7L, 50L, 0, 2L, 2.0));  q2.processAllAvailable() // late, older
+    in2.addData(AsOfIn(7L, 200L, 1, 3L, 0.0)); q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSeq == Seq(Some(1L)),
+      s"the late older right row must not displace the newer state: $got2")
+  }
+
   test("streamed index maintenance: micro-batch appends ≡ one batch append; dup batch refused harmlessly") {
     // the maintenance half of the serving deployment (VERDICT-r10
     // #6): vector micro-batches land through VectorIndex.append under
