@@ -14,6 +14,10 @@ object GraftSession {
   def builder(cores: Int = Runtime.getRuntime.availableProcessors())
       : SparkSession.Builder =
     SparkSession.builder()
+      // graft's optimizer rule (conf-gated, default off): the
+      // measured q43 multi-distinct Expand fix as a planner rewrite
+      .withExtensions(_.injectOptimizerRule(_ =>
+        graft.plans.DistinctPairRewrite))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

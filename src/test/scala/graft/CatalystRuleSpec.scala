@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected optimizer rule (`graft.plans.DistinctPairRewrite` via
+  * `SparkSessionExtensions.injectOptimizerRule` — GraftSession's
+  * builder): the measured q43 multi-distinct Expand trap (§6,
+  * r = 10.1 → 4.8) generalized as a planner rewrite, conf-gated off
+  * by default. */
+class CatalystRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val FLAG = "spark.graft.distinctPairRewrite"
+
+  private def li = Tables.load(spark, TestSpark.sf, "lineitem")
+
+  private def doubleDistinct = li.groupBy("l_returnflag")
+    .agg(countDistinct("l_partkey").as("np"),
+      countDistinct("l_suppkey").as("ns"))
+
+  private def pairAggs(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.size == 3 => a
+    }
+
+  private def withFlag[A](on: Boolean)(f: => A): A = {
+    spark.conf.set(FLAG, on.toString)
+    try f finally spark.conf.unset(FLAG)
+  }
+
+  test("default off: no pair aggregate appears (the rule must be an explicit choice)") {
+    assert(pairAggs(doubleDistinct).isEmpty,
+      "with the flag unset the plan must be Spark's own")
+    // and the measured trap is really there to fix: the default plan
+    // Expands the scan relation for the multi-distinct
+    assert(doubleDistinct.queryExecution.executedPlan.toString
+      .contains("Expand"))
+  }
+
+  test("enabled: distinct pair aggregate planned below; results identical; fixpoint converges") {
+    val off = doubleDistinct.collect().map(_.toString).sorted.toSeq
+    withFlag(true) {
+      val df = doubleDistinct
+      // exactly ONE pair aggregate — the convergence guard must stop
+      // the fixpoint batch from stacking a second
+      assert(pairAggs(df).size == 1,
+        df.queryExecution.optimizedPlan.toString.take(1500))
+      // the Expand now replicates the pair relation: it sits ABOVE an
+      // Aggregate in the physical plan, not directly above the scan
+      val p = df.queryExecution.executedPlan.toString
+      val iExpand = p.indexOf("Expand")
+      assert(iExpand >= 0 && p.indexOf("HashAggregate", iExpand) >= 0,
+        "the Expand must feed from the pair aggregate:\n" + p.take(1500))
+      assert(df.collect().map(_.toString).sorted.toSeq == off,
+        "the rewrite must be invisible in results")
+    }
+  }
+
+  test("value-set semantics survive: sum/avg distinct + NULLs identical on and off") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("a", 1L, 1.0), ("a", 1L, 1.0), ("a", 2L, null),
+      ("a", null, 3.0), ("b", null, null), ("b", 5L, 2.0))
+      .toDF("g", "x", "y")
+    def q = df.groupBy("g").agg(
+      countDistinct("x").as("nx"), sum_distinct(col("y")).as("sy"),
+      count_distinct(col("y")).as("ny"))
+    val off = q.collect().map(_.toString).sorted.toSeq
+    val on = withFlag(true) {
+      assert(pairAggs(q).size == 1, "three distincts over two args pair up")
+      q.collect().map(_.toString).sorted.toSeq
+    }
+    assert(on == off, s"on=$on off=$off")
+  }
+
+  test("ineligible shapes bail: mixed plain aggregate, single distinct arg") {
+    withFlag(true) {
+      // a plain count(1) would count PAIR rows after the rewrite —
+      // the rule must refuse the whole Aggregate
+      val mixed = li.groupBy("l_returnflag").agg(
+        countDistinct("l_partkey"), countDistinct("l_suppkey"),
+        count(lit(1)))
+      assert(pairAggs(mixed).isEmpty, "mixed distinct+plain must bail")
+      // two distincts over the SAME argument plan no Expand anyway
+      val same = li.groupBy("l_returnflag").agg(
+        countDistinct("l_partkey"), sum_distinct(col("l_partkey")))
+      assert(pairAggs(same).isEmpty, "single distinct argument must bail")
+      assert(mixed.collect().nonEmpty && same.collect().nonEmpty)
+    }
+  }
+}
