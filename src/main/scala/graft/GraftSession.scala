@@ -18,6 +18,11 @@ object GraftSession {
       // measured q43 multi-distinct Expand fix as a planner rewrite
       .withExtensions(_.injectOptimizerRule(_ =>
         graft.plans.DistinctPairRewrite))
+      // graft's planner strategy: PointIntervalJoin logical nodes
+      // (variable-length interval lookups) plan as the broadcast
+      // interval-tree join instead of BroadcastNestedLoopJoin
+      .withExtensions(_.injectPlannerStrategy(_ =>
+        graft.plans.IntervalJoinStrategy))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -45,6 +50,7 @@ object GraftSession {
   def attach(s: SparkSession): SparkSession = {
     graft.functions.CosineSimilarity.register(s)
     graft.functions.LuhnValid.register(s)
+    graft.functions.Sq8Cosine.register(s)
     s
   }
 }

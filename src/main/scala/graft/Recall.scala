@@ -65,6 +65,11 @@ object Recall {
     val methods: Seq[(String, () => DataFrame, DataFrame)] = Seq(
       ("s2_lsh", () => Similarity.lshKnn(vecs, "vec_id", "embedding",
         probePred, k, bitsCorpus), truth),
+      // SQ8 (s17): identical candidate structure to s2 — the recall
+      // delta vs s2 is the cost of scoring byte codes instead of
+      // floats, isolated from every other knob
+      ("s17_sq8", () => Similarity.sq8Knn(vecs, "vec_id", "embedding",
+        probePred, k, bitsCorpus), truth),
       ("s6_ivfpq_lsh", () => Similarity.ivfPqKnnLsh(vecs, "vec_id",
         "embedding", anchorPred, probePred, k, bits), truth),
       ("s8_np1", () => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",

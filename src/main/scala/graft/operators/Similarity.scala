@@ -204,6 +204,65 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** SQ8 scalar-quantized ANN — [[lshKnn]]'s candidate structure
+    * with the SCORING memory cut to one signed byte per dimension
+    * (4× below the float corpus, the FAISS `SQ8` trade): a
+    * per-dimension affine quantizer (min/max over the corpus, 255
+    * steps) is fit in ONE scalar-aggregate read and shipped as
+    * constant-folded literal arrays; every vector stores only its
+    * offset-128 byte codes. Candidates come from the same multi-table
+    * sign-LSH bands (computed from the incoming float vector at
+    * index/probe time — the float never needs to be STORED); scoring
+    * dequantizes on the fly inside the fused codegen loop of
+    * [[graft.functions.Sq8Cosine]] — `dq_i = mn_i + q_i·s_i` — so
+    * the candidate join moves 64-byte codes instead of 256-byte
+    * floats. Ranking error vs the exact cosine is the quantization
+    * error only (measured in the recall harness); the scale shape is
+    * exactly lshKnn's: one corpus shuffle on the band key, probes
+    * broadcast with Hamming-1 flips. */
+  def sq8Knn(vectors: DataFrame, id: String, emb: String,
+      probePred: Column, k: Int, bits: Int = LSH_BITS,
+      tables: Int = LSH_TABLES, dim: Int = 64): DataFrame = {
+    val st = vectors.agg(
+      array((0 until dim).map(i =>
+        min(try_element_at(col(emb), lit(i + 1)).cast("double"))): _*).as("mn"),
+      array((0 until dim).map(i =>
+        max(try_element_at(col(emb), lit(i + 1)).cast("double"))): _*).as("mx"))
+      .head()
+    val mnA = st.getSeq[Double](0)
+    val mxA = st.getSeq[Double](1)
+    val sA = mnA.zip(mxA).map { case (a, b) => (b - a) / 255.0 }
+    val mnL = typedLit(mnA)
+    val mxL = typedLit(mxA)
+    val sL = typedLit(sA)
+    // q ∈ [0,255] stored as q−128 ∈ [−128,127]; a flat dimension
+    // (max == min) codes 0 and dequantizes to exactly mn
+    val code = transform(col(emb), (x, i) => {
+      val lo = element_at(mnL, i + 1)
+      val hi = element_at(mxL, i + 1)
+      (when(hi > lo,
+        floor((x.cast("double") - lo) / (hi - lo) * 255.0 + 0.5))
+        .otherwise(lit(0L)) - 128).cast("byte")
+    })
+    val cb = corpusBands(vectors.withColumn("__qc", code), id, emb,
+        bits, tables, Seq("__qc"))
+      .select(col(id), col("__qc"), col("t"), col("bkt"))
+    val pb0 = cb.filter(probePred)
+      .select(col(id).as("probe_id"), col("__qc").as("pqc"),
+        col("t"), col("bkt"))
+    val flips = pb0.select(col("probe_id"), col("pqc"), col("t"),
+      explode(array((0 until bits).map(i => flipBit(col("bkt"), i)): _*)).as("bkt"))
+    val probes = broadcast(pb0.unionByName(flips))
+    val cand = probes.join(cb, Seq("t", "bkt"))
+      .filter(col(id) =!= col("probe_id"))
+      .select(col("probe_id"), col("pqc"), col(id), col("__qc"))
+      .dropDuplicates("probe_id", id)
+    val scored = cand.select(col("probe_id"), col(id).as("neighbor_id"),
+      (floor(graft.functions.Sq8Cosine.sq8_cosine(col("pqc"), col("__qc"),
+        mnL, sL) * 1000000.0 + 0.5) / 1000000.0).as("c6"))
+    topK(scored, k)
+  }
+
   private[operators] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("c6").desc, col("neighbor_id"))

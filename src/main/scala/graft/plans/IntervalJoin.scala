@@ -1,0 +1,248 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+
+import scala.collection.mutable
+
+/** Point-in-interval broadcast join — the full custom-operator
+  * extension tier (§2 E): a logical node, a planner
+  * [[SparkStrategy]], and a physical [[BroadcastIntervalJoinExec]],
+  * registered through `SparkSessionExtensions.injectPlannerStrategy`
+  * (GraftSession's builder).
+  *
+  * The shape it exists for: `probe.x BETWEEN i.lo AND i.hi` against
+  * VARIABLE-LENGTH intervals. Spark has no interval-aware physical
+  * join: keyless, it plans BroadcastNestedLoopJoin —
+  * O(|probe| × |intervals|) comparisons; with an equi-key it hashes
+  * on the key but still evaluates the range residual against EVERY
+  * same-key pair — quadratic in each key group, which is the whole
+  * cost when keys are few or skewed (IntervalJoinSpec pins both
+  * default shapes). q28's banded rewrite fixes the FIXED-width case
+  * (|Δt| ≤ w becomes an equi-join on w-sized buckets), but bands
+  * cannot express intervals whose lengths vary per row without
+  * exploding every probe to the MAXIMUM width — back to quadratic
+  * in the skew limit. This operator instead broadcasts the
+  * dim-sized interval side as a per-key static interval structure —
+  * intervals sorted by `lo`, a max-`hi` segment tree above them —
+  * and each probe row answers its stab query in O(log n + matches):
+  * binary-search the prefix with `lo ≤ x` (sorted order), then
+  * descend only subtrees whose max `hi` reaches x. The classic
+  * centered-interval-tree bound without the pointer chasing.
+  *
+  * Scale posture: the stream side never moves (probe partitioning
+  * and ordering preserved — zero shuffle), the build side is
+  * collected and broadcast exactly like Spark's own broadcast hash
+  * join, with the same contract: intervals must be dim-sized. A
+  * conf-gated guard (`spark.graft.intervalJoin.maxBuildRows`,
+  * default 10M) refuses fact-sized builds loudly — at 100 TB the
+  * fact×fact interval case belongs to q28's banded form; this
+  * operator is the variable-length DIM lookup (calendars, price
+  * epochs, maintenance windows, error episodes).
+  *
+  * Semantics: INNER join; NULL point, NULL bounds, and NULL keys
+  * never match (SQL BETWEEN/equi-join semantics); empty `keys` means
+  * a single global interval set. Both sides' columns pass through;
+  * the API re-aliases the interval side so self-joins (both sides
+  * derived from one table) cannot collide on expression ids.
+  */
+object IntervalJoin {
+
+  val MaxBuildRowsKey = "spark.graft.intervalJoin.maxBuildRows"
+
+  /** `probe ⋈ intervals ON probe.key* = intervals.key* AND
+    * probe(pointCol) BETWEEN intervals(loCol) AND intervals(hiCol)`.
+    * All three measure columns must be LONG (epoch seconds, scaled
+    * longs — the engine's uniform time/measure representation).
+    * Column names must be disjoint across the two sides. */
+  def pointInInterval(probe: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val overlap = probe.columns.toSet & intervals.columns.toSet
+    require(overlap.isEmpty,
+      s"pointInInterval: column names must be disjoint, both sides have ${overlap.mkString(", ")}")
+    // fresh exprIds on the build side: a self-join (both inputs
+    // carved from the same scan) would otherwise alias attributes
+    // across sides and resolve lo/hi against the probe
+    val iv = intervals.select(intervals.columns.map(c => col(c).as(c)).toSeq: _*)
+    val l = probe.queryExecution.analyzed
+    val r = iv.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"pointInInterval: no column '$n' on the $side side (${p.output.map(_.name).mkString(", ")})"))
+    val (point, lo, hi) =
+      (attr(l, pointCol, "probe"), attr(r, loCol, "interval"), attr(r, hiCol, "interval"))
+    Seq(point, lo, hi).foreach(a => require(a.dataType == LongType,
+      s"pointInInterval: '${a.name}' must be LONG, is ${a.dataType.simpleString}"))
+    val (lk, rk) = (keys.map(k => attr(l, k._1, "probe")),
+      keys.map(k => attr(r, k._2, "interval")))
+    lk.zip(rk).foreach { case (a, b) => require(a.dataType == b.dataType,
+      s"pointInInterval: key type mismatch ${a.name}:${a.dataType.simpleString} vs ${b.name}:${b.dataType.simpleString}") }
+    GraftBridge.ofRows(probe.sparkSession, PointIntervalJoin(l, r, point, lo, hi, lk, rk))
+  }
+}
+
+/** Logical form — carries resolved attributes, so it passes straight
+  * through the analyzer; the optimizer leaves unknown nodes intact
+  * and [[IntervalJoinStrategy]] plans it. */
+case class PointIntervalJoin(left: LogicalPlan, right: LogicalPlan,
+    point: Expression, lo: Expression, hi: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression])
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): PointIntervalJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The planner hook: exactly one rule — the custom logical node
+  * becomes the custom physical node, children planned by Spark. */
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case PointIntervalJoin(l, r, point, lo, hi, lk, rk) =>
+      BroadcastIntervalJoinExec(planLater(l), planLater(r),
+        point, lo, hi, lk, rk) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Per-key build-side structure: intervals sorted by `lo` with a
+  * max-`hi` segment tree. `stab(x)` yields the row indices of every
+  * interval with `lo ≤ x ≤ hi` in O(log n + k): indices `< ub(x)`
+  * have `lo ≤ x` by sort order, and subtrees whose max `hi` is
+  * below x are skipped whole. */
+private[plans] final class IntervalBucket(
+    val los: Array[Long], val his: Array[Long],
+    val rows: Array[InternalRow]) extends Serializable {
+  private val n = los.length
+  // power-of-two-based segment tree over his (1-indexed, leaves at [size, size+n))
+  private val size = {
+    var s = 1; while (s < n) s <<= 1; s
+  }
+  private val tree: Array[Long] = {
+    val t = Array.fill(2 * size)(Long.MinValue)
+    var i = 0
+    while (i < n) { t(size + i) = his(i); i += 1 }
+    i = size - 1
+    while (i >= 1) { t(i) = math.max(t(2 * i), t(2 * i + 1)); i -= 1 }
+    t
+  }
+
+  /** first index with lo > x (== count of intervals with lo ≤ x) */
+  private def ub(x: Long): Int = {
+    var l = 0; var r = n
+    while (l < r) {
+      val m = (l + r) >>> 1
+      if (los(m) <= x) l = m + 1 else r = m
+    }
+    l
+  }
+
+  def stab(x: Long, out: mutable.ArrayBuffer[InternalRow]): Unit = {
+    val u = ub(x)
+    if (u == 0) return
+    // descend: node covers [nl, nl+span); emit leaves < u with hi >= x
+    def go(node: Int, nl: Int, span: Int): Unit = {
+      if (nl >= u || tree(node) < x) return
+      if (span == 1) { out += rows(nl); return }
+      val h = span >> 1
+      go(2 * node, nl, h)
+      go(2 * node + 1, nl + h, h)
+    }
+    go(1, 0, size)
+  }
+}
+
+/** Physical broadcast interval join. The build (right) side is
+  * collected like Spark's broadcast exchanges, grouped by key, and
+  * shipped as [[IntervalBucket]]s; the stream (left) side is mapped
+  * in place — `outputPartitioning`/`outputOrdering` are the child's,
+  * exactly the broadcast-hash-join contract. */
+case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
+    point: Expression, lo: Expression, hi: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression])
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "build side rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val maxBuild = conf.getConfString(IntervalJoin.MaxBuildRowsKey, "10000000").toLong
+    val buildRows = right.executeCollect()
+    require(buildRows.length <= maxBuild,
+      s"interval join build side has ${buildRows.length} rows > $maxBuild " +
+        s"(${IntervalJoin.MaxBuildRowsKey}); a fact-sized interval side " +
+        "belongs in the banded equi-join form (q28), not a broadcast")
+    metrics("buildRows") += buildRows.length
+
+    // driver-side: group by key, sort by lo, build the trees
+    val rOut = right.output
+    val loB = BindReferences.bindReference(lo, rOut)
+    val hiB = BindReferences.bindReference(hi, rOut)
+    val rkB = rightKeys.map(BindReferences.bindReference(_, rOut))
+    val rkProj = UnsafeProjection.create(rkB)
+    val grouped = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, Long, InternalRow)]]
+    buildRows.foreach { row =>
+      val loV = loB.eval(row); val hiV = hiB.eval(row)
+      if (loV != null && hiV != null && !rkB.exists(_.eval(row) == null)) {
+        val key = rkProj(row).copy()
+        grouped.getOrElseUpdate(key, mutable.ArrayBuffer.empty) +=
+          ((loV.asInstanceOf[Long], hiV.asInstanceOf[Long], row))
+      }
+    }
+    val buckets: Map[UnsafeRow, IntervalBucket] = grouped.iterator.map {
+      case (k, ivs) =>
+        val sorted = ivs.sortBy(_._1)
+        k -> new IntervalBucket(sorted.map(_._1).toArray,
+          sorted.map(_._2).toArray, sorted.map(_._3).toArray)
+    }.toMap
+    val bc = sparkContext.broadcast(buckets)
+
+    val lOut = left.output
+    val pointExpr = point; val lkExprs = leftKeys
+    val outAttrs = output
+    val numOut = longMetric("numOutputRows")
+    left.execute().mapPartitions({ iter =>
+      val bkts = bc.value
+      val pB = BindReferences.bindReference(pointExpr, lOut)
+      val lkB = lkExprs.map(BindReferences.bindReference(_, lOut))
+      val lkProj = UnsafeProjection.create(lkB)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val hits = mutable.ArrayBuffer.empty[InternalRow]
+      iter.flatMap { lrow =>
+        val x = pB.eval(lrow)
+        if (x == null || lkB.exists(_.eval(lrow) == null)) Iterator.empty
+        else bkts.get(lkProj(lrow)) match {
+          case None => Iterator.empty
+          case Some(b) =>
+            hits.clear()
+            b.stab(x.asInstanceOf[Long], hits)
+            // materialize: outProj reuses its buffer; lrow is stable
+            // for the duration of this flatMap step
+            hits.iterator.map { rrow =>
+              numOut += 1
+              outProj(joined(lrow, rrow)).copy()
+            }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}

@@ -663,6 +663,47 @@ object Analytics {
       .orderBy("purchase_id")
   }
 
+  // ---- q46: VARIABLE-length interval join (custom physical op) -------
+  /** each purchase attributed to the error "episodes" it falls
+    * inside, where an episode's length VARIES per error
+    * (60 + value·600 seconds) — the shape q28's fixed-width banding
+    * cannot express without exploding every probe to the maximum
+    * width. Runs on [[graft.plans.IntervalJoin.pointInInterval]]:
+    * graft's full custom-operator tier (logical node → injected
+    * planner strategy → `BroadcastIntervalJoinExec` stabbing a
+    * broadcast max-hi segment tree in O(log n + k) per probe).
+    * IntervalJoinSpec pins the plan free of
+    * BroadcastNestedLoopJoin and the results ≡ Spark's own
+    * theta-join; the oracle is the plain BETWEEN join. */
+  val q46 = Q("q46_interval_join", Some("""
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    w AS (SELECT event_id AS win_id, user_id AS w_user, sec AS lo,
+            sec + 60 + CAST(floor(value * 600.0) AS BIGINT) AS hi
+          FROM e WHERE event_type = 'error'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+            sec AS psec FROM e WHERE event_type = 'purchase')
+    SELECT p.purchase_id, count(*) AS n_win, min(w.win_id) AS first_win,
+      min(p.psec - w.lo) AS min_into_s
+    FROM p JOIN w ON p.p_user = w.w_user AND p.psec BETWEEN w.lo AND w.hi
+    GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    val e = ev(s, d)
+    val w = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+        col("sec").as("lo"),
+        (col("sec") + lit(60L) +
+          floor(col("value") * 600.0).cast("long")).as("hi"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("sec").as("psec"))
+    graft.plans.IntervalJoin.pointInInterval(p, w, "psec", "lo", "hi",
+        Seq("p_user" -> "w_user"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_win"), min(col("win_id")).as("first_win"),
+        min(col("psec") - col("lo")).as("min_into_s"))
+      .orderBy("purchase_id")
+  }
+
   // ---- q29: RANGE-frame sliding window (value-based, not row-based) --
   // trailing 1-hour sum per event: RANGE frames include sec-peers, so
   // ties contribute identically in both engines (ROWS frames — q19 —
@@ -1253,5 +1294,5 @@ object Analytics {
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }

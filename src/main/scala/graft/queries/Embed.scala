@@ -934,6 +934,66 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  /** s17: SQ8 scalar-quantized ANN ([[Similarity.sq8Knn]]) — s2's
+    * banded candidate structure with the scored corpus cut to ONE
+    * SIGNED BYTE per dimension: a per-dim min/max affine quantizer
+    * (one scalar-aggregate read, shipped as constant-folded
+    * literals), codes dequantized on the fly inside the fused
+    * [[graft.functions.Sq8Cosine]] codegen loop. The memory trade
+    * FAISS ships as `SQ8`: 4× below the float corpus where s5's PQ
+    * is 32× but needs a trained codebook — SQ8 is the
+    * training-free middle rung. The oracle re-derives the
+    * quantizer, codes, and dequantized cosines in SQL; ranking
+    * differences vs exact cosine are quantization error only
+    * (recall-measured). */
+  val s17 = Q("s17_knn_sq8", Some(s"""
+    WITH $normCte,
+    dims AS (SELECT i, min(embedding[i]::DOUBLE) AS mn,
+               max(embedding[i]::DOUBLE) AS mx
+             FROM v CROSS JOIN range(1, 65) t(i) GROUP BY i),
+    st AS (SELECT list(mn ORDER BY i) AS mn,
+             list(mx ORDER BY i) AS mx,
+             list((mx - mn) / 255.0 ORDER BY i) AS s FROM dims),
+    vq AS (SELECT vec_id, list_transform(range(1, 65), i ->
+             CASE WHEN st.mx[i] > st.mn[i]
+               THEN floor((embedding[i]::DOUBLE - st.mn[i]) /
+                          (st.mx[i] - st.mn[i]) * 255.0 + 0.5)
+               ELSE 0 END) AS q
+           FROM v CROSS JOIN st),
+    cb AS ($corpusBandsSql),
+    pb0 AS (SELECT vec_id, t, bkt FROM cb WHERE vec_id % 17 = 0),
+    pb AS (SELECT vec_id, t, bkt FROM pb0
+           UNION ALL
+           SELECT vec_id, t,
+             CASE WHEN (bkt // f) % 2 = 1 THEN bkt - f ELSE bkt + f END AS bkt
+           FROM pb0 CROSS JOIN (VALUES $flipValuesSql) fl(f)),
+    cand AS (SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+             FROM pb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
+               AND b.vec_id <> a.vec_id),
+    sc AS (SELECT c.probe_id, c.neighbor_id,
+             floor((list_sum(list_transform(range(1, 65), i ->
+                 (st.mn[i] + qa.q[i] * st.s[i]) * (st.mn[i] + qb.q[i] * st.s[i]))) /
+               (sqrt(list_sum(list_transform(range(1, 65), i ->
+                 (st.mn[i] + qa.q[i] * st.s[i]) * (st.mn[i] + qa.q[i] * st.s[i])))) *
+                sqrt(list_sum(list_transform(range(1, 65), i ->
+                 (st.mn[i] + qb.q[i] * st.s[i]) * (st.mn[i] + qb.q[i] * st.s[i]))))))
+               * 1000000.0 + 0.5) / 1000000.0 AS c6
+           FROM cand c JOIN vq qa ON qa.vec_id = c.probe_id
+                       JOIN vq qb ON qb.vec_id = c.neighbor_id
+                       CROSS JOIN st),
+    r AS (SELECT probe_id, neighbor_id, c6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
+    FROM r WHERE rn <= 5
+    ORDER BY probe_id, rn""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    Similarity.sq8Knn(vecs, "vec_id", "embedding",
+      col("vec_id") % 17 === 0, 5,
+      bits = Similarity.corpusBits(vecs.count()))
+      .orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
-    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16)
+    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17)
 }

@@ -1,0 +1,139 @@
+package graft
+
+import graft.plans.IntervalJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom-operator tier end to end (`plans.IntervalJoin`):
+  * logical `PointIntervalJoin` → injected `IntervalJoinStrategy` →
+  * `BroadcastIntervalJoinExec`. Ground truth for every comparison is
+  * Spark's OWN theta-join over the identical inputs (which plans as
+  * BroadcastNestedLoopJoin — the quadratic fallback the operator
+  * exists to replace). */
+class IntervalJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev = {
+    val e = Tables.load(spark, TestSpark.sf, "events")
+    e.withColumn("sec", Tables.tsSec(e))
+  }
+  private def windows = ev.filter(col("event_type") === "error")
+    .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+      col("sec").as("lo"),
+      (col("sec") + lit(60L) + floor(col("value") * 600.0).cast("long")).as("hi"))
+  private def probes = ev.filter(col("event_type") === "purchase")
+    .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+      col("sec").as("psec"))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("keyed join ≡ Spark's own theta-join on real data; plan is the custom exec, no shuffle") {
+    val ours = IntervalJoin.pointInInterval(probes, windows,
+      "psec", "lo", "hi", Seq("p_user" -> "w_user"))
+    val theta = probes.join(windows,
+      col("p_user") === col("w_user") &&
+        col("psec") >= col("lo") && col("psec") <= col("hi"))
+    assert(sortedRows(ours) == sortedRows(theta))
+    assert(ours.collect().nonEmpty, "fixture must actually exercise matches")
+    val plan = ours.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastIntervalJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("Exchange"),
+      "stream side must not shuffle:\n" + plan.take(800))
+  }
+
+  test("keyless (global interval set) ≡ theta-join, which Spark itself can only nested-loop") {
+    val w = windows.limit(40).select(col("win_id"), col("lo"), col("hi"))
+    val p = probes.select(col("purchase_id"), col("psec"))
+    val ours = IntervalJoin.pointInInterval(p, w, "psec", "lo", "hi")
+    val theta = p.join(w, col("psec") >= col("lo") && col("psec") <= col("hi"))
+    assert(sortedRows(ours) == sortedRows(theta))
+    // the keyless default really is the quadratic fallback the
+    // operator replaces (keyed defaults hash on the key but still
+    // evaluate the range residual against every same-key pair)
+    assert(theta.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(!ours.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("nested / contained / duplicate / empty intervals and boundary inclusivity") {
+    val w = Seq(
+      (1L, "k", 10L, 100L),   // long outer
+      (2L, "k", 20L, 30L),    // nested
+      (3L, "k", 20L, 30L),    // duplicate of 2
+      (4L, "k", 25L, 25L),    // point interval
+      (5L, "k", 50L, 40L),    // inverted = empty
+      (6L, "z", 0L, 1000L)    // other key
+    ).toDF("win_id", "wk", "lo", "hi")
+    val p = Seq((100L, "k", 25L), (101L, "k", 45L), (102L, "k", 10L),
+      (103L, "k", 100L), (104L, "k", 101L), (105L, "q", 25L))
+      .toDF("pid", "pk", "x")
+    val got = IntervalJoin.pointInInterval(p, w, "x", "lo", "hi",
+        Seq("pk" -> "wk"))
+      .select("pid", "win_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (101L, 1L), (102L, 1L), (103L, 1L)))
+  }
+
+  test("SQL null semantics: null point / bounds / keys never match") {
+    val w = Seq((java.lang.Long.valueOf(1L), "k", java.lang.Long.valueOf(0L), java.lang.Long.valueOf(100L)),
+      (java.lang.Long.valueOf(2L), "k", null, java.lang.Long.valueOf(100L)),
+      (java.lang.Long.valueOf(3L), "k", java.lang.Long.valueOf(0L), null),
+      (java.lang.Long.valueOf(4L), null, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(100L)))
+      .toDF("win_id", "wk", "lo", "hi")
+    val p = Seq((java.lang.Long.valueOf(10L), "k", java.lang.Long.valueOf(5L)),
+      (java.lang.Long.valueOf(11L), "k", null),
+      (java.lang.Long.valueOf(12L), null, java.lang.Long.valueOf(5L)))
+      .toDF("pid", "pk", "x")
+    val got = IntervalJoin.pointInInterval(p, w, "x", "lo", "hi",
+        Seq("pk" -> "wk"))
+      .select("pid", "win_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L)), s"only the fully-non-null pair matches: $got")
+  }
+
+  test("empty build side yields empty result (not a crash)") {
+    val got = IntervalJoin.pointInInterval(probes,
+      windows.filter(lit(false)), "psec", "lo", "hi",
+      Seq("p_user" -> "w_user"))
+    assert(got.count() == 0L)
+  }
+
+  test("refusals: fact-sized build, non-LONG measure, colliding names") {
+    spark.conf.set(IntervalJoin.MaxBuildRowsKey, "3")
+    try {
+      val e = intercept[Exception] {
+        IntervalJoin.pointInInterval(probes, windows, "psec", "lo", "hi",
+          Seq("p_user" -> "w_user")).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("banded"),
+        s"guard must point at the banded form: $msgs")
+    } finally spark.conf.unset(IntervalJoin.MaxBuildRowsKey)
+    val badType = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(
+        probes.withColumn("d", col("psec").cast("double")), windows,
+        "d", "lo", "hi")
+    }
+    assert(badType.getMessage.contains("must be LONG"))
+    val collide = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(windows, windows, "lo", "lo", "hi")
+    }
+    assert(collide.getMessage.contains("disjoint"))
+  }
+
+  test("self-join inputs (both sides carved from one scan) resolve cleanly") {
+    // probes and windows both derive from the same events scan —
+    // without the build-side re-alias their attributes would share
+    // expression ids across sides; q46 is exactly this shape
+    val df = Registry.byName("q46_interval_join").run(spark, TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq ==
+      Seq("purchase_id", "n_win", "first_win", "min_into_s"))
+  }
+}

@@ -69,6 +69,71 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.isNullAt(4), "dot_product length mismatch must be NULL, not a prefix dot")
   }
 
+  test("sq8 cosine ≡ the composable dequantize-then-cosine chain, bit for bit") {
+    import graft.functions.Sq8Cosine.sq8_cosine
+    // a hand-built quantizer over 4 dims, codes crossed against
+    // themselves; the composable twin dequantizes with transform()
+    // and scores with the dot/norm reference chain
+    val mn = typedLit(Seq(-1.0, 0.0, 2.5, -3.0))
+    val s = typedLit(Seq(0.01, 0.002, 0.0, 0.5))
+    val codes = spark.range(0, 40).selectExpr("id",
+      """transform(array(id % 7, id % 11, id % 3, id % 255),
+         x -> cast(x - 128 as byte)) AS qc""")
+    val pairs = codes.crossJoin(
+      codes.select(col("id").as("id2"), col("qc").as("qc2")))
+    def dq(c: org.apache.spark.sql.Column) = transform(c, (x, i) =>
+      element_at(mn, i + 1) +
+        (x.cast("double") + 128.0) * element_at(s, i + 1))
+    val diff = pairs.select(
+      sq8_cosine(col("qc"), col("qc2"), mn, s).as("native"),
+      (Similarity.dot(dq(col("qc")), dq(col("qc2"))) /
+        (Similarity.norm(dq(col("qc"))) * Similarity.norm(dq(col("qc2")))))
+        .as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
+  test("sq8 cosine NULL semantics: length mismatch and null element, never a prefix score") {
+    val r = spark.sql(
+      "SELECT sq8_cosine(array(cast(1 as byte)), array(cast(1 as byte), cast(2 as byte)), " +
+        "array(0.0d), array(1.0d)) AS lm, " +
+        "sq8_cosine(array(cast(1 as byte), null), array(cast(1 as byte), cast(2 as byte)), " +
+        "array(0.0d, 0.0d), array(1.0d, 1.0d)) AS ne, " +
+        "sq8_cosine(array(cast(0 as byte), cast(127 as byte)), array(cast(0 as byte), cast(127 as byte)), " +
+        "array(0.0d, 0.0d), array(1.0d, 1.0d)) AS self")
+      .collect().head
+    assert(r.isNullAt(0), "length mismatch must be NULL")
+    assert(r.isNullAt(1), "null element must be NULL")
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("sq8 knn: planted exact copy ranks first at cos 1.0; scores within quantization error of exact") {
+    import spark.implicits._
+    // identical vectors quantize to identical codes — the copy must
+    // score exactly 1.0 (after 6dp rounding) at rank 1
+    val base = emb.filter(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"))
+    val copy = base.filter(col("vec_id") === 17)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val planted = base.unionByName(copy)
+    val k = Similarity.sq8Knn(planted, "vec_id", "embedding",
+      col("vec_id") === 17, 3, bits = 4)
+    val top = k.filter(col("rn") === 1)
+      .select("neighbor_id", "cos6").as[(Long, Double)].collect()
+    assert(top.toSeq == Seq((100017L, 1.0)), top.toSeq.toString)
+    // and on real data every sq8 score sits within quantization error
+    // of the exact cosine of the same pair
+    val q = Similarity.sq8Knn(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, 5)
+      .select(col("probe_id"), col("neighbor_id"), col("cos6").as("q6"))
+    val withExact = q
+      .join(emb.select(col("vec_id").as("probe_id"), col("embedding").as("pe")), "probe_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+      .select(col("q6"), Similarity.cosR(col("pe"), col("ne")).as("e6"))
+    val worst = withExact.agg(max(abs(col("q6") - col("e6")))).collect().head.getDouble(0)
+    assert(worst < 0.02, s"quantization error $worst exceeds the SQ8 budget")
+  }
+
   test("cosine of a vector with itself is 1") {
     val selfs = emb.select(cosine_sim(col("embedding"), col("embedding")).as("c"))
       .agg(min("c").as("lo"), max("c").as("hi")).collect().head
