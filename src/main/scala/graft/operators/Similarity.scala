@@ -138,7 +138,7 @@ object Similarity {
     * every multi-table LSH consumer ([[lshKnn]], [[nearDupPairsLsh]]);
     * shared so the banding can never desynchronize between the ANN
     * and near-dup paths (both must match the oracle's corpusBandsSql). */
-  private def corpusBands(vectors: DataFrame, id: String, emb: String,
+  private[operators] def corpusBands(vectors: DataFrame, id: String, emb: String,
       bits: Int, tables: Int, extra: Seq[String] = Nil): DataFrame =
     vectors.select(col(id) +: col(emb) +: extra.map(col) :+
         explode(array((0 until tables).map(t =>
@@ -223,6 +223,24 @@ object Similarity {
   def sq8Knn(vectors: DataFrame, id: String, emb: String,
       probePred: Column, k: Int, bits: Int = LSH_BITS,
       tables: Int = LSH_TABLES, dim: Int = 64): DataFrame = {
+    val (mnA, mxA, sA) = sq8Quantizer(vectors, emb, dim)
+    val code = sq8Code(col(emb), typedLit(mnA), typedLit(mxA))
+    val cb = corpusBands(vectors.withColumn("__qc", code), id, emb,
+        bits, tables, Seq("__qc"))
+      .select(col(id), col("__qc"), col("t"), col("bkt"))
+    val pb0 = cb.filter(probePred)
+      .select(col(id).as("probe_id"), col("__qc").as("pqc"),
+        col("t"), col("bkt"))
+    sq8Search(cb, pb0, id, typedLit(mnA), typedLit(sA), k, bits)
+  }
+
+  /** fit the per-dimension SQ8 affine quantizer: ONE scalar-aggregate
+    * read of (min, max) per dim, step arrays derived on the driver —
+    * shipped into plans as constant-folded literals. Shared by the
+    * inline path ([[sq8Knn]]) and the persisted index
+    * ([[VectorIndex.writeSq8]]), so the two can never drift. */
+  private[operators] def sq8Quantizer(vectors: DataFrame, emb: String,
+      dim: Int): (Seq[Double], Seq[Double], Seq[Double]) = {
     val st = vectors.agg(
       array((0 until dim).map(i =>
         min(try_element_at(col(emb), lit(i + 1)).cast("double"))): _*).as("mn"),
@@ -231,25 +249,28 @@ object Similarity {
       .head()
     val mnA = st.getSeq[Double](0)
     val mxA = st.getSeq[Double](1)
-    val sA = mnA.zip(mxA).map { case (a, b) => (b - a) / 255.0 }
-    val mnL = typedLit(mnA)
-    val mxL = typedLit(mxA)
-    val sL = typedLit(sA)
-    // q ∈ [0,255] stored as q−128 ∈ [−128,127]; a flat dimension
-    // (max == min) codes 0 and dequantizes to exactly mn
-    val code = transform(col(emb), (x, i) => {
+    (mnA, mxA, mnA.zip(mxA).map { case (a, b) => (b - a) / 255.0 })
+  }
+
+  /** q ∈ [0,255] stored as q−128 ∈ [−128,127]; a flat dimension
+    * (max == min) codes 0 and dequantizes to exactly mn */
+  private[operators] def sq8Code(e: Column, mnL: Column, mxL: Column): Column =
+    transform(e, (x, i) => {
       val lo = element_at(mnL, i + 1)
       val hi = element_at(mxL, i + 1)
       (when(hi > lo,
         floor((x.cast("double") - lo) / (hi - lo) * 255.0 + 0.5))
         .otherwise(lit(0L)) - 128).cast("byte")
     })
-    val cb = corpusBands(vectors.withColumn("__qc", code), id, emb,
-        bits, tables, Seq("__qc"))
-      .select(col(id), col("__qc"), col("t"), col("bkt"))
-    val pb0 = cb.filter(probePred)
-      .select(col(id).as("probe_id"), col("__qc").as("pqc"),
-        col("t"), col("bkt"))
+
+  /** the SEARCH side of [[sq8Knn]] over already-banded codes —
+    * factored so the persisted-index path ([[VectorIndex.probeSq8]])
+    * runs the identical Hamming-1 probing and fused SQ8 scoring over
+    * a band table read from the lake. `cb` = (id, __qc, t, bkt);
+    * `pb0` = (probe_id, pqc, t, bkt) home buckets (flips added
+    * here). */
+  private[operators] def sq8Search(cb: DataFrame, pb0: DataFrame,
+      id: String, mnL: Column, sL: Column, k: Int, bits: Int): DataFrame = {
     val flips = pb0.select(col("probe_id"), col("pqc"), col("t"),
       explode(array((0 until bits).map(i => flipBit(col("bkt"), i)): _*)).as("bkt"))
     val probes = broadcast(pb0.unionByName(flips))

@@ -183,7 +183,7 @@ object VectorIndex {
     // THIS batch (same content tag) are removed from both tables
     // before the duplicate-id guard reads them, so a retry after a
     // mid-publish crash converges instead of refusing
-    Seq("assigned", "codes").foreach { t =>
+    Seq("assigned", "codes", "sq8").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
       if (fs.exists(live))
         fs.listStatus(live).map(_.getPath)
@@ -213,16 +213,40 @@ object VectorIndex {
     Similarity.pqEncode(na, id, emb, cb, mt.m, mt.d)
       .repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
       .write.mode("overwrite").parquet(s"$stage/codes")
+    // the SQ8 component, when present, stays in lockstep: the batch
+    // is coded by the FROZEN quantizer and banded with the pinned
+    // bits, staged and verified with the rest
+    val withSq8 = hasSq8(spark, dir)
+    if (withSq8) {
+      val q = spark.read.parquet(s"$dir/sq8quant").head()
+      val code = Similarity.sq8Code(col(emb),
+        typedLit(q.getSeq[Double](q.fieldIndex("mn"))),
+        typedLit(q.getSeq[Double](q.fieldIndex("mx"))))
+      Similarity.corpusBands(
+          newVectors.select(col(id), col(emb)).withColumn("__qc", code),
+          id, emb, q.getAs[Int]("bits"), mt.tables, Seq("__qc"))
+        .select(col(id), col("__qc"), col("t"), col("bkt"))
+        .repartitionByRange(nFiles, col("t"), col("bkt"))
+        .sortWithinPartitions(col("t"), col("bkt"))
+        .write.mode("overwrite").parquet(s"$stage/sq8")
+    }
     // verify the staged copies BEFORE any live table changes: a short
     // write aborts with the index untouched
     val stagedA = spark.read.parquet(s"$stage/assigned").count()
     val stagedC = spark.read.parquet(s"$stage/codes").count()
-    if (stagedA != nNew || stagedC != nNew * mt.m) {
+    val stagedS = if (withSq8)
+      spark.read.parquet(s"$stage/sq8").count() else nNew * mt.tables
+    if (stagedA != nNew || stagedC != nNew * mt.m ||
+      stagedS != nNew * mt.tables) {
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       throw new java.io.IOException(
         s"staged batch short: assigned=$stagedA (want $nNew), " +
-          s"codes=$stagedC (want ${nNew * mt.m}); aborting — index unchanged")
+          s"codes=$stagedC (want ${nNew * mt.m}), " +
+          s"sq8=$stagedS (want ${nNew * mt.tables}); aborting — index unchanged")
     }
+    if (withSq8)
+      publishStaged(fs, new org.apache.hadoop.fs.Path(s"$stage/sq8"),
+        new org.apache.hadoop.fs.Path(s"$dir/sq8"), tag)
     publishStaged(fs, new org.apache.hadoop.fs.Path(s"$stage/codes"),
       new org.apache.hadoop.fs.Path(s"$dir/codes"), tag)
     publishStaged(fs, new org.apache.hadoop.fs.Path(s"$stage/assigned"),
@@ -327,20 +351,33 @@ object VectorIndex {
     xform(spark.read.parquet(s"$dir/codes"))
       .repartitionByRange(nFiles, col("cell")).sortWithinPartitions(col("cell"))
       .write.parquet(s"$stage/codes")
+    // the SQ8 band table, when present, goes through the same
+    // filtered rewrite, keeping its own (t, bkt) clustering
+    val withSq8 = hasSq8(spark, dir)
+    if (withSq8)
+      xform(spark.read.parquet(s"$dir/sq8"))
+        .repartitionByRange(nFiles, col("t"), col("bkt"))
+        .sortWithinPartitions(col("t"), col("bkt"))
+        .write.parquet(s"$stage/sq8")
     val stagedA = spark.read.parquet(s"$stage/assigned").count()
     val stagedC = spark.read.parquet(s"$stage/codes").count()
-    if (stagedA != expectA || stagedC != expectA * mt.m) {
+    val stagedS = if (withSq8)
+      spark.read.parquet(s"$stage/sq8").count() else expectA * mt.tables
+    if (stagedA != expectA || stagedC != expectA * mt.m ||
+      stagedS != expectA * mt.tables) {
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       throw new java.io.IOException(
         s"staged rewrite short: assigned=$stagedA (want $expectA), " +
-          s"codes=$stagedC (want ${expectA * mt.m}); aborting — " +
+          s"codes=$stagedC (want ${expectA * mt.m}), " +
+          s"sq8=$stagedS (want ${expectA * mt.tables}); aborting — " +
           "index unchanged")
     }
     // the flip: one rename pair per table; retained old copies are
     // stamped with a generation counter so repeated rewrites never
     // collide
     val gen = System.currentTimeMillis()
-    Seq("codes", "assigned").foreach { t =>
+    (if (withSq8) Seq("sq8", "codes", "assigned")
+     else Seq("codes", "assigned")).foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
       val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old-g$gen")
       require(fs.rename(live, old), s"flip failed: $live -> $old")
@@ -415,6 +452,103 @@ object VectorIndex {
             mt.idCol, mt.embCol, nprobe, mt.bits, mt.tables)
           .select(col("probe_id"), col("pe"), col("cell").as("pcell"))
     Similarity.adcRank(codes, probesA, cb, mt.idCol, mt.m, mt.d, k)
+  }
+
+  /** OPTIONAL SQ8 COMPONENT — the index's byte-quantized serving
+    * path (s17's structure, persisted): two extra tables under the
+    * same directory,
+    *
+    *  - `sq8`      (id, __qc, t, bkt) — one band row per table per
+    *               vector with the OFFSET-128 BYTE CODES inline,
+    *               clustered on (t, bkt) so a probe's bucket lookup
+    *               skips files on footer min/max; NO float vectors —
+    *               the float corpus is only read at build
+    *  - `sq8quant` 1 row (mn, mx, s, bits) — the FROZEN per-dim
+    *               affine quantizer and the pinned band width
+    *
+    * Derived from the stored `assigned` table (clean lineage: the
+    * codes provably quantize the exact bytes the raw path serves)
+    * through the same factored code as inline s17
+    * ([[Similarity.sq8Quantizer]]/[[Similarity.sq8Code]]/
+    * [[Similarity.corpusBands]]), so [[probeSq8]] ≡ inline
+    * [[Similarity.sq8Knn]] bit-for-bit (IndexSpec pins it).
+    * Published by staged-verify-rename with the quantizer LAST —
+    * [[hasSq8]] keys on the quantizer, so a crash mid-publish leaves
+    * the component cleanly absent, never half-present. [[append]]
+    * quantizes new batches with the frozen quantizer (the standard
+    * scalar-quantizer insert contract — drifted value ranges retrain
+    * via a fresh [[writeSq8]]); [[delete]]/[[compact]] rewrite the
+    * band table through the shared staged-verify-flip. */
+  def writeSq8(spark: SparkSession, dir: String, dim: Int = 64): Unit = {
+    import spark.implicits._
+    val mt = readMeta(spark, dir)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val bits8 = Similarity.corpusBits(mt.n)
+    val (mnA, mxA, sA) = Similarity.sq8Quantizer(assigned, mt.embCol, dim)
+    val (fs, _) = hfs(spark, dir)
+    val stage = s"$dir/.stage-sq8"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val code = Similarity.sq8Code(col(mt.embCol),
+      typedLit(mnA), typedLit(mxA))
+    val nFiles = math.max(1L, mt.n / 500000L).toInt
+    Similarity.corpusBands(assigned.withColumn("__qc", code),
+        mt.idCol, mt.embCol, bits8, mt.tables, Seq("__qc"))
+      .select(col(mt.idCol), col("__qc"), col("t"), col("bkt"))
+      .repartitionByRange(nFiles, col("t"), col("bkt"))
+      .sortWithinPartitions(col("t"), col("bkt"))
+      .write.parquet(s"$stage/sq8")
+    Seq((mnA, mxA, sA, bits8)).toDF("mn", "mx", "s", "bits")
+      .coalesce(1).write.parquet(s"$stage/sq8quant")
+    val staged = spark.read.parquet(s"$stage/sq8").count()
+    if (staged != mt.n * mt.tables) {
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      throw new java.io.IOException(
+        s"staged sq8 short: $staged rows (want ${mt.n * mt.tables}); " +
+          "aborting — index unchanged")
+    }
+    // quantizer first OUT (component reads as absent during the
+    // swap), bands in, quantizer in LAST
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sq8quant"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sq8"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/sq8"),
+      new org.apache.hadoop.fs.Path(s"$dir/sq8")), "sq8 publish failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/sq8quant"),
+      new org.apache.hadoop.fs.Path(s"$dir/sq8quant")),
+      "sq8quant publish failed")
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  def hasSq8(spark: SparkSession, dir: String): Boolean = {
+    val (fs, _) = hfs(spark, dir)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sq8quant"))
+  }
+
+  /** SQ8 search against the persisted index — inline s17 with the
+    * corpus side replaced by the stored byte-code band table: the
+    * probe's own code and band keys are computed from its float
+    * vector at query time (the float never needs to be STORED), and
+    * [[Similarity.sq8Search]] runs the identical Hamming-1 probing
+    * and fused dequantize-score. Zero quantizer fitting in the probe
+    * plan. */
+  def probeSq8(spark: SparkSession, dir: String, probes: DataFrame,
+      k: Int): DataFrame = {
+    val mt = readMeta(spark, dir)
+    val q = spark.read.parquet(s"$dir/sq8quant").head()
+    val mnA = q.getSeq[Double](q.fieldIndex("mn"))
+    val mxA = q.getSeq[Double](q.fieldIndex("mx"))
+    val sA = q.getSeq[Double](q.fieldIndex("s"))
+    val bits8 = q.getAs[Int]("bits")
+    val cb = spark.read.parquet(s"$dir/sq8")
+    val code = Similarity.sq8Code(col(mt.embCol),
+      typedLit(mnA), typedLit(mxA))
+    val pb0 = Similarity.corpusBands(
+        probes.select(col(mt.idCol), col(mt.embCol))
+          .withColumn("__qc", code),
+        mt.idCol, mt.embCol, bits8, mt.tables, Seq("__qc"))
+      .select(col(mt.idCol).as("probe_id"), col("__qc").as("pqc"),
+        col("t"), col("bkt"))
+    Similarity.sq8Search(cb, pb0, mt.idCol,
+      typedLit(mnA), typedLit(sA), k, bits8)
   }
 
   /** Two-stage serving read — the s10 refine stage against the

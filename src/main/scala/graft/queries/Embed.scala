@@ -946,7 +946,7 @@ object Embed {
     * quantizer, codes, and dequantized cosines in SQL; ranking
     * differences vs exact cosine are quantization error only
     * (recall-measured). */
-  val s17 = Q("s17_knn_sq8", Some(s"""
+  private val s17OracleSql = s"""
     WITH $normCte,
     dims AS (SELECT i, min(embedding[i]::DOUBLE) AS mn,
                max(embedding[i]::DOUBLE) AS mx
@@ -986,7 +986,9 @@ object Embed {
                                ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
     SELECT probe_id, rn, neighbor_id, c6 AS cos6
     FROM r WHERE rn <= 5
-    ORDER BY probe_id, rn""")) { (s, d) =>
+    ORDER BY probe_id, rn"""
+
+  val s17 = Q("s17_knn_sq8", Some(s17OracleSql)) { (s, d) =>
     val vecs = t(s, d, "embeddings")
     Similarity.sq8Knn(vecs, "vec_id", "embedding",
       col("vec_id") % 17 === 0, 5,
@@ -994,6 +996,25 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  private def ensureSq8(s: SparkSession, dir: String): Unit =
+    if (!graft.operators.VectorIndex.hasSq8(s, dir))
+      graft.operators.VectorIndex.writeSq8(s, dir)
+
+  /** s18: SQ8 served FROM THE PERSISTED INDEX
+    * ([[graft.operators.VectorIndex.probeSq8]]) — the byte-code band
+    * table and frozen quantizer are lake tables; the probe plan fits
+    * NOTHING (zero quantizer aggregates, zero corpus banding — the
+    * only corpus-sized input is the stored `sq8` table, which holds
+    * no floats at all). Results ≡ inline s17 bit-for-bit, so the
+    * oracle IS s17's SQL. */
+  val s18 = Q("s18_index_sq8", Some(s17OracleSql)) { (s, d) =>
+    val dir = ensureIndex(s, d)
+    ensureSq8(s, dir)
+    graft.operators.VectorIndex.probeSq8(s, dir,
+      t(s, d, "embeddings").filter(col("vec_id") % 17 === 0), 5)
+      .orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
-    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17)
+    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }

@@ -276,6 +276,84 @@ class IndexSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq == prePq)
   }
 
+  // ---- SQ8 component (writeSq8 / probeSq8 / lifecycle lockstep) ----
+
+  private lazy val sq8Dir = {
+    // own directory: writeSq8 adds tables, and the pristine idxDir
+    // pins above must keep seeing a component-free index
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_s8").toString
+    VectorIndex.write(vecs, "vec_id", "embedding", anchorPred, dir,
+      stamp = "spec")
+    VectorIndex.writeSq8(spark, dir)
+    dir
+  }
+
+  test("probeSq8 ≡ inline s17 (sq8Knn) bit-for-bit; plan reads no floats and fits nothing") {
+    assert(VectorIndex.hasSq8(spark, sq8Dir) &&
+      !VectorIndex.hasSq8(spark, idxDir))
+    val served = VectorIndex.probeSq8(spark, sq8Dir, probes, 5)
+    val inline = Similarity.sq8Knn(vecs, "vec_id", "embedding",
+      probePred, 5, bits = Similarity.corpusBits(vecs.count()))
+    assert(rows(served) == rows(inline),
+      "the persisted SQ8 path must be the same computation, not an approximation")
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("embeddings.parquet"),
+      "probeSq8 plan scans the corpus:\n" + p.take(1200))
+    // quantizer fitting is min/max over try_element_at — absent from
+    // a serving plan (the probe's own coding uses plain element_at
+    // against the stored constants)
+    assert(!p.contains("try_element_at"),
+      "probeSq8 plan fits a quantizer:\n" + p.take(1200))
+  }
+
+  test("append keeps sq8 in lockstep: frozen-quantizer codes serve the new vector; counts verified") {
+    val dirS = java.nio.file.Files.createTempDirectory("graft_idx_s8a").toString
+    VectorIndex.write(vecs, "vec_id", "embedding", anchorPred, dirS,
+      stamp = "spec")
+    VectorIndex.writeSq8(spark, dirS)
+    val newV = vecs.filter(col("vec_id").isin(3, 5))
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val total = VectorIndex.append(spark, dirS, newV)
+    assert(spark.read.parquet(s"$dirS/sq8").count() ==
+      total * VectorIndex.readMeta(spark, dirS).tables,
+      "every appended vector must band into the sq8 table")
+    // the appended COPY of vec 3's vector answers a probe of vec 3 at
+    // rank 1 / cos 1.0: identical embedding → identical frozen-quantizer
+    // codes → exact match through the served path
+    val pr = vecs.filter(col("vec_id") === 3).localCheckpoint(true)
+    val top = VectorIndex.probeSq8(spark, dirS, pr, 3)
+      .filter(col("rn") === 1).select("neighbor_id", "cos6")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top == Seq((500003L, 1.0)), top.toString)
+  }
+
+  test("delete/compact rewrite sq8: removed id never answers probeSq8; compact bit-identical") {
+    val dirD = java.nio.file.Files.createTempDirectory("graft_idx_s8d").toString
+    VectorIndex.write(vecs, "vec_id", "embedding", anchorPred, dirD,
+      stamp = "spec")
+    VectorIndex.writeSq8(spark, dirD)
+    // results are COLLECTED before each mutation: a flip renames the
+    // files a pre-flip plan captured (the documented reader contract —
+    // re-resolve after a rewrite; retained .old-g copies cover
+    // in-flight scans, not re-executions)
+    val victim = VectorIndex.probeSq8(spark, dirD, probes, 5)
+      .filter(col("rn") === 1).select("neighbor_id").head().getLong(0)
+    import spark.implicits._
+    val nAfter = VectorIndex.delete(spark, dirD,
+      Seq(victim).toDF("vec_id"), retainMs = 0L)
+    assert(spark.read.parquet(s"$dirD/sq8").count() ==
+      nAfter * VectorIndex.readMeta(spark, dirD).tables)
+    val afterDf = VectorIndex.probeSq8(spark, dirD, probes, 5)
+    assert(afterDf.select("neighbor_id").as[Long].collect()
+      .forall(_ != victim),
+      s"deleted id $victim still answers the SQ8 path")
+    val afterRows = rows(afterDf)
+    VectorIndex.compact(spark, dirD, retainMs = 0L)
+    assert(rows(VectorIndex.probeSq8(spark, dirD, probes, 5)) == afterRows,
+      "compact must not change SQ8 probe results")
+  }
+
   test("assigned/codes land sort-clustered on cell (disjoint file ranges)") {
     // every persisted corpus-sized table must be cell-clustered so a
     // cell-restricted probe batch can skip files on footer min/max
