@@ -821,4 +821,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(answers.sorted.toSeq == expected.sorted.toSeq,
       s"streamed answers must equal the batch probe: ${answers.size} vs ${expected.length}")
   }
+
+  test("streamed interval enrichment: micro-batches through the custom broadcast interval join ≡ batch q46 shape") {
+    // the 22nd seat: arriving purchases attributed to a STATIC
+    // variable-length episode dimension through the SAME custom
+    // operator the batch path plans (plans.IntervalJoin — logical
+    // node → injected strategy → BroadcastIntervalJoinExec), via
+    // foreachBatch like CDC-apply and probe serving. Per-row work is
+    // independent, so micro-batching cannot change an attribution;
+    // pinned ≡ one batch join over the union.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val e = Tables.load(spark, TestSpark.sf, "events")
+    val ev = e.withColumn("sec", Tables.tsSec(e))
+    val w = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+        col("sec").as("lo"),
+        (col("sec") + lit(60L) +
+          floor(col("value") * 600.0).cast("long")).as("hi"))
+      .localCheckpoint(true)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("sec").as("psec"))
+      .as[(Long, Long, Long)].collect()
+    assert(purchases.length >= 4, "need a few purchases to micro-batch")
+    val in = MemoryStream[(Long, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = in.toDF().toDF("purchase_id", "p_user", "psec").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.plans.IntervalJoin.pointInInterval(
+          batch, w, "psec", "lo", "hi", Seq("p_user" -> "w_user"))
+        assert(out.queryExecution.executedPlan.toString
+          .contains("BroadcastIntervalJoin"))
+        got ++= out.collect().map(_.toString)
+        ()
+      }.start()
+    val (b1, b2) = purchases.splitAt(purchases.length / 2)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val expected = graft.plans.IntervalJoin.pointInInterval(
+        purchases.toSeq.toDF("purchase_id", "p_user", "psec"), w,
+        "psec", "lo", "hi", Seq("p_user" -> "w_user"))
+      .collect().map(_.toString)
+    assert(expected.nonEmpty, "fixture must attribute at least one purchase")
+    assert(got.sorted.toSeq == expected.sorted.toSeq,
+      s"streamed enrichment must equal the batch join: ${got.size} vs ${expected.length}")
+  }
 }
