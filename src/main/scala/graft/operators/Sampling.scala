@@ -41,6 +41,48 @@ object Sampling {
       instr(lit("0123456789abcdef"), substring(hx, 2, 1)) - 1) % 10
   }
 
+  /** exact integer from md5 hex nibbles [from, from+n] (1-based,
+    * n ≤ 8) — the portable instr-fold generalized so independent
+    * hashes come from DISJOINT nibble ranges of one digest (shard
+    * key from 5–6, within-shard order from 7–10: uncorrelated by
+    * construction, one md5 per row). DuckDB twin: the identical
+    * instr-nibble arithmetic over `md5(CAST(key AS VARCHAR))`. */
+  def md5Nibbles(key: Column, from: Int, n: Int): Column = {
+    require(n >= 1 && n <= 8 && from >= 1 && from + n <= 33,
+      s"md5Nibbles: bad range ($from, $n)")
+    val hx = md5(key.cast("string").cast("binary"))
+    (0 until n).map { i =>
+      (instr(lit("0123456789abcdef"), substring(hx, from + i, 1)) - 1) *
+        lit(1L << (4 * (n - 1 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** Deterministic TRAINING-SHARD assignment — the write-side op a
+    * distributed training pipeline needs between curation and the
+    * data loader: every row gets a `shard` in [0, shards) from the
+    * key hash (content- and corpus-INDEPENDENT: a document's shard
+    * never changes when the corpus grows, so incremental ingest
+    * appends to existing shards instead of reshuffling them) and an
+    * `ohash` 16-bit order key from DISJOINT digest nibbles —
+    * `ORDER BY (ohash, key)` within a shard is the deterministic,
+    * seed-free "shuffled" training order (hash order ≈ random order,
+    * reproducible across engines and runs). Nibbles 5–6/7–10 are
+    * deliberately disjoint from [[md5Mod10]]'s 1–2 and
+    * [[hashFrac]]'s 1–4, so shard and order are INDEPENDENT of the
+    * train/val/test split and of sampling decisions — a shard is a
+    * uniform draw from every split. Map-only: compose with
+    * `LakeSink.writeSorted(..., Seq("shard"))`-style writes for the
+    * physical layout; the d29 audit aggregates balance + a
+    * membership fingerprint per shard. ≤256 shards per level — shard
+    * files, not partitions (a 100 TB corpus writes each shard as
+    * many files; the shard is the LOADER-visible unit). */
+  def shardAssign(df: DataFrame, key: Column, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 256,
+      s"shardAssign: shards must be in [1, 256], got $shards")
+    df.withColumn("shard", (md5Nibbles(key, 5, 2) % shards).cast("int"))
+      .withColumn("ohash", md5Nibbles(key, 7, 4))
+  }
+
   /** Keep each row with probability `rates(stratum)` (default
     * `defaultRate` for unlisted strata), deterministically in the
     * row's `key`. Returns the input rows that survive, unchanged.

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -46,11 +47,14 @@ import scala.collection.mutable
   * operator is the variable-length DIM lookup (calendars, price
   * epochs, maintenance windows, error episodes).
   *
-  * Semantics: INNER join; NULL point, NULL bounds, and NULL keys
-  * never match (SQL BETWEEN/equi-join semantics); empty `keys` means
-  * a single global interval set. Both sides' columns pass through;
-  * the API re-aliases the interval side so self-joins (both sides
-  * derived from one table) cannot collide on expression ids.
+  * Semantics: INNER (default) or LEFT OUTER; NULL point, NULL
+  * bounds, and NULL keys never match (SQL BETWEEN/equi-join
+  * semantics — under LEFT OUTER such probe rows are kept with NULL
+  * interval columns, exactly a theta left join's behavior); empty
+  * `keys` means a single global interval set. Both sides' columns
+  * pass through; the API re-aliases the interval side so self-joins
+  * (both sides derived from one table) cannot collide on expression
+  * ids.
   */
 object IntervalJoin {
 
@@ -60,10 +64,19 @@ object IntervalJoin {
     * probe(pointCol) BETWEEN intervals(loCol) AND intervals(hiCol)`.
     * All three measure columns must be LONG (epoch seconds, scaled
     * longs — the engine's uniform time/measure representation).
-    * Column names must be disjoint across the two sides. */
+    * Column names must be disjoint across the two sides.
+    * `joinType`: "inner" or "left_outer" (an unmatched probe keeps
+    * NULL interval columns — the attribution-with-misses shape). */
   def pointInInterval(probe: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
-      keys: Seq[(String, String)] = Nil): DataFrame = {
+      keys: Seq[(String, String)] = Nil,
+      joinType: String = "inner"): DataFrame = {
+    val jt: JoinType = joinType.toLowerCase.replace("_", "") match {
+      case "inner" => Inner
+      case "leftouter" | "left" => LeftOuter
+      case other => throw new IllegalArgumentException(
+        s"pointInInterval: joinType must be inner or left_outer, got '$other'")
+    }
     import org.apache.spark.sql.functions.col
     val overlap = probe.columns.toSet & intervals.columns.toSet
     require(overlap.isEmpty,
@@ -86,7 +99,8 @@ object IntervalJoin {
       keys.map(k => attr(r, k._2, "interval")))
     lk.zip(rk).foreach { case (a, b) => require(a.dataType == b.dataType,
       s"pointInInterval: key type mismatch ${a.name}:${a.dataType.simpleString} vs ${b.name}:${b.dataType.simpleString}") }
-    GraftBridge.ofRows(probe.sparkSession, PointIntervalJoin(l, r, point, lo, hi, lk, rk))
+    GraftBridge.ofRows(probe.sparkSession,
+      PointIntervalJoin(l, r, point, lo, hi, lk, rk, jt))
   }
 }
 
@@ -95,9 +109,13 @@ object IntervalJoin {
   * and [[IntervalJoinStrategy]] plans it. */
 case class PointIntervalJoin(left: LogicalPlan, right: LogicalPlan,
     point: Expression, lo: Expression, hi: Expression,
-    leftKeys: Seq[Expression], rightKeys: Seq[Expression])
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    joinType: JoinType)
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): PointIntervalJoin =
     copy(left = newLeft, right = newRight)
@@ -107,9 +125,9 @@ case class PointIntervalJoin(left: LogicalPlan, right: LogicalPlan,
   * becomes the custom physical node, children planned by Spark. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PointIntervalJoin(l, r, point, lo, hi, lk, rk) =>
+    case PointIntervalJoin(l, r, point, lo, hi, lk, rk, jt) =>
       BroadcastIntervalJoinExec(planLater(l), planLater(r),
-        point, lo, hi, lk, rk) :: Nil
+        point, lo, hi, lk, rk, jt) :: Nil
     case _ => Nil
   }
 }
@@ -168,10 +186,14 @@ private[plans] final class IntervalBucket(
   * exactly the broadcast-hash-join contract. */
 case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
     point: Expression, lo: Expression, hi: Expression,
-    leftKeys: Seq[Expression], rightKeys: Seq[Expression])
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    joinType: JoinType)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering = left.outputOrdering
 
@@ -218,6 +240,8 @@ case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
     val lOut = left.output
     val pointExpr = point; val lkExprs = leftKeys
     val outAttrs = output
+    val outer = joinType == LeftOuter
+    val rightLen = right.output.length
     val numOut = longMetric("numOutputRows")
     left.execute().mapPartitions({ iter =>
       val bkts = bc.value
@@ -226,18 +250,24 @@ case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
       val lkProj = UnsafeProjection.create(lkB)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightLen)
       val hits = mutable.ArrayBuffer.empty[InternalRow]
       iter.flatMap { lrow =>
+        def miss: Iterator[InternalRow] =
+          if (!outer) Iterator.empty
+          else { numOut += 1
+            Iterator.single(outProj(joined(lrow, nullRight)).copy()) }
         val x = pB.eval(lrow)
-        if (x == null || lkB.exists(_.eval(lrow) == null)) Iterator.empty
+        if (x == null || lkB.exists(_.eval(lrow) == null)) miss
         else bkts.get(lkProj(lrow)) match {
-          case None => Iterator.empty
+          case None => miss
           case Some(b) =>
             hits.clear()
             b.stab(x.asInstanceOf[Long], hits)
+            if (hits.isEmpty) miss
             // materialize: outProj reuses its buffer; lrow is stable
             // for the duration of this flatMap step
-            hits.iterator.map { rrow =>
+            else hits.iterator.map { rrow =>
               numOut += 1
               outProj(joined(lrow, rrow)).copy()
             }

@@ -221,6 +221,44 @@ object Dedup {
       .orderBy("split", "lang")
   }
 
+  /** d29: deterministic TRAINING-SHARD audit
+    * ([[graft.operators.Sampling.shardAssign]]) — the step between
+    * curation and the data loader: every doc lands in one of 8
+    * shards by key hash (corpus-independent — incremental ingest
+    * appends, never reshuffles) with a seed-free 16-bit within-shard
+    * order key from disjoint md5 nibbles (independent of the d8
+    * split and the sampling hash by construction). The audit the
+    * oracle checks: per-shard doc/byte balance plus an exact-integer
+    * membership fingerprint (sum/min/max of the order hashes) —
+    * pure partial aggregation, no per-shard collect, no window. */
+  val d29 = Q("d29_shard", Some("""
+    WITH h AS (SELECT doc_id, strlen(text) AS nbytes,
+        md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+    a AS (SELECT doc_id, nbytes,
+        ((instr('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16 +
+          instr('0123456789abcdef', substr(hx, 6, 1)) - 1) % 8 AS shard,
+        (instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 4096 +
+        (instr('0123456789abcdef', substr(hx, 8, 1)) - 1) * 256 +
+        (instr('0123456789abcdef', substr(hx, 9, 1)) - 1) * 16 +
+        (instr('0123456789abcdef', substr(hx, 10, 1)) - 1) AS ohash
+      FROM h)
+    SELECT shard, count(*) AS n_docs, CAST(sum(nbytes) AS BIGINT) AS sum_bytes,
+      CAST(sum(ohash) AS BIGINT) AS fp_sum,
+      CAST(min(ohash) AS BIGINT) AS fp_min,
+      CAST(max(ohash) AS BIGINT) AS fp_max
+    FROM a GROUP BY shard ORDER BY shard""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    graft.operators.Sampling.shardAssign(
+        t(s, d, "documents"), col("doc_id"), 8)
+      .select(col("shard"), octet_length(col("text")).as("nbytes"),
+        col("ohash"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("nbytes").as("sum_bytes"),
+        sum("ohash").as("fp_sum"), min("ohash").as("fp_min"),
+        max("ohash").as("fp_max"))
+      .orderBy("shard")
+  }
+
   /** eval-set decontamination — docs from source 'src0' act as the
     * held-out benchmark; every other doc reports how many of its
     * distinct word-3-gram digests leak into the eval set. Spark side
@@ -577,5 +615,5 @@ object Dedup {
   }
 
   val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15,
-    d17, d18, d19, d20, d24, d25, t6)
+    d17, d18, d19, d20, d24, d25, d29, t6)
 }

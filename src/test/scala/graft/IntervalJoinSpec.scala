@@ -95,6 +95,33 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got == Seq((10L, 1L)), s"only the fully-non-null pair matches: $got")
   }
 
+  test("left outer: unmatched and null-measure probes kept with NULL interval columns ≡ theta left join") {
+    val ours = IntervalJoin.pointInInterval(probes, windows,
+      "psec", "lo", "hi", Seq("p_user" -> "w_user"), joinType = "left_outer")
+    val theta = probes.join(windows,
+      col("p_user") === col("w_user") &&
+        col("psec") >= col("lo") && col("psec") <= col("hi"), "left_outer")
+    assert(sortedRows(ours) == sortedRows(theta))
+    val inner = IntervalJoin.pointInInterval(probes, windows,
+      "psec", "lo", "hi", Seq("p_user" -> "w_user"))
+    assert(ours.filter(col("win_id").isNull).count() > 0,
+      "fixture must contain unmatched probes")
+    assert(ours.filter(col("win_id").isNotNull).count() == inner.count(),
+      "matched rows must be exactly the inner join's")
+    // a NULL measure can't match, but LEFT OUTER keeps the probe
+    val p = Seq((java.lang.Long.valueOf(1L), "k",
+      null.asInstanceOf[java.lang.Long])).toDF("pid", "pk", "x")
+    val w = Seq((2L, "k", 0L, 10L)).toDF("win_id", "wk", "lo", "hi")
+    val kept = IntervalJoin.pointInInterval(p, w, "x", "lo", "hi",
+      Seq("pk" -> "wk"), joinType = "left_outer").collect()
+    assert(kept.length == 1 && kept.head.isNullAt(3),
+      s"null-measure probe must survive with NULL intervals: ${kept.toSeq}")
+    val bad = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(p, w, "x", "lo", "hi", Nil, "full")
+    }
+    assert(bad.getMessage.contains("joinType"))
+  }
+
   test("empty build side yields empty result (not a crash)") {
     val got = IntervalJoin.pointInInterval(probes,
       windows.filter(lit(false)), "psec", "lo", "hi",

@@ -114,6 +114,39 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(c(3L)._2 == 0L, "clean doc must report zero hits")
   }
 
+  test("shardAssign: corpus-independent shards, independent of the split hash, balanced, bounded order key") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val sh = Sampling.shardAssign(docs, col("doc_id"), 8)
+    // corpus independence: sharding HALF the corpus moves nobody — the
+    // property that makes incremental ingest append instead of reshuffle
+    val half = Sampling.shardAssign(
+      docs.filter(col("doc_id") % 2 === 0), col("doc_id"), 8)
+    val moved = half.select(col("doc_id"), col("shard"))
+      .join(sh.select(col("doc_id"), col("shard").as("s2")), "doc_id")
+      .filter(col("shard") =!= col("s2")).count()
+    assert(moved == 0, s"$moved docs changed shard when the corpus shrank")
+    // balance: 500 docs over 8 shards — all populated, no gross skew
+    val counts = sh.groupBy("shard").count().select("count").as[Long].collect()
+    assert(counts.length == 8 && counts.min > 0, counts.toSeq.toString)
+    assert(counts.max.toDouble / counts.min <= 3.0, counts.toSeq.toString)
+    // independence from the train/val/test hash: within one split
+    // bucket the shard still varies (disjoint digest nibbles)
+    val cross = sh.select(Sampling.md5Mod10(col("doc_id")).as("v"), col("shard"))
+      .groupBy("v").agg(countDistinct("shard").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(cross > 0, "shard must not be a function of the split bucket")
+    // order key: 16 bits, deterministic
+    val oh = sh.select(col("ohash")).as[Long].collect()
+    assert(oh.forall(o => o >= 0 && o < 65536))
+    val again = Sampling.shardAssign(docs, col("doc_id"), 8)
+    assert(sh.select("doc_id", "shard", "ohash").exceptAll(
+      again.select("doc_id", "shard", "ohash")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.shardAssign(docs, col("doc_id"), 1000)
+    }
+  }
+
   test("stratified sample is deterministic and downsamples only the target stratum") {
     import graft.operators.Sampling
     val s1 = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
