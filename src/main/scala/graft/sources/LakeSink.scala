@@ -219,6 +219,16 @@ object LakeSink {
     * write aborts with the live table untouched and continuously
     * readable. Factored so a new lifecycle op composes the publish
     * instead of re-implementing its safety argument. */
+  /** generation arithmetic: a live location is <stem> (gen 0, the
+    * originally-registered dir) or <stem>.g<n> */
+  private def parseGen(n: String): (String, Long) = {
+    val gIdx = n.lastIndexOf(".g")
+    if (gIdx > 0 && n.length > gIdx + 2 &&
+        n.substring(gIdx + 2).forall(_.isDigit))
+      (n.substring(0, gIdx), n.substring(gIdx + 2).toLong)
+    else (n, 0L)
+  }
+
   private[graft] def publishGeneration(spark: SparkSession, table: String,
       retainMs: Long)(write: (DataFrame, String, String) => Long): Long = {
     val catalog = spark.sessionState.catalog
@@ -228,15 +238,6 @@ object LakeSink {
     val format = meta.provider.getOrElse("parquet")
     val curLoc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = curLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // generation arithmetic: live location is <stem> (gen 0, the
-    // originally-registered dir) or <stem>.g<n>
-    def parseGen(n: String): (String, Long) = {
-      val gIdx = n.lastIndexOf(".g")
-      if (gIdx > 0 && n.length > gIdx + 2 &&
-          n.substring(gIdx + 2).forall(_.isDigit))
-        (n.substring(0, gIdx), n.substring(gIdx + 2).toLong)
-      else (n, 0L)
-    }
     val (stem, gen) = parseGen(curLoc.getName)
     // entry GC under the retention contract: a generation NEWER than
     // the live one was never published (a crashed run's half-written
@@ -268,6 +269,59 @@ object LakeSink {
     spark.sql(s"ALTER TABLE `$table` SET LOCATION '${next.toString}'")
     spark.catalog.refreshTable(table)
     expected
+  }
+
+  /** TIME TRAVEL, part 1: the retained generations of a
+    * catalog-addressed table, oldest first, each a COMPLETE
+    * immutable snapshot ([[publishGeneration]] only ever flips the
+    * catalog pointer between whole directories — there is nothing
+    * extra to store; the snapshots were already there). The live
+    * generation is last. Depth = the retention window: a superseded
+    * generation survives `retainMs` past its flip, then any later
+    * publish reclaims it — the same contract that already protects
+    * mid-scan readers. */
+  def listGenerations(spark: SparkSession, table: String): Seq[Long] = {
+    val (gens, _, _) = generationPaths(spark, table)
+    gens.map(_._1)
+  }
+
+  /** TIME TRAVEL, part 2: read the table AS OF generation `gen`
+    * (0 = as registered; every [[mergeKeyed]]/[[compactTable]]
+    * publish advances it by 1 — the generation number is the table's
+    * version counter). REFUSES BY NAME a
+    * generation outside the retained set — a silently-empty read of
+    * a reclaimed snapshot would report history that is gone; the
+    * refusal lists what IS retained and names the retention trade. */
+  def readGeneration(spark: SparkSession, table: String,
+      gen: Long): DataFrame = {
+    val (gens, format, live) = generationPaths(spark, table)
+    val hit = gens.find(_._1 == gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"TIME TRAVEL REFUSED: generation $gen of $table is not " +
+          s"retained (live: $live; retained: ${gens.map(_._1).mkString(", ")}). " +
+          "Depth is bounded by the publish retention window (retainMs)."))
+    spark.read.format(format).load(hit._2)
+  }
+
+  private def generationPaths(spark: SparkSession, table: String)
+      : (Seq[(Long, String)], String, Long) = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    require(catalog.tableExists(ident), s"unknown table $table")
+    val meta = catalog.getTableMetadata(ident)
+    val format = meta.provider.getOrElse("parquet")
+    val curLoc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = curLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (stem, liveGen) = parseGen(curLoc.getName)
+    def glob(p: org.apache.hadoop.fs.Path) =
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val gens =
+      (glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem + ".g*")) ++
+        glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem)))
+        .map(st => parseGen(st.getPath.getName)._2 -> st.getPath.toString)
+        .filter(_._1 <= liveGen) // a newer dir is a crashed, unpublished copy
+        .sortBy(_._1).toSeq
+    (gens, format, liveGen)
   }
 
   /** The pure MERGE relation — updates win by key, tombstoned keys

@@ -440,4 +440,47 @@ class LakeSpec extends AnyFunSuite {
     val p = delta.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(ID,39)"), p.take(2000))
   }
+
+  test("time travel: retained generations read as complete snapshots; reclaimed history refuses by name") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_tt").toString + "/t"
+    val base = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    LakeSink.writeParquet(base, out)
+    LakeSink.registerExternal(spark, "tt_t", out)
+    // two publishes under a generous retention window -> 3 snapshots
+    LakeSink.mergeKeyed(spark, "tt_t", Seq((10L, "U10")).toDF("k", "v"), "k")
+    LakeSink.mergeKeyed(spark, "tt_t", Seq((60L, "N60")).toDF("k", "v"), "k",
+      deletes = Some(Seq(Tuple1(20L)).toDF("k")))
+    assert(LakeSink.listGenerations(spark, "tt_t") == Seq(0L, 1L, 2L))
+    def vOf(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val g0 = vOf(LakeSink.readGeneration(spark, "tt_t", 0L))
+    val g1 = vOf(LakeSink.readGeneration(spark, "tt_t", 1L))
+    val g2 = vOf(LakeSink.readGeneration(spark, "tt_t", 2L))
+    assert(g0.size == 50 && g0(10L) == "v10", "gen 0 is the table as registered")
+    assert(g1.size == 50 && g1(10L) == "U10" && !g1.contains(60L),
+      "gen 1 holds exactly the first merge")
+    assert(g2.size == 50 && g2(60L) == "N60" && !g2.contains(20L),
+      "gen 2 holds the second merge (insert + delete applied)")
+    assert(vOf(spark.table("tt_t")) == g2, "the live read IS the last snapshot")
+    // unknown generation refuses, listing what exists
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.readGeneration(spark, "tt_t", 7L)
+    }
+    assert(e.getMessage.contains("TIME TRAVEL REFUSED") &&
+      e.getMessage.contains("0, 1, 2"))
+    // a zero-retention publish reclaims the expired history at entry
+    // (the just-superseded gen 2 survives until the NEXT publish —
+    // the same lag that protects a reader mid-scan across the flip)
+    LakeSink.mergeKeyed(spark, "tt_t", Seq((11L, "U11")).toDF("k", "v"), "k",
+      retainMs = 0L)
+    val left = LakeSink.listGenerations(spark, "tt_t")
+    assert(left == Seq(2L, 3L),
+      s"zero retention keeps only the just-superseded + live snapshots: $left")
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSink.readGeneration(spark, "tt_t", 1L)
+    }
+    assert(e2.getMessage.contains("TIME TRAVEL REFUSED"))
+    spark.sql("DROP TABLE tt_t")
+  }
 }
