@@ -70,6 +70,10 @@ object Recall {
       // floats, isolated from every other knob
       ("s17_sq8", () => Similarity.sq8Knn(vecs, "vec_id", "embedding",
         probePred, k, bitsCorpus), truth),
+      // SQ8 nominate + exact refine (s19): does the two-stage
+      // composition recover the exact-scored recall of s2?
+      ("s19_sq8_rerank", () => Similarity.sq8Rerank(vecs, "vec_id",
+        "embedding", probePred, k, bitsCorpus), truth),
       ("s6_ivfpq_lsh", () => Similarity.ivfPqKnnLsh(vecs, "vec_id",
         "embedding", anchorPred, probePred, k, bits), truth),
       ("s8_np1", () => Similarity.ivfKnnLsh(vecs, "vec_id", "embedding",

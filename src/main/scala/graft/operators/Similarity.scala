@@ -234,6 +234,32 @@ object Similarity {
     sq8Search(cb, pb0, id, typedLit(mnA), typedLit(sA), k, bits)
   }
 
+  /** SQ8 NOMINATE + EXACT REFINE — the standard scalar-quantizer
+    * serving composition ([[pqRerank]]'s two-stage shape with the
+    * nomination scored on byte codes instead of PQ ADC): [[sq8Knn]]
+    * nominates `cFactor·k` candidates from the 4×-smaller quantized
+    * representation, ONLY those candidates' float vectors are
+    * re-fetched (a fact-dim equi-join on the id) and re-scored with
+    * the exact fused cosine. Ordering error from quantization is
+    * fixed by the refine; candidate loss is bounded by how far a
+    * true neighbor can fall in sq8 rank — measured in the recall
+    * harness (sq8 alone 0.979 → refined = s2's exact-scored
+    * recall). */
+  def sq8Rerank(vectors: DataFrame, id: String, emb: String,
+      probePred: Column, k: Int, bits: Int = LSH_BITS,
+      tables: Int = LSH_TABLES, dim: Int = 64, cFactor: Int = 4): DataFrame = {
+    val nom = sq8Knn(vectors, id, emb, probePred, cFactor * k, bits,
+        tables, dim)
+      .select(col("probe_id"), col("neighbor_id"))
+    val pr = vectors.filter(probePred)
+      .select(col(id).as("probe_id"), col(emb).as("pe"))
+    val corpus = vectors.select(col(id).as("neighbor_id"), col(emb).as("ne"))
+    val exact = nom.join(pr, Seq("probe_id")).join(corpus, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosR(col("pe"), col("ne")).as("c6"))
+    topK(exact, k)
+  }
+
   /** fit the per-dimension SQ8 affine quantizer: ONE scalar-aggregate
     * read of (min, max) per dim, step arrays derived on the driver —
     * shipped into plans as constant-folded literals. Shared by the

@@ -946,7 +946,7 @@ object Embed {
     * quantizer, codes, and dequantized cosines in SQL; ranking
     * differences vs exact cosine are quantization error only
     * (recall-measured). */
-  private val s17OracleSql = s"""
+  private def s17OracleSqlK(k: Int): String = s"""
     WITH $normCte,
     dims AS (SELECT i, min(embedding[i]::DOUBLE) AS mn,
                max(embedding[i]::DOUBLE) AS mx
@@ -985,8 +985,10 @@ object Embed {
             row_number() OVER (PARTITION BY probe_id
                                ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
     SELECT probe_id, rn, neighbor_id, c6 AS cos6
-    FROM r WHERE rn <= 5
+    FROM r WHERE rn <= $k
     ORDER BY probe_id, rn"""
+
+  private val s17OracleSql = s17OracleSqlK(5)
 
   val s17 = Q("s17_knn_sq8", Some(s17OracleSql)) { (s, d) =>
     val vecs = t(s, d, "embeddings")
@@ -1015,6 +1017,33 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  /** s19: SQ8 nominate + EXACT refine ([[Similarity.sq8Rerank]]) —
+    * the standard scalar-quantizer serving composition: byte codes
+    * nominate 4k candidates, only those refetch their float vectors
+    * for the exact fused-cosine rerank. The oracle composes s17's
+    * full SQL at k=20 as the nomination subquery (the s13 precedent:
+    * fusion over already-hash-checked rankings) and rescores with
+    * the exact cosine CTE — quantization ordering error provably
+    * absent from the final ranking. */
+  val s19 = Q("s19_sq8_rerank", Some(s"""
+    WITH $normCte,
+    nom AS (SELECT probe_id, neighbor_id FROM (${s17OracleSqlK(20)})),
+    sc AS (SELECT nom.probe_id, nom.neighbor_id, ${cosRSql("a", "b")} AS c6
+           FROM nom JOIN v a ON a.vec_id = nom.probe_id
+                    JOIN v b ON b.vec_id = nom.neighbor_id),
+    r AS (SELECT probe_id, neighbor_id, c6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
+    FROM r WHERE rn <= 5
+    ORDER BY probe_id, rn""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    Similarity.sq8Rerank(vecs, "vec_id", "embedding",
+      col("vec_id") % 17 === 0, 5,
+      bits = Similarity.corpusBits(vecs.count()))
+      .orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
-    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18)
+    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19)
 }

@@ -134,6 +134,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(worst < 0.02, s"quantization error $worst exceeds the SQ8 budget")
   }
 
+  test("sq8 rerank: final scores are EXACT cosines (quantization error refined away); copy at rank 1") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"))
+    val copy = base.filter(col("vec_id") === 17)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val planted = base.unionByName(copy)
+    val r = Similarity.sq8Rerank(planted, "vec_id", "embedding",
+      col("vec_id") === 17, 3, bits = 4)
+    assert(r.filter(col("rn") === 1).select("neighbor_id", "cos6")
+      .as[(Long, Double)].collect().toSeq == Seq((100017L, 1.0)))
+    // every refined score equals the exact cosine of that pair — the
+    // quantized estimate is provably gone from the output
+    val q = Similarity.sq8Rerank(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, 5)
+    val bad = q
+      .join(emb.select(col("vec_id").as("probe_id"), col("embedding").as("pe")), "probe_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+      .filter(col("cos6") =!= Similarity.cosR(col("pe"), col("ne")))
+    assert(bad.count() == 0)
+  }
+
   test("cosine of a vector with itself is 1") {
     val selfs = emb.select(cosine_sim(col("embedding"), col("embedding")).as("c"))
       .agg(min("c").as("lo"), max("c").as("hi")).collect().head
