@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   *                MUST band with the index's bits, not recompute
   *                their own), column names, and the caller's
   *                staleness stamp
+  *  - `sq8` / `sq8quant` (OPTIONAL, [[writeSq8]]) — the byte-
+  *                quantized serving path: banded offset-128 codes
+  *                (no floats) + the frozen per-dim quantizer;
+  *                maintained in lockstep by append/delete/compact
+  *
   *
   * The probe paths ([[probe]]/[[probePq]]/[[probeRerank]]) plan ZERO
   * training stages: no k-means, no codebook Lloyd, no corpus
