@@ -515,6 +515,59 @@ object TextAnalysis {
         roundA(col("ll_micro") / 1e6 / col("n_bigrams"), 4).as("avg_ll"))
   }
 
+  /** DSIR-style importance weighting for data selection (the hashed
+    * n-gram importance-resampling method of Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): fit
+    * bucket distributions of hashed bigram features over a TARGET
+    * (in-domain) slice and the RAW corpus, then weight every doc by
+    * Σ_features log(p_target/p_raw) — docs that look like the target
+    * domain score positive and are kept. Laplace-smoothed over a
+    * FIXED feature space of `buckets` hashed cells, so both
+    * distributions are bounded tables no matter the corpus size.
+    *
+    * Determinism: features hash through the portable fold48(md5)
+    * (identical in Spark and DuckDB), each log term is a micro-unit
+    * fixed-point long BEFORE the per-doc sum (t10's rule), so the
+    * whole fit→weight path hash-checks against the oracle; only the
+    * per-feature average is a rounded double.
+    *
+    * Scale shape: the bucket log-ratio table is ≤ `buckets` rows —
+    * fit is a map-side partial agg into a fixed-width table, and
+    * scoring joins it BROADCAST: the corpus never shuffles except
+    * the one per-doc sum. At 100 TB this is two linear passes
+    * (count buckets, score docs) with fixed-size intermediate state
+    * — the property that makes DSIR the production data-selection
+    * method at pre-training scale. */
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    val bk = docs
+      .select(col(id), isTarget.as("__tgt"),
+        explode(bigramPairs(tokens(col(text)))).as("p"))
+      .select(col(id), col("__tgt"),
+        concat(col("p.0"), lit(" "), col("p.1")).as("g"))
+      .select(col(id), col("__tgt"),
+        (expr(graft.queries.Text.fold48("md5(cast(g as binary))"))
+          % buckets).as("b"))
+    val cnt = bk.groupBy(col("b")).agg(
+      count(lit(1)).as("cq"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum(col("cq")).as("nq"), sum(col("ct")).as("nt"))
+    val lr = cnt.crossJoin(broadcast(tot)).select(col("b"),
+      (floor(log((col("ct") + 1.0) / (col("nt") + buckets)) * 1e6 + 0.5)
+          .cast("long") -
+        floor(log((col("cq") + 1.0) / (col("nq") + buckets)) * 1e6 + 0.5)
+          .cast("long")).as("lr_micro"))
+    val w = bk.join(broadcast(lr), Seq("b"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_feat"),
+        sum(col("lr_micro")).as("w_micro"))
+    docs.select(col(id)).join(w, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("w_micro"), lit(0L)).as("w_micro"),
+        roundA(col("w_micro") / 1e6 / col("n_feat"), 4).as("avg_lr"),
+        (coalesce(col("w_micro"), lit(0L)) > 0).as("keep"))
+  }
+
   /** [[contamination]] with the eval set as its own table — the usual
     * pipeline shape (benchmarks live in a separate, static table; the
     * train side may even be a STREAM: the eval array is a static

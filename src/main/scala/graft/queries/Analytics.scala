@@ -1291,8 +1291,35 @@ object Analytics {
       .orderBy("day")
   }
 
+  // ---- q47: mergeable HLL sketch partials (re-aggregable rollup) -----
+  /** the 100 TB pre-aggregation pattern q27's one-shot
+    * approx_count_distinct can't express: per-group DataSketches HLL
+    * PARTIALS (hll_sketch_agg) that RE-AGGREGATE — the ALL row is
+    * hll_union_agg over the per-type sketch column, never a second
+    * scan of the raw events. At 100 TB the sketch table is |groups| ×
+    * a few KB and answers ANY coarser rollup (type→all, day→month)
+    * by sketch union alone; raw data is scanned exactly once, and
+    * the partials are map-side-mergeable fixed-size state end to
+    * end. Rows-only (sketch estimates are engine-specific by design
+    * — q27's pattern); QueriesSpec pins every per-type estimate
+    * within 5% of exact and the ALL row within 5% of the exact
+    * global distinct. */
+  val q47 = Q("q47_hll_rollup", None) { (s, d) =>
+    val e = t(s, d, "events").filter(col("user_id").isNotNull)
+    val sk = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"),
+        count(lit(1)).as("n_events"))
+    sk.select(col("event_type").as("grain"),
+        hll_sketch_estimate(col("sk")).as("users_est"), col("n_events"))
+      .unionByName(sk.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_est"),
+          sum(col("n_events")).as("n_events"))
+        .select(lit("ALL").as("grain"), col("users_est"), col("n_events")))
+      .orderBy("grain")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
+    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }

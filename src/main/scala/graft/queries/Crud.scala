@@ -291,6 +291,148 @@ object Crud {
       .orderBy("source")
   }
 
+  /** a18: CDC EXTRACTION ([[graft.sources.LakeSink.diffKeyed]]) —
+    * the change set between the orders table and its a15-merged
+    * state: one row per changed key with op ∈ insert/update/delete
+    * and before/after images; unchanged keys (and no-op rewrites)
+    * emit nothing, so the feed is churn-sized. The complement of the
+    * CDC APPLY side (mergeKeyed / the streaming apply seat): apply
+    * turns changes into states, diff turns states back into changes
+    * (roundtrip law pinned in LakeSpec); with [[graft.sources.LakeSink.readGeneration]]
+    * it derives a change feed between any two retained snapshots.
+    * Oracle = the plain FULL OUTER JOIN with IS DISTINCT FROM
+    * change predicates. */
+  val a18 = Q("a18_diff", Some("""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.05 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, 'N' AS o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0),
+    del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 3),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey)
+        AND NOT EXISTS (SELECT 1 FROM del WHERE del.o_orderkey = o.o_orderkey)),
+    b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged),
+    j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+            b.o_orderkey IS NULL AS ins, a.o_orderkey IS NULL AS dele,
+            b.o_orderstatus AS before_status, a.o_orderstatus AS after_status,
+            b.o_totalprice AS bt, a.o_totalprice AS att
+          FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+    SELECT CASE WHEN ins THEN 'insert' WHEN dele THEN 'delete'
+             ELSE 'update' END AS op,
+      o_orderkey, before_status, after_status,
+      floor(bt * 1000000.0 + 0.5) / 1000000.0 AS before_p6,
+      floor(att * 1000000.0 + 0.5) / 1000000.0 AS after_p6
+    FROM j
+    WHERE ins OR dele OR before_status IS DISTINCT FROM after_status
+      OR bt IS DISTINCT FROM att
+    ORDER BY op, o_orderkey""")) { (s, d) =>
+    val base = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.05)
+      .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .withColumn("o_orderstatus", lit("N")))
+    val deletes = base.filter(col("o_orderkey") % 11 === 3)
+      .select("o_orderkey")
+    val slim = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.LakeSink.diffKeyed(
+        base.select(slim.map(col): _*),
+        graft.sources.LakeSink.mergedView(base, updates, "o_orderkey",
+          Some(deletes)).select(slim.map(col): _*),
+        "o_orderkey")
+      .select(col("op"), col("o_orderkey"),
+        col("before_o_orderstatus").as("before_status"),
+        col("after_o_orderstatus").as("after_status"),
+        (floor(col("before_o_totalprice") * 1000000.0 + 0.5) / 1000000.0)
+          .as("before_p6"),
+        (floor(col("after_o_totalprice") * 1000000.0 + 0.5) / 1000000.0)
+          .as("after_p6"))
+      .orderBy("op", "o_orderkey")
+  }
+
+  /** a19: INCREMENTAL MATERIALIZED-VIEW deltas
+    * ([[graft.sources.LakeSink.aggDeltas]]) — a18's change feed
+    * folded into the per-customer deltas of the classic
+    * `count(*), sum(totalprice) GROUP BY custkey` view: insert
+    * (+1, +after), delete (−1, −before), update nets to the value
+    * delta (and would split across groups if the update moved the
+    * row — pinned in LakeSpec). Output ∝ touched GROUPS (≤ churn),
+    * never the view or base size; value summed in exact cents so
+    * application is replay-order-free. With
+    * [[graft.sources.LakeSink.applyAggDeltas]] this is the full
+    * incremental pipeline: the view updates from the feed alone —
+    * the base table is never rescanned. Oracle = the same change
+    * set unioned into ±image rows and re-aggregated. */
+  val a19 = Q("a19_mv_delta", Some("""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice * 1.05 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0),
+    del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 3),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey)
+        AND NOT EXISTS (SELECT 1 FROM del WHERE del.o_orderkey = o.o_orderkey)),
+    b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    ch AS (SELECT b.o_orderkey IS NULL AS ins, a.o_orderkey IS NULL AS dele,
+             b.o_custkey AS bg, a.o_custkey AS ag,
+             CAST(floor(b.o_totalprice * 100.0 + 0.5) AS BIGINT) AS bc,
+             CAST(floor(a.o_totalprice * 100.0 + 0.5) AS BIGINT) AS ac
+           FROM b FULL OUTER JOIN merged a ON b.o_orderkey = a.o_orderkey
+           WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+             OR b.o_custkey IS DISTINCT FROM a.o_custkey
+             OR b.o_totalprice IS DISTINCT FROM a.o_totalprice),
+    d AS (
+      SELECT bg AS g, CASE WHEN dele THEN -1 ELSE 0 END AS dn, -bc AS dc
+      FROM ch WHERE NOT ins
+      UNION ALL
+      SELECT ag AS g, CASE WHEN ins THEN 1 ELSE 0 END AS dn, ac AS dc
+      FROM ch WHERE NOT dele
+      UNION ALL
+      SELECT bg AS g, -1 AS dn, 0 AS dc
+      FROM ch WHERE NOT ins AND NOT dele AND bg IS DISTINCT FROM ag
+      UNION ALL
+      SELECT ag AS g, 1 AS dn, 0 AS dc
+      FROM ch WHERE NOT ins AND NOT dele AND bg IS DISTINCT FROM ag)
+    SELECT g AS o_custkey, CAST(sum(dn) AS BIGINT) AS d_n,
+      CAST(sum(dc) AS BIGINT) AS d_cents
+    FROM d GROUP BY g
+    HAVING sum(dn) <> 0 OR sum(dc) <> 0
+    ORDER BY o_custkey""")) { (s, d) =>
+    val base = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.05)
+      .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+    val deletes = base.filter(col("o_orderkey") % 11 === 3)
+      .select("o_orderkey")
+    val changes = graft.sources.LakeSink.diffKeyed(base,
+      graft.sources.LakeSink.mergedView(base, updates, "o_orderkey",
+        Some(deletes)),
+      "o_orderkey")
+    graft.sources.LakeSink.aggDeltas(changes, "o_custkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14, a15, a16, a17)
+    a12, a13, a14, a15, a16, a17, a18, a19)
 }

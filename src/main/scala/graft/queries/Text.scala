@@ -547,6 +547,40 @@ object Text {
       .orderBy("decile")
   }
 
+  /** DSIR importance weighting ([[TextAnalysis.dsirWeights]]) — the
+    * hashed-n-gram data-selection method (Xie et al. 2023): hashed
+    * bigram distributions fit over the `lang = 'en'` target slice vs
+    * the raw corpus, per-doc weight = Σ log(p_target/p_raw) in micro
+    * fixed-point, keep = weight > 0. The oracle re-fits both bucket
+    * distributions in SQL through the same fold48(md5) feature hash,
+    * so the fit→weight→select path is hash-checked end to end. */
+  val t22 = Q("t22_dsir", Some(s"""
+    WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+           string_split(lower(text), ' ') AS l FROM documents),
+    bg AS (SELECT doc_id, tgt, u.p[1] || ' ' || u.p[2] AS g
+           FROM tok, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(p)),
+    bk AS (SELECT doc_id, tgt, (${fold48("md5(g)")}) % 4096 AS b FROM bg),
+    cnt AS (SELECT b, count(*) AS cq,
+              count(*) FILTER (WHERE tgt) AS ct FROM bk GROUP BY b),
+    tot AS (SELECT CAST(sum(cq) AS BIGINT) AS nq,
+              CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
+    lr AS (SELECT b,
+             CAST(floor(ln((ct + 1.0) / (nt + 4096)) * 1000000.0 + 0.5) AS BIGINT)
+           - CAST(floor(ln((cq + 1.0) / (nq + 4096)) * 1000000.0 + 0.5) AS BIGINT)
+               AS lr_micro
+           FROM cnt CROSS JOIN tot),
+    w AS (SELECT doc_id, count(*) AS n_feat, sum(lr_micro) AS w_micro
+          FROM bk JOIN lr USING (b) GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(w.n_feat, 0) AS n_feat,
+      CAST(coalesce(w.w_micro, 0) AS BIGINT) AS w_micro,
+      floor((w.w_micro / 1000000.0 / w.n_feat) * 10000.0 + 0.5) / 10000.0 AS avg_lr,
+      coalesce(w.w_micro, 0) > 0 AS keep
+    FROM documents d LEFT JOIN w USING (doc_id)
+    ORDER BY d.doc_id""")) { (s, d) =>
+    TextAnalysis.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+      col("lang") === "en").orderBy("doc_id")
+  }
+
   // ---- t14/t15: BPE subword tokenizer (trained merges + counts) ------
   /** the trained BPE merge table itself ([[graft.operators.Bpe]]):
     * 8 greedy merge rounds over the documents vocabulary,
@@ -869,5 +903,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -324,6 +324,114 @@ object LakeSink {
     (gens, format, liveGen)
   }
 
+  /** CDC EXTRACTION — the keyed CHANGE SET between two table states,
+    * [[mergedView]]'s inverse and [[readGeneration]]'s natural
+    * companion (diff two retained snapshots and you have the change
+    * feed a downstream consumer replays): one row per changed key
+    * with `op` ∈ insert/update/delete and full before/after images
+    * per value column. Unchanged keys emit NOTHING, including no-op
+    * updates that rewrote identical values (null-safe `<=>`
+    * comparison per column) — the property that keeps a change feed
+    * proportional to the churn, not the table. Pure and LAZY like
+    * [[mergedView]] (one full-outer equi-join on the key — at 100 TB
+    * both sides shuffle once on the key, or zero times off bucketed
+    * tables); precondition is [[mergeKeyed]]'s own invariant, one
+    * row per key per state (its publish-side refusals are where
+    * enforcement lives). Roundtrip law, pinned by LakeSpec:
+    * `diffKeyed(base, mergedView(base, upd, del), k)` recovers
+    * exactly the effective upserts/inserts/deletes. */
+  def diffKeyed(before: DataFrame, after: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(after.columns.toSeq == before.columns.toSeq,
+      s"diffKeyed: schemas must match, got ${before.columns.mkString(",")} " +
+        s"vs ${after.columns.mkString(",")}")
+    val cols = before.columns.filterNot(_ == key).toSeq
+    val b = before.select(col(key) +: lit(true).as("__b") +:
+      cols.map(c => col(c).as(s"before_$c")): _*)
+    val a = after.select(col(key) +: lit(true).as("__a") +:
+      cols.map(c => col(c).as(s"after_$c")): _*)
+    val changed = cols.map(c => !(col(s"before_$c") <=> col(s"after_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, Seq(key), "full_outer")
+      .withColumn("op", when(col("__b").isNull, "insert")
+        .when(col("__a").isNull, "delete").otherwise("update"))
+      .filter(col("__b").isNull || col("__a").isNull || changed)
+      .select(col("op") +: col(key) +:
+        cols.flatMap(c => Seq(col(s"before_$c"), col(s"after_$c"))): _*)
+  }
+
+  /** INCREMENTAL MATERIALIZED-VIEW deltas — turn a keyed change feed
+    * in [[diffKeyed]]'s shape (op + before/after images) into the
+    * per-GROUP aggregate deltas of the classic COUNT/SUM view
+    * `SELECT group, count(*), sum(value) GROUP BY group`:
+    * insert contributes (+1, +after), delete (−1, −before), update
+    * (−before-group, +after-group) — so an update that MOVES a row
+    * between groups decrements the old group and increments the new
+    * one, and a same-group update nets to the pure value delta.
+    * Groups the feed left unchanged emit NOTHING (the churn-sized
+    * property carried through from the feed itself). The value is
+    * summed in exact CENTS (fixed-point long, the t10 rule) so delta
+    * application is associative and replay-order-free — a double sum
+    * would drift by batch order. At 100 TB: one partial agg of the
+    * churn rows into ≤ 2·churn group deltas; the base table and the
+    * view are never scanned. */
+  def aggDeltas(changes: DataFrame, group: String, value: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, floor => ffloor, lit, sum, when}
+    def cents(c: org.apache.spark.sql.Column) =
+      ffloor(c * 100.0 + 0.5).cast("long")
+    val minus = changes.filter(col("op").isin("delete", "update"))
+      .select(col(s"before_$group").as(group),
+        when(col("op") === "delete", -1L).otherwise(0L).as("dn"),
+        (-cents(col(s"before_$value"))).as("dc"))
+    val plus = changes.filter(col("op").isin("insert", "update"))
+      .select(col(s"after_$group").as(group),
+        when(col("op") === "insert", 1L).otherwise(0L).as("dn"),
+        cents(col(s"after_$value")).as("dc"))
+    // a group-moving update splits into a −1 against the before
+    // group and a +1 against the after group; the 0/0 dn pair above
+    // covers the same-group case, so re-tag moves here
+    val moved = changes.filter(col("op") === "update" &&
+        !(col(s"before_$group") <=> col(s"after_$group")))
+      .select(col(s"before_$group").as(group), lit(-1L).as("dn"),
+        lit(0L).as("dc"))
+      .unionByName(changes.filter(col("op") === "update" &&
+          !(col(s"before_$group") <=> col(s"after_$group")))
+        .select(col(s"after_$group").as(group), lit(1L).as("dn"),
+          lit(0L).as("dc")))
+    minus.unionByName(plus).unionByName(moved)
+      .groupBy(col(group))
+      .agg(sum(col("dn")).as("d_n"), sum(col("dc")).as("d_cents"))
+      .filter(col("d_n") =!= 0 || col("d_cents") =!= 0)
+  }
+
+  /** Apply [[aggDeltas]] output to a catalog-addressed keyed VIEW
+    * table `(group, n_rows, sum_cents)` — the maintenance step of an
+    * incrementally-maintained materialized view: only the delta's
+    * groups are touched (delta ⟕ current view on the group key — a
+    * churn-sized broadcast join, never a view scan beyond the keyed
+    * lookup), groups whose count reaches 0 DROP out of the view, new
+    * groups insert, and the whole batch lands through [[mergeKeyed]]
+    * — one generation + one atomic catalog flip per batch, so a
+    * reader sees complete view states only. Composed with
+    * [[diffKeyed]] this is the full incremental pipeline: diff two
+    * table states (or subscribe to a change stream), fold to group
+    * deltas, merge — the view never recomputes from the base table.
+    * Returns the merged view row count. */
+  def applyAggDeltas(spark: SparkSession, viewTable: String,
+      deltas: DataFrame, group: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val cur = spark.table(viewTable)
+      .join(broadcast(deltas.select(col(group))), Seq(group))
+    val nxt = deltas.join(cur, Seq(group), "left_outer")
+      .select(col(group),
+        (coalesce(col("n_rows"), lit(0L)) + col("d_n")).as("n_rows"),
+        (coalesce(col("sum_cents"), lit(0L)) + col("d_cents")).as("sum_cents"))
+    val ups = nxt.filter(col("n_rows") > 0)
+    val dels = nxt.filter(col("n_rows") <= 0).select(col(group))
+    mergeKeyed(spark, viewTable, ups, group,
+      if (dels.isEmpty) None else Some(dels))
+  }
+
   /** The pure MERGE relation — updates win by key, tombstoned keys
     * drop, every other base row survives: [[mergeKeyed]]'s
     * computation without the publish (and the oracle-checkable a15

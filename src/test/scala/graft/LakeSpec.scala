@@ -483,4 +483,71 @@ class LakeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("TIME TRAVEL REFUSED"))
     spark.sql("DROP TABLE tt_t")
   }
+
+  test("diffKeyed: roundtrip law — diff(base, apply(base, changes)) recovers the effective changes") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val upd = Seq((2L, "B", 20.0), // real update
+      (3L, "c", 30.0),             // NO-OP rewrite: identical values
+      (9L, "n", 90.0)).toDF("k", "s", "v") // insert
+    val del = Seq(Tuple1(4L)).toDF("k")
+    val after = LakeSink.mergedView(base, upd, "k", Some(del))
+    val d = LakeSink.diffKeyed(base, after, "k")
+    val got = d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("update", 2L), ("insert", 9L), ("delete", 4L)),
+      s"no-op rewrite of key 3 must not appear: $got")
+    // images: update carries both, insert null before, delete null after
+    val u = d.filter(col("op") === "update").head()
+    assert(u.getString(2) == "b" && u.getString(3) == "B")
+    val ins = d.filter(col("op") === "insert").head()
+    assert(ins.isNullAt(2) && ins.getString(3) == "n")
+    val dl = d.filter(col("op") === "delete").head()
+    assert(dl.getString(2) == "d" && dl.isNullAt(3))
+    // null-safe column compare: NULL->value is an update, NULL->NULL is not
+    val b2 = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("k", "s")
+    val a2 = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("k", "s")
+    val g2 = LakeSink.diffKeyed(b2, a2, "k").select("op", "k")
+      .as[(String, Long)].collect().toSet
+    assert(g2 == Set(("update", 1L)))
+    intercept[IllegalArgumentException] {
+      LakeSink.diffKeyed(base, base.drop("v"), "k")
+    }
+  }
+
+  test("aggDeltas/applyAggDeltas: incremental MV law — view after deltas ≡ groupBy of the final state") {
+    import spark.implicits._
+    // rows keyed by k, grouped by g for the view (g, count, sum cents)
+    def state(rows: Seq[(Long, Long, Double)]) = rows.toDF("k", "g", "v")
+    val s0 = state(Seq((1L, 10L, 1.00), (2L, 10L, 2.00), (3L, 20L, 3.00),
+      (4L, 30L, 4.00)))
+    // batch 1: value update (same group), group-MOVING update 3:20→10,
+    // delete 4 (empties group 30), insert 5 into NEW group 40
+    val s1 = state(Seq((1L, 10L, 1.50), (2L, 10L, 2.00), (3L, 10L, 3.00),
+      (5L, 40L, 5.00)))
+    // batch 2: move 3 back out, delete 1, update 5's value
+    val s2 = state(Seq((2L, 10L, 2.00), (3L, 20L, 3.25), (5L, 40L, 5.75)))
+    val out = Files.createTempDirectory("graft_mv").toString + "/view"
+    val v0 = s0.groupBy("g").agg(count(lit(1)).as("n_rows"),
+      sum(floor(col("v") * 100.0 + 0.5).cast("long")).as("sum_cents"))
+    LakeSink.writeParquet(v0, out)
+    LakeSink.registerExternal(spark, "mv_t", out)
+    for ((prev, next) <- Seq((s0, s1), (s1, s2))) {
+      val d = LakeSink.aggDeltas(LakeSink.diffKeyed(prev, next, "k"), "g", "v")
+      LakeSink.applyAggDeltas(spark, "mv_t", d, "g")
+    }
+    val got = spark.table("mv_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = s2.groupBy("g").agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("v") * 100.0 + 0.5).cast("long")).as("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"incremental view $got must equal recompute $want")
+    // emptied groups are GONE from the view, not zero rows
+    assert(!got.exists(_._1 == 30L), "group 30 emptied in batch 1")
+    // churn-sized: a no-op diff produces zero deltas and no new generation
+    val none = LakeSink.aggDeltas(LakeSink.diffKeyed(s2, s2, "k"), "g", "v")
+    assert(none.isEmpty)
+    spark.sql("DROP TABLE mv_t")
+  }
 }

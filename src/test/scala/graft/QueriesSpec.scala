@@ -68,6 +68,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(ao - eo).toDouble / eo < 0.06, s"orders approx $ao vs $eo")
   }
 
+  test("q47 HLL sketch rollup: per-type and unioned-ALL estimates within 5% of exact") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val got = Registry.byName("q47_hll_rollup").run(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("user_id").isNotNull)
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = e.select("user_id").distinct().count()
+    exact.foreach { case (ty, ex) =>
+      assert(math.abs(got(ty) - ex).toDouble / ex < 0.05,
+        s"$ty sketch ${got(ty)} vs exact $ex")
+    }
+    // the ALL row is a UNION OF THE PARTIALS, never a rescan — and it
+    // still estimates the true global distinct (overlapping users
+    // across types dedup through the sketch merge, so ALL is far
+    // below the sum of the per-type rows)
+    assert(math.abs(got("ALL") - exactAll).toDouble / exactAll < 0.05,
+      s"ALL sketch-union ${got("ALL")} vs exact $exactAll")
+    assert(got("ALL") < exact.values.sum,
+      "union must dedup across groups, not add them")
+  }
+
   test("q32 approx quantiles land within 1% of exact q21") {
     val ap = Registry.byName("q32_approx_quantile").run(spark, TestSpark.sf)
       .collect()

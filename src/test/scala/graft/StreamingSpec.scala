@@ -640,6 +640,52 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cdc_t")
   }
 
+  test("incremental MV maintenance loop: change-feed micro-batches keep the aggregate view ≡ recompute") {
+    // the materialized-view seat: a CDC change feed (a18's diff
+    // shape) folds into per-group deltas and lands on the view table
+    // through aggDeltas → applyAggDeltas per micro-batch — the view
+    // tracks `count(*), sum(cents) GROUP BY g` of the evolving base
+    // WITHOUT ever rescanning it; one generation + one atomic flip
+    // per batch, so readers only see complete view states.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, floor, lit, sum}
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_mvs")
+      .toString + "/view"
+    val s0 = Seq((1L, 10L, 1.00), (2L, 10L, 2.00), (3L, 20L, 3.00))
+      .toDF("k", "g", "v")
+    LakeSink.writeParquet(s0.groupBy("g").agg(count(lit(1)).as("n_rows"),
+      sum(floor(col("v") * 100.0 + 0.5).cast("long")).as("sum_cents")), out)
+    LakeSink.registerExternal(spark, "mvs_t", out)
+    // feed rows are diffKeyed-shaped: (op, k, before_g, after_g, before_v, after_v)
+    val in = MemoryStream[(String, Long, java.lang.Long, java.lang.Long,
+      java.lang.Double, java.lang.Double)]
+    val q = in.toDF()
+      .toDF("op", "k", "before_g", "after_g", "before_v", "after_v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val d = LakeSink.aggDeltas(batch, "g", "v")
+        if (!d.isEmpty) LakeSink.applyAggDeltas(spark, "mvs_t", d, "g")
+        ()
+      }.start()
+    // batch 1: update k1's value, insert k4 into a new group 30
+    in.addData(("update", 1L, 10L, 10L, 1.00, 1.75),
+      ("insert", 4L, null, 30L, null, 4.00))
+    q.processAllAvailable()
+    // batch 2: MOVE k3 20→10 (group 20 empties), delete k2
+    in.addData(("update", 3L, 20L, 10L, 3.00, 3.00),
+      ("delete", 2L, 10L, null, 2.00, null))
+    q.processAllAvailable()
+    q.stop()
+    // final base state: k1(10,1.75), k3(10,3.00), k4(30,4.00)
+    val got = spark.table("mvs_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 2L, 475L), (30L, 1L, 400L)),
+      s"view must equal the recompute of the final state: $got")
+    spark.sql("DROP TABLE mvs_t")
+  }
+
   test("streamed as-of enrichment ≡ batch as-of join on the real events table; late rows can't regress state") {
     // q45's operator as continuous state: purchases (left) answered
     // with the latest view (right) at or before them. Fed in EVENT

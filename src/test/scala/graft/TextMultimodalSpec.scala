@@ -594,4 +594,33 @@ class TextMultimodalSpec extends AnyFunSuite {
     val p = TextAnalysis.nbClassify(docs, "doc_id", "text", "lang")
     assert(p.count() == n && p.select("doc_id").distinct().count() == n)
   }
+
+  test("dsirWeights: target-typical docs score positive, raw-typical negative, total and deterministic") {
+    import spark.implicits._
+    // a planted corpus whose target slice repeats one bigram family
+    // and whose raw slice repeats a disjoint one — DSIR must rank a
+    // fresh target-like doc positive and a raw-like doc negative
+    val tgtPhrase = "alpha beta " * 6
+    val rawPhrase = "gamma delta " * 6
+    val planted = ((1L to 20L).map(i => (i, tgtPhrase.trim, true)) ++
+      (21L to 60L).map(i => (i, rawPhrase.trim, false)) ++
+      Seq((61L, tgtPhrase.trim, false),          // target-like held-out
+        (62L, rawPhrase.trim, false),            // raw-like held-out
+        (63L, null.asInstanceOf[String], false)) // NULL text
+      ).toDF("doc_id", "text", "tgt")
+    val w = TextAnalysis.dsirWeights(planted, "doc_id", "text", col("tgt"))
+    assert(w.count() == 63 &&
+      w.select("doc_id").distinct().count() == 63, "total and unique")
+    val byId = w.select("doc_id", "w_micro", "n_feat", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(byId(61L)._2 > 0 && byId(61L)._4,
+      s"target-like doc must keep: ${byId(61L)}")
+    assert(byId(62L)._2 < 0 && !byId(62L)._4,
+      s"raw-like doc must drop: ${byId(62L)}")
+    // NULL text: zero features, zero weight, dropped — never NULL out
+    assert(byId(63L) == ((63L, 0L, 0L, false)))
+    // deterministic: a second evaluation is row-identical
+    val again = TextAnalysis.dsirWeights(planted, "doc_id", "text", col("tgt"))
+    assert(w.exceptAll(again).isEmpty && again.exceptAll(w).isEmpty)
+  }
 }
