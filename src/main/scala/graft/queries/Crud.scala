@@ -433,6 +433,74 @@ object Crud {
       .orderBy("o_custkey")
   }
 
+  // range-clustered orders copy for the data-skipping read (a20),
+  // built once per corpus into a stamped tmp dir and published by
+  // atomic rename (Embed.ensureIndex's discipline: concurrent
+  // builders each build privately, the rename loser serves the
+  // winner's identical copy). 8 range partitions on o_orderdate →
+  // each file covers a narrow, mostly-disjoint date slice — the
+  // layout HALF of data skipping (fileStats is the stats half).
+  private def ensureSortedOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_skiplake_$stamp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_skiplake_") && f != dir)
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_skiplake_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      t(s, d, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(build.getPath)
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a20: DATA SKIPPING over file statistics
+    * ([[graft.sources.LakeSink.fileStats]] +
+    * [[graft.sources.LakeSink.readPruned]]) — the lakehouse
+    * min/max-manifest read: a one-quarter range aggregate answered
+    * after eliminating, from the MANIFEST alone, every file whose
+    * [min, max] o_orderdate interval cannot intersect the predicate
+    * — on the range-clustered copy that is all but ~1 of 8 files
+    * before a single data byte moves (LakeSpec pins the file count
+    * and that pruning loses nothing). The manifest is one row per
+    * FILE — at 100 TB it is MBs and replaces the scan in planning,
+    * which is exactly what Delta/Iceberg file stats do. Oracle = the
+    * same range aggregate over the unclustered table, so the
+    * clustered-write → stats → prune → residual-filter path is
+    * hash-checked end to end. */
+  val a20 = Q("a20_skipping", Some("""
+    SELECT o_orderstatus, count(*) AS n_orders,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1995-03-31 23:59:59'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+    val copy = s.read.parquet(ensureSortedOrders(s, d))
+    val man = graft.sources.LakeSink.fileStats(copy, Seq("o_orderdate"))
+    graft.sources.LakeSink.readPruned(s, man, "o_orderdate",
+        lit("1995-01-01 00:00:00").cast("timestamp"),
+        lit("1995-03-31 23:59:59").cast("timestamp"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14, a15, a16, a17, a18, a19)
+    a12, a13, a14, a15, a16, a17, a18, a19, a20)
 }

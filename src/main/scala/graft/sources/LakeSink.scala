@@ -360,6 +360,53 @@ object LakeSink {
         cols.flatMap(c => Seq(col(s"before_$c"), col(s"after_$c"))): _*)
   }
 
+  /** Per-FILE column-statistics MANIFEST — the lakehouse
+    * data-skipping surface (what Delta/Iceberg keep in their file
+    * stats): one scan of the table computing, per physical file,
+    * the row count and min/max/null-count of each named column.
+    * Fixed-width output (one row per FILE, not per row), so the
+    * manifest of a 100 TB table is a few MB — small enough that
+    * query planning reads IT instead of the data, which is the
+    * entire point: combined with a sort/z-order layout, a range
+    * predicate eliminates the files whose [min,max] cannot contain
+    * it before a single data byte is read. */
+  def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum}
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      sum(col(c).isNull.cast("long")).as(s"nulls_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** MANIFEST-PRUNED range read: keep only the files whose
+    * [min_c, max_c] interval can intersect [lo, hi], read exactly
+    * those, and apply the residual row filter. The file-list
+    * decision is driver-side over the manifest — file-count-sized,
+    * the same planning read every lakehouse format does — and the
+    * residual filter still pushes down into the surviving files'
+    * row groups. A file of only-NULL `c` has NULL min/max and is
+    * skipped (rows with NULL `c` can never satisfy the range).
+    * Correctness does not depend on the layout — a random layout
+    * just prunes nothing; a range/z-order layout prunes almost
+    * everything. */
+  def readPruned(spark: SparkSession, manifest: DataFrame, c: String,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keep = manifest
+      .filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi))
+      .select("file").collect().map(_.getString(0))
+    if (keep.isEmpty) {
+      // every file pruned: the result is provably empty — answer it
+      // from one file's FOOTER (schema only), zero data bytes read
+      val any = manifest.select("file").head().getString(0)
+      spark.read.parquet(any).filter(lit(false))
+    } else
+      spark.read.parquet(keep.toIndexedSeq: _*)
+        .filter(col(c) >= lo && col(c) <= hi)
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW deltas — turn a keyed change feed
     * in [[diffKeyed]]'s shape (op + before/after images) into the
     * per-GROUP aggregate deltas of the classic COUNT/SUM view

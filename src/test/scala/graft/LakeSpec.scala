@@ -550,4 +550,32 @@ class LakeSpec extends AnyFunSuite {
     assert(none.isEmpty)
     spark.sql("DROP TABLE mv_t")
   }
+
+  test("fileStats/readPruned: manifest prunes files, loses nothing, NULL-only and empty ranges behave") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_skip").toString + "/t"
+    (1L to 1000L).map(i => (i, i.toDouble)).toDF("v", "pay")
+      .repartitionByRange(5, col("v")).sortWithinPartitions("v")
+      .write.parquet(out)
+    // one extra file whose v is ALL NULL — min/max NULL, must be skipped
+    Seq((None: Option[Long], 0.0)).toDF("v", "pay")
+      .coalesce(1).write.mode("append").parquet(out)
+    val full = spark.read.parquet(out)
+    val man = LakeSink.fileStats(full, Seq("v")).cache()
+    val nFiles = man.count()
+    assert(nFiles >= 6, s"expected >= 6 files, got $nFiles")
+    val pr = LakeSink.readPruned(spark, man, "v", lit(100L), lit(149L))
+    val expect = full.filter(col("v").between(100L, 149L))
+    assert(pr.exceptAll(expect).isEmpty && expect.exceptAll(pr).isEmpty,
+      "pruned read must lose nothing vs the full filter")
+    // the read plans over ONLY the surviving files — the range layout
+    // confines [100,149] to one of the five range slices
+    val kept = man.filter(!(col("max_v") < 100L || col("min_v") > 149L)).count()
+    assert(kept < nFiles && pr.inputFiles.length.toLong == kept,
+      s"kept $kept of $nFiles files; read touched ${pr.inputFiles.length}")
+    // a range beyond every file answers EMPTY from footers alone
+    val e = LakeSink.readPruned(spark, man, "v", lit(5000L), lit(6000L))
+    assert(e.isEmpty && e.schema.fieldNames.toSeq == full.schema.fieldNames.toSeq)
+    man.unpersist()
+  }
 }
