@@ -123,9 +123,46 @@ case class MinHashSig(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** word-N-gram 48-bit md5 digests of a tokens array — same values as
+  * the portable `instr`-fold of `md5(w1 || ' ' || ... || wN)` over
+  * each window, and EMPTY (not one whole-doc gram) for arrays
+  * shorter than N, matching the `list_zip`/`arrays_zip` slice
+  * semantics the n-gram oracles use. [[ShingleHash48]] is the fixed
+  * 3-gram variant with the short-doc whole-doc fallback; this one
+  * parameterizes N for feature hashing (DSIR's bigrams). */
+case class NgramHash48(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hash48 expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements() - n + 1
+    if (m <= 0) new GenericArrayData(new Array[Any](0))
+    else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        out(i) = Md5.fold48(Md5.digest(Md5.shingleBytes(toks, i, n)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextHashes {
   def shingle_hash48(tokens: Column): Column =
     GraftBridge.column(ShingleHash48(GraftBridge.expression(tokens)))
   def minhash_sig(tokens: Column): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(tokens)))
+  def ngram_hash48(tokens: Column, n: Int): Column =
+    GraftBridge.column(NgramHash48(GraftBridge.expression(tokens), n))
 }

@@ -540,17 +540,22 @@ object TextAnalysis {
     * method at pre-training scale. */
   def dsirWeights(docs: DataFrame, id: String, text: String,
       isTarget: Column, buckets: Int = 4096): DataFrame = {
+    // feature hashing through the NATIVE n-gram digest (same values
+    // as the oracle's instr-fold of md5(w1 || ' ' || w2) — the
+    // interpreted-HOF/expr chain was 3× the wall); 48-bit fold is
+    // nonnegative, so % is already a total bucket map
     val bk = docs
       .select(col(id), isTarget.as("__tgt"),
-        explode(bigramPairs(tokens(col(text)))).as("p"))
-      .select(col(id), col("__tgt"),
-        concat(col("p.0"), lit(" "), col("p.1")).as("g"))
-      .select(col(id), col("__tgt"),
-        (expr(graft.queries.Text.fold48("md5(cast(g as binary))"))
-          % buckets).as("b"))
+        explode(graft.functions.TextHashes.ngram_hash48(
+          tokens(col(text)), 2)).as("h"))
+      .select(col(id), col("__tgt"), (col("h") % buckets).as("b"))
+    // cnt is ≤ `buckets` rows but costs a corpus pass — materialize
+    // once (the q40 lineage rule) so tot/lr don't re-tokenize the
+    // corpus: with it the whole fit+score path is two passes total
     val cnt = bk.groupBy(col("b")).agg(
-      count(lit(1)).as("cq"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+        count(lit(1)).as("cq"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint()
     val tot = cnt.agg(sum(col("cq")).as("nq"), sum(col("ct")).as("nt"))
     val lr = cnt.crossJoin(broadcast(tot)).select(col("b"),
       (floor(log((col("ct") + 1.0) / (col("nt") + buckets)) * 1e6 + 0.5)
