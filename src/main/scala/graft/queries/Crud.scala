@@ -501,6 +501,76 @@ object Crud {
       .orderBy("o_orderstatus")
   }
 
+  // z-order-clustered orders copy for the TWO-column skipping read
+  // (a21): interleaved (custkey, order-day) bits cluster BOTH
+  // dimensions at once, so each file's min/max is narrow in each —
+  // same stamped-tmp/atomic-rename discipline as ensureSortedOrders
+  private def ensureZOrderedOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_zorder_$stamp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_zorder_") && f != dir)
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_zorder_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val zk = graft.sources.LakeSink.zOrderKey(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1990-01-01").cast("date")), bits = 20)
+      t(s, d, "orders").withColumn("__zk", zk)
+        .repartitionByRange(16, col("__zk"))
+        .sortWithinPartitions("__zk").drop("__zk")
+        .write.mode("overwrite").parquet(build.getPath)
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a21: TWO-DIMENSIONAL data skipping over a Z-ORDER layout
+    * ([[graft.sources.LakeSink.zOrderKey]] +
+    * [[graft.sources.LakeSink.readPrunedMulti]]) — a20's manifest
+    * read where the predicate constrains BOTH o_custkey and
+    * o_orderdate: the interleaved-bit clustering keeps every file's
+    * [min,max] narrow in each dimension simultaneously, so the two
+    * predicates eliminate files independently and the read touches
+    * ~the intersection box (a single-column sort only ever prunes
+    * its own column — LakeSpec pins z-order beating it on the
+    * off-sort dimension). Same contract as a20: pruning is a
+    * planning decision over the file-count-sized manifest; the
+    * residual filter still pushes into surviving row groups; a
+    * random layout would prune nothing but never miscount. Oracle =
+    * the same two-predicate aggregate over the unclustered table. */
+  val a21 = Q("a21_zorder", Some("""
+    SELECT count(*) AS n_orders,
+      CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'""")) { (s, d) =>
+    val copy = s.read.parquet(ensureZOrderedOrders(s, d))
+    val man = graft.sources.LakeSink.fileStats(copy,
+      Seq("o_custkey", "o_orderdate"))
+    graft.sources.LakeSink.readPrunedMulti(s, man, Seq(
+        ("o_custkey", lit(100L), lit(400L)),
+        ("o_orderdate", lit("1994-01-01 00:00:00").cast("timestamp"),
+          lit("1995-12-31 23:59:59").cast("timestamp"))))
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("o_custkey")).as("n_custs"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14, a15, a16, a17, a18, a19, a20)
+    a12, a13, a14, a15, a16, a17, a18, a19, a20, a21)
 }

@@ -392,19 +392,36 @@ object LakeSink {
     * everything. */
   def readPruned(spark: SparkSession, manifest: DataFrame, c: String,
       lo: org.apache.spark.sql.Column,
-      hi: org.apache.spark.sql.Column): DataFrame = {
+      hi: org.apache.spark.sql.Column): DataFrame =
+    readPrunedMulti(spark, manifest, Seq((c, lo, hi)))
+
+  /** [[readPruned]] over a CONJUNCTION of range predicates — the
+    * read shape a z-order layout exists for: with the data clustered
+    * on [[zOrderKey]], every predicate column's per-file [min,max]
+    * is narrow, so each predicate independently eliminates files and
+    * the survivors are ~the intersection box. (A single-column sort
+    * gets this for its sort column only; a predicate on any other
+    * column keeps every file — pinned in LakeSpec.) */
+  def readPrunedMulti(spark: SparkSession, manifest: DataFrame,
+      preds: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)])
+      : DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val keep = manifest
-      .filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi))
+    require(preds.nonEmpty, "readPrunedMulti: at least one predicate")
+    val survive = preds.map { case (c, lo, hi) =>
+      !(col(s"max_$c") < lo || col(s"min_$c") > hi)
+    }.reduce(_ && _)
+    val keep = manifest.filter(survive)
       .select("file").collect().map(_.getString(0))
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
     if (keep.isEmpty) {
       // every file pruned: the result is provably empty — answer it
       // from one file's FOOTER (schema only), zero data bytes read
       val any = manifest.select("file").head().getString(0)
       spark.read.parquet(any).filter(lit(false))
     } else
-      spark.read.parquet(keep.toIndexedSeq: _*)
-        .filter(col(c) >= lo && col(c) <= hi)
+      spark.read.parquet(keep.toIndexedSeq: _*).filter(residual)
   }
 
   /** INCREMENTAL MATERIALIZED-VIEW deltas — turn a keyed change feed

@@ -328,6 +328,31 @@ object EventStreams {
         ((col("ets").cast("long")) - col("cts").cast("long")).as("gap_s"))
   }
 
+  /** [[intervalJoin]]'s LEFT OUTER form — the attribution feed where
+    * an error with NO click in its 5-minute lookback must still
+    * emit, click_id NULL. In a STREAM that row can only exist once
+    * the watermark proves no matching click can still arrive: inner
+    * matches emit as both sides meet, but the NULL rows are emitted
+    * by WATERMARK PASSAGE (state-cleanup time), not by batch end —
+    * the semantics StreamingSpec pins by advancing event time and
+    * watching the unmatched row appear. Same state bound as the
+    * inner form: both sides' buffers are clipped to the watermark
+    * minus the interval, independent of stream length. */
+  def intervalJoinOuter(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val e = errors.filter(col("event_type") === "error")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("ets"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    e.join(c, col("user_id") === col("c_user") &&
+      col("cts") >= col("ets") - expr("INTERVAL 5 MINUTES") &&
+      col("cts") <= col("ets"), "left_outer")
+      .select(col("user_id"), col("err_id"), col("click_id"),
+        (col("ets").cast("long") - col("cts").cast("long")).as("gap_s"))
+  }
+
   /** Stateful sessionization with a 30-minute gap, as
     * flatMapGroupsWithState custom state (streaming q16). Emits a
     * session row each time a gap closes it; an event-time timeout

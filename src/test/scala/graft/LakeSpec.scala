@@ -551,6 +551,71 @@ class LakeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE mv_t")
   }
 
+  test("snapshot-to-snapshot CHANGE FEED: diffKeyed over readGeneration recovers the net changes between any two retained generations") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_gdiff").toString + "/t"
+    LakeSink.writeParquet((1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), out)
+    LakeSink.registerExternal(spark, "gd_t", out)
+    // gen1: update 5, insert 40; gen2: update 40 again, delete 5,
+    // rewrite 7 to the SAME value (a no-op the feed must not carry)
+    LakeSink.mergeKeyed(spark, "gd_t",
+      Seq((5L, "U5"), (40L, "N40")).toDF("k", "v"), "k")
+    LakeSink.mergeKeyed(spark, "gd_t",
+      Seq((40L, "U40"), (7L, "v7")).toDF("k", "v"), "k",
+      deletes = Some(Seq(Tuple1(5L)).toDF("k")))
+    // the derived feed gen0 → gen2: the NET effect (5's update then
+    // delete nets to delete; 40's insert then update nets to insert
+    // with the FINAL image; 7's no-op rewrite vanishes)
+    val feed = LakeSink.diffKeyed(
+      LakeSink.readGeneration(spark, "gd_t", 0L),
+      LakeSink.readGeneration(spark, "gd_t", 2L), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(3)).orNull)).toSet
+    assert(feed == Set(("delete", 5L, null), ("insert", 40L, "U40")),
+      s"net change feed: $feed")
+    // and the single-step feed gen1 → gen2 sees the intermediate
+    val step = LakeSink.diffKeyed(
+      LakeSink.readGeneration(spark, "gd_t", 1L),
+      LakeSink.readGeneration(spark, "gd_t", 2L), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(step == Set(("delete", 5L), ("update", 40L)), s"step feed: $step")
+    spark.sql("DROP TABLE gd_t")
+  }
+
+  test("zOrder layout: the manifest prunes on BOTH dimensions; a single-column sort only prunes its own") {
+    import spark.implicits._
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val base = Files.createTempDirectory("graft_z").toString
+    grid.withColumn("zk", LakeSink.zOrderKey(col("x"), col("y"), 6))
+      .repartitionByRange(16, col("zk")).sortWithinPartitions("zk")
+      .drop("zk").write.parquet(s"$base/z")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$base/xs")
+    val mz = LakeSink.fileStats(spark.read.parquet(s"$base/z"), Seq("x", "y"))
+      .cache()
+    val mx = LakeSink.fileStats(spark.read.parquet(s"$base/xs"), Seq("x", "y"))
+      .cache()
+    def kept(m: org.apache.spark.sql.DataFrame, c: String, lo: Long, hi: Long) =
+      m.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi)).count()
+    val (nz, nx) = (mz.count(), mx.count())
+    // a predicate on the OFF-sort column: the x-sorted layout keeps
+    // every file (each spans all of y); the z-layout keeps a band
+    assert(kept(mx, "y", 0L, 7L) == nx,
+      "x-sorted files all span the full y range")
+    assert(kept(mz, "y", 0L, 7L) * 2 <= nz,
+      s"z-layout prunes the off-sort dimension: ${kept(mz, "y", 0L, 7L)}/$nz")
+    // the 2-D box read: correct, and touches ~the intersection files
+    val pr = LakeSink.readPrunedMulti(spark, mz,
+      Seq(("x", lit(0L), lit(7L)), ("y", lit(0L), lit(7L))))
+    val exp = grid.filter(col("x").between(0L, 7L) && col("y").between(0L, 7L))
+    assert(pr.exceptAll(exp).isEmpty && exp.exceptAll(pr).isEmpty,
+      "2-D pruned read loses nothing")
+    assert(pr.inputFiles.length * 4 <= nz,
+      s"box read touches ${pr.inputFiles.length} of $nz files")
+    mz.unpersist(); mx.unpersist()
+  }
+
   test("fileStats/readPruned: manifest prunes files, loses nothing, NULL-only and empty ranges behave") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_skip").toString + "/t"

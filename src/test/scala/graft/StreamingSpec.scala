@@ -282,6 +282,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed LEFT OUTER interval join: NULL rows emit on WATERMARK PASSAGE, not batch end") {
+    // the outer-attribution semantics only a stream makes interesting:
+    // an error with no click in its 5-minute lookback may NOT emit
+    // when it arrives — a matching click could still come — and MUST
+    // emit (click_id NULL) once the watermark proves none can.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    def ev(id: Long, u: Long, ty: String, sec: Long) =
+      Event(id, new java.sql.Timestamp(sec * 1000L), u, ty, 0.0)
+    val errs = MemoryStream[Event]; val clks = MemoryStream[Event]
+    val q = EventStreams.intervalJoinOuter(errs.toDF(), clks.toDF())
+      .writeStream.format("memory").queryName("ijo")
+      .outputMode(OutputMode.Append).start()
+    // E1 has a click 60s before; E2 has none (user 2's click is 10
+    // minutes before — outside the 5-minute lookback)
+    errs.addData(ev(101L, 1L, "error", 1000L), ev(102L, 2L, "error", 1000L))
+    clks.addData(ev(201L, 1L, "click", 940L), ev(202L, 2L, "click", 400L))
+    q.processAllAvailable()
+    def rows() = spark.sql("SELECT err_id, click_id, gap_s FROM ijo")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows() == Set((101L, Some(201L))),
+      s"E2's NULL row must NOT exist yet — a click could still arrive: ${rows()}")
+    // advance event time far past E2's window on BOTH streams; the
+    // watermark update lands at the NEXT batch, so drive two
+    errs.addData(ev(900L, 99L, "error", 10000L))
+    clks.addData(ev(901L, 99L, "click", 10000L))
+    q.processAllAvailable()
+    errs.addData(ev(902L, 98L, "error", 20000L))
+    clks.addData(ev(903L, 98L, "click", 20000L))
+    q.processAllAvailable()
+    q.stop()
+    val fin = rows().filter(_._1 < 900L)
+    assert(fin == Set((101L, Some(201L)), (102L, None)),
+      s"watermark passage must flush E2 as an unmatched NULL row: $fin")
+  }
+
   test("streamed interval join ≡ batch banded range join on the real events table") {
     // q28's streaming twin pinned against batch on REAL data: every
     // (error, click-in-preceding-5min) pair the watermarked
