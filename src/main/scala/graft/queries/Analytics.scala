@@ -1318,8 +1318,36 @@ object Analytics {
       .orderBy("grain")
   }
 
+  // ---- q48: bounded per-group top-k via a typed Aggregator ----------
+  /** top-3 orders per customer through
+    * [[graft.functions.TopKAgg]] — the AGGREGATION answer to
+    * per-group top-k: ≤ k (score, id) pairs of merge-associative
+    * state per group, partial-aggregated map-side, so the shuffle
+    * carries bounded candidate sets instead of every order row and
+    * no sort ever sees a full group (the window form shuffles+sorts
+    * everything to keep 3). Ties break (score DESC, id ASC) —
+    * identical to the oracle's row_number order, so the custom
+    * aggregate is hash-checked against the standard window form. */
+  val q48 = Q("q48_topk_group", Some("""
+    WITH r AS (SELECT o_custkey, o_orderkey,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey
+    FROM r WHERE rnk <= 3
+    ORDER BY o_custkey, rnk""")) { (s, d) =>
+    t(s, d, "orders").groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKAgg.top_k(3)(
+        col("o_totalprice"), col("o_orderkey")).as("ids"))
+      .select(col("o_custkey"),
+        posexplode(col("ids")).as(Seq("pos", "o_orderkey")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+        col("o_orderkey"))
+      .orderBy("o_custkey", "rnk")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

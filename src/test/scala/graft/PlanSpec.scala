@@ -91,6 +91,19 @@ class PlanSpec extends AnyFunSuite {
       "expected partial + final aggregate")
   }
 
+  test("q48 per-group top-k is a partial AGGREGATE, not a Window sort of every row") {
+    val p = plan("q48_topk_group")
+    // the typed Aggregator plans as ObjectHashAggregate with a
+    // partial stage before the exchange — bounded k-row state per
+    // group crosses the shuffle, never the sorted full group
+    assert(p.contains("ObjectHashAggregate"),
+      "expected the typed-Aggregator ObjectHashAggregate:\n" + p.take(1200))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial + final aggregate stages:\n" + p.take(1200))
+    assert(!p.contains("Window"),
+      "per-group top-k must not plan a Window over the orders:\n" + p.take(1200))
+  }
+
   test("s3 IVF anchor assignment broadcasts the anchor table") {
     val p = plan("s3_knn_ivf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
