@@ -103,7 +103,8 @@ object Curation {
       spanDedup: Option[Int] = None,
       maxDupWindowFrac: Option[Double] = None,
       dupWindow: Int = 16,
-      windowDedup: Option[Int] = None): (DataFrame, DataFrame) = {
+      windowDedup: Option[Int] = None,
+      dsirTarget: Option[Column] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
@@ -251,6 +252,21 @@ object Curation {
           .select(id)
           .unionByName(scored.filter(col("n_bigrams") === 0).select(id))
         d.join(keep, Seq(id), "left_semi")
+      }
+    }
+    dsirTarget.foreach { tgt =>
+      stage("dsir_select") { d =>
+        // DSIR domain selection inside the pipeline (t22's operator,
+        // Xie et al. 2023): fit the hashed-bigram target/raw
+        // distributions on the DEDUPED survivors — after dedup for
+        // the same reason ppl_prune is: duplicate mass must not skew
+        // the distributions a doc is judged by — and keep docs whose
+        // importance weight is positive (more target-like than
+        // corpus-typical). A doc with no bigram features cannot be
+        // judged and is KEPT (the unembedded-doc/no-bigram rule).
+        val w = TextAnalysis.dsirWeights(d, id, text, tgt)
+        d.join(w.filter(col("keep") || col("n_feat") === 0)
+          .select(id), Seq(id), "left_semi")
       }
     }
     stage("decontaminate") { d =>

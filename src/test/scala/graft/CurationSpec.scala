@@ -212,6 +212,47 @@ class CurationSpec extends AnyFunSuite {
       s"ppl_prune cut $in -> $outN; expected ~the worst decile")
   }
 
+  test("dsir_select keeps the target-like docs, drops the raw-typical ones, never judges the featureless") {
+    import spark.implicits._
+    // target slice: 'en' docs of one bigram family; raw mass: 'xx'
+    // docs of a disjoint family. Two held-out 'xx' docs — one written
+    // target-like, one raw-like — must land on opposite sides of the
+    // keep threshold purely by content.
+    // every doc: its family's 50-word base phrase + a 3-word tail
+    // (53 tokens, >= 50 unique — passes the quality gates; distinct
+    // tails keep exact/near dedup quiet). Family-base bigrams repeat
+    // across the whole slice, so membership dominates the weight by
+    // a wide margin (~50 shared transitions ≈ +7 vs ≤ −0.8 for a
+    // worst-case feature-hash bucket collision — the margin that
+    // makes the planted verdicts collision-proof); the held-out docs
+    // reuse base words ONLY (no unique tail), so they are judged
+    // purely on which family's bigrams they carry.
+    val tw = (1 to 50).map(j => s"tw$j").mkString(" ")
+    val rw = (1 to 50).map(j => s"rw$j").mkString(" ")
+    val tgt = (1 to 15).map(i => (i.toLong, s"$tw un${i}a un${i}b un${i}c", "en"))
+    val raw = (16 to 34).map(i => (i.toLong, s"$rw vn${i}a vn${i}b vn${i}c", "xx"))
+    val heldTgt = (46L, s"$tw tw1 tw2 tw3", "xx")
+    val heldRaw = (47L, s"$rw rw1 rw2 rw3", "xx")
+    val corpus = (tgt ++ raw ++ Seq(heldTgt, heldRaw))
+      .toDF("doc_id", "text", "lang")
+    val ev = Seq((1000L, "held out benchmark text entirely unrelated"))
+      .toDF("doc_id", "text")
+    val (out, rep) = Curation.curate(corpus, "doc_id", "text", col("lang"), ev,
+      jaccard = 0.999, dsirTarget = Some(col("lang") === "en"))
+    val stages = rep.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ds = stages.find(_._1 == "dsir_select")
+    assert(ds.isDefined, s"stage missing: $stages")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(46L), s"the target-like held-out doc must be kept: $kept")
+    assert(!kept(47L), s"the raw-typical held-out doc must be dropped: $kept")
+    assert((1L to 15L).forall(kept), s"the target slice itself survives: $kept")
+    // without the knob the stage does not exist
+    val (_, rep0) = Curation.curate(corpus, "doc_id", "text", col("lang"), ev,
+      jaccard = 0.999)
+    assert(!rep0.collect().map(_.getString(0)).contains("dsir_select"))
+  }
+
   test("span_dedup stage strips a planted cross-doc span from the survivor's text") {
     import spark.implicits._
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
