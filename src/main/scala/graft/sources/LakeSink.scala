@@ -255,12 +255,49 @@ object LakeSink {
       .foreach(st => require(fs.delete(st.getPath, true),
         s"stale generation ${st.getPath} undeletable"))
     val next = new org.apache.hadoop.fs.Path(curLoc.getParent, s"$stem.g${gen + 1}")
-    val expected = write(spark.table(table), next.toString, format)
+    // OPTIMISTIC CONCURRENCY (the Delta-style commit rule): the
+    // writer that atomically CREATES the `.claim` marker for the next
+    // generation owns this publish; a concurrent writer REFUSES BY
+    // NAME instead of interleaving writes into the same generation
+    // directory (the lost-update corruption a single-writer
+    // assumption papers over). A claim left by a CRASHED writer is
+    // reclaimable once older than the retention window — the same
+    // clock contract that already bounds mid-scan readers.
+    val claim = new org.apache.hadoop.fs.Path(curLoc.getParent,
+      s"$stem.g${gen + 1}.claim")
+    if (fs.exists(claim) &&
+        now - fs.getFileStatus(claim).getModificationTime > retainMs)
+      fs.delete(claim, false)
+    try fs.create(claim, false).close()
+    catch { case e: java.io.IOException =>
+      throw new java.util.ConcurrentModificationException(
+        s"PUBLISH REFUSED: another writer holds the claim on $table " +
+          s"generation ${gen + 1} ($claim). Retry after it commits, or " +
+          s"after retainMs=${retainMs}ms if it crashed (stale claims " +
+          s"reclaim then). [${e.getMessage}]")
+    }
+    def releaseClaim(): Unit = scala.util.Try(fs.delete(claim, false))
+    // the claim closes races against writers who hadn't flipped yet;
+    // this recheck closes the one against a writer who flipped
+    // BETWEEN our metadata read and our claim — the table we planned
+    // against is no longer the live table
+    val locNow = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(ident).location)
+    if (locNow != curLoc) {
+      releaseClaim()
+      throw new java.util.ConcurrentModificationException(
+        s"PUBLISH REFUSED: $table advanced to $locNow while this publish " +
+          s"planned against $curLoc — re-read and retry")
+    }
+    val expected =
+      try write(spark.table(table), next.toString, format)
+      catch { case e: Throwable => releaseClaim(); throw e }
     // verify BEFORE the flip: a short copy aborts with the live table
     // untouched and still continuously readable
     val nextCount = spark.read.format(format).load(next.toString).count()
     if (nextCount != expected) {
       fs.delete(next, true)
+      releaseClaim()
       throw new java.io.IOException(
         s"new generation at $next has $nextCount rows, expected $expected; " +
           "aborting — table location unchanged")
@@ -268,6 +305,7 @@ object LakeSink {
     // THE no-gap publish: one catalog metadata operation
     spark.sql(s"ALTER TABLE `$table` SET LOCATION '${next.toString}'")
     spark.catalog.refreshTable(table)
+    releaseClaim()
     expected
   }
 
@@ -318,6 +356,7 @@ object LakeSink {
     val gens =
       (glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem + ".g*")) ++
         glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem)))
+        .filterNot(_.getPath.getName.endsWith(".claim")) // publish locks, not snapshots
         .map(st => parseGen(st.getPath.getName)._2 -> st.getPath.toString)
         .filter(_._1 <= liveGen) // a newer dir is a crashed, unpublished copy
         .sortBy(_._1).toSeq
@@ -530,8 +569,12 @@ object LakeSink {
     *
     * Scale shape: one anti-join of the base on the (distinct) merged
     * key set — keys shuffle, payloads move once into the new
-    * generation. Same single-writer assumption as [[appendEvolved]].
-    * Returns the merged row count. */
+    * generation. Concurrent WRITERS serialize through
+    * [[publishGeneration]]'s claim CAS (r11): the losing publish
+    * refuses by `ConcurrentModificationException` instead of
+    * interleaving into the winner's generation — retry after the
+    * winner's flip (or after retainMs, when a crashed writer's stale
+    * claim reclaims). Returns the merged row count. */
   def mergeKeyed(spark: SparkSession, table: String, updates: DataFrame,
       key: String, deletes: Option[DataFrame] = None,
       retainMs: Long = 600000L): Long = {

@@ -551,6 +551,37 @@ class LakeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE mv_t")
   }
 
+  test("optimistic concurrency: a concurrent publish refuses by name, stale claims reclaim, readers never see the lock") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_occ").toString
+    val out = dir + "/t"
+    LakeSink.writeParquet((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), out)
+    LakeSink.registerExternal(spark, "occ_t", out)
+    // simulate an in-flight competing writer: its claim on gen 1
+    val claim = new java.io.File(dir, "t.g1.claim")
+    assert(claim.createNewFile())
+    val e = intercept[java.util.ConcurrentModificationException] {
+      LakeSink.mergeKeyed(spark, "occ_t", Seq((1L, "X1")).toDF("k", "v"), "k")
+    }
+    assert(e.getMessage.contains("PUBLISH REFUSED") &&
+      e.getMessage.contains("claim"), e.getMessage)
+    // the refusal left the table untouched and the lock invisible to
+    // time travel (a claim is a lock, not a snapshot)
+    assert(spark.table("occ_t").filter(col("k") === 1L)
+      .head().getString(1) == "v1")
+    assert(LakeSink.listGenerations(spark, "occ_t") == Seq(0L))
+    // a claim whose writer CRASHED reclaims once past the retention
+    // window, and the retry then commits
+    assert(claim.setLastModified(System.currentTimeMillis() - 700000L))
+    LakeSink.mergeKeyed(spark, "occ_t", Seq((1L, "X1")).toDF("k", "v"), "k")
+    assert(spark.table("occ_t").filter(col("k") === 1L)
+      .head().getString(1) == "X1")
+    assert(LakeSink.listGenerations(spark, "occ_t") == Seq(0L, 1L))
+    // the winner released its claim on commit
+    assert(!claim.exists() && !new java.io.File(dir, "t.g2.claim").exists())
+    spark.sql("DROP TABLE occ_t")
+  }
+
   test("snapshot-to-snapshot CHANGE FEED: diffKeyed over readGeneration recovers the net changes between any two retained generations") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_gdiff").toString + "/t"
