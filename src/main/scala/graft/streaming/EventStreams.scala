@@ -174,6 +174,43 @@ object EventStreams {
       .drop((0 until LSH_TABLES).map(t => s"__cands$t"): _*)
   }
 
+  /** MULTIMODAL near-dup suppression ON INGEST (streaming m6+m7):
+    * each arriving binary payload is phash-signed with the SAME
+    * chunk-majority construction as batch m6 and suppressed when one
+    * of the 4 pigeonhole bands collides with a known signature AND
+    * the exact XOR-popcount verifies ≤ `maxDist` (m7's exact-blocking
+    * guarantee carries over: Hamming ≤ 3 ⇒ some band equal, so no
+    * qualifying duplicate slips through). Scale shape: the
+    * MICRO-BATCH's band table is the BROADCAST side — micro-batches
+    * are small, the accumulated corpus streams through the join
+    * map-side, so the corpus signature table is never shuffled per
+    * batch (the bloom-decontam rule with the sides reversed).
+    * Drive from foreachBatch, unioning each batch's surviving
+    * signatures into the corpus table for the next (the
+    * continuous-ingest pattern — StreamingSpec pins a batch-2 copy
+    * of a batch-1 survivor suppressed). */
+  def phashSuppress(batchBin: DataFrame, corpusSigs: DataFrame,
+      maxDist: Int = 3, bits: Int = 32): DataFrame = {
+    val bw = bits / 4
+    def bands(df: DataFrame, idN: String, sN: String) =
+      df.select(col(idN), col(sN),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            pmod(expr(s"$sN div ${1L << (bw * b)}"), lit(1L << bw))
+              .as("bv"))): _*)).as("bb"))
+        .select(col(idN), col(sN), col("bb.b").as("b"), col("bb.bv").as("bv"))
+    val sigs = graft.operators.Multimodal.phash(batchBin, bits)
+    val sb = bands(sigs.select(col("record_id").as("sid"),
+      col("phash").as("ssig")), "sid", "ssig")
+    val cb = bands(corpusSigs.select(col("record_id").as("cid"),
+      col("phash").as("csig")), "cid", "csig")
+    val dups = cb.join(broadcast(sb), Seq("b", "bv"))
+      .filter(col("cid") =!= col("sid") &&
+        expr("bit_count(csig ^ ssig)") <= maxDist)
+      .select(col("sid").as("record_id")).distinct()
+    batchBin.join(dups, Seq("record_id"), "left_anti")
+  }
+
   /** Streaming LM quality scoring (streaming t10): score documents ON
     * INGEST against a bigram model pre-trained on a static corpus —
     * the perplexity gate a live ingestion pipeline runs before

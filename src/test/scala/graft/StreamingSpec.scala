@@ -282,6 +282,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal ingest: phash near-dup suppression against a GROWING signature corpus") {
+    // the m6+m7 composition as continuous ingestion: payload copies
+    // of anything already admitted — including a PREVIOUS batch's
+    // survivor — are suppressed by band-collision + exact popcount;
+    // novel payloads are admitted and their signatures join the
+    // corpus for the next batch.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Multimodal
+    import graft.streaming.EventStreams
+    def pay(seed: String) = (1 to 40).map(j => s"$seed-block$j").mkString(" ")
+    val corpusBin = Seq((1L, pay("corp1")), (2L, pay("corp2")))
+      .toDF("record_id", "payload")
+    var sigTable = Multimodal.phash(
+      Multimodal.asBinary(corpusBin, "record_id", "payload")).cache()
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("record_id", "payload").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bin = Multimodal.asBinary(b, "record_id", "payload")
+        val kept = EventStreams.phashSuppress(bin, sigTable)
+        admitted ++= kept.select("record_id").collect().map(_.getLong(0))
+        val next = sigTable.unionByName(Multimodal.phash(kept)).cache()
+        next.count(); sigTable.unpersist(false); sigTable = next
+        ()
+      }.start()
+    // batch 1: a copy of corpus payload 1 (suppress) + a novel one
+    in.addData((10L, pay("corp1")), (11L, pay("novel1")))
+    q.processAllAvailable()
+    // batch 2: a copy of batch-1's SURVIVOR (suppress — the corpus
+    // grew) + another novel payload
+    in.addData((20L, pay("novel1")), (21L, pay("novel2")))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.sorted == Seq(11L, 21L),
+      s"copies of corpus AND prior survivors must be suppressed: $admitted")
+    assert(sigTable.count() == 4, "corpus grew by exactly the survivors")
+    sigTable.unpersist()
+  }
+
   test("streamed LEFT OUTER interval join: NULL rows emit on WATERMARK PASSAGE, not batch end") {
     // the outer-attribution semantics only a stream makes interesting:
     // an error with no click in its 5-minute lookback may NOT emit
