@@ -103,6 +103,12 @@ object Recall {
       // vector store quotes for filtered search)
       ("s9_filtered", () => Similarity.lshKnnFiltered(vecs, "vec_id",
         "embedding", "label", probePred, k, bits = bitsPart), truthF),
+      // filtered × quantized (s20): does byte-code scoring cost any
+      // recall ON TOP of the filter at fixed per-part bits? (compare
+      // against s9_filtered — the same candidate structure scored
+      // float vs sq8)
+      ("s20_sq8_filtered", () => Similarity.sq8KnnFiltered(vecs, "vec_id",
+        "embedding", "label", probePred, k, bits = bitsPart), truthF),
       // ensemble fusion: does rank-fusing the high-recall banded list
       // with the IVF list keep the better member's recall?
       ("s13_rrf", () => Similarity.rrfFuse(Seq(

@@ -234,6 +234,33 @@ object Similarity {
     sq8Search(cb, pb0, id, typedLit(mnA), typedLit(sA), k, bits)
   }
 
+  /** FILTERED SQ8 ANN — the serving matrix's remaining cell:
+    * [[lshKnnFiltered]]'s filter-IN-the-band-key (buckets are
+    * per-(part, t, bkt), so a selective filter keeps the FULL
+    * candidate budget inside the filter — post-filtering keeps
+    * ≈ f·k) composed with [[sq8Knn]]'s byte-code scoring (the
+    * candidate join moves 64-byte codes, never floats; dequantize
+    * fused in [[graft.functions.Sq8Cosine]]). Same quantizer fit and
+    * code construction as sq8Knn — one scalar-aggregate read,
+    * constant-folded literals — and the same scale shape: one corpus
+    * shuffle on the widened band key, probes broadcast with their
+    * Hamming-1 flips. Size `bits` with [[corpusBits]] of the LARGEST
+    * part (lshKnnFiltered's occupancy rule). */
+  def sq8KnnFiltered(vectors: DataFrame, id: String, emb: String,
+      part: String, probePred: Column, k: Int, bits: Int,
+      tables: Int = LSH_TABLES, dim: Int = 64): DataFrame = {
+    val (mnA, mxA, sA) = sq8Quantizer(vectors, emb, dim)
+    val code = sq8Code(col(emb), typedLit(mnA), typedLit(mxA))
+    val cb = corpusBands(vectors.withColumn("__qc", code), id, emb,
+        bits, tables, Seq(part, "__qc"))
+      .select(col(id), col(part), col("__qc"), col("t"), col("bkt"))
+    val pb0 = cb.filter(probePred)
+      .select(col(id).as("probe_id"), col("__qc").as("pqc"),
+        col(part), col("t"), col("bkt"))
+    sq8Search(cb, pb0, id, typedLit(mnA), typedLit(sA), k, bits,
+      extraKey = Seq(part))
+  }
+
   /** SQ8 NOMINATE + EXACT REFINE — the standard scalar-quantizer
     * serving composition ([[pqRerank]]'s two-stage shape with the
     * nomination scored on byte codes instead of PQ ADC): [[sq8Knn]]
@@ -296,11 +323,14 @@ object Similarity {
     * `pb0` = (probe_id, pqc, t, bkt) home buckets (flips added
     * here). */
   private[operators] def sq8Search(cb: DataFrame, pb0: DataFrame,
-      id: String, mnL: Column, sL: Column, k: Int, bits: Int): DataFrame = {
-    val flips = pb0.select(col("probe_id"), col("pqc"), col("t"),
-      explode(array((0 until bits).map(i => flipBit(col("bkt"), i)): _*)).as("bkt"))
+      id: String, mnL: Column, sL: Column, k: Int, bits: Int,
+      extraKey: Seq[String] = Nil): DataFrame = {
+    val flips = pb0.select(col("probe_id") +: col("pqc") +:
+      (extraKey.map(col) :+ col("t") :+
+        explode(array((0 until bits).map(i => flipBit(col("bkt"), i)): _*))
+          .as("bkt")): _*)
     val probes = broadcast(pb0.unionByName(flips))
-    val cand = probes.join(cb, Seq("t", "bkt"))
+    val cand = probes.join(cb, extraKey ++ Seq("t", "bkt"))
       .filter(col(id) =!= col("probe_id"))
       .select(col("probe_id"), col("pqc"), col(id), col("__qc"))
       .dropDuplicates("probe_id", id)

@@ -1044,6 +1044,66 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  /** s20: FILTERED SQ8 ANN ([[Similarity.sq8KnnFiltered]]) — the
+    * serving matrix's remaining cell, s9 × s17: the filter attribute
+    * IN the band key (per-(label, t, bkt) buckets keep the full
+    * candidate budget inside the filter — post-filtering a quantized
+    * list would compound BOTH losses) with candidates scored on
+    * 64-byte SQ8 codes instead of floats. The oracle composes the
+    * two already-hash-checked constructions verbatim: s9's
+    * label-banded candidate CTEs over s17's quantizer/dequantized
+    * cosine — so the composition itself is what the hash check
+    * proves. */
+  val s20 = Q("s20_sq8_filtered", Some(s"""
+    WITH $normCte,
+    dims AS (SELECT i, min(embedding[i]::DOUBLE) AS mn,
+               max(embedding[i]::DOUBLE) AS mx
+             FROM v CROSS JOIN range(1, 65) t(i) GROUP BY i),
+    st AS (SELECT list(mn ORDER BY i) AS mn,
+             list(mx ORDER BY i) AS mx,
+             list((mx - mn) / 255.0 ORDER BY i) AS s FROM dims),
+    vq AS (SELECT vec_id, list_transform(range(1, 65), i ->
+             CASE WHEN st.mx[i] > st.mn[i]
+               THEN floor((embedding[i]::DOUBLE - st.mn[i]) /
+                          (st.mx[i] - st.mn[i]) * 255.0 + 0.5)
+               ELSE 0 END) AS q
+           FROM v CROSS JOIN st),
+    cb AS ($corpusBandsLblSql),
+    pb0 AS (SELECT vec_id, label, t, bkt FROM cb WHERE vec_id % 17 = 0),
+    pb AS (SELECT vec_id, label, t, bkt FROM pb0
+           UNION ALL
+           SELECT vec_id, label, t,
+             CASE WHEN (bkt // f) % 2 = 1 THEN bkt - f ELSE bkt + f END AS bkt
+           FROM pb0 CROSS JOIN (VALUES $flipValuesLblSql) fl(f)),
+    cand AS (SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+             FROM pb a JOIN cb b ON a.label = b.label AND a.t = b.t
+               AND a.bkt = b.bkt AND b.vec_id <> a.vec_id),
+    sc AS (SELECT c.probe_id, c.neighbor_id,
+             floor((list_sum(list_transform(range(1, 65), i ->
+                 (st.mn[i] + qa.q[i] * st.s[i]) * (st.mn[i] + qb.q[i] * st.s[i]))) /
+               (sqrt(list_sum(list_transform(range(1, 65), i ->
+                 (st.mn[i] + qa.q[i] * st.s[i]) * (st.mn[i] + qa.q[i] * st.s[i])))) *
+                sqrt(list_sum(list_transform(range(1, 65), i ->
+                 (st.mn[i] + qb.q[i] * st.s[i]) * (st.mn[i] + qb.q[i] * st.s[i]))))))
+               * 1000000.0 + 0.5) / 1000000.0 AS c6
+           FROM cand c JOIN vq qa ON qa.vec_id = c.probe_id
+                       JOIN vq qb ON qb.vec_id = c.neighbor_id
+                       CROSS JOIN st),
+    r AS (SELECT probe_id, neighbor_id, c6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
+    FROM r WHERE rn <= 5
+    ORDER BY probe_id, rn""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val maxPart = vecs.groupBy("label").count()
+      .agg(max("count")).head().getLong(0)
+    Similarity.sq8KnnFiltered(vecs, "vec_id", "embedding", "label",
+      col("vec_id") % 17 === 0, 5,
+      bits = Similarity.corpusBits(maxPart))
+      .orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
-    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19)
+    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
 }
