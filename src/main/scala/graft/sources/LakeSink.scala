@@ -195,6 +195,35 @@ object LakeSink {
         .option("maxRecordsPerFile", targetRecordsPerFile.toString)
         .mode("overwrite").save(dest), retainMs)
 
+  /** OPTIMIZE ... ZORDER for a LIVE catalog table — the lakehouse
+    * layout rewrite that turns an already-published table into
+    * [[fileStats]]-prunable form: the live generation is rewritten
+    * range-partitioned + sorted on [[zOrderKey]] (a, b) and lands
+    * through the SAME publishGeneration machinery as compaction and
+    * merge — claim CAS, pre-flip count verify, one atomic catalog
+    * flip, retention-windowed history (an optimize is time-travel
+    * visible like any other generation). Readers mid-scan keep the
+    * pre-optimize snapshot; rows are bit-identical, only the file
+    * layout changes — after it, a [[readPrunedMulti]] box predicate
+    * on (a, b) touches ~the intersection files (LakeSpec pins
+    * row-identity, pruning gain, and the generation bump). */
+  def optimizeZOrder(spark: SparkSession, table: String,
+      a: String, b: String, targetRecordsPerFile: Long,
+      bits: Int = 16, retainMs: Long = 600000L): Long =
+    publishGeneration(spark, table, retainMs) { (df, dest, format) =>
+      import org.apache.spark.sql.functions.col
+      val n = df.count()
+      val nFiles = math.max(1L,
+        (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      df.withColumn("__zk", zOrderKey(col(a), col(b), bits))
+        .repartitionByRange(nFiles, col("__zk"))
+        .sortWithinPartitions("__zk").drop("__zk")
+        .write.format(format)
+        .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+        .mode("overwrite").save(dest)
+      n
+    }
+
   /** rewrite step injectable so the spec can plant a short write and
     * assert the verify aborts before the location flip */
   private[graft] def compactTableImpl(spark: SparkSession, table: String,

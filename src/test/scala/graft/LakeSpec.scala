@@ -613,6 +613,35 @@ class LakeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gd_t")
   }
 
+  test("optimizeZOrder: a live table rewrites into prunable layout — rows identical, generation bumped, box reads skip") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_opt").toString + "/t"
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    // write UNCLUSTERED (hash-repartitioned): every file spans both
+    // dimensions, so a box predicate can prune nothing
+    LakeSink.writeParquet(grid.repartition(16), out)
+    LakeSink.registerExternal(spark, "opt_t", out)
+    val before = LakeSink.fileStats(spark.table("opt_t"), Seq("x", "y"))
+    def keptBox(m: org.apache.spark.sql.DataFrame) = m.filter(
+      !(col("max_x") < 0L || col("min_x") > 7L) &&
+        !(col("max_y") < 0L || col("min_y") > 7L)).count()
+    val (nB, keptB) = (before.count(), keptBox(before))
+    assert(keptB == nB, s"unclustered layout prunes nothing: $keptB/$nB")
+    val n = LakeSink.optimizeZOrder(spark, "opt_t", "x", "y",
+      targetRecordsPerFile = 256L, bits = 6)
+    assert(n == 64L * 64L)
+    // rows bit-identical, only layout changed; history retained
+    val back = spark.table("opt_t")
+    assert(back.exceptAll(grid).isEmpty && grid.exceptAll(back).isEmpty)
+    assert(LakeSink.listGenerations(spark, "opt_t") == Seq(0L, 1L))
+    // and now the same box prunes to ~the intersection files
+    val after = LakeSink.fileStats(back, Seq("x", "y"))
+    val (nA, keptA) = (after.count(), keptBox(after))
+    assert(keptA * 4 <= nA, s"optimized layout must skip: $keptA/$nA")
+    spark.sql("DROP TABLE opt_t")
+  }
+
   test("zOrder layout: the manifest prunes on BOTH dimensions; a single-column sort only prunes its own") {
     import spark.implicits._
     val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
