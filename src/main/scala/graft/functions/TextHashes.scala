@@ -158,6 +158,73 @@ case class NgramHash48(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** fold48(md5(str)) as one native call — the salted-position hash
+  * shared by the CMS/Bloom families, minus the 12 interpreted
+  * instr/substr folds and repeated md5s of the composed SQL chain
+  * (measured: the sf1 orders-side sketch build pays 7.2M chain
+  * evaluations = ~6s; native ≈ 0.3s). Values are IDENTICAL to
+  * `fold48(md5(s))` — the q50 oracle recomputes them through the
+  * SQL chain in DuckDB and hash-matches. */
+case class Md5Fold48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_fold48 expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Md5.fold48(Md5.digest(input.asInstanceOf[UTF8String].getBytes))
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+/** Bloom membership probe against a 32-bits-per-long word bitmap —
+  * the whole k-position test as ONE native call per row: for each
+  * salt j < k, position = fold48(md5(s"$j:" + key)) % mBits (the
+  * EXACT arithmetic of [[graft.operators.TextAnalysis.bloomPosSpark]]
+  * — the bitmap is BUILT through that SQL chain, so probe/build
+  * cannot disagree on a position; RuntimeFilterSpec's zero-false-
+  * negative test pins the parity) and the word bit must be set. The
+  * composed SQL form pays 3 md5s + 36 interpreted instr/substr
+  * string scans per fact row — this is the t22 NgramHash48 fix
+  * applied to the runtime-filter probe, the hottest per-row site of
+  * q49 (every fact row, pre-reduction). */
+case class BloomHit(left: Expression, right: Expression,
+    k: Int, mBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_hit expects (string, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(key: Any, bloom: Any): Any = {
+    val kb = key.asInstanceOf[UTF8String].getBytes
+    val words = bloom.asInstanceOf[ArrayData]
+    var j = 0
+    while (j < k) {
+      val prefix = (j + ":")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val buf = new Array[Byte](prefix.length + kb.length)
+      System.arraycopy(prefix, 0, buf, 0, prefix.length)
+      System.arraycopy(kb, 0, buf, prefix.length, kb.length)
+      val p = (Md5.fold48(Md5.digest(buf)) % mBits).toInt
+      if ((words.getLong(p / 32) & (1L << (p % 32))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 object TextHashes {
   def shingle_hash48(tokens: Column): Column =
     GraftBridge.column(ShingleHash48(GraftBridge.expression(tokens)))
@@ -165,4 +232,9 @@ object TextHashes {
     GraftBridge.column(MinHashSig(GraftBridge.expression(tokens)))
   def ngram_hash48(tokens: Column, n: Int): Column =
     GraftBridge.column(NgramHash48(GraftBridge.expression(tokens), n))
+  def bloom_hit(key: Column, bloom: Column, k: Int, mBits: Int): Column =
+    GraftBridge.column(BloomHit(GraftBridge.expression(key),
+      GraftBridge.expression(bloom), k, mBits))
+  def md5_fold48(s: Column): Column =
+    GraftBridge.column(Md5Fold48(GraftBridge.expression(s)))
 }

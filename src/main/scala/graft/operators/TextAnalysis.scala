@@ -540,15 +540,36 @@ object TextAnalysis {
     * method at pre-training scale. */
   def dsirWeights(docs: DataFrame, id: String, text: String,
       isTarget: Column, buckets: Int = 4096): DataFrame = {
-    // feature hashing through the NATIVE n-gram digest (same values
-    // as the oracle's instr-fold of md5(w1 || ' ' || w2) — the
-    // interpreted-HOF/expr chain was 3× the wall); 48-bit fold is
-    // nonnegative, so % is already a total bucket map
-    val bk = docs
-      .select(col(id), isTarget.as("__tgt"),
+    val bk = dsirBuckets(docs, id, text, Some(isTarget), buckets)
+    dsirScoreBuckets(docs, id, bk, dsirRatioOf(bk, buckets))
+  }
+
+  /** the hashed-bigram feature rows (one per doc × feature
+    * occurrence): feature hashing through the NATIVE n-gram digest
+    * (same values as the oracle's instr-fold of
+    * md5(w1 || ' ' || w2) — the interpreted-HOF/expr chain was 3×
+    * the wall); 48-bit fold is nonnegative, so % is already a total
+    * bucket map. */
+  private def dsirBuckets(docs: DataFrame, id: String, text: String,
+      isTarget: Option[Column], buckets: Int): DataFrame =
+    docs.select(Seq(col(id)) ++
+        isTarget.map(_.as("__tgt")).toSeq :+
         explode(graft.functions.TextHashes.ngram_hash48(
-          tokens(col(text)), 2)).as("h"))
-      .select(col(id), col("__tgt"), (col("h") % buckets).as("b"))
+          tokens(col(text)), 2)).as("h"): _*)
+      .withColumn("b", col("h") % buckets).drop("h")
+
+  /** the FITTED log-ratio table — ≤ `buckets` rows of
+    * (b, lr_micro), the entire model state of the DSIR selector.
+    * Frozen and broadcast, it scores any corpus — including a
+    * STREAM: the scoring stage is stateless map-only, so the 26th
+    * streaming seat ([[graft.streaming.EventStreams]]) reuses it
+    * per micro-batch against this same frozen table. */
+  def dsirRatio(docs: DataFrame, id: String, text: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame =
+    dsirRatioOf(dsirBuckets(docs, id, text, Some(isTarget), buckets),
+      buckets)
+
+  private def dsirRatioOf(bk: DataFrame, buckets: Int): DataFrame = {
     // cnt is ≤ `buckets` rows but costs a corpus pass — materialize
     // once (the q40 lineage rule) so tot/lr don't re-tokenize the
     // corpus: with it the whole fit+score path is two passes total
@@ -557,11 +578,23 @@ object TextAnalysis {
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
       .localCheckpoint()
     val tot = cnt.agg(sum(col("cq")).as("nq"), sum(col("ct")).as("nt"))
-    val lr = cnt.crossJoin(broadcast(tot)).select(col("b"),
+    cnt.crossJoin(broadcast(tot)).select(col("b"),
       (floor(log((col("ct") + 1.0) / (col("nt") + buckets)) * 1e6 + 0.5)
           .cast("long") -
         floor(log((col("cq") + 1.0) / (col("nq") + buckets)) * 1e6 + 0.5)
           .cast("long")).as("lr_micro"))
+  }
+
+  /** score `docs` against a FROZEN log-ratio table (same output
+    * schema as [[dsirWeights]]): one linear pass, the ratio table
+    * joined broadcast. */
+  def dsirScoreAgainst(docs: DataFrame, id: String, text: String,
+      lr: DataFrame, buckets: Int = 4096): DataFrame =
+    dsirScoreBuckets(docs, id,
+      dsirBuckets(docs, id, text, None, buckets), lr)
+
+  private def dsirScoreBuckets(docs: DataFrame, id: String,
+      bk: DataFrame, lr: DataFrame): DataFrame = {
     val w = bk.join(broadcast(lr), Seq("b"))
       .groupBy(col(id)).agg(count(lit(1)).as("n_feat"),
         sum(col("lr_micro")).as("w_micro"))
@@ -653,12 +686,22 @@ object TextAnalysis {
     * `bloom` column is the mBits-wide bitmap (array of
     * 32-bits-per-long words) over the eval set's shingle digests. */
   def bloomFilterOf(evalDocs: DataFrame, id: String, text: String,
-      mBits: Int, k: Int): DataFrame = {
+      mBits: Int, k: Int): DataFrame =
+    bloomFilterOfDigests(Dedup.shingleSets(evalDocs, id, text)
+      .select(explode(col("sh")).as("dig")), mBits, k)
+
+  /** the same fixed-size bitmap over an ARBITRARY key set: `digs` is
+    * one row per member with the key in a column named `dig` (any
+    * type whose string form matches across engines — long ids and
+    * 48-bit digests both qualify). This is the build side
+    * [[graft.operators.RuntimeFilter.bloomReduce]] broadcasts as a
+    * runtime join filter. */
+  def bloomFilterOfDigests(digs: DataFrame, mBits: Int,
+      k: Int): DataFrame = {
     require(mBits % 32 == 0, "mBits must fill whole 32-bit words")
-    val spark = evalDocs.sparkSession
+    val spark = digs.sparkSession
     val nWords = mBits / 32
-    val evalPos = Dedup.shingleSets(evalDocs, id, text)
-      .select(explode(col("sh")).as("dig"))
+    val evalPos = digs
       .select(explode(array((0 until k)
         .map(j => expr(bloomPosSpark(j, mBits))): _*)).as("p"))
     val wordRows = evalPos

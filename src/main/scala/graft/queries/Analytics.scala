@@ -1346,8 +1346,129 @@ object Analytics {
       .orderBy("o_custkey", "rnk")
   }
 
+  // ---- q49: runtime Bloom join filter (semi-join reduction) ---------
+  /** a selective dim filter cuts the fact side BEFORE the join
+    * exchange through [[graft.operators.RuntimeFilter.bloomReduce]]
+    * — the dynamic-filtering pattern for the dim that is too big to
+    * broadcast but whose KEY SET compresses to a fixed-size bitmap.
+    * The join here is deliberately planned as a shuffle join (merge
+    * hint — the at-scale shape this operator exists for); the bloom
+    * pass is exchange-free (RuntimeFilterSpec pins it), so the
+    * exchange carries only probable matches (~3.7% of lineitem under
+    * this brand filter). False positives are removed by the real
+    * join — the output IS the plain join, which is exactly what the
+    * oracle checks. */
+  val q49 = Q("q49_bloom_semijoin", Some("""
+    SELECT p_brand,
+      CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand IN ('Brand#23', 'Brand#34')
+    GROUP BY p_brand ORDER BY p_brand""")) { (s, d) =>
+    val dimF = t(s, d, "part")
+      .filter(col("p_brand").isin("Brand#23", "Brand#34"))
+      .select(col("p_partkey"), col("p_brand"))
+    val reduced = graft.operators.RuntimeFilter.bloomReduce(
+      t(s, d, "lineitem").select(col("l_partkey"), col("l_quantity")),
+      "l_partkey", dimF.select(col("p_partkey")), "p_partkey")
+    reduced.join(dimF.hint("merge"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  // ---- q50: join-cardinality estimation by CMS inner product --------
+  /** |A ⋈ₖ B| estimated from two Count-Min sketches WITHOUT running
+    * the join ([[graft.operators.RuntimeFilter.cmsOfKeys]] /
+    * [[RuntimeFilter.innerProductEst]] — Cormode & Muthukrishnan
+    * 2005 §4.2; the self-join case is AMS 1996's F₂): the planner
+    * statistic that detects an explosive join or a skewed key from
+    * one linear counting pass per side into fixed d×width state,
+    * with the sides never co-shuffled. Both cases ship with their
+    * exact twin computed from the per-key COUNT tables (key-
+    * cardinality-sized — still never the row-level join), so the
+    * one-sided overestimate is visible in the output; positions are
+    * the deterministic salted-md5 fold, so the ESTIMATE itself —
+    * collisions included — is reproduced by the oracle and
+    * hash-checked (t19's property). */
+  val q50 = {
+    import graft.operators.TextAnalysis.cmsPosDuck
+    val (m, dep) = (65536, 4)
+    def cmsSql(src: String): String = s"""
+      (WITH tf AS (SELECT CAST(k AS VARCHAR) AS w, count(*) AS n
+                   FROM $src GROUP BY 1),
+        pos AS (SELECT w, n, ${(0 until dep).map(j =>
+          s"${cmsPosDuck(j, m)} AS p$j").mkString(", ")} FROM tf),
+        pl AS (${(0 until dep).map(j =>
+          s"SELECT n, $j AS rw, p$j AS pos FROM pos")
+          .mkString("\n          UNION ALL ")})
+       SELECT rw, pos, CAST(sum(n) AS BIGINT) AS c
+       FROM pl GROUP BY rw, pos)"""
+    Q("q50_join_card", Some(s"""
+    WITH ce AS ${cmsSql(
+        "(SELECT user_id AS k FROM events WHERE user_id IS NOT NULL)")},
+      co AS ${cmsSql(
+        "(SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL)")},
+      ne AS (SELECT user_id, count(*) AS n FROM events
+             WHERE user_id IS NOT NULL GROUP BY 1),
+      no AS (SELECT o_custkey, count(*) AS n FROM orders
+             WHERE o_custkey IS NOT NULL GROUP BY 1),
+      est_self AS (SELECT min(ip) AS est FROM
+        (SELECT a.rw, CAST(sum(a.c * b.c) AS BIGINT) AS ip FROM ce a
+         JOIN ce b USING (rw, pos) GROUP BY a.rw)),
+      est_cross AS (SELECT min(ip) AS est FROM
+        (SELECT a.rw, CAST(sum(a.c * b.c) AS BIGINT) AS ip FROM ce a
+         JOIN co b ON a.rw = b.rw AND a.pos = b.pos GROUP BY a.rw)),
+      ex_self AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact FROM ne),
+      ex_cross AS (SELECT CAST(sum(ne.n * no.n) AS BIGINT) AS exact
+        FROM ne JOIN no ON ne.user_id = no.o_custkey)
+    SELECT jcase, exact_pairs, est_pairs,
+      floor((est_pairs - exact_pairs) * 100.0 / exact_pairs * 10000.0
+        + 0.5) / 10000.0 AS err_pct
+    FROM (
+      SELECT 'cross_events_orders' AS jcase, exact AS exact_pairs,
+        est AS est_pairs FROM ex_cross, est_cross
+      UNION ALL
+      SELECT 'self_events_user' AS jcase, exact AS exact_pairs,
+        est AS est_pairs FROM ex_self, est_self)
+    ORDER BY jcase""")) { (s, d) =>
+      import graft.operators.RuntimeFilter.{cmsOfKeyCounts, innerProductEst}
+      // NULL keys match nothing in any equi-join — excluded from the
+      // counts AND the sketches, identically in the oracle (engines
+      // disagree on concat-with-NULL, so a NULL must never reach the
+      // position hash). Each side is scanned ONCE: the per-key count
+      // table (key-cardinality-sized, checkpointed) feeds the exact
+      // terms AND the sketch build.
+      val ne = t(s, d, "events").filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val no = t(s, d, "orders").filter(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val ce = cmsOfKeyCounts(ne, "user_id", "n", m, dep)
+        .localCheckpoint()
+      val co = cmsOfKeyCounts(no, "o_custkey", "n", m, dep)
+      val exSelf = ne.agg(sum(col("n") * col("n")).as("exact_pairs"))
+      val exCross = ne.join(no, col("user_id") === col("o_custkey"))
+        .agg(sum(ne("n") * no("n")).as("exact_pairs"))
+      def row(name: String, exact: DataFrame, est: DataFrame) =
+        exact.crossJoin(broadcast(est))
+          .select(lit(name).as("jcase"), col("exact_pairs"),
+            col("est_pairs"),
+            roundA((col("est_pairs") - col("exact_pairs")) * 100.0 /
+              col("exact_pairs"), 4).as("err_pct"))
+      row("cross_events_orders", exCross, innerProductEst(ce, co))
+        .unionByName(row("self_events_user", exSelf,
+          innerProductEst(ce, ce)))
+        .orderBy("jcase")
+    }
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
+    q50)
 }

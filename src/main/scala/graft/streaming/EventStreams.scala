@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -294,6 +294,40 @@ object EventStreams {
       .join(vocabTok, Seq("word"), "left_outer")
       .groupBy(col("doc_id"), col("ts"))
       .agg(sum(coalesce(col("n_tok"), lit(0L))).as("n_tok"))
+  }
+
+  /** DSIR selection on ingest — t22's importance weighting in its
+    * production seat: the ≤ 4096-row log-ratio table is fit ONCE
+    * offline over a reference corpus
+    * ([[graft.operators.TextAnalysis.dsirRatio]] — persisted AND
+    * forced at stream definition, the lmScoreStream rule; the
+    * caller owns unpersisting at teardown) and every arriving doc
+    * is scored map-only against the frozen broadcast table: feature
+    * hash (the SAME native ngram_hash48 as batch), left-join, one
+    * per-(doc_id, ts) sum under the watermark — stateless but for
+    * the in-flight doc counters. Zero-feature and unseen-bucket
+    * docs emit a judged (0, 0, keep=false) row via
+    * explode_outer + left join — the batch scorer's
+    * row-for-every-doc rule. StreamingSpec pins n_feat/w_micro/keep
+    * ≡ [[TextAnalysis.dsirScoreAgainst]] on the same docs. */
+  def dsirSelectStream(docs: DataFrame, corpus: DataFrame,
+      isTarget: Column, text: String = "text",
+      buckets: Int = 4096): DataFrame = {
+    import graft.operators.TextAnalysis
+    val lr = TextAnalysis
+      .dsirRatio(corpus, "doc_id", text, isTarget, buckets).persist()
+    lr.count()
+    docs.withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        explode_outer(graft.functions.TextHashes.ngram_hash48(
+          TextAnalysis.tokens(col(text)), 2)).as("h"))
+      .withColumn("b", col("h") % buckets)
+      .join(broadcast(lr), Seq("b"), "left_outer")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(col("lr_micro")).as("n_feat"),
+        coalesce(sum(col("lr_micro")), lit(0L)).as("w_micro"))
+      .select(col("doc_id"), col("ts"), col("n_feat"), col("w_micro"),
+        (col("w_micro") > 0).as("keep"))
   }
 
   /** Bloom decontamination on ingest — the memory-bounded sketch in

@@ -41,7 +41,14 @@ class PlanSpec extends AnyFunSuite {
       // codebook broadcast), its served twin, the weighted fusion
       // (s13's allowance), and t21's 1-row cutpoint-array broadcast
       "s14_knn_rerank_np", "s15_index_rerank_np", "s16_rrf_weighted",
-      "t21_ppl_buckets_sketch")
+      "t21_ppl_buckets_sketch",
+      // t22's 1-row bucket-total broadcast (q34's scalar shape): the
+      // DSIR fit normalizes the ≤4096-row bucket table against the
+      // single (nq, nt) totals row
+      "t22_dsir",
+      // q49's 1-row bloom-bitmap broadcast (the runtime filter IS a
+      // broadcast scalar); q50's 1-row exact × 1-row estimate zips
+      "q49_bloom_semijoin", "q50_join_card")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")

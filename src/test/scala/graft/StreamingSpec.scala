@@ -996,4 +996,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == expected.sorted.toSeq,
       s"streamed enrichment must equal the batch join: ${got.size} vs ${expected.length}")
   }
+
+  test("DSIR selection on ingest scores exactly as the frozen batch model") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the batch dsirWeights spec's planted families: target repeats
+    // one bigram family, raw a disjoint one
+    val corpus = ((1L to 20L).map(i => (i, ("alpha beta " * 6).trim, true)) ++
+      (21L to 60L).map(i => (i, ("gamma delta " * 6).trim, false)))
+      .toDF("doc_id", "text", "tgt")
+    val arrivals = Seq[(Long, java.sql.Timestamp, String)](
+      (61L, ts(0), ("alpha beta " * 6).trim), // target-like → keep
+      (62L, ts(1), ("gamma delta " * 6).trim), // raw-like → drop
+      (63L, ts(2), null),                      // NULL text → judged 0-row
+      (64L, ts(3), "omega psi"))               // unseen vocab → 0 matched
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    in.addData(arrivals: _*)
+    runToMemory(EventStreams.dsirSelectStream(
+      in.toDF().toDF("doc_id", "ts", "text"), corpus, col("tgt")),
+      "dsir", OutputMode.Complete)
+    val got = spark.sql("SELECT doc_id, n_feat, w_micro, keep FROM dsir")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // ≡ batch: the SAME frozen ratio table scoring the same docs
+    val lr = graft.operators.TextAnalysis
+      .dsirRatio(corpus, "doc_id", "text", col("tgt"))
+    val batch = graft.operators.TextAnalysis.dsirScoreAgainst(
+        arrivals.map(a => (a._1, a._3)).toDF("doc_id", "text"),
+        "doc_id", "text", lr)
+      .select("doc_id", "n_feat", "w_micro", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == batch,
+      s"stream/batch drift: $got vs $batch")
+    assert(got(61L)._3 && !got(62L)._3, "keep decisions must separate")
+    assert(got(63L) == ((0L, 0L, false)) && got(64L) == ((0L, 0L, false)),
+      "featureless and unseen-vocab docs are judged, not dropped")
+  }
 }
