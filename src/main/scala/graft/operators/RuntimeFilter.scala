@@ -112,4 +112,66 @@ object RuntimeFilter {
     cmsA.join(cmsB.withColumnRenamed("c", "c2"), Seq("rw", "pos"))
       .groupBy(col("rw")).agg(sum(col("c") * col("c2")).as("ip"))
       .agg(min(col("ip")).as("est_pairs"))
+
+  /** the keys holding more than `minFrac` of `keys`' rows — the
+    * hot-key detection pass feeding [[saltedEquiJoin]]: one partial
+    * agg to per-key counts (key-cardinality-sized) + a 1-row total,
+    * broadcast-joined. At 100 TB this is a map-side-combined count
+    * — the detection never moves a fact row. */
+  def heavyKeys(keys: DataFrame, key: String,
+      minFrac: Double): DataFrame = {
+    // materialized once (the q40 lineage rule): the count table
+    // serves both the total and the filter — one corpus scan
+    val cnt = keys.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = cnt.agg(sum(col("n")).as("tot"))
+    cnt.crossJoin(broadcast(tot))
+      .filter(col("n") > col("tot") * minFrac)
+      .select(col(key))
+  }
+
+  /** SKEW-SALTED equi-join — the mitigation the tier's estimate
+    * (q50) and detection ([[heavyKeys]]) point at: in a plain
+    * shuffle join every row of a hot key lands on ONE reducer, so a
+    * key holding 25% of a 100 TB fact makes one task carry 25 TB
+    * while the other 999 executors idle — the classic straggler
+    * that kills wall-clock at scale. Here the HOT keys (a
+    * broadcast-small set) are split across `p` salts: each hot fact
+    * row takes a deterministic salt from `saltBy` (any row-unique
+    * column), each hot DIM row replicates to ALL `p` salts, and the
+    * join key becomes (key, salt) — the hot key's mass spreads over
+    * p reducers. Cold keys salt to 0 on both sides: no replication,
+    * no extra rows, so the cost is p× the HOT dim rows only (a few
+    * broadcast-small keys), never p× the dim. Every fact row meets
+    * every matching dim row exactly once (cold: (0,0); hot: salt s
+    * meets the dim replica s), so the output IS the plain inner
+    * join — RuntimeFilterSpec pins equality including duplicate dim
+    * rows per key, and q51's oracle hash-checks it end to end. */
+  def saltedEquiJoin(fact: DataFrame, factKey: String, saltBy: String,
+      dim: DataFrame, dimKey: String, hotKeys: DataFrame,
+      p: Int = 8, factHint: Option[String] = None): DataFrame = {
+    require(p >= 1, s"salt fan-out must be >= 1, got $p")
+    val hot = broadcast(hotKeys.select(col(hotKeys.columns.head)
+      .as("__hk")).distinct())
+    val fs = fact
+      .join(hot, col(factKey) === col("__hk"), "left_outer")
+      .withColumn("__salt",
+        when(col("__hk").isNotNull, pmod(hash(col(saltBy)), lit(p)))
+          .otherwise(lit(0)).cast("int"))
+      .drop("__hk")
+    val ds = dim
+      .join(hot, col(dimKey) === col("__hk"), "left_outer")
+      .withColumn("__dsalt",
+        explode(when(col("__hk").isNotNull,
+            sequence(lit(0), lit(p - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hk")
+    // `factHint` (e.g. "merge") pins the FINAL join's strategy — the
+    // at-scale shape is a shuffle join (a broadcastable dim never
+    // needs salting in the first place)
+    factHint.fold(fs)(fs.hint(_))
+      .join(ds, col(factKey) === col(dimKey) &&
+        col("__salt") === col("__dsalt"))
+      .drop("__salt", "__dsalt")
+  }
 }

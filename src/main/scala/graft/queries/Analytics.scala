@@ -1466,9 +1466,51 @@ object Analytics {
     }
   }
 
+  // ---- q51: skew-salted join (hot-key mitigation) -------------------
+  /** the join-planning tier's MITIGATION: logged-out traffic maps
+    * every 'view' event to the sentinel user 0 — a key holding ~20%
+    * of the fact, the classic straggler that parks 20% of a 100 TB
+    * shuffle on one reducer. [[graft.operators.RuntimeFilter
+    * .heavyKeys]] detects the hot keys from one partial-agg count
+    * pass (>5% of rows), [[RuntimeFilter.saltedEquiJoin]] splits
+    * them across 8 salts (fact rows salt deterministically by
+    * event_id, hot DIM rows replicate 8×, cold keys untouched), and
+    * the join runs as the merge join the mitigation exists for. The
+    * salt never reaches the output: every fact row meets every
+    * matching dim row exactly once, so the result IS the plain join
+    * — which is what the oracle hash-checks. */
+  val q51 = Q("q51_skew_join", Some("""
+    WITH f AS (SELECT CASE WHEN event_type = 'view' THEN 0
+                           ELSE user_id END AS uid, value
+               FROM events WHERE user_id IS NOT NULL),
+      d AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
+    SELECT uid % 8 AS band,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+      CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+    FROM f JOIN d ON uid = o_custkey
+    GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    import graft.operators.RuntimeFilter.{heavyKeys, saltedEquiJoin}
+    val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+      .select(when(col("event_type") === "view", 0L)
+          .otherwise(col("user_id")).as("uid"),
+        col("value"), col("event_id"))
+    val dim = t(s, d, "orders").filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val hot = heavyKeys(ev.select(col("uid")), "uid", 0.05)
+    saltedEquiJoin(ev, "uid", "event_id", dim, "o_custkey", hot,
+        p = 8, factHint = Some("merge"))
+      .groupBy((col("uid") % 8).as("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_orders")).as("sum_orders"),
+        termSum4(col("value")).as("sum_value"))
+      .orderBy("band")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50)
+    q50, q51)
 }

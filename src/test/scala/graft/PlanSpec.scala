@@ -48,7 +48,9 @@ class PlanSpec extends AnyFunSuite {
       "t22_dsir",
       // q49's 1-row bloom-bitmap broadcast (the runtime filter IS a
       // broadcast scalar); q50's 1-row exact × 1-row estimate zips
-      "q49_bloom_semijoin", "q50_join_card")
+      "q49_bloom_semijoin", "q50_join_card",
+      // q51's 1-row total broadcast inside heavyKeys' frac filter
+      "q51_skew_join")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")

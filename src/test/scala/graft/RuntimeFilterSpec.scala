@@ -114,6 +114,90 @@ class RuntimeFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyKeys flags the planted hot key and nothing uniform") {
+    import spark.implicits._
+    // key 7 holds half the rows; the rest are uniform singletons
+    val keys = ((0 until 100).map(_ => 7L) ++ (100L until 200L))
+      .toDF("k")
+    val hot = heavyKeys(keys, "k", 0.05).collect().map(_.getLong(0))
+    assert(hot.toSeq === Seq(7L))
+    assert(heavyKeys((0L until 100L).toDF("k"), "k", 0.05)
+      .collect().isEmpty, "uniform keys must detect nothing")
+  }
+
+  test("saltedEquiJoin ≡ the plain join, duplicate dim rows and hot key included") {
+    import spark.implicits._
+    // fact: hot key 0 with 60 rows, cold keys 1..20 with 2 rows each;
+    // dim: key 0 has TWO rows (fan-out), cold keys one row, key 99
+    // matches nothing
+    val fact = ((0 until 60).map(i => (0L, 1000L + i)) ++
+      (1L to 20L).flatMap(k => Seq((k, 2000 + k), (k, 3000 + k))))
+      .toDF("fk", "row_id")
+    val dim = (Seq((0L, "a"), (0L, "b"), (99L, "z")) ++
+      (1L to 20L).map(k => (k, s"v$k"))).toDF("pk", "payload")
+    val hot = Seq(0L).toDF("k")
+    val got = saltedEquiJoin(fact, "fk", "row_id", dim, "pk", hot, p = 4)
+      .select(col("row_id"), col("payload")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val plain = fact.join(dim, col("fk") === col("pk"))
+      .select(col("row_id"), col("payload")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === plain)
+    assert(got.count(t => t._1 < 2000) === 120,
+      "hot-key fan-out rows present") // 60 hot fact rows × 2 dim rows
+  }
+
+  test("saltedEquiJoin spreads the hot key across salts and joins on (key, salt)") {
+    import spark.implicits._
+    val fact = (0 until 64).map(i => (0L, i.toLong)).toDF("fk", "row_id")
+    val dim = Seq((0L, "a")).toDF("pk", "payload")
+    val hot = Seq(0L).toDF("k")
+    val joined = saltedEquiJoin(fact, "fk", "row_id", dim, "pk", hot, p = 8)
+    // the salt is real: the plan carries the (key, salt) condition
+    // and the dim-side replication explode
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt") && plan.contains("Generate"),
+      s"salted join shape missing:\n$plan")
+    // and the fact side's deterministic salts actually spread: the
+    // same pmod(hash(row_id), 8) the operator applies covers >1 salt
+    // over 64 distinct rows
+    val nSalts = fact
+      .select(pmod(hash(col("row_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(nSalts >= 4, s"64 rows landed on only $nSalts salts")
+    assert(joined.count() === 64L)
+  }
+
+  test("q51 ≡ the plain skewed join (salt never reaches the output)") {
+    val d = TestSpark.sf
+    val got = SparkEntry.queries("q51_skew_join")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .filter(col("user_id").isNotNull)
+      .select(when(col("event_type") === "view", 0L)
+        .otherwise(col("user_id")).as("uid"), col("value"))
+    val dim = spark.read.parquet(s"$d/orders.parquet")
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val plain = ev.join(dim, col("uid") === col("o_custkey"))
+      .groupBy((col("uid") % 8).as("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_orders")).as("sum_orders"),
+        graft.queries.Analytics.termSum4(col("value")).as("sum_value"))
+      .orderBy("band").collect().map(_.toSeq).toSeq
+    assert(got === plain)
+    // the sentinel key is genuinely hot: band 0 carries the 'view'
+    // mass plus its cold uid%8==0 cohort
+    assert(got.nonEmpty && got.head.head === 0L)
+  }
+
+  test("q51 runs the shuffle join the mitigation exists for") {
+    val p = SparkEntry.queries("q51_skew_join")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), "merge hint lost")
+    assert(p.contains("__salt"), "salted condition missing")
+  }
+
   test("cms estimate sees a planted skew explosion the key counts hide") {
     import spark.implicits._
     // 1000 rows over 100 keys, but one hot key holds half the mass:
