@@ -106,6 +106,28 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** windowed APPROX-DISTINCT users on ingest (q47's HLL partials in
+    * their streaming seat) — the unbounded-state trap fixed: exact
+    * streaming count-distinct must hold EVERY user id per in-flight
+    * window (state ∝ cardinality — the aggregation that OOMs first
+    * on a 100 TB/day stream); the DataSketches HLL partial is
+    * fixed-size mergeable state per (window, type) no matter how
+    * many users arrive, and the SAME sketch the batch rollup q47
+    * unions. Estimates are deterministic for a given row set, so
+    * StreamingSpec pins the streamed estimate ≡ the batch
+    * `hll_sketch_agg` on identical rows EXACTLY (not just within
+    * the error bound), plus <5% vs exact distinct on real events. */
+  def windowApproxUsers(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
+          .as("users_est"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("users_est"), col("n_events"))
+
   /** Streaming exact dedup within the watermark horizon (streaming
     * d1: drop replayed events by id). */
   def dedup(events: DataFrame): DataFrame =

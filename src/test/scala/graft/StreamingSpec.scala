@@ -997,6 +997,93 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed enrichment must equal the batch join: ${got.size} vs ${expected.length}")
   }
 
+  test("runtime-bloom-filtered enrichment: stream micro-batches ≡ the batch reduction+join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // frozen dim: part keys under the selective brand filter — built
+    // ONCE at stream definition; each micro-batch of fact rows is cut
+    // map-side by the broadcast bitmap BEFORE the join (the q49
+    // operator applied verbatim per batch — shared code, no drift)
+    val d = TestSpark.sf
+    val dimF = spark.read.parquet(s"$d/part.parquet")
+      .filter(col("p_brand").isin("Brand#23", "Brand#34"))
+      .select(col("p_partkey"), col("p_brand")).localCheckpoint(true)
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect()
+    val in = MemoryStream[(Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = in.toDF().toDF("l_orderkey", "l_partkey").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val reduced = graft.operators.RuntimeFilter.bloomReduce(
+          batch, "l_partkey", dimF.select(col("p_partkey")), "p_partkey")
+        assert(reduced.queryExecution.executedPlan.toString
+          .contains("bloomhit"), "native probe missing from the batch plan")
+        got ++= reduced
+          .join(dimF, col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("l_partkey"), col("p_brand"))
+          .collect().map(_.toString)
+        ()
+      }.start()
+    val (b1, b2) = li.splitAt(li.length / 2)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.RuntimeFilter.bloomReduce(
+        li.toSeq.toDF("l_orderkey", "l_partkey"), "l_partkey",
+        dimF.select(col("p_partkey")), "p_partkey")
+      .join(dimF, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("p_brand"))
+      .collect().map(_.toString)
+    assert(expected.nonEmpty, "fixture must enrich at least one row")
+    assert(got.sorted.toSeq == expected.sorted.toSeq,
+      s"streamed enrichment drifted: ${got.size} vs ${expected.length}")
+    assert(got.size < li.length / 10,
+      "the selective filter must actually drop most of the stream")
+  }
+
+  test("windowed approx-distinct users: fixed HLL state ≡ batch sketch exactly, <5% vs exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, TestSpark.sf, "events")
+    val rows = e.filter(col("user_id").isNotNull)
+      .select(col("event_id"), to_timestamp(Tables.tsSec(e)).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event].collect()
+    val in = MemoryStream[EventStreams.Event]
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1.toSeq); in.addData(b2.toSeq)
+    runToMemory(EventStreams.windowApproxUsers(in.toDF()), "hllw",
+      OutputMode.Complete)
+    val got = spark.sql(
+      "SELECT hour_start, event_type, users_est, n_events FROM hllw")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // ≡ the batch sketch on identical rows, cell for cell — the SAME
+    // function body runs in both modes
+    val batch = EventStreams.windowApproxUsers(rows.toSeq.toDF())
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == batch, s"stream/batch sketch drift")
+    assert(got.size >= 5, "need several (window, type) cells")
+    // and the estimate is an estimate OF something: <5% vs exact
+    val exact = rows.toSeq.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("xd"))
+      .select(col("window.start"), col("event_type"), col("xd"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    exact.foreach { case (k, xd) =>
+      val est = got(k)._1
+      assert(math.abs(est - xd) <= math.max(1L, (xd * 0.05).toLong),
+        s"$k: est $est vs exact $xd")
+    }
+  }
+
   test("DSIR selection on ingest scores exactly as the frozen batch model") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
