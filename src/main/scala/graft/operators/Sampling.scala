@@ -268,4 +268,49 @@ object Sampling {
         coalesce(col("__rate"), lit(0.0)))
       .drop("__stratum", "__rate")
   }
+
+  /** TEMPERATURE-scaled mixture — [[mixToBudget]] with the weights
+    * DERIVED from the data instead of caller-supplied: stratum d gets
+    * weight (its token total)^α, so α = 1 reproduces the natural
+    * distribution (every stratum the same keep rate — proportional
+    * allocation is a no-op rebalance), α = 0 allocates the budget
+    * uniformly per stratum, and the production range between them
+    * (the mT5/XLM-R "sampling temperature", typically 0.3–0.7)
+    * flattens the mix toward low-resource strata. This is THE
+    * standard multilingual/multi-source rebalance knob, and at
+    * 100 TB it stays what mixToBudget is: one |strata|-row partial
+    * aggregate + a broadcast rate table + a map-only keep decision.
+    *
+    * Numeric portability: the α-power runs as `sqrt` when α = 0.5 —
+    * sqrt is CORRECTLY ROUNDED under IEEE 754 on every engine, and
+    * its result is micro-quantized (floor(·1e6 + 0.5) → exact
+    * integer weights, exact integer weight total) BEFORE the rate
+    * division, so the d30 oracle bit-matches the boundary the same
+    * way d12's does. Other α run through `pow`, which libms only
+    * promise within 1 ulp — engine-stable, but a cross-engine oracle
+    * could flip a doc whose hash lands inside that ulp; callers
+    * wanting hash-checked parity at other temperatures pre-compute
+    * weights and call [[mixToBudget]]. NULL-stratum rows receive no
+    * budget and drop (mixToBudget's documented rule). */
+  def temperatureMix(df: DataFrame, stratum: Column, key: Column,
+      nTok: Column, budget: Double, alpha: Double = 0.5): DataFrame = {
+    val strata = df.groupBy(stratum.as("__stratum"))
+      .agg(sum(nTok).cast("double").as("__toks"))
+    val scaled =
+      if (alpha == 0.5) sqrt(col("__toks"))
+      else pow(col("__toks"), lit(alpha))
+    val rates = strata
+      .withColumn("__ws",
+        floor(scaled * 1000000.0 + 0.5).cast("long"))
+      .withColumn("__wsum", sum(col("__ws")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .select(col("__stratum"),
+        least(lit(1.0),
+          (lit(budget) * (col("__ws") * 1.0 / col("__wsum"))) / col("__toks"))
+          .as("__rate"))
+    df.join(broadcast(rates), stratum === col("__stratum"), "left_outer")
+      .filter(hashFrac(coalesce(key.cast("string"), lit(""))) <
+        coalesce(col("__rate"), lit(0.0)))
+      .drop("__stratum", "__rate")
+  }
 }

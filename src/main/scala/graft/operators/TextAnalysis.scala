@@ -116,7 +116,7 @@ object TextAnalysis {
   /** per-(doc, token-type) counts — the ONE exploded aggregate every
     * token-distribution signal ([[repetition]], [[entropy]], the
     * gated [[filterChain]]) derives from */
-  private def perTokCounts(docs: DataFrame, id: String, text: String): DataFrame =
+  private[operators] def perTokCounts(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), explode(tokens(col(text))).as("w"))
       .groupBy(col(id), col("w")).agg(count(lit(1)).as("n"))
 

@@ -104,7 +104,7 @@ object VectorIndex {
     * self-repairing ([[append]] publishes its files under this tag
     * and sweeps same-tag leftovers before the duplicate-id guard
     * runs). */
-  private def batchTag(batch: DataFrame, id: String): String = {
+  private[operators] def batchTag(batch: DataFrame, id: String): String = {
     val r = batch.agg(count(col(id)), sum(hash(col(id)).cast("long")),
       min(hash(col(id))), max(hash(col(id)))).head()
     java.security.MessageDigest.getInstance("MD5")
@@ -112,7 +112,7 @@ object VectorIndex {
       .map("%02x".format(_)).mkString.take(16)
   }
 
-  private def hfs(spark: SparkSession, dir: String) = {
+  private[operators] def hfs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -120,7 +120,7 @@ object VectorIndex {
   /** move every data file of staged dir `from` into live dir `to`,
     * prefixed `ap-$tag-` so the batch's files stay identifiable (the
     * crash-recovery sweep keys on the prefix). */
-  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
       from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
       tag: String): Unit =
     fs.listStatus(from).map(_.getPath)

@@ -614,6 +614,40 @@ object Dedup {
       .orderBy("name_a", "name_b")
   }
 
+  /** TEMPERATURE-scaled mixing ([[graft.operators.Sampling.temperatureMix]])
+    * — d12 with the weights DERIVED from the data: stratum weight =
+    * (token total)^α, the mT5/XLM-R low-resource flattening knob at
+    * α = 0.5. The sqrt weight is micro-quantized to an exact integer
+    * before the rate division (sqrt is correctly rounded everywhere;
+    * the division chain is then the same IEEE expression on both
+    * engines), so the keep boundary bit-matches like d12's. Budget
+    * 8000 tokens: big sources downsample, the smallest clamp at
+    * rate 1 — both branches of `least` exercised. */
+  val d30 = Q("d30_temp_mix", Some(s"""
+    WITH tc AS (SELECT source,
+                  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS toks
+                FROM documents GROUP BY source),
+    w AS (SELECT source, toks,
+            CAST(floor(sqrt(toks) * 1000000.0 + 0.5) AS BIGINT) AS ws
+          FROM tc),
+    r AS (SELECT source,
+            least(1.0, (8000.0 * (ws * 1.0 / (SELECT sum(ws) FROM w))) / toks) AS rate
+          FROM w),
+    u AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+            $fracExpr AS frac FROM documents)
+    SELECT u.source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+    FROM u JOIN r ON u.source = r.source WHERE u.frac < r.rate
+    GROUP BY u.source ORDER BY u.source""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    graft.operators.Sampling.temperatureMix(
+        t(s, d, "documents"), col("source"), col("doc_id"),
+        size(split(col("text"), " ")), 8000.0, alpha = 0.5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15,
-    d17, d18, d19, d20, d24, d25, d29, t6)
+    d17, d18, d19, d20, d24, d25, d29, d30, t6)
 }

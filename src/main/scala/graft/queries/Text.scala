@@ -721,7 +721,7 @@ object Text {
     * fixed-point longs before the per-doc sum (t10's rule), top 20.
     * The oracle reproduces the identical expression token for token,
     * so the trained-free but parameterized ranking is hash-checked. */
-  val t20 = Q("t20_bm25", Some("""
+  private val t20OracleSql = """
     WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM
                  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
                   FROM documents)
@@ -741,9 +741,62 @@ object Text {
            WHERE tf.doc_id <> 1)
     SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro
     FROM sc GROUP BY doc_id
-    ORDER BY bm25_micro DESC, doc_id LIMIT 20""")) { (s, d) =>
+    ORDER BY bm25_micro DESC, doc_id LIMIT 20"""
+
+  val t20 = Q("t20_bm25", Some(t20OracleSql)) { (s, d) =>
     TextAnalysis.bm25MoreLikeThis(t(s, d, "documents"), "doc_id", "text",
       queryId = 1L, k = 20)
+  }
+
+  // ---- t23: the PERSISTED INVERTED INDEX serving t20's ranking
+  // (graft.operators.TextIndex) — the s11/s12 amortization story on
+  // the lexical side: built on first use into a content-stamped
+  // location, reused by every later probe; the timed/checked passes
+  // measure index-only serving (no corpus tokenization in the probe
+  // plan — TextIndexSpec pins it). Same stamp/atomic-publish
+  // discipline as Embed.ensureIndex.
+  private def docsStamp(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def ensureTextIndex(s: SparkSession, d: String): String = {
+    val stamp = docsStamp(s, d)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_tindex_$stamp").getPath
+    val fresh =
+      try graft.operators.TextIndex.readMeta(s, dir).stamp == stamp
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!fresh) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_tindex_") &&
+          f.getName != s"graft_tindex_$stamp")
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_tindex_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.operators.TextIndex.write(t(s, d, "documents"),
+        "doc_id", "text", build.getPath, stamp = stamp)
+      if (!build.renameTo(new java.io.File(dir)))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir
+  }
+
+  /** BM25 served FROM THE PERSISTED INVERTED INDEX
+    * ([[graft.operators.TextIndex.moreLikeThis]]) — results ≡ inline
+    * t20 bit-for-bit (df/N/Σdl identities are exact, the scoring
+    * expression is shared token for token), so the oracle IS t20's
+    * SQL. The bench artifact's t23-vs-t20 line is the measured
+    * build-vs-serve gap on the lexical side. */
+  val t23 = Q("t23_bm25_index", Some(t20OracleSql)) { (s, d) =>
+    val dir = ensureTextIndex(s, d)
+    graft.operators.TextIndex.moreLikeThis(s, dir, queryId = 1L, k = 20)
   }
 
   /** cross-document span-level dedup
@@ -903,5 +956,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
 }
