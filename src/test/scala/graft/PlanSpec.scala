@@ -50,7 +50,10 @@ class PlanSpec extends AnyFunSuite {
       // broadcast scalar); q50's 1-row exact × 1-row estimate zips
       "q49_bloom_semijoin", "q50_join_card",
       // q51's 1-row total broadcast inside heavyKeys' frac filter
-      "q51_skew_join")
+      "q51_skew_join",
+      // q53's bloom branch carries q49's 1-row bitmap broadcast (at
+      // tiny SF the advisor picks broadcast and no BNLJ plans at all)
+      "q53_advised_join")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
@@ -558,12 +561,13 @@ class PlanSpec extends AnyFunSuite {
     // corpus-sized-by-design: t13 (global decile rank). Bounded-input
     // (allowed, but still pinned so growth is visible): the trained-PQ
     // queries' 64-row seed ranking (s5/s6/s10 — the window sits above
-    // a LIMIT codebookK) and d12's weight-total window over the
-    // |strata|-row aggregate (PlanSpec's own d12 pin covers its
-    // 2-scan shape).
+    // a LIMIT codebookK) and the weight-total windows of d12 and d30,
+    // both over an already-aggregated |strata|-row table (PlanSpec's
+    // own d12 pin covers the 2-scan shape; d30's temperatureMix is
+    // the same bounded-input pattern at Sampling.temperatureMix).
     val corpusSized = Set("t13_ppl_buckets")
     val boundedInput = Set("s5_knn_pq", "s6_knn_pq_lsh", "s10_knn_rerank",
-      "s14_knn_rerank_np", "d12_mix")
+      "s14_knn_rerank_np", "d12_mix", "d30_temp_mix")
     val offenders = Registry.all.flatMap { q =>
       val n = globalWindows(
         q.run(spark, TestSpark.sf).queryExecution.executedPlan)
