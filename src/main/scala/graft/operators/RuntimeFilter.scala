@@ -174,4 +174,98 @@ object RuntimeFilter {
         col("__salt") === col("__dsalt"))
       .drop("__salt", "__dsalt")
   }
+
+  /** The tier's decision record: what [[adviseJoin]] chose and the
+    * statistics it chose from. `estPairs`/`estMatchedFact` are the
+    * one-sided CMS overestimates (est ≥ exact), `nHotKeys` the count
+    * of fact keys above the skew threshold. */
+  final case class JoinAdvice(strategy: String, factRows: Long,
+      dimRows: Long, estPairs: Long, estMatchedFact: Long,
+      nHotKeys: Long)
+
+  /** The JOIN ADVISOR — the composition the tier's pieces exist for:
+    * given (fact, dim), build each side's per-key count table ONCE
+    * (the same table then serves the totals, the CMS sketches, and
+    * hot-key detection — one scan per side, q50's sharing rule),
+    * consult the statistics, and CHOOSE the strategy a planner
+    * would:
+    *
+    *   1. `dimRows ≤ broadcastMaxRows`  → **broadcast** (a dim that
+    *      fits the broadcast contract never needs anything else);
+    *   2. any fact key holds > `hotFrac` of the fact → **salted**
+    *      ([[saltedEquiJoin]] — skew kills a shuffle join before
+    *      size does: one reducer carrying 25 TB of a hot key idles
+    *      the other 999 executors);
+    *   3. CMS-estimated matching fact rows < `bloomMaxMatchFrac` ·
+    *      |fact| → **bloom** ([[bloomReduce]] then the plain join —
+    *      the shuffle carries ~|matching fact| instead of |fact|);
+    *   4. otherwise → **plain** (uniform and non-selective: the
+    *      straight shuffle join IS the right plan).
+    *
+    * Every branch returns the SAME relation as the plain inner join
+    * (broadcast/salted are exact rewrites; bloom has no false
+    * negatives and the join removes its false positives) — the
+    * advisor changes the PLAN, never the answer; RuntimeFilterSpec
+    * pins all four branches against the plain join and q53
+    * hash-checks one end to end. The decision statistics are
+    * key-cardinality-sized aggregates (estimates from fixed-size CMS
+    * state, never the join itself) — at 100 TB the advisor's cost is
+    * one map-side-combined counting pass per side, the same
+    * statistics pass a warehouse ANALYZE runs, and the decision is a
+    * driver-side read of a handful of scalars, exactly where a
+    * planner's decision belongs.
+    *
+    * `saltBy` = any row-unique fact column (the salt source, used
+    * only on the salted branch). Column names must be disjoint
+    * across the sides (every branch keeps both key columns). */
+  def adviseJoin(fact: DataFrame, factKey: String, saltBy: String,
+      dim: DataFrame, dimKey: String,
+      broadcastMaxRows: Long = 2000000L,
+      hotFrac: Double = 0.1,
+      bloomMaxMatchFrac: Double = 0.5,
+      p: Int = 8, mBits: Int = 1 << 16,
+      width: Int = 8192, depth: Int = 5): (DataFrame, JoinAdvice) = {
+    val overlap = fact.columns.toSet & dim.columns.toSet
+    require(overlap.isEmpty,
+      s"adviseJoin: column names must be disjoint, both sides have ${overlap.mkString(", ")}")
+    // ONE counting pass per side; the count tables serve everything
+    val fCnt = fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val dCnt = dim.groupBy(col(dimKey)).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val factRows = fCnt.agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0)
+    val dimRows = dCnt.agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0)
+    val estPairs =
+      if (factRows == 0 || dimRows == 0) 0L
+      else innerProductEst(cmsOfKeyCounts(fCnt, factKey, "n", width, depth),
+        cmsOfKeyCounts(dCnt, dimKey, "n", width, depth))
+        .head().getLong(0)
+    // matched-fact estimate: Σ_k c_fact(k)·[k ∈ dim] = the inner
+    // product against the dim's DISTINCT-key indicator counts
+    val estMatchedFact =
+      if (factRows == 0 || dimRows == 0) 0L
+      else innerProductEst(cmsOfKeyCounts(fCnt, factKey, "n", width, depth),
+        cmsOfKeyCounts(dCnt.select(col(dimKey), lit(1L).as("n")),
+          dimKey, "n", width, depth))
+        .head().getLong(0)
+    val hot = fCnt.filter(col("n") > lit(factRows * hotFrac))
+      .select(col(factKey))
+    val nHot = hot.count()
+    val (strategy, joined) =
+      if (dimRows <= broadcastMaxRows)
+        ("broadcast", fact.join(broadcast(dim), col(factKey) === col(dimKey)))
+      else if (nHot > 0)
+        ("salted", saltedEquiJoin(fact, factKey, saltBy, dim, dimKey,
+          hot, p = p, factHint = Some("merge")))
+      else if (estMatchedFact < bloomMaxMatchFrac * factRows)
+        ("bloom", bloomReduce(fact, factKey, dCnt.select(col(dimKey)),
+          dimKey, mBits = mBits)
+          .hint("merge").join(dim, col(factKey) === col(dimKey)))
+      else
+        ("plain", fact.hint("merge").join(dim, col(factKey) === col(dimKey)))
+    (joined, JoinAdvice(strategy, factRows, dimRows, estPairs,
+      estMatchedFact, nHot))
+  }
 }

@@ -208,6 +208,93 @@ object TextIndex {
     total
   }
 
+  /** DELETE docs from the index — the lifecycle parity
+    * [[VectorIndex.delete]] set (staged rewrite, verified counts,
+    * atomic flip, retention-windowed old copies), with the lexical
+    * index's extra property FOR FREE: df is a probe-time aggregate of
+    * the surviving posting rows and N/Σdl are recomputed from the
+    * PUBLISHED tables, so scores after a delete equal a rebuild
+    * without those docs EXACTLY — df/N shift included (TextIndexSpec
+    * pins it). Unknown ids refuse by name (a silently-ignored id
+    * would report a removal that never happened); a deleted doc's
+    * empty doclen row goes too, so append-after-delete of the same id
+    * passes the collision guard. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      retainMs: Long = 600000L): Long = {
+    val mt = readMeta(spark, dir)
+    val id = mt.idCol
+    val nNull = ids.filter(col(id).isNull).count()
+    require(nNull == 0,
+      s"INDEX DELETE REFUSED: $nNull rows carry a NULL $id")
+    val del = ids.select(col(id)).distinct().localCheckpoint(true)
+    VectorIndex.gcOldGenerations(spark, dir, retainMs)
+    val known = spark.read.parquet(s"$dir/doclen").select(col(id))
+    val nUnknown = del.join(known, Seq(id), "left_anti").count()
+    require(nUnknown == 0,
+      s"INDEX DELETE REFUSED: $nUnknown ids not present in the index — " +
+        "a silently-ignored id would report a removal that never happened")
+    val nDel = del.count()
+    rewriteTables(spark, dir, mt, mt.n - nDel,
+      df => df.join(del, Seq(id), "left_anti"))
+  }
+
+  /** COMPACT: rewrite both tables at the current row counts' natural
+    * file sizing, restoring the w- / id-clustering appends erode
+    * (each append lands its own `ap-*` file set — probe-side footer
+    * skipping degrades as batches accumulate). Contents unchanged;
+    * same staged-verify-flip path as [[delete]]. */
+  def compact(spark: SparkSession, dir: String,
+      retainMs: Long = 600000L): Long = {
+    val mt = readMeta(spark, dir)
+    VectorIndex.gcOldGenerations(spark, dir, retainMs)
+    rewriteTables(spark, dir, mt, mt.n, identity)
+  }
+
+  /** the staged-verify-flip shared by delete/compact: transform both
+    * tables, stage, verify counts independently of the written bytes,
+    * flip with one rename pair per table (old copies retained under
+    * `.old-g*` for the retention window), then meta LAST with n from
+    * the published doclen and Σdl from the published postings. */
+  private def rewriteTables(spark: SparkSession, dir: String, mt: Meta,
+      expectDocs: Long, xform: DataFrame => DataFrame): Long = {
+    val (fs, _) = VectorIndex.hfs(spark, dir)
+    val stage = s"$dir/.stage-del"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val nFiles = math.max(1L, expectDocs / 500000L).toInt
+    val post = xform(spark.read.parquet(s"$dir/postings"))
+      .localCheckpoint(true)
+    val expectPost = post.count()
+    post.repartitionByRange(nFiles, col("w")).sortWithinPartitions(col("w"))
+      .write.parquet(s"$stage/postings")
+    xform(spark.read.parquet(s"$dir/doclen"))
+      .repartitionByRange(nFiles, col(mt.idCol))
+      .sortWithinPartitions(col(mt.idCol))
+      .write.parquet(s"$stage/doclen")
+    val stagedP = spark.read.parquet(s"$stage/postings").count()
+    val stagedD = spark.read.parquet(s"$stage/doclen").count()
+    if (stagedP != expectPost || stagedD != expectDocs) {
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      throw new java.io.IOException(
+        s"staged rewrite short: postings=$stagedP (want $expectPost), " +
+          s"doclen=$stagedD (want $expectDocs); aborting — index unchanged")
+    }
+    val gen = System.currentTimeMillis()
+    // postings first, like append: a probe in the flip window loses
+    // at the doclen inner join (absent doc), never scores stale terms
+    Seq("postings", "doclen").foreach { tb =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$tb")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$tb.old-g$gen")
+      require(fs.rename(live, old), s"flip failed: $live -> $old")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$tb"), live),
+        s"flip failed: $stage/$tb -> $live")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val sumdl = spark.read.parquet(s"$dir/postings")
+      .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    writeMeta(spark, dir, mt.copy(n = expectDocs, sumdl = sumdl))
+    expectDocs
+  }
+
   private def writeMeta(spark: SparkSession, dir: String, mt: Meta): Unit = {
     import spark.implicits._
     Seq((mt.n, mt.sumdl, mt.idCol, mt.textCol, mt.stamp))

@@ -327,7 +327,7 @@ object VectorIndex {
     rewriteTables(spark, dir, mt, mt.n, identity)
   }
 
-  private def gcOldGenerations(spark: SparkSession, dir: String,
+  private[operators] def gcOldGenerations(spark: SparkSession, dir: String,
       retainMs: Long): Unit = {
     val (fs, _) = hfs(spark, dir)
     val now = System.currentTimeMillis()

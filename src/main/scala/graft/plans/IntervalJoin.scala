@@ -66,11 +66,18 @@ object IntervalJoin {
     * longs — the engine's uniform time/measure representation).
     * Column names must be disjoint across the two sides.
     * `joinType`: "inner" or "left_outer" (an unmatched probe keeps
-    * NULL interval columns — the attribution-with-misses shape). */
+    * NULL interval columns — the attribution-with-misses shape).
+    * `build`: "broadcast" (default — dim-sized interval sides,
+    * zero probe-side shuffle) or "shuffle" (fact-sized interval
+    * sides — both sides co-partition on the keys, the per-key
+    * segment trees build EXECUTOR-side per partition; requires
+    * non-empty `keys`, since a keyless variable-length interval set
+    * has no partitioning that keeps a stab local). */
   def pointInInterval(probe: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       keys: Seq[(String, String)] = Nil,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      build: String = "broadcast"): DataFrame = {
     val jt: JoinType = joinType.toLowerCase.replace("_", "") match {
       case "inner" => Inner
       case "leftouter" | "left" => LeftOuter
@@ -99,8 +106,29 @@ object IntervalJoin {
       keys.map(k => attr(r, k._2, "interval")))
     lk.zip(rk).foreach { case (a, b) => require(a.dataType == b.dataType,
       s"pointInInterval: key type mismatch ${a.name}:${a.dataType.simpleString} vs ${b.name}:${b.dataType.simpleString}") }
+    val bc = build.toLowerCase match {
+      case "broadcast" => true
+      case "shuffle" =>
+        require(keys.nonEmpty,
+          "pointInInterval: build=shuffle needs at least one equi-key — " +
+            "a keyless variable-length interval set cannot co-partition; " +
+            "use build=broadcast (dim-sized) or q28's banded form")
+        false
+      case "auto" =>
+        // the advisor move (q53's rule applied here): ONE count
+        // action on the interval side against the broadcast cap —
+        // dim-sized builds take the zero-probe-shuffle plan,
+        // fact-sized ones take the partitioned build the cap would
+        // otherwise refuse. Keyless stays broadcast (shuffle has no
+        // partitioning to offer it).
+        val cap = probe.sparkSession.conf
+          .get(MaxBuildRowsKey, "10000000").toLong
+        keys.isEmpty || intervals.count() <= cap
+      case other => throw new IllegalArgumentException(
+        s"pointInInterval: build must be broadcast, shuffle, or auto, got '$other'")
+    }
     GraftBridge.ofRows(probe.sparkSession,
-      PointIntervalJoin(l, r, point, lo, hi, lk, rk, jt))
+      PointIntervalJoin(l, r, point, lo, hi, lk, rk, jt, bc))
   }
 }
 
@@ -110,7 +138,7 @@ object IntervalJoin {
 case class PointIntervalJoin(left: LogicalPlan, right: LogicalPlan,
     point: Expression, lo: Expression, hi: Expression,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    joinType: JoinType)
+    joinType: JoinType, broadcastBuild: Boolean = true)
     extends BinaryNode {
   override def output: Seq[Attribute] = joinType match {
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
@@ -125,9 +153,11 @@ case class PointIntervalJoin(left: LogicalPlan, right: LogicalPlan,
   * becomes the custom physical node, children planned by Spark. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PointIntervalJoin(l, r, point, lo, hi, lk, rk, jt) =>
-      BroadcastIntervalJoinExec(planLater(l), planLater(r),
-        point, lo, hi, lk, rk, jt) :: Nil
+    case PointIntervalJoin(l, r, point, lo, hi, lk, rk, jt, bc) =>
+      (if (bc) BroadcastIntervalJoinExec(planLater(l), planLater(r),
+        point, lo, hi, lk, rk, jt)
+      else ShuffledIntervalJoinExec(planLater(l), planLater(r),
+        point, lo, hi, lk, rk, jt)) :: Nil
     case _ => Nil
   }
 }
@@ -274,5 +304,114 @@ case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
     }, preservesPartitioning = true)
+  }
+}
+
+/** Physical SHUFFLED interval join — [[BroadcastIntervalJoinExec]]'s
+  * SortMergeJoin analogue, for FACT-sized variable-length interval
+  * sides the broadcast contract's build cap orphans: instead of
+  * collecting the intervals to the driver, both sides co-partition
+  * on the equi-keys (declared through `requiredChildDistribution`,
+  * so EnsureRequirements plans exactly one Exchange per unaligned
+  * side — never a BroadcastNestedLoopJoin), and each partition
+  * builds ITS keys' sorted-lo/max-hi segment trees executor-side,
+  * then stabs its probe rows locally in O(log n + matches). Build
+  * memory is one partition's interval share — the ShuffledHashJoin
+  * contract — so the interval side scales with the CLUSTER, not the
+  * driver heap. The partition count is pinned to
+  * `spark.sql.shuffle.partitions` on BOTH children (a fixed
+  * `requiredNumPartitions` keeps AQE from coalescing the two sides
+  * asymmetrically), and a hot key's intervals land on one partition
+  * exactly as they would under SortMergeJoin. */
+case class ShuffledIntervalJoinExec(left: SparkPlan, right: SparkPlan,
+    point: Expression, lo: Expression, hi: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    joinType: JoinType)
+    extends BinaryExecNode {
+
+  require(leftKeys.nonEmpty, "shuffled interval join needs equi-keys")
+
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
+
+  override def requiredChildDistribution
+      : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(
+      leftKeys, requiredNumPartitions = n) ::
+      org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(
+        rightKeys, requiredNumPartitions = n) :: Nil
+  }
+  override def outputPartitioning = left.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "build side rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): ShuffledIntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (lOut, rOut) = (left.output, right.output)
+    val (pointExpr, loExpr, hiExpr) = (point, lo, hi)
+    val (lkExprs, rkExprs) = (leftKeys, rightKeys)
+    val outAttrs = output
+    val outer = joinType == LeftOuter
+    val rightLen = right.output.length
+    val numOut = longMetric("numOutputRows")
+    val numBuild = longMetric("buildRows")
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // BUILD: this partition's interval share, grouped per key —
+      // executor-side, the partition is the unit of memory
+      val loB = BindReferences.bindReference(loExpr, rOut)
+      val hiB = BindReferences.bindReference(hiExpr, rOut)
+      val rkB = rkExprs.map(BindReferences.bindReference(_, rOut))
+      val rkProj = UnsafeProjection.create(rkB)
+      val grouped = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, Long, InternalRow)]]
+      rIter.foreach { row =>
+        val loV = loB.eval(row); val hiV = hiB.eval(row)
+        if (loV != null && hiV != null && !rkB.exists(_.eval(row) == null)) {
+          numBuild += 1
+          // iterator rows are reused buffers — copy what we keep
+          grouped.getOrElseUpdate(rkProj(row).copy(), mutable.ArrayBuffer.empty) +=
+            ((loV.asInstanceOf[Long], hiV.asInstanceOf[Long], row.copy()))
+        }
+      }
+      val buckets = grouped.map { case (k, ivs) =>
+        val sorted = ivs.sortBy(_._1)
+        k -> new IntervalBucket(sorted.map(_._1).toArray,
+          sorted.map(_._2).toArray, sorted.map(_._3).toArray)
+      }
+      // PROBE: co-partitioned, so every possible match is local
+      val pB = BindReferences.bindReference(pointExpr, lOut)
+      val lkB = lkExprs.map(BindReferences.bindReference(_, lOut))
+      val lkProj = UnsafeProjection.create(lkB)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightLen)
+      val hits = mutable.ArrayBuffer.empty[InternalRow]
+      lIter.flatMap { lrow =>
+        def miss: Iterator[InternalRow] =
+          if (!outer) Iterator.empty
+          else { numOut += 1
+            Iterator.single(outProj(joined(lrow, nullRight)).copy()) }
+        val x = pB.eval(lrow)
+        if (x == null || lkB.exists(_.eval(lrow) == null)) miss
+        else buckets.get(lkProj(lrow)) match {
+          case None => miss
+          case Some(b) =>
+            hits.clear()
+            b.stab(x.asInstanceOf[Long], hits)
+            if (hits.isEmpty) miss
+            else hits.iterator.map { rrow =>
+              numOut += 1
+              outProj(joined(lrow, rrow)).copy()
+            }
+        }
+      }
+    }
   }
 }

@@ -704,6 +704,81 @@ object Analytics {
       .orderBy("purchase_id")
   }
 
+  // ---- q52: SHUFFLED variable-length interval join (fact × fact) ----
+  /** q46's fact-sized sibling: EVERY event opens a variable-length
+    * attention window (30 + value·300 seconds), and each purchase is
+    * attributed to the windows of OTHER events it falls inside — a
+    * fact×fact variable-length interval join, the case the broadcast
+    * form's build cap orphans (collecting a fact-sized interval side
+    * to the driver is exactly what `maxBuildRows` refuses). Runs on
+    * `build = "shuffle"`: both sides co-partition on the user key
+    * (ONE Exchange per side — IntervalJoinSpec pins no
+    * BroadcastNestedLoopJoin and no broadcast of the interval side),
+    * each partition builds its keys' sorted-lo/max-hi segment trees
+    * executor-side, probes stab locally. Self-windows are removed by
+    * a residual post-join filter (composes like any theta residual).
+    * At 100 TB: the interval side scales with the cluster (per-
+    * partition build memory), not the driver heap. */
+  val q52 = Q("q52_interval_shuffle", Some("""
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    w AS (SELECT event_id AS win_id, user_id AS w_user, sec AS lo,
+            sec + 30 + CAST(floor(value * 300.0) AS BIGINT) AS hi
+          FROM e),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+            sec AS psec FROM e WHERE event_type = 'purchase')
+    SELECT p.purchase_id, count(*) AS n_win, min(w.win_id) AS first_win,
+      max(p.psec - w.lo) AS max_into_s
+    FROM p JOIN w ON p.p_user = w.w_user AND p.psec BETWEEN w.lo AND w.hi
+    WHERE w.win_id <> p.purchase_id
+    GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    val e = ev(s, d)
+    val w = e.select(col("event_id").as("win_id"),
+      col("user_id").as("w_user"), col("sec").as("lo"),
+      (col("sec") + lit(30L) +
+        floor(col("value") * 300.0).cast("long")).as("hi"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("sec").as("psec"))
+    graft.plans.IntervalJoin.pointInInterval(p, w, "psec", "lo", "hi",
+        Seq("p_user" -> "w_user"), build = "shuffle")
+      .filter(col("win_id") =!= col("purchase_id"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_win"), min(col("win_id")).as("first_win"),
+        max(col("psec") - col("lo")).as("max_into_s"))
+      .orderBy("purchase_id")
+  }
+
+  // ---- q54: EXACT per-group percentiles ------------------------------
+  /** exact interpolated quantiles (`percentile`) per group — the
+    * EXACT twin q32's sketch approximates, shipped for the measures
+    * where exactness is cheap: over a BOUNDED-DOMAIN column
+    * (l_quantity ∈ 1..50) Spark's percentile aggregates a
+    * value→count map, so state is |domain|-sized per group — at
+    * 100 TB the agg is one partial-agg shuffle of tiny maps, the
+    * same shape as any groupBy count. (Unbounded/continuous measures
+    * stay with q32's fixed-size sketch — exact quantiles there mean
+    * buffering the group.) Cross-engine exactness: p ∈ {.25,.5,.75}
+    * makes (n−1)·p and the interpolation weight dyadic rationals,
+    * and the values are small ints — every product/sum below is
+    * IEEE-exact, so Spark's a+(b−a)·f and any (1−f)·a+f·b
+    * rearrangement agree bit-for-bit; no quantization needed. */
+  val q54 = Q("q54_percentile_exact", Some("""
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.25) AS p25,
+      quantile_cont(l_quantity, 0.50) AS p50,
+      quantile_cont(l_quantity, 0.75) AS p75,
+      CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.50)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- q29: RANGE-frame sliding window (value-based, not row-based) --
   // trailing 1-hour sum per event: RANGE frames include sec-peers, so
   // ties contribute identically in both engines (ROWS frames — q19 —
@@ -1508,9 +1583,47 @@ object Analytics {
       .orderBy("band")
   }
 
+  // ---- q53: the join ADVISOR end to end ------------------------------
+  /** the r11 planning tier COMPOSED ([[graft.operators.RuntimeFilter
+    * .adviseJoin]]): lineitem ⋈ brand-filtered part, but the strategy
+    * — broadcast / salted / bloom-reduced / plain — is CHOSEN by the
+    * advisor from one per-key counting pass per side + the CMS
+    * match estimate + hot-key detection, not hard-coded in the
+    * query. At the gate SFs the statistics read "dim above the
+    * (deliberately small) broadcast cap, keys uniform, ~8% of the
+    * fact matching" → the bloom branch; at sf0.001 the filtered dim
+    * fits the cap and the SAME query runs broadcast — the output is
+    * hash-identical either way, which is the advisor's whole
+    * contract (the plan changes, the answer never does; the oracle
+    * is the plain join). RuntimeFilterSpec pins each branch's
+    * decision and output equality separately. */
+  val q53 = Q("q53_advised_join", Some("""
+    SELECT p_brand,
+      CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand IN ('Brand#12', 'Brand#45')
+    GROUP BY p_brand ORDER BY p_brand""")) { (s, d) =>
+    val dimF = t(s, d, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#45"))
+      .select(col("p_partkey"), col("p_brand"))
+    val (joined, advice) = graft.operators.RuntimeFilter.adviseJoin(
+      t(s, d, "lineitem").select(col("l_partkey"), col("l_orderkey"),
+        col("l_extendedprice")),
+      "l_partkey", "l_orderkey", dimF, "p_partkey",
+      broadcastMaxRows = 100L)
+    assert(advice.strategy == "bloom" || advice.strategy == "broadcast",
+      s"uniform selective dim must advise bloom (or broadcast under " +
+        s"the cap at tiny SF), got $advice")
+    joined.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51)
+    q50, q51, q52, q53, q54)
 }

@@ -450,9 +450,10 @@ object Crud {
       .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_skiplake_$stamp")
-    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+    if (!new java.io.File(dir, "_SUCCESS").isFile ||
+        !new java.io.File(new java.io.File(dir, "_stats"), "_SUCCESS").isFile) {
       Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_skiplake_") && f != dir)
+        .filter(_.getName.startsWith("graft_skiplake_")) // incl. a same-stamp pre-_stats copy: it blocks the rename
         .foreach(f => scala.util.Try(
           org.apache.commons.io.FileUtils.deleteDirectory(f)))
       val build = new java.io.File(tmp,
@@ -461,6 +462,10 @@ object Crud {
         .repartitionByRange(8, col("o_orderdate"))
         .sortWithinPartitions("o_orderdate")
         .write.mode("overwrite").parquet(build.getPath)
+      // the manifest is committed WITH the copy (stats-in-the-commit:
+      // it rides the same atomic rename, shares the copy's lifetime)
+      graft.sources.LakeSink.attachStats(s, build.getPath,
+        Seq("o_orderdate"))
       if (!build.renameTo(dir))
         scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
     }
@@ -489,11 +494,12 @@ object Crud {
     WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND o_orderdate <= TIMESTAMP '1995-03-31 23:59:59'
     GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
-    val copy = s.read.parquet(ensureSortedOrders(s, d))
-    val man = graft.sources.LakeSink.fileStats(copy, Seq("o_orderdate"))
-    graft.sources.LakeSink.readPruned(s, man, "o_orderdate",
-        lit("1995-01-01 00:00:00").cast("timestamp"),
-        lit("1995-03-31 23:59:59").cast("timestamp"))
+    // the manifest was committed WITH the sorted copy — planning
+    // reads the few-KB _stats, never re-scans the table for stats
+    graft.sources.LakeSink.readPrunedDir(s, ensureSortedOrders(s, d),
+        Seq(("o_orderdate",
+          lit("1995-01-01 00:00:00").cast("timestamp"),
+          lit("1995-03-31 23:59:59").cast("timestamp"))))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
@@ -515,9 +521,10 @@ object Crud {
       .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_zorder_$stamp")
-    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+    if (!new java.io.File(dir, "_SUCCESS").isFile ||
+        !new java.io.File(new java.io.File(dir, "_stats"), "_SUCCESS").isFile) {
       Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_zorder_") && f != dir)
+        .filter(_.getName.startsWith("graft_zorder_")) // incl. a same-stamp pre-_stats copy: it blocks the rename
         .foreach(f => scala.util.Try(
           org.apache.commons.io.FileUtils.deleteDirectory(f)))
       val build = new java.io.File(tmp,
@@ -529,6 +536,9 @@ object Crud {
         .repartitionByRange(16, col("__zk"))
         .sortWithinPartitions("__zk").drop("__zk")
         .write.mode("overwrite").parquet(build.getPath)
+      // manifest committed WITH the copy, under the same rename
+      graft.sources.LakeSink.attachStats(s, build.getPath,
+        Seq("o_custkey", "o_orderdate"))
       if (!build.renameTo(dir))
         scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
     }
@@ -558,10 +568,8 @@ object Crud {
     WHERE o_custkey BETWEEN 100 AND 400
       AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'""")) { (s, d) =>
-    val copy = s.read.parquet(ensureZOrderedOrders(s, d))
-    val man = graft.sources.LakeSink.fileStats(copy,
-      Seq("o_custkey", "o_orderdate"))
-    graft.sources.LakeSink.readPrunedMulti(s, man, Seq(
+    // committed manifest (stats-in-the-commit) — same contract as a20
+    graft.sources.LakeSink.readPrunedDir(s, ensureZOrderedOrders(s, d), Seq(
         ("o_custkey", lit(100L), lit(400L)),
         ("o_orderdate", lit("1994-01-01 00:00:00").cast("timestamp"),
           lit("1995-12-31 23:59:59").cast("timestamp"))))
@@ -571,6 +579,75 @@ object Crud {
           .as("sum_cents"))
   }
 
+  // same stamped-tmp/atomic-rename discipline as ensureSortedOrders:
+  // the copy AND its two tombstone batches build together and publish
+  // under one rename (_deletes globs relative to the dir, so the
+  // batches survive the rename like the a20 manifest does)
+  private def ensureMorOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_mor_$stamp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile ||
+        !new java.io.File(dir, "_deletes").isDirectory) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_mor_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_mor_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+      base.repartition(4).write.mode("overwrite").parquet(build.getPath)
+      // batch 1: a key-mod slice; batch 2 keys must be LIVE when
+      // landed (softDelete refuses already-deleted keys by name)
+      graft.sources.LakeSink.softDeleteDir(s, build.getPath,
+        base.filter(col("o_orderkey") % 11 === 3).select("o_orderkey"),
+        "o_orderkey")
+      graft.sources.LakeSink.softDeleteDir(s, build.getPath,
+        base.filter(col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 7 === 2 && col("o_orderkey") % 11 =!= 3)
+          .select("o_orderkey"),
+        "o_orderkey")
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a22: MERGE-ON-READ equality deletes
+    * ([[graft.sources.LakeSink.softDeleteDir]] + `morRead`) — the
+    * DELETE a 100 TB table actually runs: two tombstone batches land
+    * as KEY FILES (O(|keys|) I/O each — the data files are never
+    * rewritten; LakeSpec pins byte-identical data files), and the
+    * read applies them as one broadcast-small anti-join. The
+    * copy-on-write alternative (a15's merge machinery with deletes)
+    * rewrites the table to drop a fraction of a percent of rows;
+    * merge-on-read defers that cost to `compactMor`, which
+    * materializes survivors through the standard claim/verify/flip
+    * publish and clears the tombstones. Oracle = the same aggregate
+    * under the two delete predicates — tombstone land → accumulate →
+    * anti-join read is hash-checked end to end. */
+  val a22 = Q("a22_mor_delete", Some("""
+    SELECT o_orderstatus, count(*) AS n_orders,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE NOT (o_orderkey % 11 = 3)
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 2)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+    graft.sources.LakeSink.morRead(s, ensureMorOrders(s, d), "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14, a15, a16, a17, a18, a19, a20, a21)
+    a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22)
 }

@@ -189,11 +189,12 @@ object LakeSink {
     * copy aborts before the flip with the live table untouched.
     * Returns the row count (unchanged by design). */
   def compactTable(spark: SparkSession, table: String,
-      targetRecordsPerFile: Long, retainMs: Long = 600000L): Long =
+      targetRecordsPerFile: Long, retainMs: Long = 600000L,
+      statsCols: Seq[String] = Nil): Long =
     compactTableImpl(spark, table, targetRecordsPerFile,
       (df, nFiles, dest, format) => df.repartition(nFiles).write.format(format)
         .option("maxRecordsPerFile", targetRecordsPerFile.toString)
-        .mode("overwrite").save(dest), retainMs)
+        .mode("overwrite").save(dest), retainMs, statsCols)
 
   /** OPTIMIZE ... ZORDER for a LIVE catalog table — the lakehouse
     * layout rewrite that turns an already-published table into
@@ -209,13 +210,28 @@ object LakeSink {
     * row-identity, pruning gain, and the generation bump). */
   def optimizeZOrder(spark: SparkSession, table: String,
       a: String, b: String, targetRecordsPerFile: Long,
-      bits: Int = 16, retainMs: Long = 600000L): Long =
-    publishGeneration(spark, table, retainMs) { (df, dest, format) =>
+      bits: Int = 16, retainMs: Long = 600000L,
+      statsCols: Seq[String] = Nil): Long =
+    optimizeZOrderN(spark, table, Seq(a, b), targetRecordsPerFile,
+      bits, retainMs, statsCols)
+
+  /** [[optimizeZOrder]] over N ≥ 2 cluster columns
+    * ([[zOrderKeyN]]) — same machinery: claim CAS, pre-flip verify,
+    * one catalog flip, retention-windowed history, and the cluster
+    * columns' [[fileStats]] manifest committed INSIDE the new
+    * generation (an optimize exists FOR pruning; extras ride along
+    * via `statsCols`). */
+  def optimizeZOrderN(spark: SparkSession, table: String,
+      clusterCols: Seq[String], targetRecordsPerFile: Long,
+      bits: Int = 16, retainMs: Long = 600000L,
+      statsCols: Seq[String] = Nil): Long =
+    publishGeneration(spark, table, retainMs,
+        (clusterCols ++ statsCols).distinct) { (df, dest, format) =>
       import org.apache.spark.sql.functions.col
       val n = df.count()
       val nFiles = math.max(1L,
         (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-      df.withColumn("__zk", zOrderKey(col(a), col(b), bits))
+      df.withColumn("__zk", zOrderKeyN(clusterCols.map(col), bits))
         .repartitionByRange(nFiles, col("__zk"))
         .sortWithinPartitions("__zk").drop("__zk")
         .write.format(format)
@@ -229,8 +245,8 @@ object LakeSink {
   private[graft] def compactTableImpl(spark: SparkSession, table: String,
       targetRecordsPerFile: Long,
       rewrite: (DataFrame, Int, String, String) => Unit,
-      retainMs: Long = 600000L): Long =
-    publishGeneration(spark, table, retainMs) { (df, dest, format) =>
+      retainMs: Long = 600000L, statsCols: Seq[String] = Nil): Long =
+    publishGeneration(spark, table, retainMs, statsCols) { (df, dest, format) =>
       val n = df.count()
       val nFiles = math.max(1L,
         (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
@@ -259,7 +275,8 @@ object LakeSink {
   }
 
   private[graft] def publishGeneration(spark: SparkSession, table: String,
-      retainMs: Long)(write: (DataFrame, String, String) => Long): Long = {
+      retainMs: Long, statsCols: Seq[String] = Nil)
+      (write: (DataFrame, String, String) => Long): Long = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
     require(catalog.tableExists(ident), s"unknown table $table")
@@ -331,6 +348,19 @@ object LakeSink {
         s"new generation at $next has $nextCount rows, expected $expected; " +
           "aborting — table location unchanged")
     }
+    // STATS IN THE COMMIT (the Delta/Iceberg rule): the file-stats
+    // manifest lands INSIDE the generation directory, BEFORE the
+    // flip — so the manifest a pruned read resolves is always the
+    // live generation's own (it cannot describe files a later GC
+    // deletes: it is deleted WITH them), and readers never see a
+    // generation whose manifest is still being written. The `_`
+    // prefix keeps data reads from listing it.
+    if (statsCols.nonEmpty)
+      try fileStats(spark.read.format(format).load(next.toString), statsCols)
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(next, "_stats").toString)
+      catch { case e: Throwable =>
+        fs.delete(next, true); releaseClaim(); throw e }
     // THE no-gap publish: one catalog metadata operation
     spark.sql(s"ALTER TABLE `$table` SET LOCATION '${next.toString}'")
     spark.catalog.refreshTable(table)
@@ -472,24 +502,230 @@ object LakeSink {
     * column keeps every file — pinned in LakeSpec.) */
   def readPrunedMulti(spark: SparkSession, manifest: DataFrame,
       preds: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)])
-      : DataFrame = {
+      : DataFrame =
+    readPrunedAnchored(spark, manifest, preds, None)
+
+  /** `anchor = Some(dir)` re-roots every manifest file path to
+    * `dir/<basename>` — a manifest committed inside its directory
+    * ([[attachStats]] on a staging path, a generation later renamed)
+    * stays valid wherever the directory lands; file NAMES are stable
+    * under rename, absolute paths are not. */
+  private def readPrunedAnchored(spark: SparkSession, manifest: DataFrame,
+      preds: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
+      anchor: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(preds.nonEmpty, "readPrunedMulti: at least one predicate")
+    def anchored(f: String): String = anchor.fold(f)(dir =>
+      new org.apache.hadoop.fs.Path(dir,
+        new org.apache.hadoop.fs.Path(f).getName).toString)
     val survive = preds.map { case (c, lo, hi) =>
       !(col(s"max_$c") < lo || col(s"min_$c") > hi)
     }.reduce(_ && _)
     val keep = manifest.filter(survive)
-      .select("file").collect().map(_.getString(0))
+      .select("file").collect().map(r => anchored(r.getString(0)))
     val residual = preds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
     if (keep.isEmpty) {
       // every file pruned: the result is provably empty — answer it
       // from one file's FOOTER (schema only), zero data bytes read
-      val any = manifest.select("file").head().getString(0)
+      val any = anchored(manifest.select("file").head().getString(0))
       spark.read.parquet(any).filter(lit(false))
     } else
       spark.read.parquet(keep.toIndexedSeq: _*).filter(residual)
+  }
+
+  // ---- MERGE-ON-READ equality deletes --------------------------------
+
+  /** MERGE-ON-READ equality delete (Iceberg's equality-delete files /
+    * Delta's deletion vectors, keyed form): land the delete KEYS as
+    * one batch file set under the generation's `_deletes/` —
+    * O(|keys|) I/O, the data files are NEVER rewritten — and have
+    * [[morRead]] apply them as an anti-join. This is the DELETE a
+    * 100 TB table actually wants: a copy-on-write delete (mergeKeyed
+    * with deletes) rewrites the whole table to drop a handful of
+    * rows; here the write cost is the key set and the read pays one
+    * broadcast-small anti-join until [[compactMor]] materializes.
+    *
+    * Refuses BY NAME: NULL keys, and keys not live in the current
+    * MOR view (already-deleted or never-present — a silently-ignored
+    * key would report a removal that never happened, and double
+    * deletes would corrupt the deleted-row accounting). Visibility is
+    * atomic per batch: the key file stages under a dot-prefixed tmp
+    * dir and reaches `_deletes/` with ONE rename — a concurrent
+    * [[morRead]] sees the whole batch or none of it. The `_` prefix
+    * keeps every data read from listing the tombstones. Single-writer
+    * per table, like the rest of the lake. Returns the number of rows
+    * the delete removed from the view. */
+  def softDeleteDir(spark: SparkSession, dir: String, keys: DataFrame,
+      key: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val nNull = keys.filter(col(key).isNull).count()
+    require(nNull == 0,
+      s"MOR DELETE REFUSED: $nNull rows carry a NULL $key")
+    val del = keys.select(col(key)).distinct().localCheckpoint(true)
+    val live = morRead(spark, dir, key)
+    val nMissing = del.join(live.select(col(key)), Seq(key), "left_anti")
+      .count()
+    require(nMissing == 0,
+      s"MOR DELETE REFUSED: $nMissing keys not live in the view " +
+        "(never present, or already deleted) — a silently-ignored key " +
+        "would report a removal that never happened")
+    // rows removed can exceed |keys| when the key is non-unique —
+    // count what the anti-join will actually drop
+    val removed = live.join(broadcast(del), Seq(key), "left_semi").count()
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val stage = new org.apache.hadoop.fs.Path(loc, s".tmp-del-$tag")
+    del.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString).count()
+    if (staged != del.count()) {
+      fs.delete(stage, true)
+      throw new java.io.IOException(
+        s"staged delete batch short: $staged of ${del.count()} keys; " +
+          "aborting — view unchanged")
+    }
+    val dels = new org.apache.hadoop.fs.Path(loc, "_deletes")
+    fs.mkdirs(dels)
+    val dest = new org.apache.hadoop.fs.Path(dels, s"b-$tag")
+    require(fs.rename(stage, dest), s"delete publish failed: $stage -> $dest")
+    removed
+  }
+
+  /** The MERGE-ON-READ view: data files ANTI-JOINED against the
+    * accumulated `_deletes/` key batches. With no tombstones this IS
+    * the plain read (zero-cost until the first delete); with them,
+    * the delete-key union is tombstone-sized and broadcasts — the
+    * fact side never shuffles for its own deletes. The key column
+    * must match what [[softDeleteDir]] landed (checked by name
+    * against the tombstone schema). */
+  def morRead(spark: SparkSession, dir: String, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val data = spark.read.parquet(dir)
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dels = new org.apache.hadoop.fs.Path(loc, "_deletes")
+    val batches = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dels, "b-*")))
+      .getOrElse(Array.empty).map(_.getPath.toString)
+    if (batches.isEmpty) data
+    else {
+      val tomb = spark.read.parquet(batches.toIndexedSeq: _*)
+      require(tomb.columns.toSeq == Seq(key),
+        s"MOR READ REFUSED: tombstones carry key '${tomb.columns.mkString(",")}', " +
+          s"read asked for '$key'")
+      data.join(broadcast(tomb), Seq(key), "left_anti")
+    }
+  }
+
+  /** catalog-level [[softDeleteDir]]: tombstones land in the LIVE
+    * generation's directory, so they share its snapshot lifetime —
+    * a later publish's GC reclaims them WITH their generation. */
+  def softDelete(spark: SparkSession, table: String, keys: DataFrame,
+      key: String): Long =
+    softDeleteDir(spark, tableLocation(spark, table), keys, key)
+
+  /** catalog-level [[morRead]] — resolves the live generation once. */
+  def readMor(spark: SparkSession, table: String, key: String): DataFrame =
+    morRead(spark, tableLocation(spark, table), key)
+
+  /** MATERIALIZE the merge-on-read state: publish a new generation
+    * containing only the surviving rows and NO `_deletes` — the
+    * standard compaction that turns accumulated tombstones back into
+    * a clean table, through the same claim/verify/flip machinery as
+    * every other publish (the superseded generation keeps its data
+    * AND its tombstones for the retention window). */
+  def compactMor(spark: SparkSession, table: String, key: String,
+      targetRecordsPerFile: Long, retainMs: Long = 600000L,
+      statsCols: Seq[String] = Nil): Long = {
+    val liveLoc = tableLocation(spark, table)
+    publishGeneration(spark, table, retainMs, statsCols) { (_, dest, format) =>
+      val survivors = morRead(spark, liveLoc, key)
+      val n = survivors.count()
+      val nFiles = math.max(1L,
+        (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      survivors.repartition(nFiles).write.format(format)
+        .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+        .mode("overwrite").save(dest)
+      n
+    }
+  }
+
+  private def tableLocation(spark: SparkSession, table: String): String = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    require(catalog.tableExists(ident), s"unknown table $table")
+    new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(ident).location).toString
+  }
+
+  /** ATTACH a [[fileStats]] manifest to a directory-addressed table
+    * copy: computed from the files at `dir`, written INSIDE it as
+    * `_stats` (the `_` prefix keeps data reads from listing it) —
+    * the manifest shares the directory's lifetime, so it can never
+    * describe files that are gone. For CATALOG tables prefer the
+    * publish-time route (`statsCols` on
+    * [[compactTable]]/[[optimizeZOrder]]/[[mergeKeyed]]); this is
+    * the bootstrap for a generation that predates stats. */
+  def attachStats(spark: SparkSession, dir: String, cols: Seq[String],
+      format: String = "parquet"): Unit =
+    fileStats(spark.read.format(format).load(dir), cols)
+      .write.mode("overwrite").parquet(s"$dir/_stats")
+
+  /** The LIVE manifest of a catalog table — resolved from the live
+    * generation's own directory ([[publishGeneration]] commits the
+    * manifest inside it), so manifest and data always describe the
+    * same snapshot. REFUSES BY NAME a table whose live generation
+    * carries no manifest — a silent fall-back to a full scan would
+    * report pruning that never happened. */
+  def tableStats(spark: SparkSession, table: String): DataFrame = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    require(catalog.tableExists(ident), s"unknown table $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(ident).location)
+    val stats = new org.apache.hadoop.fs.Path(loc, "_stats")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(stats),
+      s"NO MANIFEST: the live generation of $table ($loc) carries no " +
+        "_stats — publish with statsCols (compactTable/optimizeZOrder/" +
+        "mergeKeyed) or attachStats(dir) first")
+    spark.read.parquet(stats.toString)
+  }
+
+  /** [[readPrunedMulti]] against a directory whose manifest was
+    * committed WITH it ([[attachStats]] / a statsCols publish):
+    * planning reads the few-KB `_stats`, not the data. */
+  def readPrunedDir(spark: SparkSession, dir: String,
+      preds: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)])
+      : DataFrame =
+    readPrunedAnchored(spark, spark.read.parquet(s"$dir/_stats"), preds,
+      Some(dir))
+
+  /** The TABLE-LEVEL pruned read: resolve the live generation ONCE,
+    * take ITS committed manifest, prune, read the surviving files —
+    * all against the same snapshot directory, so a concurrent
+    * publish flipping the table mid-call cannot mismatch manifest
+    * and data (the superseded generation, manifest included,
+    * survives the retention window like any in-flight read). */
+  def readPrunedTable(spark: SparkSession, table: String,
+      preds: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    // resolve the live location exactly ONCE — manifest, anchor, and
+    // surviving files all come from that one snapshot directory
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    require(catalog.tableExists(ident), s"unknown table $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(ident).location).toString
+    val stats = new org.apache.hadoop.fs.Path(loc, "_stats")
+    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(stats),
+      s"NO MANIFEST: the live generation of $table ($loc) carries no " +
+        "_stats — publish with statsCols (compactTable/optimizeZOrder/" +
+        "mergeKeyed) or attachStats(dir) first")
+    readPrunedDir(spark, loc, preds)
   }
 
   /** INCREMENTAL MATERIALIZED-VIEW deltas — turn a keyed change feed
@@ -606,7 +842,7 @@ object LakeSink {
     * claim reclaims). Returns the merged row count. */
   def mergeKeyed(spark: SparkSession, table: String, updates: DataFrame,
       key: String, deletes: Option[DataFrame] = None,
-      retainMs: Long = 600000L): Long = {
+      retainMs: Long = 600000L, statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     // BOTH update-batch refusals from ONE aggregate action (null
     // count + duplicated-key group count over one column-pruned key
@@ -631,7 +867,7 @@ object LakeSink {
       require(nNullD == 0,
         s"MERGE REFUSED: $nNullD delete rows carry a NULL $key")
     }
-    publishGeneration(spark, table, retainMs) { (live, dest, format) =>
+    publishGeneration(spark, table, retainMs, statsCols) { (live, dest, format) =>
       mergedView(live, updates, key, deletes)
         .write.format(format).mode("overwrite").save(dest)
       // expected count computed independently of the written bytes,
@@ -694,11 +930,31 @@ object LakeSink {
     * Callers pass bounded bucket ranks (e.g. `user_id % 64`,
     * `hour % 64`), not raw values: `bits` bits per dimension. */
   def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column =
+    zOrderKeyN(Seq(a, b), bits)
+
+  /** [[zOrderKey]] over N ≥ 2 dimensions — real tables cluster on
+    * 3–4 (tenant, day, region, …): bit i of column j lands at
+    * position N·i + j, so the 2-column form is exactly the N = 2
+    * case (a21's key is bit-identical through the delegation) and
+    * every dimension's bits stay evenly interleaved — each file's
+    * [min,max] box is bounded in ALL N columns at once. The 63-bit
+    * long budget is the honest trade: N dims get ⌊63/N⌋ usable bits
+    * each (pass coarser bucket ranks as N grows), enforced by name
+    * here rather than silently wrapping into the sign bit. */
+  def zOrderKeyN(cols: Seq[org.apache.spark.sql.Column],
       bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    (0 until bits).map { i =>
-      shiftright(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    val n = cols.length
+    require(n >= 2, s"z-order needs at least 2 columns, got $n")
+    require(n * bits <= 63,
+      s"z-order key overflows a long: $n cols × $bits bits = " +
+        s"${n * bits} > 63 — pass coarser bucket ranks (bits ≤ ${63 / n})")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftright(c.cast("long"), i).bitwiseAND(lit(1L)) *
+          lit(1L << (n * i + j))
+      }
     }.reduce(_ + _)
   }
 

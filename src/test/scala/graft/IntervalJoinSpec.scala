@@ -153,6 +153,129 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(collide.getMessage.contains("disjoint"))
   }
 
+  // ---- the SHUFFLED sibling (fact-sized interval sides) ------------
+
+  test("shuffled build ≡ broadcast build ≡ Spark's theta-join; one Exchange per side, no BNLJ, no broadcast") {
+    val ours = IntervalJoin.pointInInterval(probes, windows,
+      "psec", "lo", "hi", Seq("p_user" -> "w_user"), build = "shuffle")
+    val bc = IntervalJoin.pointInInterval(probes, windows,
+      "psec", "lo", "hi", Seq("p_user" -> "w_user"))
+    val theta = probes.join(windows,
+      col("p_user") === col("w_user") &&
+        col("psec") >= col("lo") && col("psec") <= col("hi"))
+    assert(sortedRows(ours) == sortedRows(theta))
+    assert(sortedRows(ours) == sortedRows(bc))
+    assert(ours.collect().nonEmpty)
+    val plan = ours.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledIntervalJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastExchange"),
+      "the interval side must NOT broadcast:\n" + plan.take(800))
+    // count in the FINAL plan only (AQE prints the initial plan too,
+    // doubling every occurrence)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(nExchanges == 2,
+      s"exactly one hash Exchange per side, got $nExchanges:\n" + finalPlan.take(1200))
+  }
+
+  test("shuffled left outer ≡ theta left join; null semantics match the broadcast form") {
+    val ours = IntervalJoin.pointInInterval(probes, windows,
+      "psec", "lo", "hi", Seq("p_user" -> "w_user"),
+      joinType = "left_outer", build = "shuffle")
+    val theta = probes.join(windows,
+      col("p_user") === col("w_user") &&
+        col("psec") >= col("lo") && col("psec") <= col("hi"), "left_outer")
+    assert(sortedRows(ours) == sortedRows(theta))
+    assert(ours.filter(col("win_id").isNull).count() > 0,
+      "fixture must contain unmatched probes")
+    // null point / bounds / keys never match, probe kept under outer
+    val w = Seq((java.lang.Long.valueOf(1L), "k", java.lang.Long.valueOf(0L), java.lang.Long.valueOf(100L)),
+      (java.lang.Long.valueOf(2L), "k", null, java.lang.Long.valueOf(100L)),
+      (java.lang.Long.valueOf(3L), null, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(100L)))
+      .toDF("win_id", "wk", "lo", "hi")
+    val p = Seq((java.lang.Long.valueOf(10L), "k", java.lang.Long.valueOf(5L)),
+      (java.lang.Long.valueOf(11L), "k", null),
+      (java.lang.Long.valueOf(12L), null, java.lang.Long.valueOf(5L)))
+      .toDF("pid", "pk", "x")
+    val got = IntervalJoin.pointInInterval(p, w, "x", "lo", "hi",
+        Seq("pk" -> "wk"), joinType = "left_outer", build = "shuffle")
+      .select("pid", "win_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(got == Seq((10L, 1L), (11L, -1L), (12L, -1L)), s"$got")
+  }
+
+  test("shuffled build handles an interval side ABOVE the broadcast cap (where broadcast refuses)") {
+    spark.conf.set(IntervalJoin.MaxBuildRowsKey, "3")
+    try {
+      intercept[Exception] {
+        IntervalJoin.pointInInterval(probes, windows, "psec", "lo", "hi",
+          Seq("p_user" -> "w_user")).collect()
+      }
+      // the same fact-sized side the refusal orphaned, through the
+      // partitioned build — no cap applies (per-partition memory)
+      val got = IntervalJoin.pointInInterval(probes, windows,
+        "psec", "lo", "hi", Seq("p_user" -> "w_user"), build = "shuffle")
+      val theta = probes.join(windows,
+        col("p_user") === col("w_user") &&
+          col("psec") >= col("lo") && col("psec") <= col("hi"))
+      assert(sortedRows(got) == sortedRows(theta))
+    } finally spark.conf.unset(IntervalJoin.MaxBuildRowsKey)
+  }
+
+  test("build=auto: dim-sized side broadcasts, above-cap side shuffles, keyless stays broadcast") {
+    val under = IntervalJoin.pointInInterval(probes, windows.limit(20),
+      "psec", "lo", "hi", Seq("p_user" -> "w_user"), build = "auto")
+    assert(under.queryExecution.executedPlan.toString
+      .contains("BroadcastIntervalJoin"))
+    spark.conf.set(IntervalJoin.MaxBuildRowsKey, "3")
+    try {
+      val over = IntervalJoin.pointInInterval(probes, windows,
+        "psec", "lo", "hi", Seq("p_user" -> "w_user"), build = "auto")
+      assert(over.queryExecution.executedPlan.toString
+        .contains("ShuffledIntervalJoin"))
+      val theta = probes.join(windows,
+        col("p_user") === col("w_user") &&
+          col("psec") >= col("lo") && col("psec") <= col("hi"))
+      assert(sortedRows(over) == sortedRows(theta))
+      // keyless has no shuffled form to fall back to — auto keeps
+      // broadcast (and the cap's refusal) rather than mis-planning
+      val keyless = IntervalJoin.pointInInterval(
+        probes.select(col("purchase_id"), col("psec")),
+        windows.limit(2).select(col("win_id"), col("lo"), col("hi")),
+        "psec", "lo", "hi", Nil, build = "auto")
+      assert(keyless.queryExecution.executedPlan.toString
+        .contains("BroadcastIntervalJoin"))
+    } finally spark.conf.unset(IntervalJoin.MaxBuildRowsKey)
+  }
+
+  test("shuffled keyless refused by name (no partitioning keeps a stab local)") {
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(
+        probes.select(col("purchase_id"), col("psec")),
+        windows.select(col("win_id"), col("lo"), col("hi")),
+        "psec", "lo", "hi", Nil, build = "shuffle")
+    }
+    assert(e.getMessage.contains("equi-key"), e.getMessage)
+    val bad = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(probes, windows, "psec", "lo", "hi",
+        Seq("p_user" -> "w_user"), build = "sideways")
+    }
+    assert(bad.getMessage.contains("broadcast, shuffle, or auto"),
+      bad.getMessage)
+  }
+
+  test("q52 runs the shuffled exec and matches the q46-shaped theta aggregate") {
+    val df = Registry.byName("q52_interval_shuffle").run(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledIntervalJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(df.collect().nonEmpty)
+    assert(df.columns.toSeq ==
+      Seq("purchase_id", "n_win", "first_win", "max_into_s"))
+  }
+
   test("self-join inputs (both sides carved from one scan) resolve cleanly") {
     // probes and windows both derive from the same events scan —
     // without the build-side re-alias their attributes would share

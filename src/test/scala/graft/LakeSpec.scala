@@ -642,6 +642,199 @@ class LakeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE opt_t")
   }
 
+  test("stats-in-the-commit: manifest published INSIDE the generation; table-level pruned read needs no re-stat; manifest never outlives its generation") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_stats").toString + "/t"
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    LakeSink.writeParquet(grid.repartition(16), out)
+    LakeSink.registerExternal(spark, "st_t", out)
+    // no manifest yet: the table-level read refuses BY NAME instead
+    // of silently full-scanning
+    val e0 = intercept[IllegalArgumentException] {
+      LakeSink.readPrunedTable(spark, "st_t",
+        Seq(("x", lit(0L), lit(7L))))
+    }
+    assert(e0.getMessage.contains("NO MANIFEST"), e0.getMessage)
+    // optimize commits the cluster columns' manifest with the flip
+    LakeSink.optimizeZOrder(spark, "st_t", "x", "y",
+      targetRecordsPerFile = 256L, bits = 6)
+    val man = LakeSink.tableStats(spark, "st_t")
+    assert(man.columns.contains("min_x") && man.columns.contains("max_y"))
+    val pr = LakeSink.readPrunedTable(spark, "st_t",
+      Seq(("x", lit(0L), lit(7L)), ("y", lit(0L), lit(7L))))
+    val exp = grid.filter(col("x").between(0L, 7L) && col("y").between(0L, 7L))
+    assert(pr.exceptAll(exp).isEmpty && exp.exceptAll(pr).isEmpty)
+    assert(pr.inputFiles.length * 4 <= man.count(),
+      s"box read touches ${pr.inputFiles.length} of ${man.count()} files")
+    // the manifest is INSIDE the generation dir, invisible to data reads
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("st_t")).location
+    assert(new java.io.File(new java.io.File(loc), "_stats").isDirectory)
+    assert(spark.table("st_t").count() == 64L * 64L,
+      "_stats must not leak into the data read")
+    // a publish WITHOUT statsCols strands no stale manifest: the new
+    // live generation simply has none, and the read refuses again —
+    // it can never prune against files a later GC deletes
+    LakeSink.compactTable(spark, "st_t", targetRecordsPerFile = 4096L)
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSink.tableStats(spark, "st_t")
+    }
+    assert(e1.getMessage.contains("NO MANIFEST"), e1.getMessage)
+    // a publish WITH statsCols re-commits a manifest for ITS files
+    LakeSink.compactTable(spark, "st_t", targetRecordsPerFile = 512L,
+      statsCols = Seq("x", "y"))
+    val man2 = LakeSink.tableStats(spark, "st_t").collect()
+    // compare PATHS (input_file_name and the catalog print file: URIs
+    // in different forms — file:/ vs file:///)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val live = p(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("st_t")).location.toString)
+    assert(man2.forall(r => p(r.getString(0)).startsWith(live)),
+      s"the committed manifest must describe the live generation's own " +
+        s"files ($live vs ${p(man2.head.getString(0))})")
+    spark.sql("DROP TABLE st_t")
+  }
+
+  test("N-dimensional z-order: 3-D box read prunes ≥ 8×, rows identical; N=2 ≡ the pair form; long overflow refused by name") {
+    import spark.implicits._
+    // N=2 delegation is bit-identical (a21's key is unchanged)
+    val pairs = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("a", "b")
+    assert(pairs.select((LakeSink.zOrderKey(col("a"), col("b"), 6) =!=
+      LakeSink.zOrderKeyN(Seq(col("a"), col("b")), 6)).as("d"))
+      .filter(col("d")).count() == 0)
+    val eo = intercept[IllegalArgumentException] {
+      LakeSink.zOrderKeyN(Seq(col("a"), col("b"), col("a"), col("b")), 16)
+    }
+    assert(eo.getMessage.contains("overflows"), eo.getMessage)
+    val ec = intercept[IllegalArgumentException] {
+      LakeSink.zOrderKeyN(Seq(col("a")), 8)
+    }
+    assert(ec.getMessage.contains("at least 2"), ec.getMessage)
+    // the 3-D layout through the live-table machinery
+    val out = Files.createTempDirectory("graft_z3").toString + "/t"
+    val cube = (for (x <- 0L until 32L; y <- 0L until 32L; z <- 0L until 32L)
+      yield (x, y, z)).toDF("x", "y", "z")
+    LakeSink.writeParquet(cube.repartition(16), out)
+    LakeSink.registerExternal(spark, "z3_t", out)
+    val n = LakeSink.optimizeZOrderN(spark, "z3_t", Seq("x", "y", "z"),
+      targetRecordsPerFile = 2048L, bits = 5)
+    assert(n == 32L * 32L * 32L)
+    val back = spark.table("z3_t")
+    assert(back.exceptAll(cube).isEmpty && cube.exceptAll(back).isEmpty)
+    val man = LakeSink.tableStats(spark, "z3_t")
+    // (0..3)³ sits inside ONE aligned 8×8×8 morton block — immune to
+    // where repartitionByRange's sampled boundaries land (a (0..7)³
+    // box straddles up to 3 files at this file sizing, which is
+    // still ~8× pruning but flaky against a sharp-ratio assert)
+    val pr = LakeSink.readPrunedTable(spark, "z3_t", Seq(
+      ("x", lit(0L), lit(3L)), ("y", lit(0L), lit(3L)),
+      ("z", lit(0L), lit(3L))))
+    val exp = cube.filter(col("x").between(0L, 3L) &&
+      col("y").between(0L, 3L) && col("z").between(0L, 3L))
+    assert(pr.exceptAll(exp).isEmpty && exp.exceptAll(pr).isEmpty,
+      "3-D pruned read loses nothing")
+    assert(pr.inputFiles.length * 8 <= man.count(),
+      s"3-D box read touches ${pr.inputFiles.length} of ${man.count()} files")
+    spark.sql("DROP TABLE z3_t")
+  }
+
+  test("merge-on-read deletes: O(|keys|) tombstones, data files untouched; read applies; refusals; compactMor materializes and clears") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mor").toString + "/t"
+    val base = (1L to 500L).map(i => (i, i % 7, s"v$i")).toDF("k", "g", "v")
+    LakeSink.writeParquet(base.repartition(4), out)
+    LakeSink.registerExternal(spark, "mor_t", out)
+    def dataFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = dataFiles
+    // batch 1 removes 50 rows, batch 2 another 100 — the data files
+    // never rewrite (merge-on-read's whole point)
+    val n1 = LakeSink.softDelete(spark, "mor_t",
+      (1L to 50L).toDF("k"), "k")
+    assert(n1 == 50L)
+    val n2 = LakeSink.softDelete(spark, "mor_t",
+      (51L to 150L).toDF("k"), "k")
+    assert(n2 == 100L)
+    assert(dataFiles == before, "tombstones must not rewrite data files")
+    val view = LakeSink.readMor(spark, "mor_t", "k")
+    assert(view.count() == 350L)
+    assert(view.filter(col("k") <= 150L).count() == 0L)
+    val exp = base.filter(col("k") > 150L)
+    assert(view.exceptAll(exp).isEmpty && exp.exceptAll(view).isEmpty)
+    // the raw table read stays raw (tombstones hidden from data scans)
+    assert(spark.table("mor_t").count() == 500L)
+    // refusals: double delete / never-present / NULL — view unchanged
+    val eDouble = intercept[IllegalArgumentException] {
+      LakeSink.softDelete(spark, "mor_t", Seq(10L).toDF("k"), "k")
+    }
+    assert(eDouble.getMessage.contains("not live"), eDouble.getMessage)
+    val eMissing = intercept[IllegalArgumentException] {
+      LakeSink.softDelete(spark, "mor_t", Seq(9999L).toDF("k"), "k")
+    }
+    assert(eMissing.getMessage.contains("not live"), eMissing.getMessage)
+    val eNull = intercept[IllegalArgumentException] {
+      LakeSink.softDelete(spark, "mor_t",
+        Seq(Option.empty[java.lang.Long]).toDF("k"), "k")
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    assert(LakeSink.readMor(spark, "mor_t", "k").count() == 350L)
+    // wrong-key read refuses by name (schema mismatch, not wrong rows)
+    val eKey = intercept[IllegalArgumentException] {
+      LakeSink.readMor(spark, "mor_t", "g").count()
+    }
+    assert(eKey.getMessage.contains("tombstones carry key"), eKey.getMessage)
+    // compactMor: survivors materialize through the standard publish;
+    // tombstones cleared; raw read == MOR read afterwards
+    val n = LakeSink.compactMor(spark, "mor_t", "k",
+      targetRecordsPerFile = 200L)
+    assert(n == 350L)
+    assert(spark.table("mor_t").count() == 350L)
+    val view2 = LakeSink.readMor(spark, "mor_t", "k")
+    assert(view2.exceptAll(exp).isEmpty && exp.exceptAll(view2).isEmpty)
+    assert(LakeSink.listGenerations(spark, "mor_t") == Seq(0L, 1L))
+    // the superseded generation kept its data AND its tombstones —
+    // history stays interpretable for the retention window
+    val g0 = new java.io.File(out)
+    assert(new java.io.File(g0, "_deletes").isDirectory)
+    // and the cycle restarts cleanly on the compacted generation
+    assert(LakeSink.softDelete(spark, "mor_t",
+      Seq(200L).toDF("k"), "k") == 1L)
+    assert(LakeSink.readMor(spark, "mor_t", "k").count() == 349L)
+    spark.sql("DROP TABLE mor_t")
+  }
+
+  test("merge-on-read delete with a NON-UNIQUE key removes every row of the key (and counts them)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mor2").toString + "/t"
+    val base = (1L to 30L).map(i => (i % 10, i)).toDF("k", "row_id")
+    LakeSink.writeParquet(base, out)
+    val removed = LakeSink.softDeleteDir(spark, out, Seq(3L).toDF("k"), "k")
+    assert(removed == 3L, s"k=3 has 3 rows, got $removed")
+    assert(LakeSink.morRead(spark, out, "k").count() == 27L)
+  }
+
+  test("attachStats + readPrunedDir: the manifest travels with its directory (rename-proof anchoring)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_anchor").toString
+    val df = (0L until 1024L).map(v => (v, s"p$v")).toDF("v", "payload")
+    df.repartitionByRange(8, col("v")).sortWithinPartitions("v")
+      .write.parquet(s"$base/build")
+    LakeSink.attachStats(spark, s"$base/build", Seq("v"))
+    // the rename every staged publish does — absolute paths recorded
+    // at stat time are now stale; file NAMES are not
+    assert(new java.io.File(s"$base/build")
+      .renameTo(new java.io.File(s"$base/live")))
+    val pr = LakeSink.readPrunedDir(spark, s"$base/live",
+      Seq(("v", lit(100L), lit(149L))))
+    assert(pr.count() == 50L)
+    assert(pr.inputFiles.length * 2 <=
+      spark.read.parquet(s"$base/live/_stats").count().toInt,
+      "pruning must survive the rename")
+  }
+
   test("zOrder layout: the manifest prunes on BOTH dimensions; a single-column sort only prunes its own") {
     import spark.implicits._
     val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))

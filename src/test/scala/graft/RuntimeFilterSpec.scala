@@ -198,6 +198,99 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salted condition missing")
   }
 
+  // ---- the ADVISOR: the tier composed into a strategy choice -------
+
+  private def plainJoin(fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame) =
+    fact.join(dim, col("fk") === col("pk"))
+      .collect().map(_.toSeq.toString).sorted.toSeq
+
+  test("adviseJoin picks broadcast for a dim under the cap; output ≡ plain join") {
+    import spark.implicits._
+    val fact = (0 until 500).map(i => (i.toLong % 50, i.toLong))
+      .toDF("fk", "row_id")
+    val dim = (0L until 50L).map(k => (k, s"v$k")).toDF("pk", "payload")
+    val (joined, advice) = adviseJoin(fact, "fk", "row_id", dim, "pk",
+      broadcastMaxRows = 100L)
+    assert(advice.strategy === "broadcast", advice.toString)
+    assert(joined.collect().map(_.toSeq.toString).sorted.toSeq ===
+      plainJoin(fact, dim))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("adviseJoin picks salted on the hot fixture; output ≡ plain join") {
+    import spark.implicits._
+    // key 0 holds 60% of the fact — over the 10% hot threshold
+    val fact = ((0 until 300).map(i => (0L, i.toLong)) ++
+      (0 until 200).map(i => (1L + i % 100, 1000L + i)))
+      .toDF("fk", "row_id")
+    val dim = (0L until 110L).map(k => (k, s"v$k")).toDF("pk", "payload")
+    val (joined, advice) = adviseJoin(fact, "fk", "row_id", dim, "pk",
+      broadcastMaxRows = 5L, p = 4)
+    assert(advice.strategy === "salted", advice.toString)
+    assert(advice.nHotKeys === 1L, advice.toString)
+    assert(joined.collect().map(_.toSeq.toString).sorted.toSeq ===
+      plainJoin(fact, dim))
+    assert(joined.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+
+  test("adviseJoin picks bloom for a selective dim; output ≡ plain join") {
+    import spark.implicits._
+    // uniform fact over 1000 keys; dim covers 50 → ~5% match
+    val fact = (0 until 2000).map(i => (i.toLong % 1000, i.toLong))
+      .toDF("fk", "row_id")
+    val dim = (0L until 50L).map(k => (k, s"v$k")).toDF("pk", "payload")
+    val (joined, advice) = adviseJoin(fact, "fk", "row_id", dim, "pk",
+      broadcastMaxRows = 5L)
+    assert(advice.strategy === "bloom", advice.toString)
+    assert(advice.estMatchedFact >= 100L, advice.toString) // one-sided
+    assert(joined.collect().map(_.toSeq.toString).sorted.toSeq ===
+      plainJoin(fact, dim))
+  }
+
+  test("adviseJoin picks plain for uniform non-selective; output ≡ plain join; estimates one-sided") {
+    import spark.implicits._
+    // every fact key matches — nothing to filter, nothing hot
+    val fact = (0 until 1000).map(i => (i.toLong % 100, i.toLong))
+      .toDF("fk", "row_id")
+    val dim = (0L until 100L).map(k => (k, s"v$k")).toDF("pk", "payload")
+    val (joined, advice) = adviseJoin(fact, "fk", "row_id", dim, "pk",
+      broadcastMaxRows = 5L)
+    assert(advice.strategy === "plain", advice.toString)
+    assert(advice.estPairs >= 1000L, "one-sided: est ≥ exact inner size")
+    assert(advice.estMatchedFact >= 1000L, advice.toString)
+    assert(advice.factRows === 1000L && advice.dimRows === 100L)
+    assert(joined.collect().map(_.toSeq.toString).sorted.toSeq ===
+      plainJoin(fact, dim))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"), "plain branch must keep the shuffle join")
+  }
+
+  test("adviseJoin refuses colliding column names by name") {
+    import spark.implicits._
+    val df = (0L until 10L).map(k => (k, k)).toDF("k", "n_x")
+    val e = intercept[IllegalArgumentException] {
+      adviseJoin(df, "k", "n_x", df, "k")
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+  }
+
+  test("q53 ≡ the plain join through whatever branch the statistics chose") {
+    val d = TestSpark.sf
+    val got = SparkEntry.queries("q53_advised_join")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val pt = spark.read.parquet(s"$d/part.parquet")
+      .filter(col("p_brand").isin("Brand#12", "Brand#45"))
+    val plain = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.queries.Analytics.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand").collect().map(_.toSeq).toSeq
+    assert(got === plain)
+  }
+
   test("cms estimate sees a planted skew explosion the key counts hide") {
     import spark.implicits._
     // 1000 rows over 100 keys, but one hot key holds half the mass:

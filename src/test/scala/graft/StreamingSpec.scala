@@ -767,6 +767,75 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE mvs_t")
   }
 
+  test("streaming lake MV end to end: CDC-apply → diffKeyed over RETAINED GENERATIONS → aggDeltas; view ≡ recompute, history readable at every step") {
+    // the full a18→a19 pipeline from ONE machinery, on a LIVE
+    // streamed table: each micro-batch merges into the BASE through
+    // mergeKeyed (one generation per batch), the change feed is then
+    // EXTRACTED FROM THE LAKE ITSELF — diffKeyed between the two
+    // retained generations the merge just connected (a18's CDC
+    // shape), never trusted from the input batch — and folds into
+    // the VIEW via aggDeltas/applyAggDeltas (a19). The base is never
+    // rescanned by the view; time travel stays readable throughout.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, floor, lit, sum}
+    import graft.sources.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_lmv").toString
+    val base0 = (1L to 50L).map(i => (i, i % 5, i * 1.0)).toDF("k", "g", "v")
+    LakeSink.writeParquet(base0, s"$root/base")
+    LakeSink.registerExternal(spark, "lmv_base", s"$root/base")
+    def recompute(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("v") * 100.0 + 0.5).cast("long")).as("sum_cents"))
+    LakeSink.writeParquet(recompute(base0), s"$root/view")
+    LakeSink.registerExternal(spark, "lmv_view", s"$root/view")
+    val in = MemoryStream[(Long, Long, Double, String)] // k, g, v, op
+    val q = in.toDF().toDF("k", "g", "v", "op").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ups = batch.filter(col("op") === "upsert").select("k", "g", "v")
+        val dels = batch.filter(col("op") === "delete").select("k")
+        if (!ups.isEmpty || !dels.isEmpty) {
+          val genBefore = LakeSink.listGenerations(spark, "lmv_base").last
+          LakeSink.mergeKeyed(spark, "lmv_base", ups, "k",
+            if (dels.isEmpty) None else Some(dels))
+          val genAfter = LakeSink.listGenerations(spark, "lmv_base").last
+          val feed = LakeSink.diffKeyed(
+            LakeSink.readGeneration(spark, "lmv_base", genBefore),
+            LakeSink.readGeneration(spark, "lmv_base", genAfter), "k")
+          val d = LakeSink.aggDeltas(feed, "g", "v")
+          if (!d.isEmpty) LakeSink.applyAggDeltas(spark, "lmv_view", d, "g")
+        }
+        ()
+      }.start()
+    // batch 1: insert k60(g1), MOVE k10 g0→g2 with a new value, del k3
+    in.addData((60L, 1L, 6.0, "upsert"), (10L, 2L, 9.5, "upsert"),
+      (3L, 0L, 0.0, "delete"))
+    q.processAllAvailable()
+    // batch 2: update k60 in place, delete the moved k10
+    in.addData((60L, 1L, 7.25, "upsert"), (10L, 0L, 0.0, "delete"))
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect().map(_.toSeq).toSeq
+    assert(rows(spark.table("lmv_view")) ==
+      rows(recompute(spark.table("lmv_base"))),
+      "view after N micro-batches must equal the recompute")
+    // time travel: every base generation retained and readable, and
+    // the net feed gen0 → live recovers exactly the effective changes
+    val gens = LakeSink.listGenerations(spark, "lmv_base")
+    assert(gens == Seq(0L, 1L, 2L), s"one generation per merge: $gens")
+    assert(LakeSink.readGeneration(spark, "lmv_base", 0L).count() == 50L)
+    assert(LakeSink.readGeneration(spark, "lmv_base", 1L)
+      .filter(col("k") === 60L).count() == 1L)
+    val net = LakeSink.diffKeyed(
+      LakeSink.readGeneration(spark, "lmv_base", 0L),
+      spark.table("lmv_base"), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(net == Set(("insert", 60L), ("delete", 3L), ("delete", 10L)),
+      s"net change feed over the retained history: $net")
+    spark.sql("DROP TABLE lmv_base"); spark.sql("DROP TABLE lmv_view")
+  }
+
   test("streamed as-of enrichment ≡ batch as-of join on the real events table; late rows can't regress state") {
     // q45's operator as continuous state: purchases (left) answered
     // with the latest view (right) at or before them. Fed in EVENT

@@ -167,4 +167,80 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!rows(got).exists(_.startsWith("[3,")),
       "a tokenless doc can match no term and must not appear")
   }
+
+  test("delete ≡ a rebuild without the docs — df/N/Σdl shift included; deleted doc never answers; append-after-delete consistent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_d").toString
+    TextIndex.write(docs, "doc_id", "text", dir)
+    val delIds = Seq(2L, 5L)
+    val left = TextIndex.delete(spark, dir, delIds.toDF("doc_id"))
+    assert(left == docs.count() - 2)
+    val afterDel = TextIndex.moreLikeThis(spark, dir, 1L, 20)
+    assert(afterDel.filter(col("doc_id").isin(delIds: _*)).count() == 0,
+      "a deleted doc must never answer")
+    // the whole point: scores EQUAL a rebuild without those docs —
+    // the df/N/Σdl identities shift with the deletion, bit for bit
+    val rb = java.nio.file.Files.createTempDirectory("graft_tidx_rb").toString
+    TextIndex.write(docs.filter(!col("doc_id").isin(delIds: _*)),
+      "doc_id", "text", rb)
+    assert(rows(afterDel) == rows(TextIndex.moreLikeThis(spark, rb, 1L, 20)))
+    val (mtD, mtR) = (TextIndex.readMeta(spark, dir),
+      TextIndex.readMeta(spark, rb))
+    assert(mtD.n == mtR.n && mtD.sumdl == mtR.sumdl,
+      s"meta must match the rebuild: $mtD vs $mtR")
+    // append-after-delete of a previously-deleted id passes the
+    // collision guard (its doclen key went with it) and converges
+    TextIndex.append(spark, dir, docs.filter(col("doc_id") === 2L))
+    val rb2 = java.nio.file.Files.createTempDirectory("graft_tidx_r2").toString
+    TextIndex.write(docs.filter(col("doc_id") =!= 5L), "doc_id", "text", rb2)
+    assert(rows(TextIndex.moreLikeThis(spark, dir, 1L, 20)) ==
+      rows(TextIndex.moreLikeThis(spark, rb2, 1L, 20)))
+  }
+
+  test("delete refusals: unknown id and NULL id by name; index unchanged after refusal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_f").toString
+    TextIndex.write(docs.filter(col("doc_id") <= 20L), "doc_id", "text", dir)
+    val before = rows(TextIndex.moreLikeThis(spark, dir, 1L, 10))
+    val eU = intercept[IllegalArgumentException] {
+      TextIndex.delete(spark, dir, Seq(999999L).toDF("doc_id"))
+    }
+    assert(eU.getMessage.contains("not present"), eU.getMessage)
+    val eN = intercept[IllegalArgumentException] {
+      TextIndex.delete(spark, dir,
+        Seq(Option.empty[java.lang.Long]).toDF("doc_id"))
+    }
+    assert(eN.getMessage.contains("NULL"), eN.getMessage)
+    assert(rows(TextIndex.moreLikeThis(spark, dir, 1L, 10)) == before,
+      "a refused delete must leave the index unchanged")
+  }
+
+  test("compact restores clustering after appends; probes bit-identical, meta unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_c").toString
+    TextIndex.write(docs.filter(col("doc_id") <= 20L), "doc_id", "text", dir)
+    TextIndex.append(spark, dir,
+      docs.filter(col("doc_id") > 20L && col("doc_id") <= 40L))
+    TextIndex.append(spark, dir,
+      docs.filter(col("doc_id") > 40L && col("doc_id") <= 60L))
+    def nParts = new java.io.File(s"$dir/postings").listFiles()
+      .count(f => f.getName.startsWith("part-") ||
+        f.getName.startsWith("ap-"))
+    val (partsBefore, mtBefore) = (nParts, TextIndex.readMeta(spark, dir))
+    val before = rows(TextIndex.moreLikeThis(spark, dir, 1L, 20))
+    val n = TextIndex.compact(spark, dir)
+    assert(n == mtBefore.n)
+    assert(nParts < partsBefore,
+      s"compaction must collapse the ap-* batches: $nParts vs $partsBefore")
+    assert(rows(TextIndex.moreLikeThis(spark, dir, 1L, 20)) == before)
+    val mtAfter = TextIndex.readMeta(spark, dir)
+    assert(mtAfter.n == mtBefore.n && mtAfter.sumdl == mtBefore.sumdl)
+    // superseded copies retained under the window, reclaimed past it
+    val olds = new java.io.File(dir).listFiles()
+      .count(_.getName.contains(".old-g"))
+    assert(olds == 2, s"postings+doclen old copies retained, got $olds")
+    Thread.sleep(5)
+    TextIndex.compact(spark, dir, retainMs = 1L)
+    assert(rows(TextIndex.moreLikeThis(spark, dir, 1L, 20)) == before)
+  }
 }
