@@ -176,11 +176,14 @@ object RuntimeFilter {
   }
 
   /** The tier's decision record: what [[adviseJoin]] chose and the
-    * statistics it chose from. `estPairs`/`estMatchedFact` are the
-    * one-sided CMS overestimates (est ≥ exact), `nHotKeys` the count
-    * of fact keys above the skew threshold. */
+    * statistics it chose from. `estPairs` is the one-sided CMS
+    * overestimate of the join's output size (est ≥ exact — the
+    * explosion detector); `matchedFact` is EXACT (a semi-join of the
+    * two key-cardinality-sized count tables — see [[adviseJoin]] on
+    * why the match-fraction decision must not come from a sketch);
+    * `nHotKeys` the count of fact keys above the skew threshold. */
   final case class JoinAdvice(strategy: String, factRows: Long,
-      dimRows: Long, estPairs: Long, estMatchedFact: Long,
+      dimRows: Long, estPairs: Long, matchedFact: Long,
       nHotKeys: Long)
 
   /** The JOIN ADVISOR — the composition the tier's pieces exist for:
@@ -196,9 +199,18 @@ object RuntimeFilter {
     *      ([[saltedEquiJoin]] — skew kills a shuffle join before
     *      size does: one reducer carrying 25 TB of a hot key idles
     *      the other 999 executors);
-    *   3. CMS-estimated matching fact rows < `bloomMaxMatchFrac` ·
-    *      |fact| → **bloom** ([[bloomReduce]] then the plain join —
-    *      the shuffle carries ~|matching fact| instead of |fact|);
+    *   3. matching fact rows < `bloomMaxMatchFrac` · |fact| →
+    *      **bloom** ([[bloomReduce]] then the plain join — the
+    *      shuffle carries ~|matching fact| instead of |fact|). The
+    *      match count is EXACT, from a semi-join of the two per-key
+    *      count tables already in hand (key-cardinality-sized — the
+    *      cost was paid at step 0). It must NOT come from the CMS
+    *      inner product: that estimate's one-sided excess is
+    *      ≈ ‖fact‖₁·|dimKeys|/width per sketch row, which at sf1
+    *      already reads ~0.9·|fact| for a 0.4%-selective dim at any
+    *      fixed sensible width — the sketch is the right tool for
+    *      detecting EXPLOSIONS (where being one-sided and orders-of-
+    *      magnitude-coarse is fine), not for a fraction threshold;
     *   4. otherwise → **plain** (uniform and non-selective: the
     *      straight shuffle join IS the right plan).
     *
@@ -242,14 +254,12 @@ object RuntimeFilter {
       else innerProductEst(cmsOfKeyCounts(fCnt, factKey, "n", width, depth),
         cmsOfKeyCounts(dCnt, dimKey, "n", width, depth))
         .head().getLong(0)
-    // matched-fact estimate: Σ_k c_fact(k)·[k ∈ dim] = the inner
-    // product against the dim's DISTINCT-key indicator counts
-    val estMatchedFact =
-      if (factRows == 0 || dimRows == 0) 0L
-      else innerProductEst(cmsOfKeyCounts(fCnt, factKey, "n", width, depth),
-        cmsOfKeyCounts(dCnt.select(col(dimKey), lit(1L).as("n")),
-          dimKey, "n", width, depth))
-        .head().getLong(0)
+    // matched fact rows, EXACT: Σ_k c_fact(k)·[k ∈ dim] over the two
+    // count tables already in hand — one key-cardinality-sized
+    // semi-join, no corpus scan, no sketch error (see the Scaladoc)
+    val matchedFact = fCnt
+      .join(dCnt.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val hot = fCnt.filter(col("n") > lit(factRows * hotFrac))
       .select(col(factKey))
     val nHot = hot.count()
@@ -259,13 +269,13 @@ object RuntimeFilter {
       else if (nHot > 0)
         ("salted", saltedEquiJoin(fact, factKey, saltBy, dim, dimKey,
           hot, p = p, factHint = Some("merge")))
-      else if (estMatchedFact < bloomMaxMatchFrac * factRows)
+      else if (matchedFact < bloomMaxMatchFrac * factRows)
         ("bloom", bloomReduce(fact, factKey, dCnt.select(col(dimKey)),
           dimKey, mBits = mBits)
           .hint("merge").join(dim, col(factKey) === col(dimKey)))
       else
         ("plain", fact.hint("merge").join(dim, col(factKey) === col(dimKey)))
     (joined, JoinAdvice(strategy, factRows, dimRows, estPairs,
-      estMatchedFact, nHot))
+      matchedFact, nHot))
   }
 }

@@ -244,7 +244,8 @@ class RuntimeFilterSpec extends AnyFunSuite {
     val (joined, advice) = adviseJoin(fact, "fk", "row_id", dim, "pk",
       broadcastMaxRows = 5L)
     assert(advice.strategy === "bloom", advice.toString)
-    assert(advice.estMatchedFact >= 100L, advice.toString) // one-sided
+    assert(advice.matchedFact === 100L, // exact: 50 dim keys × 2 rows each
+      advice.toString)
     assert(joined.collect().map(_.toSeq.toString).sorted.toSeq ===
       plainJoin(fact, dim))
   }
@@ -259,7 +260,7 @@ class RuntimeFilterSpec extends AnyFunSuite {
       broadcastMaxRows = 5L)
     assert(advice.strategy === "plain", advice.toString)
     assert(advice.estPairs >= 1000L, "one-sided: est ≥ exact inner size")
-    assert(advice.estMatchedFact >= 1000L, advice.toString)
+    assert(advice.matchedFact === 1000L, "exact: every fact row matches")
     assert(advice.factRows === 1000L && advice.dimRows === 100L)
     assert(joined.collect().map(_.toSeq.toString).sorted.toSeq ===
       plainJoin(fact, dim))
