@@ -181,10 +181,12 @@ object RuntimeFilter {
     * explosion detector); `matchedFact` is EXACT (a semi-join of the
     * two key-cardinality-sized count tables — see [[adviseJoin]] on
     * why the match-fraction decision must not come from a sketch);
-    * `nHotKeys` the count of fact keys above the skew threshold. */
+    * `nHotKeys` the count of fact keys above the skew threshold;
+    * `bloomBits` the filter sizing the bloom branch chose (0 on any
+    * other branch). */
   final case class JoinAdvice(strategy: String, factRows: Long,
       dimRows: Long, estPairs: Long, matchedFact: Long,
-      nHotKeys: Long)
+      nHotKeys: Long, bloomBits: Int = 0)
 
   /** The JOIN ADVISOR — the composition the tier's pieces exist for:
     * given (fact, dim), build each side's per-key count table ONCE
@@ -263,19 +265,35 @@ object RuntimeFilter {
     val hot = fCnt.filter(col("n") > lit(factRows * hotFrac))
       .select(col(factKey))
     val nHot = hot.count()
-    val (strategy, joined) =
+    // the bloom branch sizes its OWN filter from the dim's key
+    // cardinality (already in hand — dCnt's row count): ~13 bits/key
+    // at k=3 keeps the FP rate sub-percent whether the dim carries
+    // 5k keys or 5M, where a fixed mBits silently degrades to
+    // pass-everything once keys ≫ bits/13. Floor at the caller's
+    // mBits, cap at 2^26 bits = 8 MB — still a broadcast-cheap
+    // bitmap; a dim needing more keys than that to stay sub-percent
+    // is rarely selective enough to reach this branch at all.
+    def adaptiveBits(dimKeys: Long): Int = {
+      var b = mBits
+      while (b < (1 << 26) && b.toLong < 13L * dimKeys) b <<= 1
+      b
+    }
+    lazy val bloomBits = adaptiveBits(dCnt.count())
+    val (strategy, joined, bits) =
       if (dimRows <= broadcastMaxRows)
-        ("broadcast", fact.join(broadcast(dim), col(factKey) === col(dimKey)))
+        ("broadcast",
+          fact.join(broadcast(dim), col(factKey) === col(dimKey)), 0)
       else if (nHot > 0)
         ("salted", saltedEquiJoin(fact, factKey, saltBy, dim, dimKey,
-          hot, p = p, factHint = Some("merge")))
+          hot, p = p, factHint = Some("merge")), 0)
       else if (matchedFact < bloomMaxMatchFrac * factRows)
         ("bloom", bloomReduce(fact, factKey, dCnt.select(col(dimKey)),
-          dimKey, mBits = mBits)
-          .hint("merge").join(dim, col(factKey) === col(dimKey)))
+          dimKey, mBits = bloomBits)
+          .hint("merge").join(dim, col(factKey) === col(dimKey)), bloomBits)
       else
-        ("plain", fact.hint("merge").join(dim, col(factKey) === col(dimKey)))
+        ("plain",
+          fact.hint("merge").join(dim, col(factKey) === col(dimKey)), 0)
     (joined, JoinAdvice(strategy, factRows, dimRows, estPairs,
-      matchedFact, nHot))
+      matchedFact, nHot, bits))
   }
 }

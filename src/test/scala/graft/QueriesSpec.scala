@@ -91,6 +91,38 @@ class QueriesSpec extends AnyFunSuite {
       "union must dedup across groups, not add them")
   }
 
+  test("q54 exact percentiles: hand-checked interpolation, no Window, map-sized agg state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, percentile}
+    // n=4 values per group → rank (n−1)·p hits an interior
+    // interpolation for p=.5 and a fractional one for .25/.75
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 10L),
+      ("b", 5L), ("b", 5L)).toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.25)).as("p25"),
+        percentile(col("v"), lit(0.50)).as("p50"),
+        percentile(col("v"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("g")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // a: sorted [1,2,3,10]; rank(.25)=0.75 → 1+0.75·(2−1)=1.75;
+    //    rank(.5)=1.5 → 2.5; rank(.75)=2.25 → 3+0.25·7=4.75
+    assert(got(0) == (("a", 1.75, 2.5, 4.75)), got.mkString(","))
+    assert(got(1) == (("b", 5.0, 5.0, 5.0)))
+    // the real query plans as a PARTIAL aggregate — the percentile
+    // state partial-aggregates MAP-SIDE (the bounded-domain
+    // value→count map crosses the shuffle, never the rows) and no
+    // Window/global-sort of the data exists (the only Sort is the
+    // group-count-sized output orderBy)
+    val p = Registry.byName("q54_percentile_exact")
+      .run(spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p.take(600))
+    assert(p.contains("partial_percentile"),
+      "percentile must partial-aggregate map-side:\n" + p.take(600))
+    assert(p.contains("ObjectHashAggregate"), p.take(600))
+  }
+
   test("q32 approx quantiles land within 1% of exact q21") {
     val ap = Registry.byName("q32_approx_quantile").run(spark, TestSpark.sf)
       .collect()

@@ -246,7 +246,17 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(advice.strategy === "bloom", advice.toString)
     assert(advice.matchedFact === 100L, // exact: 50 dim keys × 2 rows each
       advice.toString)
+    assert(advice.bloomBits === 1 << 16,
+      "50 keys need no growth past the default floor")
     assert(joined.collect().map(_.toSeq.toString).sorted.toSeq ===
+      plainJoin(fact, dim))
+    // adaptive sizing: an undersized floor grows to ~13 bits/key
+    // (and the join stays exact through the FP-heavier filter)
+    val (j2, a2) = adviseJoin(fact, "fk", "row_id", dim, "pk",
+      broadcastMaxRows = 5L, mBits = 32)
+    assert(a2.bloomBits === 1024, // 13·50 = 650 → next pow2 ≥ = 1024
+      a2.toString)
+    assert(j2.collect().map(_.toSeq.toString).sorted.toSeq ===
       plainJoin(fact, dim))
   }
 

@@ -767,6 +767,54 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE mvs_t")
   }
 
+  test("MOR deletes on ingest: tombstone micro-batches apply atomically, data files never rewrite, compaction folds in") {
+    // a22's streaming seat (the CDC-apply seat's merge-on-read twin):
+    // a stream of delete KEYS lands per micro-batch through
+    // softDelete — O(|batch|) I/O, one atomic rename per batch, the
+    // data files untouched — and every morRead between batches sees
+    // complete batches only. A compaction mid-stream materializes
+    // and the loop continues on the clean generation.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_mors")
+      .toString + "/t"
+    val base = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    LakeSink.writeParquet(base.repartition(4), out)
+    LakeSink.registerExternal(spark, "mors_t", out)
+    def dataFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = dataFiles(out)
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) LakeSink.softDelete(spark, "mors_t", batch, "k")
+        ()
+      }.start()
+    in.addData(1L to 50L: _*)
+    q.processAllAvailable()
+    assert(LakeSink.readMor(spark, "mors_t", "k").count() == 350L)
+    in.addData(51L to 100L: _*)
+    q.processAllAvailable()
+    assert(LakeSink.readMor(spark, "mors_t", "k").count() == 300L)
+    assert(dataFiles(out) == before,
+      "streamed tombstones must never rewrite data files")
+    // compact mid-stream: survivors materialize, tombstones clear,
+    // and the NEXT batch lands on the new generation
+    LakeSink.compactMor(spark, "mors_t", "k", targetRecordsPerFile = 200L)
+    assert(spark.table("mors_t").count() == 300L)
+    in.addData(101L to 120L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val view = LakeSink.readMor(spark, "mors_t", "k")
+    assert(view.count() == 280L)
+    val exp = base.filter(col("k") > 120L)
+    assert(view.exceptAll(exp).isEmpty && exp.exceptAll(view).isEmpty)
+    spark.sql("DROP TABLE mors_t")
+  }
+
   test("streaming lake MV end to end: CDC-apply → diffKeyed over RETAINED GENERATIONS → aggDeltas; view ≡ recompute, history readable at every step") {
     // the full a18→a19 pipeline from ONE machinery, on a LIVE
     // streamed table: each micro-batch merges into the BASE through
