@@ -737,7 +737,7 @@ object Embed {
       .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  private def ensureIndex(s: SparkSession, d: String): String = {
+  private[graft] def ensureIndex(s: SparkSession, d: String): String = {
     val stamp = corpusStamp(s, d)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_vindex_$stamp").getPath
@@ -1104,6 +1104,69 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  // s21's vector half: s14's full refine×nprobe SQL with the probe
+  // set re-pinned to the single query id — the ONLY occurrences of
+  // the probe predicate in that composition are probeCellsCtes' two
+  // WHERE clauses (corpus-side filters use % 125), so the textual
+  // re-pin IS "the same composition, probe set {1}"
+  private val s14Probe1Sql = {
+    val repinned = s14OracleSql.replace("% 17 = 0", "= 1")
+    require(repinned != s14OracleSql &&
+      !repinned.contains("% 17 = 0"), "probe re-pin must rewrite")
+    repinned
+  }
+
+  /** s21: HYBRID SEARCH SERVED FROM BOTH PERSISTED INDEXES — the
+    * retrieval stack's production composition, closing the loop the
+    * two index lifecycles exist for: for query document 1, the
+    * LEXICAL list comes from the inverted index
+    * ([[graft.operators.TextIndex.moreLikeThis]] — t23's path, BM25
+    * ≡ inline t20 bit-for-bit, zero corpus tokenization in the probe
+    * plan) and the VECTOR list from the PQ index
+    * ([[graft.operators.VectorIndex.probeRerank]] at nprobe = 2 —
+    * s15's path, the refine×nprobe serving composition §6 concluded
+    * with), and the two incomparably-scored rankings merge by
+    * reciprocal RANK ([[Similarity.rrfFuse]], exact integer micros,
+    * the Cormack c = 60 default; per-retriever weighting is s16's
+    * already-shipped knob). The shared 0..n id space of
+    * `documents`/`embeddings` is the doc↔vector correspondence every
+    * real corpus carries. At 100 TB the fusion input is 2 k-row
+    * LISTS — the corpus appears only inside the two index probes,
+    * each already pinned corpus-scan-free/training-free by their
+    * specs. Oracle composes t20's SQL and s14's probe-{1} SQL
+    * verbatim under s13's fusion SQL — three hash-checked layers,
+    * nothing re-derived. */
+  val s21 = Q("s21_hybrid_index", Some(s"""
+    WITH lex0 AS (SELECT * FROM (${Text.t20OracleSql})),
+    lex AS (SELECT CAST(1 AS BIGINT) AS probe_id, doc_id AS neighbor_id,
+              row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rn
+            FROM lex0),
+    vec AS (SELECT probe_id, neighbor_id, rn FROM ($s14Probe1Sql)),
+    u AS (SELECT probe_id, neighbor_id, 1000000 // (60 + rn) AS cst FROM lex
+          UNION ALL
+          SELECT probe_id, neighbor_id, 1000000 // (60 + rn) AS cst FROM vec),
+    f AS (SELECT probe_id, neighbor_id, CAST(sum(cst) AS BIGINT) AS rrf_micro
+          FROM u GROUP BY probe_id, neighbor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY rrf_micro DESC, neighbor_id) AS rn FROM f)
+    SELECT probe_id, rn, neighbor_id, rrf_micro
+    FROM r WHERE rn <= 10 ORDER BY probe_id, rn""")) { (s, d) =>
+    val dirV = ensureIndex(s, d)
+    val dirT = Text.ensureTextIndex(s, d)
+    val vec = graft.operators.VectorIndex.probeRerank(s, dirV,
+      t(s, d, "embeddings").filter(col("vec_id") === 1), 5, nprobe = 2)
+      .select(col("probe_id"), col("rn"), col("neighbor_id"))
+    // rank the k-row BM25 list (the window's input is the LIMIT-k
+    // index read — bounded by construction; PlanSpec whitelists it)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    val lex = graft.operators.TextIndex.moreLikeThis(s, dirT, 1L, 20)
+      .select(lit(1L).as("probe_id"), row_number().over(w).as("rn"),
+        col("doc_id").as("neighbor_id"))
+    Similarity.rrfFuse(Seq(lex, vec), 10).orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
-    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
+    s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
+    s21)
 }

@@ -721,7 +721,7 @@ object Text {
     * fixed-point longs before the per-doc sum (t10's rule), top 20.
     * The oracle reproduces the identical expression token for token,
     * so the trained-free but parameterized ranking is hash-checked. */
-  private val t20OracleSql = """
+  private[queries] val t20OracleSql = """
     WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM
                  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
                   FROM documents)
@@ -765,7 +765,7 @@ object Text {
       .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  private def ensureTextIndex(s: SparkSession, d: String): String = {
+  private[graft] def ensureTextIndex(s: SparkSession, d: String): String = {
     val stamp = docsStamp(s, d)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_tindex_$stamp").getPath

@@ -354,6 +354,37 @@ class IndexSpec extends AnyFunSuite {
       "compact must not change SQ8 probe results")
   }
 
+  test("s21 hybrid fusion ≡ hand-computed RRF of its two served lists; no corpus text scan") {
+    // the fused ranking recomputed IN THE TEST from the two component
+    // lists' collected rows — exact integer micros, so equality is
+    // bitwise, not approximate: RRF over served lists is pure
+    // arithmetic the spec can own
+    val q = Registry.byName("s21_hybrid_index").run(spark, TestSpark.sf)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val dirT = graft.queries.Text.ensureTextIndex(spark, TestSpark.sf)
+    val lex = graft.operators.TextIndex.moreLikeThis(spark, dirT, 1L, 20)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }
+    val dirV = graft.queries.Embed.ensureIndex(spark, TestSpark.sf)
+    val vec = VectorIndex.probeRerank(spark, dirV,
+        vecs.filter(col("vec_id") === 1), 5, nprobe = 2)
+      .select("neighbor_id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val fused = (lex ++ vec).groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(r => 1000000L / (60 + r._2)).sum }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+      .map { case ((id, s), i) => (1L, i + 1, id, s) }
+    assert(got.toSeq == fused,
+      s"fused list diverges from hand RRF:\n${got.toSeq}\nvs\n$fused")
+    // both retrieval halves are SERVED: the plan never tokenizes the
+    // corpus (documents parquet absent) — embeddings appear only as
+    // the probe row + the refine stage's candidate vectors
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "hybrid probe plan must not scan the text corpus:\n" + plan.take(800))
+  }
+
   test("assigned/codes land sort-clustered on cell (disjoint file ranges)") {
     // every persisted corpus-sized table must be cell-clustered so a
     // cell-restricted probe batch can skip files on footer min/max

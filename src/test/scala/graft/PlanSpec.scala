@@ -567,7 +567,10 @@ class PlanSpec extends AnyFunSuite {
     // the same bounded-input pattern at Sampling.temperatureMix).
     val corpusSized = Set("t13_ppl_buckets")
     val boundedInput = Set("s5_knn_pq", "s6_knn_pq_lsh", "s10_knn_rerank",
-      "s14_knn_rerank_np", "d12_mix", "d30_temp_mix")
+      "s14_knn_rerank_np", "d12_mix", "d30_temp_mix",
+      // s21's lexical-rank window sits above the LIMIT-k BM25 index
+      // read (20 rows by construction)
+      "s21_hybrid_index")
     val offenders = Registry.all.flatMap { q =>
       val n = globalWindows(
         q.run(spark, TestSpark.sf).queryExecution.executedPlan)
