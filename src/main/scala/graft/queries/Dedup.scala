@@ -648,6 +648,65 @@ object Dedup {
       .orderBy("source")
   }
 
+  // ---- d31: the PERSISTED DEDUP SIGNATURE INDEX
+  // (graft.operators.DedupIndex) — the third index lifecycle, serving
+  // the near-dup corpus check the streaming ingest seat holds in
+  // driver memory. Built once per corpus into a content-stamped
+  // location (Text.ensureTextIndex's discipline); the timed/checked
+  // passes measure index-served probing.
+  private[graft] def ensureDedupIndex(s: SparkSession, d: String): String = {
+    val stamp = Text.docsStamp(s, d)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_dindex_$stamp").getPath
+    val fresh =
+      try graft.operators.DedupIndex.readMeta(s, dir).stamp == stamp
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!fresh) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_dindex_") &&
+          f.getName != s"graft_dindex_$stamp")
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_dindex_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.operators.DedupIndex.write(
+        t(s, d, "documents").filter(col("doc_id") % 7 =!= 3),
+        "doc_id", "text", build.getPath, stamp = stamp)
+      if (!build.renameTo(new java.io.File(dir)))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir
+  }
+
+  /** d31: batch-vs-corpus near-dup candidates SERVED FROM THE
+    * PERSISTED SIGNATURE INDEX ([[graft.operators.DedupIndex.probeEst]]) —
+    * the corpus (doc_id % 7 ≠ 3) is indexed once (signatures + band
+    * digests + shingle sets, content-stamped); the probe batch
+    * (doc_id % 7 = 3) computes its own signatures inline through the
+    * SAME functions and candidates come from the (j,b)-clustered band
+    * files with the K-slot agreement estimate over stored signatures.
+    * The oracle is d2/d7's SQL restricted to cross pairs — the index
+    * must reproduce the inline estimator exactly, which is what the
+    * hash check proves. At 100 TB the corpus appears only as the
+    * persisted tables; the batch side broadcasts. */
+  val d31 = Q("d31_dedup_index", Some(s"""
+    WITH $tokCte,
+    sh AS (SELECT doc_id, unnest($shingleExpr) AS s FROM tok),
+    mh AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, j, CASE j $bandCase END AS bb
+              FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) v(j)),
+    cand AS (SELECT DISTINCT x.doc_id AS bid, y.doc_id AS cid
+             FROM bands x JOIN bands y ON x.j = y.j AND x.bb = y.bb
+             WHERE x.doc_id % 7 = 3 AND y.doc_id % 7 <> 3)
+    SELECT bid, cid, ($estExpr) * 1.0 / ${D.K} AS est
+    FROM cand JOIN mh a ON a.doc_id = bid JOIN mh b ON b.doc_id = cid
+    ORDER BY bid, cid""")) { (s, d) =>
+    val dir = ensureDedupIndex(s, d)
+    graft.operators.DedupIndex.probeEst(s, dir,
+        t(s, d, "documents").filter(col("doc_id") % 7 === 3))
+      .orderBy("bid", "cid")
+  }
+
   val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15,
-    d17, d18, d19, d20, d24, d25, d29, d30, t6)
+    d17, d18, d19, d20, d24, d25, d29, d30, d31, t6)
 }

@@ -755,7 +755,7 @@ object Text {
   // measure index-only serving (no corpus tokenization in the probe
   // plan — TextIndexSpec pins it). Same stamp/atomic-publish
   // discipline as Embed.ensureIndex.
-  private def docsStamp(s: SparkSession, d: String): String = {
+  private[queries] def docsStamp(s: SparkSession, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val items = fs.listStatus(p)

@@ -625,6 +625,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusIds.toSet == Set(1L, 3L, 5L), s"corpus = $corpusIds")
   }
 
+  test("continuous ingest against the PERSISTED dedup index: probe → drop → append survivors") {
+    // the production form of the driver-held-union seat above: the
+    // corpus side is graft.operators.DedupIndex (signatures + bands +
+    // shingle sets on disk), each micro-batch is dedupBatch'd against
+    // it and its survivors APPEND — so a near-dup of a previous
+    // batch's survivor drops, and the index's key set after the run
+    // is exactly the batch-mode fold's. No driver state grows with
+    // the corpus.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    def txt(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx_st")
+      .toString + "/idx"
+    DedupIndex.write(Seq((1L, txt("alpha"))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, stamp = "st")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = DedupIndex.dedupBatch(spark, dir, batch)
+          .localCheckpoint(true)
+        if (!kept.isEmpty) DedupIndex.append(spark, dir, kept)
+        ()
+      }.start()
+    // batch 1: near-dup of the seed (drop) + novel doc 3 (keep)
+    in.addData((2L, txt("alpha") + " trailer"), (3L, txt("beta")))
+    q.processAllAvailable()
+    // batch 2: near-dup of batch-1 SURVIVOR 3 (drop — only possible if
+    // the append took) + novel doc 5 (keep)
+    in.addData((4L, txt("beta") + " trailer"), (5L, txt("gamma")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(s"$dir/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L), s"indexed corpus = $ids")
+    assert(DedupIndex.readMeta(spark, dir).n == 3L)
+  }
+
   test("continuous window-dedup: a straddle of a PREVIOUS batch's doc is flagged on ingest") {
     // incremental d27: each micro-batch's overlapping-window digests
     // are checked against the GROWING corpus digest table (the
