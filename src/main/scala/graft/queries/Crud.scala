@@ -451,7 +451,9 @@ object Crud {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_skiplake_$stamp")
     if (!new java.io.File(dir, "_SUCCESS").isFile ||
-        !new java.io.File(new java.io.File(dir, "_stats"), "_SUCCESS").isFile) {
+        !new java.io.File(new java.io.File(dir, "_stats"), "_SUCCESS").isFile ||
+        !new java.io.File(new java.io.File(dir, "_blooms_o_orderkey"),
+          "_SUCCESS").isFile) {
       Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("graft_skiplake_")) // incl. a same-stamp pre-_stats copy: it blocks the rename
         .foreach(f => scala.util.Try(
@@ -462,10 +464,14 @@ object Crud {
         .repartitionByRange(8, col("o_orderdate"))
         .sortWithinPartitions("o_orderdate")
         .write.mode("overwrite").parquet(build.getPath)
-      // the manifest is committed WITH the copy (stats-in-the-commit:
-      // it rides the same atomic rename, shares the copy's lifetime)
+      // the manifests are committed WITH the copy (stats-in-the-commit:
+      // they ride the same atomic rename, share the copy's lifetime).
+      // o_orderkey joins the stats manifest so a23's demo lookup keys
+      // come from PLANNING metadata, never a table scan; its bloom
+      // manifest is the membership surface a23 actually prunes with
       graft.sources.LakeSink.attachStats(s, build.getPath,
-        Seq("o_orderdate"))
+        Seq("o_orderdate", "o_orderkey"))
+      graft.sources.LakeSink.attachBlooms(s, build.getPath, "o_orderkey")
       if (!build.renameTo(dir))
         scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
     }
@@ -648,6 +654,42 @@ object Crud {
       .orderBy("o_orderstatus")
   }
 
+  /** a23: BLOOM-MANIFEST POINT LOOKUP
+    * ([[graft.sources.LakeSink.fileBlooms]] / `readBloomLookupDir`) —
+    * the skipping surface a20's min/max stats CANNOT provide: the
+    * table is date-clustered, so every file's [min,max] o_orderkey
+    * spans the whole key domain and a range manifest keeps all 8
+    * files for any key lookup (LakeSpec pins exactly this); the
+    * per-file bloom manifest prunes by MEMBERSHIP instead and the
+    * lookup reads ~1 file. This is the 100 TB shape of the
+    * reference's `WHERE order_id = ?` point lookup
+    * (order_rdbms_blob.js:520) when the table lives in a lake, not
+    * an RDBMS. The two demo keys come from the _stats manifest
+    * (planning metadata — min/max over per-file min/max), never a
+    * table scan; both manifests were committed WITH the sorted copy.
+    * Oracle = the same lookups as scalar subqueries over the raw
+    * table. */
+  val a23 = Q("a23_bloom_lookup", Some("""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+      CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+       OR o_orderkey = (SELECT max(o_orderkey) FROM orders)
+    ORDER BY o_orderkey""")) { (s, d) =>
+    val dir = ensureSortedOrders(s, d)
+    val st = s.read.parquet(s"$dir/_stats")
+      .agg(min("min_o_orderkey").as("lo"), max("max_o_orderkey").as("hi"))
+      .head()
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    graft.sources.LakeSink.readBloomLookupDir(s, dir, "o_orderkey", lit(lo))
+      .unionByName(graft.sources.LakeSink
+        .readBloomLookupDir(s, dir, "o_orderkey", lit(hi)))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+          .as("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22)
+    a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23)
 }

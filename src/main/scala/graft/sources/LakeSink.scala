@@ -673,6 +673,105 @@ object LakeSink {
     fileStats(spark.read.format(format).load(dir), cols)
       .write.mode("overwrite").parquet(s"$dir/_stats")
 
+  // ---- per-file BLOOM manifests (equality-lookup skipping) ----------
+
+  /** Per-file BLOOM manifest — the skipping surface min/max stats
+    * cannot provide: a POINT LOOKUP on a high-cardinality key that is
+    * NOT the layout's sort dimension finds every file's [min,max]
+    * spanning the whole key domain, so [[readPruned]] keeps
+    * everything (LakeSpec pins it). A fixed-size Bloom bitmap per
+    * file ("might this file contain c = v?") prunes by MEMBERSHIP
+    * instead of range — Parquet's optional column bloom filters and
+    * Iceberg's puffin blobs, as an explicit manifest the planner
+    * reads. One table scan builds it (k salted positions per
+    * non-NULL key, OR-folded into 32-bits-per-long words, partial
+    * aggregation — rows never shuffle beyond the per-file word
+    * rollup); output is one row per file with a SPARSE word map
+    * (zero words absent), `mBits`/`k` carried in the row so a probe
+    * can never size its positions differently from the build. No
+    * false negatives ever (a present key always survives — the
+    * lookup stays exact); false-positive files cost one wasted read,
+    * rate set by occupancy (size mBits ≈ 13× the per-file distinct
+    * keys). */
+  def fileBlooms(df: DataFrame, c: String, mBits: Int = 1 << 16,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(mBits % 32 == 0, "mBits must fill whole 32-bit words")
+    val base = df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    val pos = df.select(input_file_name().as("file"),
+        col(c).cast("string").as("dig"))
+      .filter(col("dig").isNotNull)
+      .select(col("file"), explode(array((0 until k).map(j =>
+        expr(graft.operators.TextAnalysis.bloomPosSpark(j, mBits))): _*))
+        .as("p"))
+    val words = pos
+      .select(col("file"), (col("p") / 32).cast("long").as("idx"),
+        expr("shiftleft(1L, cast(p % 32 as int))").as("b"))
+      .groupBy(col("file"), col("idx")).agg(bit_or(col("b")).as("w"))
+      .groupBy(col("file"))
+      .agg(expr("map_from_entries(collect_list(struct(idx, w)))")
+        .as("words"))
+    base.join(words, Seq("file"), "left_outer")
+      .select(col("file"), col("n_rows"), lit(mBits).as("m_bits"),
+        lit(k).as("k"),
+        coalesce(col("words"), expr("map()").cast("map<bigint,bigint>"))
+          .as("words"))
+  }
+
+  /** [[attachStats]]'s bloom twin: build and commit the `_blooms`
+    * manifest inside `dir` (same lifetime argument — it rides the
+    * directory's own rename/retention). */
+  def attachBlooms(spark: SparkSession, dir: String, c: String,
+      mBits: Int = 1 << 16, k: Int = 3,
+      format: String = "parquet"): Unit =
+    fileBlooms(spark.read.format(format).load(dir), c, mBits, k)
+      .write.mode("overwrite").parquet(s"$dir/_blooms_$c")
+
+  /** The files whose bloom says `c = value` MIGHT be present — the
+    * planning decision, exposed so specs and planners can count what
+    * a lookup will read. Probe positions are computed by the SAME
+    * expression family as the build (manifest-carried mBits/k), so a
+    * present key's files always survive. Driver-side over the
+    * file-count-sized manifest, like every manifest decision here. */
+  def bloomSurvivors(manifest: DataFrame, c: String,
+      value: org.apache.spark.sql.Column): Array[String] = {
+    import org.apache.spark.sql.functions._
+    val head = manifest.select("m_bits", "k").head()
+    val (mBits, k) = (head.getInt(0), head.getInt(1))
+    val probed = manifest.withColumn("dig", value.cast("string"))
+    val hit = (0 until k).map { j =>
+      (expr(s"shiftright(coalesce(element_at(words, " +
+        s"cast((${graft.operators.TextAnalysis.bloomPosSpark(j, mBits)}) / 32 " +
+        s"as bigint)), 0L), cast((${graft.operators.TextAnalysis.bloomPosSpark(j, mBits)}) % 32 as int))")
+        .bitwiseAND(lit(1L))) === 1L
+    }.reduce(_ && _)
+    probed.filter(hit).select("file").collect().map(_.getString(0))
+  }
+
+  /** BLOOM-PRUNED point lookup from a directory carrying an
+    * `_blooms_<c>` manifest: survivors from [[bloomSurvivors]]
+    * (anchored to the directory — file NAMES are rename-stable,
+    * absolute paths are not), read exactly those files, apply the
+    * exact equality as the residual filter (false-positive files
+    * contribute nothing). An absent key prunes every file and
+    * answers from one footer, zero data bytes. This is the 100 TB
+    * shape of the reference's `WHERE order_id = ?` point lookup
+    * (order_rdbms_blob.js:520) against a table no RDBMS holds. */
+  def readBloomLookupDir(spark: SparkSession, dir: String, c: String,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val manifest = spark.read.parquet(s"$dir/_blooms_$c")
+    def anchored(f: String): String = new org.apache.hadoop.fs.Path(dir,
+      new org.apache.hadoop.fs.Path(f).getName).toString
+    val keep = bloomSurvivors(manifest, c, value).map(anchored)
+    if (keep.isEmpty) {
+      val any = anchored(manifest.select("file").head().getString(0))
+      spark.read.parquet(any).filter(lit(false))
+    } else
+      spark.read.parquet(keep.toIndexedSeq: _*).filter(col(c) === value)
+  }
+
   /** The LIVE manifest of a catalog table — resolved from the live
     * generation's own directory ([[publishGeneration]] commits the
     * manifest inside it), so manifest and data always describe the

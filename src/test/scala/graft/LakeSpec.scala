@@ -896,4 +896,48 @@ class LakeSpec extends AnyFunSuite {
     assert(e.isEmpty && e.schema.fieldNames.toSeq == full.schema.fieldNames.toSeq)
     man.unpersist()
   }
+
+  test("bloom manifest: point lookup prunes where min/max stats cannot; no false negatives; absent key reads nothing") {
+    import spark.implicits._
+    // date-sorted layout, key UNCORRELATED with the sort (key = a
+    // bit-reversed permutation): every file's [min,max] key span
+    // covers the domain, so the RANGE manifest keeps all files for
+    // any key lookup — the gap fileBlooms exists for
+    val out = Files.createTempDirectory("graft_bloomlk").toString + "/t"
+    def bitrev(i: Long): Long =
+      (0 until 12).map(b => ((i >> b) & 1L) << (11 - b)).sum
+    val rows = (0L until 4000L).map(i => (bitrev(i), i, s"p$i"))
+      .toDF("k", "day", "payload")
+    rows.repartitionByRange(8, col("day")).sortWithinPartitions("day")
+      .write.parquet(out)
+    LakeSink.attachStats(spark, out, Seq("k", "day"))
+    LakeSink.attachBlooms(spark, out, "k")
+    val nFiles = spark.read.parquet(s"$out/_blooms_k").count()
+    assert(nFiles == 8)
+    // the range manifest is useless for this lookup — all 8 survive
+    val stats = spark.read.parquet(s"$out/_stats")
+    val probe = bitrev(1234L)
+    assert(LakeSink.readPruned(spark, stats, "k", lit(probe), lit(probe))
+      .inputFiles.length == 8,
+      "min/max stats must keep every file for an unsorted-key lookup")
+    // the bloom manifest prunes to ~1 file (k=3 @ 2^16 bits over 500
+    // keys/file: FP ≈ 1e-7 per file) — and the lookup is exact
+    val man = spark.read.parquet(s"$out/_blooms_k")
+    assert(LakeSink.bloomSurvivors(man, "k", lit(probe)).length <= 2,
+      "bloom must prune the non-containing files")
+    val got = LakeSink.readBloomLookupDir(spark, out, "k", lit(probe))
+    assert(got.collect().map(_.toString).toSeq ==
+      rows.filter(col("k") === probe).collect().map(_.toString).toSeq)
+    // NO FALSE NEGATIVES: every key of one whole file answers
+    val oneFile = spark.read.parquet(
+      spark.read.parquet(out).inputFiles.head)
+    val keys = oneFile.select("k").collect().map(_.getLong(0))
+    val missed = keys.count(kv =>
+      LakeSink.bloomSurvivors(man, "k", lit(kv)).isEmpty)
+    assert(missed == 0, s"$missed present keys pruned — false negatives")
+    // absent key: all files pruned, empty result, schema intact
+    val none = LakeSink.readBloomLookupDir(spark, out, "k", lit(-7L))
+    assert(none.isEmpty &&
+      none.schema.fieldNames.toSeq == rows.schema.fieldNames.toSeq)
+  }
 }
