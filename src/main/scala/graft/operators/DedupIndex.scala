@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *     per doc, id-clustered. One row per doc EVEN when the doc has
   *     no tokens (slots NULL) — the table doubles as the index's key
   *     set for collision guards and meta's n.
-  *   - `bands` (id, j, b) — the LSH band digests, (j, b)-clustered so
-  *     a probe batch's candidate join prunes band files on parquet
-  *     footer min/max.
+  *   - `bands` (id, j, b) — the LSH band digests, (j, b)-clustered;
+  *     a SMALL probe batch pushes its digest IN-list into the scan,
+  *     so the clustered files prune on parquet footer min/max (large
+  *     batches stream the bands table map-side against the broadcast
+  *     batch — no corpus shuffle either way).
   *   - `shingles` (id, sh) — sorted distinct 48-bit shingle-digest
   *     arrays, the exact-Jaccard verify side (~8 bytes/token — the
   *     digest table a pipeline materializes once; optional:
@@ -73,6 +75,31 @@ object DedupIndex {
     mt
   }
 
+  /** Max batch band-digest count that still pushes an IN-list into
+    * the corpus-bands scan: the digests are uniform md5s over a
+    * (j, b)-range-clustered layout, so a SMALL batch's list prunes
+    * band files/row-groups on footer min/max (≈ min(|list|, nFiles)
+    * files read instead of all); a large batch's list would cover the
+    * digest space (no pruning) while bloating the plan, so past the
+    * cap the probe streams the whole bands table map-side instead. */
+  private val MaxPushedDigests = 1024
+
+  /** batch × corpus candidate ids from the persisted bands: the
+    * corpus side never shuffles (batch bands broadcast) and a small
+    * batch's digest list pushes into the clustered band files. */
+  private def candidates(spark: SparkSession, dir: String, id: String,
+      bBands: DataFrame): DataFrame = {
+    val corpus0 = spark.read.parquet(s"$dir/bands")
+    val digs = bBands.select("b").distinct().limit(MaxPushedDigests + 1)
+      .collect().map(_.getString(0))
+    val corpus = if (digs.length <= MaxPushedDigests)
+      corpus0.filter(col("b").isin(digs.toIndexedSeq: _*)) else corpus0
+    corpus.select(col(id).as("cid"), col("j"), col("b"))
+      .join(broadcast(bBands.select(col(id).as("bid"), col("j"), col("b"))),
+        Seq("j", "b"))
+      .select("bid", "cid").distinct()
+  }
+
   /** Candidate cross pairs (batch × corpus) from the persisted bands
     * with the MinHash-agreement Jaccard ESTIMATE ([[Dedup.minhashEstimate]]'s
     * sketch decision over stored slots): (batch id, corpus id, est)
@@ -87,12 +114,7 @@ object DedupIndex {
     val (id, k) = (mt.idCol, mt.k)
     val bSigs = Dedup.minhashSignatures(batch, id, mt.textCol)
       .localCheckpoint(true)
-    val bBands = Dedup.bands(bSigs, id)
-    val cand = spark.read.parquet(s"$dir/bands")
-      .select(col(id).as("cid"), col("j"), col("b"))
-      .join(broadcast(bBands.select(col(id).as("bid"), col("j"), col("b"))),
-        Seq("j", "b"))
-      .select("bid", "cid").distinct()
+    val cand = candidates(spark, dir, id, Dedup.bands(bSigs, id))
     val sa = bSigs.select(col(id).as("bid") +:
       (0 until k).map(i => col(s"h$i").as(s"a$i")): _*)
     val sb = spark.read.parquet(s"$dir/signatures")
@@ -121,11 +143,7 @@ object DedupIndex {
     val id = mt.idCol
     val bSigs = Dedup.minhashSignatures(batch, id, mt.textCol)
       .localCheckpoint(true)
-    val cand = spark.read.parquet(s"$dir/bands")
-      .select(col(id).as("cid"), col("j"), col("b"))
-      .join(broadcast(Dedup.bands(bSigs, id)
-        .select(col(id).as("bid"), col("j"), col("b"))), Seq("j", "b"))
-      .select("bid", "cid").distinct()
+    val cand = candidates(spark, dir, id, Dedup.bands(bSigs, id))
     val bSets = Dedup.shingleSets(batch, id, mt.textCol)
       .select(col(id).as("bid"), col("sh").as("sh1"))
     val cSets = spark.read.parquet(s"$dir/shingles")

@@ -190,11 +190,11 @@ object LakeSink {
     * Returns the row count (unchanged by design). */
   def compactTable(spark: SparkSession, table: String,
       targetRecordsPerFile: Long, retainMs: Long = 600000L,
-      statsCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
     compactTableImpl(spark, table, targetRecordsPerFile,
       (df, nFiles, dest, format) => df.repartition(nFiles).write.format(format)
         .option("maxRecordsPerFile", targetRecordsPerFile.toString)
-        .mode("overwrite").save(dest), retainMs, statsCols)
+        .mode("overwrite").save(dest), retainMs, statsCols, bloomCols)
 
   /** OPTIMIZE ... ZORDER for a LIVE catalog table — the lakehouse
     * layout rewrite that turns an already-published table into
@@ -224,9 +224,9 @@ object LakeSink {
   def optimizeZOrderN(spark: SparkSession, table: String,
       clusterCols: Seq[String], targetRecordsPerFile: Long,
       bits: Int = 16, retainMs: Long = 600000L,
-      statsCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
     publishGeneration(spark, table, retainMs,
-        (clusterCols ++ statsCols).distinct) { (df, dest, format) =>
+        (clusterCols ++ statsCols).distinct, bloomCols) { (df, dest, format) =>
       import org.apache.spark.sql.functions.col
       val n = df.count()
       val nFiles = math.max(1L,
@@ -245,8 +245,10 @@ object LakeSink {
   private[graft] def compactTableImpl(spark: SparkSession, table: String,
       targetRecordsPerFile: Long,
       rewrite: (DataFrame, Int, String, String) => Unit,
-      retainMs: Long = 600000L, statsCols: Seq[String] = Nil): Long =
-    publishGeneration(spark, table, retainMs, statsCols) { (df, dest, format) =>
+      retainMs: Long = 600000L, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long =
+    publishGeneration(spark, table, retainMs, statsCols,
+        bloomCols) { (df, dest, format) =>
       val n = df.count()
       val nFiles = math.max(1L,
         (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
@@ -275,7 +277,8 @@ object LakeSink {
   }
 
   private[graft] def publishGeneration(spark: SparkSession, table: String,
-      retainMs: Long, statsCols: Seq[String] = Nil)
+      retainMs: Long, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)
       (write: (DataFrame, String, String) => Long): Long = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
@@ -361,6 +364,17 @@ object LakeSink {
         .parquet(new org.apache.hadoop.fs.Path(next, "_stats").toString)
       catch { case e: Throwable =>
         fs.delete(next, true); releaseClaim(); throw e }
+    // bloom manifests ride the same commit (the equality-lookup
+    // twin of the stats rule): one `_blooms_<c>` per named column,
+    // inside the generation, before the flip — a lookup can never
+    // probe a manifest describing deleted files
+    bloomCols.foreach { c =>
+      try fileBlooms(spark.read.format(format).load(next.toString), c)
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(next, s"_blooms_$c").toString)
+      catch { case e: Throwable =>
+        fs.delete(next, true); releaseClaim(); throw e }
+    }
     // THE no-gap publish: one catalog metadata operation
     spark.sql(s"ALTER TABLE `$table` SET LOCATION '${next.toString}'")
     spark.catalog.refreshTable(table)
@@ -638,9 +652,10 @@ object LakeSink {
     * AND its tombstones for the retention window). */
   def compactMor(spark: SparkSession, table: String, key: String,
       targetRecordsPerFile: Long, retainMs: Long = 600000L,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val liveLoc = tableLocation(spark, table)
-    publishGeneration(spark, table, retainMs, statsCols) { (_, dest, format) =>
+    publishGeneration(spark, table, retainMs, statsCols,
+        bloomCols) { (_, dest, format) =>
       val survivors = morRead(spark, liveLoc, key)
       val n = survivors.count()
       val nFiles = math.max(1L,
@@ -770,6 +785,26 @@ object LakeSink {
       spark.read.parquet(any).filter(lit(false))
     } else
       spark.read.parquet(keep.toIndexedSeq: _*).filter(col(c) === value)
+  }
+
+  /** TABLE-LEVEL bloom lookup — [[readPrunedTable]]'s discipline for
+    * the membership manifest: resolve the live generation ONCE, take
+    * ITS committed `_blooms_<c>` (publish with `bloomCols` on
+    * compactTable/optimizeZOrder/mergeKeyed/compactMor, or bootstrap
+    * with [[attachBlooms]]), prune, read the survivors — manifest,
+    * anchor, and data all from one snapshot directory, so a
+    * concurrent publish cannot mismatch them. REFUSES BY NAME a live
+    * generation without the manifest — a silent full scan would
+    * report pruning that never happened. */
+  def readBloomLookupTable(spark: SparkSession, table: String, c: String,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    val loc = tableLocation(spark, table)
+    val man = new org.apache.hadoop.fs.Path(loc, s"_blooms_$c")
+    val fs = man.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(man),
+      s"NO BLOOM MANIFEST: the live generation of $table ($loc) carries " +
+        s"no _blooms_$c — publish with bloomCols or attachBlooms(dir) first")
+    readBloomLookupDir(spark, loc, c, value)
   }
 
   /** The LIVE manifest of a catalog table — resolved from the live
@@ -941,7 +976,8 @@ object LakeSink {
     * claim reclaims). Returns the merged row count. */
   def mergeKeyed(spark: SparkSession, table: String, updates: DataFrame,
       key: String, deletes: Option[DataFrame] = None,
-      retainMs: Long = 600000L, statsCols: Seq[String] = Nil): Long = {
+      retainMs: Long = 600000L, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     // BOTH update-batch refusals from ONE aggregate action (null
     // count + duplicated-key group count over one column-pruned key
@@ -966,7 +1002,8 @@ object LakeSink {
       require(nNullD == 0,
         s"MERGE REFUSED: $nNullD delete rows carry a NULL $key")
     }
-    publishGeneration(spark, table, retainMs, statsCols) { (live, dest, format) =>
+    publishGeneration(spark, table, retainMs, statsCols,
+        bloomCols) { (live, dest, format) =>
       mergedView(live, updates, key, deletes)
         .write.format(format).mode("overwrite").save(dest)
       // expected count computed independently of the written bytes,

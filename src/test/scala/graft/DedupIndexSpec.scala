@@ -61,6 +61,14 @@ class DedupIndexSpec extends AnyFunSuite {
       "probe must not rescan the corpus text:\n" + plan.take(800))
     assert(plan.contains(idxDir),
       "probe must read the persisted index tables")
+    // a small batch's band digests push into the clustered band scan
+    // (the IN-list prunes band files/row-groups on footer min/max);
+    // the batch side broadcasts — the corpus never shuffles
+    assert(plan.contains("In(b, ") || plan.contains("In(b,["),
+      "batch band digests must push down into the bands scan:\n" +
+        plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the batch side must broadcast")
   }
 
   test("dedupBatch ≡ incrementalDedup on the same corpus, row for row") {

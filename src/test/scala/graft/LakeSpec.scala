@@ -940,4 +940,38 @@ class LakeSpec extends AnyFunSuite {
     assert(none.isEmpty &&
       none.schema.fieldNames.toSeq == rows.schema.fieldNames.toSeq)
   }
+
+  test("bloom manifest rides the publish: compact/merge carry it, a bloom-less publish refuses lookups by name") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bloomtbl").toString + "/t"
+    val rows = (0L until 1000L).map(i => (i * 7919L % 1000L, s"v$i"))
+      .toDF("k", "v")
+    LakeSink.writeParquet(rows.repartition(4), base)
+    LakeSink.registerExternal(spark, "bloomtbl", base)
+    // publish WITH the bloom manifest: the table-level lookup works
+    LakeSink.compactTable(spark, "bloomtbl", targetRecordsPerFile = 200L,
+      bloomCols = Seq("k"))
+    val probe = 3L * 7919L % 1000L
+    val got = LakeSink.readBloomLookupTable(spark, "bloomtbl", "k",
+      lit(probe)).collect().map(_.toString).sorted.toSeq
+    val exp = spark.table("bloomtbl").filter(col("k") === probe)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == exp && got.nonEmpty)
+    // a keyed merge DELETING the probed key re-commits the manifest
+    // with the new generation: the lookup sees the post-merge truth
+    LakeSink.mergeKeyed(spark, "bloomtbl",
+      spark.table("bloomtbl").filter(lit(false)), "k",
+      deletes = Some(Seq(probe).toDF("k")), bloomCols = Seq("k"))
+    assert(LakeSink.readBloomLookupTable(spark, "bloomtbl", "k",
+      lit(probe)).isEmpty)
+    // a publish WITHOUT bloomCols lands a generation with no
+    // manifest — the lookup refuses by name instead of silently
+    // scanning (a manifest never outlives its generation)
+    LakeSink.compactTable(spark, "bloomtbl", targetRecordsPerFile = 500L)
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.readBloomLookupTable(spark, "bloomtbl", "k", lit(probe))
+    }
+    assert(e.getMessage.contains("NO BLOOM MANIFEST"))
+    spark.sql("DROP TABLE bloomtbl")
+  }
 }
