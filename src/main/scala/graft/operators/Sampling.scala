@@ -134,6 +134,44 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** WEIGHTED fixed-count per-stratum sampling — Efraimidis–Spirakis
+    * A-Res (Inf. Proc. Letters 2006), the standard
+    * one-pass weighted-reservoir rule, in [[sampleN]]'s deterministic
+    * hash form: each row draws u ∈ (0, 1] from a 24-bit md5 fraction
+    * of its key and ranks by ln(u)/w (maximizing u^(1/w) ⇔
+    * maximizing ln(u)/w); the top `n` per stratum are the sample, so
+    * inclusion probability grows with `weight` (the length-weighted /
+    * quality-weighted corpus draw every curriculum pipeline runs)
+    * while staying a pure function of the key — reproducible on any
+    * engine/run/partitioning, and STABLE under corpus growth exactly
+    * like sampleN's bottom-k (a kept row leaves the sample only when
+    * displaced by a new higher-ranked row; spec'd).
+    *
+    * Engine parity: the ONLY transcendental is one ln, rounded to
+    * micro units by the t10/LM convention (floor(x·1e6 + 0.5)) before
+    * the rank — u is an exact dyadic rational (24-bit fold + 1, so
+    * ln's argument is never 0) and w an exact integer, so both
+    * engines round the same double. Refuses NULL/non-positive
+    * weights BY NAME (a silently-dropped row would under-report the
+    * sample; w ≤ 0 has no E-S semantics). Same WindowGroupLimit
+    * scale shape and unique-key precondition as [[sampleN]]. */
+  def weightedSampleN(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, n: Int): DataFrame = {
+    val nBad = df.filter(weight.isNull || weight <= 0).count()
+    require(nBad == 0,
+      s"WEIGHTED SAMPLE REFUSED: $nBad rows carry a NULL or non-positive " +
+        "weight — Efraimidis–Spirakis needs w > 0; filter or floor first")
+    val u = (md5Nibbles(coalesce(key.cast("string"), lit("")), 1, 6) +
+      lit(1L)).cast("double") / lit(16777216.0)
+    val es = floor(log(u) / weight.cast("double") * 1000000.0 + lit(0.5))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(col("__es").desc, key)
+    df.withColumn("__es", es)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn", "__es")
+  }
+
   /** Deterministic sequence PACKING — the last step before tokens hit
     * a trainer: concatenate documents back to back into fixed
     * `seqLen`-token training sequences (no separator tokens are

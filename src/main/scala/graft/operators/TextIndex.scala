@@ -83,9 +83,15 @@ object TextIndex {
     * and the corpus scalars come from meta — the expression is
     * token-for-token [[TextAnalysis.bm25MoreLikeThis]]'s, so served
     * rankings are bit-identical to the inline operator's. */
+  /** `requireAll = true` is the CONJUNCTIVE (AND) query: only docs
+    * containing EVERY distinct query term are ranked — the standard
+    * boolean-retrieval gate layered under the same BM25 scoring
+    * (postings hold one row per (doc, term), so the per-doc matched
+    * count IS the distinct matched-term count). The default keeps the
+    * disjunctive plan byte-identical to before. */
   def probeTerms(spark: SparkSession, dir: String, terms: DataFrame,
       k: Int, excludeId: Option[Long] = None, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, requireAll: Boolean = false): DataFrame = {
     val mt = readMeta(spark, dir)
     val id = mt.idCol
     val post = spark.read.parquet(s"$dir/postings")
@@ -101,7 +107,7 @@ object TextIndex {
     // TOKEN FOR TOKEN (same IEEE op order → bit-identical doubles
     // before the one floor); meta scalars arrive as literals — the
     // same longs the inline operator's 1-row broadcasts carry
-    scored
+    val perDoc = scored
       .select(col(id),
         floor(log(lit(1.0) + (lit(mt.n) - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") * (k1 + 1.0)) /
@@ -109,7 +115,16 @@ object TextIndex {
             (lit(mt.sumdl) * 1.0 / lit(mt.n)))) * 1000000.0 + 0.5)
           .cast("long").as("s_micro"))
       .groupBy(col(id))
-      .agg(sum(col("s_micro")).as("bm25_micro"))
+      .agg(sum(col("s_micro")).as("bm25_micro"),
+        count(lit(1)).as("__n_match"))
+    val gated = if (requireAll) {
+      // |query| as a broadcast scalar — the conjunctive threshold is
+      // derived in-plan, never a driver action on the terms side
+      val nq = qt.agg(count(lit(1)).as("__nq"))
+      perDoc.crossJoin(broadcast(nq))
+        .filter(col("__n_match") === col("__nq")).drop("__nq")
+    } else perDoc
+    gated.drop("__n_match")
       .orderBy(col("bm25_micro").desc, col(id)).limit(k)
   }
 

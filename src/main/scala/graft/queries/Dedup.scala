@@ -707,6 +707,44 @@ object Dedup {
       .orderBy("bid", "cid")
   }
 
+  // the 6-nibble md5 fold (16^5 … 16^0), DuckDB twin of
+  // Sampling.md5Nibbles(key, 1, 6)
+  private val nib6 = (1 to 6)
+    .map(i => s"(instr('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${1L << (4 * (6 - i))}")
+    .mkString(" + ")
+
+  /** d32: WEIGHTED per-stratum sampling
+    * ([[graft.operators.Sampling.weightedSampleN]] — Efraimidis–
+    * Spirakis A-Res in deterministic hash form): 15 docs per lang
+    * with inclusion probability growing with document LENGTH
+    * (w = n_chars, floored at 1) — the length-weighted corpus draw,
+    * vs d17's uniform bottom-k. Rank key = ln(u)/w with u an exact
+    * 24-bit md5 dyadic and the one ln micro-rounded by the t10
+    * convention, so the oracle reproduces the rank bit for bit;
+    * same WindowGroupLimit scale shape as d17 (partial top-n per
+    * input partition, the exchange carries ≤ n rows per
+    * (partition, stratum)). */
+  val d32 = Q("d32_weighted_sample", Some(s"""
+    WITH h AS (SELECT lang, doc_id,
+                 greatest(coalesce(n_chars, 0), 1) AS w,
+                 md5(coalesce(CAST(doc_id AS VARCHAR), '')) AS hx
+               FROM documents),
+    e AS (SELECT lang, doc_id,
+            CAST(floor(ln((($nib6) + 1) / 16777216.0) / w * 1000000.0 + 0.5)
+              AS BIGINT) AS es
+          FROM h),
+    r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+            ORDER BY es DESC, doc_id) AS rn FROM e)
+    SELECT lang, doc_id FROM r WHERE rn <= 15
+    ORDER BY lang, doc_id""")) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    graft.operators.Sampling.weightedSampleN(
+        t(s, d, "documents"), col("lang"), col("doc_id"),
+        greatest(coalesce(col("n_chars"), lit(0L)), lit(1L)), 15)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
   val qs: Seq[Q] = Seq(d2, d3, d4, d6, d7, d8, d9, d10, d12, d14, d15,
-    d17, d18, d19, d20, d24, d25, d29, d30, d31, t6)
+    d17, d18, d19, d20, d24, d25, d29, d30, d31, d32, t6)
 }

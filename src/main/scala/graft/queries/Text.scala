@@ -799,6 +799,45 @@ object Text {
     graft.operators.TextIndex.moreLikeThis(s, dir, queryId = 1L, k = 20)
   }
 
+  // t24's oracle: t20's CTE chain with exactly two guarded textual
+  // changes — the query set becomes doc 1's top-3 terms by (tf, w)
+  // and the per-doc rollup gains the conjunctive HAVING — so the
+  // scoring expression stays shared token for token with t20/t23
+  private val t24OracleSql = {
+    val qtOld = "qt AS (SELECT DISTINCT w FROM tf WHERE doc_id = 1),"
+    val qtNew =
+      "qt AS (SELECT w FROM tf WHERE doc_id = 1 ORDER BY tf DESC, w LIMIT 3),"
+    val tailOld = """FROM sc GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT 20"""
+    val tailNew = """FROM sc GROUP BY doc_id
+    HAVING count(*) = (SELECT count(*) FROM qt)
+    ORDER BY bm25_micro DESC, doc_id LIMIT 20"""
+    require(t20OracleSql.contains(qtOld) && t20OracleSql.contains(tailOld),
+      "t24 oracle surgery no longer matches t20's SQL")
+    t20OracleSql.replace(qtOld, qtNew).replace(tailOld, tailNew)
+  }
+
+  /** t24: CONJUNCTIVE (AND) BM25 from the persisted index
+    * ([[graft.operators.TextIndex.probeTerms]] `requireAll = true`) —
+    * the boolean-retrieval gate every keyword search engine layers
+    * under its ranking: only docs containing EVERY query term are
+    * scored (postings are one row per (doc, term), so the per-doc
+    * match count IS the distinct matched-term count; the |query|
+    * threshold is a broadcast scalar, never a driver action). The
+    * query set is doc 1's top-3 terms — a realistic multi-keyword
+    * AND query — read from the same postings the probe scores.
+    * Oracle = t20's chain with the top-3 query CTE and the
+    * conjunctive HAVING (guarded surgery above), so the scoring
+    * stays hash-locked to t20/t23's. */
+  val t24 = Q("t24_bm25_all", Some(t24OracleSql)) { (s, d) =>
+    val dir = ensureTextIndex(s, d)
+    val qt = s.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") === 1L)
+      .orderBy(col("tf").desc, col("w")).limit(3).select("w")
+    graft.operators.TextIndex.probeTerms(s, dir, qt, k = 20,
+      excludeId = Some(1L), requireAll = true)
+  }
+
   /** cross-document span-level dedup
     * ([[graft.operators.Dedup.spanDedup]]): 16-token spans, global
     * first-occurrence keep, per-doc retention stats. The generator
@@ -956,5 +995,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -41,6 +41,7 @@ class PlanSpec extends AnyFunSuite {
       // codebook broadcast), its served twin, the weighted fusion
       // (s13's allowance), and t21's 1-row cutpoint-array broadcast
       "s14_knn_rerank_np", "s15_index_rerank_np", "s16_rrf_weighted",
+      "s21_hybrid_index", // composes s15's probe machinery verbatim
       "t21_ppl_buckets_sketch",
       // t22's 1-row bucket-total broadcast (q34's scalar shape): the
       // DSIR fit normalizes the ≤4096-row bucket table against the

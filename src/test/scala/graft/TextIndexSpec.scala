@@ -57,6 +57,41 @@ class TextIndexSpec extends AnyFunSuite {
     assert(s2 == i2)
   }
 
+  test("conjunctive probeTerms: every hit contains ALL query terms, is a subset of the OR query, scores unchanged") {
+    // query = doc 1's top-3 terms (t24's shape) — guaranteed to exist
+    val qt = spark.read.parquet(s"$idxDir/postings")
+      .filter(col("doc_id") === 1L)
+      .orderBy(col("tf").desc, col("w")).limit(3).select("w")
+      .localCheckpoint(true)
+    val terms = qt.collect().map(_.getString(0))
+    val and = TextIndex.probeTerms(spark, idxDir, qt, k = 50,
+      requireAll = true)
+    val or = TextIndex.probeTerms(spark, idxDir, qt, k = 5000)
+    val orMap = or.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = and.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.nonEmpty, "fixture terms must co-occur somewhere")
+    // subset of the disjunctive ranking with IDENTICAL scores (the
+    // gate filters, never rescores)
+    hits.foreach { case (id, s) =>
+      assert(orMap.get(id).contains(s),
+        s"doc $id scored $s conjunctively vs ${orMap.get(id)} disjunctively")
+    }
+    // every conjunctive hit really contains all three terms
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").isin(terms.toIndexedSeq: _*))
+      .groupBy("doc_id").agg(countDistinct("w").as("nm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hits.foreach { case (id, _) =>
+      assert(toks.get(id).contains(3L),
+        s"doc $id lacks one of the query terms")
+    }
+    // and no doc with all three terms is missing (k covers them all)
+    val withAll = toks.count(_._2 == 3L)
+    assert(hits.length == math.min(withAll, 50),
+      s"${hits.length} conjunctive hits vs $withAll docs holding all terms")
+  }
+
   test("probe plan reads only index tables — no corpus scan or tokenize") {
     val df = TextIndex.moreLikeThis(spark, idxDir, 1L, 20)
     val p = df.queryExecution.executedPlan.toString

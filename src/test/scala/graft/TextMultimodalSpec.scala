@@ -412,6 +412,58 @@ class TextMultimodalSpec extends AnyFunSuite {
       s2.except(s.select("lang", "doc_id")).count() == 0)
   }
 
+  test("weightedSampleN: hand-computed E-S ranks, weight monotonicity, growth stability, refusals") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // hand-oracle: recompute the A-Res rank in the test from the same
+    // md5 fold + micro-rounded ln and compare the per-stratum top-n
+    // EXACTLY (the s21 pattern: exact integers → bitwise equality)
+    val rows = (0L until 300L).map(i =>
+      (s"g${i % 3}", i, 1L + (i % 7) * 10L)).toDF("g", "id", "w")
+    val got = Sampling.weightedSampleN(rows, col("g"), col("id"),
+        col("w"), 10)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    def esKey(id: Long, w: Long): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val fold = (0 until 6).map(i =>
+        java.lang.Long.parseLong(hx.substring(i, i + 1), 16) <<
+          (4 * (5 - i))).sum
+      math.floor(math.log((fold + 1).toDouble / 16777216.0) / w *
+        1000000.0 + 0.5).toLong
+    }
+    val want = (0L until 300L).map(i => (s"g${i % 3}", i, 1L + (i % 7) * 10L))
+      .groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.map(r => (r._2, esKey(r._2, r._3)))
+          .sortBy { case (id, es) => (-es, id) }.take(10)
+          .map { case (id, _) => (g, id) }
+      }.toSet
+    assert(got == want, s"E-S ranks diverge:\n$got\nvs\n$want")
+    // weight monotonicity in aggregate: heavy rows (w=61) must be
+    // over-represented vs light rows (w=1) in the sample
+    val byW = (0L until 300L).map(i => (i, 1L + (i % 7) * 10L)).toMap
+    val heavy = got.count { case (_, id) => byW(id) == 61L }
+    val light = got.count { case (_, id) => byW(id) == 1L }
+    assert(heavy > light,
+      s"weighting must bias the draw: heavy=$heavy light=$light")
+    // growth stability (the sampleN bottom-k law, weighted form)
+    val half = rows.filter(col("id") % 2 === 0)
+    val sHalf = Sampling.weightedSampleN(half, col("g"), col("id"),
+      col("w"), 10).select("g", "id")
+    val sFullOnHalf = Sampling.weightedSampleN(rows, col("g"), col("id"),
+        col("w"), 10)
+      .filter(col("id") % 2 === 0).select("g", "id")
+    assert(sFullOnHalf.except(sHalf).count() == 0)
+    // refusals by name: NULL and non-positive weights
+    val bad = Seq(("a", 1L, 0L)).toDF("g", "id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSampleN(bad, col("g"), col("id"), col("w"), 5)
+    }
+    assert(e.getMessage.contains("WEIGHTED SAMPLE REFUSED"))
+  }
+
   test("entropy: zero for single-type spam, ln(k) for uniform, total over NULL") {
     import spark.implicits._
     val planted = Seq(
