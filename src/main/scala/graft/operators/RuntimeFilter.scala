@@ -247,10 +247,17 @@ object RuntimeFilter {
       .localCheckpoint()
     val dCnt = dim.groupBy(col(dimKey)).agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    val factRows = fCnt.agg(coalesce(sum(col("n")), lit(0L)))
-      .head().getLong(0)
-    val dimRows = dCnt.agg(coalesce(sum(col("n")), lit(0L)))
-      .head().getLong(0)
+    // THREE scalars per side from ONE action over the checkpointed
+    // count table: total rows, key cardinality (sizes the bloom
+    // branch's filter — no separate count job), and the max per-key
+    // count (nHot > 0 ⇔ max > threshold, so the hot-key count job
+    // runs only when skew actually exists)
+    val fAgg = fCnt.agg(coalesce(sum(col("n")), lit(0L)),
+      count(lit(1)), coalesce(max(col("n")), lit(0L))).head()
+    val (factRows, fMax) = (fAgg.getLong(0), fAgg.getLong(2))
+    val dAgg = dCnt.agg(coalesce(sum(col("n")), lit(0L)),
+      count(lit(1))).head()
+    val (dimRows, dimKeys) = (dAgg.getLong(0), dAgg.getLong(1))
     val estPairs =
       if (factRows == 0 || dimRows == 0) 0L
       else innerProductEst(cmsOfKeyCounts(fCnt, factKey, "n", width, depth),
@@ -264,7 +271,7 @@ object RuntimeFilter {
       .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val hot = fCnt.filter(col("n") > lit(factRows * hotFrac))
       .select(col(factKey))
-    val nHot = hot.count()
+    val nHot = if (fMax > factRows * hotFrac) hot.count() else 0L
     // the bloom branch sizes its OWN filter from the dim's key
     // cardinality (already in hand — dCnt's row count): ~13 bits/key
     // at k=3 keeps the FP rate sub-percent whether the dim carries
@@ -278,7 +285,7 @@ object RuntimeFilter {
       while (b < (1 << 26) && b.toLong < 13L * dimKeys) b <<= 1
       b
     }
-    lazy val bloomBits = adaptiveBits(dCnt.count())
+    lazy val bloomBits = adaptiveBits(dimKeys)
     val (strategy, joined, bits) =
       if (dimRows <= broadcastMaxRows)
         ("broadcast",
