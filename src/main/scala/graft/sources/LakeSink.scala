@@ -787,6 +787,48 @@ object LakeSink {
       spark.read.parquet(keep.toIndexedSeq: _*).filter(col(c) === value)
   }
 
+  /** EXACTLY-ONCE streamed append — the idempotent-writes contract
+    * Delta's `txnAppId`/foreachBatch pattern gives Structured
+    * Streaming's at-least-once delivery: micro-batch `batchId` lands
+    * under an id-named subdirectory claimed by ATOMIC RENAME to a
+    * non-existent path, so a REPLAYED batch (failure → re-run of the
+    * same epoch) commits ZERO duplicate rows — the second attempt
+    * sees the committed directory and returns false without writing
+    * a byte past the existence probe. The stage is verified
+    * (recount) before the rename, so a torn write can never commit;
+    * a crashed attempt's stage is swept by the retry (same id in the
+    * stage name). Readers use [[readBatches]] — a glob over the
+    * committed batch directories only (a mid-rename batch is
+    * invisible: rename is atomic). Returns true iff THIS call
+    * committed the batch. */
+  def appendBatchOnce(spark: SparkSession, dir: String, batchId: Long,
+      df: DataFrame): Boolean = {
+    val dest = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dest)) return false
+    val stage = new org.apache.hadoop.fs.Path(dir,
+      s".stage-batch-$batchId")
+    fs.delete(stage, true) // a crashed prior attempt's leftovers
+    val expected = df.count()
+    df.write.mode("overwrite").parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString).count()
+    if (staged != expected) {
+      fs.delete(stage, true)
+      throw new java.io.IOException(
+        s"staged batch $batchId short: $staged rows, expected $expected; " +
+          "aborting — nothing committed")
+    }
+    if (fs.rename(stage, dest)) true
+    else { // lost the race to a concurrent retry that committed first
+      fs.delete(stage, true)
+      false
+    }
+  }
+
+  /** All committed batches of an [[appendBatchOnce]] directory. */
+  def readBatches(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/batch-*")
+
   /** TABLE-LEVEL bloom lookup — [[readPrunedTable]]'s discipline for
     * the membership manifest: resolve the live generation ONCE, take
     * ITS committed `_blooms_<c>` (publish with `bloomCols` on

@@ -625,6 +625,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusIds.toSet == Set(1L, 3L, 5L), s"corpus = $corpusIds")
   }
 
+  test("exactly-once lake append: a replayed micro-batch commits zero duplicate rows") {
+    // the idempotent-writes seat every Structured-Streaming → lake
+    // deployment needs: foreachBatch hands (batch, batchId) to
+    // appendBatchOnce, whose rename-to-nonexistent claim makes
+    // at-least-once delivery exactly-once in the table — a replay of
+    // an epoch is a no-op, a torn stage never commits
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_once")
+      .toString + "/t"
+    val seen = scala.collection.mutable.ArrayBuffer[(Long,
+      org.apache.spark.sql.DataFrame)]()
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val frozen = batch.localCheckpoint(true)
+        seen += ((bid, frozen))
+        assert(LakeSink.appendBatchOnce(spark, out, bid, frozen),
+          s"first commit of batch $bid must win")
+        ()
+      }.start()
+    in.addData(1L to 40L: _*); q.processAllAvailable()
+    in.addData(41L to 70L: _*); q.processAllAvailable()
+    q.stop()
+    assert(LakeSink.readBatches(spark, out).count() == 70L)
+    // REPLAY of every delivered epoch (the at-least-once failure
+    // mode): zero new rows, every attempt reports not-committed
+    seen.foreach { case (bid, b) =>
+      assert(!LakeSink.appendBatchOnce(spark, out, bid, b),
+        s"replayed batch $bid must be a no-op")
+    }
+    assert(LakeSink.readBatches(spark, out).count() == 70L,
+      "replays must not duplicate rows")
+    val got = LakeSink.readBatches(spark, out).select("v")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 70L),
+      "committed rows must be exactly the delivered inputs")
+  }
+
   test("continuous ingest against the PERSISTED dedup index: probe → drop → append survivors") {
     // the production form of the driver-held-union seat above: the
     // corpus side is graft.operators.DedupIndex (signatures + bands +
