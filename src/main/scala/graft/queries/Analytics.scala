@@ -779,6 +779,52 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** q55: the remaining WINDOW-FRAME surface in one query — the
+    * frame/function breadth q7/q19/q26/q29/q39 leave uncovered:
+    * per-customer order history with `first_value` (date-ordered,
+    * default frame), `nth_value(…, 3)` over the FULL-PARTITION ROWS
+    * frame (the default frame stops at CURRENT ROW, so the 3rd order
+    * would be NULL for rows 1–2 — the explicit UNBOUNDED FOLLOWING
+    * frame is the point), `cume_dist` by price (peer-inclusive by
+    * definition, so price ties contribute identically in both
+    * engines — its only ratio is small-int rank/n, IEEE-exact), and
+    * a trailing 3-row sum in exact cents (ROWS frame is safe here
+    * because the ORDER key (date, orderkey) is unique). All windows
+    * partition by customer: one shuffle on the key, no global sort. */
+  val q55 = Q("q55_window_frames", Some("""
+    WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+               FROM orders)
+    SELECT o_custkey, o_orderkey,
+      first_value(cents) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) AS first_cents,
+      nth_value(cents, 3) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS third_cents,
+      cume_dist() OVER (PARTITION BY o_custkey ORDER BY cents)
+        AS price_cd,
+      CAST(sum(cents) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail3_cents
+    FROM o ORDER BY o_custkey, o_orderkey""")) { (s, d) =>
+    val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val full = byDate.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val byPrice = Window.partitionBy("o_custkey").orderBy("cents")
+    val trail = byDate.rowsBetween(-2, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        first(col("cents")).over(byDate).as("first_cents"),
+        nth_value(col("cents"), 3).over(full).as("third_cents"),
+        cume_dist().over(byPrice).as("price_cd"),
+        sum(col("cents")).over(trail).as("trail3_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // ---- q29: RANGE-frame sliding window (value-based, not row-based) --
   // trailing 1-hour sum per event: RANGE frames include sec-peers, so
   // ties contribute identically in both engines (ROWS frames — q19 —
@@ -1625,5 +1671,5 @@ object Analytics {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54)
+    q50, q51, q52, q53, q54, q55)
 }

@@ -802,7 +802,7 @@ object LakeSink {
     * invisible: rename is atomic). Returns true iff THIS call
     * committed the batch. */
   def appendBatchOnce(spark: SparkSession, dir: String, batchId: Long,
-      df: DataFrame): Boolean = {
+      df: DataFrame, bloomCols: Seq[String] = Nil): Boolean = {
     val dest = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dest)) return false
@@ -818,6 +818,11 @@ object LakeSink {
         s"staged batch $batchId short: $staged rows, expected $expected; " +
           "aborting — nothing committed")
     }
+    // bloom manifests ride the batch commit (the stats-in-the-commit
+    // rule on the streaming path): built on the STAGE, they share
+    // the one atomic rename — a lookup never sees a batch whose
+    // manifest is missing or mid-write
+    bloomCols.foreach(c => attachBlooms(spark, stage.toString, c))
     if (fs.rename(stage, dest)) true
     else { // lost the race to a concurrent retry that committed first
       fs.delete(stage, true)
@@ -828,6 +833,35 @@ object LakeSink {
   /** All committed batches of an [[appendBatchOnce]] directory. */
   def readBatches(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/batch-*")
+
+  /** BLOOM point lookup over a STREAMED table — the a23 read on an
+    * [[appendBatchOnce]] directory whose batches committed with
+    * `bloomCols`: every committed batch's own `_blooms_<c>` manifest
+    * prunes that batch's files independently (planning reads are
+    * manifest-sized × batches; compaction folds batches when the
+    * count grows), survivors across batches read together, exact
+    * equality as the residual. A batch committed WITHOUT the
+    * manifest refuses by name. */
+  def readBloomLookupBatches(spark: SparkSession, dir: String, c: String,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+    require(batches.nonEmpty, s"no committed batches under $dir")
+    val keep = batches.flatMap { b =>
+      val man = new org.apache.hadoop.fs.Path(b, s"_blooms_$c")
+      require(fs.exists(man),
+        s"NO BLOOM MANIFEST: batch ${b.getName} committed without " +
+          s"_blooms_$c — append with bloomCols")
+      bloomSurvivors(spark.read.parquet(man.toString), c, value)
+        .map(f => new org.apache.hadoop.fs.Path(b,
+          new org.apache.hadoop.fs.Path(f).getName).toString)
+    }
+    if (keep.isEmpty) readBatches(spark, dir).filter(lit(false)).limit(0)
+    else spark.read.parquet(keep.toIndexedSeq: _*).filter(col(c) === value)
+  }
 
   /** TABLE-LEVEL bloom lookup — [[readPrunedTable]]'s discipline for
     * the membership manifest: resolve the live generation ONCE, take

@@ -941,6 +941,37 @@ class LakeSpec extends AnyFunSuite {
       none.schema.fieldNames.toSeq == rows.schema.fieldNames.toSeq)
   }
 
+  test("bloom lookup on a streamed table: per-batch manifests commit atomically with the batch, lookups prune across batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_oncebloom").toString + "/t"
+    // three committed epochs, disjoint key ranges, bloomed on commit
+    for (b <- 0 to 2) {
+      val rows = (b * 100L until (b + 1) * 100L).map(i => (i, s"v$i"))
+        .toDF("k", "v").repartition(2)
+      assert(LakeSink.appendBatchOnce(spark, dir, b.toLong, rows,
+        bloomCols = Seq("k")))
+    }
+    // lookup: only the owning batch's files survive the manifests
+    val got = LakeSink.readBloomLookupBatches(spark, dir, "k", lit(137L))
+    assert(got.collect().map(_.toString).toSeq == Seq("[137,v137]"))
+    assert(got.inputFiles.length <= 2,
+      s"lookup must prune to ~the owning batch's file: ${got.inputFiles.length}")
+    // absent key: empty, nothing read
+    assert(LakeSink.readBloomLookupBatches(spark, dir, "k", lit(-5L))
+      .isEmpty)
+    // a replayed epoch with bloomCols stays a no-op
+    assert(!LakeSink.appendBatchOnce(spark, dir, 1L,
+      Seq((999L, "dup")).toDF("k", "v"), bloomCols = Seq("k")))
+    assert(LakeSink.readBatches(spark, dir).count() == 300L)
+    // a batch committed WITHOUT the manifest refuses lookups by name
+    assert(LakeSink.appendBatchOnce(spark, dir, 3L,
+      Seq((300L, "x")).toDF("k", "v")))
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.readBloomLookupBatches(spark, dir, "k", lit(137L))
+    }
+    assert(e.getMessage.contains("NO BLOOM MANIFEST"))
+  }
+
   test("bloom manifest rides the publish: compact/merge carry it, a bloom-less publish refuses lookups by name") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bloomtbl").toString + "/t"
