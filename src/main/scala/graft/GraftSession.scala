@@ -18,6 +18,12 @@ object GraftSession {
       // measured q43 multi-distinct Expand fix as a planner rewrite
       .withExtensions(_.injectOptimizerRule(_ =>
         graft.plans.DistinctPairRewrite))
+      // bloom-manifest file pruning for equality lookups (conf-gated,
+      // default off): the a23 membership manifest consulted by the
+      // planner itself — WHERE k = v over a manifest-carrying parquet
+      // dir reads ~1 file with no special read API
+      .withExtensions(_.injectOptimizerRule(s =>
+        new graft.plans.BloomPruneRule(s)))
       // graft's planner strategy: PointIntervalJoin logical nodes
       // (variable-length interval lookups) plan as the broadcast
       // interval-tree join instead of BroadcastNestedLoopJoin

@@ -690,6 +690,40 @@ object Crud {
       .orderBy("o_orderkey")
   }
 
+  /** a24: the SAME point lookups as a23 through PLAIN
+    * `spark.read.parquet(dir).filter(k = v)` with
+    * [[graft.plans.BloomPruneRule]] enabled — no special read API:
+    * the conf-gated optimizer rule sees the equality over the
+    * manifest-carrying directory and swaps the relation's file index
+    * for the bloom survivors (residual Filter untouched — false
+    * positives die on the very predicate that fired the prune, so
+    * the rewrite is correctness-neutral BY CONSTRUCTION, which is
+    * what sharing a23's oracle hash-proves). CatalystRuleSpec pins
+    * the pruning itself (8 files → ≤2), default-off, the spark.sql
+    * path, and the no-manifest bail. The conf stays on for the
+    * session once this query runs — the rule never changes results,
+    * only files read. */
+  val a24 = Q("a24_bloom_prune_rule", Some("""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+      CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+       OR o_orderkey = (SELECT max(o_orderkey) FROM orders)
+    ORDER BY o_orderkey""")) { (s, d) =>
+    val dir = ensureSortedOrders(s, d)
+    val st = s.read.parquet(s"$dir/_stats")
+      .agg(min("min_o_orderkey").as("lo"), max("max_o_orderkey").as("hi"))
+      .head()
+    s.conf.set("spark.graft.bloomPrune.enabled", "true")
+    s.read.parquet(dir).filter(col("o_orderkey") === st.getLong(0))
+      .unionByName(
+        s.read.parquet(dir).filter(col("o_orderkey") === st.getLong(1)))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+          .as("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23)
+    a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24)
 }

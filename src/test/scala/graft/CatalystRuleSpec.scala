@@ -89,4 +89,52 @@ class CatalystRuleSpec extends AnyFunSuite {
       assert(mixed.collect().nonEmpty && same.collect().nonEmpty)
     }
   }
+
+  test("BloomPruneRule: planner-applied manifest pruning — WHERE k = v reads ~1 file, off by default, results identical") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val PFLAG = "spark.graft.bloomPrune.enabled"
+    val out = java.nio.file.Files.createTempDirectory("graft_bprule")
+      .toString + "/t"
+    // date-sorted layout, bit-reversed key: min/max stats useless for
+    // key lookups (the LakeSpec fixture), bloom decisive
+    def bitrev(i: Long): Long =
+      (0 until 12).map(b => ((i >> b) & 1L) << (11 - b)).sum
+    val rows = (0L until 4000L).map(i => (bitrev(i), i, s"p$i"))
+      .toDF("k", "day", "payload")
+    rows.repartitionByRange(8, col("day")).sortWithinPartitions("day")
+      .write.parquet(out)
+    LakeSink.attachBlooms(spark, out, "k")
+    val probe = bitrev(2222L)
+    def lookup() = spark.read.parquet(out).filter(col("k") === probe)
+    // OFF (default): every file read
+    assert(lookup().queryExecution.executedPlan.toString.nonEmpty)
+    assert(lookup().inputFiles.length == 8,
+      "rule must be an explicit choice — default reads everything")
+    val expect = lookup().collect().map(_.toString).toSeq
+    spark.conf.set(PFLAG, "true")
+    try {
+      // ON: the optimizer swaps the file index for the bloom
+      // survivors; the residual Filter stays (FP safety), results
+      // identical, ~1 file read
+      val pruned = lookup()
+      assert(pruned.inputFiles.length <= 2,
+        s"planner must prune to the owning file: ${pruned.inputFiles.length}")
+      assert(pruned.collect().map(_.toString).toSeq == expect)
+      // literal-on-the-left and spark.sql both fire
+      val swapped = spark.read.parquet(out).filter(lit(probe) === col("k"))
+      assert(swapped.inputFiles.length <= 2)
+      spark.read.parquet(out).createOrReplaceTempView("bprule_t")
+      val viaSql = spark.sql(s"SELECT * FROM bprule_t WHERE k = $probe")
+      assert(viaSql.inputFiles.length <= 2,
+        "spark.sql lookups must prune through the same rule")
+      assert(viaSql.collect().map(_.toString).toSeq == expect)
+      // absent key: zero files, empty result — still correct
+      val none = spark.read.parquet(out).filter(col("k") === -7L)
+      assert(none.collect().isEmpty)
+      // a column with NO manifest never fires (day carries none)
+      val noMan = spark.read.parquet(out).filter(col("day") === 17L)
+      assert(noMan.inputFiles.length == 8 && noMan.count() == 1L)
+    } finally spark.conf.unset(PFLAG)
+  }
 }
