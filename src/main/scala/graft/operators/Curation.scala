@@ -104,7 +104,8 @@ object Curation {
       maxDupWindowFrac: Option[Double] = None,
       dupWindow: Int = 16,
       windowDedup: Option[Int] = None,
-      dsirTarget: Option[Column] = None): (DataFrame, DataFrame) = {
+      dsirTarget: Option[Column] = None,
+      weightedCapN: Option[Int] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val report = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
@@ -288,6 +289,18 @@ object Curation {
         stage("stratified_mix") { d =>
           Sampling.stratifiedSample(d, stratum, col(id), rates, defaultRate)
         }
+    }
+    weightedCapN.foreach { n =>
+      stage("weighted_cap") { d =>
+        // hard per-stratum cap drawn LENGTH-WEIGHTED (d32's operator,
+        // Efraimidis-Spirakis): where the mix stage hits a RATE or
+        // token budget, this bounds stratum CARDINALITY — at most n
+        // docs per stratum, long docs preferred, deterministic in the
+        // key. Runs after mixing so the cap binds on what mixing kept.
+        Sampling.weightedSampleN(d, stratum, col(id),
+          greatest(size(org.apache.spark.sql.functions.split(col(text), " "))
+            .cast("long"), lit(1L)), n)
+      }
     }
     // deterministic 8/1/1 split — the ONE md5-fold definition d8 uses
     val v = Sampling.md5Mod10(col(id))

@@ -253,6 +253,33 @@ class CurationSpec extends AnyFunSuite {
     assert(!rep0.collect().map(_.getString(0)).contains("dsir_select"))
   }
 
+  test("weighted_cap stage bounds every stratum at n, drawn length-weighted and deterministic") {
+    val (out, rep) = Curation.curate(train, "doc_id", "text", col("lang"),
+      evalDocs, jaccard = 0.9, maxContam = 0.9, weightedCapN = Some(12))
+    val stages = rep.collect().map(_.getString(0)).toSeq
+    assert(stages.contains("weighted_cap"),
+      "the cap must appear in the audit trail")
+    assert(stages.indexOf("weighted_cap") == stages.length - 1,
+      "the cap binds on what mixing kept — it runs last")
+    val per = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    per.foreach { case (g, n) =>
+      assert(n <= 12, s"stratum $g holds $n > 12 after the cap")
+    }
+    // deterministic: same call, same picks
+    val (out2, _) = Curation.curate(train, "doc_id", "text", col("lang"),
+      evalDocs, jaccard = 0.9, maxContam = 0.9, weightedCapN = Some(12))
+    assert(out.select("doc_id").exceptAll(out2.select("doc_id")).isEmpty)
+    // the draw is length-biased: mean kept length exceeds the
+    // pre-cap survivor mean (weights = token counts)
+    val (pre, _) = Curation.curate(train, "doc_id", "text", col("lang"),
+      evalDocs, jaccard = 0.9, maxContam = 0.9)
+    def meanLen(df: org.apache.spark.sql.DataFrame) =
+      df.agg(avg(size(split(col("text"), " ")))).head().getDouble(0)
+    assert(meanLen(out) > meanLen(pre),
+      s"length-weighted draw must bias long: ${meanLen(out)} vs ${meanLen(pre)}")
+  }
+
   test("span_dedup stage strips a planted cross-doc span from the survivor's text") {
     import spark.implicits._
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
