@@ -1192,6 +1192,59 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed enrichment must equal the batch join: ${got.size} vs ${expected.length}")
   }
 
+  test("streamed interval enrichment at FACT scale: the shuffled exec per micro-batch ≡ batch, ≡ the broadcast form") {
+    // q52's streaming twin: when the interval side is too big to
+    // broadcast, the SAME foreachBatch loop plans
+    // ShuffledIntervalJoinExec (co-partitioned executor-side builds)
+    // — asserted per micro-batch — and attribution is unchanged:
+    // pinned ≡ one shuffled batch join over the union ≡ the
+    // broadcast form on identical inputs (build choice never
+    // changes the answer).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val e = Tables.load(spark, TestSpark.sf, "events")
+    val ev = e.withColumn("sec", Tables.tsSec(e))
+    val w = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+        col("sec").as("lo"),
+        (col("sec") + lit(60L) +
+          floor(col("value") * 600.0).cast("long")).as("hi"))
+      .localCheckpoint(true)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("sec").as("psec"))
+      .as[(Long, Long, Long)].collect()
+    val in = MemoryStream[(Long, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = in.toDF().toDF("purchase_id", "p_user", "psec").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.plans.IntervalJoin.pointInInterval(
+          batch, w, "psec", "lo", "hi", Seq("p_user" -> "w_user"),
+          build = "shuffle")
+        assert(out.queryExecution.executedPlan.toString
+          .contains("ShuffledIntervalJoin"),
+          "fact-scale enrichment must plan the shuffled exec")
+        got ++= out.collect().map(_.toString)
+        ()
+      }.start()
+    val (b1, b2) = purchases.splitAt(purchases.length / 2)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val all = purchases.toSeq.toDF("purchase_id", "p_user", "psec")
+    val expected = graft.plans.IntervalJoin.pointInInterval(
+        all, w, "psec", "lo", "hi", Seq("p_user" -> "w_user"),
+        build = "shuffle").collect().map(_.toString)
+    val viaBroadcast = graft.plans.IntervalJoin.pointInInterval(
+        all, w, "psec", "lo", "hi", Seq("p_user" -> "w_user"))
+      .collect().map(_.toString)
+    assert(expected.nonEmpty)
+    assert(got.sorted.toSeq == expected.sorted.toSeq)
+    assert(expected.sorted.toSeq == viaBroadcast.sorted.toSeq,
+      "build strategy must never change attribution")
+  }
+
   test("runtime-bloom-filtered enrichment: stream micro-batches ≡ the batch reduction+join") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
