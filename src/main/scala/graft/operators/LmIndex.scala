@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED BIGRAM LANGUAGE MODEL — the build-once/score-many
+  * contract ([[graft.operators.VectorIndex]] / [[TextIndex]] /
+  * [[DedupIndex]]) applied to the MODEL ARTIFACT the quality
+  * pipeline trains: t10/t13/curate(ppl) re-train the Laplace bigram
+  * LM from the corpus on every run, but a production perplexity
+  * filter trains ONCE on a reference corpus and scores every later
+  * batch/stream against that frozen model — this is that artifact.
+  *
+  * Tables under `dir`:
+  *   - `bigrams` (w1, w2, n12) — (w1, w2)-clustered, so a scoring
+  *     join's shuffle reads sorted runs;
+  *   - `contexts` (w1, n1) — Σ_w2 n12 per context, w1-clustered;
+  *   - `vocab` (w) — the distinct unigram vocabulary (vs must be
+  *     RECOMPUTABLE under append: |A's vocab ∪ B's| is not
+  *     |A's| + |B's|);
+  *   - `meta` (vs, text_col, stamp).
+  *
+  * Scoring is [[TextAnalysis.lpMicro]] — the ONE log-prob expression
+  * batch t10, the streaming seat, and this index share — with the
+  * counts read from parquet and `vs` a meta literal, so scores
+  * against an index built on corpus C are BIT-IDENTICAL to inline
+  * [[TextAnalysis.lmScore]] on C (LmIndexSpec pins it; t25's oracle
+  * IS t10's SQL).
+  *
+  * [[append]] is EXACTLY a rebuild: counts are additive and the
+  * vocabulary is a set union, so merging the count tables with a
+  * batch's aggregates equals retraining on the union — the merge
+  * rewrites VOCABULARY-sized tables, never the corpus, through the
+  * staged-verify-flip discipline of the other indexes. */
+object LmIndex {
+
+  final case class Meta(vs: Long, textCol: String, stamp: String)
+
+  def write(docs: DataFrame, text: String, dir: String,
+      stamp: String = ""): Meta = {
+    val spark = docs.sparkSession
+    val (c12, _, _) = TextAnalysis.lmModel(docs, text)
+    val vocab = docs.select(explode(TextAnalysis.tokens(col(text))).as("w"))
+      .distinct()
+    writeTables(spark, dir, c12, vocab)
+    val vs = spark.read.parquet(s"$dir/vocab").count()
+    val mt = Meta(vs, text, stamp)
+    writeMeta(spark, dir, mt)
+    mt
+  }
+
+  /** Score docs against the FROZEN model — unseen bigrams/contexts
+    * drop out of the inner joins exactly as unseen vocabulary does
+    * in the inline form (a doc with no scorable bigram reports
+    * n_bigrams = 0, judged-not-dropped). */
+  def score(spark: SparkSession, dir: String, docs: DataFrame,
+      id: String, text: String): DataFrame = {
+    val mt = readMeta(spark, dir)
+    val c12 = spark.read.parquet(s"$dir/bigrams")
+    val c1 = spark.read.parquet(s"$dir/contexts")
+    val bg = docs.select(col(id),
+        explode(TextAnalysis.bigramPairs(
+          TextAnalysis.tokens(col(text)))).as("p"))
+      .select(col(id), col("p.0").as("w1"), col("p.1").as("w2"))
+    val lp = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col(id),
+        TextAnalysis.lpMicro(col("n12"), col("n1"), lit(mt.vs))
+          .as("lp_micro"))
+    val agg = lp.groupBy(col(id)).agg(
+      count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("ll_micro"))
+    docs.select(col(id)).join(agg, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ll_micro"), lit(0L)).as("ll_micro"),
+        TextAnalysis.roundA(col("ll_micro") / 1e6 / col("n_bigrams"), 4)
+          .as("avg_ll"))
+  }
+
+  /** Fold a batch into the model — count addition + vocabulary
+    * union, rewritten through one staged-verify-flip (the rewrite is
+    * VOCABULARY-sized; the corpus never re-tokenizes beyond the
+    * batch). Returns the new vocabulary size. */
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame,
+      newStamp: Option[String] = None): Long = {
+    val mt = readMeta(spark, dir)
+    val text = mt.textCol
+    val (b12, _, _) = TextAnalysis.lmModel(newDocs, text)
+    val m12 = spark.read.parquet(s"$dir/bigrams").unionByName(b12)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n12")).as("n12"))
+    val mv = spark.read.parquet(s"$dir/vocab").unionByName(
+        newDocs.select(explode(TextAnalysis.tokens(col(text))).as("w")))
+      .distinct()
+    val stage = s"$dir/.stage-append"
+    val (fs, _) = VectorIndex.hfs(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    writeTables(spark, stage, m12, mv)
+    val gen = System.currentTimeMillis()
+    Seq("bigrams", "contexts", "vocab").foreach { tb =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$tb")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$tb.old-g$gen")
+      require(fs.rename(live, old), s"flip failed: $live -> $old")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$tb"), live),
+        s"flip failed: $stage/$tb -> $live")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val vs = spark.read.parquet(s"$dir/vocab").count()
+    writeMeta(spark, dir, mt.copy(vs = vs,
+      stamp = newStamp.getOrElse(mt.stamp)))
+    vs
+  }
+
+  /** contexts derive from the ONE checkpointed bigram table (Σ_w2
+    * n12 per w1), so the two counts can never disagree */
+  private def writeTables(spark: SparkSession, dir: String,
+      c12: DataFrame, vocab: DataFrame): Long = {
+    val c12m = c12.localCheckpoint(true)
+    val n = c12m.count()
+    val nFiles = math.max(1L, n / 2000000L).toInt
+    graft.sources.LakeSink.writeSorted(c12m, s"$dir/bigrams", "parquet",
+      Seq("w1", "w2"), nFiles)
+    graft.sources.LakeSink.writeSorted(
+      c12m.groupBy(col("w1")).agg(sum(col("n12")).as("n1")),
+      s"$dir/contexts", "parquet", Seq("w1"), nFiles)
+    graft.sources.LakeSink.writeSorted(vocab, s"$dir/vocab", "parquet",
+      Seq("w"), nFiles)
+    n
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, mt: Meta): Unit = {
+    import spark.implicits._
+    Seq((mt.vs, mt.textCol, mt.stamp)).toDF("vs", "text_col", "stamp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    Meta(r.getAs[Long]("vs"), r.getAs[String]("text_col"),
+      r.getAs[String]("stamp"))
+  }
+}

@@ -51,7 +51,7 @@ object TextAnalysis {
 
   /** arithmetic round-half-up — pure IEEE ops, bit-identical in any
     * engine when the oracle uses the same expression text */
-  private def roundA(c: Column, n: Int): Column = {
+  private[operators] def roundA(c: Column, n: Int): Column = {
     val p = math.pow(10, n)
     floor(c * p + 0.5) / p
   }

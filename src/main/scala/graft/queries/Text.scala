@@ -318,15 +318,59 @@ object Text {
     agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp_micro) AS ll_micro
             FROM lp GROUP BY doc_id)"""
 
-  val t10 = Q("t10_lm", Some(s"""
+  private val t10OracleSql = s"""
     WITH $lmCtes
     SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
       CAST(coalesce(a.ll_micro, 0) AS BIGINT) AS ll_micro,
       floor((a.ll_micro / 1000000.0 / a.n_bigrams) * 10000.0 + 0.5) / 10000.0 AS avg_ll
     FROM documents d LEFT JOIN agg a USING (doc_id)
-    ORDER BY d.doc_id""")) { (s, d) =>
+    ORDER BY d.doc_id"""
+
+  val t10 = Q("t10_lm", Some(t10OracleSql)) { (s, d) =>
     TextAnalysis.lmScore(t(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")
+  }
+
+  // t25: perplexity scores SERVED FROM THE PERSISTED LM
+  // (graft.operators.LmIndex) — the model-artifact lifecycle: t10
+  // retrains per run; this trains once into a content-stamped
+  // location and scores from the frozen count tables. Same
+  // stamp/atomic-publish discipline as the other three indexes.
+  private def ensureLmIndex(s: SparkSession, d: String): String = {
+    val stamp = docsStamp(s, d)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_lmindex_$stamp").getPath
+    val fresh =
+      try graft.operators.LmIndex.readMeta(s, dir).stamp == stamp
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!fresh) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_lmindex_") &&
+          f.getName != s"graft_lmindex_$stamp")
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_lmindex_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.operators.LmIndex.write(t(s, d, "documents"), "text",
+        build.getPath, stamp = stamp)
+      if (!build.renameTo(new java.io.File(dir)))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir
+  }
+
+  /** t25: the Laplace-bigram perplexity filter SERVED FROM THE
+    * PERSISTED MODEL ([[graft.operators.LmIndex.score]]) — scores
+    * ≡ inline t10 BIT-FOR-BIT when the model corpus is the scored
+    * corpus (the shared `lpMicro` expression over identical counts;
+    * LmIndexSpec pins it, plus frozen-model semantics on UNSEEN
+    * text and append ≡ retrain), so the oracle IS t10's SQL. The
+    * production shape: train once on the reference corpus, score
+    * every later batch map-side against the frozen artifact. */
+  val t25 = Q("t25_lm_index", Some(t10OracleSql)) { (s, d) =>
+    val dir = ensureLmIndex(s, d)
+    graft.operators.LmIndex.score(s, dir, t(s, d, "documents"),
+      "doc_id", "text").orderBy("doc_id")
   }
 
   /** token-distribution entropy ([[TextAnalysis.entropy]]) — the
@@ -995,5 +1039,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
 }

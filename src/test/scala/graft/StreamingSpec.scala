@@ -113,6 +113,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.contains(103L), "a <2-token doc emits no score row")
   }
 
+  test("perplexity filter on ingest from the PERSISTED frozen model ≡ batch scores") {
+    // the LmIndex production seat: the model artifact is trained
+    // ONCE on disk; each arriving micro-batch scores against the
+    // frozen counts via foreachBatch — identical to batch scoring
+    // of the union (per-row scores are model-only functions), and
+    // the model NEVER refits to what streams past it
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LmIndex
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmst")
+      .toString + "/m"
+    LmIndex.write(docs.filter(col("doc_id") % 2 === 0), "text", dir)
+    val feed = docs.filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= LmIndex.score(spark, dir, batch, "doc_id", "text")
+          .collect().map(_.toString)
+        ()
+      }.start()
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val expected = LmIndex.score(spark, dir,
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      .collect().map(_.toString)
+    assert(expected.nonEmpty && got.sorted.toSeq == expected.sorted.toSeq,
+      "streamed scoring must equal batch scoring against the same artifact")
+  }
+
   test("stream-stream interval join pairs errors with recent clicks only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
