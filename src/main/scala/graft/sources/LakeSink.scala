@@ -801,10 +801,27 @@ object LakeSink {
     * committed batch directories only (a mid-rename batch is
     * invisible: rename is atomic). Returns true iff THIS call
     * committed the batch. */
+  /** epochs ≤ this id were folded by [[compactBatches]] — their
+    * directories are gone, but a REPLAY of one must stay a no-op */
+  private def compactedThrough(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Long = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_compacted_through")
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
   def appendBatchOnce(spark: SparkSession, dir: String, batchId: Long,
       df: DataFrame, bloomCols: Seq[String] = Nil): Boolean = {
     val dest = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an epoch folded by compaction is COMMITTED even though its
+    // directory is gone — replays of it must stay no-ops
+    if (batchId <= compactedThrough(fs, dir)) return false
     if (fs.exists(dest)) return false
     val stage = new org.apache.hadoop.fs.Path(dir,
       s".stage-batch-$batchId")
@@ -830,9 +847,68 @@ object LakeSink {
     }
   }
 
-  /** All committed batches of an [[appendBatchOnce]] directory. */
-  def readBatches(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/batch-*")
+  /** All committed batches of an [[appendBatchOnce]] directory —
+    * live `batch-*` epochs plus the `compacted-*` fold if one
+    * exists. */
+  def readBatches(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch-") ||
+        p.getName.startsWith("compacted-"))
+      .map(_.toString)
+    require(parts.nonEmpty, s"no committed batches under $dir")
+    spark.read.parquet(parts.toIndexedSeq: _*)
+  }
+
+  /** FOLD the small per-epoch directories micro-batching accumulates
+    * into one file set — the compaction every streaming-ingest table
+    * eventually needs — WITHOUT ever weakening the exactly-once
+    * contract: the fold stages `compacted-<upTo>` from every
+    * committed directory up to the highest epoch, verifies the
+    * recount, writes the `_compacted_through` marker, and only THEN
+    * removes the folded directories — so a crash at any point leaves
+    * either the old layout or a complete fold plus removable
+    * leftovers (re-running converges), and a REPLAY of a folded
+    * epoch is still a no-op forever ([[appendBatchOnce]] checks the
+    * marker before the directory). `bloomCols` re-blooms the folded
+    * set so [[readBloomLookupBatches]] keeps pruning. Returns the
+    * folded row count. */
+  def compactBatches(spark: SparkSession, dir: String,
+      bloomCols: Seq[String] = Nil): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val olds = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch-") ||
+        p.getName.startsWith("compacted-"))
+    require(olds.nonEmpty, s"no committed batches under $dir")
+    val upTo = math.max(compactedThrough(fs, dir),
+      olds.map(_.getName.split("-").last.toLong).max)
+    val all = spark.read.parquet(olds.map(_.toString).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    val n = all.count()
+    val stage = new org.apache.hadoop.fs.Path(dir, s".stage-compact-$upTo")
+    fs.delete(stage, true)
+    all.write.parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString).count()
+    if (staged != n) {
+      fs.delete(stage, true)
+      throw new java.io.IOException(
+        s"staged fold short: $staged rows, expected $n; aborting — " +
+          "batches unchanged")
+    }
+    bloomCols.foreach(c => attachBlooms(spark, stage.toString, c))
+    val dest = new org.apache.hadoop.fs.Path(dir, s"compacted-$upTo")
+    require(fs.rename(stage, dest), s"fold flip failed: $stage -> $dest")
+    // marker BEFORE removing the folded dirs: from here a replayed
+    // epoch ≤ upTo is refused by the marker, not the directory
+    val marker = new org.apache.hadoop.fs.Path(dir, "_compacted_through")
+    val out = fs.create(marker, true)
+    out.write(upTo.toString.getBytes("UTF-8")); out.close()
+    olds.filterNot(_ == dest).foreach(p =>
+      require(fs.delete(p, true), s"folded batch $p undeletable"))
+    n
+  }
 
   /** BLOOM point lookup over a STREAMED table — the a23 read on an
     * [[appendBatchOnce]] directory whose batches committed with
@@ -848,7 +924,9 @@ object LakeSink {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batches = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+      .filter(p => p.getName.startsWith("batch-") ||
+        p.getName.startsWith("compacted-"))
+      .sortBy(_.getName)
     require(batches.nonEmpty, s"no committed batches under $dir")
     val keep = batches.flatMap { b =>
       val man = new org.apache.hadoop.fs.Path(b, s"_blooms_$c")

@@ -963,9 +963,31 @@ class LakeSpec extends AnyFunSuite {
     assert(!LakeSink.appendBatchOnce(spark, dir, 1L,
       Seq((999L, "dup")).toDF("k", "v"), bloomCols = Seq("k")))
     assert(LakeSink.readBatches(spark, dir).count() == 300L)
+    // COMPACTION folds the epochs without weakening exactly-once:
+    // rows identical, a replayed FOLDED epoch is still a no-op (the
+    // marker outlives the directories), lookups keep pruning through
+    // the re-bloomed fold, and post-fold epochs commit normally
+    assert(LakeSink.compactBatches(spark, dir,
+      bloomCols = Seq("k")) == 300L)
+    assert(LakeSink.readBatches(spark, dir).count() == 300L)
+    assert(!LakeSink.appendBatchOnce(spark, dir, 0L,
+      Seq((998L, "ghost")).toDF("k", "v"), bloomCols = Seq("k")),
+      "a replay of a folded epoch must stay a no-op forever")
+    assert(LakeSink.readBloomLookupBatches(spark, dir, "k", lit(137L))
+      .collect().map(_.toString).toSeq == Seq("[137,v137]"))
+    assert(LakeSink.appendBatchOnce(spark, dir, 5L,
+      (300L until 320L).map(i => (i, s"v$i")).toDF("k", "v"),
+      bloomCols = Seq("k")))
+    assert(LakeSink.readBatches(spark, dir).count() == 320L)
+    assert(LakeSink.readBloomLookupBatches(spark, dir, "k", lit(305L))
+      .count() == 1L)
+    // a second fold converges (compacted-* folds into compacted-*)
+    assert(LakeSink.compactBatches(spark, dir, bloomCols = Seq("k")) == 320L)
+    assert(!LakeSink.appendBatchOnce(spark, dir, 5L,
+      Seq((997L, "ghost")).toDF("k", "v"), bloomCols = Seq("k")))
     // a batch committed WITHOUT the manifest refuses lookups by name
-    assert(LakeSink.appendBatchOnce(spark, dir, 3L,
-      Seq((300L, "x")).toDF("k", "v")))
+    assert(LakeSink.appendBatchOnce(spark, dir, 7L,
+      Seq((400L, "x")).toDF("k", "v")))
     val e = intercept[IllegalArgumentException] {
       LakeSink.readBloomLookupBatches(spark, dir, "k", lit(137L))
     }
