@@ -49,14 +49,18 @@ object GraftSession {
     attach(s)
   }
 
-  /** Register graft's native SQL functions (cosine_sim,
-    * cosine_sim_nullable, dot_product, luhn_valid) on an existing
-    * session — for sessions built from [[builder]] directly rather
-    * than [[local]]. */
+  /** Register ALL of graft's native SQL functions (cosine_sim,
+    * cosine_sim_nullable, dot_product, luhn_valid, sq8_cosine,
+    * shingle_hash48, minhash_sig, ngram_hash48, md5_fold48,
+    * bloom_hit, sorted_intersect_count) on an existing session — for
+    * sessions built from [[builder]] directly rather than [[local]].
+    * Every hot-path native is reachable from plain spark.sql. */
   def attach(s: SparkSession): SparkSession = {
     graft.functions.CosineSimilarity.register(s)
     graft.functions.LuhnValid.register(s)
     graft.functions.Sq8Cosine.register(s)
+    graft.functions.TextHashes.register(s)
+    graft.functions.SortedIntersectCount.register(s)
     s
   }
 }

@@ -237,4 +237,34 @@ object TextHashes {
       GraftBridge.expression(bloom), k, mBits))
   def md5_fold48(s: Column): Column =
     GraftBridge.column(Md5Fold48(GraftBridge.expression(s)))
+
+  /** Register the native text-hash functions for SQL use
+    * (`shingle_hash48`, `minhash_sig`, `ngram_hash48`, `md5_fold48`,
+    * `bloom_hit`) — the int parameters arrive as SQL literals and
+    * fold into the expression at registration (they size codegen'd
+    * loops, so they must be compile-time constants, exactly like the
+    * Column API's Int parameters). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def intLit(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter must be an integer literal, got $other")
+    }
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "shingle_hash48", exprs => ShingleHash48(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "md5_fold48", exprs => Md5Fold48(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ngram_hash48", exprs =>
+        NgramHash48(exprs(0), intLit(exprs(1), "ngram_hash48")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_hit", exprs => BloomHit(exprs(0), exprs(1),
+        intLit(exprs(2), "bloom_hit"), intLit(exprs(3), "bloom_hit")),
+      "built-in")
+  }
 }

@@ -90,6 +90,45 @@ class CatalystRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("every native is reachable from plain spark.sql and matches its Column-API twin") {
+    import spark.implicits._
+    import graft.functions.{SortedIntersectCount, TextHashes}
+    val df = Seq((1L, "alpha beta gamma alpha", Seq(1L, 3L, 9L),
+        Seq(3L, 9L, 11L))).toDF("id", "text", "sa", "sb")
+    df.createOrReplaceTempView("natives_t")
+    // token-array natives: SQL expression ≡ Column API bit for bit
+    val viaSql = spark.sql("""
+      SELECT shingle_hash48(split(text, ' ')) AS sh,
+             minhash_sig(split(text, ' ')) AS ms,
+             ngram_hash48(split(text, ' '), 2) AS ng,
+             md5_fold48(text) AS mf,
+             sorted_intersect_count(sa, sb) AS ic
+      FROM natives_t""").collect().head
+    val viaCol = df.select(
+        TextHashes.shingle_hash48(split(col("text"), " ")).as("sh"),
+        TextHashes.minhash_sig(split(col("text"), " ")).as("ms"),
+        TextHashes.ngram_hash48(split(col("text"), " "), 2).as("ng"),
+        TextHashes.md5_fold48(col("text")).as("mf"),
+        SortedIntersectCount.sorted_intersect_count(col("sa"), col("sb"))
+          .as("ic")).collect().head
+    assert(viaSql.toString == viaCol.toString)
+    assert(viaSql.getInt(4) == 2, "intersect {3,9}")
+    // bloom_hit: the sized parameters must be literals, by name
+    val bloom = graft.operators.TextAnalysis.bloomFilterOfDigests(
+      Seq(7L, 8L).toDF("dig"), 1 << 10, 3)
+    bloom.createOrReplaceTempView("natives_bloom")
+    val hits = spark.sql("""
+      SELECT bloom_hit(CAST(d AS STRING), bloom, 3, 1024) AS h
+      FROM (VALUES (7), (99)) v(d) CROSS JOIN natives_bloom""")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(hits.head, "a member key must hit")
+    val e = intercept[Exception] {
+      spark.sql("SELECT bloom_hit('x', bloom, 3, id + 1) FROM natives_bloom CROSS JOIN (SELECT 1 AS id)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"),
+      s"non-literal sizing must refuse by name: ${e.getMessage.take(120)}")
+  }
+
   test("BloomPruneRule: planner-applied manifest pruning — WHERE k = v reads ~1 file, off by default, results identical") {
     import spark.implicits._
     import graft.sources.LakeSink

@@ -77,6 +77,57 @@ class DocsQueriesNullSafetySpec extends AnyFunSuite {
     assert(byId(4L)._2 == byId(4L)._1, "first carrier uncut")
   }
 
+  test("round-12 document operators complete over null/empty/tiny docs; NULL query values answer empty") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.{DedupIndex, LmIndex}
+    // d32/t24/t25 over the degenerate table — must complete; d32
+    // keeps every doc judgeable (weight floored at 1)
+    for (q <- Seq("d32_weighted_sample", "t24_bm25_all", "t25_lm_index")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows != null, s"$q crashed")
+    }
+    assert(SparkEntry.queries("d32_weighted_sample")(spark, dir)
+      .collect().length == 5,
+      "weight floors at 1 — NULL-length docs stay sampleable")
+    // t25 stays TOTAL: NULL text scores n_bigrams = 0, never drops
+    val lm = SparkEntry.queries("t25_lm_index")(spark, dir).collect()
+    assert(lm.length == 5 &&
+      lm.find(_.getLong(0) == 1L).get.getLong(1) == 0L)
+    // DedupIndex over a corpus holding NULL/empty docs: build +
+    // probe with a NULL-text batch doc completes, and the NULL doc
+    // never manufactures pairs through shared null-band digests that
+    // the inline estimator wouldn't also produce (parity on the
+    // degenerate fixture, not just the clean one)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_didx_null").toString
+    DedupIndex.write(docs.filter(col("doc_id") =!= 5L),
+      "doc_id", "text", idxDir)
+    val probed = DedupIndex.probeEst(spark, idxDir,
+        docs.filter(col("doc_id") === 5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val inline = graft.operators.Dedup.minhashEstimate(docs, "doc_id", "text")
+      .filter(col("d2") === 5L || col("d1") === 5L).collect()
+      .map(r => if (r.getLong(1) == 5L) (5L, r.getLong(0))
+                else (r.getLong(0), r.getLong(1)))
+      .map { case (b, c) => (b, c) }.sorted.toSeq
+    assert(probed == inline,
+      s"degenerate-corpus probe must match inline: $probed vs $inline")
+    // bloom lookup of a NULL value: empty, never a crash or full scan
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_null").toString + "/t"
+    docs.write.parquet(bDir)
+    graft.sources.LakeSink.attachBlooms(spark, bDir, "doc_id")
+    assert(graft.sources.LakeSink.readBloomLookupDir(spark, bDir,
+      "doc_id", lit(null).cast("long")).isEmpty)
+    // LmIndex trained on a corpus WITH null docs serves non-null text
+    val lmDir = java.nio.file.Files
+      .createTempDirectory("graft_lm_null").toString
+    LmIndex.write(docs, "text", lmDir)
+    assert(LmIndex.score(spark, lmDir, docs, "doc_id", "text")
+      .count() == 5L)
+  }
+
   test("two NULL-text docs are not each other's duplicate windows (d27 ≡ oracle's zero rows)") {
     // the ADVICE-r10 shape: windowDigests used to manufacture one
     // whole-doc window with a NULL digest per NULL-text doc, and the
