@@ -825,6 +825,51 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q56: TPC-H Q22's shape — customers above the GLOBAL average
+    * positive balance with no RECENT order (the "wealthy inactive"
+    * audit: a scalar-subquery threshold + a date-restricted
+    * anti-join + a rollup; this generator's orders cover every
+    * customer, so inactivity is "since 2001" rather than "ever" —
+    * 285 eligible at the gate SF).
+    * Engine-exactness: the threshold comparison is CROSS-MULTIPLIED
+    * integers — `cents·n > Σcents` instead of `acctbal > avg(...)` —
+    * because a double avg is summation-order-dependent and a
+    * boundary customer could flip between engines; exact cents make
+    * the eligible SET identical by arithmetic, not by luck. Scale:
+    * one column-pruned scan feeds the 2-scalar aggregate (broadcast
+    * back as a 1-row cross join — q34's shape), the anti-join
+    * shuffles on the key, the rollup is nation-sized. */
+  val q56 = Q("q56_global_threshold_anti", Some("""
+    WITH c AS (SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+               FROM customer),
+    pos AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n FROM c WHERE cents > 0),
+    elig AS (SELECT c.c_custkey, c.c_nationkey, c.cents
+             FROM c CROSS JOIN pos
+             WHERE c.cents * pos.n > pos.s
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'))
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM elig GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+      floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cents"))
+    val pos = c.filter(col("cents") > 0)
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    c.crossJoin(broadcast(pos))
+      .filter(col("cents") * col("n") > col("s"))
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >=
+            lit("2001-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("sum_cents"))
+      .orderBy("c_nationkey")
+  }
+
   // ---- q29: RANGE-frame sliding window (value-based, not row-based) --
   // trailing 1-hour sum per event: RANGE frames include sec-peers, so
   // ties contribute identically in both engines (ROWS frames — q19 —
@@ -1671,5 +1716,5 @@ object Analytics {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55)
+    q50, q51, q52, q53, q54, q55, q56)
 }
