@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * batch/stream against that frozen model — this is that artifact.
   *
   * Tables under `dir`:
-  *   - `bigrams` (w1, w2, n12) — (w1, w2)-clustered, so a scoring
-  *     join's shuffle reads sorted runs;
-  *   - `contexts` (w1, n1) — Σ_w2 n12 per context, w1-clustered;
+  *   - `bigrams` (w1, w2, n12, n1) — (w1, w2)-clustered, with the
+  *     context total DENORMALIZED into every row: scoring reads ONE
+  *     table, so there is no cross-table consistency window for a
+  *     crashed append to leave behind (two tables flipped separately
+  *     could pair a new n12 with an old n1 and MIS-SCORE — the
+  *     failure mode the inner-join-loses argument of
+  *     [[TextIndex.append]] cannot cover for derived aggregates;
+  *     one table + meta-last makes the artifact atomic for readers);
   *   - `vocab` (w) — the distinct unigram vocabulary (vs must be
   *     RECOMPUTABLE under append: |A's vocab ∪ B's| is not
   *     |A's| + |B's|);
@@ -57,12 +62,11 @@ object LmIndex {
       id: String, text: String): DataFrame = {
     val mt = readMeta(spark, dir)
     val c12 = spark.read.parquet(s"$dir/bigrams")
-    val c1 = spark.read.parquet(s"$dir/contexts")
     val bg = docs.select(col(id),
         explode(TextAnalysis.bigramPairs(
           TextAnalysis.tokens(col(text)))).as("p"))
       .select(col(id), col("p.0").as("w1"), col("p.1").as("w2"))
-    val lp = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val lp = bg.join(c12, Seq("w1", "w2"))
       .select(col(id),
         TextAnalysis.lpMicro(col("n12"), col("n1"), lit(mt.vs))
           .as("lp_micro"))
@@ -85,7 +89,8 @@ object LmIndex {
     val mt = readMeta(spark, dir)
     val text = mt.textCol
     val (b12, _, _) = TextAnalysis.lmModel(newDocs, text)
-    val m12 = spark.read.parquet(s"$dir/bigrams").unionByName(b12)
+    val m12 = spark.read.parquet(s"$dir/bigrams")
+      .select("w1", "w2", "n12").unionByName(b12)
       .groupBy(col("w1"), col("w2")).agg(sum(col("n12")).as("n12"))
     val mv = spark.read.parquet(s"$dir/vocab").unionByName(
         newDocs.select(explode(TextAnalysis.tokens(col(text))).as("w")))
@@ -95,7 +100,7 @@ object LmIndex {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     writeTables(spark, stage, m12, mv)
     val gen = System.currentTimeMillis()
-    Seq("bigrams", "contexts", "vocab").foreach { tb =>
+    Seq("bigrams", "vocab").foreach { tb =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$tb")
       val old = new org.apache.hadoop.fs.Path(s"$dir/$tb.old-g$gen")
       require(fs.rename(live, old), s"flip failed: $live -> $old")
@@ -109,18 +114,19 @@ object LmIndex {
     vs
   }
 
-  /** contexts derive from the ONE checkpointed bigram table (Σ_w2
-    * n12 per w1), so the two counts can never disagree */
+  /** n1 derives from the ONE checkpointed bigram table (a window
+    * sum over w1 — context-sized partitions) and lands IN the bigram
+    * rows, so the two counts can never disagree — in the files or in
+    * a reader's snapshot */
   private def writeTables(spark: SparkSession, dir: String,
       c12: DataFrame, vocab: DataFrame): Long = {
     val c12m = c12.localCheckpoint(true)
     val n = c12m.count()
     val nFiles = math.max(1L, n / 2000000L).toInt
-    graft.sources.LakeSink.writeSorted(c12m, s"$dir/bigrams", "parquet",
-      Seq("w1", "w2"), nFiles)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
     graft.sources.LakeSink.writeSorted(
-      c12m.groupBy(col("w1")).agg(sum(col("n12")).as("n1")),
-      s"$dir/contexts", "parquet", Seq("w1"), nFiles)
+      c12m.withColumn("n1", sum(col("n12")).over(w)),
+      s"$dir/bigrams", "parquet", Seq("w1", "w2"), nFiles)
     graft.sources.LakeSink.writeSorted(vocab, s"$dir/vocab", "parquet",
       Seq("w"), nFiles)
     n
