@@ -584,6 +584,31 @@ class PlanSpec extends AnyFunSuite {
         s"of the corpus at 100 TB: ${offenders.mkString(", ")}")
   }
 
+  test("suite-wide: shuffle budget — no query plans a runaway Exchange count") {
+    // every hash/range Exchange is a corpus-sized shuffle at 100 TB;
+    // a query quietly accumulating them (a lost broadcast hint, a
+    // repartition snuck into a helper) is the regression this audit
+    // exists to catch before a benchmark does. Budget = the measured
+    // suite envelope + headroom; broadcast/reused exchanges are
+    // exempt (dims and reuse are the point).
+    val budget = 14
+    // t21: the broadcast-cutpoint pipeline stacks narrow (id, score)
+    // shuffles — 15 exchanges, every one score-row-sized (the point
+    // of the t13 replacement); documented, not runaway
+    val allowed = Map("t21_ppl_buckets_sketch" -> 16)
+    val offenders = Registry.all.flatMap { q =>
+      val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan
+        .toString
+      val n = p.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+      if (n > allowed.getOrElse(q.name, budget)) Some(s"${q.name}($n)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"shuffle-heavy plans above the $budget-Exchange budget: " +
+        offenders.mkString(", "))
+  }
+
   test("q43 double-EXISTS is decorrelated: per-order partial agg, no correlated self-joins") {
     val p = plan("q43_multi_exists")
     // the fact table feeds exactly two derivations (per-order agg +
