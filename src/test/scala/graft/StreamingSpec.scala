@@ -113,6 +113,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.contains(103L), "a <2-token doc emits no score row")
   }
 
+  test("streaming windowed top-k: the typed aggregator's bounded state on an unbounded stream ≡ batch") {
+    // q48's TopKAgg as STREAMING aggregation state: per (hour,
+    // user) the top-3 events by value with FIXED k-row merge state —
+    // the trending-items aggregation that cannot OOM however long
+    // the stream runs (the Window form would buffer whole groups).
+    // Pinned ≡ the batch aggregate on the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, window}
+    val e = Tables.load(spark, TestSpark.sf, "events")
+    val ev = e.withColumn("sec", Tables.tsSec(e))
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("sec") * 1000).cast("timestamp").as("ts"))
+      .limit(2000).localCheckpoint(true)
+    val rows = ev.as[(Long, Long, Double, java.sql.Timestamp)].collect()
+    val in = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val agged = in.toDF()
+      .toDF("event_id", "user_id", "value", "ts")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(graft.functions.TopKAgg.top_k(3)(
+        col("value"), col("event_id")).as("ids"))
+    val q = agged.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("stk").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT window.start, user_id, ids FROM stk")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = ev.groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(graft.functions.TopKAgg.top_k(3)(
+        col("value"), col("event_id")).as("ids"))
+      .select(col("window.start"), col("user_id"), col("ids"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty && got == batch,
+      s"streamed top-k must equal batch: ${got.length} vs ${batch.length}")
+  }
+
   test("perplexity filter on ingest from the PERSISTED frozen model ≡ batch scores") {
     // the LmIndex production seat: the model artifact is trained
     // ONCE on disk; each arriving micro-batch scores against the
