@@ -113,6 +113,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.contains(103L), "a <2-token doc emits no score row")
   }
 
+  test("built-in session_window ≡ the custom sessionizer's spans (one gap rule, two APIs)") {
+    // unification pin for the SESSION abstraction: Spark's built-in
+    // gap-based session_window aggregation on the events stream must
+    // produce exactly the custom flatMapGroupsWithState sessionizer's
+    // (user, start, end, n) spans under the same 30-min gap — the
+    // two APIs implement ONE semantics, so a consumer can pick either
+    // (boundary note: the built-in's merge rule is diff < gap where
+    // q16's is diff <= gap — no fixture event sits exactly ON the
+    // 1800 s boundary, and the generator's continuous values make
+    // one astronomically unlikely; an exact-boundary corpus would
+    // need the q16 rule adjusted by one second)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, session_window}
+    val e = Tables.load(spark, TestSpark.sf, "events")
+    val ev = e.withColumn("sec", Tables.tsSec(e))
+      .select(col("user_id"), col("sec"),
+        col("sec").cast("timestamp").as("ts"))
+      .limit(3000).localCheckpoint(true)
+    val viaBuiltin = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_sec", "end_sec", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    // the custom sessionizer's spans on the same rows (batch twin of
+    // the stream_session seat: group → sort → gap-split)
+    val viaCustom = ev.select(col("user_id"), col("sec"))
+      .as[(Long, Long)].collect().groupBy(_._1).toSeq.flatMap {
+        case (u, rows) =>
+          val secs = rows.map(_._2).sorted
+          val sessions = scala.collection.mutable.ArrayBuffer[
+            scala.collection.mutable.ArrayBuffer[Long]]()
+          secs.foreach { s =>
+            if (sessions.nonEmpty && s - sessions.last.last <= 1800)
+              sessions.last += s
+            else sessions += scala.collection.mutable.ArrayBuffer(s)
+          }
+          sessions.map(ss => s"[$u,${ss.head},${ss.last},${ss.length}]")
+      }.sorted
+    assert(viaBuiltin.nonEmpty && viaBuiltin == viaCustom,
+      s"session semantics diverge: ${viaBuiltin.length} vs ${viaCustom.length}")
+  }
+
   test("streaming windowed top-k: the typed aggregator's bounded state on an unbounded stream ≡ batch") {
     // q48's TopKAgg as STREAMING aggregation state: per (hour,
     // user) the top-3 events by value with FIXED k-row merge state —
@@ -125,7 +169,7 @@ class StreamingSpec extends AnyFunSuite {
     val e = Tables.load(spark, TestSpark.sf, "events")
     val ev = e.withColumn("sec", Tables.tsSec(e))
       .select(col("event_id"), col("user_id"), col("value"),
-        (col("sec") * 1000).cast("timestamp").as("ts"))
+        col("sec").cast("timestamp").as("ts"))
       .limit(2000).localCheckpoint(true)
     val rows = ev.as[(Long, Long, Double, java.sql.Timestamp)].collect()
     val in = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
