@@ -442,6 +442,58 @@ class StreamingSpec extends AnyFunSuite {
     sigTable.unpersist()
   }
 
+  test("phash suppression against a PERSISTED signature table: lake epochs replace the driver-held unions") {
+    // the production form of the seat above (the DedupIndex move,
+    // composed from r12's exactly-once primitive instead of a fifth
+    // index object): the signature corpus is a LAKE TABLE whose
+    // epochs land through appendBatchOnce — survivors' signatures
+    // commit exactly once per micro-batch, a replayed epoch can
+    // never double a signature (a doubled signature would
+    // self-suppress legitimate re-ingests after a delete), and no
+    // driver state grows with the corpus.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.sources.LakeSink
+    import graft.streaming.EventStreams
+    def pay(seed: String) = (1 to 40).map(j => s"$seed-block$j").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_phsig")
+      .toString + "/sigs"
+    val corpusBin = Seq((1L, pay("corp1")), (2L, pay("corp2")))
+      .toDF("record_id", "payload")
+    assert(LakeSink.appendBatchOnce(spark, dir, 0L,
+      Multimodal.phash(Multimodal.asBinary(corpusBin, "record_id",
+        "payload"))))
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("record_id", "payload").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val bin = Multimodal.asBinary(b, "record_id", "payload")
+        val kept = EventStreams.phashSuppress(bin,
+          LakeSink.readBatches(spark, dir)).localCheckpoint(true)
+        admitted ++= kept.select("record_id").collect().map(_.getLong(0))
+        LakeSink.appendBatchOnce(spark, dir, bid + 1,
+          Multimodal.phash(kept))
+        ()
+      }.start()
+    in.addData((10L, pay("corp1")), (11L, pay("novel1")))
+    q.processAllAvailable()
+    in.addData((20L, pay("novel1")), (21L, pay("novel2")))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.sorted == Seq(11L, 21L),
+      s"copies of corpus AND prior survivors must be suppressed: $admitted")
+    assert(LakeSink.readBatches(spark, dir).count() == 4,
+      "the signature table grew by exactly the survivors")
+    // an epoch REPLAY (at-least-once delivery) cannot double a
+    // signature — exactly-once is what keeps re-suppression honest
+    assert(!LakeSink.appendBatchOnce(spark, dir, 1L,
+      Multimodal.phash(Multimodal.asBinary(
+        Seq((99L, pay("ghost"))).toDF("record_id", "payload"),
+        "record_id", "payload"))))
+    assert(LakeSink.readBatches(spark, dir).count() == 4)
+  }
+
   test("streamed LEFT OUTER interval join: NULL rows emit on WATERMARK PASSAGE, not batch end") {
     // the outer-attribution semantics only a stream makes interesting:
     // an error with no click in its 5-minute lookback may NOT emit
