@@ -85,8 +85,13 @@ object LmIndex {
     * VOCABULARY-sized; the corpus never re-tokenizes beyond the
     * batch). Returns the new vocabulary size. */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
-      newStamp: Option[String] = None): Long = {
+      newStamp: Option[String] = None, retainMs: Long = 600000L): Long = {
     val mt = readMeta(spark, dir)
+    // the flip below retains the superseded tables as `.old-g*` for
+    // in-flight readers; reclaim PRIOR appends' copies past the
+    // retention window (the TextIndex/VectorIndex contract) so a
+    // long-lived model dir doesn't accumulate one copy per batch
+    VectorIndex.gcOldGenerations(spark, dir, retainMs)
     val text = mt.textCol
     val (b12, _, _) = TextAnalysis.lmModel(newDocs, text)
     val m12 = spark.read.parquet(s"$dir/bigrams")

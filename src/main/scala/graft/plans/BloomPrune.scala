@@ -54,6 +54,11 @@ class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val key = (dir, c, v.toString, mtime)
     val hit = cache.get(key)
     if (hit != null) return hit
+    // bounded memo: distinct lookups are usually few, but a driver
+    // serving ad-hoc point queries for weeks must not leak — drop
+    // the memo wholesale past the cap (manifest reads are cheap to
+    // redo; correctness never depended on the cache)
+    if (cache.size() > 1024) cache.clear()
     val man = spark.read.parquet(s"$dir/_blooms_$c")
     val scalaV = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .convertToScala(v.value, v.dataType)
