@@ -52,6 +52,8 @@ class PlanSpec extends AnyFunSuite {
       "q49_bloom_semijoin", "q50_join_card",
       // q51's 1-row total broadcast inside heavyKeys' frac filter
       "q51_skew_join",
+      // q56's 1-row (Σcents, n) threshold broadcast (q34's shape)
+      "q56_global_threshold_anti",
       // q53's bloom branch carries q49's 1-row bitmap broadcast (at
       // tiny SF the advisor picks broadcast and no BNLJ plans at all)
       "q53_advised_join")
