@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions._
   * batch/stream against that frozen model — this is that artifact.
   *
   * Tables under `dir`:
-  *   - `bigrams` (w1, w2, n12, n1) — (w1, w2)-clustered, with the
-  *     context total DENORMALIZED into every row: scoring reads ONE
-  *     table, so there is no cross-table consistency window for a
-  *     crashed append to leave behind (two tables flipped separately
-  *     could pair a new n12 with an old n1 and MIS-SCORE — the
-  *     failure mode the inner-join-loses argument of
-  *     [[TextIndex.append]] cannot cover for derived aggregates;
-  *     one table + meta-last makes the artifact atomic for readers);
+  *   - `bigrams` (w1, w2, n12, n1, vs) — (w1, w2)-clustered, with
+  *     BOTH scoring denominators DENORMALIZED into every row: the
+  *     context total n1 AND the vocabulary size vs. Scoring reads
+  *     ONE table, so there is no cross-table consistency window for
+  *     a crashed append to leave behind (two tables flipped
+  *     separately could pair a new n12 with an old n1 and MIS-SCORE
+  *     — the failure mode the inner-join-loses argument of
+  *     [[TextIndex.append]] cannot cover for derived aggregates).
+  *     vs rides the rows for the same reason: meta is written LAST
+  *     (it is informational — stamp + convenience copies), so a
+  *     score() racing an append's flip window must not pair the new
+  *     n12/n1 counts with the OLD vocabulary size — with vs in the
+  *     row, counts and vs flip in the same atomic table rename;
   *   - `vocab` (w) — the distinct unigram vocabulary (vs must be
   *     RECOMPUTABLE under append: |A's vocab ∪ B's| is not
   *     |A's| + |B's|);
@@ -47,8 +52,7 @@ object LmIndex {
     val (c12, _, _) = TextAnalysis.lmModel(docs, text)
     val vocab = docs.select(explode(TextAnalysis.tokens(col(text))).as("w"))
       .distinct()
-    writeTables(spark, dir, c12, vocab)
-    val vs = spark.read.parquet(s"$dir/vocab").count()
+    val (_, vs) = writeTables(spark, dir, c12, vocab)
     val mt = Meta(vs, text, stamp)
     writeMeta(spark, dir, mt)
     mt
@@ -60,15 +64,19 @@ object LmIndex {
     * n_bigrams = 0, judged-not-dropped). */
   def score(spark: SparkSession, dir: String, docs: DataFrame,
       id: String, text: String): DataFrame = {
-    val mt = readMeta(spark, dir)
     val c12 = spark.read.parquet(s"$dir/bigrams")
     val bg = docs.select(col(id),
         explode(TextAnalysis.bigramPairs(
           TextAnalysis.tokens(col(text)))).as("p"))
       .select(col(id), col("p.0").as("w1"), col("p.1").as("w2"))
+    // vs from the ROW, not meta: the bigram table carries every
+    // denominator, so the counts and the vocabulary size a score
+    // pairs are always from one atomic snapshot of one table (a
+    // concurrent append's flip can never mis-pair them); meta.vs is
+    // the informational copy for callers that want it cheap
     val lp = bg.join(c12, Seq("w1", "w2"))
       .select(col(id),
-        TextAnalysis.lpMicro(col("n12"), col("n1"), lit(mt.vs))
+        TextAnalysis.lpMicro(col("n12"), col("n1"), col("vs"))
           .as("lp_micro"))
     val agg = lp.groupBy(col(id)).agg(
       count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("ll_micro"))
@@ -103,7 +111,29 @@ object LmIndex {
     val stage = s"$dir/.stage-append"
     val (fs, _) = VectorIndex.hfs(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    writeTables(spark, stage, m12, mv)
+    val (nB, vs) = writeTables(spark, stage, m12, mv)
+    // STAGED-VERIFY before any flip (the TextIndex/VectorIndex
+    // contract this index claims to share): the staged files are
+    // RECOUNTED and checked against totals computed from the
+    // pre-merge inputs by a separate job — a torn or short stage
+    // write aborts here with the live model untouched. n12 mass is
+    // the strong check: staged Σn12 must equal live Σn12 + batch
+    // Σn12 (count addition is the append's entire correctness claim).
+    val staged12 = spark.read.parquet(s"$stage/bigrams")
+      .agg(count(lit(1)), coalesce(sum(col("n12")), lit(0L))).head()
+    val stagedV = spark.read.parquet(s"$stage/vocab").count()
+    val expMass = spark.read.parquet(s"$dir/bigrams")
+      .agg(coalesce(sum(col("n12")), lit(0L))).head().getLong(0) +
+      b12.agg(coalesce(sum(col("n12")), lit(0L))).head().getLong(0)
+    if (staged12.getLong(0) != nB || staged12.getLong(1) != expMass ||
+        stagedV != vs) {
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      throw new java.io.IOException(
+        s"staged LM append failed verification: bigram rows " +
+          s"${staged12.getLong(0)} (expected $nB), n12 mass " +
+          s"${staged12.getLong(1)} (expected $expMass), vocab $stagedV " +
+          s"(expected $vs); aborting — live model untouched")
+    }
     val gen = System.currentTimeMillis()
     Seq("bigrams", "vocab").foreach { tb =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$tb")
@@ -113,7 +143,6 @@ object LmIndex {
         s"flip failed: $stage/$tb -> $live")
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    val vs = spark.read.parquet(s"$dir/vocab").count()
     writeMeta(spark, dir, mt.copy(vs = vs,
       stamp = newStamp.getOrElse(mt.stamp)))
     vs
@@ -121,20 +150,25 @@ object LmIndex {
 
   /** n1 derives from the ONE checkpointed bigram table (a window
     * sum over w1 — context-sized partitions) and lands IN the bigram
-    * rows, so the two counts can never disagree — in the files or in
-    * a reader's snapshot */
+    * rows, as does the vocabulary size vs (one literal per row —
+    * parquet dictionary-encodes a constant column to nothing), so
+    * ALL of a score's inputs can never disagree — in the files or in
+    * a reader's snapshot. Returns (bigram rows, vocab size). */
   private def writeTables(spark: SparkSession, dir: String,
-      c12: DataFrame, vocab: DataFrame): Long = {
+      c12: DataFrame, vocab: DataFrame): (Long, Long) = {
     val c12m = c12.localCheckpoint(true)
     val n = c12m.count()
+    val vm = vocab.localCheckpoint(true)
+    val vs = vm.count()
     val nFiles = math.max(1L, n / 2000000L).toInt
     val w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
     graft.sources.LakeSink.writeSorted(
-      c12m.withColumn("n1", sum(col("n12")).over(w)),
+      c12m.withColumn("n1", sum(col("n12")).over(w))
+        .withColumn("vs", lit(vs)),
       s"$dir/bigrams", "parquet", Seq("w1", "w2"), nFiles)
-    graft.sources.LakeSink.writeSorted(vocab, s"$dir/vocab", "parquet",
+    graft.sources.LakeSink.writeSorted(vm, s"$dir/vocab", "parquet",
       Seq("w"), nFiles)
-    n
+    (n, vs)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, mt: Meta): Unit = {

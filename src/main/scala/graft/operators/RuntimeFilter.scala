@@ -107,11 +107,24 @@ object RuntimeFilter {
       .groupBy(col("rw"), col("pos")).agg(sum(col("n")).as("c"))
 
   /** min over the d rows of the sketch inner product — one tiny
-    * (≤ d·width row) equi-join of the two relational sketches. */
-  def innerProductEst(cmsA: DataFrame, cmsB: DataFrame): DataFrame =
-    cmsA.join(cmsB.withColumnRenamed("c", "c2"), Seq("rw", "pos"))
+    * (≤ d·width row) equi-join of the two relational sketches. The
+    * min is anchored on ALL of A's sketch rows, not just the rows
+    * where positions collide: a row with ZERO colliding (rw, pos)
+    * pairs has inner product 0 (the exact join size is 0 through
+    * that row's view), and dropping it from the min both
+    * OVERESTIMATES (min over a subset of one-sided overestimates)
+    * and, when NO positions collide at all, left the aggregate a
+    * single NULL row — fully disjoint fact/dim key sets crashed the
+    * caller instead of reporting est_pairs = 0. The outer coalesce
+    * covers the empty-sketch side (no rows at all → 0 pairs). */
+  def innerProductEst(cmsA: DataFrame, cmsB: DataFrame): DataFrame = {
+    val anchor = cmsA.select(col("rw")).distinct()
+    val perRow = cmsA.join(cmsB.withColumnRenamed("c", "c2"), Seq("rw", "pos"))
       .groupBy(col("rw")).agg(sum(col("c") * col("c2")).as("ip"))
-      .agg(min(col("ip")).as("est_pairs"))
+    anchor.join(perRow, Seq("rw"), "left_outer")
+      .select(coalesce(col("ip"), lit(0L)).as("ip"))
+      .agg(coalesce(min(col("ip")), lit(0L)).as("est_pairs"))
+  }
 
   /** the keys holding more than `minFrac` of `keys`' rows — the
     * hot-key detection pass feeding [[saltedEquiJoin]]: one partial

@@ -1581,12 +1581,15 @@ object Analytics {
              WHERE user_id IS NOT NULL GROUP BY 1),
       no AS (SELECT o_custkey, count(*) AS n FROM orders
              WHERE o_custkey IS NOT NULL GROUP BY 1),
-      est_self AS (SELECT min(ip) AS est FROM
+      est_self AS (SELECT min(CAST(COALESCE(ip, 0) AS BIGINT)) AS est
+        FROM (SELECT DISTINCT rw FROM ce) r LEFT JOIN
         (SELECT a.rw, CAST(sum(a.c * b.c) AS BIGINT) AS ip FROM ce a
-         JOIN ce b USING (rw, pos) GROUP BY a.rw)),
-      est_cross AS (SELECT min(ip) AS est FROM
+         JOIN ce b USING (rw, pos) GROUP BY a.rw) p USING (rw)),
+      est_cross AS (SELECT min(CAST(COALESCE(ip, 0) AS BIGINT)) AS est
+        FROM (SELECT DISTINCT rw FROM ce) r LEFT JOIN
         (SELECT a.rw, CAST(sum(a.c * b.c) AS BIGINT) AS ip FROM ce a
-         JOIN co b ON a.rw = b.rw AND a.pos = b.pos GROUP BY a.rw)),
+         JOIN co b ON a.rw = b.rw AND a.pos = b.pos GROUP BY a.rw) p
+        USING (rw)),
       ex_self AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact FROM ne),
       ex_cross AS (SELECT CAST(sum(ne.n * no.n) AS BIGINT) AS exact
         FROM ne JOIN no ON ne.user_id = no.o_custkey)

@@ -815,13 +815,52 @@ object LakeSink {
     }
   }
 
+  /** THE fold watermark every batch read and replay check must use:
+    * max of the `_compacted_through` marker and any `compacted-<id>`
+    * directory on disk. The compacted-dir RENAME is the atomic
+    * switch ([[compactBatches]]' one atomic operation); the marker
+    * is written after it, so between the two a crash leaves a fold
+    * whose id exceeds the marker — deriving the watermark from BOTH
+    * keeps every reader seeing each row exactly once through that
+    * window, and keeps a replayed epoch a no-op through it. Returns
+    * (watermark, latest compacted dir if any). */
+  private def foldState(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): (Long, Option[org.apache.hadoop.fs.Path]) = {
+    val compacted = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "compacted-*")))
+      .getOrElse(Array.empty).map(_.getPath)
+    val latest = if (compacted.isEmpty) None
+      else Some(compacted.maxBy(_.getName.stripPrefix("compacted-").toLong))
+    val cutoff = math.max(compactedThrough(fs, dir),
+      latest.fold(-1L)(_.getName.stripPrefix("compacted-").toLong))
+    (cutoff, latest)
+  }
+
+  /** the directories a batch read may see: the LATEST fold (older
+    * `compacted-*` dirs are a crashed fold's already-superseded
+    * inputs) plus the live epochs ABOVE the fold watermark (epochs
+    * at or below it are folded — their directories, if a crash left
+    * them behind, hold rows the fold already contains). */
+  private def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val (cutoff, latest) = foldState(fs, dir)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("batch-") &&
+        p.getName.stripPrefix("batch-").toLong > cutoff)
+      .sortBy(_.getName.stripPrefix("batch-").toLong)
+    (latest.toSeq ++ live.toSeq)
+  }
+
   def appendBatchOnce(spark: SparkSession, dir: String, batchId: Long,
       df: DataFrame, bloomCols: Seq[String] = Nil): Boolean = {
     val dest = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // an epoch folded by compaction is COMMITTED even though its
-    // directory is gone — replays of it must stay no-ops
-    if (batchId <= compactedThrough(fs, dir)) return false
+    // directory is gone — replays of it must stay no-ops. The
+    // watermark comes from marker AND compacted dirs ([[foldState]]):
+    // a fold that crashed before its marker still folded this epoch.
+    if (batchId <= foldState(fs, dir)._1) return false
     if (fs.exists(dest)) return false
     val stage = new org.apache.hadoop.fs.Path(dir,
       s".stage-batch-$batchId")
@@ -848,15 +887,16 @@ object LakeSink {
   }
 
   /** All committed batches of an [[appendBatchOnce]] directory —
-    * live `batch-*` epochs plus the `compacted-*` fold if one
-    * exists. */
+    * the latest `compacted-*` fold (if one exists) plus the live
+    * `batch-*` epochs ABOVE the fold watermark. The watermark filter
+    * is what makes [[compactBatches]]' rename the atomic switch: a
+    * fold that crashed between its rename and its batch-dir GC
+    * leaves the folded epochs on disk, and an unfiltered union read
+    * every folded row TWICE through that window. */
   def readBatches(spark: SparkSession, dir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("batch-") ||
-        p.getName.startsWith("compacted-"))
-      .map(_.toString)
+    val parts = committedBatchDirs(fs, dir).map(_.toString)
     require(parts.nonEmpty, s"no committed batches under $dir")
     spark.read.parquet(parts.toIndexedSeq: _*)
   }
@@ -878,12 +918,32 @@ object LakeSink {
       bloomCols: Seq[String] = Nil): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val olds = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("batch-") ||
-        p.getName.startsWith("compacted-"))
+    // CONVERGE a crashed prior fold first: the fold's rename was its
+    // atomic switch, so anything it left behind — a lagging marker,
+    // the folded batch dirs, a superseded older compacted dir — is
+    // pure GC. Re-running after a crash at ANY point finishes the
+    // crashed fold's bookkeeping and then proceeds (or returns, if
+    // there is nothing new to fold).
+    val (cutoff, latest) = foldState(fs, dir)
+    if (cutoff > compactedThrough(fs, dir)) {
+      val marker = new org.apache.hadoop.fs.Path(dir, "_compacted_through")
+      val out = fs.create(marker, true)
+      out.write(cutoff.toString.getBytes("UTF-8")); out.close()
+    }
+    fs.listStatus(root).map(_.getPath)
+      .filter { p =>
+        (p.getName.startsWith("batch-") &&
+          p.getName.stripPrefix("batch-").toLong <= cutoff) ||
+        (p.getName.startsWith("compacted-") && !latest.contains(p))
+      }
+      .foreach(p => require(fs.delete(p, true),
+        s"crashed fold's leftover $p undeletable"))
+    val olds = committedBatchDirs(fs, dir)
     require(olds.nonEmpty, s"no committed batches under $dir")
-    val upTo = math.max(compactedThrough(fs, dir),
-      olds.map(_.getName.split("-").last.toLong).max)
+    val fresh = olds.filter(_.getName.startsWith("batch-"))
+    if (fresh.isEmpty) // nothing above the watermark: already converged
+      return spark.read.parquet(latest.get.toString).count()
+    val upTo = fresh.map(_.getName.stripPrefix("batch-").toLong).max
     val all = spark.read.parquet(olds.map(_.toString).toIndexedSeq: _*)
       .localCheckpoint(true)
     val n = all.count()
@@ -898,10 +958,14 @@ object LakeSink {
           "batches unchanged")
     }
     bloomCols.foreach(c => attachBlooms(spark, stage.toString, c))
+    // THE atomic switch: upTo > cutoff, so the destination is fresh —
+    // from the instant this rename lands, [[committedBatchDirs]]
+    // excludes every folded input (older compacted dir AND batch
+    // dirs ≤ upTo), so no reader window ever sees a row twice
     val dest = new org.apache.hadoop.fs.Path(dir, s"compacted-$upTo")
     require(fs.rename(stage, dest), s"fold flip failed: $stage -> $dest")
-    // marker BEFORE removing the folded dirs: from here a replayed
-    // epoch ≤ upTo is refused by the marker, not the directory
+    // marker and input GC are bookkeeping AFTER the switch — a crash
+    // anywhere below re-converges on the next run's entry sweep
     val marker = new org.apache.hadoop.fs.Path(dir, "_compacted_through")
     val out = fs.create(marker, true)
     out.write(upTo.toString.getBytes("UTF-8")); out.close()
@@ -923,10 +987,9 @@ object LakeSink {
     import org.apache.spark.sql.functions.{col, lit}
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batches = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("batch-") ||
-        p.getName.startsWith("compacted-"))
-      .sortBy(_.getName)
+    // same watermark-filtered listing as [[readBatches]] — a crashed
+    // fold's leftover epochs must not double the lookup's rows either
+    val batches = committedBatchDirs(fs, dir)
     require(batches.nonEmpty, s"no committed batches under $dir")
     val keep = batches.flatMap { b =>
       val man = new org.apache.hadoop.fs.Path(b, s"_blooms_$c")

@@ -994,6 +994,52 @@ class LakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NO BLOOM MANIFEST"))
   }
 
+  test("batch fold crash window: a fold that renamed but never GC'd its inputs still reads exactly once, and re-running converges") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val dir = Files.createTempDirectory("graft_foldcrash").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (b <- 0 to 2)
+      assert(LakeSink.appendBatchOnce(spark, dir, b.toLong,
+        ((b * 50L) until ((b + 1) * 50L)).map(i => (i, s"v$i")).toDF("k", "v")))
+    // stash copies of the epoch dirs, fold, then FABRICATE the crash
+    // state "rename landed, marker + GC never ran": restore the folded
+    // batch dirs and delete the marker — exactly what a crash between
+    // compactBatches' rename and its bookkeeping leaves behind
+    val stash = new Path(dir + ".stash")
+    fs.mkdirs(stash)
+    for (b <- 0 to 2)
+      FileUtil.copy(fs, new Path(dir, s"batch-$b"), fs,
+        new Path(stash, s"batch-$b"), false, conf)
+    assert(LakeSink.compactBatches(spark, dir) == 150L)
+    for (b <- 0 to 2)
+      FileUtil.copy(fs, new Path(stash, s"batch-$b"), fs,
+        new Path(dir, s"batch-$b"), false, conf)
+    fs.delete(new Path(dir, "_compacted_through"), false)
+    // THE exactly-once read contract through the window: the rename
+    // is the switch, so the leftover epochs are invisible — 150, not 300
+    assert(LakeSink.readBatches(spark, dir).count() == 150L,
+      "crash window between fold rename and GC double-counted rows")
+    // a replayed folded epoch is refused even with the marker gone
+    assert(!LakeSink.appendBatchOnce(spark, dir, 1L,
+      Seq((999L, "dup")).toDF("k", "v")),
+      "replay of a folded epoch committed during the crash window")
+    // RE-RUNNING CONVERGES: the crashed fold's bookkeeping finishes
+    // (marker restored, leftovers GC'd), rows unchanged
+    assert(LakeSink.compactBatches(spark, dir) == 150L)
+    assert(LakeSink.readBatches(spark, dir).count() == 150L)
+    assert(!fs.exists(new Path(dir, "batch-0")) &&
+      !fs.exists(new Path(dir, "batch-2")), "folded leftovers not GC'd")
+    assert(fs.exists(new Path(dir, "_compacted_through")))
+    // and life goes on: fresh epochs commit and fold above the watermark
+    assert(LakeSink.appendBatchOnce(spark, dir, 3L,
+      (150L until 170L).map(i => (i, s"v$i")).toDF("k", "v")))
+    assert(LakeSink.readBatches(spark, dir).count() == 170L)
+    assert(LakeSink.compactBatches(spark, dir) == 170L)
+    assert(LakeSink.readBatches(spark, dir).count() == 170L)
+  }
+
   test("bloom manifest rides the publish: compact/merge carry it, a bloom-less publish refuses lookups by name") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bloomtbl").toString + "/t"

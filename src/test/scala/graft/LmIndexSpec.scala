@@ -53,6 +53,17 @@ class LmIndexSpec extends AnyFunSuite {
     assert(alone == inCorpus)
   }
 
+  test("every scoring denominator rides the bigram rows: one atomic table, no counts/vs mis-pairing window") {
+    // n1 AND vs are denormalized into each bigram row, and score()
+    // reads vs from the ROW — so a score racing an append's table
+    // flip pairs counts and vocabulary size from ONE parquet
+    // snapshot; meta.vs is the informational copy and must agree
+    val bg = spark.read.parquet(s"$idxDir/bigrams")
+    assert(bg.columns.toSet == Set("w1", "w2", "n12", "n1", "vs"))
+    val distinctVs = bg.select("vs").distinct().collect().map(_.getLong(0))
+    assert(distinctVs.toSeq == Seq(LmIndex.readMeta(spark, idxDir).vs))
+  }
+
   test("append ≡ retrain on the union, bit for bit") {
     val a = docs.filter(col("doc_id") % 3 =!= 0)
     val b = docs.filter(col("doc_id") % 3 === 0).localCheckpoint(true)

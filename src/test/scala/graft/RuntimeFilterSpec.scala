@@ -101,6 +101,33 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(est === 4L)
   }
 
+  test("cms inner product: the min is anchored on ALL sketch rows — a collision-free row forces 0, disjoint sides never NULL-crash") {
+    import spark.implicits._
+    // hand-built relational sketches (deterministic — no hash luck):
+    // row 1 collides at pos 2 (product 6), rows 0 and 2 collide
+    // NOWHERE — their inner product is 0, and the min must see it.
+    // The unanchored min ran over colliding rows only and read 6.
+    val cmsA = Seq((0, 1L, 5L), (1, 2L, 3L), (2, 3L, 4L))
+      .toDF("rw", "pos", "c")
+    val cmsB = Seq((0, 100L, 7L), (1, 2L, 2L), (2, 200L, 1L))
+      .toDF("rw", "pos", "c")
+    assert(innerProductEst(cmsA, cmsB).collect()(0).getLong(0) === 0L)
+    // FULLY disjoint positions: the equi-join is empty — this row
+    // shape used to aggregate to one NULL and crash the caller
+    val cmsC = Seq((0, 9L, 2L), (1, 9L, 2L), (2, 9L, 2L))
+      .toDF("rw", "pos", "c")
+    assert(innerProductEst(cmsA, cmsC).collect()(0).getLong(0) === 0L)
+    // end to end: the advisor must DECIDE (not throw) on disjoint
+    // fact/dim key sets; the exact stats read 0 and the join is empty
+    // (estPairs stays a one-sided CMS overestimate — not asserted 0)
+    val fact = (0L until 500L).map(i => (i, i * 31L)).toDF("fk", "row_id")
+    val dim = (10000L until 10040L).map(i => (i, s"d$i")).toDF("dk", "d_name")
+    val (joined, adv) = adviseJoin(fact, "fk", "row_id", dim, "dk",
+      broadcastMaxRows = 10L)
+    assert(adv.matchedFact === 0L && adv.factRows === 500L)
+    assert(joined.count() === 0L)
+  }
+
   test("q50: one-sided (est ≥ exact) and tight at the shipped width") {
     val rows = SparkEntry.queries("q50_join_card")(spark, TestSpark.sf)
       .collect()
