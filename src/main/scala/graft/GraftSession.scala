@@ -24,6 +24,12 @@ object GraftSession {
       // dir reads ~1 file with no special read API
       .withExtensions(_.injectOptimizerRule(s =>
         new graft.plans.BloomPruneRule(s)))
+      // min/max-stats file pruning for range predicates (conf-gated,
+      // default off): the a20 data-skipping manifest consulted by the
+      // planner — WHERE k BETWEEN a AND b over a sorted/z-ordered dir
+      // touches ~the overlapping files through plain spark.sql
+      .withExtensions(_.injectOptimizerRule(s =>
+        new graft.plans.StatsPruneRule(s)))
       // graft's planner strategy: PointIntervalJoin logical nodes
       // (variable-length interval lookups) plan as the broadcast
       // interval-tree join instead of BroadcastNestedLoopJoin

@@ -724,6 +724,67 @@ object Crud {
       .orderBy("o_orderkey")
   }
 
+  /** a25: PAGED point lookups — `o_orderkey IN (k1, k2, …)` through
+    * PLAIN `spark.read.parquet(dir).filter(isin(...))` with
+    * [[graft.plans.BloomPruneRule]]'s IN-list extension: the rule
+    * unions each value's bloom survivors over ONE memoized manifest
+    * pass and swaps the file index, so the multi-key lookup the
+    * reference pages through (order_rdbms_blob.js:520 — the keyset
+    * page IS an IN-list of PKs) reads ~|list| files instead of the
+    * table. One probe key is deliberately ABSENT (-1): it survives
+    * nowhere and costs nothing, and the oracle (the same IN over the
+    * raw table) hash-proves the union's completeness. */
+  val a25 = Q("a25_bloom_in_rule", Some("""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+      CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey IN ((SELECT min(o_orderkey) FROM orders),
+                         (SELECT max(o_orderkey) FROM orders), -1)
+    ORDER BY o_orderkey""")) { (s, d) =>
+    val dir = ensureSortedOrders(s, d)
+    val st = s.read.parquet(s"$dir/_stats")
+      .agg(min("min_o_orderkey").as("lo"), max("max_o_orderkey").as("hi"))
+      .head()
+    s.conf.set("spark.graft.bloomPrune.enabled", "true")
+    s.read.parquet(dir)
+      .filter(col("o_orderkey").isin(st.getLong(0), st.getLong(1), -1L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+          .as("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** a26: a20's RANGE skipping through PLAIN `spark.sql` with
+    * [[graft.plans.StatsPruneRule]] enabled — no special read API:
+    * the planner folds the two date conjuncts into one interval box,
+    * reads the committed `_stats` manifest (file-count-sized,
+    * LRU-memoized), and keeps only the files whose [min, max]
+    * o_orderdate can intersect — on the range-clustered copy ~1 of 8
+    * files, decided before a data byte moves. The residual Filter
+    * stays, so the rewrite is correctness-neutral by construction —
+    * sharing a20's oracle hash-proves it (explicit readPrunedDir ≡
+    * planner-pruned plain read ≡ the unclustered truth). */
+  val a26 = Q("a26_stats_prune_rule", Some("""
+    SELECT o_orderstatus, count(*) AS n_orders,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1995-03-31 23:59:59'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+    val dir = ensureSortedOrders(s, d)
+    s.conf.set("spark.graft.statsPrune.enabled", "true")
+    s.read.parquet(dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") <= lit("1995-03-31 23:59:59").cast("timestamp"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
-    a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24)
+    a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
+    a25, a26)
 }

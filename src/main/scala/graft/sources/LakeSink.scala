@@ -519,6 +519,42 @@ object LakeSink {
       : DataFrame =
     readPrunedAnchored(spark, manifest, preds, None)
 
+  /** the directory's CURRENT data-file names — what a manifest must
+    * exactly describe for a pruned/bloom read to be sound. `_`- and
+    * `.`-prefixed entries (manifests, tombstones, stages, _SUCCESS)
+    * and subdirectories are not data. */
+  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Set[String] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
+
+  /** REFUSE BY NAME a manifest that does not exactly describe the
+    * directory's current files — the schema-evolution / late-append
+    * hazard: an [[appendEvolved]] (or any plain write) AFTER the
+    * manifest was committed adds files the manifest has never seen,
+    * and a pruned read would SILENTLY SKIP a matching new file (a
+    * false negative — the one failure mode this whole surface
+    * promises never to have). Extra manifest names (files deleted
+    * since) refuse too: survivors could point at paths that are
+    * gone. The fix is to recommit the manifest with the directory's
+    * current state (attachStats/attachBlooms, or a statsCols/
+    * bloomCols publish). */
+  private def requireManifestCurrent(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, manifestNames: Set[String], what: String): Unit = {
+    val current = dataFileNames(fs, dir)
+    val unseen = current -- manifestNames
+    val gone = manifestNames -- current
+    require(unseen.isEmpty && gone.isEmpty,
+      s"STALE MANIFEST REFUSED: $what under $dir does not describe the " +
+        s"directory's current files (${unseen.size} files the manifest " +
+        s"has never seen${if (unseen.nonEmpty) s", e.g. ${unseen.take(2).mkString(", ")}" else ""}; " +
+        s"${gone.size} manifest files gone) — a pruned read would " +
+        "silently skip matching rows. Rebuild the manifest " +
+        "(attachStats/attachBlooms or a statsCols/bloomCols publish).")
+  }
+
   /** `anchor = Some(dir)` re-roots every manifest file path to
     * `dir/<basename>` — a manifest committed inside its directory
     * ([[attachStats]] on a staging path, a generation later renamed)
@@ -777,6 +813,12 @@ object LakeSink {
       value: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val manifest = spark.read.parquet(s"$dir/_blooms_$c")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireManifestCurrent(fs, dir,
+      manifest.select("file").collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet,
+      s"_blooms_$c")
     def anchored(f: String): String = new org.apache.hadoop.fs.Path(dir,
       new org.apache.hadoop.fs.Path(f).getName).toString
     val keep = bloomSurvivors(manifest, c, value).map(anchored)
@@ -1050,9 +1092,16 @@ object LakeSink {
     * planning reads the few-KB `_stats`, not the data. */
   def readPrunedDir(spark: SparkSession, dir: String,
       preds: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)])
-      : DataFrame =
-    readPrunedAnchored(spark, spark.read.parquet(s"$dir/_stats"), preds,
-      Some(dir))
+      : DataFrame = {
+    val manifest = spark.read.parquet(s"$dir/_stats")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireManifestCurrent(fs, dir,
+      manifest.select("file").collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet,
+      "_stats")
+    readPrunedAnchored(spark, manifest, preds, Some(dir))
+  }
 
   /** The TABLE-LEVEL pruned read: resolve the live generation ONCE,
     * take ITS committed manifest, prune, read the surviving files —

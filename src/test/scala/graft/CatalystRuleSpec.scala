@@ -176,4 +176,141 @@ class CatalystRuleSpec extends AnyFunSuite {
       assert(noMan.inputFiles.length == 8 && noMan.count() == 1L)
     } finally spark.conf.unset(PFLAG)
   }
+
+  test("BloomPruneRule IN-lists: survivor union over one manifest pass, both In and InSet shapes, hash-identical") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val PFLAG = "spark.graft.bloomPrune.enabled"
+    val out = java.nio.file.Files.createTempDirectory("graft_bpin")
+      .toString + "/t"
+    def bitrev(i: Long): Long =
+      (0 until 12).map(b => ((i >> b) & 1L) << (11 - b)).sum
+    val rows = (0L until 4000L).map(i => (bitrev(i), i, s"p$i"))
+      .toDF("k", "day", "payload")
+    rows.repartitionByRange(8, col("day")).sortWithinPartitions("day")
+      .write.parquet(out)
+    LakeSink.attachBlooms(spark, out, "k")
+    val probes = Seq(2L, 777L, 3999L).map(bitrev)
+    def q(vals: Seq[Long]) = spark.read.parquet(out)
+      .filter(col("k").isin(vals: _*))
+    val expect = q(probes).collect().map(_.toString).sorted.toSeq
+    assert(expect.size == 3)
+    spark.conf.set(PFLAG, "true")
+    try {
+      // 3 values (< the InSet conversion threshold): the In shape
+      val small = q(probes)
+      assert(small.inputFiles.length <= 4,
+        s"IN-list must read ~|list| files: ${small.inputFiles.length} of 8")
+      assert(small.collect().map(_.toString).sorted.toSeq == expect)
+      // 12 values (> threshold 10): the optimizer converts to InSet —
+      // the rule must fire on that shape too; 9 keys are absent
+      val wide = probes ++ (100001L to 100009L)
+      val viaSet = q(wide)
+      assert(viaSet.inputFiles.length <= 4,
+        s"InSet must prune too: ${viaSet.inputFiles.length} of 8")
+      assert(viaSet.collect().map(_.toString).sorted.toSeq == expect)
+      // spark.sql IN fires as well
+      spark.read.parquet(out).createOrReplaceTempView("bpin_t")
+      val viaSql = spark.sql(
+        s"SELECT * FROM bpin_t WHERE k IN (${probes.mkString(",")}, -1)")
+      assert(viaSql.inputFiles.length <= 4)
+      assert(viaSql.collect().map(_.toString).sorted.toSeq == expect)
+      // all-absent IN: zero files, empty, still correct
+      assert(q(Seq(-1L, -2L)).collect().isEmpty)
+    } finally spark.conf.unset(PFLAG)
+  }
+
+  test("manifest rules bail on a STALE manifest: files appended after the build are never silently excluded") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_bpstale")
+      .toString + "/t"
+    (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartition(4).write.parquet(out)
+    LakeSink.attachBlooms(spark, out, "k")
+    LakeSink.attachStats(spark, out, Seq("k"))
+    // MORE data lands AFTER the manifests were committed — the
+    // manifests now describe a strict subset of the directory
+    (5000L until 5100L).map(i => (i, s"new$i")).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(out)
+    spark.conf.set("spark.graft.bloomPrune.enabled", "true")
+    spark.conf.set("spark.graft.statsPrune.enabled", "true")
+    try {
+      // a key that lives ONLY in the post-manifest file: the bloom
+      // rule must keep the full listing (pruning would lose the row)
+      val hit = spark.read.parquet(out).filter(col("k") === 5042L)
+      assert(hit.count() == 1L,
+        "stale bloom manifest silently excluded a post-manifest file")
+      assert(hit.inputFiles.length == 5, "stale manifest must not prune")
+      // same for the stats rule on a range only the new file holds
+      val range = spark.read.parquet(out)
+        .filter(col("k") >= 5000L && col("k") <= 5100L)
+      assert(range.count() == 100L,
+        "stale stats manifest silently excluded a post-manifest file")
+      assert(range.inputFiles.length == 5)
+    } finally {
+      spark.conf.unset("spark.graft.bloomPrune.enabled")
+      spark.conf.unset("spark.graft.statsPrune.enabled")
+    }
+  }
+
+  test("StatsPruneRule: plain spark.sql range predicates prune by the _stats manifest, off by default, results identical") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val SFLAG = "spark.graft.statsPrune.enabled"
+    val out = java.nio.file.Files.createTempDirectory("graft_sprule")
+      .toString + "/t"
+    // day-sorted layout: each of 8 files covers a disjoint day slice
+    val rows = (0L until 4000L).map(i => (i % 13L, i, s"p$i"))
+      .toDF("k", "day", "payload")
+    rows.repartitionByRange(8, col("day")).sortWithinPartitions("day")
+      .write.parquet(out)
+    LakeSink.attachStats(spark, out, Seq("day"))
+    // one-eighth range: files 2-3 of 8 can hold it
+    def q() = spark.read.parquet(out)
+      .filter(col("day") >= 1000L && col("day") < 1500L)
+    assert(q().inputFiles.length == 8, "default must read everything")
+    val expect = q().collect().map(_.toString).sorted.toSeq
+    assert(expect.size == 500)
+    spark.conf.set(SFLAG, "true")
+    try {
+      val pruned = q()
+      assert(pruned.inputFiles.length <= 2,
+        s"range must prune to the overlapping files: ${pruned.inputFiles.length} of 8")
+      assert(pruned.collect().map(_.toString).sorted.toSeq == expect)
+      // spark.sql BETWEEN fires identically
+      spark.read.parquet(out).createOrReplaceTempView("sprule_t")
+      val viaSql = spark.sql(
+        "SELECT * FROM sprule_t WHERE day BETWEEN 1000 AND 1499")
+      assert(viaSql.inputFiles.length <= 2)
+      assert(viaSql.collect().map(_.toString).sorted.toSeq == expect)
+      // equality on the stats column prunes to ~1 file
+      val eq = spark.read.parquet(out).filter(col("day") === 2042L)
+      assert(eq.inputFiles.length <= 1 && eq.count() == 1L)
+      // an empty range prunes EVERYTHING, answer still correct
+      val none = spark.read.parquet(out).filter(col("day") > 100000L)
+      assert(none.inputFiles.isEmpty && none.collect().isEmpty)
+      // a column the manifest doesn't track never fires
+      val noCol = spark.read.parquet(out).filter(col("k") === 7L)
+      assert(noCol.inputFiles.length == 8)
+    } finally spark.conf.unset(SFLAG)
+  }
+
+  test("manifest-rule LRU memo: bounded at the cap, coldest evicted first, hit-after-eviction recomputes correctly") {
+    val lru = new graft.plans.ManifestPrune.Lru[Int, String](3)
+    var computes = 0
+    def get(k: Int): String =
+      lru.getOrElseUpdate(k) { computes += 1; s"v$k" }
+    assert((1 to 4).map(get) == Seq("v1", "v2", "v3", "v4"))
+    assert(lru.size == 3 && computes == 4, "cap must evict, not clear")
+    // 1 was the coldest — evicted; re-fetching recomputes CORRECTLY
+    assert(get(1) == "v1" && computes == 5)
+    // 4 stayed warm through the eviction: a hit, no recompute
+    assert(get(4) == "v4" && computes == 5)
+    // access order (not insert order) decides the victim: touch 1,
+    // insert 5 — the victim must be 4's neighbor 3, not hot 1
+    assert(get(1) == "v1" && computes == 5)
+    assert(get(5) == "v5" && computes == 6)
+    assert(get(1) == "v1" && computes == 6, "hot entry evicted — not an LRU")
+  }
 }

@@ -1040,6 +1040,41 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeSink.readBatches(spark, dir).count() == 170L)
   }
 
+  test("manifest reads under schema evolution / late appends: files the manifest never saw REFUSE BY NAME, never silently skip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_manevo").toString + "/t"
+    val rows = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    rows.repartition(4).write.parquet(dir)
+    LakeSink.attachBlooms(spark, dir, "k")
+    LakeSink.attachStats(spark, dir, Seq("k"))
+    // manifests current: both reads work
+    assert(LakeSink.readBloomLookupDir(spark, dir, "k", lit(42L))
+      .count() == 1L)
+    assert(LakeSink.readPrunedDir(spark, dir,
+      Seq(("k", lit(10L), lit(20L)))).count() == 11L)
+    // an EVOLVED append lands files the manifests have never seen —
+    // a pruned read could silently skip a matching new row, the one
+    // failure mode this surface promises never to have → refuse
+    LakeSink.appendEvolved(
+      Seq((5000L, "n1", 9.9)).toDF("k", "v", "score"), dir)
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSink.readBloomLookupDir(spark, dir, "k", lit(5000L))
+    }
+    assert(e1.getMessage.contains("STALE MANIFEST REFUSED"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSink.readPrunedDir(spark, dir, Seq(("k", lit(0L), lit(9000L))))
+    }
+    assert(e2.getMessage.contains("STALE MANIFEST REFUSED"), e2.getMessage)
+    // recommitting the manifests against the evolved directory heals
+    // both reads — and the new file's rows are found
+    LakeSink.attachBlooms(spark, dir, "k")
+    LakeSink.attachStats(spark, dir, Seq("k"))
+    assert(LakeSink.readBloomLookupDir(spark, dir, "k", lit(5000L))
+      .count() == 1L)
+    assert(LakeSink.readPrunedDir(spark, dir,
+      Seq(("k", lit(4999L), lit(5001L)))).count() == 1L)
+  }
+
   test("bloom manifest rides the publish: compact/merge carry it, a bloom-less publish refuses lookups by name") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bloomtbl").toString + "/t"
