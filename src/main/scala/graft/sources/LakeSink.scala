@@ -276,9 +276,39 @@ object LakeSink {
     else (n, 0L)
   }
 
+  /** a delete-SNAPSHOT generation ([[softDelete]]'s publish): a
+    * generation directory holding the cumulative tombstone set as of
+    * its snapshot, not data files — marked by `_published_delete`
+    * (written LAST: the atomic publish point; an unmarked dir is a
+    * crashed copy). */
+  private val DeleteMarker = "_published_delete"
+  private def isDeleteGen(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, DeleteMarker))
+
+  /** does the live data generation carry tombstone batches? */
+  private def hasTombstones(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Boolean =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc, "_deletes"), "b-*")))
+      .exists(_.nonEmpty)
+
+  /** the data generation a delete snapshot resolves through */
+  private def readDataGenRef(fs: org.apache.hadoop.fs.FileSystem,
+      deleteGen: org.apache.hadoop.fs.Path): Option[Long] = {
+    val f = new org.apache.hadoop.fs.Path(deleteGen, "_data_gen")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
   private[graft] def publishGeneration(spark: SparkSession, table: String,
       retainMs: Long, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil)
+      bloomCols: Seq[String] = Nil, applyTombstones: Boolean = false)
       (write: (DataFrame, String, String) => Long): Long = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
@@ -287,20 +317,59 @@ object LakeSink {
     val format = meta.provider.getOrElse("parquet")
     val curLoc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = curLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (stem, gen) = parseGen(curLoc.getName)
-    // entry GC under the retention contract: a generation NEWER than
-    // the live one was never published (a crashed run's half-written
-    // copy) — reclaim immediately; a SUPERSEDED generation may still
-    // be mid-scan by a reader that resolved before the last flip —
-    // reclaim only once older than retainMs
+    val (stem, catGen) = parseGen(curLoc.getName)
     def glob(p: org.apache.hadoop.fs.Path) =   // null, not empty, on no match
       Option(fs.globStatus(p)).getOrElse(Array.empty)
-    val now = System.currentTimeMillis()
-    (glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem + ".g*")) ++
+    val siblings =
+      (glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem + ".g*")) ++
         glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem)))
+        .filterNot(_.getPath.getName.endsWith(".claim"))
+    // PENDING-DELETE REFUSAL (the tombstone-resurrection guard): this
+    // publish writes the next generation from `spark.table(table)`,
+    // which reads DATA FILES ONLY — it cannot see `_deletes`. On a
+    // table with pending tombstones that write would RESURRECT every
+    // soft-deleted row into the new generation; only [[compactMor]]
+    // (which rewrites from the merge-on-read view) may publish over
+    // tombstones, so everything else refuses by name.
+    val deleteGens = siblings
+      .filter(st => st.getPath != curLoc && isDeleteGen(fs, st.getPath))
+      .map(st => parseGen(st.getPath.getName)._2)
+    if (!applyTombstones &&
+        (hasTombstones(fs, curLoc) || deleteGens.exists(_ > catGen)))
+      throw new IllegalStateException(
+        s"PUBLISH REFUSED: $table carries pending merge-on-read " +
+          "tombstones — a rewrite from the raw table would RESURRECT " +
+          "the soft-deleted rows. Run compactMor (which materializes " +
+          "the merge-on-read view) before compactTable/optimizeZOrder/" +
+          "mergeKeyed.")
+    // the live SNAPSHOT: the catalog generation, or the newest
+    // published delete snapshot above it — the next publish lands
+    // above BOTH (a delete bumps the version counter like any commit)
+    val gen = math.max(catGen, (deleteGens :+ -1L).max)
+    // entry GC under the retention contract: an UNMARKED generation
+    // newer than the live snapshot was never published (a crashed
+    // run's half-written copy) — reclaim immediately; a SUPERSEDED
+    // generation (data or delete snapshot below the live one) may
+    // still be mid-scan — reclaim only once older than retainMs, and
+    // NEVER a data generation a retained delete snapshot still
+    // resolves through (`_data_gen` reference), whatever its age.
+    val now = System.currentTimeMillis()
+    val referencedData = siblings
+      .filter(st => isDeleteGen(fs, st.getPath) &&
+        !(parseGen(st.getPath.getName)._2 < gen &&
+          now - st.getModificationTime > retainMs))
+      .flatMap(st => readDataGenRef(fs, st.getPath)).toSet
+    siblings
       .filterNot(_.getPath == curLoc)
-      .filter(st => parseGen(st.getPath.getName)._2 > gen ||
-        now - st.getModificationTime > retainMs)
+      .filter { st =>
+        val g = parseGen(st.getPath.getName)._2
+        if (isDeleteGen(fs, st.getPath))
+          g < gen && now - st.getModificationTime > retainMs
+        else
+          (g > gen ||
+            (now - st.getModificationTime > retainMs &&
+              !referencedData.contains(g)))
+      }
       .foreach(st => require(fs.delete(st.getPath, true),
         s"stale generation ${st.getPath} undeletable"))
     val next = new org.apache.hadoop.fs.Path(curLoc.getParent, s"$stem.g${gen + 1}")
@@ -398,20 +467,45 @@ object LakeSink {
 
   /** TIME TRAVEL, part 2: read the table AS OF generation `gen`
     * (0 = as registered; every [[mergeKeyed]]/[[compactTable]]
-    * publish advances it by 1 — the generation number is the table's
-    * version counter). REFUSES BY NAME a
-    * generation outside the retained set — a silently-empty read of
-    * a reclaimed snapshot would report history that is gone; the
-    * refusal lists what IS retained and names the retention trade. */
+    * publish — and every [[softDelete]] — advances it by 1: the
+    * generation number is the table's version counter). A DATA
+    * generation reads as published — including rows that were
+    * soft-deleted LATER (the `_deletes` that accumulated after its
+    * publish are post-snapshot state, invisible to the plain read);
+    * a DELETE SNAPSHOT reads as its data generation anti-joined
+    * against the tombstone keys visible AT that snapshot — so travel
+    * across a delete shows the rows before it and hides them after,
+    * with nothing resurrected and nothing silently missing. REFUSES
+    * BY NAME a generation outside the retained set — a
+    * silently-empty read of a reclaimed snapshot would report
+    * history that is gone; the refusal lists what IS retained and
+    * names the retention trade. */
   def readGeneration(spark: SparkSession, table: String,
       gen: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val (gens, format, live) = generationPaths(spark, table)
     val hit = gens.find(_._1 == gen).getOrElse(
       throw new IllegalArgumentException(
         s"TIME TRAVEL REFUSED: generation $gen of $table is not " +
           s"retained (live: $live; retained: ${gens.map(_._1).mkString(", ")}). " +
           "Depth is bounded by the publish retention window (retainMs)."))
-    spark.read.format(format).load(hit._2)
+    val p = new org.apache.hadoop.fs.Path(hit._2)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isDeleteGen(fs, p)) spark.read.format(format).load(hit._2)
+    else {
+      val dataGen = readDataGenRef(fs, p).getOrElse(
+        throw new IllegalStateException(
+          s"delete snapshot $gen of $table carries no _data_gen"))
+      val data = gens.find(_._1 == dataGen).getOrElse(
+        throw new IllegalArgumentException(
+          s"TIME TRAVEL REFUSED: delete snapshot $gen of $table " +
+            s"resolves through data generation $dataGen, which is no " +
+            s"longer retained (retained: ${gens.map(_._1).mkString(", ")})."))
+      val tomb = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(p, "_tombstones").toString)
+      spark.read.format(format).load(data._2)
+        .join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+    }
   }
 
   private def generationPaths(spark: SparkSession, table: String)
@@ -423,17 +517,23 @@ object LakeSink {
     val format = meta.provider.getOrElse("parquet")
     val curLoc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = curLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (stem, liveGen) = parseGen(curLoc.getName)
+    val (stem, catGen) = parseGen(curLoc.getName)
     def glob(p: org.apache.hadoop.fs.Path) =
       Option(fs.globStatus(p)).getOrElse(Array.empty)
+    // retained snapshots: data generations at or below the catalog
+    // generation, plus PUBLISHED delete snapshots (marker present —
+    // these sit ABOVE the catalog generation until a compactMor
+    // folds them; an unmarked newer dir is a crashed copy)
     val gens =
       (glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem + ".g*")) ++
         glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem)))
         .filterNot(_.getPath.getName.endsWith(".claim")) // publish locks, not snapshots
+        .filter(st => parseGen(st.getPath.getName)._2 <= catGen ||
+          isDeleteGen(fs, st.getPath))
         .map(st => parseGen(st.getPath.getName)._2 -> st.getPath.toString)
-        .filter(_._1 <= liveGen) // a newer dir is a crashed, unpublished copy
         .sortBy(_._1).toSeq
-    (gens, format, liveGen)
+    val liveSnapshot = (gens.map(_._1) :+ catGen).max
+    (gens, format, liveSnapshot)
   }
 
   /** CDC EXTRACTION — the keyed CHANGE SET between two table states,
@@ -669,12 +769,105 @@ object LakeSink {
     }
   }
 
-  /** catalog-level [[softDeleteDir]]: tombstones land in the LIVE
-    * generation's directory, so they share its snapshot lifetime —
-    * a later publish's GC reclaims them WITH their generation. */
+  /** catalog-level [[softDeleteDir]] — and a COMMIT in the snapshot
+    * history (the Iceberg model: a delete bumps the table's version
+    * like any other change). Two steps:
+    *
+    *  1. the tombstone batch lands in the LIVE data generation's
+    *     `_deletes/` exactly as the dir-level form — O(|keys|) I/O,
+    *     data files untouched, [[readMor]] sees it immediately;
+    *  2. a DELETE SNAPSHOT generation publishes: `<stem>.g<n+1>`
+    *     holding the CUMULATIVE tombstone key set as of this delete
+    *     (`_tombstones/`, self-contained — time travel never chases
+    *     batch files) plus `_data_gen` naming the data generation it
+    *     applies to, with the `_published_delete` marker written
+    *     LAST as the atomic publish point. No data bytes copied —
+    *     the snapshot is tombstone-sized.
+    *
+    * [[readGeneration]] then answers BOTH sides of the delete:
+    * travel to the data generation shows the rows as published
+    * (pre-delete), travel to the delete snapshot hides exactly the
+    * keys deleted by then — deleted rows are never silently
+    * resurrected NOR silently missing from history. The snapshot
+    * publish serializes through the same claim CAS as every other
+    * publish. Crash contract: the batch landing (step 1) is the
+    * delete's durability point — a crash before the marker leaves
+    * the live MOR view correct and the unmarked snapshot dir is
+    * reclaimed as a crashed copy; the next delete's snapshot carries
+    * the union, so history converges. Returns rows removed from the
+    * view. */
   def softDelete(spark: SparkSession, table: String, keys: DataFrame,
-      key: String): Long =
-    softDeleteDir(spark, tableLocation(spark, table), keys, key)
+      key: String, retainMs: Long = 600000L): Long = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    require(catalog.tableExists(ident), s"unknown table $table")
+    val curLoc = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(ident).location)
+    val fs = curLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (stem, catGen) = parseGen(curLoc.getName)
+    def glob(p: org.apache.hadoop.fs.Path) =
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val deleteGens = glob(new org.apache.hadoop.fs.Path(curLoc.getParent,
+        stem + ".g*"))
+      .filterNot(_.getPath.getName.endsWith(".claim"))
+      .filter(st => st.getPath != curLoc && isDeleteGen(fs, st.getPath))
+      .map(st => parseGen(st.getPath.getName)._2)
+    val gen = math.max(catGen, (deleteGens :+ -1L).max)
+    // claim the snapshot number BEFORE landing the batch: serializes
+    // with compactMor/compactTable and with concurrent deletes
+    val claim = new org.apache.hadoop.fs.Path(curLoc.getParent,
+      s"$stem.g${gen + 1}.claim")
+    if (fs.exists(claim) && System.currentTimeMillis() -
+        fs.getFileStatus(claim).getModificationTime > retainMs)
+      fs.delete(claim, false)
+    try fs.create(claim, false).close()
+    catch { case e: java.io.IOException =>
+      throw new java.util.ConcurrentModificationException(
+        s"DELETE REFUSED: another writer holds the claim on $table " +
+          s"generation ${gen + 1} ($claim). [${e.getMessage}]")
+    }
+    def releaseClaim(): Unit = scala.util.Try(fs.delete(claim, false))
+    try {
+      val removed = softDeleteDir(spark, curLoc.toString, keys, key)
+      // the cumulative tombstone set as of THIS snapshot
+      val next = new org.apache.hadoop.fs.Path(curLoc.getParent,
+        s"$stem.g${gen + 1}")
+      fs.delete(next, true) // a crashed prior attempt's unmarked copy
+      val tomb = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(curLoc, "_deletes"), "b-*")
+      val batches = glob(tomb).map(_.getPath.toString)
+      val union = spark.read.parquet(batches.toIndexedSeq: _*)
+        .distinct().localCheckpoint(true)
+      val expected = union.count()
+      union.coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(next, "_tombstones").toString)
+      val staged = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(next, "_tombstones").toString).count()
+      if (staged != expected) {
+        fs.delete(next, true)
+        throw new java.io.IOException(
+          s"delete snapshot staged $staged tombstone keys, expected " +
+            s"$expected; snapshot aborted — the delete itself is " +
+            "committed and live reads are correct")
+      }
+      val refOut = fs.create(new org.apache.hadoop.fs.Path(next, "_data_gen"), true)
+      refOut.write(catGen.toString.getBytes("UTF-8")); refOut.close()
+      fs.create(new org.apache.hadoop.fs.Path(next, DeleteMarker), true).close()
+      // superseded delete snapshots (below this one) reclaim past the
+      // retention window — publishes can't (they refuse on pending
+      // tombstones), so the delete path GCs its own history
+      val now = System.currentTimeMillis()
+      glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem + ".g*"))
+        .filterNot(st => st.getPath.getName.endsWith(".claim") ||
+          st.getPath == curLoc || st.getPath == next)
+        .filter(st => isDeleteGen(fs, st.getPath) &&
+          parseGen(st.getPath.getName)._2 < gen + 1 &&
+          now - st.getModificationTime > retainMs)
+        .foreach(st => require(fs.delete(st.getPath, true),
+          s"stale delete snapshot ${st.getPath} undeletable"))
+      removed
+    } finally releaseClaim()
+  }
 
   /** catalog-level [[morRead]] — resolves the live generation once. */
   def readMor(spark: SparkSession, table: String, key: String): DataFrame =
@@ -690,8 +883,10 @@ object LakeSink {
       targetRecordsPerFile: Long, retainMs: Long = 600000L,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val liveLoc = tableLocation(spark, table)
+    // the ONE publish allowed over pending tombstones: it writes from
+    // the merge-on-read view, so nothing resurrects
     publishGeneration(spark, table, retainMs, statsCols,
-        bloomCols) { (_, dest, format) =>
+        bloomCols, applyTombstones = true) { (_, dest, format) =>
       val survivors = morRead(spark, liveLoc, key)
       val n = survivors.count()
       val nFiles = math.max(1L,

@@ -786,6 +786,16 @@ class LakeSpec extends AnyFunSuite {
       LakeSink.readMor(spark, "mor_t", "g").count()
     }
     assert(eKey.getMessage.contains("tombstones carry key"), eKey.getMessage)
+    // TOMBSTONES ARE COMMITS (r13): each delete published a snapshot
+    // generation — the table's version counter advanced twice
+    assert(LakeSink.listGenerations(spark, "mor_t") == Seq(0L, 1L, 2L))
+    // rewrites that read the RAW table refuse over pending tombstones
+    // BY NAME — they would resurrect the soft-deleted rows
+    val ePub = intercept[IllegalStateException] {
+      LakeSink.compactTable(spark, "mor_t", targetRecordsPerFile = 200L)
+    }
+    assert(ePub.getMessage.contains("RESURRECT"), ePub.getMessage)
+    assert(spark.table("mor_t").count() == 500L, "refused publish must not touch the table")
     // compactMor: survivors materialize through the standard publish;
     // tombstones cleared; raw read == MOR read afterwards
     val n = LakeSink.compactMor(spark, "mor_t", "k",
@@ -794,15 +804,37 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.table("mor_t").count() == 350L)
     val view2 = LakeSink.readMor(spark, "mor_t", "k")
     assert(view2.exceptAll(exp).isEmpty && exp.exceptAll(view2).isEmpty)
-    assert(LakeSink.listGenerations(spark, "mor_t") == Seq(0L, 1L))
+    // compactMor PRESERVES the delete history: data gen 0, delete
+    // snapshots 1 and 2, compacted data gen 3
+    assert(LakeSink.listGenerations(spark, "mor_t") == Seq(0L, 1L, 2L, 3L))
+    // TIME TRAVEL across the deletes: pre-delete shows the rows,
+    // each delete snapshot hides exactly what was deleted BY THEN,
+    // and nothing ever resurrects
+    assert(LakeSink.readGeneration(spark, "mor_t", 0L).count() == 500L,
+      "travel to the pre-delete generation must show the rows")
+    assert(LakeSink.readGeneration(spark, "mor_t", 1L).count() == 450L,
+      "travel to the first delete snapshot must hide batch 1 only")
+    val g2 = LakeSink.readGeneration(spark, "mor_t", 2L)
+    assert(g2.count() == 350L &&
+      g2.filter(col("k") <= 150L).count() == 0L,
+      "travel to the second delete snapshot must hide both batches")
+    assert(LakeSink.readGeneration(spark, "mor_t", 3L).count() == 350L)
     // the superseded generation kept its data AND its tombstones —
     // history stays interpretable for the retention window
     val g0 = new java.io.File(out)
     assert(new java.io.File(g0, "_deletes").isDirectory)
-    // and the cycle restarts cleanly on the compacted generation
+    // and the cycle restarts cleanly on the compacted generation:
+    // the next delete publishes snapshot 4, readMor ≡ live travel
     assert(LakeSink.softDelete(spark, "mor_t",
       Seq(200L).toDF("k"), "k") == 1L)
     assert(LakeSink.readMor(spark, "mor_t", "k").count() == 349L)
+    assert(LakeSink.listGenerations(spark, "mor_t").last == 4L)
+    val travel4 = LakeSink.readGeneration(spark, "mor_t", 4L)
+    val live = LakeSink.readMor(spark, "mor_t", "k")
+    assert(travel4.exceptAll(live).isEmpty && live.exceptAll(travel4).isEmpty,
+      "readMor must equal travel to the live snapshot")
+    assert(LakeSink.readGeneration(spark, "mor_t", 3L).count() == 350L,
+      "the pre-delete compacted generation still shows the row")
     spark.sql("DROP TABLE mor_t")
   }
 
