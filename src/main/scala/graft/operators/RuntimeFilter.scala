@@ -252,14 +252,33 @@ object RuntimeFilter {
       bloomMaxMatchFrac: Double = 0.5,
       p: Int = 8, mBits: Int = 1 << 16,
       width: Int = 8192, depth: Int = 5): (DataFrame, JoinAdvice) = {
-    val overlap = fact.columns.toSet & dim.columns.toSet
-    require(overlap.isEmpty,
-      s"adviseJoin: column names must be disjoint, both sides have ${overlap.mkString(", ")}")
     // ONE counting pass per side; the count tables serve everything
     val fCnt = fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val dCnt = dim.groupBy(col(dimKey)).agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    adviseFromCounts(fact, factKey, saltBy, dim, dimKey, fCnt, dCnt,
+      broadcastMaxRows, hotFrac, bloomMaxMatchFrac, p, mBits, width, depth)
+  }
+
+  /** [[adviseJoin]] with the per-key count tables SUPPLIED — the
+    * ANALYZE-once seam: the counting pass is the advisor's only
+    * corpus-scan cost, so callers that already hold the count tables
+    * (committed `_keystats` manifests, a prior advise in the same
+    * job) pay ZERO fact/dim scans for the decision statistics. The
+    * count tables must be exactly `groupBy(key).count()` of the
+    * sides as joined ([[attachKeyStats]] writes that shape). */
+  def adviseFromCounts(fact: DataFrame, factKey: String, saltBy: String,
+      dim: DataFrame, dimKey: String,
+      fCnt: DataFrame, dCnt: DataFrame,
+      broadcastMaxRows: Long = 2000000L,
+      hotFrac: Double = 0.1,
+      bloomMaxMatchFrac: Double = 0.5,
+      p: Int = 8, mBits: Int = 1 << 16,
+      width: Int = 8192, depth: Int = 5): (DataFrame, JoinAdvice) = {
+    val overlap = fact.columns.toSet & dim.columns.toSet
+    require(overlap.isEmpty,
+      s"adviseJoin: column names must be disjoint, both sides have ${overlap.mkString(", ")}")
     // THREE scalars per side from ONE action over the checkpointed
     // count table: total rows, key cardinality (sizes the bloom
     // branch's filter — no separate count job), and the max per-key
@@ -315,5 +334,88 @@ object RuntimeFilter {
           fact.hint("merge").join(dim, col(factKey) === col(dimKey)), 0)
     (joined, JoinAdvice(strategy, factRows, dimRows, estPairs,
       matchedFact, nHot, bits))
+  }
+
+  // ---- ANALYZE-once: committed per-key count statistics ------------
+
+  /** COMMIT the advisor's statistics — the warehouse `ANALYZE TABLE`
+    * applied to the join tier: ONE counting pass over the directory
+    * lands the per-key count table as `_keystats_<key>` (key-sorted,
+    * the same table [[adviseJoin]] builds per call), plus a
+    * `_keystats_<key>_files` sidecar naming the data files it was
+    * computed from — the staleness contract: a later write to the
+    * directory diverges the names and [[readKeyStats]] refuses by
+    * name instead of advising from counts that no longer describe
+    * the data. After this, EVERY advised join over the table reads
+    * the manifest (key-cardinality-sized) and scans the fact ZERO
+    * times for its decision. */
+  def attachKeyStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, key: String, format: String = "parquet"): Long = {
+    val cnt = spark.read.format(format).load(dir)
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val cardinality = cnt.count()
+    val nFiles = math.max(1L, cardinality / 2000000L).toInt
+    graft.sources.LakeSink.writeSorted(cnt, s"$dir/_keystats_$key",
+      "parquet", Seq(key), nFiles)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    graft.sources.LakeSink.dataFileNames(fs, dir).toSeq.sorted.toDF("file")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_keystats_${key}_files")
+    cardinality
+  }
+
+  /** the committed count table, or None when the directory was never
+    * analyzed (callers fall back to the counting pass). A PRESENT
+    * manifest that no longer describes the directory's files REFUSES
+    * BY NAME — silently advising from stale counts would let a
+    * re-loaded table keep last month's broadcast/salt decision. */
+  def readKeyStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, key: String): Option[DataFrame] = {
+    val man = new org.apache.hadoop.fs.Path(dir, s"_keystats_$key")
+    val fs = man.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(man)) None
+    else {
+      val names = spark.read.parquet(s"$dir/_keystats_${key}_files")
+        .collect().map(_.getString(0)).toSet
+      graft.sources.LakeSink.requireManifestCurrent(fs, dir, names,
+        s"_keystats_$key")
+      Some(spark.read.parquet(man.toString))
+    }
+  }
+
+  /** The TABLE-LEVEL advisor — [[adviseJoin]] reading COMMITTED
+    * statistics: resolve each side's live generation ONCE (manifest
+    * and data from the same snapshot directory, the readPrunedTable
+    * discipline), take its `_keystats_<key>` when committed
+    * ([[attachKeyStats]], or `keyStatsCols` on a publish) and fall
+    * back to the per-call counting pass when a side was never
+    * analyzed; a committed-but-STALE manifest refuses by name
+    * (readKeyStats). With both sides analyzed, N advised joins cost
+    * N × (manifest read + the join itself) — the fact is never
+    * scanned for statistics again, which is the entire point of
+    * ANALYZE. Parquet tables only (the lake's format). */
+  def adviseJoinTables(spark: org.apache.spark.sql.SparkSession,
+      factTable: String, factKey: String, saltBy: String,
+      dimTable: String, dimKey: String,
+      broadcastMaxRows: Long = 2000000L,
+      hotFrac: Double = 0.1,
+      bloomMaxMatchFrac: Double = 0.5,
+      p: Int = 8, mBits: Int = 1 << 16,
+      width: Int = 8192, depth: Int = 5): (DataFrame, JoinAdvice) = {
+    val fLoc = graft.sources.LakeSink.tableLocation(spark, factTable)
+    val dLoc = graft.sources.LakeSink.tableLocation(spark, dimTable)
+    val fact = spark.read.parquet(fLoc)
+    val dim = spark.read.parquet(dLoc)
+    val fCnt = readKeyStats(spark, fLoc, factKey).getOrElse(
+      fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
+        .localCheckpoint())
+    val dCnt = readKeyStats(spark, dLoc, dimKey).getOrElse(
+      dim.groupBy(col(dimKey)).agg(count(lit(1)).as("n"))
+        .localCheckpoint())
+    adviseFromCounts(fact, factKey, saltBy, dim, dimKey, fCnt, dCnt,
+      broadcastMaxRows, hotFrac, bloomMaxMatchFrac, p, mBits, width, depth)
   }
 }

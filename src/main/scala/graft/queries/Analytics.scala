@@ -1715,9 +1715,94 @@ object Analytics {
       .orderBy("p_brand")
   }
 
+  // ---- q57: the advisor from COMMITTED statistics (ANALYZE-once) ----
+  // stamped fact/dim copies with `_keystats` manifests committed once
+  // per corpus (ensureSortedOrders' build-privately/rename-atomically
+  // discipline); the tables re-register per session (catalog is
+  // session-scoped, the directories are not)
+  private def ensureAdvisedTables(s: SparkSession, d: String)
+      : (String, String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_keystats_$stamp")
+    def ready(sub: String) =
+      new java.io.File(new java.io.File(dir, sub), "_SUCCESS").isFile &&
+        new java.io.File(new java.io.File(dir,
+          s"$sub/_keystats_${if (sub == "fact") "l_partkey" else "p_partkey"}_files"),
+          "_SUCCESS").isFile
+    if (!ready("fact") || !ready("dim")) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_keystats_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_keystats_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
+        .repartition(4).write.mode("overwrite")
+        .parquet(new java.io.File(build, "fact").getPath)
+      t(s, d, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#45"))
+        .select(col("p_partkey"), col("p_brand"))
+        .repartition(2).write.mode("overwrite")
+        .parquet(new java.io.File(build, "dim").getPath)
+      // ANALYZE once: the manifests are committed WITH the copies
+      graft.operators.RuntimeFilter.attachKeyStats(s,
+        new java.io.File(build, "fact").getPath, "l_partkey")
+      graft.operators.RuntimeFilter.attachKeyStats(s,
+        new java.io.File(build, "dim").getPath, "p_partkey")
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    (new java.io.File(dir, "fact").getPath, new java.io.File(dir, "dim").getPath)
+  }
+
+  /** q57: q53's advised join decided from COMMITTED statistics —
+    * `ANALYZE TABLE` for the join tier ([[graft.operators
+    * .RuntimeFilter.attachKeyStats]] / `readKeyStats` /
+    * `adviseJoinTables`): both sides' per-key count tables were
+    * landed ONCE as `_keystats_<key>` manifests (with a file-name
+    * sidecar — a post-ANALYZE write makes the advisor REFUSE by
+    * name, never advise from stale counts), and the advisor's whole
+    * decision — totals, cardinality, hot keys, CMS sketch, the EXACT
+    * matched-fact count — now comes from manifest reads: the fact is
+    * scanned ZERO times for statistics, by this query or any later
+    * advised join over the same tables (RuntimeFilterSpec
+    * plan-counts it). The decision and the output are identical to
+    * q53's per-call counting pass — same oracle, hash-proved. */
+  val q57 = Q("q57_advised_stats", Some("""
+    SELECT p_brand,
+      CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand IN ('Brand#12', 'Brand#45')
+    GROUP BY p_brand ORDER BY p_brand""")) { (s, d) =>
+    val (factDir, dimDir) = ensureAdvisedTables(s, d)
+    s.sql("DROP TABLE IF EXISTS q57_fact")
+    s.sql("DROP TABLE IF EXISTS q57_dim")
+    graft.sources.LakeSink.registerExternal(s, "q57_fact", factDir)
+    graft.sources.LakeSink.registerExternal(s, "q57_dim", dimDir)
+    val (joined, advice) = graft.operators.RuntimeFilter.adviseJoinTables(
+      s, "q57_fact", "l_partkey", "l_orderkey", "q57_dim", "p_partkey",
+      broadcastMaxRows = 100L)
+    assert(advice.strategy == "bloom" || advice.strategy == "broadcast",
+      s"uniform selective dim must advise bloom (or broadcast under " +
+        s"the cap at tiny SF), got $advice")
+    joined.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56)
+    q50, q51, q52, q53, q54, q55, q56, q57)
 }

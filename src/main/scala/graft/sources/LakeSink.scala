@@ -190,11 +190,13 @@ object LakeSink {
     * Returns the row count (unchanged by design). */
   def compactTable(spark: SparkSession, table: String,
       targetRecordsPerFile: Long, retainMs: Long = 600000L,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      keyStatsCols: Seq[String] = Nil): Long =
     compactTableImpl(spark, table, targetRecordsPerFile,
       (df, nFiles, dest, format) => df.repartition(nFiles).write.format(format)
         .option("maxRecordsPerFile", targetRecordsPerFile.toString)
-        .mode("overwrite").save(dest), retainMs, statsCols, bloomCols)
+        .mode("overwrite").save(dest), retainMs, statsCols, bloomCols,
+      keyStatsCols)
 
   /** OPTIMIZE ... ZORDER for a LIVE catalog table — the lakehouse
     * layout rewrite that turns an already-published table into
@@ -246,9 +248,9 @@ object LakeSink {
       targetRecordsPerFile: Long,
       rewrite: (DataFrame, Int, String, String) => Unit,
       retainMs: Long = 600000L, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long =
+      bloomCols: Seq[String] = Nil, keyStatsCols: Seq[String] = Nil): Long =
     publishGeneration(spark, table, retainMs, statsCols,
-        bloomCols) { (df, dest, format) =>
+        bloomCols, keyStatsCols = keyStatsCols) { (df, dest, format) =>
       val n = df.count()
       val nFiles = math.max(1L,
         (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
@@ -308,7 +310,8 @@ object LakeSink {
 
   private[graft] def publishGeneration(spark: SparkSession, table: String,
       retainMs: Long, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, applyTombstones: Boolean = false)
+      bloomCols: Seq[String] = Nil, applyTombstones: Boolean = false,
+      keyStatsCols: Seq[String] = Nil)
       (write: (DataFrame, String, String) => Long): Long = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
@@ -441,6 +444,16 @@ object LakeSink {
       try fileBlooms(spark.read.format(format).load(next.toString), c)
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(next, s"_blooms_$c").toString)
+      catch { case e: Throwable =>
+        fs.delete(next, true); releaseClaim(); throw e }
+    }
+    // ANALYZE rides the commit too: the advisor's per-key count
+    // tables (`_keystats_<c>`) land inside the generation before the
+    // flip, so every later adviseJoinTables decision reads statistics
+    // that describe exactly the files it will join
+    keyStatsCols.foreach { c =>
+      try graft.operators.RuntimeFilter.attachKeyStats(spark,
+        next.toString, c, format)
       catch { case e: Throwable =>
         fs.delete(next, true); releaseClaim(); throw e }
     }
@@ -623,7 +636,7 @@ object LakeSink {
     * exactly describe for a pruned/bloom read to be sound. `_`- and
     * `.`-prefixed entries (manifests, tombstones, stages, _SUCCESS)
     * and subdirectories are not data. */
-  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Set[String] =
     fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -641,7 +654,7 @@ object LakeSink {
     * gone. The fix is to recommit the manifest with the directory's
     * current state (attachStats/attachBlooms, or a statsCols/
     * bloomCols publish). */
-  private def requireManifestCurrent(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def requireManifestCurrent(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, manifestNames: Set[String], what: String): Unit = {
     val current = dataFileNames(fs, dir)
     val unseen = current -- manifestNames
@@ -898,7 +911,7 @@ object LakeSink {
     }
   }
 
-  private def tableLocation(spark: SparkSession, table: String): String = {
+  private[graft] def tableLocation(spark: SparkSession, table: String): String = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
     require(catalog.tableExists(ident), s"unknown table $table")

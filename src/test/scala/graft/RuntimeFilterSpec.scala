@@ -128,6 +128,68 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(joined.count() === 0L)
   }
 
+  test("ANALYZE-once: advised join from committed _keystats ≡ the per-call decision; statistics reads never scan the fact; stale stats refuse by name") {
+    import spark.implicits._
+    import graft.operators.RuntimeFilter
+    import graft.sources.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_keystats")
+      .toString
+    // a skewed fact (key 7 holds ~30%) and an above-cap dim — the
+    // per-call advisor picks SALTED; committed stats must reproduce it
+    val factRows = ((0 until 300).map(_ => 7L) ++ (0L until 700L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong, k * 2 + 1) }
+    factRows.toDF("fk", "row_id", "fv").repartition(3)
+      .write.parquet(s"$root/fact")
+    (0L until 700L).map(i => (i, s"d$i")).toDF("dk", "d_name")
+      .repartition(2).write.parquet(s"$root/dim")
+    val fact = spark.read.parquet(s"$root/fact")
+    val dim = spark.read.parquet(s"$root/dim")
+    val (perCallJoin, perCall) = adviseJoin(fact, "fk", "row_id",
+      dim, "dk", broadcastMaxRows = 100L, hotFrac = 0.1)
+    assert(perCall.strategy == "salted", perCall.toString)
+    // ANALYZE both sides, register, advise from the manifests
+    RuntimeFilter.attachKeyStats(spark, s"$root/fact", "fk")
+    RuntimeFilter.attachKeyStats(spark, s"$root/dim", "dk")
+    LakeSink.registerExternal(spark, "ks_fact", s"$root/fact")
+    LakeSink.registerExternal(spark, "ks_dim", s"$root/dim")
+    val (fromStatsJoin, fromStats) = RuntimeFilter.adviseJoinTables(
+      spark, "ks_fact", "fk", "row_id", "ks_dim", "dk",
+      broadcastMaxRows = 100L, hotFrac = 0.1)
+    assert(fromStats == perCall,
+      s"committed stats must reproduce the decision: $fromStats vs $perCall")
+    val a = fromStatsJoin.collect().map(_.toString).sorted.toSeq
+    val b = perCallJoin.collect().map(_.toString).sorted.toSeq
+    assert(a == b, "advised output must be identical either way")
+    // THE ANALYZE CONTRACT, plan-counted: the statistics the decision
+    // read came from the _keystats manifests, not a fact/dim scan
+    val fCnt = RuntimeFilter.readKeyStats(spark, s"$root/fact", "fk").get
+    assert(fCnt.inputFiles.forall(_.contains("_keystats_fk")),
+      s"stats must read the manifest only: ${fCnt.inputFiles.toSeq}")
+    assert(fCnt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == factRows.groupBy(_._1).view.mapValues(_.size.toLong).toMap,
+      "committed counts must equal the live counts")
+    // a write AFTER the ANALYZE diverges the file set: refuse by name
+    Seq((9999L, 9999L, 1L)).toDF("fk", "row_id", "fv")
+      .coalesce(1).write.mode("append").parquet(s"$root/fact")
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.adviseJoinTables(spark, "ks_fact", "fk", "row_id",
+        "ks_dim", "dk", broadcastMaxRows = 100L)
+    }
+    assert(e.getMessage.contains("STALE MANIFEST REFUSED"), e.getMessage)
+    // an un-analyzed side falls back to the counting pass silently
+    val noStats = s"$root/dim2"
+    (0L until 700L).map(i => (i, s"e$i")).toDF("dk2", "d2_name")
+      .write.parquet(noStats)
+    LakeSink.registerExternal(spark, "ks_dim2", noStats)
+    RuntimeFilter.attachKeyStats(spark, s"$root/fact", "fk") // re-ANALYZE heals
+    val (_, healed) = RuntimeFilter.adviseJoinTables(spark, "ks_fact",
+      "fk", "row_id", "ks_dim2", "dk2", broadcastMaxRows = 100L,
+      hotFrac = 0.1)
+    assert(healed.strategy == "salted" && healed.factRows == 1001L)
+    spark.sql("DROP TABLE ks_fact"); spark.sql("DROP TABLE ks_dim")
+    spark.sql("DROP TABLE ks_dim2")
+  }
+
   test("q50: one-sided (est ≥ exact) and tight at the shipped width") {
     val rows = SparkEntry.queries("q50_join_card")(spark, TestSpark.sf)
       .collect()
