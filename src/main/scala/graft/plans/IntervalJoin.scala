@@ -130,6 +130,52 @@ object IntervalJoin {
     GraftBridge.ofRows(probe.sparkSession,
       PointIntervalJoin(l, r, point, lo, hi, lk, rk, jt, bc))
   }
+
+  /** SKEW-SALTED partitioned interval join — the q51 mitigation
+    * lifted to stabs: under `build = "shuffle"` a hot equi-key's
+    * ENTIRE interval share and probe share land on one partition
+    * (ClusteredDistribution hashes the key — exactly SortMergeJoin's
+    * skew behavior), so a key holding 20% of a 100 TB fact parks 20%
+    * of the build memory and stab work on one task while the rest of
+    * the cluster idles. Here the HOT keys (a broadcast-small set —
+    * detect with [[graft.operators.RuntimeFilter.heavyKeys]]) split
+    * across `p` salts: each hot PROBE row takes a deterministic salt
+    * from `saltBy` (any row-unique probe column), each hot INTERVAL
+    * row replicates to ALL `p` salts — so every salt partition holds
+    * its key's FULL interval set and a 1/p probe share, and a stab
+    * answers identically wherever it lands. Cold keys salt to 0 on
+    * both sides: no replication, no extra rows. Cost is p× the HOT
+    * intervals only; every probe meets every matching interval
+    * exactly once (cold: (0,0); hot: salt s meets replica s), so the
+    * output IS the unsalted join — inner AND left outer (a missed
+    * hot probe misses against the full interval set of its salt,
+    * exactly as unsalted). IntervalJoinSpec pins output ≡ unsalted ≡
+    * theta and the per-(key, salt) build-share bound; q58
+    * hash-checks it end to end. */
+  def pointInIntervalSalted(probe: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      key: (String, String), saltBy: String, hotKeys: DataFrame,
+      p: Int = 8, joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(p >= 1, s"salt fan-out must be >= 1, got $p")
+    val hot = broadcast(hotKeys.select(col(hotKeys.columns.head)
+      .as("__hk")).distinct())
+    val ps = probe
+      .join(hot, col(key._1) === col("__hk"), "left_outer")
+      .withColumn("__salt",
+        when(col("__hk").isNotNull, pmod(hash(col(saltBy)), lit(p)))
+          .otherwise(lit(0)).cast("int"))
+      .drop("__hk")
+    val is = intervals
+      .join(hot, col(key._2) === col("__hk"), "left_outer")
+      .withColumn("__dsalt",
+        explode(when(col("__hk").isNotNull, sequence(lit(0), lit(p - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hk")
+    pointInInterval(ps, is, pointCol, loCol, hiCol,
+        Seq(key, "__salt" -> "__dsalt"), joinType, build = "shuffle")
+      .drop("__salt", "__dsalt")
+  }
 }
 
 /** Logical form — carries resolved attributes, so it passes straight

@@ -1715,6 +1715,58 @@ object Analytics {
       .orderBy("p_brand")
   }
 
+  /** q58: the SKEW-SALTED partitioned interval join
+    * ([[graft.plans.IntervalJoin.pointInIntervalSalted]] — q51's
+    * mitigation composed with q52's operator): logged-out traffic
+    * maps every 'view' event to sentinel user 0, a key holding ~20%
+    * of BOTH the interval build and the probes — under the plain
+    * shuffled exec that key's whole share lands on ONE partition's
+    * segment tree and stab loop (the straggler that parks 20% of a
+    * 100 TB enrichment on one task). `heavyKeys` detects the hot key
+    * from one count pass; hot probes salt deterministically by
+    * event_id across 8 partitions, hot intervals replicate 8× (each
+    * salt holds the key's FULL interval set, so every stab answers
+    * identically wherever it lands), cold keys untouched. The salt
+    * never reaches the output — the result IS the unsalted join,
+    * which is what the oracle hash-checks. */
+  val q58 = Q("q58_interval_skew", Some("""
+    WITH e AS (SELECT CASE WHEN event_type = 'view' THEN 0
+                           ELSE user_id END AS uid,
+                 event_id, event_type, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events WHERE user_id IS NOT NULL),
+    w AS (SELECT event_id AS win_id, uid AS w_uid, sec AS lo,
+            sec + 30 + CAST(floor(value * 300.0) AS BIGINT) AS hi
+          FROM e),
+    p AS (SELECT event_id AS purchase_id, uid AS p_uid,
+            sec AS psec FROM e WHERE event_type = 'purchase')
+    SELECT p.purchase_id, count(*) AS n_win, min(w.win_id) AS first_win,
+      max(p.psec - w.lo) AS max_into_s
+    FROM p JOIN w ON p.p_uid = w.w_uid AND p.psec BETWEEN w.lo AND w.hi
+    WHERE w.win_id <> p.purchase_id
+    GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    val e = ev(s, d).filter(col("user_id").isNotNull)
+      .withColumn("uid", when(col("event_type") === "view", 0L)
+        .otherwise(col("user_id")))
+    val w = e.select(col("event_id").as("win_id"),
+      col("uid").as("w_uid"), col("sec").as("lo"),
+      (col("sec") + lit(30L) +
+        floor(col("value") * 300.0).cast("long")).as("hi"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("uid").as("p_uid"), col("sec").as("psec"))
+    val hot = graft.operators.RuntimeFilter.heavyKeys(
+      w.select(col("w_uid")), "w_uid", 0.05)
+    graft.plans.IntervalJoin.pointInIntervalSalted(p, w, "psec", "lo",
+        "hi", "p_uid" -> "w_uid", saltBy = "purchase_id", hotKeys = hot,
+        p = 8)
+      .filter(col("win_id") =!= col("purchase_id"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_win"), min(col("win_id")).as("first_win"),
+        max(col("psec") - col("lo")).as("max_into_s"))
+      .orderBy("purchase_id")
+  }
+
   // ---- q57: the advisor from COMMITTED statistics (ANALYZE-once) ----
   // stamped fact/dim copies with `_keystats` manifests committed once
   // per corpus (ensureSortedOrders' build-privately/rename-atomically
@@ -1804,5 +1856,5 @@ object Analytics {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }

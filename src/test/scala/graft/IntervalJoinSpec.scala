@@ -276,6 +276,73 @@ class IntervalJoinSpec extends AnyFunSuite {
       Seq("purchase_id", "n_win", "first_win", "max_into_s"))
   }
 
+  test("skew-salted shuffled join: output ≡ unsalted ≡ theta (inner + left outer); hot key's build share bounded by ~1/p") {
+    // plant a HOT key: sentinel user 0 absorbs every 'view' event on
+    // both sides — one key holding a large share of intervals AND
+    // probes, the straggler shape
+    val e = ev.filter(col("user_id").isNotNull)
+      .withColumn("uid", when(col("event_type") === "view", 0L)
+        .otherwise(col("user_id")))
+    val w = e.select(col("event_id").as("win_id"), col("uid").as("w_uid"),
+      col("sec").as("lo"),
+      (col("sec") + lit(60L) + floor(col("value") * 600.0).cast("long"))
+        .as("hi"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("uid").as("p_uid"),
+        col("sec").as("psec"))
+    val hot = graft.operators.RuntimeFilter.heavyKeys(
+      w.select(col("w_uid")), "w_uid", 0.05)
+    assert(hot.collect().map(_.getLong(0)).contains(0L),
+      "fixture must plant the sentinel hot key (tiny SF flags more)")
+    val salted = IntervalJoin.pointInIntervalSalted(p, w, "psec", "lo",
+      "hi", "p_uid" -> "w_uid", saltBy = "purchase_id", hotKeys = hot,
+      p = 8)
+    val unsalted = IntervalJoin.pointInInterval(p, w, "psec", "lo", "hi",
+      Seq("p_uid" -> "w_uid"), build = "shuffle")
+    val theta = p.join(w, col("p_uid") === col("w_uid") &&
+      col("psec") >= col("lo") && col("psec") <= col("hi"))
+    assert(sortedRows(salted) == sortedRows(unsalted))
+    assert(sortedRows(salted) == sortedRows(theta))
+    assert(salted.collect().nonEmpty)
+    // LEFT OUTER parity: a missed hot probe misses against its
+    // salt's FULL interval replica — kept exactly once, like unsalted
+    val wNarrow = w.filter(col("win_id") % 3 === 0)
+    val saltedLo = IntervalJoin.pointInIntervalSalted(p, wNarrow, "psec",
+      "lo", "hi", "p_uid" -> "w_uid", saltBy = "purchase_id",
+      hotKeys = hot, p = 8, joinType = "left_outer")
+    val thetaLo = p.join(wNarrow, col("p_uid") === col("w_uid") &&
+      col("psec") >= col("lo") && col("psec") <= col("hi"), "left_outer")
+    assert(sortedRows(saltedLo) == sortedRows(thetaLo))
+    // THE STRAGGLER BOUND, measured on the build shares: unsalted,
+    // the hot key's whole interval share is one partition's build;
+    // salted, no (key, salt) cell exceeds ~1/p of it (hash skew slack)
+    val hotShare = w.filter(col("w_uid") === 0L).count()
+    val saltedShares = w
+      .join(broadcast(hot.select(col("w_uid").as("__hk"))),
+        col("w_uid") === col("__hk"), "left_outer")
+      .withColumn("__dsalt", explode(when(col("__hk").isNotNull,
+          sequence(lit(0), lit(7))).otherwise(array(lit(0)))))
+      .groupBy(col("w_uid"), col("__dsalt"))
+      .agg(count(lit(1)).as("n"))
+    // interval replicas are full copies per salt — the PROBE side is
+    // what the salt divides; measure its max (key, salt) cell
+    val probeShares = p
+      .join(broadcast(hot.select(col("w_uid").as("__hk"))),
+        col("p_uid") === col("__hk"), "left_outer")
+      .withColumn("__salt", when(col("__hk").isNotNull,
+          pmod(hash(col("purchase_id")), lit(8))).otherwise(lit(0)))
+      .groupBy(col("p_uid"), col("__salt"))
+      .agg(count(lit(1)).as("n"))
+    val hotProbes = p.filter(col("p_uid") === 0L).count()
+    val maxHotCell = probeShares.filter(col("p_uid") === 0L)
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxHotCell <= (hotProbes + 7) / 8 * 3,
+      s"hot key's probe share must spread across the salts: " +
+        s"$maxHotCell of $hotProbes on one (key, salt) cell")
+    assert(saltedShares.filter(col("w_uid") === 0L).count() == 8L,
+      "hot intervals must replicate to every salt")
+  }
+
   test("self-join inputs (both sides carved from one scan) resolve cleanly") {
     // probes and windows both derive from the same events scan —
     // without the build-side re-alias their attributes would share

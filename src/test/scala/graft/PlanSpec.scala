@@ -56,7 +56,12 @@ class PlanSpec extends AnyFunSuite {
       "q56_global_threshold_anti",
       // q53's bloom branch carries q49's 1-row bitmap broadcast (at
       // tiny SF the advisor picks broadcast and no BNLJ plans at all)
-      "q53_advised_join")
+      "q53_advised_join",
+      // q57 is q53 through committed stats — same branch allowances
+      "q57_advised_stats",
+      // q58's hot-key detection is q51's heavyKeys: the same 1-row
+      // total broadcast inside the frac filter
+      "q58_interval_skew")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
