@@ -190,27 +190,13 @@ object DedupIndex {
       newStamp: Option[String] = None): Long = {
     val mt = readMeta(spark, dir)
     val (id, text) = (mt.idCol, mt.textCol)
-    val nNull = newDocs.filter(col(id).isNull).count()
-    require(nNull == 0, s"INDEX APPEND REFUSED: $nNull rows carry a NULL $id")
-    val nDupIn = newDocs.groupBy(col(id)).count()
-      .filter(col("count") > 1).count()
-    require(nDupIn == 0,
-      s"INDEX APPEND REFUSED: $nDupIn ids duplicated within the batch")
-    val tag = VectorIndex.batchTag(newDocs, id)
-    val (fs, _) = VectorIndex.hfs(spark, dir)
-    tables(mt).foreach { tb =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$tb")
-      if (fs.exists(live))
-        fs.listStatus(live).map(_.getPath)
-          .filter(_.getName.startsWith(s"ap-$tag-"))
-          .foreach(p => require(fs.delete(p, false), s"sweep failed: $p"))
-    }
-    val existing = spark.read.parquet(s"$dir/signatures").select(col(id))
-    val nDup = newDocs.select(col(id)).join(existing, Seq(id), "left_semi")
-      .count()
-    require(nDup == 0,
-      s"INDEX APPEND REFUSED: $nDup ids already present in the index — " +
-        "a duplicate id would self-collide in every band; removal first")
+    IndexLifecycle.guardBatch(newDocs, id, "")
+    val tag = IndexLifecycle.batchTag(newDocs, id)
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
+    IndexLifecycle.sweepTag(fs, dir, tables(mt), tag)
+    IndexLifecycle.guardNoCollision(newDocs, id,
+      spark.read.parquet(s"$dir/signatures").select(col(id)),
+      " — a duplicate id would self-collide in every band; removal first")
     val nNew = newDocs.count()
     val nFiles = math.max(1L, nNew / 500000L).toInt
     val stage = s"$dir/.stage-$tag"
@@ -226,23 +212,12 @@ object DedupIndex {
       Dedup.shingleSets(newDocs, id, text)
         .repartitionByRange(nFiles, col(id)).sortWithinPartitions(col(id))
         .write.mode("overwrite").parquet(s"$stage/shingles")
-    val stagedS = spark.read.parquet(s"$stage/signatures").count()
-    val stagedB = spark.read.parquet(s"$stage/bands").count()
-    if (stagedS != nNew || stagedB != nNew * mt.bands) {
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      throw new java.io.IOException(
-        s"staged batch short: signatures=$stagedS (want $nNew), " +
-          s"bands=$stagedB (want ${nNew * mt.bands}); aborting — index unchanged")
-    }
+    IndexLifecycle.verifyStaged(spark, fs, stage,
+      Seq("signatures" -> nNew, "bands" -> nNew * mt.bands), "batch")
     // bands first: a concurrent probe in the publish window loses the
     // batch at the signature/shingle inner join (absent doc), never
     // scores a half-present one
-    tables(mt).reverse.foreach { tb =>
-      VectorIndex.publishStaged(fs,
-        new org.apache.hadoop.fs.Path(s"$stage/$tb"),
-        new org.apache.hadoop.fs.Path(s"$dir/$tb"), tag)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    IndexLifecycle.publishStagedAll(fs, stage, dir, tables(mt).reverse, tag)
     val total = spark.read.parquet(s"$dir/signatures").count()
     writeMeta(spark, dir, mt.copy(n = total,
       stamp = newStamp.getOrElse(mt.stamp)))
@@ -259,7 +234,7 @@ object DedupIndex {
     val nNull = ids.filter(col(id).isNull).count()
     require(nNull == 0, s"INDEX DELETE REFUSED: $nNull rows carry a NULL $id")
     val del = ids.select(col(id)).distinct().localCheckpoint(true)
-    VectorIndex.gcOldGenerations(spark, dir, retainMs)
+    IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
     val known = spark.read.parquet(s"$dir/signatures").select(col(id))
     val nUnknown = del.join(known, Seq(id), "left_anti").count()
     require(nUnknown == 0,
@@ -276,13 +251,13 @@ object DedupIndex {
   def compact(spark: SparkSession, dir: String,
       retainMs: Long = 600000L): Long = {
     val mt = readMeta(spark, dir)
-    VectorIndex.gcOldGenerations(spark, dir, retainMs)
+    IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
     rewriteTables(spark, dir, mt, mt.n, identity)
   }
 
   private def rewriteTables(spark: SparkSession, dir: String, mt: Meta,
       expectDocs: Long, xform: DataFrame => DataFrame): Long = {
-    val (fs, _) = VectorIndex.hfs(spark, dir)
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
     val stage = s"$dir/.stage-del"
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     val nFiles = math.max(1L, expectDocs / 500000L).toInt
@@ -295,24 +270,10 @@ object DedupIndex {
         .repartitionByRange(nFiles, cs: _*).sortWithinPartitions(cs: _*)
         .write.parquet(s"$stage/$tb")
     }
-    val stagedS = spark.read.parquet(s"$stage/signatures").count()
-    val stagedB = spark.read.parquet(s"$stage/bands").count()
-    if (stagedS != expectDocs || stagedB != expectDocs * mt.bands) {
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      throw new java.io.IOException(
-        s"staged rewrite short: signatures=$stagedS (want $expectDocs), " +
-          s"bands=$stagedB (want ${expectDocs * mt.bands}); aborting — " +
-          "index unchanged")
-    }
-    val gen = System.currentTimeMillis()
-    tables(mt).reverse.foreach { tb =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$tb")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/$tb.old-g$gen")
-      require(fs.rename(live, old), s"flip failed: $live -> $old")
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$tb"), live),
-        s"flip failed: $stage/$tb -> $live")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    IndexLifecycle.verifyStaged(spark, fs, stage,
+      Seq("signatures" -> expectDocs, "bands" -> expectDocs * mt.bands),
+      "rewrite")
+    IndexLifecycle.flipStaged(fs, stage, dir, tables(mt).reverse)
     writeMeta(spark, dir, mt.copy(n = expectDocs))
     expectDocs
   }

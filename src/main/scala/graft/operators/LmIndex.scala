@@ -99,7 +99,7 @@ object LmIndex {
     // in-flight readers; reclaim PRIOR appends' copies past the
     // retention window (the TextIndex/VectorIndex contract) so a
     // long-lived model dir doesn't accumulate one copy per batch
-    VectorIndex.gcOldGenerations(spark, dir, retainMs)
+    IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
     val text = mt.textCol
     val (b12, _, _) = TextAnalysis.lmModel(newDocs, text)
     val m12 = spark.read.parquet(s"$dir/bigrams")
@@ -109,7 +109,7 @@ object LmIndex {
         newDocs.select(explode(TextAnalysis.tokens(col(text))).as("w")))
       .distinct()
     val stage = s"$dir/.stage-append"
-    val (fs, _) = VectorIndex.hfs(spark, dir)
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     val (nB, vs) = writeTables(spark, stage, m12, mv)
     // STAGED-VERIFY before any flip (the TextIndex/VectorIndex
@@ -134,15 +134,7 @@ object LmIndex {
           s"${staged12.getLong(1)} (expected $expMass), vocab $stagedV " +
           s"(expected $vs); aborting — live model untouched")
     }
-    val gen = System.currentTimeMillis()
-    Seq("bigrams", "vocab").foreach { tb =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$tb")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/$tb.old-g$gen")
-      require(fs.rename(live, old), s"flip failed: $live -> $old")
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$tb"), live),
-        s"flip failed: $stage/$tb -> $live")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    IndexLifecycle.flipStaged(fs, stage, dir, Seq("bigrams", "vocab"))
     writeMeta(spark, dir, mt.copy(vs = vs,
       stamp = newStamp.getOrElse(mt.stamp)))
     vs

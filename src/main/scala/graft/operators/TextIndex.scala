@@ -160,29 +160,13 @@ object TextIndex {
       newStamp: Option[String] = None): Long = {
     val mt = readMeta(spark, dir)
     val (id, text) = (mt.idCol, mt.textCol)
-    val nNull = newDocs.filter(col(id).isNull).count()
-    require(nNull == 0, s"INDEX APPEND REFUSED: $nNull rows carry a NULL $id")
-    val nDupIn = newDocs.groupBy(col(id)).count()
-      .filter(col("count") > 1).count()
-    require(nDupIn == 0,
-      s"INDEX APPEND REFUSED: $nDupIn ids duplicated within the batch")
-    val tag = VectorIndex.batchTag(newDocs, id)
-    val (fs, _) = VectorIndex.hfs(spark, dir)
-    // crash-recovery sweep: leftovers of a previous partial publish of
-    // THIS batch (same content tag) go before the collision guard reads
-    Seq("postings", "doclen").foreach { tb =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$tb")
-      if (fs.exists(live))
-        fs.listStatus(live).map(_.getPath)
-          .filter(_.getName.startsWith(s"ap-$tag-"))
-          .foreach(p => require(fs.delete(p, false), s"sweep failed: $p"))
-    }
-    val existing = spark.read.parquet(s"$dir/doclen").select(col(id))
-    val nDup = newDocs.select(col(id)).join(existing, Seq(id), "left_semi")
-      .count()
-    require(nDup == 0,
-      s"INDEX APPEND REFUSED: $nDup ids already present in the index — " +
-        "a duplicate id would double-count terms into df; removal first")
+    IndexLifecycle.guardBatch(newDocs, id, "")
+    val tag = IndexLifecycle.batchTag(newDocs, id)
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
+    IndexLifecycle.sweepTag(fs, dir, Seq("postings", "doclen"), tag)
+    IndexLifecycle.guardNoCollision(newDocs, id,
+      spark.read.parquet(s"$dir/doclen").select(col(id)),
+      " — a duplicate id would double-count terms into df; removal first")
     val nNew = newDocs.count()
     val nFiles = math.max(1L, nNew / 500000L).toInt
     val stage = s"$dir/.stage-$tag"
@@ -197,24 +181,13 @@ object TextIndex {
       .select(col(id), coalesce(col("dl_tok"), lit(0L)).as("dl_tok"))
       .repartitionByRange(nFiles, col(id)).sortWithinPartitions(col(id))
       .write.mode("overwrite").parquet(s"$stage/doclen")
-    val stagedP = spark.read.parquet(s"$stage/postings").count()
-    val stagedD = spark.read.parquet(s"$stage/doclen").count()
-    if (stagedP != nPost || stagedD != nNew) {
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      throw new java.io.IOException(
-        s"staged batch short: postings=$stagedP (want $nPost), " +
-          s"doclen=$stagedD (want $nNew); aborting — index unchanged")
-    }
+    IndexLifecycle.verifyStaged(spark, fs, stage,
+      Seq("postings" -> nPost, "doclen" -> nNew), "batch")
     // postings first: a concurrent probe in the two-rename window sees
     // the batch's terms drop out at the doclen inner join (absent doc,
     // not a wrong score); single-writer covers everything else
-    VectorIndex.publishStaged(fs,
-      new org.apache.hadoop.fs.Path(s"$stage/postings"),
-      new org.apache.hadoop.fs.Path(s"$dir/postings"), tag)
-    VectorIndex.publishStaged(fs,
-      new org.apache.hadoop.fs.Path(s"$stage/doclen"),
-      new org.apache.hadoop.fs.Path(s"$dir/doclen"), tag)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    IndexLifecycle.publishStagedAll(fs, stage, dir,
+      Seq("postings", "doclen"), tag)
     val total = spark.read.parquet(s"$dir/doclen").count()
     val sumdl = spark.read.parquet(s"$dir/postings")
       .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
@@ -242,7 +215,7 @@ object TextIndex {
     require(nNull == 0,
       s"INDEX DELETE REFUSED: $nNull rows carry a NULL $id")
     val del = ids.select(col(id)).distinct().localCheckpoint(true)
-    VectorIndex.gcOldGenerations(spark, dir, retainMs)
+    IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
     val known = spark.read.parquet(s"$dir/doclen").select(col(id))
     val nUnknown = del.join(known, Seq(id), "left_anti").count()
     require(nUnknown == 0,
@@ -261,7 +234,7 @@ object TextIndex {
   def compact(spark: SparkSession, dir: String,
       retainMs: Long = 600000L): Long = {
     val mt = readMeta(spark, dir)
-    VectorIndex.gcOldGenerations(spark, dir, retainMs)
+    IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
     rewriteTables(spark, dir, mt, mt.n, identity)
   }
 
@@ -272,7 +245,7 @@ object TextIndex {
     * the published doclen and Σdl from the published postings. */
   private def rewriteTables(spark: SparkSession, dir: String, mt: Meta,
       expectDocs: Long, xform: DataFrame => DataFrame): Long = {
-    val (fs, _) = VectorIndex.hfs(spark, dir)
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
     val stage = s"$dir/.stage-del"
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     val nFiles = math.max(1L, expectDocs / 500000L).toInt
@@ -285,25 +258,11 @@ object TextIndex {
       .repartitionByRange(nFiles, col(mt.idCol))
       .sortWithinPartitions(col(mt.idCol))
       .write.parquet(s"$stage/doclen")
-    val stagedP = spark.read.parquet(s"$stage/postings").count()
-    val stagedD = spark.read.parquet(s"$stage/doclen").count()
-    if (stagedP != expectPost || stagedD != expectDocs) {
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      throw new java.io.IOException(
-        s"staged rewrite short: postings=$stagedP (want $expectPost), " +
-          s"doclen=$stagedD (want $expectDocs); aborting — index unchanged")
-    }
-    val gen = System.currentTimeMillis()
+    IndexLifecycle.verifyStaged(spark, fs, stage,
+      Seq("postings" -> expectPost, "doclen" -> expectDocs), "rewrite")
     // postings first, like append: a probe in the flip window loses
     // at the doclen inner join (absent doc), never scores stale terms
-    Seq("postings", "doclen").foreach { tb =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$tb")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/$tb.old-g$gen")
-      require(fs.rename(live, old), s"flip failed: $live -> $old")
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$tb"), live),
-        s"flip failed: $stage/$tb -> $live")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    IndexLifecycle.flipStaged(fs, stage, dir, Seq("postings", "doclen"))
     val sumdl = spark.read.parquet(s"$dir/postings")
       .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
     writeMeta(spark, dir, mt.copy(n = expectDocs, sumdl = sumdl))

@@ -97,38 +97,6 @@ object VectorIndex {
     mt
   }
 
-  /** Deterministic CONTENT TAG of a batch's key set — one aggregate
-    * (count, hashed-id sum/min/max), no collect, no wall clock: the
-    * same batch retried yields the same tag, which is what makes a
-    * crashed append's leftovers identifiable and a retry
-    * self-repairing ([[append]] publishes its files under this tag
-    * and sweeps same-tag leftovers before the duplicate-id guard
-    * runs). */
-  private[operators] def batchTag(batch: DataFrame, id: String): String = {
-    val r = batch.agg(count(col(id)), sum(hash(col(id)).cast("long")),
-      min(hash(col(id))), max(hash(col(id)))).head()
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(r.mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-  }
-
-  private[operators] def hfs(spark: SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** move every data file of staged dir `from` into live dir `to`,
-    * prefixed `ap-$tag-` so the batch's files stay identifiable (the
-    * crash-recovery sweep keys on the prefix). */
-  private[operators] def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
-      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
-      tag: String): Unit =
-    fs.listStatus(from).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-"))
-      .foreach { p =>
-        require(fs.rename(p, new org.apache.hadoop.fs.Path(to,
-          s"ap-$tag-${p.getName}")), s"publish rename failed for $p") }
-
   /** INCREMENTAL index maintenance — the other half of build-once:
     * new vectors are quantized by the FROZEN coarse quantizer and
     * codebook (assigned + encoded against the stored anchors/
@@ -174,34 +142,15 @@ object VectorIndex {
       newStamp: Option[String] = None): Long = {
     val mt = readMeta(spark, dir)
     val (id, emb) = (mt.idCol, mt.embCol)
-    val nNull = newVectors.filter(col(id).isNull).count()
-    require(nNull == 0,
-      s"INDEX APPEND REFUSED: $nNull rows carry a NULL $id")
-    val nDupIn = newVectors.groupBy(col(id)).count()
-      .filter(col("count") > 1).count()
-    require(nDupIn == 0,
-      s"INDEX APPEND REFUSED: $nDupIn ids duplicated within the batch — " +
-        "a duplicate id would serve two rows for one vector")
-    val tag = batchTag(newVectors, id)
-    val (fs, _) = hfs(spark, dir)
-    // crash-recovery sweep: leftovers of a previous partial publish of
-    // THIS batch (same content tag) are removed from both tables
-    // before the duplicate-id guard reads them, so a retry after a
-    // mid-publish crash converges instead of refusing
-    Seq("assigned", "codes", "sq8").foreach { t =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      if (fs.exists(live))
-        fs.listStatus(live).map(_.getPath)
-          .filter(_.getName.startsWith(s"ap-$tag-"))
-          .foreach(p => require(fs.delete(p, false), s"sweep failed: $p"))
-    }
-    val existing = spark.read.parquet(s"$dir/assigned").select(col(id))
-    val nDup = newVectors.select(col(id)).join(existing, Seq(id), "left_semi")
-      .count()
-    require(nDup == 0,
-      s"INDEX APPEND REFUSED: $nDup ids already present in the index — " +
-        "a duplicate id would serve two rows for one vector; removal is " +
-        s"[[delete]], replacement is delete + append")
+    IndexLifecycle.guardBatch(newVectors, id,
+      " — a duplicate id would serve two rows for one vector")
+    val tag = IndexLifecycle.batchTag(newVectors, id)
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
+    IndexLifecycle.sweepTag(fs, dir, Seq("assigned", "codes", "sq8"), tag)
+    IndexLifecycle.guardNoCollision(newVectors, id,
+      spark.read.parquet(s"$dir/assigned").select(col(id)),
+      " — a duplicate id would serve two rows for one vector; removal is " +
+        "[[delete]], replacement is delete + append")
     val anchors = spark.read.parquet(s"$dir/anchors")
     val cb = broadcast(spark.read.parquet(s"$dir/codebook"))
     // assignment computed once (localCheckpoint: consumed by both the
@@ -237,26 +186,11 @@ object VectorIndex {
     }
     // verify the staged copies BEFORE any live table changes: a short
     // write aborts with the index untouched
-    val stagedA = spark.read.parquet(s"$stage/assigned").count()
-    val stagedC = spark.read.parquet(s"$stage/codes").count()
-    val stagedS = if (withSq8)
-      spark.read.parquet(s"$stage/sq8").count() else nNew * mt.tables
-    if (stagedA != nNew || stagedC != nNew * mt.m ||
-      stagedS != nNew * mt.tables) {
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      throw new java.io.IOException(
-        s"staged batch short: assigned=$stagedA (want $nNew), " +
-          s"codes=$stagedC (want ${nNew * mt.m}), " +
-          s"sq8=$stagedS (want ${nNew * mt.tables}); aborting — index unchanged")
-    }
-    if (withSq8)
-      publishStaged(fs, new org.apache.hadoop.fs.Path(s"$stage/sq8"),
-        new org.apache.hadoop.fs.Path(s"$dir/sq8"), tag)
-    publishStaged(fs, new org.apache.hadoop.fs.Path(s"$stage/codes"),
-      new org.apache.hadoop.fs.Path(s"$dir/codes"), tag)
-    publishStaged(fs, new org.apache.hadoop.fs.Path(s"$stage/assigned"),
-      new org.apache.hadoop.fs.Path(s"$dir/assigned"), tag)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    IndexLifecycle.verifyStaged(spark, fs, stage,
+      Seq("assigned" -> nNew, "codes" -> nNew * mt.m) ++
+        (if (withSq8) Seq("sq8" -> nNew * mt.tables) else Nil), "batch")
+    IndexLifecycle.publishStagedAll(fs, stage, dir,
+      (if (withSq8) Seq("sq8") else Nil) ++ Seq("codes", "assigned"), tag)
     // meta LAST, n recomputed from the published table (parquet
     // footer counts — no data scan), so a repaired crash can't leave
     // a stale n behind
@@ -297,7 +231,7 @@ object VectorIndex {
     val del = ids.select(col(id)).distinct().localCheckpoint(true)
     // reclaim superseded copies past the retention window (and any
     // half-written stage of a crashed previous delete)
-    gcOldGenerations(spark, dir, retainMs)
+    IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
     val assigned = spark.read.parquet(s"$dir/assigned")
     val nUnknown = del.join(assigned.select(col(id)), Seq(id), "left_anti")
       .count()
@@ -323,18 +257,8 @@ object VectorIndex {
   def compact(spark: SparkSession, dir: String,
       retainMs: Long = 600000L): Long = {
     val mt = readMeta(spark, dir)
-    gcOldGenerations(spark, dir, retainMs)
+    IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
     rewriteTables(spark, dir, mt, mt.n, identity)
-  }
-
-  private[operators] def gcOldGenerations(spark: SparkSession, dir: String,
-      retainMs: Long): Unit = {
-    val (fs, _) = hfs(spark, dir)
-    val now = System.currentTimeMillis()
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/*.old-g*")))
-      .getOrElse(Array.empty)
-      .filter(st => now - st.getModificationTime > retainMs)
-      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** the shared staged-rewrite-verify-flip of assigned+codes
@@ -346,7 +270,7 @@ object VectorIndex {
     * rewrite meta last. */
   private def rewriteTables(spark: SparkSession, dir: String, mt: Meta,
       expectA: Long, xform: DataFrame => DataFrame): Long = {
-    val (fs, _) = hfs(spark, dir)
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
     val stage = s"$dir/.stage-del"
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     val nFiles = math.max(1L, expectA / 500000L).toInt
@@ -364,32 +288,12 @@ object VectorIndex {
         .repartitionByRange(nFiles, col("t"), col("bkt"))
         .sortWithinPartitions(col("t"), col("bkt"))
         .write.parquet(s"$stage/sq8")
-    val stagedA = spark.read.parquet(s"$stage/assigned").count()
-    val stagedC = spark.read.parquet(s"$stage/codes").count()
-    val stagedS = if (withSq8)
-      spark.read.parquet(s"$stage/sq8").count() else expectA * mt.tables
-    if (stagedA != expectA || stagedC != expectA * mt.m ||
-      stagedS != expectA * mt.tables) {
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      throw new java.io.IOException(
-        s"staged rewrite short: assigned=$stagedA (want $expectA), " +
-          s"codes=$stagedC (want ${expectA * mt.m}), " +
-          s"sq8=$stagedS (want ${expectA * mt.tables}); aborting — " +
-          "index unchanged")
-    }
-    // the flip: one rename pair per table; retained old copies are
-    // stamped with a generation counter so repeated rewrites never
-    // collide
-    val gen = System.currentTimeMillis()
-    (if (withSq8) Seq("sq8", "codes", "assigned")
-     else Seq("codes", "assigned")).foreach { t =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old-g$gen")
-      require(fs.rename(live, old), s"flip failed: $live -> $old")
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$t"), live),
-        s"flip failed: $stage/$t -> $live")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    IndexLifecycle.verifyStaged(spark, fs, stage,
+      Seq("assigned" -> expectA, "codes" -> expectA * mt.m) ++
+        (if (withSq8) Seq("sq8" -> expectA * mt.tables) else Nil), "rewrite")
+    IndexLifecycle.flipStaged(fs, stage, dir,
+      if (withSq8) Seq("sq8", "codes", "assigned")
+      else Seq("codes", "assigned"))
     writeMeta(spark, dir, mt.copy(n = expectA))
     expectA
   }
@@ -490,7 +394,7 @@ object VectorIndex {
     val assigned = spark.read.parquet(s"$dir/assigned")
     val bits8 = Similarity.corpusBits(mt.n)
     val (mnA, mxA, sA) = Similarity.sq8Quantizer(assigned, mt.embCol, dim)
-    val (fs, _) = hfs(spark, dir)
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
     val stage = s"$dir/.stage-sq8"
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     val code = Similarity.sq8Code(col(mt.embCol),
@@ -524,7 +428,7 @@ object VectorIndex {
   }
 
   def hasSq8(spark: SparkSession, dir: String): Boolean = {
-    val (fs, _) = hfs(spark, dir)
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
     fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sq8quant"))
   }
 
