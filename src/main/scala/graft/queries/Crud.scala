@@ -784,7 +784,102 @@ object Crud {
       .orderBy("o_orderstatus")
   }
 
+  // table copy with TWO delete-snapshot generations (r13: softDelete
+  // publishes a snapshot per delete batch) — stamped build-once dir;
+  // the catalog registration is per-session, the directory is not.
+  // Layout: <root>/t (data gen 0, catalog location), <root>/t.g1 and
+  // <root>/t.g2 (the published delete snapshots, siblings by the
+  // generation naming rule).
+  private def ensureTravelOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val root = new java.io.File(tmp, s"graft_travel_$stamp")
+    val ready = new java.io.File(new java.io.File(root, "t"), "_SUCCESS").isFile &&
+      new java.io.File(new java.io.File(root, "t.g2"), "_published_delete").isFile
+    if (!ready) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_travel_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_travel_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      base.repartition(4).write.mode("overwrite")
+        .parquet(new java.io.File(build, "t").getPath)
+      // the deletes run against the BUILD dir's registration, so the
+      // snapshot generations land as its siblings and travel with it
+      s.sql("DROP TABLE IF EXISTS a27_travel_build")
+      graft.sources.LakeSink.registerExternal(s, "a27_travel_build",
+        new java.io.File(build, "t").getPath)
+      graft.sources.LakeSink.softDelete(s, "a27_travel_build",
+        base.filter(col("o_orderkey") % 11 === 3).select("o_orderkey"),
+        "o_orderkey")
+      graft.sources.LakeSink.softDelete(s, "a27_travel_build",
+        base.filter(col("o_orderstatus") === "F" &&
+            col("o_orderkey") % 7 === 2 && col("o_orderkey") % 11 =!= 3)
+          .select("o_orderkey"),
+        "o_orderkey")
+      s.sql("DROP TABLE IF EXISTS a27_travel_build")
+      if (!build.renameTo(root))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    root.getPath
+  }
+
+  /** a27: the CHANGE FEED BETWEEN RETAINED SNAPSHOTS, across DELETE
+    * generations (r13 — tombstones are commits): each
+    * [[graft.sources.LakeSink.softDelete]] published a snapshot
+    * generation, so [[graft.sources.LakeSink.diffKeyed]] over
+    * [[graft.sources.LakeSink.readGeneration]] pairs recovers each
+    * delete batch as an op='delete' feed — per snapshot, not merely
+    * base-vs-final (a18 is the pure-relation diff; this is the same
+    * CDC surface driven by the PHYSICAL snapshot history, proving
+    * travel shows rows before their delete and hides them after).
+    * gen0→gen1 yields exactly batch 1, gen1→gen2 exactly batch 2 —
+    * churn-sized both times: the diff join's sides are
+    * tombstone-count apart, never table-vs-table rescans of
+    * unchanged data. Oracle = the two delete predicates over the raw
+    * table, hash-proving the whole land-batch → publish-snapshot →
+    * travel → diff pipeline. */
+  val a27 = Q("a27_travel_diff", Some("""
+    WITH b1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 11 = 3),
+      b2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM orders WHERE o_orderstatus = 'F'
+               AND o_orderkey % 7 = 2 AND o_orderkey % 11 <> 3)
+    SELECT CAST(0 AS BIGINT) AS from_gen, 'delete' AS op, o_orderkey,
+      o_orderstatus AS before_status,
+      floor(o_totalprice * 1000000.0 + 0.5) / 1000000.0 AS before_p6
+    FROM b1
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'delete', o_orderkey, o_orderstatus,
+      floor(o_totalprice * 1000000.0 + 0.5) / 1000000.0
+    FROM b2
+    ORDER BY from_gen, o_orderkey""")) { (s, d) =>
+    val root = ensureTravelOrders(s, d)
+    s.sql("DROP TABLE IF EXISTS a27_travel")
+    graft.sources.LakeSink.registerExternal(s, "a27_travel",
+      new java.io.File(root, "t").getPath)
+    def feed(g0: Long, g1: Long): DataFrame =
+      graft.sources.LakeSink.diffKeyed(
+          graft.sources.LakeSink.readGeneration(s, "a27_travel", g0),
+          graft.sources.LakeSink.readGeneration(s, "a27_travel", g1),
+          "o_orderkey")
+        .select(lit(g0).as("from_gen"), col("op"), col("o_orderkey"),
+          col("before_o_orderstatus").as("before_status"),
+          (floor(col("before_o_totalprice") * 1000000.0 + 0.5) / 1000000.0)
+            .as("before_p6"))
+    feed(0L, 1L).unionByName(feed(1L, 2L)).orderBy("from_gen", "o_orderkey")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26)
+    a25, a26, a27)
 }

@@ -1050,6 +1050,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(LakeSink.readMor(spark, "mors_t", "k").count() == 300L)
     assert(dataFiles(out) == before,
       "streamed tombstones must never rewrite data files")
+    // TOMBSTONES ARE COMMITS on the streaming path too (r13): each
+    // delete micro-batch published a snapshot generation, and travel
+    // across them replays the stream's history — pre-stream, after
+    // batch 1, after batch 2
+    assert(LakeSink.listGenerations(spark, "mors_t") == Seq(0L, 1L, 2L))
+    assert(LakeSink.readGeneration(spark, "mors_t", 0L).count() == 400L)
+    assert(LakeSink.readGeneration(spark, "mors_t", 1L).count() == 350L)
+    assert(LakeSink.readGeneration(spark, "mors_t", 2L).count() == 300L)
     // compact mid-stream: survivors materialize, tombstones clear,
     // and the NEXT batch lands on the new generation
     LakeSink.compactMor(spark, "mors_t", "k", targetRecordsPerFile = 200L)
@@ -1061,6 +1069,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(view.count() == 280L)
     val exp = base.filter(col("k") > 120L)
     assert(view.exceptAll(exp).isEmpty && exp.exceptAll(view).isEmpty)
+    // the post-compaction delete snapshot sits above the compacted
+    // generation; live view ≡ travel to the latest snapshot
+    val latest = LakeSink.listGenerations(spark, "mors_t").last
+    assert(latest == 4L, s"gen history must be 0,1,2 (deletes), 3 (compact), 4: $latest")
+    val travel = LakeSink.readGeneration(spark, "mors_t", latest)
+    assert(travel.exceptAll(view).isEmpty && view.exceptAll(travel).isEmpty)
     spark.sql("DROP TABLE mors_t")
   }
 
@@ -1414,6 +1428,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == expected.sorted.toSeq)
     assert(expected.sorted.toSeq == viaBroadcast.sorted.toSeq,
       "build strategy must never change attribution")
+  }
+
+  test("streamed interval enrichment under SKEW: the salted stab per micro-batch ≡ unsalted ≡ batch") {
+    // q58's streaming twin: the interval side carries a planted hot
+    // key (sentinel user 0 absorbs every 'view'); hot keys are
+    // detected ONCE at stream definition (the frozen-dim pattern the
+    // bloom seat uses) and every micro-batch runs the SALTED
+    // partitioned stab — hot probes spread across 8 salts, hot
+    // intervals replicated per salt — with attribution identical to
+    // the unsalted batch join on the union.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit, when}
+    val e = Tables.load(spark, TestSpark.sf, "events")
+    val ev = e.withColumn("sec", Tables.tsSec(e))
+      .filter(col("user_id").isNotNull)
+      .withColumn("uid", when(col("event_type") === "view", 0L)
+        .otherwise(col("user_id")))
+    val w = ev.select(col("event_id").as("win_id"), col("uid").as("w_uid"),
+        col("sec").as("lo"),
+        (col("sec") + lit(60L) +
+          floor(col("value") * 600.0).cast("long")).as("hi"))
+      .localCheckpoint(true)
+    val hot = graft.operators.RuntimeFilter.heavyKeys(
+      w.select(col("w_uid")), "w_uid", 0.05).localCheckpoint(true)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("uid").as("p_uid"),
+        col("sec").as("psec"))
+      .as[(Long, Long, Long)].collect()
+    val in = MemoryStream[(Long, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = in.toDF().toDF("purchase_id", "p_uid", "psec").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.plans.IntervalJoin.pointInIntervalSalted(
+          batch, w, "psec", "lo", "hi", "p_uid" -> "w_uid",
+          saltBy = "purchase_id", hotKeys = hot, p = 8)
+          .collect().map(_.toString)
+        ()
+      }.start()
+    val (b1, b2) = purchases.splitAt(purchases.length / 2)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val all = purchases.toSeq.toDF("purchase_id", "p_uid", "psec")
+    val expected = graft.plans.IntervalJoin.pointInInterval(
+        all, w, "psec", "lo", "hi", Seq("p_uid" -> "w_uid"),
+        build = "shuffle").collect().map(_.toString)
+    assert(expected.nonEmpty)
+    assert(got.sorted.toSeq == expected.sorted.toSeq,
+      "salted streamed enrichment must equal the unsalted batch join")
   }
 
   test("runtime-bloom-filtered enrichment: stream micro-batches ≡ the batch reduction+join") {
