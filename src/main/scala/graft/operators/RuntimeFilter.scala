@@ -367,6 +367,80 @@ object RuntimeFilter {
     cardinality
   }
 
+  /** INCREMENTAL ANALYZE — fold a just-landed batch into the
+    * committed `_keystats_<key>` WITHOUT re-scanning the table:
+    * per-key counts are ADDITIVE, so merging the committed table
+    * with the batch's own counts equals a full re-ANALYZE of the
+    * grown directory bit-for-bit (RuntimeFilterSpec pins it) at
+    * batch-plus-cardinality cost, never corpus cost. The merge is
+    * EXACTLY-ONCE under replays: the batch's content tag
+    * ([[IndexLifecycle.batchTag]]) is recorded in an `_applied/`
+    * ledger INSIDE the counts directory, so ledger and counts flip
+    * in the SAME atomic rename — a replayed batch returns false
+    * without touching the counts, through any crash window. The
+    * staged merge is verified (staged Σn must equal committed Σn +
+    * |batch| — computed by separate jobs) before the flip; the
+    * file-name sidecar is rewritten AFTER the flip, so a crash
+    * between leaves the stats REFUSING as stale (the safe
+    * direction), and re-running the same call heals the sidecar via
+    * the no-op branch. Refuses by name on a never-analyzed
+    * directory. Returns true iff THIS call folded the batch. */
+  def appendKeyStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, key: String, batch: DataFrame): Boolean = {
+    val man = new org.apache.hadoop.fs.Path(dir, s"_keystats_$key")
+    val fs = man.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(man),
+      s"INCREMENTAL ANALYZE REFUSED: $dir was never analyzed on $key — " +
+        "attachKeyStats first (there is nothing to fold into)")
+    val tag = IndexLifecycle.batchTag(batch, key)
+    val applied = new org.apache.hadoop.fs.Path(man,
+      s"_applied/$tag")
+    import spark.implicits._
+    def healSidecar(): Unit =
+      graft.sources.LakeSink.dataFileNames(fs, dir).toSeq.sorted.toDF("file")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/_keystats_${key}_files")
+    if (fs.exists(applied)) { healSidecar(); return false }
+    val old = spark.read.parquet(man.toString)
+    val oldTotal = old.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val bRows = batch.count()
+    val merged = old.unionByName(
+        batch.groupBy(col(key)).agg(count(lit(1)).as("n")))
+      .groupBy(col(key)).agg(sum(col("n")).as("n"))
+      .localCheckpoint(true)
+    val cardinality = merged.count()
+    val stage = s"$dir/.stage-keystats-$tag"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val nFiles = math.max(1L, cardinality / 2000000L).toInt
+    graft.sources.LakeSink.writeSorted(merged,
+      s"$stage/_keystats_$key", "parquet", Seq(key), nFiles)
+    val staged = spark.read.parquet(s"$stage/_keystats_$key")
+      .agg(coalesce(sum(col("n")), lit(0L)), count(lit(1))).head()
+    if (staged.getLong(0) != oldTotal + bRows ||
+        staged.getLong(1) != cardinality) {
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      throw new java.io.IOException(
+        s"staged keystats merge short: mass ${staged.getLong(0)} " +
+          s"(want ${oldTotal + bRows}), keys ${staged.getLong(1)} " +
+          s"(want $cardinality); aborting — stats unchanged")
+    }
+    // the applied-tag ledger rides the counts directory (`_`-prefixed
+    // subdir — invisible to the parquet read), so ledger and counts
+    // commit in ONE rename: copy the existing tags forward, add ours
+    val stagedApplied = new org.apache.hadoop.fs.Path(
+      s"$stage/_keystats_$key/_applied")
+    fs.mkdirs(stagedApplied)
+    val liveApplied = new org.apache.hadoop.fs.Path(man, "_applied")
+    if (fs.exists(liveApplied))
+      fs.listStatus(liveApplied).foreach(st =>
+        fs.create(new org.apache.hadoop.fs.Path(stagedApplied,
+          st.getPath.getName), true).close())
+    fs.create(new org.apache.hadoop.fs.Path(stagedApplied, tag), true).close()
+    IndexLifecycle.flipStaged(fs, stage, dir, Seq(s"_keystats_$key"))
+    healSidecar()
+    true
+  }
+
   /** the committed count table, or None when the directory was never
     * analyzed (callers fall back to the counting pass). A PRESENT
     * manifest that no longer describes the directory's files REFUSES

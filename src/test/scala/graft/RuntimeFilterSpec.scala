@@ -190,6 +190,59 @@ class RuntimeFilterSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ks_dim2")
   }
 
+  test("incremental ANALYZE: appendKeyStats ≡ re-ANALYZE bit-for-bit, replays are no-ops, the crash window heals refusing-stale") {
+    import spark.implicits._
+    import graft.operators.RuntimeFilter
+    val dir = java.nio.file.Files.createTempDirectory("graft_ksinc")
+      .toString + "/t"
+    (0L until 500L).map(i => (i % 37L, i)).toDF("fk", "row_id")
+      .repartition(2).write.parquet(dir)
+    RuntimeFilter.attachKeyStats(spark, dir, "fk")
+    // a batch LANDS, then its counts fold in — no table re-scan
+    val batch = (0L until 80L).map(i => (i % 41L, 1000L + i))
+      .toDF("fk", "row_id")
+    batch.coalesce(1).write.mode("append").parquet(dir)
+    assert(RuntimeFilter.appendKeyStats(spark, dir, "fk", batch))
+    val inc = RuntimeFilter.readKeyStats(spark, dir, "fk").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ≡ a from-scratch ANALYZE of the grown directory
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ksinc2")
+      .toString + "/t"
+    spark.read.parquet(dir).write.parquet(dir2)
+    RuntimeFilter.attachKeyStats(spark, dir2, "fk")
+    val full = RuntimeFilter.readKeyStats(spark, dir2, "fk").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, "additive merge must equal the re-ANALYZE")
+    // REPLAY of the same batch: no-op, counts untouched
+    assert(!RuntimeFilter.appendKeyStats(spark, dir, "fk", batch),
+      "a replayed batch must not fold twice")
+    assert(RuntimeFilter.readKeyStats(spark, dir, "fk").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == full)
+    // CRASH WINDOW (flip landed, sidecar not rewritten): stats refuse
+    // as stale — the safe direction — and re-running the same call
+    // heals via the no-op branch without double-counting
+    val staleNames = Seq("part-never-existed.parquet").toDF("file")
+    staleNames.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_keystats_fk_files")
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.readKeyStats(spark, dir, "fk")
+    }
+    assert(e.getMessage.contains("STALE MANIFEST REFUSED"), e.getMessage)
+    assert(!RuntimeFilter.appendKeyStats(spark, dir, "fk", batch))
+    assert(RuntimeFilter.readKeyStats(spark, dir, "fk").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == full,
+      "heal must restore the sidecar without refolding the batch")
+    // a never-analyzed directory refuses by name
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_ksinc3")
+      .toString + "/t"
+    (0L until 10L).map(i => (i, i)).toDF("fk", "row_id").write.parquet(dir3)
+    val e2 = intercept[IllegalArgumentException] {
+      RuntimeFilter.appendKeyStats(spark, dir3, "fk", batch)
+    }
+    assert(e2.getMessage.contains("INCREMENTAL ANALYZE REFUSED"),
+      e2.getMessage)
+  }
+
   test("q50: one-sided (est ≥ exact) and tight at the shipped width") {
     val rows = SparkEntry.queries("q50_join_card")(spark, TestSpark.sf)
       .collect()

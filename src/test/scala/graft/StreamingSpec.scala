@@ -1480,6 +1480,75 @@ class StreamingSpec extends AnyFunSuite {
       "salted streamed enrichment must equal the unsalted batch join")
   }
 
+  test("streamed ANALYZE: appendKeyStats keeps the advisor's committed statistics fresh per micro-batch; replays fold nothing twice") {
+    // the ANALYZE-once contract under ingest: every micro-batch
+    // lands, then folds its per-key counts into `_keystats` (additive
+    // — never a table re-scan); at any point adviseJoinTables decides
+    // from counts EQUAL to a from-scratch re-ANALYZE, and a replayed
+    // fold is a no-op through the in-directory tag ledger.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.RuntimeFilter
+    import graft.sources.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_kstream")
+      .toString
+    // skewed seed fact (key 7 hot) + above-cap dim
+    ((0 until 200).map(_ => 7L) ++ (0L until 300L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("fk", "row_id").repartition(2).write.parquet(s"$root/fact")
+    (0L until 700L).map(i => (i, s"d$i")).toDF("dk", "d_name")
+      .write.parquet(s"$root/dim")
+    RuntimeFilter.attachKeyStats(spark, s"$root/fact", "fk")
+    RuntimeFilter.attachKeyStats(spark, s"$root/dim", "dk")
+    LakeSink.registerExternal(spark, "kst_fact", s"$root/fact")
+    LakeSink.registerExternal(spark, "kst_dim", s"$root/dim")
+    val delivered = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.DataFrame]()
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("fk", "row_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val frozen = batch.localCheckpoint(true)
+          frozen.write.mode("append").parquet(s"$root/fact")
+          assert(RuntimeFilter.appendKeyStats(spark, s"$root/fact", "fk",
+            frozen))
+          delivered += frozen
+        }
+        ()
+      }.start()
+    // two batches keep key 7 hot and add fresh keys
+    in.addData((0 until 100).map(i => (7L, 10000L + i)): _*)
+    q.processAllAvailable()
+    in.addData((0 until 100).map(i => (300L + i, 20000L + i)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // decisions from the STREAM-MAINTAINED stats ≡ a re-ANALYZE
+    val (joined, adv) = RuntimeFilter.adviseJoinTables(spark,
+      "kst_fact", "fk", "row_id", "kst_dim", "dk",
+      broadcastMaxRows = 100L, hotFrac = 0.1)
+    assert(adv.strategy == "salted" && adv.factRows == 700L,
+      adv.toString)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_kstream2")
+      .toString + "/fact"
+    spark.read.parquet(s"$root/fact").write.parquet(fresh)
+    RuntimeFilter.attachKeyStats(spark, fresh, "fk")
+    val streamed = RuntimeFilter.readKeyStats(spark, s"$root/fact", "fk")
+      .get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recount = RuntimeFilter.readKeyStats(spark, fresh, "fk")
+      .get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == recount,
+      "stream-maintained stats must equal the re-ANALYZE")
+    // a REPLAYED epoch folds nothing twice
+    delivered.foreach(b =>
+      assert(!RuntimeFilter.appendKeyStats(spark, s"$root/fact", "fk", b)))
+    assert(RuntimeFilter.readKeyStats(spark, s"$root/fact", "fk")
+      .get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == recount)
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE kst_fact"); spark.sql("DROP TABLE kst_dim")
+  }
+
   test("runtime-bloom-filtered enrichment: stream micro-batches ≡ the batch reduction+join") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
