@@ -296,6 +296,44 @@ class CatalystRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset(SFLAG)
   }
 
+  test("manifest rules: NULL-bearing IN-lists bail (never a wrong prune), string keys prune, catalog tables fire like paths") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_bpedge")
+      .toString + "/t"
+    val rows = (0L until 2000L)
+      .map(i => (s"key-${i % 997}", i, s"p$i")).toDF("k", "day", "payload")
+    rows.repartitionByRange(8, col("day")).sortWithinPartitions("day")
+      .write.parquet(out)
+    LakeSink.attachBlooms(spark, out, "k")
+    spark.conf.set("spark.graft.bloomPrune.enabled", "true")
+    try {
+      // STRING keys: the bloom digest is the cast-to-string family,
+      // so non-numeric key types prune identically
+      val hit = spark.read.parquet(out).filter(col("k") === "key-500")
+      assert(hit.inputFiles.length <= 4,
+        s"string-key lookup must prune: ${hit.inputFiles.length} of 8")
+      assert(hit.count() == rows.filter(col("k") === "key-500").count())
+      // a NULL literal inside the IN-list: SQL semantics say the NULL
+      // matches nothing, but the rule BAILS (conservative full
+      // listing) rather than reasoning about it — results exact
+      val withNull = spark.read.parquet(out)
+        .filter(col("k").isin("key-500", null))
+      assert(withNull.inputFiles.length == 8,
+        "NULL-bearing IN must bail to the full listing")
+      assert(withNull.count() ==
+        rows.filter(col("k") === "key-500").count())
+      // CATALOG tables resolve to the same relation shape: the rule
+      // fires on spark.table reads too
+      LakeSink.registerExternal(spark, "bpedge_t", out)
+      val viaTable = spark.table("bpedge_t").filter(col("k") === "key-42")
+      assert(viaTable.inputFiles.length <= 4,
+        s"catalog-table lookup must prune: ${viaTable.inputFiles.length}")
+      assert(viaTable.count() == rows.filter(col("k") === "key-42").count())
+      spark.sql("DROP TABLE bpedge_t")
+    } finally spark.conf.unset("spark.graft.bloomPrune.enabled")
+  }
+
   test("manifest-rule LRU memo: bounded at the cap, coldest evicted first, hit-after-eviction recomputes correctly") {
     val lru = new graft.plans.ManifestPrune.Lru[Int, String](3)
     var computes = 0
