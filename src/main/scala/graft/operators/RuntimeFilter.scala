@@ -456,7 +456,14 @@ object RuntimeFilter {
         .collect().map(_.getString(0)).toSet
       graft.sources.LakeSink.requireManifestCurrent(fs, dir, names,
         s"_keystats_$key")
-      Some(spark.read.parquet(man.toString))
+      // the manifest is FEW files (storage-sized, ≤ ~30 MB/2M keys →
+      // one split), but its consumers fan out — the CMS build
+      // explodes ×depth and the per-side aggregates want the whole
+      // machine: a 2M-key stats table read as ONE task was measured
+      // costing seconds at the sf10 decade. Re-spread on read: the
+      // shuffle moves cardinality-sized rows once, never the corpus.
+      Some(spark.read.parquet(man.toString)
+        .repartition(spark.sparkContext.defaultParallelism))
     }
   }
 
@@ -483,11 +490,14 @@ object RuntimeFilter {
     val dLoc = graft.sources.LakeSink.tableLocation(spark, dimTable)
     val fact = spark.read.parquet(fLoc)
     val dim = spark.read.parquet(dLoc)
-    val fCnt = readKeyStats(spark, fLoc, factKey).getOrElse(
-      fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
+    // committed stats checkpoint like computed ones: the advisor
+    // derives FOUR aggregates from each side's count table — without
+    // the checkpoint each job re-reads and re-spreads the manifest
+    val fCnt = readKeyStats(spark, fLoc, factKey).map(_.localCheckpoint())
+      .getOrElse(fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
         .localCheckpoint())
-    val dCnt = readKeyStats(spark, dLoc, dimKey).getOrElse(
-      dim.groupBy(col(dimKey)).agg(count(lit(1)).as("n"))
+    val dCnt = readKeyStats(spark, dLoc, dimKey).map(_.localCheckpoint())
+      .getOrElse(dim.groupBy(col(dimKey)).agg(count(lit(1)).as("n"))
         .localCheckpoint())
     adviseFromCounts(fact, factKey, saltBy, dim, dimKey, fCnt, dCnt,
       broadcastMaxRows, hotFrac, bloomMaxMatchFrac, p, mBits, width, depth)

@@ -1795,9 +1795,11 @@ object Analytics {
           org.apache.commons.io.FileUtils.deleteDirectory(f)))
       val build = new java.io.File(tmp,
         s"graft_keystats_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      // file count sized to the machine, not the tiny-SF default: a
+      // 60M-row fact behind 4 files throttles every scan of it
       t(s, d, "lineitem")
         .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
-        .repartition(4).write.mode("overwrite")
+        .repartition(32).write.mode("overwrite")
         .parquet(new java.io.File(build, "fact").getPath)
       t(s, d, "part")
         .filter(col("p_brand").isin("Brand#12", "Brand#45"))
