@@ -40,12 +40,15 @@ class EventsNullSafetySpec extends AnyFunSuite {
         "q20_json", "q23_asof", "q26_leadlag", "q28_rangejoin",
         "q29_rangewindow", "q30_funnel", "q31_retention",
         "q36_timeagg_native", "q37_latest", "q38_scd2_islands",
-        "q41_resample", "q42_paths", "q45_asof_join")) {
+        "q41_resample", "q42_paths", "q45_asof_join",
+        "q52_interval_shuffle", "q58_interval_skew")) {
       val rows = SparkEntry.queries(q)(spark, dir).collect()
-      // q28's ±300s error×click pairing and q42's 3-event paths are
-      // legitimately EMPTY on this six-event table — completion is
-      // their contract here
-      if (q != "q28_rangejoin" && q != "q42_paths")
+      // q28's ±300s error×click pairing, q42's 3-event paths, and
+      // the interval self-joins (the one purchase row carries a NULL
+      // ts) are legitimately EMPTY on this six-event table —
+      // completion over NULL ts/user/value is their contract here
+      if (!Set("q28_rangejoin", "q42_paths", "q52_interval_shuffle",
+          "q58_interval_skew")(q))
         assert(rows.nonEmpty, s"$q returned no rows")
     }
   }
