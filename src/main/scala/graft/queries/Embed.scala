@@ -1166,7 +1166,53 @@ object Embed {
     Similarity.rrfFuse(Seq(lex, vec), 10).orderBy("probe_id", "rn")
   }
 
+  /** s22: SEMANTIC DECONTAMINATION — the embedding-space twin of the
+    * n-gram eval-leak checks (t6's 3-gram overlap, d25's
+    * bloom-blocked exact grams): a PARAPHRASED benchmark item shares
+    * no 13-gram with its training-set leak, but their embeddings
+    * cosine-collide — the leak n-gram decontamination provably
+    * cannot see. Every (train, eval) pair above the cosine threshold
+    * is mined with d11's machinery verbatim (multi-table sign-LSH
+    * band candidates — linear in the corpus, never the \|train\|×\|eval\|
+    * cross join — then exact fused cosine on candidates only),
+    * restricted to CROSS pairs, and reported per train doc:
+    * hit count + max similarity (the triage order a curation pass
+    * reviews). The oracle rebuilds the identical band buckets from
+    * the shared plane constants, so the approximate blocking is
+    * hash-checked, not trusted. At 100 TB: bands are the only
+    * corpus-sized artifact, the eval side is benchmark-sized, and
+    * the verify join touches band-colliding pairs only. */
+  val s22 = Q("s22_semantic_decontam", Some(s"""
+    WITH $normCte,
+    cb AS ($corpusBandsSql),
+    cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+             FROM cb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
+               AND a.vec_id < b.vec_id),
+    p AS (SELECT c.v1, c.v2, ${cosRSql("a", "b")} AS c6
+          FROM cand c JOIN v a ON a.vec_id = c.v1
+                      JOIN v b ON b.vec_id = c.v2),
+    x AS (SELECT CASE WHEN v1 % 10 = 0 THEN v2 ELSE v1 END AS train_id,
+            CASE WHEN v1 % 10 = 0 THEN v1 ELSE v2 END AS eval_id, c6
+          FROM p
+          WHERE c6 >= 0.2 AND ((v1 % 10 = 0) <> (v2 % 10 = 0)))
+    SELECT train_id, count(*) AS n_eval_hits,
+      max(c6) AS max_cos6
+    FROM x GROUP BY train_id ORDER BY train_id""")) { (s, d) =>
+    val vecs = t(s, d, "embeddings")
+    val pairs = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
+      0.2, bits = Similarity.corpusBits(vecs.count()))
+    val isEval = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    pairs.filter(isEval(col("v1")) =!= isEval(col("v2")))
+      .select(
+        when(isEval(col("v1")), col("v2")).otherwise(col("v1")).as("train_id"),
+        when(isEval(col("v1")), col("v1")).otherwise(col("v2")).as("eval_id"),
+        col("cos6"))
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos6")).as("max_cos6"))
+      .orderBy("train_id")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
     s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
-    s21)
+    s21, s22)
 }
