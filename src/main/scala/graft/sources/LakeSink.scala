@@ -657,7 +657,19 @@ object LakeSink {
   private[graft] def requireManifestCurrent(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, manifestNames: Set[String], what: String): Unit = {
     val current = dataFileNames(fs, dir)
-    val unseen = current -- manifestNames
+    val unseenAll = current -- manifestNames
+    // a ZERO-ROW parquet file is invisible to every per-file manifest
+    // build (scans of it emit no rows to aggregate over), yet it can
+    // never hold a matching row either — tolerate it instead of
+    // refusing a degenerate-but-valid table. Emptiness is decided
+    // from FOOTER metadata (parquet row counts), no data read.
+    val unseen =
+      if (unseenAll.isEmpty) unseenAll
+      else unseenAll.filter { n =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, n))
+        st.getLen > 0 && !org.apache.spark.sql.SparkSession.active.read
+          .parquet(new org.apache.hadoop.fs.Path(dir, n).toString).isEmpty
+      }
     val gone = manifestNames -- current
     require(unseen.isEmpty && gone.isEmpty,
       s"STALE MANIFEST REFUSED: $what under $dir does not describe the " +
@@ -691,9 +703,16 @@ object LakeSink {
     }.reduce(_ && _)
     if (keep.isEmpty) {
       // every file pruned: the result is provably empty — answer it
-      // from one file's FOOTER (schema only), zero data bytes read
-      val any = anchored(manifest.select("file").head().getString(0))
-      spark.read.parquet(any).filter(lit(false))
+      // from FOOTERS only (schema), zero data bytes read. Anchored
+      // reads take the directory's own schema (works even when the
+      // manifest is empty — a 0-row table describes no files); the
+      // manifest-only variant needs a file row to resolve a schema.
+      anchor match {
+        case Some(d) => spark.read.parquet(d).filter(lit(false))
+        case None =>
+          val any = anchored(manifest.select("file").head().getString(0))
+          spark.read.parquet(any).filter(lit(false))
+      }
     } else
       spark.read.parquet(keep.toIndexedSeq: _*).filter(residual)
   }
@@ -996,7 +1015,12 @@ object LakeSink {
   def bloomSurvivors(manifest: DataFrame, c: String,
       value: org.apache.spark.sql.Column): Array[String] = {
     import org.apache.spark.sql.functions._
-    val head = manifest.select("m_bits", "k").head()
+    // an EMPTY manifest (a 0-row table: parquet scans of empty files
+    // emit no rows, so per-file aggregation describes nothing) has
+    // no survivors and no m_bits row to size probes from
+    val headRows = manifest.select("m_bits", "k").limit(1).collect()
+    if (headRows.isEmpty) return Array.empty
+    val head = headRows(0)
     val (mBits, k) = (head.getInt(0), head.getInt(1))
     val probed = manifest.withColumn("dig", value.cast("string"))
     val hit = (0 until k).map { j =>
@@ -1030,10 +1054,12 @@ object LakeSink {
     def anchored(f: String): String = new org.apache.hadoop.fs.Path(dir,
       new org.apache.hadoop.fs.Path(f).getName).toString
     val keep = bloomSurvivors(manifest, c, value).map(anchored)
-    if (keep.isEmpty) {
-      val any = anchored(manifest.select("file").head().getString(0))
-      spark.read.parquet(any).filter(lit(false))
-    } else
+    if (keep.isEmpty)
+      // every file pruned (or the table is empty): answer the
+      // provably-empty result from the directory's own schema —
+      // footer reads only, zero data bytes
+      spark.read.parquet(dir).filter(lit(false))
+    else
       spark.read.parquet(keep.toIndexedSeq: _*).filter(col(c) === value)
   }
 

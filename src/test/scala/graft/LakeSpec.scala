@@ -1107,6 +1107,40 @@ class LakeSpec extends AnyFunSuite {
       Seq(("k", lit(4999L), lit(5001L)))).count() == 1L)
   }
 
+  test("degenerate tables: empty and zero-row-file-bearing directories serve manifest lookups instead of crashing") {
+    import spark.implicits._
+    // an EMPTY (schema'd, zero-row) table: manifests describe no
+    // files; lookups answer empty from the directory's own schema
+    val dir = Files.createTempDirectory("graft_manempty").toString + "/t"
+    Seq.empty[(Long, String)].toDF("k", "v").write.parquet(dir)
+    LakeSink.attachBlooms(spark, dir, "k")
+    LakeSink.attachStats(spark, dir, Seq("k"))
+    val got = LakeSink.readBloomLookupDir(spark, dir, "k", lit(5L))
+    assert(got.isEmpty && got.columns.toSeq == Seq("k", "v"))
+    val pruned = LakeSink.readPrunedDir(spark, dir,
+      Seq(("k", lit(0L), lit(10L))))
+    assert(pruned.isEmpty && pruned.columns.toSeq == Seq("k", "v"))
+    // a LATER zero-row append: the file is invisible to any per-file
+    // manifest (no rows to aggregate) but can never match a row —
+    // tolerated as current, not refused as stale
+    val dir2 = Files.createTempDirectory("graft_manempty2").toString + "/t"
+    (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(2).write.parquet(dir2)
+    LakeSink.attachBlooms(spark, dir2, "k")
+    Seq.empty[(Long, String)].toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir2)
+    assert(LakeSink.readBloomLookupDir(spark, dir2, "k", lit(42L))
+      .count() == 1L,
+      "a zero-row appended file must not fail the staleness guard")
+    // but a row-BEARING post-manifest file still refuses
+    Seq((5000L, "late")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir2)
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.readBloomLookupDir(spark, dir2, "k", lit(42L))
+    }
+    assert(e.getMessage.contains("STALE MANIFEST REFUSED"), e.getMessage)
+  }
+
   test("bloom manifest rides the publish: compact/merge carry it, a bloom-less publish refuses lookups by name") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bloomtbl").toString + "/t"
