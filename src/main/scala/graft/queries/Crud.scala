@@ -879,7 +879,40 @@ object Crud {
     feed(0L, 1L).unionByName(feed(1L, 2L)).orderBy("from_gen", "o_orderkey")
   }
 
+  /** a28: the LAKEHOUSE HEADLINE COMPOSED — z-order layout ×
+    * planner stats pruning, through PLAIN `spark.sql`: a21's box
+    * predicate (both z-order dimensions at once) over the z-ordered
+    * copy with [[graft.plans.StatsPruneRule]] enabled folds BOTH
+    * range conjuncts into one per-column interval box and keeps ~the
+    * intersection files — `readPrunedMulti`'s two-dimensional
+    * decision made by the optimizer, no special read API. This is
+    * the end state the whole layout tier builds toward: cluster on
+    * `zOrderKeyN`, commit `_stats` in the publish, and EVERY
+    * ordinary query on any clustered dimension prunes at plan time.
+    * Shares a21's oracle — explicit pruned read ≡ planner-pruned
+    * plain read ≡ the unclustered truth, hash-proved. */
+  val a28 = Q("a28_zorder_sql_prune", Some("""
+    SELECT count(*) AS n_orders,
+      CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'""")) { (s, d) =>
+    val dir = ensureZOrderedOrders(s, d)
+    s.conf.set("spark.graft.statsPrune.enabled", "true")
+    s.read.parquet(dir)
+      .filter(col("o_custkey") >= 100L && col("o_custkey") <= 400L &&
+        col("o_orderdate") >= lit("1994-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") <= lit("1995-12-31 23:59:59").cast("timestamp"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("o_custkey")).as("n_custs"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27)
+    a25, a26, a27, a28)
 }

@@ -293,6 +293,27 @@ class CatalystRuleSpec extends AnyFunSuite {
       // a column the manifest doesn't track never fires
       val noCol = spark.read.parquet(out).filter(col("k") === 7L)
       assert(noCol.inputFiles.length == 8)
+      // TWO-DIMENSIONAL box over a z-ordered layout: both conjuncts
+      // fold into one per-column box and each dimension prunes
+      // independently — ~the intersection files survive (the a28
+      // query shape; a single-column sort can never do this)
+      val zout = java.nio.file.Files.createTempDirectory("graft_spz")
+        .toString + "/t"
+      val zrows = (0L until 4096L).map(i => (i % 64L, i / 64L, s"p$i"))
+        .toDF("x", "y", "payload")
+      LakeSink.writeSorted(
+        zrows.withColumn("zk", LakeSink.zOrderKey(col("x"), col("y"), 6)),
+        zout, "parquet", Seq("zk"), 16)
+      LakeSink.attachStats(spark, zout, Seq("x", "y"))
+      val box = spark.read.parquet(zout)
+        .filter(col("x") >= 8L && col("x") <= 15L &&
+          col("y") >= 8L && col("y") <= 15L).drop("zk")
+      assert(box.inputFiles.length <= 4,
+        s"2-D box over z-order must prune to ~the intersection: " +
+          s"${box.inputFiles.length} of 16")
+      val expectBox = zrows.filter(col("x").between(8L, 15L) &&
+        col("y").between(8L, 15L)).collect().map(_.toString).sorted.toSeq
+      assert(box.collect().map(_.toString).sorted.toSeq == expectBox)
     } finally spark.conf.unset(SFLAG)
   }
 
