@@ -65,6 +65,14 @@ object LmIndex {
   def score(spark: SparkSession, dir: String, docs: DataFrame,
       id: String, text: String): DataFrame = {
     val c12 = spark.read.parquet(s"$dir/bigrams")
+    // a model persisted by a pre-denormalization build carries no vs
+    // column; fall back to meta.vs (the same value that build scored
+    // with) instead of failing with an unresolved-column error — the
+    // flip-window consistency argument below only applies to models
+    // new enough to carry vs in the rows
+    val c12v =
+      if (c12.columns.contains("vs")) c12
+      else c12.withColumn("vs", lit(readMeta(spark, dir).vs))
     val bg = docs.select(col(id),
         explode(TextAnalysis.bigramPairs(
           TextAnalysis.tokens(col(text)))).as("p"))
@@ -74,7 +82,7 @@ object LmIndex {
     // pairs are always from one atomic snapshot of one table (a
     // concurrent append's flip can never mis-pair them); meta.vs is
     // the informational copy for callers that want it cheap
-    val lp = bg.join(c12, Seq("w1", "w2"))
+    val lp = bg.join(c12v, Seq("w1", "w2"))
       .select(col(id),
         TextAnalysis.lpMicro(col("n12"), col("n1"), col("vs"))
           .as("lp_micro"))

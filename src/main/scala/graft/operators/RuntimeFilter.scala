@@ -341,30 +341,73 @@ object RuntimeFilter {
   /** COMMIT the advisor's statistics — the warehouse `ANALYZE TABLE`
     * applied to the join tier: ONE counting pass over the directory
     * lands the per-key count table as `_keystats_<key>` (key-sorted,
-    * the same table [[adviseJoin]] builds per call), plus a
-    * `_keystats_<key>_files` sidecar naming the data files it was
-    * computed from — the staleness contract: a later write to the
-    * directory diverges the names and [[readKeyStats]] refuses by
-    * name instead of advising from counts that no longer describe
-    * the data. After this, EVERY advised join over the table reads
-    * the manifest (key-cardinality-sized) and scans the fact ZERO
-    * times for its decision. */
+    * the same table [[adviseJoin]] builds per call), carrying a
+    * `_files/` record naming the data files it was computed from —
+    * the staleness contract: a later write to the directory diverges
+    * the names and [[readKeyStats]] refuses by name instead of
+    * advising from counts that no longer describe the data. The
+    * record rides INSIDE the counts directory (`_`-prefixed, so the
+    * parquet read of the counts never lists it) and the whole
+    * directory commits in ONE atomic rename — counts and the file
+    * list they describe can never be observed torn or half-updated.
+    * A re-ANALYZE preserves the incremental-fold ledger
+    * ([[appendKeyStats]]'s `_applied/` tags), so folds already
+    * applied stay no-ops afterwards. After this, EVERY advised join
+    * over the table reads the manifest (key-cardinality-sized) and
+    * scans the fact ZERO times for its decision. */
   def attachKeyStats(spark: org.apache.spark.sql.SparkSession,
-      dir: String, key: String, format: String = "parquet"): Long = {
+      dir: String, key: String, format: String = "parquet",
+      retainMs: Long = 600000L): Long = {
+    IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
     val cnt = spark.read.format(format).load(dir)
       .groupBy(col(key)).agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     val cardinality = cnt.count()
     val nFiles = math.max(1L, cardinality / 2000000L).toInt
-    graft.sources.LakeSink.writeSorted(cnt, s"$dir/_keystats_$key",
-      "parquet", Seq(key), nFiles)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    import spark.implicits._
-    graft.sources.LakeSink.dataFileNames(fs, dir).toSeq.sorted.toDF("file")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/_keystats_${key}_files")
+    val stage = s"$dir/.stage-keystats-analyze"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    graft.sources.LakeSink.writeSorted(cnt, s"$stage/_keystats_$key",
+      "parquet", Seq(key), nFiles)
+    val live = new org.apache.hadoop.fs.Path(dir, s"_keystats_$key")
+    // carry the applied-tag ledger forward: a batch already FOLDED
+    // stays a no-op after the re-ANALYZE (its rows are in the
+    // recount). A batch whose fold never applied is counted by this
+    // re-ANALYZE too — the re-ANALYZE IS its fold, so the caller must
+    // not replay it across a manual re-ANALYZE (single-writer rule).
+    val stagedApplied = new org.apache.hadoop.fs.Path(
+      s"$stage/_keystats_$key/_applied")
+    fs.mkdirs(stagedApplied)
+    val liveApplied = new org.apache.hadoop.fs.Path(live, "_applied")
+    if (fs.exists(liveApplied))
+      fs.listStatus(liveApplied).foreach(st =>
+        fs.create(new org.apache.hadoop.fs.Path(stagedApplied,
+          st.getPath.getName), true).close())
+    writeFilesRecord(spark, fs, dir, s"$stage/_keystats_$key")
+    if (fs.exists(live))
+      IndexLifecycle.flipStaged(fs, stage, dir, Seq(s"_keystats_$key"))
+    else {
+      require(fs.rename(new org.apache.hadoop.fs.Path(
+          s"$stage/_keystats_$key"), live),
+        s"keystats commit failed: $stage -> $live")
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
+    // reclaim the legacy external sidecar if a pre-record build left one
+    fs.delete(new org.apache.hadoop.fs.Path(dir,
+      s"_keystats_${key}_files"), true)
     cardinality
+  }
+
+  /** the file-name record a `_keystats` commit carries: the
+    * directory's CURRENT data files — what the counts describe. */
+  private def writeFilesRecord(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dataDir: String,
+      statsDir: String): Unit = {
+    import spark.implicits._
+    graft.sources.LakeSink.dataFileNames(fs, dataDir).toSeq.sorted
+      .toDF("file").coalesce(1).write.mode("overwrite")
+      .parquet(s"$statsDir/_files")
   }
 
   /** INCREMENTAL ANALYZE — fold a just-landed batch into the
@@ -373,34 +416,37 @@ object RuntimeFilter {
     * with the batch's own counts equals a full re-ANALYZE of the
     * grown directory bit-for-bit (RuntimeFilterSpec pins it) at
     * batch-plus-cardinality cost, never corpus cost. The merge is
-    * EXACTLY-ONCE under replays: the batch's content tag
-    * ([[IndexLifecycle.batchTag]]) is recorded in an `_applied/`
-    * ledger INSIDE the counts directory, so ledger and counts flip
-    * in the SAME atomic rename — a replayed batch returns false
-    * without touching the counts, through any crash window. The
-    * staged merge is verified (staged Σn must equal committed Σn +
-    * |batch| — computed by separate jobs) before the flip; the
-    * file-name sidecar is rewritten AFTER the flip, so a crash
-    * between leaves the stats REFUSING as stale (the safe
-    * direction), and re-running the same call heals the sidecar via
-    * the no-op branch. Refuses by name on a never-analyzed
+    * EXACTLY-ONCE under replays, keyed on the CALLER-SUPPLIED
+    * `batchId` (the delivery identity — a streaming epoch, an
+    * ingest sequence number): recorded in an `_applied/` ledger
+    * INSIDE the counts directory, so ledger, counts, and the
+    * file-name record flip in the SAME atomic rename — a replayed
+    * batchId returns false without touching ANYTHING, through any
+    * crash window. The id must be the delivery's, not the content's:
+    * keystats batches legitimately repeat key multisets (two
+    * micro-batches each landing 100 rows of one hot key), so a
+    * content digest would silently drop the second as a replay and
+    * permanently diverge the counts — the r13 defect this signature
+    * exists to close. The staged merge is verified (staged Σn must
+    * equal committed Σn + |batch| — computed by separate jobs)
+    * before the flip. Refuses by name on a never-analyzed
     * directory. Returns true iff THIS call folded the batch. */
   def appendKeyStats(spark: org.apache.spark.sql.SparkSession,
-      dir: String, key: String, batch: DataFrame): Boolean = {
+      dir: String, key: String, batch: DataFrame, batchId: Long,
+      retainMs: Long = 600000L): Boolean = {
     val man = new org.apache.hadoop.fs.Path(dir, s"_keystats_$key")
     val fs = man.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(man),
       s"INCREMENTAL ANALYZE REFUSED: $dir was never analyzed on $key — " +
         "attachKeyStats first (there is nothing to fold into)")
-    val tag = IndexLifecycle.batchTag(batch, key)
-    val applied = new org.apache.hadoop.fs.Path(man,
-      s"_applied/$tag")
-    import spark.implicits._
-    def healSidecar(): Unit =
-      graft.sources.LakeSink.dataFileNames(fs, dir).toSeq.sorted.toDF("file")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/_keystats_${key}_files")
-    if (fs.exists(applied)) { healSidecar(); return false }
+    IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
+    val tag = s"b$batchId"
+    val applied = new org.apache.hadoop.fs.Path(man, s"_applied/$tag")
+    // replay: the ledger flipped WITH the counts and the file record,
+    // so there is nothing to heal — in particular, NOT a re-listing
+    // of the live directory, which would re-mark legitimately-stale
+    // stats as current and defeat the staleness refusal
+    if (fs.exists(applied)) return false
     val old = spark.read.parquet(man.toString)
     val oldTotal = old.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val bRows = batch.count()
@@ -436,8 +482,10 @@ object RuntimeFilter {
         fs.create(new org.apache.hadoop.fs.Path(stagedApplied,
           st.getPath.getName), true).close())
     fs.create(new org.apache.hadoop.fs.Path(stagedApplied, tag), true).close()
+    // the file record the merged counts describe (batch landed BEFORE
+    // the fold — single-writer per table, like the rest of the lake)
+    writeFilesRecord(spark, fs, dir, s"$stage/_keystats_$key")
     IndexLifecycle.flipStaged(fs, stage, dir, Seq(s"_keystats_$key"))
-    healSidecar()
     true
   }
 
@@ -452,7 +500,12 @@ object RuntimeFilter {
     val fs = man.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(man)) None
     else {
-      val names = spark.read.parquet(s"$dir/_keystats_${key}_files")
+      val rec = new org.apache.hadoop.fs.Path(man, "_files")
+      require(fs.exists(rec),
+        s"STALE MANIFEST REFUSED: _keystats_$key under $dir carries no " +
+          "_files record (a pre-record build, or a torn copy) — " +
+          "re-run attachKeyStats to recommit counts and record together")
+      val names = spark.read.parquet(rec.toString)
         .collect().map(_.getString(0)).toSet
       graft.sources.LakeSink.requireManifestCurrent(fs, dir, names,
         s"_keystats_$key")

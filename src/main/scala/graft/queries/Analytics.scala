@@ -1786,7 +1786,7 @@ object Analytics {
     def ready(sub: String) =
       new java.io.File(new java.io.File(dir, sub), "_SUCCESS").isFile &&
         new java.io.File(new java.io.File(dir,
-          s"$sub/_keystats_${if (sub == "fact") "l_partkey" else "p_partkey"}_files"),
+          s"$sub/_keystats_${if (sub == "fact") "l_partkey" else "p_partkey"}/_files"),
           "_SUCCESS").isFile
     if (!ready("fact") || !ready("dim")) {
       Option(tmp.listFiles()).getOrElse(Array.empty)

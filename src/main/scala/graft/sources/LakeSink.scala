@@ -662,13 +662,21 @@ object LakeSink {
     // build (scans of it emit no rows to aggregate over), yet it can
     // never hold a matching row either — tolerate it instead of
     // refusing a degenerate-but-valid table. Emptiness is decided
-    // from FOOTER metadata (parquet row counts), no data read.
+    // from FOOTER metadata via the Hadoop parquet reader directly:
+    // no Spark job per file, no dependence on SparkSession.active
+    // (which can be another session in a multi-session driver). A
+    // file whose footer won't read (not parquet, torn) counts as
+    // unseen — the conservative direction is to refuse.
     val unseen =
       if (unseenAll.isEmpty) unseenAll
       else unseenAll.filter { n =>
-        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, n))
-        st.getLen > 0 && !org.apache.spark.sql.SparkSession.active.read
-          .parquet(new org.apache.hadoop.fs.Path(dir, n).toString).isEmpty
+        val p = new org.apache.hadoop.fs.Path(dir, n)
+        fs.getFileStatus(p).getLen > 0 && scala.util.Try {
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              p, fs.getConf))
+          try rdr.getRecordCount != 0L finally rdr.close()
+        }.getOrElse(true)
       }
     val gone = manifestNames -- current
     require(unseen.isEmpty && gone.isEmpty,

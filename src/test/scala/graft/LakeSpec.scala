@@ -735,7 +735,14 @@ class LakeSpec extends AnyFunSuite {
       col("y").between(0L, 3L) && col("z").between(0L, 3L))
     assert(pr.exceptAll(exp).isEmpty && exp.exceptAll(pr).isEmpty,
       "3-D pruned read loses nothing")
-    assert(pr.inputFiles.length * 8 <= man.count(),
+    // the bound the comment above argues, asserted as written: the
+    // box touches ≤ 3 files whatever the sampled range boundaries,
+    // and the manifest is big enough for that to mean real pruning.
+    // (The former sharp `×8 ≤ fileCount` form was layout-dependent:
+    // maxRecordsPerFile splitting sometimes yields 22 files, and
+    // 3×8 > 22 — a run-dependent failure with zero correctness
+    // content, the r13 flake.)
+    assert(pr.inputFiles.length <= 3 && man.count() >= 16,
       s"3-D box read touches ${pr.inputFiles.length} of ${man.count()} files")
     spark.sql("DROP TABLE z3_t")
   }

@@ -79,4 +79,18 @@ class LmIndexSpec extends AnyFunSuite {
       rows(LmIndex.score(spark, dirU, docs, "doc_id", "text")),
       "append must serve exactly what a retrain on the union serves")
   }
+
+  test("a legacy model directory (bigrams without the vs column) scores via meta.vs, not an unresolved-column crash") {
+    // fabricate a pre-denormalization build: same counts, no vs row
+    // column — the migration shape the fallback exists for
+    val legacy = java.nio.file.Files.createTempDirectory("graft_lmidx_leg")
+      .toString
+    LmIndex.write(docs, "text", legacy, stamp = "legacy")
+    val stripped = spark.read.parquet(s"$legacy/bigrams")
+      .drop("vs").localCheckpoint(true)
+    stripped.write.mode("overwrite").parquet(s"$legacy/bigrams")
+    val served = rows(LmIndex.score(spark, legacy, docs, "doc_id", "text"))
+    assert(served == rows(LmIndex.score(spark, idxDir, docs, "doc_id", "text")),
+      "meta.vs fallback must serve the same scores the build did")
+  }
 }

@@ -190,7 +190,7 @@ class RuntimeFilterSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ks_dim2")
   }
 
-  test("incremental ANALYZE: appendKeyStats ≡ re-ANALYZE bit-for-bit, replays are no-ops, the crash window heals refusing-stale") {
+  test("incremental ANALYZE: appendKeyStats ≡ re-ANALYZE bit-for-bit; replays key on batchId (repeated multisets fold, replayed ids don't, stale stays stale)") {
     import spark.implicits._
     import graft.operators.RuntimeFilter
     val dir = java.nio.file.Files.createTempDirectory("graft_ksinc")
@@ -202,7 +202,7 @@ class RuntimeFilterSpec extends AnyFunSuite {
     val batch = (0L until 80L).map(i => (i % 41L, 1000L + i))
       .toDF("fk", "row_id")
     batch.coalesce(1).write.mode("append").parquet(dir)
-    assert(RuntimeFilter.appendKeyStats(spark, dir, "fk", batch))
+    assert(RuntimeFilter.appendKeyStats(spark, dir, "fk", batch, 1L))
     val inc = RuntimeFilter.readKeyStats(spark, dir, "fk").get
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // ≡ a from-scratch ANALYZE of the grown directory
@@ -213,34 +213,47 @@ class RuntimeFilterSpec extends AnyFunSuite {
     val full = RuntimeFilter.readKeyStats(spark, dir2, "fk").get
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc == full, "additive merge must equal the re-ANALYZE")
-    // REPLAY of the same batch: no-op, counts untouched
-    assert(!RuntimeFilter.appendKeyStats(spark, dir, "fk", batch),
-      "a replayed batch must not fold twice")
+    // REPLAY of the same batchId: no-op, counts untouched
+    assert(!RuntimeFilter.appendKeyStats(spark, dir, "fk", batch, 1L),
+      "a replayed batchId must not fold twice")
     assert(RuntimeFilter.readKeyStats(spark, dir, "fk").get
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == full)
-    // CRASH WINDOW (flip landed, sidecar not rewritten): stats refuse
-    // as stale — the safe direction — and re-running the same call
-    // heals via the no-op branch without double-counting
-    val staleNames = Seq("part-never-existed.parquet").toDF("file")
-    staleNames.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/_keystats_fk_files")
+    // a SECOND delivery with the IDENTICAL key multiset (two
+    // micro-batches each landing the same hot-key shape — the r13
+    // content-tag collision) MUST fold: identity is the delivery's,
+    // not the content's
+    batch.coalesce(1).write.mode("append").parquet(dir)
+    assert(RuntimeFilter.appendKeyStats(spark, dir, "fk", batch, 2L),
+      "an identical key multiset under a new batchId is a new delivery")
+    val twice = RuntimeFilter.readKeyStats(spark, dir, "fk").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 41L).forall(k =>
+      twice(k) == full(k) + batch.filter(col("fk") === k).count()),
+      "the second delivery's counts must be IN the committed stats")
+    // STALENESS survives replays: unrelated data lands WITHOUT a fold
+    // → stats refuse; a replayed appendKeyStats (old batchId) must
+    // NOT re-mark them fresh (the r13 healSidecar defect)
+    Seq((9999L, 9999L)).toDF("fk", "row_id")
+      .coalesce(1).write.mode("append").parquet(dir)
     val e = intercept[IllegalArgumentException] {
       RuntimeFilter.readKeyStats(spark, dir, "fk")
     }
     assert(e.getMessage.contains("STALE MANIFEST REFUSED"), e.getMessage)
-    assert(!RuntimeFilter.appendKeyStats(spark, dir, "fk", batch))
-    assert(RuntimeFilter.readKeyStats(spark, dir, "fk").get
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == full,
-      "heal must restore the sidecar without refolding the batch")
+    assert(!RuntimeFilter.appendKeyStats(spark, dir, "fk", batch, 1L))
+    val e2 = intercept[IllegalArgumentException] {
+      RuntimeFilter.readKeyStats(spark, dir, "fk")
+    }
+    assert(e2.getMessage.contains("STALE MANIFEST REFUSED"),
+      "a replayed fold must not launder stale stats back to fresh")
     // a never-analyzed directory refuses by name
     val dir3 = java.nio.file.Files.createTempDirectory("graft_ksinc3")
       .toString + "/t"
     (0L until 10L).map(i => (i, i)).toDF("fk", "row_id").write.parquet(dir3)
-    val e2 = intercept[IllegalArgumentException] {
-      RuntimeFilter.appendKeyStats(spark, dir3, "fk", batch)
+    val e3 = intercept[IllegalArgumentException] {
+      RuntimeFilter.appendKeyStats(spark, dir3, "fk", batch, 1L)
     }
-    assert(e2.getMessage.contains("INCREMENTAL ANALYZE REFUSED"),
-      e2.getMessage)
+    assert(e3.getMessage.contains("INCREMENTAL ANALYZE REFUSED"),
+      e3.getMessage)
   }
 
   test("q50: one-sided (est ≥ exact) and tight at the shipped width") {

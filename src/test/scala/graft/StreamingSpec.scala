@@ -1504,16 +1504,19 @@ class StreamingSpec extends AnyFunSuite {
     LakeSink.registerExternal(spark, "kst_fact", s"$root/fact")
     LakeSink.registerExternal(spark, "kst_dim", s"$root/dim")
     val delivered = scala.collection.mutable.ArrayBuffer[
-      org.apache.spark.sql.DataFrame]()
+      (Long, org.apache.spark.sql.DataFrame)]()
     val in = MemoryStream[(Long, Long)]
     val q = in.toDF().toDF("fk", "row_id").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         if (!batch.isEmpty) {
           val frozen = batch.localCheckpoint(true)
           frozen.write.mode("append").parquet(s"$root/fact")
+          // the EPOCH is the exactly-once key (the delivery identity
+          // — a retried epoch re-runs under the same id; two epochs
+          // carrying the same key multiset are distinct deliveries)
           assert(RuntimeFilter.appendKeyStats(spark, s"$root/fact", "fk",
-            frozen))
-          delivered += frozen
+            frozen, epoch))
+          delivered += ((epoch, frozen))
         }
         ()
       }.start()
@@ -1540,8 +1543,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == recount,
       "stream-maintained stats must equal the re-ANALYZE")
     // a REPLAYED epoch folds nothing twice
-    delivered.foreach(b =>
-      assert(!RuntimeFilter.appendKeyStats(spark, s"$root/fact", "fk", b)))
+    delivered.foreach { case (epoch, b) =>
+      assert(!RuntimeFilter.appendKeyStats(spark, s"$root/fact", "fk", b,
+        epoch)) }
     assert(RuntimeFilter.readKeyStats(spark, s"$root/fact", "fk")
       .get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       == recount)
