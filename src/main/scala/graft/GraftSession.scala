@@ -30,6 +30,12 @@ object GraftSession {
       // touches ~the overlapping files through plain spark.sql
       .withExtensions(_.injectOptimizerRule(s =>
         new graft.plans.StatsPruneRule(s)))
+      // merge-on-read tombstones applied by the planner (conf-gated,
+      // default off): plain spark.sql/spark.table over a table with
+      // pending `_deletes` anti-joins them instead of silently
+      // resurrecting soft-deleted rows
+      .withExtensions(_.injectOptimizerRule(s =>
+        new graft.plans.TombstoneApplyRule(s)))
       // graft's planner strategy: PointIntervalJoin logical nodes
       // (variable-length interval lookups) plan as the broadcast
       // interval-tree join instead of BroadcastNestedLoopJoin

@@ -912,7 +912,114 @@ object Crud {
           .as("sum_cents"))
   }
 
+  /** a29: a22's MERGE-ON-READ view through PLAIN `spark.read.parquet`
+    * with [[graft.plans.TombstoneApplyRule]] enabled — the
+    * resurrection hole closed where it lived: the scan is a plain
+    * read, not `morRead`, and the conf-gated planner rule injects the
+    * tombstone anti-join over it (broadcast, delete-sized — the exact
+    * plan morRead builds explicitly, now the PLAN'S default, the way
+    * Delta applies deletion vectors in scan planning). The reference
+    * deletes a row and its object in lockstep and expects neither to
+    * ever serve again (order.js:675); with this rule a GDPR erasure
+    * followed by any plain SQL stays erased. Shares a22's oracle —
+    * plain-read-under-the-rule ≡ explicit merge-on-read view ≡ the
+    * delete predicates over the raw table, hash-proved. The conf is
+    * scoped to this query's plan (time travel reads as-published via
+    * explicit file lists; LakeSpec pins travel + refusal + compaction
+    * under the flag). */
+  val a29 = Q("a29_mor_sql_rule", Some("""
+    SELECT o_orderstatus, count(*) AS n_orders,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE NOT (o_orderkey % 11 = 3)
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 2)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+    val dir = ensureMorOrders(s, d)
+    s.conf.set("spark.graft.morApply.enabled", "true")
+    s.read.parquet(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** a30: COMPOSED manifest pruning — ONE plain scan carrying BOTH a
+    * bloom-equality conjunct and a stats-range conjunct, with both
+    * planner rules on: the optimizer intersects the `_blooms_o_orderkey`
+    * survivors with the `_stats` o_orderdate survivors on the same
+    * relation (the r13 rules were mutually exclusive per scan — the
+    * marker now carries a per-rule ledger, so `WHERE k = v AND dt
+    * BETWEEN a AND b` reads ≤ min(both dimensions) files). The probe
+    * key comes from planning metadata (a23's discipline) and the date
+    * box is ±15 days around that row's own date, fetched through the
+    * bloom-pruned lookup — every input to the composed read is
+    * metadata-sized. Oracle = the same derivation in SQL over the raw
+    * table, hash-proving the intersection loses nothing. */
+  val a30 = Q("a30_prune_compose", Some("""
+    WITH k AS (SELECT min(o_orderkey) AS mk FROM orders),
+      t AS (SELECT min(o_orderdate) AS d0 FROM orders
+            WHERE o_orderkey = (SELECT mk FROM k))
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+      CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders, k, t
+    WHERE o_orderkey = k.mk
+      AND o_orderdate >= t.d0 - INTERVAL 15 DAY
+      AND o_orderdate <= t.d0 + INTERVAL 15 DAY
+    ORDER BY o_orderkey""")) { (s, d) =>
+    val dir = ensureSortedOrders(s, d)
+    s.conf.set("spark.graft.bloomPrune.enabled", "true")
+    s.conf.set("spark.graft.statsPrune.enabled", "true")
+    val mk = s.read.parquet(s"$dir/_stats")
+      .agg(min("min_o_orderkey")).head().getLong(0)
+    // the row's own date through the bloom-pruned point lookup
+    // (TIMESTAMP_NTZ column — the tables' uniform timestamp type)
+    val d0 = s.read.parquet(dir).filter(col("o_orderkey") === mk)
+      .agg(min("o_orderdate")).head()
+      .getAs[java.time.LocalDateTime](0)
+    val (lo, hi) = (d0.minusDays(15), d0.plusDays(15))
+    s.read.parquet(dir)
+      .filter(col("o_orderkey") === mk &&
+        col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+          .as("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** a31: IN-list skipping WITHOUT a bloom — [[graft.plans
+    * .StatsPruneRule]]'s point-interval union over the `_stats`
+    * manifest: on a date-clustered copy, `o_orderdate IN (d1, d2)`
+    * keeps only the files whose [min, max] contains at least one of
+    * the probe dates (~2 of 8), so a sorted-but-never-bloomed
+    * directory gets IN pruning from the manifest it already has (the
+    * r13 rule ignored In — a25 needed the bloom). Probes are the
+    * global min/max dates, from planning metadata. Oracle = the same
+    * IN over the raw table via scalar subqueries. */
+  val a31 = Q("a31_stats_in_rule", Some("""
+    SELECT CAST(o_orderdate AS DATE) AS odate, count(*) AS n_orders,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE o_orderdate IN ((SELECT min(o_orderdate) FROM orders),
+                          (SELECT max(o_orderdate) FROM orders))
+    GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    val dir = ensureSortedOrders(s, d)
+    s.conf.set("spark.graft.statsPrune.enabled", "true")
+    val st = s.read.parquet(s"$dir/_stats")
+      .agg(min("min_o_orderdate").as("lo"), max("max_o_orderdate").as("hi"))
+      .head()
+    s.read.parquet(dir)
+      .filter(col("o_orderdate").isin(st.getAs[Any](0), st.getAs[Any](1)))
+      .groupBy(col("o_orderdate").cast("date").as("odate"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("odate")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28)
+    a25, a26, a27, a28, a29, a30, a31)
 }

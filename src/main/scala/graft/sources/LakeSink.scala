@@ -504,7 +504,7 @@ object LakeSink {
           "Depth is bounded by the publish retention window (retainMs)."))
     val p = new org.apache.hadoop.fs.Path(hit._2)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!isDeleteGen(fs, p)) spark.read.format(format).load(hit._2)
+    if (!isDeleteGen(fs, p)) readAsPublished(spark, fs, hit._2, format)
     else {
       val dataGen = readDataGenRef(fs, p).getOrElse(
         throw new IllegalStateException(
@@ -516,8 +516,31 @@ object LakeSink {
             s"longer retained (retained: ${gens.map(_._1).mkString(", ")})."))
       val tomb = spark.read.parquet(
         new org.apache.hadoop.fs.Path(p, "_tombstones").toString)
-      spark.read.format(format).load(data._2)
+      readAsPublished(spark, fs, data._2, format)
         .join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** a DATA generation read AS PUBLISHED — time travel's contract:
+    * rows soft-deleted AFTER the snapshot are post-snapshot state and
+    * must stay visible (the delete-snapshot branch hides exactly the
+    * keys deleted BY its snapshot, from its own `_tombstones`). With
+    * [[graft.plans.TombstoneApplyRule]] enabled, a single-root read
+    * of the directory would anti-join the live `_deletes` — turning
+    * every travel read into the live view — so travel reads by
+    * EXPLICIT FILE LIST (multi-root: the rule's eligible shape does
+    * not match, by design). Generations are immutable, so the listed
+    * snapshot is exactly the directory. */
+  private def readAsPublished(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      format: String): DataFrame = {
+    if (!spark.conf.get("spark.graft.morApply.enabled", "false").toBoolean)
+      spark.read.format(format).load(dir)
+    else {
+      val files = dataFileNames(fs, dir).toSeq.sorted
+        .map(n => new org.apache.hadoop.fs.Path(dir, n).toString)
+      if (files.isEmpty) spark.read.format(format).load(dir)
+      else spark.read.format(format).load(files: _*)
     }
   }
 

@@ -355,6 +355,145 @@ class CatalystRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bloomPrune.enabled")
   }
 
+  test("composed manifest pruning: bloom × stats intersect on one scan; two bloom conjuncts intersect; results identical") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_bpcomp")
+      .toString + "/t"
+    // day-sorted layout with a bit-reversed key: _stats decisive for
+    // day ranges, _blooms_k decisive for key lookups, the two
+    // dimensions independent — the composition fixture
+    def bitrev(i: Long): Long =
+      (0 until 12).map(b => ((i >> b) & 1L) << (11 - b)).sum
+    val rows = (0L until 4000L).map(i => (bitrev(i), i, s"p$i"))
+      .toDF("k", "day", "payload")
+    rows.repartitionByRange(8, col("day")).sortWithinPartitions("day")
+      .write.parquet(out)
+    LakeSink.attachBlooms(spark, out, "k")
+    LakeSink.attachStats(spark, out, Seq("day"))
+    val probe = bitrev(1234L) // day 1234 sits in the [1000, 1499) slice
+    def q() = spark.read.parquet(out)
+      .filter(col("k") === probe && col("day") >= 1000L && col("day") < 1500L)
+    val expect = q().collect().map(_.toString).sorted.toSeq
+    assert(expect.size == 1)
+    def names(fs: Array[String]) =
+      fs.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    spark.conf.set("spark.graft.bloomPrune.enabled", "true")
+    spark.conf.set("spark.graft.statsPrune.enabled", "true")
+    try {
+      // each rule's OWN survivor set, measured one-rule-at-a-time
+      val bloomOnly = names(spark.read.parquet(out)
+        .filter(col("k") === probe).inputFiles)
+      val statsOnly = names(spark.read.parquet(out)
+        .filter(col("day") >= 1000L && col("day") < 1500L).inputFiles)
+      assert(bloomOnly.size <= 2 && statsOnly.size <= 2,
+        s"fixture must make both dimensions selective: " +
+          s"bloom=${bloomOnly.size} stats=${statsOnly.size} of 8")
+      // COMPOSED: the conjunction reads ≤ the intersection (the r13
+      // form took whichever rule fired first and ignored the other)
+      val both = q()
+      val bothNames = names(both.inputFiles)
+      assert(bothNames.subsetOf(bloomOnly & statsOnly),
+        s"composed scan must read the intersection: $bothNames vs " +
+          s"${bloomOnly & statsOnly}")
+      assert(both.collect().map(_.toString).sorted.toSeq == expect)
+      // spark.sql composes identically
+      spark.read.parquet(out).createOrReplaceTempView("bpcomp_t")
+      val viaSql = spark.sql(s"SELECT * FROM bpcomp_t WHERE k = $probe " +
+        "AND day BETWEEN 1000 AND 1499")
+      assert(names(viaSql.inputFiles).subsetOf(bloomOnly & statsOnly))
+      assert(viaSql.collect().map(_.toString).sorted.toSeq == expect)
+      // TWO BLOOM CONJUNCTS on one scan: both manifests consulted,
+      // survivors intersected (the r13 collectFirst took only the
+      // first equality)
+      val out2 = java.nio.file.Files.createTempDirectory("graft_bp2col")
+        .toString + "/t"
+      // k1 clusters with the layout (i-major), k2 bit-reversed: a k1
+      // lookup owns ~1 file, a k2 lookup ~1 OTHER file
+      (0L until 4000L).map(i => (i, bitrev(i), s"p$i"))
+        .toDF("k1", "k2", "payload")
+        .repartitionByRange(8, col("k1")).sortWithinPartitions("k1")
+        .write.parquet(out2)
+      LakeSink.attachBlooms(spark, out2, "k1")
+      LakeSink.attachBlooms(spark, out2, "k2")
+      val i0 = 2222L
+      val pair = spark.read.parquet(out2)
+        .filter(col("k1") === i0 && col("k2") === bitrev(i0))
+      val k1Only = names(spark.read.parquet(out2)
+        .filter(col("k1") === i0).inputFiles)
+      val k2Only = names(spark.read.parquet(out2)
+        .filter(col("k2") === bitrev(i0)).inputFiles)
+      assert(names(pair.inputFiles).subsetOf(k1Only & k2Only),
+        s"two bloom conjuncts must intersect: ${names(pair.inputFiles)} " +
+          s"vs ${k1Only & k2Only}")
+      assert(pair.collect().map(_.getString(2)).toSeq == Seq(s"p$i0"))
+    } finally {
+      spark.conf.unset("spark.graft.bloomPrune.enabled")
+      spark.conf.unset("spark.graft.statsPrune.enabled")
+    }
+  }
+
+  test("StatsPruneRule IN-lists: a sorted-but-not-bloomed directory prunes k IN (…) to ~|list| files; NULL-bearing lists skip; 2^53 boundary keeps, never drops") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_spin")
+      .toString + "/t"
+    val rows = (0L until 4000L).map(i => (i % 13L, i, s"p$i"))
+      .toDF("k", "day", "payload")
+    rows.repartitionByRange(8, col("day")).sortWithinPartitions("day")
+      .write.parquet(out)
+    LakeSink.attachStats(spark, out, Seq("day"))
+    spark.conf.set("spark.graft.statsPrune.enabled", "true")
+    try {
+      // three points in three different slices: ≤ 3 of 8 files
+      val probes = Seq(5L, 2042L, 3999L)
+      val in = spark.read.parquet(out).filter(col("day").isin(probes: _*))
+      assert(in.inputFiles.length <= 3,
+        s"IN over _stats must prune to ~|list|: ${in.inputFiles.length} of 8")
+      assert(in.collect().map(_.getLong(1)).sorted.toSeq == probes)
+      // the InSet shape (optimizer converts lists past the threshold)
+      val wide = probes ++ (100001L to 100009L)
+      val viaSet = spark.read.parquet(out).filter(col("day").isin(wide: _*))
+      assert(viaSet.inputFiles.length <= 3,
+        s"InSet must prune too: ${viaSet.inputFiles.length} of 8")
+      assert(viaSet.collect().map(_.getLong(1)).sorted.toSeq == probes)
+      // IN composes with a range conjunct on the same column: both
+      // constraints must hold, so survivors intersect
+      val boxed = spark.read.parquet(out)
+        .filter(col("day").isin(probes: _*) && col("day") >= 2000L)
+      assert(boxed.inputFiles.length <= 2,
+        s"IN ∩ range must intersect: ${boxed.inputFiles.length}")
+      assert(boxed.collect().map(_.getLong(1)).sorted.toSeq ==
+        Seq(2042L, 3999L))
+      // a NULL literal in the list: the conjunct skips (conservative
+      // full listing through THIS rule), results exact
+      val withNull = spark.read.parquet(out).filter(col("day").isin(5L, null))
+      assert(withNull.inputFiles.length == 8,
+        "NULL-bearing IN must not prune through stats")
+      assert(withNull.count() == 1L)
+      // the Double-compare boundary: two files split at 2^53 (where
+      // long-to-double rounding collapses adjacent values) — a probe
+      // of 2^53+1 must KEEP both files (cmp reads them equal), never
+      // drop the true owner; the residual filter keeps the answer
+      // exact. This is the pin that makes cmp's monotonic-rounding
+      // argument enforceable — an "exact long compare" half-fix that
+      // drops the neighbor file fails it.
+      val big = java.nio.file.Files.createTempDirectory("graft_sp53")
+        .toString + "/t"
+      val base = 1L << 53
+      Seq((base, "lo")).toDF("day", "tag").coalesce(1)
+        .write.parquet(big)
+      Seq((base + 1L, "hi")).toDF("day", "tag").coalesce(1)
+        .write.mode("append").parquet(big)
+      LakeSink.attachStats(spark, big, Seq("day"))
+      val atBoundary = spark.read.parquet(big)
+        .filter(col("day") === (base + 1L))
+      assert(atBoundary.inputFiles.length == 2,
+        "both boundary files must be KEPT (rounding blurs toward keep)")
+      assert(atBoundary.collect().map(_.getString(1)).toSeq == Seq("hi"))
+    } finally spark.conf.unset("spark.graft.statsPrune.enabled")
+  }
+
   test("manifest-rule LRU memo: bounded at the cap, coldest evicted first, hit-after-eviction recomputes correctly") {
     val lru = new graft.plans.ManifestPrune.Lru[Int, String](3)
     var computes = 0

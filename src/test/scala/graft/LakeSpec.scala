@@ -1181,4 +1181,74 @@ class LakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NO BLOOM MANIFEST"))
     spark.sql("DROP TABLE bloomtbl")
   }
+
+  test("TombstoneApplyRule: plain reads over a MOR table hide soft-deleted rows (≡ readMor); travel stays as-published; key-less scans refuse; compactMor clears") {
+    import spark.implicits._
+    val FLAG = "spark.graft.morApply.enabled"
+    val out = Files.createTempDirectory("graft_morsql").toString + "/t"
+    val base = (1L to 500L).map(i => (i, i % 7, s"v$i")).toDF("k", "g", "v")
+    LakeSink.writeParquet(base.repartition(4), out)
+    LakeSink.softDeleteDir(spark, out,
+      base.filter(col("k") % 5 === 0).select("k"), "k")
+    // DEFAULT OFF: the documented hole — a plain read resurrects
+    // (this assert is the contract the conf exists to close)
+    assert(spark.read.parquet(out).count() == 500L,
+      "default-off plain read documents the resurrection shape")
+    spark.conf.set(FLAG, "true")
+    try {
+      // ON: plain read ≡ the explicit merge-on-read view
+      val mor = LakeSink.morRead(spark, out, "k")
+      val plain = spark.read.parquet(out)
+      assert(plain.count() == 400L)
+      assert(plain.exceptAll(mor).isEmpty && mor.exceptAll(plain).isEmpty,
+        "planner-applied tombstones must serve exactly readMor")
+      // the deleted keys NEVER serve — the GDPR read
+      assert(spark.read.parquet(out).filter(col("k") % 5 === 0).isEmpty)
+      // the anti-join is broadcast and the filter pushes below it
+      val p = spark.read.parquet(out).filter(col("g") === 3)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"tombstones must apply as a broadcast anti-join:\n${p.take(1200)}")
+      // a SECOND delete batch is visible immediately (no stale memo)
+      LakeSink.softDeleteDir(spark, out,
+        base.filter(col("k") === 7L).select("k"), "k")
+      assert(spark.read.parquet(out).count() == 399L)
+      // morRead stays idempotent under the rule (its own anti-join
+      // re-applies the same tombstones — same rows either way)
+      assert(LakeSink.morRead(spark, out, "k").count() == 399L)
+      // catalog-table reads fire too, and plain SQL aggregates match
+      LakeSink.registerExternal(spark, "morsql_t", out)
+      assert(spark.table("morsql_t").count() == 399L)
+      assert(spark.sql("SELECT count(*) FROM morsql_t WHERE k % 5 = 0")
+        .head().getLong(0) == 0L)
+      // a scan that PROJECTS AWAY the key (schema-on-read) cannot
+      // apply the deletes: refuse by name, never silently resurrect
+      val e = intercept[Throwable] {
+        spark.read.schema("g BIGINT, v STRING").parquet(out).count()
+      }
+      assert(e.getMessage != null && e.getMessage.contains("MOR PLAN REFUSED"),
+        s"got: ${e.getMessage}")
+      // TIME TRAVEL stays as-published under the flag: a catalog table
+      // with a published delete snapshot still shows gen 0 pre-delete
+      val tout = Files.createTempDirectory("graft_morsqltravel")
+        .toString + "/t"
+      LakeSink.writeParquet(base.repartition(2), tout)
+      LakeSink.registerExternal(spark, "morsql_tt", tout)
+      LakeSink.softDelete(spark, "morsql_tt",
+        base.filter(col("k") <= 100L).select("k"), "k")
+      assert(LakeSink.readGeneration(spark, "morsql_tt", 0L).count() == 500L,
+        "travel to the data generation must show rows as published")
+      assert(LakeSink.readGeneration(spark, "morsql_tt", 1L).count() == 400L)
+      assert(spark.table("morsql_tt").count() == 400L,
+        "the live plain read hides the deletes")
+      // compactMor materializes survivors: the new generation carries
+      // no _deletes, the rule no-ops, plain read = survivors
+      val n = LakeSink.compactMor(spark, "morsql_tt", "k", 1000L)
+      assert(n == 400L && spark.table("morsql_tt").count() == 400L)
+      val p2 = spark.table("morsql_tt").queryExecution.executedPlan.toString
+      assert(!p2.contains("LeftAnti"),
+        "a compacted table must plan a plain scan, no anti-join")
+      spark.sql("DROP TABLE morsql_t"); spark.sql("DROP TABLE morsql_tt")
+    } finally spark.conf.unset(FLAG)
+  }
 }
