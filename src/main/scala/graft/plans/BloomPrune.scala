@@ -23,15 +23,20 @@ private[graft] object ManifestPrune {
     * the names of the rules that pruned it — the composition ledger:
     * a rule re-fires on a scan the OTHER rule pruned (intersecting
     * survivors, since it anchors on the already-pruned listing) but
-    * never on its own output. */
+    * never on its own output. For a HIVE-PARTITIONED relation the
+    * original index's partition spec is threaded through, so the
+    * surviving files keep their partition-column values AND the
+    * scan's own partition pruning still applies at execution — the
+    * final read is (partition survivors ∩ manifest survivors). */
   class PrunedFileIndex(spark: SparkSession,
       files: Seq[org.apache.hadoop.fs.Path],
       schema: org.apache.spark.sql.types.StructType,
       val origRoot: org.apache.hadoop.fs.Path,
-      val prunedBy: Set[String])
+      val prunedBy: Set[String],
+      partSpec: Option[org.apache.spark.sql.execution.datasources.PartitionSpec] = None)
     extends InMemoryFileIndex(spark, files,
       Map.empty[String, String], Some(schema),
-      FileStatusCache.getOrCreate(spark), None, None)
+      FileStatusCache.getOrCreate(spark), partSpec, None)
 
   /** size-bounded LRU (access-ordered LinkedHashMap): a steady
     * ad-hoc lookup workload past the cap evicts the COLDEST entry
@@ -94,19 +99,25 @@ private[graft] object ManifestPrune {
     if (current.subsetOf(manifestNames)) Some(current) else None
   }
 
-  /** the eligible scan shape both rules share — a single-root,
-    * unpartitioned parquet relation — yielding (root directory,
-    * rules that already pruned it). A marker index stays eligible
-    * (through its ORIGINAL root) so the sibling rule can compose;
-    * each rule checks its own name in the set. */
+  /** the eligible scan shape both rules share — a single-root
+    * parquet relation (unpartitioned, or hive-partitioned through a
+    * partitioning-aware index whose spec the marker can carry) —
+    * yielding (root directory, rules that already pruned it). A
+    * marker index stays eligible (through its ORIGINAL root) so the
+    * sibling rule can compose; each rule checks its own name in the
+    * set. Catalog tables with CATALOG-tracked partitions resolve a
+    * CatalogFileIndex (no in-memory spec to carry) and bail — the
+    * lake's layout is path-discovered partitions. */
   def eligibleRoot(r: HadoopFsRelation)
       : Option[(org.apache.hadoop.fs.Path, Set[String])] =
     r.location match {
       case p: PrunedFileIndex => Some((p.origRoot, p.prunedBy))
       case loc
-          if r.partitionSchema.isEmpty &&
-            r.fileFormat.toString.toLowerCase.contains("parquet") &&
-            loc.rootPaths.length == 1 =>
+          if r.fileFormat.toString.toLowerCase.contains("parquet") &&
+            loc.rootPaths.length == 1 &&
+            (r.partitionSchema.isEmpty ||
+              loc.isInstanceOf[org.apache.spark.sql.execution
+                .datasources.PartitioningAwareFileIndex]) =>
         Some((loc.rootPaths.head, Set.empty))
       case _ => None
     }
@@ -114,7 +125,10 @@ private[graft] object ManifestPrune {
   /** replace the relation's file index with one listing only the
     * files whose NAME survives — paths taken from the relation's own
     * current listing (already the sibling rule's survivors when that
-    * fired first), marked with the union of prune ledgers. */
+    * fired first), marked with the union of prune ledgers. A
+    * partitioned relation's spec travels with the marker so partition
+    * values survive the swap and scan-time partition pruning still
+    * composes. */
   def pruneRelation(spark: SparkSession, l: LogicalRelation,
       r: HadoopFsRelation, root: org.apache.hadoop.fs.Path,
       prunedBy: Set[String], rule: String,
@@ -122,8 +136,14 @@ private[graft] object ManifestPrune {
     val keep = r.location.inputFiles
       .filter(f => keepNames(new org.apache.hadoop.fs.Path(f).getName))
       .sorted.map(new org.apache.hadoop.fs.Path(_)).toSeq
+    val spec = r.location match {
+      case p: org.apache.spark.sql.execution.datasources
+          .PartitioningAwareFileIndex if r.partitionSchema.nonEmpty =>
+        Some(p.partitionSpec())
+      case _ => None
+    }
     val pruned = new PrunedFileIndex(spark, keep, r.dataSchema,
-      root, prunedBy + rule)
+      root, prunedBy + rule, spec)
     l.copy(relation = r.copy(location = pruned)(spark))
   }
 

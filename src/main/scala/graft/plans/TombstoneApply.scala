@@ -77,13 +77,12 @@ class TombstoneApplyRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   "the deletes cannot be applied and serving resurrected " +
                   "rows silently is not an option. Read through " +
                   "LakeSink.readMor/morRead, or compactMor the table."))
-            // marked left child: the fixpoint batch must not stack a
-            // second anti-join; the prune rules still compose on it
-            val marked = l.copy(relation = r.copy(location =
-              new PrunedFileIndex(spark,
-                r.location.inputFiles.sorted
-                  .map(new org.apache.hadoop.fs.Path(_)).toSeq,
-                r.dataSchema, root, prunedBy + "mor"))(spark))
+            // marked left child (all files kept — the mark is the
+            // point): the fixpoint batch must not stack a second
+            // anti-join; the prune rules still compose on it
+            val marked = pruneRelation(spark, l, r, root, prunedBy, "mor",
+              r.location.inputFiles.map(f =>
+                new org.apache.hadoop.fs.Path(f).getName).toSet)
             // tombstones have no NULL keys (softDeleteDir refuses
             // them), so plain equality is exactly morRead's anti-join
             val tplan = tomb.queryExecution.analyzed

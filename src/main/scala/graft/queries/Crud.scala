@@ -1019,7 +1019,75 @@ object Crud {
       .orderBy("odate")
   }
 
+  // HIVE-PARTITIONED copy of orders (o_orderstatus dirs, date-sliced
+  // files within each) with the `_stats` manifest committed at the
+  // root — the most common lake layout; same stamped-build/rename
+  // discipline as ensureSortedOrders
+  private def ensurePartitionedOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_partlake_$stamp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile ||
+        !new java.io.File(new java.io.File(dir, "_stats"), "_SUCCESS").isFile) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_partlake_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_partlake_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      t(s, d, "orders")
+        .repartitionByRange(12, col("o_orderstatus"), col("o_orderdate"))
+        .sortWithinPartitions("o_orderstatus", "o_orderdate")
+        .write.partitionBy("o_orderstatus").mode("overwrite")
+        .parquet(build.getPath)
+      graft.sources.LakeSink.attachStats(s, build.getPath,
+        Seq("o_orderdate"))
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a32: PARTITION PRUNING × MANIFEST PRUNING on a hive-partitioned
+    * table — the most common lake layout, which the r13 rules bailed
+    * on entirely (`partitionSchema.isEmpty`): a status-partitioned,
+    * date-sliced copy answers `status = 'F' AND date BETWEEN …`
+    * through plain reads with [[graft.plans.StatsPruneRule]] on —
+    * the marker index carries the partition SPEC, so the swapped
+    * file list keeps its partition values and the scan's own
+    * partition pruning composes on top: files actually read ≈
+    * (partition survivors ∩ `_stats` date survivors), each decided
+    * from metadata (CatalystRuleSpec plan-counts it ≤ 2 of 16 on the
+    * controlled fixture). Oracle = the same predicates over the raw
+    * table. */
+  val a32 = Q("a32_part_prune", Some("""
+    SELECT count(*) AS n_orders,
+      CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1995-03-31 23:59:59'""")) { (s, d) =>
+    val dir = ensurePartitionedOrders(s, d)
+    s.conf.set("spark.graft.statsPrune.enabled", "true")
+    s.read.parquet(dir)
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("o_orderdate") <= lit("1995-03-31 23:59:59").cast("timestamp_ntz"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("o_custkey")).as("n_custs"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28, a29, a30, a31)
+    a25, a26, a27, a28, a29, a30, a31, a32)
 }

@@ -494,6 +494,53 @@ class CatalystRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.statsPrune.enabled")
   }
 
+  test("partitioned manifest pruning: hive partition pruning × stats pruning compose — partition predicate ∩ range predicate; partition values survive the swap") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_sppart")
+      .toString + "/t"
+    // 4 hive partitions × 4 day-sliced files each: the most common
+    // lake layout — the r13 rules bailed on partitionSchema.nonEmpty,
+    // so such a table got partition pruning OR manifest pruning,
+    // never both
+    val rows = (0L until 8000L).map(i => (i % 4L, i / 4L, s"v$i"))
+      .toDF("pt", "day", "payload")
+    rows.repartitionByRange(16, col("pt"), col("day"))
+      .write.partitionBy("pt").parquet(out)
+    LakeSink.attachStats(spark, out, Seq("day"))
+    def q() = spark.read.parquet(out)
+      .filter(col("pt") === 2L && col("day") >= 600L && col("day") <= 800L)
+    val expect = q().collect().map(_.toString).sorted.toSeq
+    assert(expect.size == 201)
+    spark.conf.set("spark.graft.statsPrune.enabled", "true")
+    try {
+      val pruned = q()
+      val got = pruned.collect().map(_.toString).sorted.toSeq
+      assert(got == expect, "composed pruning must lose nothing")
+      // partition VALUES survive the index swap (a marker without the
+      // partition spec would null or drop the pt column)
+      assert(pruned.select("pt").distinct().collect()
+        .map(_.get(0).toString).toSeq == Seq("2"))
+      // the manifest dimension: the swapped index lists only day-
+      // surviving files (≤ 2 of 4 per partition, all partitions)
+      val manifestKept = pruned.inputFiles.length
+      assert(manifestKept <= 8,
+        s"stats must prune the day dimension: $manifestKept of 16")
+      // the EXECUTED scan composes partition pruning on top: files
+      // actually read ≤ (pt survivors ∩ day survivors)
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.metrics("numFiles").value <= 2,
+        s"partition ∩ manifest: read ${scan.metrics("numFiles").value} " +
+          s"files of 16")
+      // a partition-only predicate is untouched by the rule (the
+      // manifest doesn't track pt) and still partition-prunes
+      val ptOnly = spark.read.parquet(out).filter(col("pt") === 1L)
+      assert(ptOnly.count() == 2000L)
+    } finally spark.conf.unset("spark.graft.statsPrune.enabled")
+  }
+
   test("manifest-rule LRU memo: bounded at the cap, coldest evicted first, hit-after-eviction recomputes correctly") {
     val lru = new graft.plans.ManifestPrune.Lru[Int, String](3)
     var computes = 0
