@@ -520,6 +520,52 @@ object RuntimeFilter {
     }
   }
 
+  /** DYNAMIC FILE PRUNING from the join side — Delta's
+    * dynamic-file-pruning move as an explicit operator: a SELECTIVE
+    * dim's distinct keys probe the fact's committed `_blooms_<key>`
+    * manifest BEFORE the join plans, so the fact side reads only the
+    * files that can possibly hold a matching key. [[bloomReduce]]
+    * cuts ROWS map-side but still opens every fact FILE; on a
+    * key-clustered 100 TB fact a 50-key dim (the reference's keyset
+    * page, order_rdbms_blob.js:520, joined back to its lines) owns
+    * 1–2 files — the other thousands are decided away from the
+    * manifest, no data bytes read.
+    *
+    * Sound by the bloom's no-false-negatives: any file holding ANY
+    * dim key survives, so joining the pruned fact ≡ joining the
+    * table (false-positive files contribute rows the join drops).
+    * Returns None — caller falls back to the full fact — when the
+    * directory carries no manifest, the manifest is STALE (files the
+    * manifest never saw could hold matches: the coveringNames
+    * argument), or the dim's distinct keys exceed `maxKeys` (the
+    * probe is |files|×|keys| pairs; past the cap the decision costs
+    * more than the skip saves — that regime belongs to
+    * [[bloomReduce]]). Zero survivors return the fact's schema with
+    * a false filter: the provably-empty join, answered from footers. */
+  def dynamicFilePrune(spark: org.apache.spark.sql.SparkSession,
+      factDir: String, factKey: String, dimKeys: DataFrame,
+      maxKeys: Long = 100000L): Option[DataFrame] = {
+    val man = new org.apache.hadoop.fs.Path(factDir, s"_blooms_$factKey")
+    val fs = man.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(man)) return None
+    val manifest = spark.read.parquet(man.toString)
+    val manNames = manifest.select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    val current = graft.sources.LakeSink.dataFileNames(fs, factDir)
+    // stale manifest: a file it never saw could hold a matching key —
+    // fall back to the full fact rather than silently skip it
+    if (!current.subsetOf(manNames)) return None
+    if (dimKeys.distinct().count() > maxKeys) return None
+    val surv = graft.sources.LakeSink.bloomSurvivorsKeys(manifest, dimKeys)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val keep = (surv & current).toSeq.sorted
+      .map(n => new org.apache.hadoop.fs.Path(factDir, n).toString)
+    Some(
+      if (keep.isEmpty)
+        spark.read.parquet(factDir).filter(lit(false))
+      else spark.read.parquet(keep: _*))
+  }
+
   /** The TABLE-LEVEL advisor — [[adviseJoin]] reading COMMITTED
     * statistics: resolve each side's live generation ONCE (manifest
     * and data from the same snapshot directory, the readPrunedTable
@@ -530,7 +576,14 @@ object RuntimeFilter {
     * (readKeyStats). With both sides analyzed, N advised joins cost
     * N × (manifest read + the join itself) — the fact is never
     * scanned for statistics again, which is the entire point of
-    * ANALYZE. Parquet tables only (the lake's format). */
+    * ANALYZE. With `filePruneMaxKeys > 0` the advisor also composes
+    * [[dynamicFilePrune]]: the dim's distinct keys (the count table
+    * already in hand) probe the fact's `_blooms_<factKey>` manifest
+    * and the chosen strategy joins only the surviving fact FILES —
+    * decision statistics from `_keystats`, file skipping from
+    * `_blooms`, both committed, zero extra fact scans; falls back to
+    * the full fact when no current manifest or the keys exceed the
+    * cap. Parquet tables only (the lake's format). */
   def adviseJoinTables(spark: org.apache.spark.sql.SparkSession,
       factTable: String, factKey: String, saltBy: String,
       dimTable: String, dimKey: String,
@@ -538,11 +591,15 @@ object RuntimeFilter {
       hotFrac: Double = 0.1,
       bloomMaxMatchFrac: Double = 0.5,
       p: Int = 8, mBits: Int = 1 << 16,
-      width: Int = 8192, depth: Int = 5): (DataFrame, JoinAdvice) = {
+      width: Int = 8192, depth: Int = 5,
+      filePruneMaxKeys: Long = 0L): (DataFrame, JoinAdvice) = {
     val fLoc = graft.sources.LakeSink.tableLocation(spark, factTable)
     val dLoc = graft.sources.LakeSink.tableLocation(spark, dimTable)
-    val fact = spark.read.parquet(fLoc)
     val dim = spark.read.parquet(dLoc)
+    val fact = (if (filePruneMaxKeys > 0L)
+      dynamicFilePrune(spark, fLoc, factKey,
+        dim.select(col(dimKey)), filePruneMaxKeys)
+    else None).getOrElse(spark.read.parquet(fLoc))
     // committed stats checkpoint like computed ones: the advisor
     // derives FOUR aggregates from each side's count table — without
     // the checkpoint each job re-reads and re-spreads the manifest

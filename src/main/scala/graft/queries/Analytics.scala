@@ -1854,9 +1854,87 @@ object Analytics {
       .orderBy("p_brand")
   }
 
+  // ORDERKEY-CLUSTERED lineitem copy with a committed
+  // `_blooms_l_orderkey` manifest — the dynamic-file-pruning fixture:
+  // a key-clustered fact is the layout where a small key set owns few
+  // files (same stamped-build/rename discipline as the others).
+  // mBits 2^18 ≈ 13 bits/key headroom for ~20k distinct orderkeys per
+  // file at sf1; an under-sized bloom at larger SF only raises the FP
+  // rate (more files read), never loses a match.
+  private def ensureKeyedLineitem(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_keyedli_$stamp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile ||
+        !new java.io.File(new java.io.File(dir, "_blooms_l_orderkey"),
+          "_SUCCESS").isFile) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_keyedli_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_keyedli_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(build.getPath)
+      graft.sources.LakeSink.attachBlooms(s, build.getPath,
+        "l_orderkey", mBits = 1 << 18)
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** q59: DYNAMIC FILE PRUNING from the join side
+    * ([[graft.operators.RuntimeFilter.dynamicFilePrune]] — Delta's
+    * move, composed from the tier's committed manifests): the
+    * reference's keyset PAGE of orders (50 consecutive PKs,
+    * order_rdbms_blob.js:520) joins back to its line items, and the
+    * page's keys probe the fact's `_blooms_l_orderkey` manifest
+    * BEFORE the join plans — on the orderkey-clustered copy the 50
+    * keys own 1–2 of 16 files (RuntimeFilterSpec plan-counts it), so
+    * the join scans ~1/16th of the fact with zero data bytes spent
+    * deciding. q49's bloomReduce cuts ROWS map-side but still opens
+    * every file; this cuts the FILES — at 100 TB that is the
+    * difference between touching 6 GB and touching the table.
+    * Oracle = the page join in SQL, hash-proving no-false-negatives
+    * end to end. */
+  val q59 = Q("q59_dyn_file_prune", Some("""
+    WITH page AS (SELECT o_orderkey FROM orders
+                  ORDER BY o_orderkey LIMIT 50)
+    SELECT page.o_orderkey, count(*) AS n_items,
+      CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        AS BIGINT) AS sum_cents
+    FROM lineitem JOIN page ON l_orderkey = page.o_orderkey
+    GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    val factDir = ensureKeyedLineitem(s, d)
+    val page = t(s, d, "orders").orderBy("o_orderkey").limit(50)
+      .select(col("o_orderkey")).localCheckpoint()
+    val fact = graft.operators.RuntimeFilter.dynamicFilePrune(
+        s, factDir, "l_orderkey", page, maxKeys = 100000L)
+      .getOrElse(s.read.parquet(factDir))
+    fact.join(broadcast(page), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("o_orderkey")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

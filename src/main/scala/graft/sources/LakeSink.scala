@@ -1063,6 +1063,33 @@ object LakeSink {
     probed.filter(hit).select("file").collect().map(_.getString(0))
   }
 
+  /** [[bloomSurvivors]] for a KEY SET — the dynamic-file-pruning
+    * probe: ONE distributed pass over |files| × |keys| probe pairs
+    * (the manifest is file-count-sized and broadcasts; the caller
+    * caps the key side), returning every file whose bloom admits AT
+    * LEAST ONE key. No false negatives per key ⇒ none for the set:
+    * any file holding any probed key survives, so a join against
+    * exactly these files equals the join against the table. */
+  def bloomSurvivorsKeys(manifest: DataFrame, keys: DataFrame)
+      : Array[String] = {
+    import org.apache.spark.sql.functions._
+    val headRows = manifest.select("m_bits", "k").limit(1).collect()
+    if (headRows.isEmpty) return Array.empty
+    val head = headRows(0)
+    val (mBits, k) = (head.getInt(0), head.getInt(1))
+    val digs = keys.select(col(keys.columns.head).cast("string").as("dig"))
+      .filter(col("dig").isNotNull).distinct()
+    val probed = digs.crossJoin(broadcast(manifest))
+    val hit = (0 until k).map { j =>
+      (expr(s"shiftright(coalesce(element_at(words, " +
+        s"cast((${graft.operators.TextAnalysis.bloomPosSpark(j, mBits)}) / 32 " +
+        s"as bigint)), 0L), cast((${graft.operators.TextAnalysis.bloomPosSpark(j, mBits)}) % 32 as int))")
+        .bitwiseAND(lit(1L))) === 1L
+    }.reduce(_ && _)
+    probed.filter(hit).select("file").distinct()
+      .collect().map(_.getString(0))
+  }
+
   /** BLOOM-PRUNED point lookup from a directory carrying an
     * `_blooms_<c>` manifest: survivors from [[bloomSurvivors]]
     * (anchored to the directory — file NAMES are rename-stable,

@@ -256,6 +256,84 @@ class RuntimeFilterSpec extends AnyFunSuite {
       e3.getMessage)
   }
 
+  test("dynamicFilePrune: a small key set reads only its bloom-surviving fact files; output ≡ the full join; stale/absent/over-cap fall back") {
+    import spark.implicits._
+    import graft.operators.RuntimeFilter
+    import graft.sources.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_dfp").toString
+    // orderkey-clustered fact behind 16 files + committed blooms:
+    // the layout where a keyset page owns 1-2 files
+    val fact = (0L until 64000L).map(i => (i / 8L, i, i % 97L))
+      .toDF("fk", "row_id", "fv")
+    fact.repartitionByRange(16, col("fk")).sortWithinPartitions("fk")
+      .write.parquet(s"$root/fact")
+    LakeSink.attachBlooms(spark, s"$root/fact", "fk", mBits = 1 << 17)
+    // a 50-key consecutive page (the reference's keyset shape)
+    val page = (100L until 150L).toDF("dk")
+    val prunedOpt = RuntimeFilter.dynamicFilePrune(spark, s"$root/fact",
+      "fk", page, maxKeys = 1000L)
+    assert(prunedOpt.isDefined)
+    val pruned = prunedOpt.get
+    assert(pruned.inputFiles.length <= 2,
+      s"50 consecutive keys must own 1-2 of 16 files: " +
+        s"${pruned.inputFiles.length}")
+    // output ≡ the full join (no false negatives through the set)
+    def j(f: org.apache.spark.sql.DataFrame) =
+      f.join(broadcast(page), col("fk") === col("dk"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(j(pruned) == j(spark.read.parquet(s"$root/fact")))
+    assert(j(pruned).size == 400, "8 rows per key × 50 keys")
+    // scattered keys still no-false-negative (may keep more files)
+    val scattered = Seq(5L, 3000L, 7999L).toDF("dk")
+    val sp = RuntimeFilter.dynamicFilePrune(spark, s"$root/fact", "fk",
+      scattered, maxKeys = 1000L).get
+    assert(sp.join(broadcast(scattered), col("fk") === col("dk"))
+      .count() == 24L)
+    // an all-absent key set: zero files, provably-empty join
+    val absent = RuntimeFilter.dynamicFilePrune(spark, s"$root/fact",
+      "fk", Seq(-1L, -2L).toDF("dk"), maxKeys = 1000L).get
+    assert(absent.inputFiles.isEmpty || absent.isEmpty)
+    assert(absent.join(broadcast(page), col("fk") === col("dk")).isEmpty)
+    // OVER-CAP key sets fall back (None — the probe would cost more
+    // than the skip saves)
+    assert(RuntimeFilter.dynamicFilePrune(spark, s"$root/fact", "fk",
+      page, maxKeys = 10L).isEmpty)
+    // NO manifest → None
+    (0L until 100L).map(i => (i, i, i)).toDF("fk", "row_id", "fv")
+      .write.parquet(s"$root/bare")
+    assert(RuntimeFilter.dynamicFilePrune(spark, s"$root/bare", "fk",
+      page, maxKeys = 1000L).isEmpty)
+    // STALE manifest (a file landed after the bloom build) → None:
+    // the new file could hold a matching key
+    Seq((125L, 999999L, 1L)).toDF("fk", "row_id", "fv")
+      .coalesce(1).write.mode("append").parquet(s"$root/fact")
+    assert(RuntimeFilter.dynamicFilePrune(spark, s"$root/fact", "fk",
+      page, maxKeys = 1000L).isEmpty,
+      "a stale manifest must fall back to the full fact")
+    // the ADVISOR composes it: committed keystats decide the
+    // strategy, committed blooms skip the files, output ≡ unpruned
+    val root2 = java.nio.file.Files.createTempDirectory("graft_dfp2")
+      .toString
+    fact.repartitionByRange(16, col("fk")).sortWithinPartitions("fk")
+      .write.parquet(s"$root2/fact")
+    LakeSink.attachBlooms(spark, s"$root2/fact", "fk", mBits = 1 << 17)
+    RuntimeFilter.attachKeyStats(spark, s"$root2/fact", "fk")
+    page.withColumn("d_name", concat(lit("d"), col("dk")))
+      .write.parquet(s"$root2/dim")
+    RuntimeFilter.attachKeyStats(spark, s"$root2/dim", "dk")
+    LakeSink.registerExternal(spark, "dfp_fact", s"$root2/fact")
+    LakeSink.registerExternal(spark, "dfp_dim", s"$root2/dim")
+    val (plain, _) = RuntimeFilter.adviseJoinTables(spark, "dfp_fact",
+      "fk", "row_id", "dfp_dim", "dk")
+    val (filePruned, adv) = RuntimeFilter.adviseJoinTables(spark,
+      "dfp_fact", "fk", "row_id", "dfp_dim", "dk",
+      filePruneMaxKeys = 1000L)
+    assert(filePruned.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq,
+      s"file-pruned advised join must be invisible in results ($adv)")
+    spark.sql("DROP TABLE dfp_fact"); spark.sql("DROP TABLE dfp_dim")
+  }
+
   test("q50: one-sided (est ≥ exact) and tight at the shipped width") {
     val rows = SparkEntry.queries("q50_join_card")(spark, TestSpark.sf)
       .collect()
