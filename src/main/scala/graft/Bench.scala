@@ -13,7 +13,17 @@ object Bench {
     * included), producing every output row. */
   private def force(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.toRdd.count()
+  /** host 1-min loadavg — recorded in the artifact so round-over-round
+    * comparisons can see the ambient band (external load inflated r13's
+    * committed numbers ~1.2× and disentangling it took forensic work
+    * over commit timestamps; now the artifact carries the evidence). */
+  private def loadavg(): Double = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.floor(v * 100.0 + 0.5) / 100.0
+  }
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
@@ -129,7 +139,7 @@ object Bench {
     // total (they'd UNDERSTATE it); publish the failure count instead
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val nFailed = results.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"drift":${drift.size},"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"drift":${drift.size},"loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"queries":$qs,"sf":"$sfDir"}"""
     // The driver tails stdout, which truncated the r6 artifact to the
     // last ~10 per-query timings; the file copy is the complete record.
     val out = java.nio.file.Paths.get(

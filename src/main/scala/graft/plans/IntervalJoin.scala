@@ -72,12 +72,25 @@ object IntervalJoin {
     * sides — both sides co-partition on the keys, the per-key
     * segment trees build EXECUTOR-side per partition; requires
     * non-empty `keys`, since a keyless variable-length interval set
-    * has no partitioning that keeps a stab local). */
+    * has no partitioning that keeps a stab local). `build = "auto"`
+    * is the ADVISED path: dim-sized builds broadcast; fact-sized
+    * ones co-partition — and, with exactly one equi-key and a
+    * `saltBy` probe column supplied, skew detection runs FIRST
+    * ([[graft.operators.RuntimeFilter.heavyKeys]], one
+    * key-cardinality-sized count pass): a key holding > `hotFrac` of
+    * the intervals would park its whole build and stab share on one
+    * partition, so the plan auto-selects [[pointInIntervalSalted]]
+    * (output identical — IntervalJoinSpec pins both dispatch
+    * directions); a cold key profile pays NO replication and takes
+    * the plain co-partitioned build. */
   def pointInInterval(probe: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       keys: Seq[(String, String)] = Nil,
       joinType: String = "inner",
-      build: String = "broadcast"): DataFrame = {
+      build: String = "broadcast",
+      saltBy: Option[String] = None,
+      hotFrac: Double = 0.1,
+      saltP: Int = 8): DataFrame = {
     val jt: JoinType = joinType.toLowerCase.replace("_", "") match {
       case "inner" => Inner
       case "leftouter" | "left" => LeftOuter
@@ -123,7 +136,24 @@ object IntervalJoin {
         // partitioning to offer it).
         val cap = probe.sparkSession.conf
           .get(MaxBuildRowsKey, "10000000").toLong
-        keys.isEmpty || intervals.count() <= cap
+        if (keys.isEmpty || intervals.count() <= cap) true
+        else {
+          // fact-sized: before committing to the plain partitioned
+          // build, detect skew (one key-cardinality-sized count pass)
+          // — a hot key's intervals AND probes all land on one
+          // partition under ClusteredDistribution, the straggler the
+          // salted form exists for. Detection needs a salt source;
+          // without one the plain shuffle is the only sound plan.
+          if (keys.size == 1 && saltBy.isDefined) {
+            val hot = graft.operators.RuntimeFilter.heavyKeys(
+              iv.select(org.apache.spark.sql.functions.col(keys.head._2)),
+              keys.head._2, hotFrac)
+            if (!hot.isEmpty)
+              return pointInIntervalSalted(probe, intervals, pointCol,
+                loCol, hiCol, keys.head, saltBy.get, hot, saltP, joinType)
+          }
+          false
+        }
       case other => throw new IllegalArgumentException(
         s"pointInInterval: build must be broadcast, shuffle, or auto, got '$other'")
     }

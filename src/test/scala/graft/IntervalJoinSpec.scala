@@ -250,6 +250,52 @@ class IntervalJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset(IntervalJoin.MaxBuildRowsKey)
   }
 
+  test("build=auto with a salt source: a hot interval key auto-selects the salted plan (output ≡ unsalted ≡ theta); a cold profile pays no replication") {
+    import spark.implicits._
+    // hot key 0 holds 80% of the intervals and 2/3 of the probes —
+    // the straggler profile; keys 1..100 are uniform
+    val w = ((1 to 400).map(i => (0L, i.toLong * 10, i.toLong * 10 + 500, 10000L + i))
+      ++ (1 to 100).map(i => (i.toLong, 0L, 5000L, 20000L + i)))
+      .toDF("w_uid", "lo", "hi", "win_id")
+    val p = ((1 to 200).map(i => (0L, i.toLong * 20, 30000L + i))
+      ++ (1 to 100).map(i => (i.toLong, 2500L, 40000L + i)))
+      .toDF("p_uid", "psec", "purchase_id")
+    val theta = p.join(w, col("p_uid") === col("w_uid") &&
+      col("psec") >= col("lo") && col("psec") <= col("hi"))
+    spark.conf.set(IntervalJoin.MaxBuildRowsKey, "3") // everything is fact-sized
+    try {
+      val auto = IntervalJoin.pointInInterval(p, w, "psec", "lo", "hi",
+        Seq("p_uid" -> "w_uid"), build = "auto",
+        saltBy = Some("purchase_id"))
+      val plan = auto.queryExecution.executedPlan.toString
+      assert(plan.contains("__dsalt") && plan.contains("ShuffledIntervalJoin"),
+        "the hot fixture must dispatch the SALTED partitioned form:\n" +
+          plan.take(900))
+      assert(sortedRows(auto) == sortedRows(theta),
+        "auto-salted output must be the plain join")
+      // COLD: uniform keys — detection finds nothing hot, the plain
+      // co-partitioned build runs, NO interval replication is paid
+      val wCold = w.filter(col("w_uid") =!= 0L)
+      val pCold = p.filter(col("p_uid") =!= 0L)
+      val cold = IntervalJoin.pointInInterval(pCold, wCold, "psec", "lo",
+        "hi", Seq("p_uid" -> "w_uid"), build = "auto",
+        saltBy = Some("purchase_id"))
+      val coldPlan = cold.queryExecution.executedPlan.toString
+      assert(coldPlan.contains("ShuffledIntervalJoin") &&
+        !coldPlan.contains("__dsalt"),
+        "a cold profile must stay unsalted:\n" + coldPlan.take(900))
+      val thetaCold = pCold.join(wCold, col("p_uid") === col("w_uid") &&
+        col("psec") >= col("lo") && col("psec") <= col("hi"))
+      assert(sortedRows(cold) == sortedRows(thetaCold))
+      // no salt source → the plain shuffle is the only sound plan,
+      // hot or not (detection needs a row-unique probe column)
+      val noSalt = IntervalJoin.pointInInterval(p, w, "psec", "lo", "hi",
+        Seq("p_uid" -> "w_uid"), build = "auto")
+      assert(!noSalt.queryExecution.executedPlan.toString.contains("__dsalt"))
+      assert(sortedRows(noSalt) == sortedRows(theta))
+    } finally spark.conf.unset(IntervalJoin.MaxBuildRowsKey)
+  }
+
   test("shuffled keyless refused by name (no partitioning keeps a stab local)") {
     val e = intercept[IllegalArgumentException] {
       IntervalJoin.pointInInterval(
