@@ -541,6 +541,49 @@ class CatalystRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.statsPrune.enabled")
   }
 
+  test("TombstoneApplyRule × BloomPruneRule: one plan prunes files AND hides deletes — the predicate pushes below the anti-join and fires the manifest rule") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_morbloom")
+      .toString + "/t"
+    def bitrev(i: Long): Long =
+      (0 until 12).map(b => ((i >> b) & 1L) << (11 - b)).sum
+    val rows = (0L until 4000L).map(i => (bitrev(i), i, s"p$i"))
+      .toDF("k", "day", "payload")
+    rows.repartitionByRange(8, col("day")).sortWithinPartitions("day")
+      .write.parquet(out)
+    LakeSink.attachBlooms(spark, out, "k")
+    // soft-delete a slice AFTER the bloom build: the tombstones are
+    // `_`-hidden, so the manifest stays CURRENT for the data files
+    LakeSink.softDeleteDir(spark, out,
+      rows.filter(col("day") % 10 === 0).select("k"), "k")
+    val live = bitrev(1234L)   // day 1234: survives the delete
+    val dead = bitrev(1230L)   // day 1230: tombstoned
+    spark.conf.set("spark.graft.morApply.enabled", "true")
+    spark.conf.set("spark.graft.bloomPrune.enabled", "true")
+    try {
+      // inputFiles spans every relation in the plan, tombstone batch
+      // included — count the DATA files only for the prune claim
+      def dataFiles(df: org.apache.spark.sql.DataFrame): Int =
+        df.inputFiles.count(!_.contains("_deletes"))
+      val hit = spark.read.parquet(out).filter(col("k") === live)
+      val plan = hit.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"),
+        "the MOR anti-join must be in the plan:\n" + plan.take(900))
+      assert(dataFiles(hit) <= 2,
+        s"the bloom rule must still prune below the anti-join: " +
+          s"${dataFiles(hit)} of 8")
+      assert(hit.collect().map(_.getLong(1)).toSeq == Seq(1234L))
+      // a tombstoned key: pruned to its owning file AND hidden
+      val gone = spark.read.parquet(out).filter(col("k") === dead)
+      assert(dataFiles(gone) <= 2 && gone.isEmpty,
+        "a deleted key must read ~1 file and serve nothing")
+    } finally {
+      spark.conf.unset("spark.graft.morApply.enabled")
+      spark.conf.unset("spark.graft.bloomPrune.enabled")
+    }
+  }
+
   test("manifest-rule LRU memo: bounded at the cap, coldest evicted first, hit-after-eviction recomputes correctly") {
     val lru = new graft.plans.ManifestPrune.Lru[Int, String](3)
     var computes = 0

@@ -749,6 +749,11 @@ class LakeSpec extends AnyFunSuite {
 
   test("merge-on-read deletes: O(|keys|) tombstones, data files untouched; read applies; refusals; compactMor materializes and clears") {
     import spark.implicits._
+    // this test pins the DEFAULT read contract (raw reads stay raw;
+    // only readMor applies tombstones) — pin the planner rule off for
+    // its duration: the shared session may carry the conf from a29's
+    // query or the TombstoneApplyRule test, in any suite order
+    spark.conf.set("spark.graft.morApply.enabled", "false")
     val out = Files.createTempDirectory("graft_mor").toString + "/t"
     val base = (1L to 500L).map(i => (i, i % 7, s"v$i")).toDF("k", "g", "v")
     LakeSink.writeParquet(base.repartition(4), out)
@@ -1185,6 +1190,9 @@ class LakeSpec extends AnyFunSuite {
   test("TombstoneApplyRule: plain reads over a MOR table hide soft-deleted rows (≡ readMor); travel stays as-published; key-less scans refuse; compactMor clears") {
     import spark.implicits._
     val FLAG = "spark.graft.morApply.enabled"
+    // pin OFF explicitly: the shared session may carry the conf from
+    // a29's query (QueriesSpec runs the whole registry, any order)
+    spark.conf.set(FLAG, "false")
     val out = Files.createTempDirectory("graft_morsql").toString + "/t"
     val base = (1L to 500L).map(i => (i, i % 7, s"v$i")).toDF("k", "g", "v")
     LakeSink.writeParquet(base.repartition(4), out)
