@@ -664,6 +664,63 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // t26: token counts SERVED FROM THE PERSISTED TOKENIZER
+  // (graft.operators.BpeIndex) — t14/t15 retrain per run; this
+  // trains once into a content-stamped location and encodes from
+  // the frozen merges/vocab (same discipline as ensureLmIndex)
+  private def ensureBpeIndex(s: SparkSession, d: String): String = {
+    val stamp = docsStamp(s, d)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_bpeindex_$stamp").getPath
+    val fresh =
+      try graft.operators.BpeIndex.readMeta(s, dir).stamp == stamp
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!fresh) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_bpeindex_") &&
+          f.getName != s"graft_bpeindex_$stamp")
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_bpeindex_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.operators.BpeIndex.write(t(s, d, "documents"), "doc_id",
+        "text", build.getPath, nMerges = 8, stamp = stamp)
+      if (!build.renameTo(new java.io.File(dir)))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir
+  }
+
+  /** t26: per-document token counts SERVED FROM THE PERSISTED
+    * TOKENIZER ([[graft.operators.BpeIndex]] — the frozen-artifact
+    * contract applied to BPE): the merge table and vocab token
+    * counts were trained ONCE and committed; every later batch
+    * encodes against that artifact — the token budget packing/mixing
+    * should key on is the SERVING tokenizer's, not whatever today's
+    * corpus retrains (and BPE merges are NOT additive, so unlike the
+    * LM there is no sound append — rebuild is the honest update,
+    * staged + flipped; BpeIndexSpec pins it). Serving also closes
+    * t15's unseen-word under-count: out-of-vocabulary words are
+    * ENCODED with the frozen merges (|unseen vocab|-sized replay)
+    * instead of contributing 0 — on the training corpus there are no
+    * unseen words, so t26 shares t15's oracle bit-for-bit,
+    * hash-proving persist → serve ≡ train → serve. */
+  val t26 = Q("t26_bpe_index", Some(s"""
+    WITH ${graft.operators.Bpe.oracleCtes(8)},
+    wcnt AS (SELECT doc_id, word, count(*) AS c FROM dwords
+             GROUP BY doc_id, word),
+    vt AS (SELECT word, count(*) AS n_tok FROM s8 GROUP BY word)
+    SELECT d.doc_id,
+      CAST(coalesce(sum(w.c * v.n_tok), 0) AS BIGINT) AS n_tok
+    FROM documents d
+    LEFT JOIN wcnt w ON w.doc_id = d.doc_id
+    LEFT JOIN vt v ON v.word = w.word
+    GROUP BY d.doc_id ORDER BY d.doc_id""")) { (s, d) =>
+    val dir = ensureBpeIndex(s, d)
+    graft.operators.BpeIndex.tokenCount(s, dir, t(s, d, "documents"),
+      "doc_id", "text").orderBy("doc_id")
+  }
+
   /** the Gopher heuristic rule battery ([[TextAnalysis.gopher]]) —
     * published thresholds (Rae et al. 2021 app. A), first-failure
     * verdicts; the corpus's 10–99-word spread exercises both the
@@ -1039,5 +1096,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -1480,6 +1480,55 @@ class StreamingSpec extends AnyFunSuite {
       "salted streamed enrichment must equal the unsalted batch join")
   }
 
+  test("streamed keyset pages: each micro-batch's keys probe the committed bloom manifest and join only the surviving fact files ≡ the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.operators.RuntimeFilter
+    import graft.sources.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_dfpstream")
+      .toString
+    // orderkey-clustered fact behind 16 files + committed blooms —
+    // q59's layout; the stream is the reference's keyset pagination
+    // as a REQUEST stream: each micro-batch is one page of keys
+    (0L until 64000L).map(i => (i / 8L, i, i % 97L))
+      .toDF("fk", "row_id", "fv")
+      .repartitionByRange(16, col("fk")).sortWithinPartitions("fk")
+      .write.parquet(s"$root/fact")
+    LakeSink.attachBlooms(spark, s"$root/fact", "fk", mBits = 1 << 17)
+    val answered = scala.collection.mutable.ArrayBuffer[String]()
+    val filesRead = scala.collection.mutable.ArrayBuffer[Int]()
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("dk").writeStream
+      .foreachBatch { (page: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!page.isEmpty) {
+          val keys = page.localCheckpoint(true)
+          val fact = RuntimeFilter.dynamicFilePrune(spark, s"$root/fact",
+            "fk", keys, maxKeys = 10000L)
+            .getOrElse(spark.read.parquet(s"$root/fact"))
+          filesRead += fact.inputFiles.length
+          answered ++= fact.join(broadcast(keys), col("fk") === col("dk"))
+            .collect().map(_.toString)
+        }
+        ()
+      }.start()
+    // three consecutive pages of 50 keys (the keyset walk)
+    in.addData(100L until 150L: _*); q.processAllAvailable()
+    in.addData(150L until 200L: _*); q.processAllAvailable()
+    in.addData(4000L until 4050L: _*); q.processAllAvailable()
+    q.stop()
+    // per-REQUEST fact I/O is the page's own files, never the table
+    assert(filesRead.size == 3 && filesRead.forall(_ <= 2),
+      s"each page must read its 1-2 owning files of 16: $filesRead")
+    // the union of page answers ≡ the batch join of all pages
+    val allKeys = ((100L until 200L) ++ (4000L until 4050L)).toDF("dk")
+    val batch = spark.read.parquet(s"$root/fact")
+      .join(broadcast(allKeys), col("fk") === col("dk"))
+      .collect().map(_.toString)
+    assert(answered.sorted.toSeq == batch.sorted.toSeq,
+      "streamed page answers must equal the batch join")
+  }
+
   test("streamed ANALYZE: appendKeyStats keeps the advisor's committed statistics fresh per micro-batch; replays fold nothing twice") {
     // the ANALYZE-once contract under ingest: every micro-batch
     // lands, then folds its per-key counts into `_keystats` (additive
