@@ -316,7 +316,7 @@ object Dedup {
   // the Sampling.hashFrac fold, reproduced digit by digit (same
   // expression d10 uses inline) — incl. its NULL-key-as-empty-string
   // coalesce
-  private val fracExpr = (1 to 4)
+  private[queries] val fracExpr = (1 to 4)
     .map(i => s"(instr('0123456789abcdef', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
     .mkString("(", " + ", ") / 65536.0")
 

@@ -721,6 +721,50 @@ object Text {
       "doc_id", "text").orderBy("doc_id")
   }
 
+  /** d33: SEQUENCE PACKING UNDER THE SERVED TOKENIZER — the
+    * composition the packing tier exists for: d14 lays out training
+    * sequences under WHITESPACE token counts (a 1.3–2× over/under
+    * estimate on real text), but the sequences a trainer fills are
+    * measured in the SERVING tokenizer's tokens — packing under the
+    * wrong count either overflows sequences (truncation, lost data)
+    * or underfills them (wasted FLOPs at 100 TB scale). Here
+    * [[graft.operators.Sampling.packSequences]] keys on
+    * [[graft.operators.BpeIndex.tokenCount]] from the PERSISTED
+    * artifact (t26): shard → order → running BPE-token sum →
+    * boundary arithmetic, hash-checked end to end (the oracle
+    * re-derives the BPE counts through the unrolled merge CTEs and
+    * packs with the same window sum). */
+  val d33 = Q("d33_pack_bpe", Some(s"""
+    WITH ${graft.operators.Bpe.oracleCtes(8)},
+    wcnt AS (SELECT doc_id, word, count(*) AS c FROM dwords
+             GROUP BY doc_id, word),
+    vt AS (SELECT word, count(*) AS n_tok FROM s8 GROUP BY word),
+    bt AS (SELECT d.doc_id,
+             CAST(coalesce(sum(w.c * v.n_tok), 0) AS BIGINT) AS n_tok
+           FROM documents d
+           LEFT JOIN wcnt w ON w.doc_id = d.doc_id
+           LEFT JOIN vt v ON v.word = w.word
+           GROUP BY d.doc_id),
+    t AS (SELECT doc_id, n_tok,
+            CAST(floor((${Dedup.fracExpr}) * 16) AS BIGINT) AS shard
+          FROM bt),
+    c AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+    SELECT shard, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS seq_id,
+      count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS toks
+    FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""")) { (s, d) =>
+    val dir = ensureBpeIndex(s, d)
+    val docs = t(s, d, "documents")
+    val withTok = docs.select(col("doc_id")).join(
+      graft.operators.BpeIndex.tokenCount(s, dir, docs, "doc_id", "text"),
+      Seq("doc_id"))
+    graft.operators.Sampling.packSequences(withTok, col("doc_id"),
+        col("n_tok"), 512L, 16)
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"))
+      .orderBy("shard", "seq_id")
+  }
+
   /** the Gopher heuristic rule battery ([[TextAnalysis.gopher]]) —
     * published thresholds (Rae et al. 2021 app. A), first-failure
     * verdicts; the corpus's 10–99-word spread exercises both the
@@ -1096,5 +1140,5 @@ object Text {
       "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, d1, d23, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t7, t8, t9, t10, t11, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, d1, d23, d33, d26, d27, d28, m1, m2, m3, m4, m5, m6, m7, m8)
 }
