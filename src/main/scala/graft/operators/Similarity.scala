@@ -117,10 +117,16 @@ object Similarity {
   /** Brute-force cosine top-k: every probe scored against the full
     * corpus (the exact baseline ANN variants are judged against). */
   def bruteKnn(vectors: DataFrame, id: String, emb: String,
-      probePred: Column, k: Int): DataFrame = {
+      probePred: Column, k: Int,
+      candPred: Option[Column] = None): DataFrame = {
     val probes = broadcast(vectors.filter(probePred)
       .select(col(id).as("probe_id"), col(emb).as("pe")))
-    val scored = probes.join(vectors, col(id) =!= col("probe_id"))
+    // candPred = PRE-FILTERED search: the metadata predicate cuts the
+    // candidate side BEFORE any distance is computed — top-k among
+    // the MATCHING vectors (post-filtering an unfiltered top-k loses
+    // results whenever fewer than k of the winners match)
+    val cand = candPred.fold(vectors)(vectors.filter)
+    val scored = probes.join(cand, col(id) =!= col("probe_id"))
       .select(col("probe_id"), col(id).as("neighbor_id"),
         cosR(col("pe"), col(emb)).as("c6"))
     topK(scored, k)
@@ -371,13 +377,22 @@ object Similarity {
     * double-count a candidate. */
   def ivfKnn(vectors: DataFrame, id: String, emb: String,
       anchorPred: Column, probePred: Column, k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1, candPred: Option[Column] = None): DataFrame = {
     val anchors = broadcast(vectors.filter(anchorPred)
       .select(col(id).as("anchor_id"), col(emb).as("ae")))
+    // candPred = FILTERED ANN (metadata-filtered vector search, the
+    // production shape): the predicate cuts the INDEXED corpus before
+    // any candidate is scored — assignment is a per-vector argmax
+    // against the (unfiltered) anchors, so filtering before or after
+    // assignment yields the same cells for the survivors, and
+    // filtering FIRST means excluded vectors never cost a distance.
+    // Probes stay unfiltered (a probe need not satisfy its own
+    // filter), so they take the score-ranked assignment path below.
+    val corpus = candPred.fold(vectors)(vectors.filter)
     // nearest anchor per vector: max cosine, min-anchor_id tie-break —
     // max_by on the ordering struct (ac, -anchor_id) reproduces the
     // oracle's ORDER BY ac DESC, anchor_id argmax exactly
-    val assigned = vectors.crossJoin(anchors)
+    val assigned = corpus.crossJoin(anchors)
       .select(col(id), col(emb),
         col("anchor_id"), cosR(col(emb), col("ae")).as("ac"))
       .groupBy(col(id))
@@ -385,7 +400,7 @@ object Similarity {
         struct(col("ac"), (-col("anchor_id")).as("na"))).as("m"))
       .select(col(id), col("m.e").as(emb), col("m.a").as("cell"))
     val probes = broadcast(
-      if (nprobe == 1)
+      if (nprobe == 1 && candPred.isEmpty)
         assigned.filter(probePred)
           .select(col(id).as("probe_id"), col(emb).as("pe"), col("cell"))
       else {

@@ -1212,7 +1212,53 @@ object Embed {
       .orderBy("train_id")
   }
 
+  /** s23: FILTERED ANN — metadata-filtered vector search, the
+    * production shape (every real vector store serves "nearest
+    * neighbors WHERE category = X"): the label predicate cuts the
+    * indexed corpus BEFORE any distance is computed (PRE-filtered
+    * search — top-k among the MATCHING vectors), composed with s7's
+    * multi-probe IVF: assignment is a per-vector argmax against the
+    * unfiltered anchors, so filtering before or after assignment
+    * yields the same cells for the survivors, and filtering first
+    * means excluded vectors never cost a distance — at 100 TB a 10%
+    * filter is 10× less scoring work, not a post-hoc discard. The
+    * naive alternative — POST-filtering an unfiltered top-k — loses
+    * results whenever fewer than k of the winners match
+    * (SimilarityNullSafetySpec pins the collapse and the fix);
+    * nprobe=2 is the standard recall knob raised under selective
+    * filters. Oracle = s7's CTEs with the corpus side restricted to
+    * the label, hash-checked end to end. */
+  val s23 = Q("s23_knn_filtered", Some(s"""
+    WITH $normCte,
+    $ivfCtes,
+    asgf AS (SELECT a.vec_id, a.embedding, a.nrm, a.cell
+             FROM asg a JOIN v ON v.vec_id = a.vec_id
+             WHERE v.label = 1),
+    pra AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm,
+              anchor_id AS cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ac DESC, anchor_id) AS arn
+            FROM asg0 WHERE vec_id % 17 = 0),
+    pr AS (SELECT probe_id, pe, pnrm, cell FROM pra WHERE arn <= 2),
+    sc AS (SELECT p.probe_id, b.vec_id AS neighbor_id,
+             floor((list_sum(list_transform(range(1, 65),
+                      i -> p.pe[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                    (p.pnrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS c6
+           FROM pr p JOIN asgf b ON p.cell = b.cell
+             AND b.vec_id <> p.probe_id),
+    r AS (SELECT probe_id, neighbor_id, c6,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+    SELECT probe_id, rn, neighbor_id, c6 AS cos6
+    FROM r WHERE rn <= 5
+    ORDER BY probe_id, rn""")) { (s, d) =>
+    Similarity.ivfKnn(t(s, d, "embeddings"), "vec_id", "embedding",
+      anchorPred, col("vec_id") % 17 === 0, 5, nprobe = 2,
+      candPred = Some(col("label") === 1))
+      .orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
     s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
-    s21, s22)
+    s21, s22, s23)
 }

@@ -177,6 +177,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("filtered ANN: pre-filter = exact top-k among MATCHING vectors; post-filtering an unfiltered top-k provably loses results; IVF ≡ brute within reach") {
+    val probeP = col("vec_id") % 100 === 0
+    val candP = col("label") === 1
+    // PRE-filtered brute = the ground truth: top-3 among label-1 only
+    val pre = Similarity.bruteKnn(emb, "vec_id", "embedding", probeP, 3,
+      candPred = Some(candP))
+    assert(pre.join(emb.filter(!candP).select(col("vec_id")
+        .as("neighbor_id")), Seq("neighbor_id"), "left_semi").isEmpty,
+      "no non-matching neighbor may ever surface")
+    val perProbe = pre.groupBy("probe_id").count()
+    assert(perProbe.filter(col("count") =!= 3).count() == 0,
+      "a 10%-selective filter over this corpus still fills k=3")
+    // the POST-filter collapse, measured: filter the UNFILTERED top-3
+    // afterwards — some probe keeps fewer than 3 (whenever < 3 of its
+    // global winners carry label 1), the recall hole pre-filtering
+    // exists to close
+    val post = Similarity.bruteKnn(emb, "vec_id", "embedding", probeP, 3)
+      .join(emb.filter(candP).select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+    val short = perProbe.select(col("probe_id"))
+      .join(post.groupBy("probe_id").count().filter(col("count") === 3),
+        Seq("probe_id"), "left_anti")
+    assert(short.count() > 0,
+      "fixture must exhibit the post-filter loss (≈ every probe: " +
+        "3 of 3 global winners all label-1 is a ~0.1% event)")
+    // filtered IVF ≡ filtered brute WITHIN the probed cells: every
+    // returned neighbor is exact, and equals brute when brute's
+    // winners live in reach (spot-check: the IVF result is a subset
+    // of the filtered-brute ranking domain and carries exact cosines)
+    val ivf = Similarity.ivfKnn(emb, "vec_id", "embedding",
+      col("vec_id") % 125 === 0 && col("vec_id") < 8000, probeP, 3,
+      nprobe = 2, candPred = Some(candP))
+    assert(ivf.join(emb.filter(!candP).select(col("vec_id")
+        .as("neighbor_id")), Seq("neighbor_id"), "left_semi").isEmpty)
+    // exactness of scores: IVF's (probe, neighbor, cos6) triples are
+    // a subset of the full filtered score table
+    val truth = Similarity.bruteKnn(emb, "vec_id", "embedding", probeP,
+      1000000, candPred = Some(candP))
+      .select("probe_id", "neighbor_id", "cos6")
+    assert(ivf.select("probe_id", "neighbor_id", "cos6")
+      .exceptAll(truth).isEmpty,
+      "every filtered-IVF hit must carry the exact filtered cosine")
+  }
+
   test("lsh candidates share a (table, bucket-or-Hamming-1) with the probe") {
     val lsh = Similarity.lshKnn(emb, "vec_id", "embedding",
       col("vec_id") % 100 === 0, 5)
