@@ -147,6 +147,16 @@ object VectorIndex {
     val tag = IndexLifecycle.batchTag(newVectors, id)
     val (fs, _) = IndexLifecycle.hfs(spark, dir)
     IndexLifecycle.sweepTag(fs, dir, Seq("assigned", "codes", "sq8"), tag)
+    // a pending-tombstoned id must never resurrect through an append
+    // (tombstones win because nothing may land after them) — checked
+    // BEFORE the collision guard so the refusal names the real cause
+    // (the id is still physically in `assigned` until a fold)
+    tombIds(spark, dir, id).foreach { t =>
+      val nTomb = newVectors.join(broadcast(t), Seq(id), "left_semi").count()
+      require(nTomb == 0,
+        s"INDEX APPEND REFUSED: $nTomb ids are pending-tombstoned — " +
+          "compact first, then append deliberately")
+    }
     IndexLifecycle.guardNoCollision(newVectors, id,
       spark.read.parquet(s"$dir/assigned").select(col(id)),
       " — a duplicate id would serve two rows for one vector; removal is " +
@@ -232,15 +242,99 @@ object VectorIndex {
     // reclaim superseded copies past the retention window (and any
     // half-written stage of a crashed previous delete)
     IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    // liveness is the SERVED view (base minus pending tombstones) —
+    // deleting an already-soft-deleted id would double-report
+    val assigned = minusTombs(spark, dir,
+      spark.read.parquet(s"$dir/assigned"), id)
     val nUnknown = del.join(assigned.select(col(id)), Seq(id), "left_anti")
       .count()
     require(nUnknown == 0,
       s"INDEX DELETE REFUSED: $nUnknown ids not present in the index — " +
         "a silently-ignored id would report a removal that never happened")
     val nDel = del.count()
-    rewriteTables(spark, dir, mt, mt.n - nDel,
-      df => df.join(del, Seq(id), "left_anti"))
+    val nTomb = tombIds(spark, dir, id).map(_.count()).getOrElse(0L)
+    // the rewrite FOLDS pending tombstones too — the materialized
+    // copy is the served view, and `_deletes/` clears with the flip
+    rewriteTables(spark, dir, mt, mt.n - nDel - nTomb,
+      df => minusTombs(spark, dir, df.join(del, Seq(id), "left_anti"), id))
+  }
+
+  // ---- SOFT DELETES (merge-on-read tombstones, the lake's a22/a33
+  // contract applied to the index tier) ------------------------------
+
+  /** the committed tombstone batches under `<dir>/_deletes`, if any */
+  private def tombBatches(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir, "_deletes"), "b-*")))
+      .getOrElse(Array.empty).toIndexedSeq.map(_.getPath.toString)
+  }
+
+  private def tombIds(spark: SparkSession, dir: String,
+      id: String): Option[DataFrame] = {
+    val bs = tombBatches(spark, dir)
+    if (bs.isEmpty) None
+    else {
+      val t = spark.read.parquet(bs: _*)
+      require(t.columns.toSeq == Seq(id),
+        s"INDEX TOMBSTONES carry '${t.columns.mkString(",")}', index id is '$id'")
+      Some(t)
+    }
+  }
+
+  /** serve-side tombstone application: one BROADCAST anti-join on the
+    * (tombstone-sized) id set, zero-cost when no soft delete is
+    * pending. Applied to the CANDIDATE tables before any top-k, so a
+    * probe still returns full k from the survivors — a post-top-k
+    * discard would lose result slots. */
+  private def minusTombs(spark: SparkSession, dir: String, df: DataFrame,
+      id: String): DataFrame =
+    tombIds(spark, dir, id).fold(df)(t =>
+      df.join(broadcast(t), Seq(id), "left_anti"))
+
+  /** SOFT DELETE from the persisted index — O(|ids|) I/O where
+    * [[delete]] rewrites the corpus-sized tables: the id batch lands
+    * under `_deletes/b-*` (stage → recount-verify → ONE rename, the
+    * lake's tombstone contract) and every probe path applies the
+    * accumulated set as a broadcast anti-join BEFORE its top-k. The
+    * next [[delete]] or [[compact]] FOLDS the tombstones into the
+    * rewrite and clears them — soft deletes are how a serving index
+    * absorbs a continuous removal stream between maintenance windows
+    * (the same deferral a 100 TB lake table gets from a22).
+    * REFUSES NULL ids and ids not live in the served view;
+    * [[append]] refuses resurrecting a pending-tombstoned id, so
+    * tombstones never race appends. Returns the batch's id count. */
+  def softDelete(spark: SparkSession, dir: String, ids: DataFrame): Long = {
+    val mt = readMeta(spark, dir)
+    val id = mt.idCol
+    val nNull = ids.filter(col(id).isNull).count()
+    require(nNull == 0,
+      s"INDEX SOFT DELETE REFUSED: $nNull rows carry a NULL $id")
+    val del = ids.select(col(id)).distinct().localCheckpoint(true)
+    val live = minusTombs(spark, dir,
+      spark.read.parquet(s"$dir/assigned").select(col(id)), id)
+    val nUnknown = del.join(live, Seq(id), "left_anti").count()
+    require(nUnknown == 0,
+      s"INDEX SOFT DELETE REFUSED: $nUnknown ids not live in the index — " +
+        "a silently-ignored id would report a removal that never happened")
+    val (fs, _) = IndexLifecycle.hfs(spark, dir)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val stage = new org.apache.hadoop.fs.Path(dir, s".tmp-sdel-$tag")
+    del.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString).count()
+    val expected = del.count()
+    if (staged != expected) {
+      fs.delete(stage, true)
+      throw new java.io.IOException(
+        s"staged tombstone batch short: $staged of $expected ids; " +
+          "aborting — index unchanged")
+    }
+    val dels = new org.apache.hadoop.fs.Path(dir, "_deletes")
+    fs.mkdirs(dels)
+    val dest = new org.apache.hadoop.fs.Path(dels, s"b-$tag")
+    require(fs.rename(stage, dest),
+      s"tombstone publish failed: $stage -> $dest")
+    expected
   }
 
   /** POST-MAINTENANCE COMPACTION — the index's [[graft.sources.LakeSink.compact]]:
@@ -258,7 +352,11 @@ object VectorIndex {
       retainMs: Long = 600000L): Long = {
     val mt = readMeta(spark, dir)
     IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
-    rewriteTables(spark, dir, mt, mt.n, identity)
+    // pending soft-delete tombstones FOLD into the rewrite (and clear
+    // with the flip) — compaction materializes the served view
+    val nTomb = tombIds(spark, dir, mt.idCol).map(_.count()).getOrElse(0L)
+    rewriteTables(spark, dir, mt, mt.n - nTomb,
+      df => minusTombs(spark, dir, df, mt.idCol))
   }
 
   /** the shared staged-rewrite-verify-flip of assigned+codes
@@ -294,6 +392,11 @@ object VectorIndex {
     IndexLifecycle.flipStaged(fs, stage, dir,
       if (withSq8) Seq("sq8", "codes", "assigned")
       else Seq("codes", "assigned"))
+    // tombstones folded into the rewrite clear AFTER the flip — a
+    // crash between the two leaves them pending over tables that no
+    // longer carry the ids: the anti-join no-ops (idempotent), and
+    // the next rewrite clears them for good
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_deletes"), true)
     writeMeta(spark, dir, mt.copy(n = expectA))
     expectA
   }
@@ -325,7 +428,9 @@ object VectorIndex {
       k: Int, nprobe: Int): DataFrame = {
     val mt = readMeta(spark, dir)
     val anchors = spark.read.parquet(s"$dir/anchors")
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    // pending soft deletes hide BEFORE the top-k (full k from survivors)
+    val assigned = minusTombs(spark, dir,
+      spark.read.parquet(s"$dir/assigned"), mt.idCol)
     Similarity.searchAssigned(
       probes.select(col(mt.idCol), col(mt.embCol)),
       assigned, anchors, mt.idCol, mt.embCol, k, nprobe, mt.bits, mt.tables)
@@ -345,7 +450,9 @@ object VectorIndex {
       k: Int, nprobe: Int = 1): DataFrame = {
     val mt = readMeta(spark, dir)
     val anchors = spark.read.parquet(s"$dir/anchors")
-    val codes = spark.read.parquet(s"$dir/codes")
+    // pending soft deletes hide BEFORE the ADC top-k
+    val codes = minusTombs(spark, dir,
+      spark.read.parquet(s"$dir/codes"), mt.idCol)
     val cb = broadcast(spark.read.parquet(s"$dir/codebook"))
     val probesA =
       if (nprobe == 1)
@@ -447,7 +554,8 @@ object VectorIndex {
     val mxA = q.getSeq[Double](q.fieldIndex("mx"))
     val sA = q.getSeq[Double](q.fieldIndex("s"))
     val bits8 = q.getAs[Int]("bits")
-    val cb = spark.read.parquet(s"$dir/sq8")
+    // pending soft deletes hide BEFORE the SQ8 top-k
+    val cb = minusTombs(spark, dir, spark.read.parquet(s"$dir/sq8"), mt.idCol)
     val code = Similarity.sq8Code(col(mt.embCol),
       typedLit(mnA), typedLit(mxA))
     val pb0 = Similarity.corpusBands(

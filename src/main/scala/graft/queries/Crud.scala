@@ -1087,7 +1087,309 @@ object Crud {
           .as("sum_cents"))
   }
 
+  // same stamped-tmp/atomic-rename discipline as ensureMorOrders: the
+  // copy, its two UPDATE-log batches, and the upsert-view delete all
+  // build together and publish under one rename (_updates/_deletes
+  // glob relative to the dir, so the logs survive the rename)
+  private def ensureUpsertOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_ups_$stamp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile ||
+        !new java.io.File(dir, "_updates").isDirectory) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_ups_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_ups_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+      base.repartition(4).write.mode("overwrite").parquet(build.getPath)
+      val mk = base.agg(max("o_orderkey")).head().getLong(0)
+      val k = col("o_orderkey")
+      // batch 1: update the %13 slice (status 'U', priority re-tagged)
+      // AND insert key-shifted clones of the %97 slice (status 'N') —
+      // one mixed update+insert batch, the production shape
+      graft.sources.LakeSink.softUpsertDir(s, build.getPath,
+        base.filter(k % 13 === 1)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_orderpriority",
+            concat(lit("U-"), col("o_orderpriority")))
+          .unionByName(base.filter(k % 97 === 5)
+            .withColumn("o_orderkey", k + mk)
+            .withColumn("o_orderstatus", lit("N"))),
+        "o_orderkey")
+      // batch 2: RE-update the %26 slice (⊂ %13) — latest wins
+      graft.sources.LakeSink.softUpsertDir(s, build.getPath,
+        base.filter(k % 26 === 1)
+          .withColumn("o_orderstatus", lit("W"))
+          .withColumn("o_orderpriority",
+            concat(lit("W-"), col("o_orderpriority"))),
+        "o_orderkey")
+      // delete the %17 slice OF THE UPSERT VIEW — base rows, updated
+      // rows, and log-inserted rows alike (the base-view delete
+      // would refuse the inserted keys as not-live)
+      graft.sources.LakeSink.softDeleteUpsertDir(s, build.getPath,
+        graft.sources.LakeSink.morReadUpsertDir(s, build.getPath, "o_orderkey")
+          .filter(k % 17 === 3).select("o_orderkey"),
+        "o_orderkey")
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a33: MERGE-ON-READ UPSERTS
+    * ([[graft.sources.LakeSink.softUpsertDir]] / `morReadUpsertDir` /
+    * `softDeleteUpsertDir`) — the UPDATE a 100 TB table actually
+    * runs (the reference updates an order row in place,
+    * lambda_fns/order.js:596-650; at lake scale a row update must
+    * not rewrite the table): two full-row update batches land as an
+    * O(|batch|) log under `_updates/` — a mixed update+insert batch,
+    * then a re-update of half its keys — and an upsert-view DELETE
+    * lands over both. The read folds the log (LATEST landed version
+    * per key wins; base rows are version 0) and applies tombstones
+    * last, paying one broadcast anti-join on the base; updates can
+    * never race deletes because pending-tombstoned keys REFUSE to
+    * upsert. Oracle = the folded view reconstructed in SQL: CASE
+    * picks each key's surviving version, the insert branch unions
+    * key-shifted clones, the delete slice filters both — landed log
+    * → window fold → anti-join is hash-checked end to end. */
+  // shared by a33 (explicit morReadUpsertDir) and a36 (plain read
+  // under TombstoneApplyRule's upsert fold) — one truth, two paths
+  private val a33OracleSql = """
+    WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    v AS (
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 26 = 1 THEN 'W'
+             WHEN o_orderkey % 13 = 1 THEN 'U'
+             ELSE o_orderstatus END AS status,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        CASE WHEN o_orderkey % 26 = 1 THEN 'W-' || o_orderpriority
+             WHEN o_orderkey % 13 = 1 THEN 'U-' || o_orderpriority
+             ELSE o_orderpriority END AS pri
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + mx.mk, 'N',
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT), o_orderpriority
+      FROM orders CROSS JOIN mx WHERE o_orderkey % 97 = 5
+    )
+    SELECT status, count(*) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+    FROM v WHERE NOT (k % 17 = 3)
+    GROUP BY status ORDER BY status"""
+
+  private def upsertViewAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"),
+        count_distinct(col("o_orderpriority")).as("n_pri"))
+      .orderBy("status")
+
+  val a33 = Q("a33_mor_upsert", Some(a33OracleSql)) { (s, d) =>
+    upsertViewAgg(graft.sources.LakeSink
+      .morReadUpsertDir(s, ensureUpsertOrders(s, d), "o_orderkey"))
+  }
+
+  /** a36: THE UPSERT LOG APPLIED BY THE PLANNER (a33's plain-read
+    * contract — [[graft.plans.TombstoneApplyRule]]'s upsert fold):
+    * without it, `spark.read.parquet(dir)` over an `_updates`-carrying
+    * table serves STALE rows and misses log inserts — the UPDATE
+    * sibling of the r13 tombstone-resurrection hole (closed as a29).
+    * With `spark.graft.morApply.enabled` on, the eligible scan
+    * rewrites to `(base ⟕̸ updKeys∪tombs) ∪ (latest minus tombs)` —
+    * exactly `morReadUpsertDir`'s plan, now the PLAN's default; the
+    * key comes from the log's committed `_updates/_key` marker, a
+    * key-less scan refuses by name, and the explicit APIs read by
+    * file list so the fold can never stack twice. Shares a33's
+    * oracle: plain-read-under-the-rule ≡ explicit view ≡ the SQL
+    * reconstruction, hash-proved. */
+  val a36 = Q("a36_mor_upsert_sql_rule", Some(a33OracleSql)) { (s, d) =>
+    val dir = ensureUpsertOrders(s, d)
+    s.conf.set("spark.graft.morApply.enabled", "true")
+    upsertViewAgg(s.read.parquet(dir))
+  }
+
+  // the a34 rule set — the SAME predicate text runs as Spark SQL in
+  // the gate and as DuckDB SQL in the oracle (Expect.Rule's contract)
+  private val expectRules = Seq(
+    graft.sources.Expect.Rule("not_urgent",
+      "o_orderpriority NOT LIKE '%URGENT%'"),
+    graft.sources.Expect.Rule("price_cap", "o_totalprice < 200000.0"),
+    graft.sources.Expect.Rule("status_known", "o_orderstatus IN ('F','O')"))
+
+  private def ensureExpectOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_exp_$stamp")
+    if (!new java.io.File(dir, "_quarantine").isDirectory) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_exp_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_exp_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      build.mkdirs()
+      val base = t(s, d, "orders")
+      // two epochs (key parity) — the gate is a per-batch write, so
+      // the fixture exercises the multi-batch read path too
+      graft.sources.Expect.writeExpect(s, build.getPath, 1L,
+        base.filter(col("o_orderkey") % 2 === 0), expectRules)
+      graft.sources.Expect.writeExpect(s, build.getPath, 2L,
+        base.filter(col("o_orderkey") % 2 === 1), expectRules)
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a34: WRITE-SIDE EXPECTATIONS WITH QUARANTINE
+    * ([[graft.sources.Expect.writeExpect]] — Delta Live Tables'
+    * `expect_or_drop` as a lake surface): the reference REJECTS
+    * malformed orders at the write (order.js:596-650 answers 400);
+    * at 100 TB the writer is a batch, and a silently-dropped bad row
+    * is an unfindable bug — so violators land in `_quarantine/` with
+    * the names of every rule they broke, exactly-once under the same
+    * batch id as the valid landing. One codegen'd pass per batch, no
+    * shuffle. The query audits the whole gate: committed-valid
+    * total, quarantine total, per-rule violation counts from the
+    * exploded `_violated` names; oracle recomputes each from the raw
+    * table under the same predicate text — gate, landing, and audit
+    * read are hash-checked end to end. */
+  val a34 = Q("a34_expectations", Some("""
+    WITH viol AS (
+      SELECT 'not_urgent' AS rule FROM orders
+        WHERE NOT coalesce(o_orderpriority NOT LIKE '%URGENT%', FALSE)
+      UNION ALL
+      SELECT 'price_cap' FROM orders
+        WHERE NOT coalesce(o_totalprice < 200000.0, FALSE)
+      UNION ALL
+      SELECT 'status_known' FROM orders
+        WHERE NOT coalesce(o_orderstatus IN ('F','O'), FALSE)
+    ),
+    pr AS (SELECT rule, count(*) AS n_rows FROM viol GROUP BY rule),
+    tot AS (
+      SELECT '_valid' AS rule, count(*) AS n_rows FROM orders
+        WHERE coalesce(o_orderpriority NOT LIKE '%URGENT%', FALSE)
+          AND coalesce(o_totalprice < 200000.0, FALSE)
+          AND coalesce(o_orderstatus IN ('F','O'), FALSE)
+      UNION ALL
+      SELECT '_quarantined', count(*) FROM orders
+        WHERE NOT (coalesce(o_orderpriority NOT LIKE '%URGENT%', FALSE)
+          AND coalesce(o_totalprice < 200000.0, FALSE)
+          AND coalesce(o_orderstatus IN ('F','O'), FALSE))
+    )
+    SELECT rule, CAST(n_rows AS BIGINT) AS n_rows
+    FROM (SELECT * FROM pr UNION ALL SELECT * FROM tot)
+    ORDER BY rule""")) { (s, d) =>
+    import s.implicits._
+    val dir = ensureExpectOrders(s, d)
+    val nValid = graft.sources.LakeSink.readBatches(s, dir).count()
+    val nQuar = graft.sources.Expect.readQuarantine(s, dir).count()
+    graft.sources.Expect.violationCounts(s, dir)
+      .unionByName(Seq(("_valid", nValid), ("_quarantined", nQuar))
+        .toDF("rule", "n_rows"))
+      .orderBy("rule")
+  }
+
+  // a35's history: gen0 = the base table, gen1 = a fat-fingered
+  // delete snapshot, gen2 = the RESTORE to gen0 (a data generation —
+  // the fixture re-registers at ITS dir, the live pointer after the
+  // build), gen3 = a deliberate post-restore delete. All built as
+  // siblings of build/t so one rename publishes the whole history.
+  private def ensureRestoreOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val root = new java.io.File(tmp, s"graft_restore_$stamp")
+    val ready =
+      new java.io.File(new java.io.File(root, "t.g2"), "_SUCCESS").isFile &&
+      new java.io.File(new java.io.File(root, "t.g3"), "_published_delete")
+        .isFile
+    if (!ready) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_restore_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_restore_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      base.repartition(4).write.mode("overwrite")
+        .parquet(new java.io.File(build, "t").getPath)
+      s.sql("DROP TABLE IF EXISTS a35_restore_build")
+      graft.sources.LakeSink.registerExternal(s, "a35_restore_build",
+        new java.io.File(build, "t").getPath)
+      // the fat-fingered delete (gen1), recovered by restore (gen2)
+      graft.sources.LakeSink.softDelete(s, "a35_restore_build",
+        base.filter(col("o_orderkey") % 11 === 3).select("o_orderkey"),
+        "o_orderkey")
+      graft.sources.LakeSink.restoreGeneration(s, "a35_restore_build", 0L)
+      // the deliberate post-restore delete (gen3) — applies to the
+      // RESTORED content, proving the resurrection really published
+      graft.sources.LakeSink.softDelete(s, "a35_restore_build",
+        base.filter(col("o_orderstatus") === "O" &&
+          col("o_orderkey") % 7 === 2).select("o_orderkey"),
+        "o_orderkey")
+      s.sql("DROP TABLE IF EXISTS a35_restore_build")
+      if (!build.renameTo(root))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    root.getPath
+  }
+
+  /** a35: RESTORE AS A NEW COMMIT
+    * ([[graft.sources.LakeSink.restoreGeneration]] — Delta's
+    * `RESTORE TABLE ... TO VERSION`, the recovery surface): a
+    * fat-fingered delete (gen1) is undone by PUBLISHING gen0's
+    * content as gen2 through the standard claim/verify/flip — history
+    * only moves forward, the bad snapshot stays readable for the
+    * post-mortem, and a LATER deliberate delete (gen3) applies to the
+    * restored content. The live merge-on-read view is therefore
+    * "original table minus ONLY the post-restore delete" — which is
+    * exactly what the oracle states over the raw data: the %11 slice
+    * is back (hash-proves the resurrection published), the
+    * status-'O'-%7 slice is gone (hash-proves deletes compose on the
+    * restored generation). */
+  val a35 = Q("a35_restore", Some("""
+    SELECT o_orderstatus, count(*) AS n_orders,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 7 = 2)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+    val root = ensureRestoreOrders(s, d)
+    s.sql("DROP TABLE IF EXISTS a35_restore")
+    graft.sources.LakeSink.registerExternal(s, "a35_restore",
+      new java.io.File(root, "t.g2").getPath)
+    graft.sources.LakeSink.readMor(s, "a35_restore", "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28, a29, a30, a31, a32)
+    a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36)
 }

@@ -568,7 +568,12 @@ object Embed {
   // s8's oracle, factored so the persisted-index probe (s11) can pin
   // against the IDENTICAL SQL — the index path must be bit-for-bit
   // the inline composition, so they share one oracle by construction
-  private val s8OracleSql = s"""
+  // parameterized on a CANDIDATE filter (empty for the full corpus):
+  // s24 restricts the indexed side only — anchors, cells, and probes
+  // stay those of the FULL corpus, exactly the soft-delete semantics
+  // (a tombstone hides a vector as a RESULT; the trained geometry is
+  // untouched until a fold)
+  private def s8OracleSqlCand(candFilter: String) = s"""
     WITH $normCte,
     $lshAssign1Ctes,
     $probeCellsCtes,
@@ -578,7 +583,7 @@ object Embed {
                     (pv.nrm * bn.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS c6
            FROM prall p JOIN v pv ON pv.vec_id = p.probe_id
                         JOIN lasg1 g ON g.cell = p.cell
-                          AND g.vec_id <> p.probe_id
+                          AND g.vec_id <> p.probe_id$candFilter
                         JOIN v bn ON bn.vec_id = g.vec_id),
     r AS (SELECT probe_id, neighbor_id, c6,
             row_number() OVER (PARTITION BY probe_id
@@ -586,6 +591,8 @@ object Embed {
     SELECT probe_id, rn, neighbor_id, c6 AS cos6
     FROM r WHERE rn <= 5
     ORDER BY probe_id, rn"""
+
+  private val s8OracleSql = s8OracleSqlCand("")
 
   val s8 = Q("s8_knn_ivf_mp_lsh", Some(s8OracleSql)) { (s, d) =>
     val vecs = t(s, d, "embeddings")
@@ -1258,7 +1265,61 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  // s24's fixture: a soft-deleted COPY of the shared persisted index
+  // (the shared one must stay pristine for s11/s12/s15/s21) — copy
+  // the built artifact, land one tombstone batch (the %19 slice,
+  // O(|ids|) I/O — the corpus tables are byte-identical to the
+  // source index's, pinned by the copy), serve from it
+  private def ensureSoftDelIndex(s: SparkSession, d: String): String = {
+    val src = ensureIndex(s, d)
+    val stamp = corpusStamp(s, d)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_vindexsd_$stamp")
+    val fresh =
+      try graft.operators.VectorIndex.readMeta(s, dir.getPath).stamp == stamp &&
+        new java.io.File(dir, "_deletes").isDirectory
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!fresh) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_vindexsd_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_vindexsd_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(src), build)
+      graft.operators.VectorIndex.softDelete(s, build.getPath,
+        s.read.parquet(s"${build.getPath}/assigned")
+          .filter(col("vec_id") % 19 === 4).select("vec_id"))
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** s24: ANN SERVING UNDER SOFT DELETES
+    * ([[graft.operators.VectorIndex.softDelete]] — the lake's
+    * merge-on-read tombstone contract applied to the index tier): a
+    * GDPR-sized removal stream must not rewrite a corpus-sized index
+    * per batch, so the id batch lands as an O(|ids|) tombstone file
+    * and every probe applies the set as one broadcast anti-join
+    * BEFORE its top-k — full k from the survivors, never a post-hoc
+    * discard that loses result slots; delete/compact FOLD the
+    * tombstones at the next maintenance window (IndexSpec pins
+    * fold ≡ served view and the resurrect refusal). Oracle = s8's
+    * SQL with ONLY the candidate side restricted: anchors, cells,
+    * and probes stay the full corpus's — exactly what a tombstone
+    * means (the vector stops being a RESULT; the trained geometry
+    * is untouched until a fold). */
+  val s24 = Q("s24_index_soft_delete",
+      Some(s8OracleSqlCand(" AND NOT (g.vec_id % 19 = 4)"))) { (s, d) =>
+    val dir = ensureSoftDelIndex(s, d)
+    graft.operators.VectorIndex.probe(s, dir,
+      t(s, d, "embeddings").filter(col("vec_id") % 17 === 0), 5, nprobe = 2)
+      .orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
     s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
-    s21, s22, s23)
+    s21, s22, s23, s24)
 }

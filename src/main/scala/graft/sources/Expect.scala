@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WRITE-SIDE EXPECTATIONS with QUARANTINE — the data-quality
+  * contract every managed ingest tier ships (Delta Live Tables'
+  * `expect_or_drop`, Great Expectations' checkpoint): named row-level
+  * predicates are checked AT THE WRITE, valid rows commit, violating
+  * rows land in a `_quarantine/` side table carrying WHICH rules they
+  * broke — never silently dropped (a dropped row is undebuggable; a
+  * quarantined row is a work queue). The reference validates orders
+  * before accepting them (lambda_fns/order.js:596-650 rejects
+  * malformed bodies with a 400) — this is that gate when the writer
+  * is a 100 TB batch/stream, not an HTTP handler.
+  *
+  * Scale shape: ONE pass over the batch — every rule compiles to a
+  * codegen'd boolean column, the verdict is an array-filter over
+  * their names, and the two sides split from one checkpointed
+  * flagged frame. No shuffle, no per-rule scan; rules cost what one
+  * `filter` costs. Both sides land through [[LakeSink.appendBatchOnce]]
+  * under the SAME caller-supplied batch id, so the whole gated write
+  * is exactly-once under replays (a crash between the two landings
+  * replays into "one side no-ops, the other completes").
+  *
+  * TERNARY RULE: a row whose predicate evaluates to NULL is a
+  * VIOLATION (not provably valid ⇒ quarantine) — the conservative
+  * direction for a gate; pinned in spec.
+  */
+object Expect {
+
+  /** one named expectation. `sqlPredicate` is PREDICATE TEXT — the
+    * same string runs as Spark SQL here and as the audit query a
+    * human pastes into any engine later (names are the quarantine's
+    * vocabulary, so they must be non-empty, comma-free, distinct). */
+  final case class Rule(name: String, sqlPredicate: String)
+
+  private def requireWellFormed(rules: Seq[Rule]): Unit = {
+    require(rules.nonEmpty, "EXPECT REFUSED: empty rule set gates nothing")
+    require(rules.forall(r => r.name.nonEmpty && !r.name.contains(",")),
+      "EXPECT REFUSED: rule names must be non-empty and comma-free " +
+        "(the quarantine's _violated column is comma-joined)")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "EXPECT REFUSED: duplicate rule names")
+  }
+
+  /** the violated-rule-names column: for each rule IN DECLARATION
+    * ORDER, its name iff the row fails it (NULL folds to fail). */
+  private def violatedCol(rules: Seq[Rule]): Column =
+    array_join(
+      filter(
+        array(rules.map(r =>
+          when(!coalesce(expr(r.sqlPredicate), lit(false)), lit(r.name))): _*),
+        x => x.isNotNull),
+      ",")
+
+  /** split a batch by the rule set: (valid, quarantined) — the
+    * quarantined side carries `_violated` = comma-joined names of ALL
+    * rules the row broke, in declaration order. Pure transform (no
+    * I/O); [[writeExpect]] is the landing form. */
+  def split(batch: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    requireWellFormed(rules)
+    val flagged = batch.withColumn("_violated", violatedCol(rules))
+    (flagged.filter(col("_violated") === "").drop("_violated"),
+      flagged.filter(col("_violated") =!= ""))
+  }
+
+  /** land a batch under expectations, EXACTLY-ONCE: valid rows append
+    * as `batch-<id>` through [[LakeSink.appendBatchOnce]]; violators
+    * land under `_quarantine/` through the same machinery and id
+    * (`_`-prefixed — invisible to every plain data read). Returns
+    * (nValid, nQuarantined) for THIS batch — (0, 0) means the id was
+    * already committed on both sides (a replay). The flagged frame is
+    * checkpointed once so the batch is scanned once, not per side. */
+  def writeExpect(spark: SparkSession, dir: String, batchId: Long,
+      batch: DataFrame, rules: Seq[Rule]): (Long, Long) = {
+    requireWellFormed(rules)
+    val flagged = batch.withColumn("_violated", violatedCol(rules))
+      .localCheckpoint(true)
+    val valid = flagged.filter(col("_violated") === "").drop("_violated")
+    val quar = flagged.filter(col("_violated") =!= "")
+    val nQ = quar.count()
+    val landedV = LakeSink.appendBatchOnce(spark, dir, batchId, valid)
+    // the quarantine landing rides the SAME id: a crash between the
+    // two appends replays into one no-op + one completion. An
+    // all-valid batch still lands an EMPTY quarantine batch — the
+    // id must be committed on both sides or a replay after a crash
+    // here could never converge.
+    val landedQ = LakeSink.appendBatchOnce(spark, s"$dir/_quarantine",
+      batchId, quar)
+    if (!landedV && !landedQ) (0L, 0L)
+    else (valid.count(), nQ)
+  }
+
+  /** every quarantined row ever landed, with its `_violated` names —
+    * the audit/repair queue. Empty-schema-safe: a table whose batches
+    * were all clean still has (empty) quarantine batches to read. */
+  def readQuarantine(spark: SparkSession, dir: String): DataFrame =
+    LakeSink.readBatches(spark, s"$dir/_quarantine")
+
+  /** per-rule violation counts over the whole quarantine — one
+    * explode over the (quarantine-sized) side table, never the data. */
+  def violationCounts(spark: SparkSession, dir: String): DataFrame =
+    readQuarantine(spark, dir)
+      .select(explode(org.apache.spark.sql.functions
+        .split(col("_violated"), ",")).as("rule"))
+      .groupBy("rule").agg(count(lit(1)).as("n_rows"))
+}

@@ -125,7 +125,8 @@ object LakeSink {
     * and assert the verify-before-swap aborts with the original intact */
   private[graft] def compactImpl(spark: SparkSession, path: String,
       format: String, targetRecordsPerFile: Long,
-      rewrite: (DataFrame, Int, String) => Unit): Long = {
+      rewrite: (DataFrame, Int, String) => Unit,
+      source: Option[DataFrame] = None): Long = {
     requireAtomicRename(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -136,7 +137,10 @@ object LakeSink {
     if (!fs.exists(cur) && fs.exists(old))
       require(fs.rename(old, cur), s"recovery rename $old -> $cur failed")
     if (fs.exists(old)) require(fs.delete(old, true), s"stale $old undeletable")
-    val df = spark.read.format(format).load(path)
+    // `source` lets a MERGE-ON-READ caller compact the FOLDED view
+    // (base + logs) rather than the plain directory read — the
+    // count-verify then proves the staged copy against the view
+    val df = source.getOrElse(spark.read.format(format).load(path))
     val n = df.count()
     val nFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     rewrite(df, nFiles, tmpP.toString)
@@ -771,13 +775,21 @@ object LakeSink {
     * per table, like the rest of the lake. Returns the number of rows
     * the delete removed from the view. */
   def softDeleteDir(spark: SparkSession, dir: String, keys: DataFrame,
-      key: String): Long = {
+      key: String): Long =
+    landDeleteBatch(spark, dir, keys, key, morRead(spark, dir, key))
+
+  /** the tombstone-landing kernel shared by [[softDeleteDir]] (liveness
+    * = the base MOR view) and [[softDeleteUpsertDir]] (liveness = the
+    * upsert view — a key inserted through the update log is deletable
+    * too): NULL/not-live refusals, staged batch verified by recount,
+    * ONE rename as the atomic commit into `_deletes/b-*`. */
+  private def landDeleteBatch(spark: SparkSession, dir: String,
+      keys: DataFrame, key: String, live: DataFrame): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val nNull = keys.filter(col(key).isNull).count()
     require(nNull == 0,
       s"MOR DELETE REFUSED: $nNull rows carry a NULL $key")
     val del = keys.select(col(key)).distinct().localCheckpoint(true)
-    val live = morRead(spark, dir, key)
     val nMissing = del.join(live.select(col(key)), Seq(key), "left_anti")
       .count()
     require(nMissing == 0,
@@ -959,6 +971,304 @@ object LakeSink {
         .mode("overwrite").save(dest)
       n
     }
+  }
+
+  // ---- MERGE-ON-READ UPSERTS (the row-UPDATE/INSERT log) -----------
+
+  /** the committed update-log batches of `dir`, (seq, path) in landed
+    * order — `_updates/u-<seq>-<tag>` directories, `_`-hidden from
+    * every plain data read like `_deletes` is. */
+  private def updateBatches(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(Long, String)] = {
+    val ups = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), "_updates")
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(ups, "u-*")))
+      .getOrElse(Array.empty).toIndexedSeq
+      .map { st =>
+        val n = st.getPath.getName // u-<seq>-<tag>
+        (n.split("-")(1).toLong, st.getPath.toString)
+      }.sortBy(_._1)
+  }
+
+  /** the update log's committed KEY column (`_updates/_key`) — landed
+    * with the first batch so PLAN-TIME consumers
+    * ([[graft.plans.TombstoneApplyRule]]) can fold the log without
+    * being told the key out of band (batches carry full rows; nothing
+    * else names the key). */
+  private[graft] def updateLogKey(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir, "_updates"), "_key")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** read ONLY the directory's current data files, by EXPLICIT list —
+    * the rule-proof read: [[graft.plans.TombstoneApplyRule]]'s
+    * eligible shape is a single-root scan, so the explicit multi-path
+    * form can never be rewritten (the internal reads of the MOR fold
+    * itself must not be, or the fold would apply twice). */
+  private def readDataFilesList(spark: SparkSession,
+      dir: String): DataFrame = {
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = dataFileNames(fs, dir).toSeq.sorted
+      .map(n => new org.apache.hadoop.fs.Path(loc, n).toString)
+    if (files.isEmpty) spark.read.parquet(dir)
+    else spark.read.parquet(files: _*)
+  }
+
+  /** the accumulated tombstone keys of `dir`, if any delete batch has
+    * landed — schema checked by name against the caller's key. */
+  private def tombstoneKeys(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      key: String): Option[DataFrame] = {
+    val dels = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), "_deletes")
+    val batches = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dels, "b-*")))
+      .getOrElse(Array.empty).map(_.getPath.toString)
+    if (batches.isEmpty) None
+    else {
+      val tomb = spark.read.parquet(batches.toIndexedSeq: _*)
+      require(tomb.columns.toSeq == Seq(key),
+        s"MOR READ REFUSED: tombstones carry key '${tomb.columns.mkString(",")}', " +
+          s"read asked for '$key'")
+      Some(tomb)
+    }
+  }
+
+  /** MERGE-ON-READ UPSERT — the row-UPDATE/INSERT sibling of
+    * [[softDeleteDir]] (the Hudi log-file shape, reference
+    * lambda_fns/order.js:596-650 updates an order's row in place —
+    * this is that UPDATE when the table is a 100 TB lake, not an
+    * RDBMS): the batch lands as FULL ROWS under
+    * `_updates/u-<seq>-<tag>` — O(|batch|) I/O, data files never
+    * rewritten — and [[morReadUpsertDir]] folds the log at read
+    * time: the LATEST landed version of each key wins (base rows are
+    * version 0; non-unique base keys are REPLACED as a group by
+    * their single update row — UPSERT is a key-level statement). At
+    * scale this is the difference between an UPDATE costing
+    * update-sized I/O and rewriting the table for a 1% change; the
+    * read pays one broadcast anti-join against the update∪tombstone
+    * key set — the base never shuffles for its own updates.
+    *
+    * ORDERING CONTRACT: batches are totally ordered by the landed
+    * sequence number (single-writer per table, like every lake
+    * surface here), and updates can never race deletes because an
+    * upsert carrying a pending-tombstoned key REFUSES BY NAME —
+    * resurrecting a deleted key through an update log would undo a
+    * GDPR delete silently; [[compactUpsertsDir]] first, then
+    * re-insert deliberately. So "tombstone wins" needs no cross-log
+    * clock: every tombstone postdates every update of its key.
+    * Further refusals: NULL keys; duplicate keys WITHIN a batch
+    * (which version wins would be undefined); schema drift vs the
+    * base column set ([[appendEvolved]] is the evolution path).
+    * Returns (updated, inserted) counts vs the current upsert view.
+    * Crash contract: the staged batch is verified by recount, then
+    * ONE rename is the atomic commit — a crash before it leaves the
+    * view unchanged and a `.tmp-ups-*` leftover swept on the next
+    * call. */
+  def softUpsertDir(spark: SparkSession, dir: String, batch: DataFrame,
+      key: String, onceId: Option[Long] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // onceId = the caller's DELIVERY identity (a streaming epoch):
+    // a batch directory already carrying `-e<id>` means this delivery
+    // committed — the replay touches nothing (the appendKeyStats
+    // lesson: delivery id, not content digest — identical multisets
+    // from DISTINCT deliveries are distinct batches)
+    onceId.foreach { e =>
+      if (updateBatches(fs, dir).exists(_._2.contains(s"-e$e-")))
+        return (0L, 0L)
+    }
+    val data = readDataFilesList(spark, dir)
+    require(batch.columns.sorted.toSeq == data.columns.sorted.toSeq,
+      s"MOR UPSERT REFUSED: batch columns [${batch.columns.sorted.mkString(",")}] " +
+        s"differ from the table's [${data.columns.sorted.mkString(",")}] — " +
+        "appendEvolved is the schema-evolution path")
+    val nNull = batch.filter(col(key).isNull).count()
+    require(nNull == 0,
+      s"MOR UPSERT REFUSED: $nNull rows carry a NULL $key")
+    val nDup = batch.groupBy(col(key)).count()
+      .filter(col("count") > 1).count()
+    require(nDup == 0,
+      s"MOR UPSERT REFUSED: $nDup keys appear more than once in the " +
+        "batch — which version wins is undefined; pre-resolve to one " +
+        "row per key")
+    tombstoneKeys(spark, fs, dir, key).foreach { tomb =>
+      val nTomb = batch.join(broadcast(tomb), Seq(key), "left_semi").count()
+      require(nTomb == 0,
+        s"MOR UPSERT REFUSED: $nTomb keys are pending-tombstoned — an " +
+          "update log must never resurrect a deleted key; compactUpsertsDir " +
+          "first, then insert deliberately")
+    }
+    val liveKeys = morReadUpsertDir(spark, dir, key)
+      .select(col(key)).distinct()
+    val updated = batch.join(liveKeys, Seq(key), "left_semi").count()
+    val inserted = batch.count() - updated
+    // land: stage + verify + ONE rename (the atomic commit)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val ups = new org.apache.hadoop.fs.Path(loc, "_updates")
+    fs.mkdirs(ups)
+    // the log's KEY marker — written before the first batch so the
+    // planner rule can fold the log without out-of-band knowledge;
+    // later batches must agree (one key governs one log)
+    updateLogKey(fs, dir) match {
+      case Some(k0) => require(k0 == key,
+        s"MOR UPSERT REFUSED: the update log is keyed on '$k0', " +
+          s"this batch says '$key' — one key governs one log")
+      case None =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(ups, "_key"), true)
+        out.write(key.getBytes("UTF-8")); out.close()
+    }
+    // sweep crashed prior attempts' stages (never committed batches)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(loc, ".tmp-ups-*")))
+      .getOrElse(Array.empty)
+      .foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
+    val stage = new org.apache.hadoop.fs.Path(loc, s".tmp-ups-$tag")
+    // column ORDER normalized to the base layout so every log batch
+    // unions by position too, not just by name
+    val normalized = batch.select(data.columns.map(col).toIndexedSeq: _*)
+    normalized.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString).count()
+    if (staged != updated + inserted) {
+      fs.delete(stage, true)
+      throw new java.io.IOException(
+        s"staged upsert batch short: $staged of ${updated + inserted} " +
+          "rows; aborting — view unchanged")
+    }
+    val seq = (updateBatches(fs, dir).map(_._1) :+ 0L).max + 1
+    // the delivery id rides the batch NAME (what the replay check
+    // greps), between seq and tag — seq parsing is position-stable
+    val dest = new org.apache.hadoop.fs.Path(ups,
+      onceId.fold(f"u-$seq%06d-$tag")(e => f"u-$seq%06d-e$e-$tag"))
+    require(fs.rename(stage, dest), s"upsert publish failed: $stage -> $dest")
+    (updated, inserted)
+  }
+
+  /** The MERGE-ON-READ UPSERT view: base data files with the
+    * `_updates/` log folded on top and `_deletes/` tombstones applied
+    * last. With an empty log this IS [[morRead]] (zero-cost until the
+    * first upsert). Fold shape: the log is update-sized — latest
+    * version per key resolves in one window over the batches' union
+    * (never the base) — and the base pays exactly one BROADCAST
+    * anti-join against the update∪tombstone key set; tombstones also
+    * anti-join the folded updates (a delete landed after an update
+    * hides it — the refusal in [[softUpsertDir]] makes "after" the
+    * only possibility). */
+  def morReadUpsertDir(spark: SparkSession, dir: String,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit file list = rule-proof: with TombstoneApplyRule on, a
+    // single-root read here would be rewritten into the fold AGAIN
+    // (the union side is not idempotent, unlike the delete anti-join)
+    val data = readDataFilesList(spark, dir)
+    updateLogKey(fs, dir).foreach(k0 => require(k0 == key,
+      s"MOR READ REFUSED: the update log is keyed on '$k0', " +
+        s"read asked for '$key'"))
+    val ups = updateBatches(fs, dir)
+    val tomb = tombstoneKeys(spark, fs, dir, key)
+    if (ups.isEmpty)
+      tomb.fold(data)(t => data.join(broadcast(t), Seq(key), "left_anti"))
+    else {
+      val log = ups.map { case (seq, p) =>
+        spark.read.parquet(p).withColumn("_u_seq", lit(seq))
+      }.reduce(_.unionByName(_))
+      require(log.columns.contains(key),
+        s"MOR READ REFUSED: update log carries no '$key' column")
+      val latest = log
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col(key)).orderBy(col("_u_seq").desc)))
+        .filter(col("_rn") === 1)
+        .select(data.columns.map(col).toIndexedSeq: _*)
+      val latestKept =
+        tomb.fold(latest)(t => latest.join(broadcast(t), Seq(key), "left_anti"))
+      val hide = tomb.fold(latest.select(col(key)))(
+        t => latest.select(col(key)).unionByName(t)).distinct()
+      data.join(broadcast(hide), Seq(key), "left_anti")
+        .unionByName(latestKept)
+    }
+  }
+
+  /** RESTORE a retained snapshot AS A NEW COMMIT (Delta's
+    * `RESTORE TABLE ... TO VERSION`): the recovery from a bad publish
+    * or a fat-fingered delete. History only moves FORWARD — the
+    * restored content publishes as generation live+1 through the
+    * standard claim/verify/flip, the bad generations stay readable
+    * (within retention) for the post-mortem, and nothing is ever
+    * rewound in place (a rewind would make two different histories
+    * claim the same generation number — travel would lie).
+    *
+    * Content is EXACTLY [[readGeneration]]`(gen)` — including its
+    * delete-snapshot semantics: restoring to a delete snapshot keeps
+    * those deletes; restoring PAST one deliberately RESURRECTS the
+    * deleted rows (that is what RESTORE means — Delta behaves the
+    * same; a GDPR erasure that must survive restores needs its
+    * retention window elapsed, which also reclaims the old
+    * generations holding the bytes). The snapshot is eagerly
+    * materialized BEFORE the publish begins, so the publish's own
+    * entry GC (which may reclaim the source generation if it is past
+    * retention) cannot tear the read. Pending live tombstones are
+    * superseded by the new generation (which carries no `_deletes`) —
+    * the explicit-snapshot write is exempt from the raw-read
+    * resurrection refusal for the same reason compactMor is: the
+    * caller names the exact view being published. Unretained `gen`
+    * refuses by name (readGeneration's contract). Returns the
+    * restored row count. */
+  def restoreGeneration(spark: SparkSession, table: String, gen: Long,
+      targetRecordsPerFile: Long = 500000L, retainMs: Long = 600000L,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    val snap = readGeneration(spark, table, gen).localCheckpoint(true)
+    val n = snap.count()
+    publishGeneration(spark, table, retainMs, statsCols, bloomCols,
+        applyTombstones = true) { (_, dest, format) =>
+      val nFiles = math.max(1L,
+        (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      snap.repartition(nFiles).write.format(format)
+        .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+        .mode("overwrite").save(dest)
+      n
+    }
+    n
+  }
+
+  /** [[softDeleteDir]] against the UPSERT view — deletes a key that
+    * lives anywhere in base ∪ update log (softDeleteDir's liveness
+    * check sees only the base view, so a key INSERTED through the
+    * log would refuse there). Lands in the same `_deletes/` — one
+    * tombstone set governs both MOR views, and [[softUpsertDir]]'s
+    * pending-tombstone refusal keeps the logs order-free. Returns
+    * rows removed from the upsert view. */
+  def softDeleteUpsertDir(spark: SparkSession, dir: String,
+      keys: DataFrame, key: String): Long =
+    landDeleteBatch(spark, dir, keys, key,
+      morReadUpsertDir(spark, dir, key))
+
+  /** MATERIALIZE the upsert view at directory level: the folded
+    * table replaces the base through [[compactImpl]]'s checked
+    * two-rename swap (staged copy verified by recount BEFORE the
+    * original is touched), with the `_updates/` and `_deletes/` logs
+    * retiring WITH the superseded directory — the swap is the atomic
+    * point, so no reader window sees folded rows and a live log
+    * together. Returns the surviving row count. */
+  def compactUpsertsDir(spark: SparkSession, dir: String, key: String,
+      targetRecordsPerFile: Long): Long = {
+    val view = morReadUpsertDir(spark, dir, key).localCheckpoint(true)
+    compactImpl(spark, dir, "parquet", targetRecordsPerFile,
+      (_, nFiles, tmp) => view.repartition(nFiles).write
+        .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+        .mode("overwrite").parquet(tmp),
+      source = Some(view))
   }
 
   private[graft] def tableLocation(spark: SparkSession, table: String): String = {

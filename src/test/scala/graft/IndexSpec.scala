@@ -200,6 +200,76 @@ class IndexSpec extends AnyFunSuite {
       "refused deletes must not touch the meta")
   }
 
+  test("softDelete: O(|ids|) tombstones — probes hide pre-top-k ≡ survivor rebuild; fold clears; resurrect refused") {
+    val dirS = java.nio.file.Files.createTempDirectory("graft_idx_s").toString
+    val dirR2 = java.nio.file.Files.createTempDirectory("graft_idx_s_r").toString
+    VectorIndex.write(vecs, "vec_id", "embedding", anchorPred, dirS,
+      stamp = "S")
+    VectorIndex.writeSq8(spark, dirS)
+    val baseN = VectorIndex.readMeta(spark, dirS).n
+    // non-anchor, non-probe ids (same reasoning as the delete test)
+    val delPred = col("vec_id") % 5 === 4 && col("vec_id") % 17 =!= 0 &&
+      col("vec_id") % 11 === 3
+    val delIds = vecs.filter(delPred).select("vec_id").localCheckpoint(true)
+    val nDel = delIds.count()
+    assert(nDel > 0)
+    def tableFiles(t: String) = new java.io.File(s"$dirS/$t").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).toMap
+    val before = (tableFiles("assigned"), tableFiles("codes"), tableFiles("sq8"))
+    assert(VectorIndex.softDelete(spark, dirS, delIds) == nDel)
+    assert((tableFiles("assigned"), tableFiles("codes"), tableFiles("sq8"))
+      == before,
+      "a soft delete must land O(|ids|) tombstones, never rewrite the tables")
+    assert(VectorIndex.readMeta(spark, dirS).n == baseN,
+      "meta.n stays the BASE count until a fold materializes the view")
+    // no probe path may serve a tombstoned id, and the raw path must
+    // equal a rebuild on the survivors (pre-top-k hiding = full k)
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    for ((name, df) <- Seq(
+        "probe" -> VectorIndex.probe(spark, dirS, probes, 5, nprobe = 2),
+        "probePq" -> VectorIndex.probePq(spark, dirS, probes, 5),
+        "probeRerank" -> VectorIndex.probeRerank(spark, dirS, probes, 5,
+          nprobe = 2),
+        "probeSq8" -> VectorIndex.probeSq8(spark, dirS, probes, 5))) {
+      val leaked = df.collect()
+        .filter(r => delSet.contains(r.getAs[Long]("neighbor_id")))
+      assert(leaked.isEmpty, s"$name served tombstoned ids: ${leaked.toSeq}")
+    }
+    VectorIndex.write(vecs.filter(!delPred), "vec_id", "embedding",
+      anchorPred, dirR2, stamp = "R2")
+    val servedPreFold = rows(VectorIndex.probe(spark, dirS, probes, 5,
+      nprobe = 2))
+    assert(servedPreFold ==
+      rows(VectorIndex.probe(spark, dirR2, probes, 5, nprobe = 2)),
+      "probe under tombstones must equal probe over the survivor rebuild")
+    // refusals: re-deleting a tombstoned id (not live), resurrect via append
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.softDelete(spark, dirS, delIds.limit(1))
+    }
+    assert(e1.getMessage.contains("not live"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.append(spark, dirS, vecs.filter(delPred)
+        .select("vec_id", "embedding").limit(1).localCheckpoint(true))
+    }
+    assert(e2.getMessage.contains("pending-tombstoned"))
+    // compact FOLDS: tombstones clear, meta.n drops to the live count,
+    // every probe path bit-identical to its pre-fold answers
+    assert(VectorIndex.compact(spark, dirS) == baseN - nDel)
+    assert(!new java.io.File(s"$dirS/_deletes").exists,
+      "a fold must clear the tombstones it materialized")
+    assert(VectorIndex.readMeta(spark, dirS).n == baseN - nDel)
+    assert(rows(VectorIndex.probe(spark, dirS, probes, 5, nprobe = 2))
+      == servedPreFold,
+      "the fold must not change a single served answer")
+    // and the formerly-tombstoned ids are appendable again (replace cycle)
+    VectorIndex.append(spark, dirS, vecs.filter(delPred)
+      .select("vec_id", "embedding").localCheckpoint(true))
+    assert(rows(VectorIndex.probe(spark, dirS, probes, 5, nprobe = 2)) ==
+      rows(VectorIndex.probe(spark, idxDir, probes, 5, nprobe = 2)),
+      "fold + append of the same vectors must restore the raw probe path")
+  }
+
   test("append retry after a torn publish converges (content-tag sweep)") {
     val dirT = java.nio.file.Files.createTempDirectory("graft_idx_t").toString
     val a = vecs.filter(col("vec_id") % 5 =!= 4)

@@ -1259,4 +1259,292 @@ class LakeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE morsql_t"); spark.sql("DROP TABLE morsql_tt")
     } finally spark.conf.unset(FLAG)
   }
+
+  test("merge-on-read upserts: log lands O(|batch|), latest version wins, data files never rewritten") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_ups").toString + "/t"
+    val base = (1L to 400L).map(i => (i, i * 10L, s"base$i"))
+      .toDF("k", "v", "note")
+    LakeSink.writeParquet(base, out)
+    val filesBefore = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    // batch 1: update 3 keys, insert 2 new ones
+    val b1 = Seq((1L, 111L, "u1"), (2L, 222L, "u1"), (3L, 333L, "u1"),
+      (401L, 4010L, "i1"), (402L, 4020L, "i1")).toDF("k", "v", "note")
+    val (upd1, ins1) = LakeSink.softUpsertDir(spark, out, b1, "k")
+    assert(upd1 == 3L && ins1 == 2L, s"got ($upd1, $ins1)")
+    // batch 2: re-update k=2 (latest wins) and one log-inserted key
+    val b2 = Seq((2L, 2222L, "u2"), (401L, 40100L, "u2"))
+      .toDF("k", "v", "note")
+    val (upd2, ins2) = LakeSink.softUpsertDir(spark, out, b2, "k")
+    assert(upd2 == 2L && ins2 == 0L,
+      "a log-inserted key is LIVE — updating it counts as update")
+    val view = LakeSink.morReadUpsertDir(spark, out, "k")
+    assert(view.count() == 402L)
+    val got = view.filter(col("k").isin(1L, 2L, 3L, 4L, 401L, 402L))
+      .select("k", "v", "note").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 111L, "u1"), (2L, 2222L, "u2"),
+      (3L, 333L, "u1"), (4L, 40L, "base4"), (401L, 40100L, "u2"),
+      (402L, 4020L, "i1")),
+      s"latest-version-wins fold broken: ${got.mkString(",")}")
+    // the base data files were never rewritten
+    val filesAfter = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(filesAfter == filesBefore,
+      "an upsert must land in the log, not rewrite data files")
+    // the fold's base anti-join BROADCASTS (update-sized key set)
+    val plan = view.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("Broadcast"),
+      s"expected a broadcast anti-join in:\n$plan")
+  }
+
+  test("merge-on-read upserts: refusals — NULL key, in-batch duplicate, schema drift, pending tombstone") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_ups_ref").toString + "/t"
+    LakeSink.writeParquet((1L to 50L).map(i => (i, i)).toDF("k", "v"), out)
+    val eNull = intercept[IllegalArgumentException] {
+      LakeSink.softUpsertDir(spark, out,
+        Seq[(java.lang.Long, Long)]((null, 0L), (1L, 9L)).toDF("k", "v"), "k")
+    }
+    assert(eNull.getMessage.contains("NULL k"))
+    val eDup = intercept[IllegalArgumentException] {
+      LakeSink.softUpsertDir(spark, out,
+        Seq((1L, 8L), (1L, 9L)).toDF("k", "v"), "k")
+    }
+    assert(eDup.getMessage.contains("more than once"))
+    val eSchema = intercept[IllegalArgumentException] {
+      LakeSink.softUpsertDir(spark, out,
+        Seq((1L, 8L, "x")).toDF("k", "v", "extra"), "k")
+    }
+    assert(eSchema.getMessage.contains("appendEvolved"))
+    // a pending-tombstoned key must never resurrect through the log
+    LakeSink.softDeleteDir(spark, out, Seq(7L).toDF("k"), "k")
+    val eTomb = intercept[IllegalArgumentException] {
+      LakeSink.softUpsertDir(spark, out, Seq((7L, 70L)).toDF("k", "v"), "k")
+    }
+    assert(eTomb.getMessage.contains("pending-tombstoned"))
+    // nothing landed: the view is base minus the tombstone, untouched
+    assert(LakeSink.morReadUpsertDir(spark, out, "k").count() == 49L)
+  }
+
+  test("merge-on-read upserts: deletes compose — tombstone wins over earlier updates, log-inserted keys deletable") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_ups_del").toString + "/t"
+    LakeSink.writeParquet((1L to 100L).map(i => (i, i)).toDF("k", "v"), out)
+    LakeSink.softUpsertDir(spark, out,
+      Seq((5L, 555L), (101L, 1010L)).toDF("k", "v"), "k")
+    // base-view softDeleteDir REFUSES the log-inserted key by name —
+    // its liveness check sees only the base
+    val eBase = intercept[IllegalArgumentException] {
+      LakeSink.softDeleteDir(spark, out, Seq(101L).toDF("k"), "k")
+    }
+    assert(eBase.getMessage.contains("not live"))
+    // the upsert-view delete sees it; tombstone hides UPDATED key 5 too
+    assert(LakeSink.softDeleteUpsertDir(spark, out,
+      Seq(101L, 5L).toDF("k"), "k") == 2L)
+    val view = LakeSink.morReadUpsertDir(spark, out, "k")
+    assert(view.count() == 99L)
+    assert(view.filter(col("k").isin(5L, 101L)).count() == 0L,
+      "a delete landed after an update must win")
+  }
+
+  test("merge-on-read upserts: non-unique base key is replaced as a group; compactUpsertsDir materializes the view") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_ups_cmp").toString + "/t"
+    // k=3 appears 3 times in the base
+    LakeSink.writeParquet((1L to 30L).map(i => (i % 10, i)).toDF("k", "row_id"),
+      out)
+    val (u, i2) = LakeSink.softUpsertDir(spark, out,
+      Seq((3L, 999L)).toDF("k", "row_id"), "k")
+    assert(u == 1L && i2 == 0L)
+    val view = LakeSink.morReadUpsertDir(spark, out, "k")
+    assert(view.count() == 28L, "3 base rows of k=3 replaced by 1")
+    assert(view.filter(col("k") === 3L).count() == 1L)
+    LakeSink.softDeleteUpsertDir(spark, out, Seq(4L).toDF("k"), "k")
+    val expect = LakeSink.morReadUpsertDir(spark, out, "k")
+      .localCheckpoint(true)
+    val n = LakeSink.compactUpsertsDir(spark, out, "k", 1000L)
+    assert(n == 25L)
+    // logs retired with the swap; the plain read IS the folded view
+    assert(!new java.io.File(out + "/_updates").exists &&
+      !new java.io.File(out + "/_deletes").exists,
+      "compaction must retire both logs with the superseded directory")
+    val plain = spark.read.parquet(out)
+    assert(plain.count() == 25L &&
+      plain.exceptAll(expect).isEmpty && expect.exceptAll(plain).isEmpty,
+      "materialized table must equal the pre-compaction view bit-for-bit")
+    // empty-log view is the plain read again (zero-cost fold)
+    val p2 = LakeSink.morReadUpsertDir(spark, out, "k")
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("LeftAnti"),
+      "an empty log must plan a plain scan, no anti-join")
+  }
+
+  test("restoreGeneration: history moves forward, bad snapshot stays readable, deletes compose on restored content; refusals") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_restore").toString + "/t"
+    val base = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+      .localCheckpoint(true)
+    LakeSink.writeParquet(base.repartition(4), out)
+    LakeSink.registerExternal(spark, "restore_t", out)
+    try {
+      // the fat-fingered delete → gen1
+      LakeSink.softDelete(spark, "restore_t",
+        (1L to 50L).toDF("k"), "k")
+      assert(LakeSink.readMor(spark, "restore_t", "k").count() == 350L)
+      // RESTORE to gen0 publishes gen2 — forward, never a rewind
+      assert(LakeSink.restoreGeneration(spark, "restore_t", 0L) == 400L)
+      assert(LakeSink.listGenerations(spark, "restore_t") == Seq(0L, 1L, 2L))
+      val live = LakeSink.readMor(spark, "restore_t", "k")
+      assert(live.count() == 400L &&
+        live.exceptAll(base).isEmpty && base.exceptAll(live).isEmpty,
+        "restore must republish gen0's exact content")
+      // the bad snapshot stays readable for the post-mortem
+      assert(LakeSink.readGeneration(spark, "restore_t", 1L).count() == 350L)
+      // a deliberate post-restore delete applies to the RESTORED rows
+      LakeSink.softDelete(spark, "restore_t",
+        (1L to 20L).toDF("k"), "k")
+      assert(LakeSink.readMor(spark, "restore_t", "k").count() == 380L,
+        "the resurrected keys must be deletable again")
+      // restoring TO a delete snapshot keeps that snapshot's deletes
+      assert(LakeSink.restoreGeneration(spark, "restore_t", 1L) == 350L)
+      assert(LakeSink.readMor(spark, "restore_t", "k").count() == 350L)
+      assert(LakeSink.listGenerations(spark, "restore_t")
+        == Seq(0L, 1L, 2L, 3L, 4L))
+      // unknown generation refuses by name (readGeneration's contract)
+      val e = intercept[IllegalArgumentException] {
+        LakeSink.restoreGeneration(spark, "restore_t", 99L)
+      }
+      assert(e.getMessage.contains("not retained"))
+    } finally spark.sql("DROP TABLE restore_t")
+  }
+
+  test("planner-applied upsert fold: plain reads serve the folded view (≡ morReadUpsertDir); key-less scans refuse; compaction clears the plan") {
+    import spark.implicits._
+    val FLAG = "spark.graft.morApply.enabled"
+    val out = Files.createTempDirectory("graft_upssql").toString + "/t"
+    val base = (1L to 300L).map(i => (i, 0L, s"n$i")).toDF("k", "v", "note")
+    LakeSink.writeParquet(base.repartition(4), out)
+    LakeSink.softUpsertDir(spark, out,
+      ((1L to 30L) ++ (301L to 305L)).map(k => (k, 1L, "b1"))
+        .toDF("k", "v", "note"), "k")
+    LakeSink.softUpsertDir(spark, out,
+      (1L to 10L).map(k => (k, 2L, "b2")).toDF("k", "v", "note"), "k")
+    LakeSink.softDeleteUpsertDir(spark, out,
+      ((291L to 295L) :+ 301L).toDF("k"), "k")
+    // the ground truth BEFORE the flag (the explicit API's fold)
+    val expected = LakeSink.morReadUpsertDir(spark, out, "k")
+      .localCheckpoint(true)
+    assert(expected.count() == 299L)
+    // DEFAULT OFF: the documented hole — plain reads serve STALE rows
+    // (no log inserts, no updates, deletes resurrected)
+    assert(spark.read.parquet(out).count() == 300L,
+      "default-off plain read documents the stale-serve shape")
+    spark.conf.set(FLAG, "true")
+    try {
+      val plain = spark.read.parquet(out)
+      assert(plain.count() == 299L)
+      assert(plain.exceptAll(expected).isEmpty &&
+        expected.exceptAll(plain).isEmpty,
+        "planner-applied upsert fold must serve exactly morReadUpsertDir")
+      // latest-wins and inserts visible through PLAIN spark.sql reads
+      val p = spark.read.parquet(out)
+      assert(p.filter(col("v") === 2L).count() == 10L &&
+        p.filter(col("v") === 1L).count() == 24L, // 20 updates + 4 inserts
+        "the plan's fold must pick each key's latest version")
+      // the plan is the documented shape: union + broadcast anti-join
+      val plan = plain.queryExecution.executedPlan.toString
+      assert(plan.contains("Union") && plan.contains("LeftAnti"),
+        s"expected the fold's union + anti-join in:\n$plan")
+      // the explicit API stays correct under the flag (file-list read
+      // — the fold must never stack twice)
+      val expl = LakeSink.morReadUpsertDir(spark, out, "k")
+      assert(expl.count() == 299L &&
+        expl.exceptAll(expected).isEmpty && expected.exceptAll(expl).isEmpty)
+      // a scan that projects away the key refuses by name
+      val e = intercept[Throwable] {
+        spark.read.schema("v BIGINT, note STRING").parquet(out).count()
+      }
+      assert(e.getMessage != null && e.getMessage.contains("MOR PLAN REFUSED"),
+        s"got: ${e.getMessage}")
+      // compaction materializes the view and clears the plan back to
+      // a plain scan
+      assert(LakeSink.compactUpsertsDir(spark, out, "k", 1000L) == 299L)
+      val p2 = spark.read.parquet(out)
+      assert(p2.count() == 299L)
+      val plan2 = p2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("LeftAnti") && !plan2.contains("Union"),
+        "a compacted table must plan a plain scan again")
+    } finally spark.conf.unset(FLAG)
+  }
+
+  test("expectations: multi-rule verdicts in declaration order, NULL is a violation, one-pass no-shuffle split") {
+    import spark.implicits._
+    import graft.sources.Expect
+    val df = Seq(
+      (1L, Some(10L), "ok"),
+      (2L, Some(-1L), "ok"),       // breaks positive
+      (3L, None, "ok"),            // NULL ⇒ breaks positive (ternary)
+      (4L, Some(-5L), "bad")       // breaks positive AND label_ok
+    ).toDF("id", "x", "label")
+    val rules = Seq(Expect.Rule("positive", "x > 0"),
+      Expect.Rule("label_ok", "label = 'ok'"))
+    val (valid, quar) = Expect.split(df, rules)
+    assert(valid.columns.toSeq == df.columns.toSeq,
+      "the valid side must carry the batch schema, no _violated")
+    assert(valid.select("id").as[Long].collect().sorted.toSeq == Seq(1L))
+    val got = quar.select("id", "_violated").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((2L, "positive"), (3L, "positive"),
+      (4L, "positive,label_ok")),
+      s"verdicts must name every broken rule in declaration order: ${got.mkString(",")}")
+    // the gate is one codegen'd pass — no shuffle in either side's plan
+    assert(!valid.queryExecution.executedPlan.toString.contains("Exchange") &&
+      !quar.queryExecution.executedPlan.toString.contains("Exchange"),
+      "a row-local gate must not shuffle")
+    // refusals: empty set, comma name, duplicate names
+    intercept[IllegalArgumentException] { Expect.split(df, Nil) }
+    intercept[IllegalArgumentException] {
+      Expect.split(df, Seq(Expect.Rule("a,b", "x > 0"))) }
+    intercept[IllegalArgumentException] {
+      Expect.split(df, Seq(Expect.Rule("a", "x > 0"), Expect.Rule("a", "x < 9"))) }
+  }
+
+  test("expectations: writeExpect lands both sides exactly-once under one batch id; audit reads compose") {
+    import spark.implicits._
+    import graft.sources.Expect
+    val out = Files.createTempDirectory("graft_expect").toString + "/t"
+    val rules = Seq(Expect.Rule("positive", "x > 0"),
+      Expect.Rule("small", "x < 100"))
+    val b1 = Seq((1L, 5L), (2L, -1L), (3L, 500L)).toDF("id", "x")
+    val (v1, q1) = Expect.writeExpect(spark, out, 1L, b1, rules)
+    assert(v1 == 1L && q1 == 2L)
+    // REPLAY of the same id: both sides no-op, nothing doubles
+    assert(Expect.writeExpect(spark, out, 1L, b1, rules) == (0L, 0L))
+    assert(LakeSink.readBatches(spark, out).count() == 1L)
+    assert(Expect.readQuarantine(spark, out).count() == 2L)
+    // an ALL-VALID batch still commits its (empty) quarantine side,
+    // so its replay converges to a no-op too
+    val b2 = Seq((4L, 6L), (5L, 7L)).toDF("id", "x")
+    assert(Expect.writeExpect(spark, out, 2L, b2, rules) == (2L, 0L))
+    assert(Expect.writeExpect(spark, out, 2L, b2, rules) == (0L, 0L))
+    // crash-window convergence: valid side of id=3 landed, then the
+    // writer died before the quarantine landing — the replayed
+    // writeExpect completes the missing side only
+    val b3 = Seq((6L, 8L), (7L, -9L)).toDF("id", "x")
+    val (flaggedValid, _) = Expect.split(b3, rules)
+    assert(LakeSink.appendBatchOnce(spark, out, 3L, flaggedValid))
+    Expect.writeExpect(spark, out, 3L, b3, rules)
+    assert(LakeSink.readBatches(spark, out).count() == 4L,
+      "the replay must not double the already-landed valid side")
+    assert(Expect.readQuarantine(spark, out).count() == 3L,
+      "the replay must complete the missing quarantine side")
+    // the audit: per-rule counts over every batch
+    val audit = Expect.violationCounts(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(audit == Map("positive" -> 2L, "small" -> 1L), s"got $audit")
+  }
 }

@@ -61,7 +61,11 @@ class PlanSpec extends AnyFunSuite {
       "q57_advised_stats",
       // q58's hot-key detection is q51's heavyKeys: the same 1-row
       // total broadcast inside the frac filter
-      "q58_interval_skew")
+      "q58_interval_skew",
+      // s23 composes s7's ivfKnn verbatim (filtered corpus, same
+      // broadcast-anchor assignment crossJoin); s24 is s11's probe
+      // machinery over the soft-deleted index copy
+      "s23_knn_filtered", "s24_index_soft_delete")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")

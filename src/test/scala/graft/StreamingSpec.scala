@@ -1078,6 +1078,109 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE mors_t")
   }
 
+  test("MOR upsert log on ingest: full-row micro-batches land exactly-once under their epoch id; view folds latest-wins; compaction mid-stream") {
+    // a33's streaming seat: a CDC stream of full-row UPDATES lands
+    // per micro-batch through softUpsertDir(onceId = epoch) —
+    // O(|batch|) I/O, one atomic rename per epoch, data files never
+    // rewritten — and morReadUpsertDir between epochs folds
+    // latest-wins. The epoch id is the exactly-once key (the
+    // appendKeyStats lesson: delivery identity, not content digest),
+    // so a replayed epoch lands NOTHING twice even when two epochs
+    // carry identical row multisets.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_upss")
+      .toString + "/t"
+    val base = (1L to 300L).map(i => (i, 0L)).toDF("k", "v")
+    LakeSink.writeParquet(base.repartition(4), out)
+    def dataFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = dataFiles(out)
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          LakeSink.softUpsertDir(spark, out, batch, "k",
+            onceId = Some(bid))
+        ()
+      }.start()
+    // epoch 0: update keys 1..40, insert 301..310
+    in.addData(((1L to 40L) ++ (301L to 310L)).map(k => (k, 1L)): _*)
+    q.processAllAvailable()
+    val v1 = LakeSink.morReadUpsertDir(spark, out, "k")
+    assert(v1.count() == 310L)
+    assert(v1.filter(col("v") === 1L).count() == 50L)
+    // epoch 1: re-update keys 1..20 — latest wins over epoch 0
+    in.addData((1L to 20L).map(k => (k, 2L)): _*)
+    q.processAllAvailable()
+    val v2 = LakeSink.morReadUpsertDir(spark, out, "k")
+    assert(v2.filter(col("v") === 2L).count() == 20L &&
+      v2.filter(col("v") === 1L).count() == 30L)
+    assert(dataFiles(out) == before,
+      "streamed upserts must never rewrite data files")
+    // REPLAY of a committed epoch: same id ⇒ lands nothing, even
+    // though the rows are a legitimate multiset repeat
+    assert(LakeSink.softUpsertDir(spark, out,
+      (1L to 20L).map(k => (k, 2L)).toDF("k", "v"), "k",
+      onceId = Some(1L)) == (0L, 0L))
+    assert(LakeSink.morReadUpsertDir(spark, out, "k").count() == 310L)
+    // compact mid-stream: the view materializes, logs clear, and the
+    // NEXT epoch lands on the clean table
+    assert(LakeSink.compactUpsertsDir(spark, out, "k", 1000L) == 310L)
+    assert(!new java.io.File(out + "/_updates").exists)
+    in.addData(Seq((311L, 3L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val fin = LakeSink.morReadUpsertDir(spark, out, "k")
+    assert(fin.count() == 311L &&
+      fin.filter(col("k") === 311L && col("v") === 3L).count() == 1L)
+  }
+
+  test("expectations gate on ingest: per-epoch quarantine exactly-once; audit ≡ batch recompute") {
+    // a34's streaming seat: every micro-batch passes the SAME rule
+    // set on its way into the lake — valid rows commit as the epoch's
+    // batch, violators land in _quarantine under the same epoch id,
+    // and a replayed epoch lands nothing twice on either side.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{Expect, LakeSink}
+    val out = java.nio.file.Files.createTempDirectory("graft_exps")
+      .toString + "/t"
+    val rules = Seq(Expect.Rule("positive", "x > 0"),
+      Expect.Rule("small", "x < 1000"))
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("id", "x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Expect.writeExpect(spark, out, bid, batch, rules)
+        ()
+      }.start()
+    in.addData((1L, 5L), (2L, -3L), (3L, 7L))
+    q.processAllAvailable()
+    in.addData((4L, 5000L), (5L, -1L), (6L, 8L))
+    q.processAllAvailable()
+    q.stop()
+    assert(LakeSink.readBatches(spark, out).count() == 3L)
+    val quar = Expect.readQuarantine(spark, out)
+    assert(quar.count() == 3L)
+    // a replayed epoch (same id, same rows) lands nothing twice
+    assert(Expect.writeExpect(spark, out, 1L,
+      Seq((4L, 5000L), (5L, -1L), (6L, 8L)).toDF("id", "x"), rules)
+      == (0L, 0L))
+    assert(LakeSink.readBatches(spark, out).count() == 3L &&
+      Expect.readQuarantine(spark, out).count() == 3L)
+    // audit ≡ batch recompute over the union of every epoch
+    val audit = Expect.violationCounts(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(audit == Map("positive" -> 2L, "small" -> 1L), s"got $audit")
+    // and the quarantined rows carry their epoch's verdicts
+    assert(quar.filter(col("id") === 4L).head().getAs[String]("_violated")
+      == "small")
+  }
+
   test("streaming lake MV end to end: CDC-apply → diffKeyed over RETAINED GENERATIONS → aggDeltas; view ≡ recompute, history readable at every step") {
     // the full a18→a19 pipeline from ONE machinery, on a LIVE
     // streamed table: each micro-batch merges into the BASE through
