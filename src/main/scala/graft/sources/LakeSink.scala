@@ -1088,6 +1088,18 @@ object LakeSink {
       if (updateBatches(fs, dir).exists(_._2.contains(s"-e$e-")))
         return (0L, 0L)
     }
+    // hive-partitioned layouts refuse: they have no root-level data
+    // files, so the rule-proof explicit-file-list read (which the
+    // whole fold's never-stack-twice argument rests on) has nothing
+    // to list — per-partition logs are the composition this tier
+    // doesn't ship yet
+    val nSubdirs = fs.listStatus(loc).count(st => st.isDirectory &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    require(nSubdirs == 0,
+      s"MOR UPSERT REFUSED: $dir is partitioned ($nSubdirs data " +
+        "subdirectories) — the upsert log is a flat-directory surface; " +
+        "mergeKeyed is the partitioned-table upsert")
     val data = readDataFilesList(spark, dir)
     require(batch.columns.sorted.toSeq == data.columns.sorted.toSeq,
       s"MOR UPSERT REFUSED: batch columns [${batch.columns.sorted.mkString(",")}] " +
