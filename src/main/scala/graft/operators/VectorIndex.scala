@@ -424,13 +424,24 @@ object VectorIndex {
     * reads. `probes` needs the index's (id, emb) columns; results ≡
     * inline [[Similarity.ivfKnnLsh]] bit-for-bit for the same probe
     * set. */
+  /** `candIds`: PRE-FILTERED search against the served index (s23's
+    * semantics, s25) — the id set (from any metadata predicate the
+    * caller evaluated) cuts the candidate table BEFORE any distance
+    * is computed, so a probe returns the exact top-k among the
+    * MATCHING vectors and excluded vectors never cost a score. The
+    * trained geometry (anchors, cells) is untouched — filtering
+    * before or after assignment yields identical cells for the
+    * survivors. */
   def probe(spark: SparkSession, dir: String, probes: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, candIds: Option[DataFrame] = None): DataFrame = {
     val mt = readMeta(spark, dir)
     val anchors = spark.read.parquet(s"$dir/anchors")
     // pending soft deletes hide BEFORE the top-k (full k from survivors)
-    val assigned = minusTombs(spark, dir,
+    val assigned0 = minusTombs(spark, dir,
       spark.read.parquet(s"$dir/assigned"), mt.idCol)
+    val assigned = candIds.fold(assigned0)(c =>
+      assigned0.join(c.select(col(mt.idCol)).distinct(),
+        Seq(mt.idCol), "left_semi"))
     Similarity.searchAssigned(
       probes.select(col(mt.idCol), col(mt.embCol)),
       assigned, anchors, mt.idCol, mt.embCol, k, nprobe, mt.bits, mt.tables)

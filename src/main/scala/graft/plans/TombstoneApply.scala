@@ -120,12 +120,6 @@ class TombstoneApplyRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val marked = pruneRelation(spark, l, r, root, prunedBy, "mor",
               r.location.inputFiles.map(f =>
                 new org.apache.hadoop.fs.Path(f).getName).toSet)
-            if (upsBatches.nonEmpty && r.partitionSchema.nonEmpty)
-              throw new IllegalStateException(
-                s"MOR PLAN REFUSED: $root carries an update log but is " +
-                  "hive-partitioned — softUpsertDir never lands logs on " +
-                  "partitioned layouts, so this directory is out of " +
-                  "contract; serving stale rows silently is not an option.")
             if (upsBatches.isEmpty) {
               // deletes only — exactly morRead's broadcast anti-join
               // (idempotent by construction: no NULL keys, so a

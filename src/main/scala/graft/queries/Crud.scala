@@ -1389,7 +1389,126 @@ object Crud {
       .orderBy("o_orderstatus")
   }
 
+  /** a37: CHANGE DATA FEED FROM THE UPDATE LOG
+    * ([[graft.sources.LakeSink.upsertFeed]] — Delta's
+    * `table_changes` for the upsert tier): every landed batch
+    * replays as (batch_seq, op, new-row-version) rows, with
+    * op = insert iff the key was not visible before the batch —
+    * derived at O(|log|) cost (the base is scanned once, key column
+    * only, semi-joined to the log's keys; a18/a27's snapshot diffs
+    * are the table-sized alternative this replaces when the log is
+    * the source of truth). Downstream consumers — the incremental MV
+    * tier, audit, replication — read the feed instead of diffing
+    * 100 TB twice. Oracle = the fixture's landed history restated
+    * per (batch, op) over the raw table: batch 1 = the %13 updates +
+    * the %97 key-shifted inserts, batch 2 = the %26 re-updates
+    * (every one an update — including re-updates of keys batch 1
+    * INSERTED, the first-visibility rule). The post-log DELETE
+    * never appears: the feed replays the write history of the log,
+    * not the view (deletes ride a27's snapshot feed). */
+  val a37 = Q("a37_upsert_feed", Some("""
+    SELECT CAST(1 AS BIGINT) AS batch_seq, 'update' AS op,
+      count(*) AS n_rows,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders WHERE o_orderkey % 13 = 1
+    UNION ALL
+    SELECT 1, 'insert', count(*),
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey % 97 = 5
+    UNION ALL
+    SELECT 2, 'update', count(*),
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey % 26 = 1
+    ORDER BY batch_seq, op""")) { (s, d) =>
+    graft.sources.LakeSink
+      .upsertFeed(s, ensureUpsertOrders(s, d), "o_orderkey")
+      .groupBy(col("batch_seq"), col("op"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("batch_seq", "op")
+  }
+
+  // a38's fixture: a STATUS-PARTITIONED copy with an update batch
+  // that MOVES rows across partitions (status → 'U') plus an
+  // upsert-view delete — the layout trap copy-on-write engines pay a
+  // directory rewrite for
+  private def ensurePartUpsertOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_pups_$stamp")
+    if (!new java.io.File(dir, "_updates").isDirectory) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_pups_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_pups_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+      graft.sources.LakeSink.writeParquet(base, build.getPath,
+        Seq("o_orderstatus"))
+      val k = col("o_orderkey")
+      // the batch schema mirrors the PARTITIONED read's column order
+      // (partition column last) — softUpsertDir normalizes anyway
+      graft.sources.LakeSink.softUpsertDir(s, build.getPath,
+        base.filter(k % 13 === 1)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_orderpriority",
+            concat(lit("U-"), col("o_orderpriority"))),
+        "o_orderkey")
+      graft.sources.LakeSink.softDeleteUpsertDir(s, build.getPath,
+        graft.sources.LakeSink
+          .morReadUpsertDir(s, build.getPath, "o_orderkey")
+          .filter(k % 17 === 3).select("o_orderkey"),
+        "o_orderkey")
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a38: PARTITIONED UPSERT LOG THROUGH THE PLANNER (r14 — the
+    * composition a36's first cut refused: hive partitioning × the
+    * update log): the status-partitioned copy takes an update batch
+    * that MOVES rows across partitions (status → 'U') — on a
+    * copy-on-write engine that move rewrites directories; here the
+    * old version hides by KEY and the new one serves from the
+    * O(|batch|) log, no directory touched until compaction. Plain
+    * `spark.read.parquet(dir)` under the rule folds the log over the
+    * partition-discovered scan (the marker index threads the
+    * partition spec, a32's machinery), and the partition-column
+    * predicate composes: pruning on the scan side, an ordinary
+    * filter on the log side of the union. The explicit APIs stay
+    * rule-proof via the basePath-anchored multi-root file list.
+    * Oracle = the moved/deleted history restated over the raw table,
+    * restricted to the F/U slice the predicate names. */
+  val a38 = Q("a38_part_upsert", Some("""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 13 = 1 THEN 'U' ELSE o_orderstatus END AS st,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        CASE WHEN o_orderkey % 13 = 1 THEN 'U-' || o_orderpriority
+             ELSE o_orderpriority END AS pri
+      FROM orders)
+    SELECT st AS status, count(*) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+    FROM v WHERE NOT (k % 17 = 3) AND st IN ('F', 'U')
+    GROUP BY st ORDER BY st""")) { (s, d) =>
+    val dir = ensurePartUpsertOrders(s, d)
+    s.conf.set("spark.graft.morApply.enabled", "true")
+    upsertViewAgg(s.read.parquet(dir)
+      .filter(col("o_orderstatus").isin("F", "U")))
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36)
+    a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37, a38)
 }

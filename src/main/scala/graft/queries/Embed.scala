@@ -1319,7 +1319,29 @@ object Embed {
       .orderBy("probe_id", "rn")
   }
 
+  /** s25: FILTERED ANN FROM THE PERSISTED INDEX (s23 × s11 — the
+    * combination a production vector store actually serves: the
+    * metadata predicate AND the build-once index): the caller's
+    * filtered id set cuts the STORED candidate table before any
+    * distance is computed (`candIds` on [[graft.operators
+    * .VectorIndex.probe]]) — exact top-k among the matching vectors,
+    * zero training stages in the plan, excluded vectors never cost a
+    * score. The trained geometry (anchors, cells, banding bits) is
+    * the unfiltered index's — which is why the oracle is s8's SQL
+    * with ONLY the candidate side restricted to the label (same
+    * parameterization s24 uses for tombstones: a filter hides
+    * RESULTS, not geometry). */
+  val s25 = Q("s25_index_filtered", Some(s8OracleSqlCand(
+      " AND g.vec_id IN (SELECT vec_id FROM v WHERE label = 1)"))) { (s, d) =>
+    val dir = ensureIndex(s, d)
+    graft.operators.VectorIndex.probe(s, dir,
+      t(s, d, "embeddings").filter(col("vec_id") % 17 === 0), 5, nprobe = 2,
+      candIds = Some(t(s, d, "embeddings")
+        .filter(col("label") === 1).select("vec_id")))
+      .orderBy("probe_id", "rn")
+  }
+
   val qs: Seq[Q] = Seq(d5, d11, d13, d16, d22, s1, s2, s3, s4, s5, s6,
     s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
-    s21, s22, s23, s24)
+    s21, s22, s23, s24, s25)
 }

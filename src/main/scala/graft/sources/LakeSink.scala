@@ -1012,15 +1012,24 @@ object LakeSink {
     * the rule-proof read: [[graft.plans.TombstoneApplyRule]]'s
     * eligible shape is a single-root scan, so the explicit multi-path
     * form can never be rewritten (the internal reads of the MOR fold
-    * itself must not be, or the fold would apply twice). */
+    * itself must not be, or the fold would apply twice). Partitioned
+    * layouts walk their partition subdirectories and anchor on
+    * `basePath`, so partition columns still materialize — and the
+    * read stays multi-root, i.e. still rule-proof. */
   private def readDataFilesList(spark: SparkSession,
       dir: String): DataFrame = {
     val loc = new org.apache.hadoop.fs.Path(dir)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = dataFileNames(fs, dir).toSeq.sorted
-      .map(n => new org.apache.hadoop.fs.Path(loc, n).toString)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toIndexedSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath)
+      }
+    val files = walk(loc).map(_.toString).sorted
     if (files.isEmpty) spark.read.parquet(dir)
-    else spark.read.parquet(files: _*)
+    else spark.read.option("basePath", dir).parquet(files: _*)
   }
 
   /** the accumulated tombstone keys of `dir`, if any delete batch has
@@ -1088,18 +1097,12 @@ object LakeSink {
       if (updateBatches(fs, dir).exists(_._2.contains(s"-e$e-")))
         return (0L, 0L)
     }
-    // hive-partitioned layouts refuse: they have no root-level data
-    // files, so the rule-proof explicit-file-list read (which the
-    // whole fold's never-stack-twice argument rests on) has nothing
-    // to list — per-partition logs are the composition this tier
-    // doesn't ship yet
-    val nSubdirs = fs.listStatus(loc).count(st => st.isDirectory &&
-      !st.getPath.getName.startsWith("_") &&
-      !st.getPath.getName.startsWith("."))
-    require(nSubdirs == 0,
-      s"MOR UPSERT REFUSED: $dir is partitioned ($nSubdirs data " +
-        "subdirectories) — the upsert log is a flat-directory surface; " +
-        "mergeKeyed is the partitioned-table upsert")
+    // hive-partitioned layouts work: readDataFilesList walks the
+    // partition subdirectories under a basePath anchor, so partition
+    // columns ride the batch as ordinary data columns — an update
+    // that CHANGES a partition value simply moves the row (the old
+    // version hides by key, the new one serves from the log; no
+    // directory is rewritten until compaction)
     val data = readDataFilesList(spark, dir)
     require(batch.columns.sorted.toSeq == data.columns.sorted.toSeq,
       s"MOR UPSERT REFUSED: batch columns [${batch.columns.sorted.mkString(",")}] " +
@@ -1212,6 +1215,54 @@ object LakeSink {
     }
   }
 
+  /** CHANGE DATA FEED from the update log (Delta's `table_changes`
+    * for the upsert tier; [[diffKeyed]]/a27 are the snapshot-diff
+    * forms — this one costs O(|log|), never a table diff): one row
+    * per (landed batch, key) carrying the NEW row version and
+    * `op` = 'insert' (the key was not visible before this batch —
+    * not in the base data, not in any earlier batch) or 'update'
+    * (it was). Deletes ride the delete-snapshot feed (a27); the
+    * tombstones do not appear here by design — this feed replays the
+    * WRITE history of the log, not the view.
+    *
+    * Scale shape: the base is scanned ONCE, key column only, and
+    * immediately semi-joined to the log's key set — every join in
+    * the feed is log-sized; the fact table never shuffles. Output
+    * columns: (batch_seq, op, <table columns>). Empty log = empty
+    * feed with the same schema. */
+  def upsertFeed(spark: SparkSession, dir: String, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, min, when}
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    updateLogKey(fs, dir).foreach(k0 => require(k0 == key,
+      s"UPSERT FEED REFUSED: the update log is keyed on '$k0', " +
+        s"feed asked for '$key'"))
+    val data = readDataFilesList(spark, dir)
+    val ups = updateBatches(fs, dir)
+    val outCols = Seq(col("_u_seq").as("batch_seq"), col("_op").as("op")) ++
+      data.columns.map(col)
+    if (ups.isEmpty)
+      return data.limit(0)
+        .withColumn("_u_seq", lit(0L)).withColumn("_op", lit(""))
+        .select(outCols: _*)
+    val log = ups.map { case (seq, p) =>
+      spark.read.parquet(p).withColumn("_u_seq", lit(seq))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    val logKeys = log.select(col(key)).distinct()
+    // the ONE base pass: key column only, reduced to the log's keys
+    val baseSeen = data.select(col(key))
+      .join(broadcast(logKeys), Seq(key), "left_semi")
+      .distinct().withColumn("_fs", lit(0L))
+    val firstSeen = baseSeen
+      .unionByName(log.groupBy(col(key)).agg(min(col("_u_seq")).as("_fs")))
+      .groupBy(col(key)).agg(min(col("_fs")).as("_fs"))
+    log.join(firstSeen, Seq(key))
+      .withColumn("_op",
+        when(col("_u_seq") === col("_fs") && col("_fs") > 0L, "insert")
+          .otherwise("update"))
+      .select(outCols: _*)
+  }
+
   /** RESTORE a retained snapshot AS A NEW COMMIT (Delta's
     * `RESTORE TABLE ... TO VERSION`): the recovery from a bad publish
     * or a fat-fingered delete. History only moves FORWARD — the
@@ -1275,6 +1326,21 @@ object LakeSink {
     * together. Returns the surviving row count. */
   def compactUpsertsDir(spark: SparkSession, dir: String, key: String,
       targetRecordsPerFile: Long): Long = {
+    // a partitioned layout refuses: the flat rewrite below would
+    // silently drop the directory structure (and with it partition
+    // pruning); materialize a partitioned upsert table by writing
+    // morReadUpsertDir's view through writeParquet(partitionCols)
+    // to a fresh location and flipping the catalog pointer
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val pfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nSubdirs = pfs.listStatus(loc).count(st => st.isDirectory &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    require(nSubdirs == 0,
+      s"UPSERT COMPACT REFUSED: $dir is hive-partitioned ($nSubdirs " +
+        "partition directories) — the flat rewrite would drop the " +
+        "layout; write morReadUpsertDir through writeParquet(" +
+        "partitionCols) to a new location and flip the table pointer")
     val view = morReadUpsertDir(spark, dir, key).localCheckpoint(true)
     compactImpl(spark, dir, "parquet", targetRecordsPerFile,
       (_, nFiles, tmp) => view.repartition(nFiles).write

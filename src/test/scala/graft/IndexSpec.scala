@@ -270,6 +270,28 @@ class IndexSpec extends AnyFunSuite {
       "fold + append of the same vectors must restore the raw probe path")
   }
 
+  test("filtered probe (candIds) ≡ probe over an index physically reduced to the matching vectors") {
+    // the s25 contract: the id filter hides RESULTS, not geometry —
+    // so filtering the stored candidates at probe time must equal
+    // probing an index whose tables were hard-delete-reduced to the
+    // same id set (same anchors, same cells, same banding bits)
+    val dirF = java.nio.file.Files.createTempDirectory("graft_idx_f").toString
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(idxDir), new java.io.File(dirF))
+    val keepPred = col("vec_id") % 3 =!= 2 // ~2/3 of the corpus matches
+    val dropIds = vecs.filter(!keepPred).select("vec_id").localCheckpoint(true)
+    VectorIndex.delete(spark, dirF, dropIds)
+    val filtered = VectorIndex.probe(spark, idxDir, probes, 5, nprobe = 2,
+      candIds = Some(vecs.filter(keepPred).select("vec_id")))
+    assert(rows(filtered) ==
+      rows(VectorIndex.probe(spark, dirF, probes, 5, nprobe = 2)),
+      "candIds-filtered probe must equal the physically-reduced index")
+    // and no excluded id ever surfaces
+    val dropSet = dropIds.collect().map(_.getLong(0)).toSet
+    assert(filtered.collect()
+      .forall(r => !dropSet.contains(r.getAs[Long]("neighbor_id"))))
+  }
+
   test("append retry after a torn publish converges (content-tag sweep)") {
     val dirT = java.nio.file.Files.createTempDirectory("graft_idx_t").toString
     val a = vecs.filter(col("vec_id") % 5 =!= 4)

@@ -1422,6 +1422,37 @@ class LakeSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE restore_t")
   }
 
+  test("upsertFeed: the log replays as a change feed — first-visibility decides insert vs update; deletes never appear") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_feed").toString + "/t"
+    LakeSink.writeParquet(
+      (1L to 100L).map(i => (i, 0L)).toDF("k", "v").repartition(2), out)
+    // empty log: empty feed, schema in place
+    val empty = LakeSink.upsertFeed(spark, out, "k")
+    assert(empty.columns.toSeq == Seq("batch_seq", "op", "k", "v") &&
+      empty.count() == 0L)
+    LakeSink.softUpsertDir(spark, out,
+      ((1L to 10L) ++ (101L to 105L)).map(k => (k, 1L)).toDF("k", "v"), "k")
+    LakeSink.softUpsertDir(spark, out,
+      Seq(1L, 2L, 3L, 101L).map(k => (k, 2L)).toDF("k", "v"), "k")
+    val feed = LakeSink.upsertFeed(spark, out, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._3))
+    val b1 = feed.filter(_._1 == 1L)
+    assert(b1.count(_._2 == "update") == 10 && b1.count(_._2 == "insert") == 5,
+      s"batch 1 must replay 10 updates + 5 inserts: ${b1.mkString(",")}")
+    assert(b1.filter(_._2 == "insert").map(_._3).toSeq == (101L to 105L),
+      "insert = key not visible before the batch")
+    val b2 = feed.filter(_._1 == 2L)
+    assert(b2.forall(_._2 == "update") && b2.length == 4,
+      "a re-update of a key batch 1 INSERTED is an update (first-visibility)")
+    assert(b2.map(_._4).forall(_ == 2L), "the feed carries the NEW version")
+    // a later delete does not rewrite history: the feed replays the
+    // WRITE log, not the view
+    LakeSink.softDeleteUpsertDir(spark, out, Seq(1L, 101L).toDF("k"), "k")
+    assert(LakeSink.upsertFeed(spark, out, "k").count() == 19L)
+  }
+
   test("planner-applied upsert fold: plain reads serve the folded view (≡ morReadUpsertDir); key-less scans refuse; compaction clears the plan") {
     import spark.implicits._
     val FLAG = "spark.graft.morApply.enabled"
@@ -1479,6 +1510,54 @@ class LakeSpec extends AnyFunSuite {
       assert(!plan2.contains("LeftAnti") && !plan2.contains("Union"),
         "a compacted table must plan a plain scan again")
     } finally spark.conf.unset(FLAG)
+  }
+
+  test("partitioned upsert log: cross-partition moves serve from the log; partition pruning composes under the rule; compact refuses flat rewrite") {
+    import spark.implicits._
+    val FLAG = "spark.graft.morApply.enabled"
+    val out = Files.createTempDirectory("graft_pups").toString + "/t"
+    val base = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", i * 10L)).toDF("k", "part", "v")
+    LakeSink.writeParquet(base, out, Seq("part"))
+    // the update MOVES k=3 from part=a to part=c, updates k=1 in
+    // place, and inserts k=301 into part=c
+    LakeSink.softUpsertDir(spark, out,
+      Seq((3L, "c", 333L), (1L, "b", 111L), (301L, "c", 3010L))
+        .toDF("k", "part", "v")
+        .select("k", "v", "part"), // any column order — normalized
+      "k")
+    val view = LakeSink.morReadUpsertDir(spark, out, "k")
+    assert(view.count() == 301L)
+    val moved = view.filter(col("k") === 3L).collect()
+    assert(moved.length == 1 &&
+      moved.head.getAs[String]("part") == "c" &&
+      moved.head.getAs[Long]("v") == 333L,
+      "a cross-partition move must serve the NEW partition value only")
+    spark.conf.set(FLAG, "true")
+    try {
+      // plain read ≡ the explicit view, partition columns included
+      val plain = spark.read.parquet(out)
+      assert(plain.count() == 301L &&
+        plain.exceptAll(view).isEmpty && view.exceptAll(plain).isEmpty,
+        "the planner fold must serve the partitioned view exactly")
+      // a partition predicate: pruning composes on the scan side, the
+      // log side filters — the moved row answers from 'c', not 'a'
+      val c = spark.read.parquet(out).filter(col("part") === "c")
+      assert(c.select("k").as[Long].collect().sorted.toSeq == Seq(3L, 301L))
+      val a = spark.read.parquet(out).filter(col("part") === "a")
+      assert(a.filter(col("k") === 3L).isEmpty,
+        "the moved row's OLD partition must not serve it")
+      val plan = a.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"),
+        s"partition pruning must survive the fold's marker swap:\n$plan")
+      // the explicit API stays rule-proof on partitioned layouts too
+      assert(LakeSink.morReadUpsertDir(spark, out, "k").count() == 301L)
+    } finally spark.conf.unset(FLAG)
+    // flat compaction refuses by name (it would drop the layout)
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.compactUpsertsDir(spark, out, "k", 1000L)
+    }
+    assert(e.getMessage.contains("UPSERT COMPACT REFUSED"))
   }
 
   test("expectations: multi-rule verdicts in declaration order, NULL is a violation, one-pass no-shuffle split") {

@@ -63,9 +63,9 @@ class PlanSpec extends AnyFunSuite {
       // total broadcast inside the frac filter
       "q58_interval_skew",
       // s23 composes s7's ivfKnn verbatim (filtered corpus, same
-      // broadcast-anchor assignment crossJoin); s24 is s11's probe
-      // machinery over the soft-deleted index copy
-      "s23_knn_filtered", "s24_index_soft_delete")
+      // broadcast-anchor assignment crossJoin); s24/s25 are s11's
+      // probe machinery (soft-deleted copy / candIds filter)
+      "s23_knn_filtered", "s24_index_soft_delete", "s25_index_filtered")
     val offenders = Registry.all.flatMap { q =>
       val p = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
