@@ -1508,7 +1508,46 @@ object Crud {
       .filter(col("o_orderstatus").isin("F", "U")))
   }
 
+  /** a39: FEED PREIMAGES ([[graft.sources.LakeSink
+    * .upsertFeedPreimage]] — Delta CDF's `update_preimage`/
+    * `update_postimage` pair): each feed row carries the version the
+    * batch REPLACED alongside the new one — the retraction input an
+    * incremental MV or rollback-capable replica needs (a37's feed
+    * alone can only add; subtracting requires the before-image). The
+    * proof burden is the re-update: batch 2's preimage must be BATCH
+    * 1's version (priority 'U-…'), never the base row — exactly what
+    * the oracle's third branch states; inserts carry all-NULL
+    * preimages (distinct-count 0). One window over
+    * (base-rows-for-log-keys ∪ log) per key in landed order — the
+    * base pays one semi-joined pass, partitions are
+    * versions-per-key-sized. */
+  val a39 = Q("a39_feed_preimage", Some("""
+    SELECT CAST(1 AS BIGINT) AS batch_seq, 'update' AS op,
+      count(*) AS n_rows,
+      CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_before_pri,
+      CAST(count(DISTINCT 'U-' || o_orderpriority) AS BIGINT) AS n_after_pri
+    FROM orders WHERE o_orderkey % 13 = 1
+    UNION ALL
+    SELECT 1, 'insert', count(*), CAST(0 AS BIGINT),
+      CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders WHERE o_orderkey % 97 = 5
+    UNION ALL
+    SELECT 2, 'update', count(*),
+      CAST(count(DISTINCT 'U-' || o_orderpriority) AS BIGINT),
+      CAST(count(DISTINCT 'W-' || o_orderpriority) AS BIGINT)
+    FROM orders WHERE o_orderkey % 26 = 1
+    ORDER BY batch_seq, op""")) { (s, d) =>
+    graft.sources.LakeSink
+      .upsertFeedPreimage(s, ensureUpsertOrders(s, d), "o_orderkey")
+      .groupBy(col("batch_seq"), col("op"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("before_o_orderpriority")).as("n_before_pri"),
+        count_distinct(col("o_orderpriority")).as("n_after_pri"))
+      .orderBy("batch_seq", "op")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37, a38)
+    a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
+    a38, a39)
 }

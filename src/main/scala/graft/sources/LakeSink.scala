@@ -1263,6 +1263,61 @@ object LakeSink {
       .select(outCols: _*)
   }
 
+  /** [[upsertFeed]] WITH PREIMAGES — Delta CDF's
+    * `update_preimage`/`update_postimage` pair, the form a retraction
+    * consumer (incremental MV maintenance, downstream replication
+    * with rollback) actually needs: each feed row carries the NEW
+    * version's columns AND `before_<col>` columns holding the
+    * version this batch REPLACED — the base row for a first update,
+    * the PREVIOUS BATCH's version for a re-update (the distinction
+    * the preimage exists for), all-NULL for an insert. Derived with
+    * one window over (base-rows-for-log-keys ∪ log) per key in landed
+    * order — the base contributes FULL rows but only for the log's
+    * keys (one semi-joined pass; every window partition is
+    * versions-per-key-sized). REFUSES a non-unique base key among
+    * the log's keys: an upsert replaces such a group as a whole, so
+    * "the" preimage row would be arbitrary — the plain [[upsertFeed]]
+    * serves that case. Output: (batch_seq, op, <cols>, before_<cols>). */
+  def upsertFeedPreimage(spark: SparkSession, dir: String,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, count, lag,
+      lit, when}
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    updateLogKey(fs, dir).foreach(k0 => require(k0 == key,
+      s"UPSERT FEED REFUSED: the update log is keyed on '$k0', " +
+        s"feed asked for '$key'"))
+    val data = readDataFilesList(spark, dir)
+    val ups = updateBatches(fs, dir)
+    val beforeCols = data.columns.map(c => col(c).as(s"before_$c"))
+    val outCols = Seq(col("_u_seq").as("batch_seq"), col("_op").as("op")) ++
+      data.columns.map(col) ++ data.columns.map(c => col(s"before_$c"))
+    if (ups.isEmpty)
+      return data.limit(0).select(data.columns.map(col) ++ beforeCols: _*)
+        .withColumn("_u_seq", lit(0L)).withColumn("_op", lit(""))
+        .select(outCols: _*)
+    val log = ups.map { case (seq, p) =>
+      spark.read.parquet(p).withColumn("_u_seq", lit(seq))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    val logKeys = log.select(col(key)).distinct()
+    val baseRows = data.join(broadcast(logKeys), Seq(key), "left_semi")
+    val nDupKeyed = baseRows.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    require(nDupKeyed == 0,
+      s"PREIMAGE FEED REFUSED: $nDupKeyed updated keys are non-unique " +
+        "in the base — an upsert replaces such a group as a whole, so " +
+        "no single preimage row exists; use upsertFeed (no before-image)")
+    val w = Window.partitionBy(col(key)).orderBy(col("_u_seq"))
+    val versions = baseRows.withColumn("_u_seq", lit(0L)).unionByName(log)
+    val withBefore = data.columns.foldLeft(versions)((df, c) =>
+      df.withColumn(s"before_$c", lag(col(c), 1).over(w)))
+    withBefore.filter(col("_u_seq") > 0L)
+      .withColumn("_op",
+        when(col(s"before_$key").isNull, "insert").otherwise("update"))
+      .select(outCols: _*)
+  }
+
   /** RESTORE a retained snapshot AS A NEW COMMIT (Delta's
     * `RESTORE TABLE ... TO VERSION`): the recovery from a bad publish
     * or a fat-fingered delete. History only moves FORWARD — the

@@ -1453,6 +1453,54 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeSink.upsertFeed(spark, out, "k").count() == 19L)
   }
 
+  test("upsertFeedPreimage: re-updates carry the PREVIOUS BATCH's version; inserts NULL; feed deltas close an incremental MV") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_feedpre").toString + "/t"
+    LakeSink.writeParquet(
+      (1L to 100L).map(i => (i, 0L)).toDF("k", "v").repartition(2), out)
+    LakeSink.softUpsertDir(spark, out,
+      ((1L to 10L) ++ (101L to 105L)).map(k => (k, 1L)).toDF("k", "v"), "k")
+    LakeSink.softUpsertDir(spark, out,
+      Seq(1L, 2L, 3L, 101L).map(k => (k, 2L)).toDF("k", "v"), "k")
+    val feed = LakeSink.upsertFeedPreimage(spark, out, "k")
+    assert(feed.columns.toSeq ==
+      Seq("batch_seq", "op", "k", "v", "before_k", "before_v"))
+    val rows = feed.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3),
+      Option(r.get(4)).map(_.asInstanceOf[Long]),
+      Option(r.get(5)).map(_.asInstanceOf[Long])))
+    // batch 1 updates: preimage is the BASE version
+    assert(rows.filter(t => t._1 == 1L && t._2 == "update")
+      .forall(t => t._5.contains(t._3) && t._6.contains(0L)))
+    // batch 1 inserts: all-NULL preimage
+    assert(rows.filter(t => t._1 == 1L && t._2 == "insert")
+      .forall(t => t._5.isEmpty && t._6.isEmpty))
+    // batch 2 re-updates: preimage is BATCH 1's version (v=1) — for
+    // the log-INSERTED key 101 too, never the base
+    val b2 = rows.filter(_._1 == 2L)
+    assert(b2.length == 4 && b2.forall(t =>
+      t._2 == "update" && t._6.contains(1L) && t._4 == 2L),
+      s"re-update preimage must be the prior batch's version: ${b2.mkString(",")}")
+    // the retraction use case CLOSES: base MV + Σ(after − before) ≡
+    // recompute over the final view — what the preimage exists for
+    val baseSum = spark.read.parquet(out).agg(sum("v")).head().getLong(0)
+    val delta = feed.agg(
+      sum(col("v") - coalesce(col("before_v"), lit(0L)))).head().getLong(0)
+    val viewSum = LakeSink.morReadUpsertDir(spark, out, "k")
+      .agg(sum("v")).head().getLong(0)
+    assert(baseSum + delta == viewSum,
+      s"incremental MV must close: $baseSum + $delta != $viewSum")
+    // non-unique base keys refuse by name (no single preimage exists)
+    val out2 = Files.createTempDirectory("graft_feedpre2").toString + "/t"
+    LakeSink.writeParquet(
+      Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "v"), out2)
+    LakeSink.softUpsertDir(spark, out2, Seq((1L, 99L)).toDF("k", "v"), "k")
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.upsertFeedPreimage(spark, out2, "k")
+    }
+    assert(e.getMessage.contains("PREIMAGE FEED REFUSED"))
+  }
+
   test("planner-applied upsert fold: plain reads serve the folded view (≡ morReadUpsertDir); key-less scans refuse; compaction clears the plan") {
     import spark.implicits._
     val FLAG = "spark.graft.morApply.enabled"

@@ -1139,6 +1139,52 @@ class StreamingSpec extends AnyFunSuite {
       fin.filter(col("k") === 311L && col("v") === 3L).count() == 1L)
   }
 
+  test("feed-driven incremental MV: per-epoch preimage deltas keep the aggregate ≡ recompute, no view rescans") {
+    // a39's streaming seat: a downstream MV consumes the upsert
+    // stream through the PREIMAGE feed — each epoch contributes
+    // Σ(after − before) for its own batch_seq slice, so the MV is
+    // maintained at O(|epoch|) cost without ever rescanning the
+    // view. After every epoch: maintained value ≡ full recompute.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    import graft.sources.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_feedmv")
+      .toString + "/t"
+    LakeSink.writeParquet(
+      (1L to 200L).map(i => (i, i)).toDF("k", "v").repartition(2), out)
+    var mv = spark.read.parquet(out).agg(sum("v")).head().getLong(0)
+    var seenSeq = 0L
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          LakeSink.softUpsertDir(spark, out, batch, "k",
+            onceId = Some(bid))
+          // the MV consumes ONLY the new slice of the feed
+          val delta = LakeSink.upsertFeedPreimage(spark, out, "k")
+            .filter(col("batch_seq") > seenSeq)
+            .agg(coalesce(sum(col("v") - coalesce(col("before_v"), lit(0L))),
+              lit(0L)))
+            .head().getLong(0)
+          mv += delta
+          seenSeq += 1
+        }
+        ()
+      }.start()
+    in.addData((1L, 1000L), (201L, 500L))   // update + insert
+    q.processAllAvailable()
+    assert(mv == LakeSink.morReadUpsertDir(spark, out, "k")
+      .agg(sum("v")).head().getLong(0), "epoch 0 must close the MV")
+    in.addData((1L, 2000L), (201L, 700L))   // re-updates (preimages = epoch 0)
+    q.processAllAvailable()
+    q.stop()
+    val expect = LakeSink.morReadUpsertDir(spark, out, "k")
+      .agg(sum("v")).head().getLong(0)
+    assert(mv == expect, s"after re-updates: $mv != $expect — the " +
+      "preimage must be the PRIOR EPOCH's version, not the base")
+  }
+
   test("expectations gate on ingest: per-epoch quarantine exactly-once; audit ≡ batch recompute") {
     // a34's streaming seat: every micro-batch passes the SAME rule
     // set on its way into the lake — valid rows commit as the epoch's
