@@ -1546,8 +1546,85 @@ object Crud {
       .orderBy("batch_seq", "op")
   }
 
+  private def ensureGatedUpsertOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_gups_$stamp")
+    if (!new java.io.File(dir, "_quarantine").isDirectory) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_gups_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_gups_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+      base.repartition(4).write.mode("overwrite").parquet(build.getPath)
+      // the CDC batch: re-status the %13 slice — rows breaking the
+      // price gate quarantine instead of corrupting the table
+      graft.sources.Expect.upsertExpect(s, build.getPath, 1L,
+        base.filter(col("o_orderkey") % 13 === 1)
+          .withColumn("o_orderstatus", lit("U")),
+        "o_orderkey",
+        Seq(graft.sources.Expect.Rule("price_cap",
+          "o_totalprice < 150000.0")))
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a40: EXPECTATIONS-GATED UPSERT
+    * ([[graft.sources.Expect.upsertExpect]] — a34 × a33, the CDC
+    * quality gate): an update stream carries garbage like any other
+    * ingest, and a bad UPDATE is worse than a bad insert — it
+    * silently corrupts a row that was fine. The rule set gates the
+    * batch BEFORE it touches the log: valid updates land (one atomic
+    * log batch), violators quarantine with the broken rule named,
+    * and the gated row keeps serving its LAST GOOD version — which
+    * is exactly what the oracle states: status moves to 'U' only
+    * where the gate passed, the quarantined slice aggregates
+    * separately, and the whole composition is exactly-once under the
+    * batch id. */
+  val a40 = Q("a40_gated_upsert", Some("""
+    WITH v AS (
+      SELECT CASE WHEN o_orderkey % 13 = 1 AND o_totalprice < 150000.0
+                  THEN 'U' ELSE o_orderstatus END AS st,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+    SELECT st AS status, count(*) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v GROUP BY st
+    UNION ALL
+    SELECT '_quarantined', count(*),
+      CAST(coalesce(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)),
+        0) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 13 = 1 AND NOT (o_totalprice < 150000.0)
+    ORDER BY status""")) { (s, d) =>
+    import s.implicits._
+    val dir = ensureGatedUpsertOrders(s, d)
+    graft.sources.LakeSink.morReadUpsertDir(s, dir, "o_orderkey")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .unionByName(graft.sources.Expect.readQuarantine(s, dir)
+        .agg(count(lit(1)).as("n_orders"),
+          coalesce(sum(floor(col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")), lit(0L)).as("sum_cents"))
+        .select(lit("_quarantined").as("status"), col("n_orders"),
+          col("sum_cents")))
+      .orderBy("status")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39)
+    a38, a39, a40)
 }

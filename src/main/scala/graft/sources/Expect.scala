@@ -98,6 +98,37 @@ object Expect {
   def readQuarantine(spark: SparkSession, dir: String): DataFrame =
     LakeSink.readBatches(spark, s"$dir/_quarantine")
 
+  /** EXPECTATIONS-GATED UPSERT — the CDC quality gate: an update
+    * stream carries garbage like any other ingest, but a bad UPDATE
+    * is worse than a bad insert (it silently corrupts a row that was
+    * fine), so the rule set gates the batch BEFORE it touches the
+    * log: valid rows land through [[LakeSink.softUpsertDir]] (one
+    * atomic log batch, latest-wins fold downstream), violators land
+    * in `_quarantine/` with every broken rule named — the row keeps
+    * serving its LAST GOOD version until a repaired batch arrives.
+    * Exactly-once under `batchId` on BOTH sides (the upsert keyed by
+    * delivery id, the quarantine by batch directory) — a crash
+    * between the two landings replays into one no-op + one
+    * completion. Returns (updated, inserted, quarantined); a full
+    * replay returns (0, 0, 0). */
+  def upsertExpect(spark: SparkSession, dir: String, batchId: Long,
+      batch: DataFrame, key: String, rules: Seq[Rule]): (Long, Long, Long) = {
+    requireWellFormed(rules)
+    val flagged = batch.withColumn("_violated", violatedCol(rules))
+      .localCheckpoint(true)
+    val valid = flagged.filter(col("_violated") === "").drop("_violated")
+    val quar = flagged.filter(col("_violated") =!= "")
+    val nQ = quar.count()
+    val (upd, ins) = LakeSink.softUpsertDir(spark, dir, valid, key,
+      onceId = Some(batchId))
+    val landedQ = LakeSink.appendBatchOnce(spark, s"$dir/_quarantine",
+      batchId, quar)
+    // a full replay reads (0, 0, 0) naturally: the upsert no-ops on
+    // its delivery id, the quarantine on its batch directory — and a
+    // crash-window replay completes exactly the missing side
+    (upd, ins, if (landedQ) nQ else 0L)
+  }
+
   /** per-rule violation counts over the whole quarantine — one
     * explode over the (quarantine-sized) side table, never the data. */
   def violationCounts(spark: SparkSession, dir: String): DataFrame =

@@ -1453,6 +1453,47 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeSink.upsertFeed(spark, out, "k").count() == 19L)
   }
 
+  test("upsertExpect: bad updates quarantine, the row keeps its last good version; exactly-once on both sides") {
+    import spark.implicits._
+    import graft.sources.Expect
+    val out = Files.createTempDirectory("graft_gups").toString + "/t"
+    LakeSink.writeParquet(
+      (1L to 50L).map(i => (i, i * 10L)).toDF("k", "v"), out)
+    val rules = Seq(Expect.Rule("positive", "v > 0"))
+    // batch 1: a valid update, a BAD update, a valid insert, a BAD insert
+    val b1 = Seq((1L, 111L), (2L, -5L), (52L, 520L), (51L, -1L))
+      .toDF("k", "v")
+    assert(Expect.upsertExpect(spark, out, 1L, b1, "k", rules)
+      == (1L, 1L, 2L))
+    val view = LakeSink.morReadUpsertDir(spark, out, "k")
+    assert(view.count() == 51L)
+    assert(view.filter(col("k") === 1L).head().getLong(1) == 111L,
+      "the valid update must apply")
+    assert(view.filter(col("k") === 2L).head().getLong(1) == 20L,
+      "the gated row must keep serving its LAST GOOD version")
+    assert(view.filter(col("k") === 51L).isEmpty,
+      "a gated insert must not appear")
+    val quar = Expect.readQuarantine(spark, out)
+    assert(quar.count() == 2L &&
+      quar.collect().forall(_.getAs[String]("_violated") == "positive"))
+    // full replay: both sides no-op
+    assert(Expect.upsertExpect(spark, out, 1L, b1, "k", rules)
+      == (0L, 0L, 0L))
+    assert(LakeSink.morReadUpsertDir(spark, out, "k").count() == 51L &&
+      Expect.readQuarantine(spark, out).count() == 2L)
+    // crash window: the upsert side of id=2 landed, the writer died —
+    // the replayed gated write completes ONLY the quarantine side
+    val b2 = Seq((3L, 333L), (4L, -9L)).toDF("k", "v")
+    val (validB2, _) = Expect.split(b2, rules)
+    LakeSink.softUpsertDir(spark, out, validB2, "k", onceId = Some(2L))
+    assert(Expect.upsertExpect(spark, out, 2L, b2, "k", rules)
+      == (0L, 0L, 1L))
+    assert(LakeSink.morReadUpsertDir(spark, out, "k")
+      .filter(col("k") === 3L).head().getLong(1) == 333L)
+    assert(Expect.readQuarantine(spark, out).count() == 3L,
+      "the replay must complete the missing quarantine side only")
+  }
+
   test("upsertFeedPreimage: re-updates carry the PREVIOUS BATCH's version; inserts NULL; feed deltas close an incremental MV") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_feedpre").toString + "/t"

@@ -1139,6 +1139,47 @@ class StreamingSpec extends AnyFunSuite {
       fin.filter(col("k") === 311L && col("v") === 3L).count() == 1L)
   }
 
+  test("gated upserts on ingest: per-epoch CDC batches pass the rule set; bad updates quarantine, the view never corrupts") {
+    // a40's streaming seat: a CDC stream through upsertExpect —
+    // every epoch's valid slice folds into the view, its violators
+    // quarantine under the same epoch id, and a replayed epoch
+    // lands nothing twice on either side.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{Expect, LakeSink}
+    val out = java.nio.file.Files.createTempDirectory("graft_gupss")
+      .toString + "/t"
+    LakeSink.writeParquet(
+      (1L to 100L).map(i => (i, i * 10L)).toDF("k", "v").repartition(2), out)
+    val rules = Seq(Expect.Rule("positive", "v > 0"))
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          Expect.upsertExpect(spark, out, bid, batch, "k", rules)
+        ()
+      }.start()
+    in.addData((1L, 111L), (2L, -5L), (101L, 1010L))
+    q.processAllAvailable()
+    in.addData((1L, 222L), (3L, -7L))
+    q.processAllAvailable()
+    q.stop()
+    val view = LakeSink.morReadUpsertDir(spark, out, "k")
+    assert(view.count() == 101L)
+    assert(view.filter(col("k") === 1L).head().getLong(1) == 222L,
+      "the second epoch's valid re-update wins")
+    assert(view.filter(col("k") === 2L).head().getLong(1) == 20L &&
+      view.filter(col("k") === 3L).head().getLong(1) == 30L,
+      "gated rows keep their last good versions")
+    assert(Expect.readQuarantine(spark, out).count() == 2L)
+    // replayed epoch: nothing doubles
+    assert(Expect.upsertExpect(spark, out, 1L,
+      Seq((1L, 222L), (3L, -7L)).toDF("k", "v"), "k", rules) == (0L, 0L, 0L))
+    assert(LakeSink.morReadUpsertDir(spark, out, "k").count() == 101L &&
+      Expect.readQuarantine(spark, out).count() == 2L)
+  }
+
   test("feed-driven incremental MV: per-epoch preimage deltas keep the aggregate ≡ recompute, no view rescans") {
     // a39's streaming seat: a downstream MV consumes the upsert
     // stream through the PREIMAGE feed — each epoch contributes
