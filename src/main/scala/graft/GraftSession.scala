@@ -36,6 +36,19 @@ object GraftSession {
       // resurrecting soft-deleted rows
       .withExtensions(_.injectOptimizerRule(s =>
         new graft.plans.TombstoneApplyRule(s)))
+      // dynamic file pruning from the join side (conf-gated, default
+      // off): a broadcast-small build side's distinct keys probe the
+      // fact's `_blooms_<key>` manifest at plan time — the q59 move
+      // fired by the planner on plain spark.sql join syntax
+      .withExtensions(_.injectOptimizerRule(s =>
+        new graft.plans.DynamicFilePruneRule(s)))
+      // SQL DML for the lake: DELETE FROM / UPDATE / MERGE INTO
+      // parsed here and routed to the merge-on-read log machinery
+      // (softDelete/softUpsertDir) — the reference's write surface is
+      // literally SQL DML (order.js:596-709); every other statement
+      // delegates to Spark's parser untouched
+      .withExtensions(_.injectParser((_, delegate) =>
+        new graft.plans.GraftSqlParser(delegate)))
       // graft's planner strategy: PointIntervalJoin logical nodes
       // (variable-length interval lookups) plan as the broadcast
       // interval-tree join instead of BroadcastNestedLoopJoin

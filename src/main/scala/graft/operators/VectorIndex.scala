@@ -251,11 +251,15 @@ object VectorIndex {
     require(nUnknown == 0,
       s"INDEX DELETE REFUSED: $nUnknown ids not present in the index — " +
         "a silently-ignored id would report a removal that never happened")
-    val nDel = del.count()
-    val nTomb = tombIds(spark, dir, id).map(_.count()).getOrElse(0L)
     // the rewrite FOLDS pending tombstones too — the materialized
-    // copy is the served view, and `_deletes/` clears with the flip
-    rewriteTables(spark, dir, mt, mt.n - nDel - nTomb,
+    // copy is the served view, and `_deletes/` clears with the flip.
+    // Expected count comes from the FOLDED frame itself, not meta.n
+    // arithmetic: a crash between a prior rewrite's flip and its
+    // `_deletes` cleanup leaves tables already folded under a stale
+    // meta.n, and the arithmetic could never match the staged recount
+    // (maintenance would wedge until `_deletes` was removed by hand)
+    val expectA = assigned.join(del, Seq(id), "left_anti").count()
+    rewriteTables(spark, dir, mt, expectA,
       df => minusTombs(spark, dir, df.join(del, Seq(id), "left_anti"), id))
   }
 
@@ -353,9 +357,12 @@ object VectorIndex {
     val mt = readMeta(spark, dir)
     IndexLifecycle.gcOldGenerations(spark, dir, retainMs)
     // pending soft-delete tombstones FOLD into the rewrite (and clear
-    // with the flip) — compaction materializes the served view
-    val nTomb = tombIds(spark, dir, mt.idCol).map(_.count()).getOrElse(0L)
-    rewriteTables(spark, dir, mt, mt.n - nTomb,
+    // with the flip) — compaction materializes the served view.
+    // Expected count from the folded frame, not meta.n arithmetic
+    // (the crashed-prior-rewrite reconciliation — see [[delete]])
+    val expectA = minusTombs(spark, dir,
+      spark.read.parquet(s"$dir/assigned"), mt.idCol).count()
+    rewriteTables(spark, dir, mt, expectA,
       df => minusTombs(spark, dir, df, mt.idCol))
   }
 

@@ -1932,9 +1932,53 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** q60: DYNAMIC FILE PRUNING AS A PLANNER RULE
+    * ([[graft.plans.DynamicFilePruneRule]] — q59's move with the
+    * caller removed): the SAME keyset-page join issued as plain
+    * `spark.sql` join syntax — no dynamicFilePrune call, no pruned
+    * read API — and the optimizer itself evaluates the
+    * broadcast-small page at plan time, probes the fact's committed
+    * `_blooms_l_orderkey`, and swaps the fact's file index for the
+    * 1–2 surviving files (CatalystRuleSpec plan-counts it; the
+    * explicit q59 and this rule-fired form share one oracle —
+    * hash-proving the rewrite changes files read, never rows
+    * returned). This is where the decision architecturally belongs:
+    * Delta fires dynamic file pruning inside the optimizer exactly
+    * like this. */
+  val q60 = Q("q60_dyn_prune_rule", Some("""
+    WITH page AS (SELECT o_orderkey FROM orders
+                  ORDER BY o_orderkey LIMIT 50)
+    SELECT page.o_orderkey, count(*) AS n_items,
+      CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        AS BIGINT) AS sum_cents
+    FROM lineitem JOIN page ON l_orderkey = page.o_orderkey
+    GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    val factDir = ensureKeyedLineitem(s, d)
+    // the page lands as a (tiny) parquet dir so the build side's
+    // size statistics are real file sizes — the rule's
+    // broadcast-eligibility guard reads the same stats the join
+    // strategy does
+    val pageDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_q60_page").getPath
+    t(s, d, "orders").orderBy("o_orderkey").limit(50)
+      .select(col("o_orderkey"))
+      .coalesce(1).write.mode("overwrite").parquet(pageDir)
+    s.conf.set("spark.graft.dynFilePrune.enabled", "true")
+    s.read.parquet(factDir).createOrReplaceTempView("q60_fact")
+    s.read.parquet(pageDir).createOrReplaceTempView("q60_page")
+    s.sql("""
+      SELECT o_orderkey, count(*) AS n_items,
+        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+          AS sum_cents
+      FROM q60_fact JOIN q60_page ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey ORDER BY o_orderkey""")
+  }
+
   val qs: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

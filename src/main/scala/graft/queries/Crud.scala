@@ -1623,8 +1623,169 @@ object Crud {
       .orderBy("status")
   }
 
+  private def ensureDmlOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_dml_$stamp")
+    if (!new java.io.File(dir, "_updates").isDirectory ||
+        !new java.io.File(dir, "_deletes").isDirectory) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_dml_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_dml_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+      base.repartition(4).write.mode("overwrite").parquet(build.getPath)
+      val bp = build.getPath
+      // the key registered AHEAD of the first statement — what every
+      // DML route resolves "latest wins" against
+      graft.sources.LakeSink.registerKeyDir(s, bp, "o_orderkey")
+      // 1. UPDATE — RHS evaluates against the OLD row; lands as one
+      //    upsert-log batch (the table is never rewritten)
+      s.sql(s"UPDATE parquet.`$bp` SET o_orderstatus = 'U', " +
+        "o_totalprice = o_totalprice + 1000.0 WHERE o_orderkey % 13 = 1")
+      // 2. MERGE — matched keys (the %41 slice) replace their FULL row
+      //    with the source version (including the price the UPDATE
+      //    just raised — SET * means the source wins), unmatched keys
+      //    (the key-shifted clones) insert
+      val mk = base.agg(max("o_orderkey")).head().getLong(0)
+      base.filter(col("o_orderkey") % 97 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + mk)
+        .withColumn("o_orderstatus", lit("N"))
+        .unionByName(base.filter(col("o_orderkey") % 41 === 7)
+          .withColumn("o_orderstatus", lit("M")))
+        .createOrReplaceTempView("a41_src")
+      s.sql(s"MERGE INTO parquet.`$bp` AS t USING a41_src AS u " +
+        "ON t.o_orderkey = u.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      // 3. DELETE — keys resolve against the UPSERT view (clones are
+      //    deletable too), landing as an O(|keys|) tombstone batch
+      s.sql(s"DELETE FROM parquet.`$bp` WHERE o_orderkey % 17 = 3")
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a41: SQL DML ROUTED TO THE MERGE-ON-READ LOG
+    * ([[graft.plans.GraftSqlParser]] via `injectParser` — the
+    * reference's write surface IS SQL DML: lambda_fns/order.js:596-709
+    * issues literal UPDATE/DELETE statements): three statements —
+    * UPDATE (assignments against the old row), MERGE INTO (SET * /
+    * INSERT *: matched full-row replace + unmatched insert), DELETE
+    * FROM (predicate → keys → tombstones) — are issued as SQL STRINGS
+    * against a path-addressed lake table and land as churn-sized log
+    * batches; the 100 TB base is never rewritten. Oracle restates all
+    * three mutations over the raw table (CASE per key slice, clone
+    * union, delete filter) — parse, route, land, fold are
+    * hash-checked end to end. */
+  val a41 = Q("a41_sql_dml", Some("""
+    WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    v AS (
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 41 = 7 THEN 'M'
+             WHEN o_orderkey % 13 = 1 THEN 'U'
+             ELSE o_orderstatus END AS status,
+        CAST(floor((CASE WHEN o_orderkey % 41 = 7 THEN o_totalprice
+             WHEN o_orderkey % 13 = 1 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END) * 100.0 + 0.5) AS BIGINT) AS cents,
+        o_orderpriority AS pri
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + mx.mk, 'N',
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT), o_orderpriority
+      FROM orders CROSS JOIN mx WHERE o_orderkey % 97 = 5
+    )
+    SELECT status, count(*) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+    FROM v WHERE NOT (k % 17 = 3)
+    GROUP BY status ORDER BY status""")) { (s, d) =>
+    upsertViewAgg(graft.sources.LakeSink
+      .morReadUpsertDir(s, ensureDmlOrders(s, d), "o_orderkey"))
+  }
+
+  private def ensurePatchOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_patch_$stamp")
+    if (!new java.io.File(dir, "_updates").isDirectory) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_patch_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_patch_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+      base.repartition(4).write.mode("overwrite").parquet(build.getPath)
+      val k = col("o_orderkey")
+      // patch 1: key + ONE column (status) for the %19 slice; the
+      // %38 sub-slice carries NULL — the COALESCE contract: a NULL
+      // patch cell keeps the current value
+      graft.sources.LakeSink.softPatchDir(s, build.getPath,
+        base.filter(k % 19 === 2)
+          .select(k, when(k % 38 === 2, lit(null: String))
+            .otherwise(lit("X")).as("o_orderstatus")),
+        "o_orderkey")
+      // patch 2: key + a DIFFERENT column (price) for the %23 slice —
+      // overlap rows (%19 ∩ %23) compose: the second patch's
+      // expansion reads the first's effect, so both stick
+      graft.sources.LakeSink.softPatchDir(s, build.getPath,
+        base.filter(k % 23 === 3)
+          .select(k, (col("o_totalprice") + 500.0).as("o_totalprice")),
+        "o_orderkey")
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a42: PATCH (COLUMN-SUBSET) UPSERTS
+    * ([[graft.sources.LakeSink.softPatchDir]] — the CDC batch shape
+    * softUpsertDir refuses: `(key, changed columns)` records, the
+    * Debezium partial image / Delta `MERGE SET c =` form): two
+    * patches carrying DIFFERENT single columns land against
+    * overlapping key slices; each expands at the write to full rows
+    * (COALESCE(patch, current) — a NULL patch cell keeps the current
+    * value, pinned by the %38 sub-slice) under the log claim, so the
+    * second patch composes over the first and the log stays
+    * uniform full-row batches — every read path, planner fold, and
+    * feed works on patched rows unchanged. Oracle restates both
+    * patches as CASE over the raw table — expand, land, fold
+    * hash-checked end to end. */
+  val a42 = Q("a42_patch_upsert", Some("""
+    WITH v AS (
+      SELECT
+        CASE WHEN o_orderkey % 19 = 2 AND o_orderkey % 38 <> 2 THEN 'X'
+             ELSE o_orderstatus END AS status,
+        CAST(floor((CASE WHEN o_orderkey % 23 = 3 THEN o_totalprice + 500.0
+             ELSE o_totalprice END) * 100.0 + 0.5) AS BIGINT) AS cents,
+        o_orderpriority AS pri
+      FROM orders)
+    SELECT status, count(*) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+    FROM v GROUP BY status ORDER BY status""")) { (s, d) =>
+    upsertViewAgg(graft.sources.LakeSink
+      .morReadUpsertDir(s, ensurePatchOrders(s, d), "o_orderkey"))
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39, a40)
+    a38, a39, a40, a41, a42)
 }

@@ -136,4 +136,95 @@ object Expect {
       .select(explode(org.apache.spark.sql.functions
         .split(col("_violated"), ",")).as("rule"))
       .groupBy("rule").agg(count(lit(1)).as("n_rows"))
+
+  // ---- BATCH-LEVEL (aggregate) expectations --------------------------
+
+  /** a gate over the WHOLE batch — what row-level rules cannot
+    * express ("this batch is 40% smaller than usual", "5% of keys are
+    * duplicated"): the DLT `expect_or_fail` tier a 100 TB ingest
+    * actually alarms on. A violated gate REFUSES THE ENTIRE BATCH by
+    * name before any row lands — a batch that fails an aggregate
+    * invariant is a pipeline incident, not a per-row repair queue. */
+  trait BatchGate {
+    def name: String
+    /** Some(reason) iff the batch violates the gate */
+    def violation(spark: SparkSession, dir: String,
+        batch: DataFrame): Option[String]
+  }
+
+  /** ROW-COUNT DRIFT vs the trailing window of landed batches: with
+    * ≥ `minHistory` committed batches, a new batch whose size strays
+    * more than `maxFrac` from their mean refuses — the upstream-broke
+    * alarm (a half-empty extract, a doubled replay) that row rules
+    * can never see. Under `minHistory` the gate passes open (no basis
+    * to judge drift from). History is footer-count-sized reads of the
+    * committed batch directories — planning-cost, never a data scan. */
+  final case class RowCountDrift(maxFrac: Double, minHistory: Int = 3)
+      extends BatchGate {
+    val name = "row_count_drift"
+    def violation(spark: SparkSession, dir: String,
+        batch: DataFrame): Option[String] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) return None
+      val prior = fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("batch-")).toSeq
+      if (prior.size < minHistory) None
+      else {
+        val mean = prior.map(p =>
+          spark.read.parquet(p.toString).count()).sum.toDouble / prior.size
+        val n = batch.count().toDouble
+        val drift = if (mean == 0.0) { if (n == 0.0) 0.0 else 1.0 }
+          else math.abs(n - mean) / mean
+        if (drift > maxFrac)
+          Some(f"batch has ${n.toLong} rows vs trailing mean " +
+            f"${mean}%.1f over ${prior.size} batches — drift " +
+            f"$drift%.2f exceeds $maxFrac%.2f")
+        else None
+      }
+    }
+  }
+
+  /** KEY-UNIQUENESS RATE: distinct(key)/count must be ≥ `minRate` —
+    * the duplicated-extract alarm (a CDC source replaying rows inside
+    * one delivery, an unkeyed join upstream fanning out). 1.0 demands
+    * a strictly unique key. One aggregate pass over the batch. */
+  final case class KeyUniqueness(key: String, minRate: Double = 1.0)
+      extends BatchGate {
+    val name = "key_uniqueness"
+    def violation(spark: SparkSession, dir: String,
+        batch: DataFrame): Option[String] = {
+      val r = batch.agg(count(lit(1)).as("n"),
+        count_distinct(col(key)).as("d")).head()
+      val (n, d) = (r.getLong(0), r.getLong(1))
+      val rate = if (n == 0) 1.0 else d.toDouble / n
+      if (rate < minRate)
+        Some(f"$d distinct '$key' over $n rows — uniqueness $rate%.3f " +
+          f"below $minRate%.3f")
+      else None
+    }
+  }
+
+  /** evaluate every gate; the violations, gate-named, in order */
+  def checkGates(spark: SparkSession, dir: String, batch: DataFrame,
+      gates: Seq[BatchGate]): Seq[(String, String)] =
+    gates.flatMap(g => g.violation(spark, dir, batch).map(g.name -> _))
+
+  /** [[writeExpect]] behind batch gates: aggregate invariants check
+    * FIRST (a violated gate refuses the whole batch by name — nothing
+    * lands, valid or not), then the row-level rule set splits and
+    * lands as usual. The two tiers compose exactly like DLT's
+    * `expect_or_fail` over `expect_or_drop`. */
+  def writeExpectGated(spark: SparkSession, dir: String, batchId: Long,
+      batch: DataFrame, rules: Seq[Rule],
+      gates: Seq[BatchGate]): (Long, Long) = {
+    val bad = checkGates(spark, dir, batch, gates)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"BATCH GATE REFUSED: ${bad.map { case (n, why) => s"$n: $why" }
+          .mkString("; ")} — the whole batch is held (nothing landed); " +
+          "an aggregate violation is a pipeline incident, not a " +
+          "row-repair queue")
+    writeExpect(spark, dir, batchId, batch, rules)
+  }
 }

@@ -139,7 +139,25 @@ object LakeSink {
     if (fs.exists(old)) require(fs.delete(old, true), s"stale $old undeletable")
     // `source` lets a MERGE-ON-READ caller compact the FOLDED view
     // (base + logs) rather than the plain directory read — the
-    // count-verify then proves the staged copy against the view
+    // count-verify then proves the staged copy against the view.
+    // The DEFAULT path rewrites from the RAW base read, and the swap
+    // retires the old directory INCLUDING its `_updates`/`_deletes`
+    // logs — on a log-carrying table that would silently discard
+    // every committed upsert and resurrect soft-deleted rows, so it
+    // refuses by name (publishGeneration's tombstone guard, applied
+    // to the dir tier).
+    if (source.isEmpty) {
+      val pendingDel = hasTombstones(fs, cur)
+      val pendingUps = updateBatches(fs, path).nonEmpty
+      if (pendingDel || pendingUps)
+        throw new IllegalStateException(
+          s"COMPACT REFUSED: $path carries pending merge-on-read " +
+            s"logs (${if (pendingDel) "_deletes " else ""}" +
+            s"${if (pendingUps) "_updates" else ""}) — a rewrite from " +
+            "the raw directory read would discard committed upserts " +
+            "and resurrect soft-deleted rows. Use compactUpsertsDir " +
+            "(folds the logs) or compactMor for a catalog table.")
+    }
     val df = source.getOrElse(spark.read.format(format).load(path))
     val n = df.count()
     val nFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
@@ -169,6 +187,20 @@ object LakeSink {
   def registerExternal(spark: SparkSession, table: String, path: String,
       format: String = "parquet"): Unit =
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` USING $format LOCATION '$path'")
+
+  /** [[registerExternal]] carrying the table's MERGE KEY as the
+    * `graft.key` table property — what the SQL DML surface
+    * ([[graft.plans.GraftDml]]) resolves `DELETE FROM`/`UPDATE`/
+    * `MERGE INTO` statements against (the lakehouse primary-key
+    * metadata; order_rdbms_blob.sql declares `order_id PK` the same
+    * way). Idempotent like the base form; re-registering may change
+    * the key (ALTER TABLE SET TBLPROPERTIES semantics). */
+  def registerExternal(spark: SparkSession, table: String, path: String,
+      key: String, format: String): Unit = {
+    registerExternal(spark, table, path, format)
+    spark.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES ('graft.key' = '$key')")
+  }
 
   /** NO-GAP compaction for a catalog-addressed table: the compacted
     * copy is fully written to the NEXT GENERATION directory
@@ -778,44 +810,98 @@ object LakeSink {
       key: String): Long =
     landDeleteBatch(spark, dir, keys, key, morRead(spark, dir, key))
 
+  /** THE LOG CLAIM — one dir-level mutex (`.log-claim`, atomic
+    * create-exclusive, the same CAS [[publishGeneration]] takes on
+    * generations) serializing every MOR LOG LANDING on a directory:
+    * upsert batches and delete batches alike. It closes the two races
+    * single-writer papered over: (1) two concurrent upserts computing
+    * the same `seq = max+1` — both renames succeed (tags differ) and
+    * "latest wins" becomes ambiguous; (2) an upsert's pending-tombstone
+    * refusal racing a concurrent delete landing — the upsert would
+    * resurrect a key whose tombstone committed between its check and
+    * its rename. A losing writer REFUSES BY NAME
+    * (`ConcurrentModificationException`) and retries after the holder
+    * commits; a claim left by a CRASHED writer reclaims once older
+    * than `retainMs` — the same clock contract as every other claim
+    * here. */
+  /** REENTRANT per thread: a composite operation (e.g.
+    * [[softPatchDir]]'s read-expand-land) holds the claim across its
+    * whole read-modify-write and the landing kernel it delegates to
+    * re-enters instead of deadlocking against itself. */
+  private val heldLogClaims = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private def withLogClaim[A](fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, retainMs: Long)(body: => A): A = {
+    val claim = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), ".log-claim")
+    val claimKey = claim.toString
+    if (heldLogClaims.get.contains(claimKey)) return body
+    if (fs.exists(claim) && System.currentTimeMillis() -
+        fs.getFileStatus(claim).getModificationTime > retainMs)
+      fs.delete(claim, false)
+    try fs.create(claim, false).close()
+    catch { case e: java.io.IOException =>
+      throw new java.util.ConcurrentModificationException(
+        s"LOG LANDING REFUSED: another writer holds the log claim on " +
+          s"$dir ($claim). Retry after it commits, or after " +
+          s"retainMs=${retainMs}ms if it crashed. [${e.getMessage}]")
+    }
+    heldLogClaims.set(heldLogClaims.get + claimKey)
+    try body finally {
+      heldLogClaims.set(heldLogClaims.get - claimKey)
+      scala.util.Try(fs.delete(claim, false))
+    }
+  }
+
   /** the tombstone-landing kernel shared by [[softDeleteDir]] (liveness
     * = the base MOR view) and [[softDeleteUpsertDir]] (liveness = the
     * upsert view — a key inserted through the update log is deletable
     * too): NULL/not-live refusals, staged batch verified by recount,
-    * ONE rename as the atomic commit into `_deletes/b-*`. */
+    * ONE rename as the atomic commit into `_deletes/b-*`. The whole
+    * check-then-land runs under the directory's log claim, so it can
+    * never interleave with a concurrent upsert's tombstone check. */
   private def landDeleteBatch(spark: SparkSession, dir: String,
-      keys: DataFrame, key: String, live: DataFrame): Long = {
+      keys: DataFrame, key: String, live: => DataFrame,
+      retainMs: Long = 600000L): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val nNull = keys.filter(col(key).isNull).count()
     require(nNull == 0,
       s"MOR DELETE REFUSED: $nNull rows carry a NULL $key")
     val del = keys.select(col(key)).distinct().localCheckpoint(true)
-    val nMissing = del.join(live.select(col(key)), Seq(key), "left_anti")
-      .count()
-    require(nMissing == 0,
-      s"MOR DELETE REFUSED: $nMissing keys not live in the view " +
-        "(never present, or already deleted) — a silently-ignored key " +
-        "would report a removal that never happened")
-    // rows removed can exceed |keys| when the key is non-unique —
-    // count what the anti-join will actually drop
-    val removed = live.join(broadcast(del), Seq(key), "left_semi").count()
     val loc = new org.apache.hadoop.fs.Path(dir)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tag = java.util.UUID.randomUUID().toString.take(12)
-    val stage = new org.apache.hadoop.fs.Path(loc, s".tmp-del-$tag")
-    del.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val staged = spark.read.parquet(stage.toString).count()
-    if (staged != del.count()) {
-      fs.delete(stage, true)
-      throw new java.io.IOException(
-        s"staged delete batch short: $staged of ${del.count()} keys; " +
-          "aborting — view unchanged")
+    withLogClaim(fs, dir, retainMs) {
+      val liveView = live // resolved UNDER the claim: sees every committed batch
+      val nMissing = del.join(liveView.select(col(key)), Seq(key), "left_anti")
+        .count()
+      require(nMissing == 0,
+        s"MOR DELETE REFUSED: $nMissing keys not live in the view " +
+          "(never present, or already deleted) — a silently-ignored key " +
+          "would report a removal that never happened")
+      // rows removed can exceed |keys| when the key is non-unique —
+      // count what the anti-join will actually drop
+      val removed = liveView.join(broadcast(del), Seq(key), "left_semi").count()
+      val tag = java.util.UUID.randomUUID().toString.take(12)
+      val stage = new org.apache.hadoop.fs.Path(loc, s".tmp-del-$tag")
+      // multi-file stage: the batch keeps its parallelism (a
+      // churn-sized delete set must not funnel through one task);
+      // the rename below is directory-level either way
+      del.write.mode("overwrite").parquet(stage.toString)
+      val staged = spark.read.parquet(stage.toString).count()
+      if (staged != del.count()) {
+        fs.delete(stage, true)
+        throw new java.io.IOException(
+          s"staged delete batch short: $staged of ${del.count()} keys; " +
+            "aborting — view unchanged")
+      }
+      val dels = new org.apache.hadoop.fs.Path(loc, "_deletes")
+      fs.mkdirs(dels)
+      val dest = new org.apache.hadoop.fs.Path(dels, s"b-$tag")
+      require(fs.rename(stage, dest), s"delete publish failed: $stage -> $dest")
+      removed
     }
-    val dels = new org.apache.hadoop.fs.Path(loc, "_deletes")
-    fs.mkdirs(dels)
-    val dest = new org.apache.hadoop.fs.Path(dels, s"b-$tag")
-    require(fs.rename(stage, dest), s"delete publish failed: $stage -> $dest")
-    removed
   }
 
   /** The MERGE-ON-READ view: data files ANTI-JOINED against the
@@ -827,7 +913,12 @@ object LakeSink {
     * against the tombstone schema). */
   def morRead(spark: SparkSession, dir: String, key: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val data = spark.read.parquet(dir)
+    // explicit file list = rule-proof AND flag-independent: with
+    // TombstoneApplyRule on, a single-root read of a dir that ALSO
+    // carries `_updates` would be rewritten into the upsert fold —
+    // silently turning this documented base-view read into upsert
+    // semantics depending on a session conf
+    val data = readDataFilesList(spark, dir)
     val loc = new org.apache.hadoop.fs.Path(dir)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dels = new org.apache.hadoop.fs.Path(loc, "_deletes")
@@ -1052,6 +1143,29 @@ object LakeSink {
     }
   }
 
+  /** Register the MERGE KEY of a path-addressed lake directory by
+    * committing the update log's `_updates/_key` marker ahead of the
+    * first batch — the dir-level twin of [[registerExternal]]'s
+    * `graft.key` property, and what lets the SQL DML surface
+    * ([[graft.plans.GraftDml]]) route a statement against a table
+    * whose log is still empty. Idempotent on agreement; a DIFFERENT
+    * key refuses (one key governs one log — [[softUpsertDir]]'s own
+    * contract). */
+  def registerKeyDir(spark: SparkSession, dir: String, key: String): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    updateLogKey(fs, dir) match {
+      case Some(k0) => require(k0 == key,
+        s"KEY REGISTRATION REFUSED: $dir is already keyed on '$k0', " +
+          s"asked to register '$key' — one key governs one log")
+      case None =>
+        val ups = new org.apache.hadoop.fs.Path(loc, "_updates")
+        fs.mkdirs(ups)
+        val out = fs.create(new org.apache.hadoop.fs.Path(ups, "_key"), true)
+        out.write(key.getBytes("UTF-8")); out.close()
+    }
+  }
+
   /** MERGE-ON-READ UPSERT — the row-UPDATE/INSERT sibling of
     * [[softDeleteDir]] (the Hudi log-file shape, reference
     * lambda_fns/order.js:596-650 updates an order's row in place —
@@ -1084,7 +1198,8 @@ object LakeSink {
     * view unchanged and a `.tmp-ups-*` leftover swept on the next
     * call. */
   def softUpsertDir(spark: SparkSession, dir: String, batch: DataFrame,
-      key: String, onceId: Option[Long] = None): (Long, Long) = {
+      key: String, onceId: Option[Long] = None,
+      retainMs: Long = 600000L): (Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val loc = new org.apache.hadoop.fs.Path(dir)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1093,8 +1208,12 @@ object LakeSink {
     // committed — the replay touches nothing (the appendKeyStats
     // lesson: delivery id, not content digest — identical multisets
     // from DISTINCT deliveries are distinct batches)
+    // the delivery id is matched against the batch directory NAME
+    // only — a table path that itself contains "-e<N>-" must not turn
+    // every delivery into a false-positive replay (silent batch drop)
     onceId.foreach { e =>
-      if (updateBatches(fs, dir).exists(_._2.contains(s"-e$e-")))
+      if (updateBatches(fs, dir).exists(b =>
+          new org.apache.hadoop.fs.Path(b._2).getName.contains(s"-e$e-")))
         return (0L, 0L)
     }
     // hive-partitioned layouts work: readDataFilesList walks the
@@ -1108,6 +1227,19 @@ object LakeSink {
       s"MOR UPSERT REFUSED: batch columns [${batch.columns.sorted.mkString(",")}] " +
         s"differ from the table's [${data.columns.sorted.mkString(",")}] — " +
         "appendEvolved is the schema-evolution path")
+    // names alone are not enough: a type-drifted batch (int vs bigint)
+    // would land in the log and fail — or silently widen — at READ
+    // time, far from the write that caused it; refuse at the write
+    val baseTypes = data.schema.map(f => f.name -> f.dataType).toMap
+    val drifted = batch.schema.flatMap { f =>
+      baseTypes.get(f.name).collect { case t if t != f.dataType =>
+        s"${f.name}: table=${t.simpleString} batch=${f.dataType.simpleString}"
+      }
+    }
+    require(drifted.isEmpty,
+      s"MOR UPSERT REFUSED (type drift): ${drifted.mkString("; ")} — " +
+        "cast the batch to the table's types, or evolve the schema " +
+        "deliberately through appendEvolved + compaction")
     val nNull = batch.filter(col(key).isNull).count()
     require(nNull == 0,
       s"MOR UPSERT REFUSED: $nNull rows carry a NULL $key")
@@ -1117,55 +1249,94 @@ object LakeSink {
       s"MOR UPSERT REFUSED: $nDup keys appear more than once in the " +
         "batch — which version wins is undefined; pre-resolve to one " +
         "row per key")
-    tombstoneKeys(spark, fs, dir, key).foreach { tomb =>
-      val nTomb = batch.join(broadcast(tomb), Seq(key), "left_semi").count()
-      require(nTomb == 0,
-        s"MOR UPSERT REFUSED: $nTomb keys are pending-tombstoned — an " +
-          "update log must never resurrect a deleted key; compactUpsertsDir " +
-          "first, then insert deliberately")
+    // everything that READS the committed log state (tombstone
+    // refusal, live-key counts, seq assignment) runs UNDER the log
+    // claim — two concurrent upserts can no longer compute the same
+    // seq (both renames used to succeed, tags differ, making "latest
+    // wins" ambiguous), and a concurrent delete can no longer land a
+    // tombstone between this batch's check and its rename
+    withLogClaim(fs, dir, retainMs) {
+      tombstoneKeys(spark, fs, dir, key).foreach { tomb =>
+        val nTomb = batch.join(broadcast(tomb), Seq(key), "left_semi").count()
+        require(nTomb == 0,
+          s"MOR UPSERT REFUSED: $nTomb keys are pending-tombstoned — an " +
+            "update log must never resurrect a deleted key; compactUpsertsDir " +
+            "first, then insert deliberately")
+      }
+      // replay recheck under the claim: a concurrent same-delivery
+      // writer may have committed between the entry check and here
+      onceId.foreach { e =>
+        if (updateBatches(fs, dir).exists(b =>
+            new org.apache.hadoop.fs.Path(b._2).getName.contains(s"-e$e-")))
+          return (0L, 0L)
+      }
+      val liveKeys = morReadUpsertDir(spark, dir, key)
+        .select(col(key)).distinct()
+      val updated = batch.join(liveKeys, Seq(key), "left_semi").count()
+      val inserted = batch.count() - updated
+      // land: stage + verify + ONE rename (the atomic commit)
+      val tag = java.util.UUID.randomUUID().toString.take(12)
+      val ups = new org.apache.hadoop.fs.Path(loc, "_updates")
+      fs.mkdirs(ups)
+      // the log's KEY marker — written before the first batch so the
+      // planner rule can fold the log without out-of-band knowledge;
+      // later batches must agree (one key governs one log)
+      updateLogKey(fs, dir) match {
+        case Some(k0) => require(k0 == key,
+          s"MOR UPSERT REFUSED: the update log is keyed on '$k0', " +
+            s"this batch says '$key' — one key governs one log")
+        case None =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(ups, "_key"), true)
+          out.write(key.getBytes("UTF-8")); out.close()
+      }
+      // sweep crashed prior attempts' stages (never committed batches)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(loc, ".tmp-ups-*")))
+        .getOrElse(Array.empty)
+        .foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
+      val stage = new org.apache.hadoop.fs.Path(loc, s".tmp-ups-$tag")
+      // column ORDER normalized to the base layout so every log batch
+      // unions by position too, not just by name. MULTI-FILE stage:
+      // the batch keeps its parallelism — a churn-sized batch (1% of
+      // 100 TB = 1 TB) must not funnel through one task; the rename
+      // below commits the whole directory atomically either way, and
+      // the independent recount still verifies it
+      val normalized = batch.select(data.columns.map(col).toIndexedSeq: _*)
+      normalized.write.mode("overwrite").parquet(stage.toString)
+      val staged = spark.read.parquet(stage.toString).count()
+      if (staged != updated + inserted) {
+        fs.delete(stage, true)
+        throw new java.io.IOException(
+          s"staged upsert batch short: $staged of ${updated + inserted} " +
+            "rows; aborting — view unchanged")
+      }
+      // seq under the claim (no concurrent writer can mint the same)
+      val seq = (updateBatches(fs, dir).map(_._1) :+ 0L).max + 1
+      // THE PERSISTED CHANGE FEED (Delta CDF's `_change_data` rule):
+      // the batch's feed rows — (batch_seq, op, full new version) in
+      // [[upsertFeed]]'s exact shape, op decided against the
+      // pre-batch view — are written INSIDE the stage under the
+      // `_`-hidden `_feed/`, so the ONE rename below commits data and
+      // feed atomically: a stream over the feed ([[upsertFeedStream]])
+      // can never see a batch whose change rows are missing or
+      // mid-write. Log-sized write, the price of never recomputing
+      // the feed downstream.
+      import org.apache.spark.sql.functions.{lit, when}
+      spark.read.parquet(stage.toString)
+        .join(liveKeys.withColumn("_lv", lit(1)), Seq(key), "left_outer")
+        .withColumn("op",
+          when(col("_lv").isNotNull, "update").otherwise("insert"))
+        .drop("_lv")
+        .select(lit(seq).as("batch_seq") +: col("op") +:
+          data.columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(stage, "_feed").toString)
+      // the delivery id rides the batch NAME (what the replay check
+      // greps), between seq and tag — seq parsing is position-stable
+      val dest = new org.apache.hadoop.fs.Path(ups,
+        onceId.fold(f"u-$seq%06d-$tag")(e => f"u-$seq%06d-e$e-$tag"))
+      require(fs.rename(stage, dest), s"upsert publish failed: $stage -> $dest")
+      (updated, inserted)
     }
-    val liveKeys = morReadUpsertDir(spark, dir, key)
-      .select(col(key)).distinct()
-    val updated = batch.join(liveKeys, Seq(key), "left_semi").count()
-    val inserted = batch.count() - updated
-    // land: stage + verify + ONE rename (the atomic commit)
-    val tag = java.util.UUID.randomUUID().toString.take(12)
-    val ups = new org.apache.hadoop.fs.Path(loc, "_updates")
-    fs.mkdirs(ups)
-    // the log's KEY marker — written before the first batch so the
-    // planner rule can fold the log without out-of-band knowledge;
-    // later batches must agree (one key governs one log)
-    updateLogKey(fs, dir) match {
-      case Some(k0) => require(k0 == key,
-        s"MOR UPSERT REFUSED: the update log is keyed on '$k0', " +
-          s"this batch says '$key' — one key governs one log")
-      case None =>
-        val out = fs.create(new org.apache.hadoop.fs.Path(ups, "_key"), true)
-        out.write(key.getBytes("UTF-8")); out.close()
-    }
-    // sweep crashed prior attempts' stages (never committed batches)
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(loc, ".tmp-ups-*")))
-      .getOrElse(Array.empty)
-      .foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
-    val stage = new org.apache.hadoop.fs.Path(loc, s".tmp-ups-$tag")
-    // column ORDER normalized to the base layout so every log batch
-    // unions by position too, not just by name
-    val normalized = batch.select(data.columns.map(col).toIndexedSeq: _*)
-    normalized.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val staged = spark.read.parquet(stage.toString).count()
-    if (staged != updated + inserted) {
-      fs.delete(stage, true)
-      throw new java.io.IOException(
-        s"staged upsert batch short: $staged of ${updated + inserted} " +
-          "rows; aborting — view unchanged")
-    }
-    val seq = (updateBatches(fs, dir).map(_._1) :+ 0L).max + 1
-    // the delivery id rides the batch NAME (what the replay check
-    // greps), between seq and tag — seq parsing is position-stable
-    val dest = new org.apache.hadoop.fs.Path(ups,
-      onceId.fold(f"u-$seq%06d-$tag")(e => f"u-$seq%06d-e$e-$tag"))
-    require(fs.rename(stage, dest), s"upsert publish failed: $stage -> $dest")
-    (updated, inserted)
   }
 
   /** The MERGE-ON-READ UPSERT view: base data files with the
@@ -1318,6 +1489,45 @@ object LakeSink {
       .select(outCols: _*)
   }
 
+  /** THE LAKE AS A STREAMING SOURCE — `spark.readStream` FROM an
+    * upsert table's change feed (Delta's `readChangeFeed`, the
+    * missing half of the loop: every streaming seat WRITES to the
+    * lake; this one lets a downstream consumer SUBSCRIBE to it
+    * instead of polling batch diffs). Serves the feed rows
+    * [[softUpsertDir]] persisted inside each committed batch
+    * (`_feed` under each `_updates/u-…` batch directory — written
+    * in the SAME atomic rename as the batch, so a feed file can
+    * never describe an uncommitted
+    * batch): `(batch_seq, op, <table columns>)`, op ∈
+    * insert/update, exactly [[upsertFeed]]'s shape and values
+    * (StreamingSpec pins stream ≡ batch). Built on the file-stream
+    * source, so delivery is batch-wise incremental and a RESTART
+    * RESUMES from the checkpoint's own file log — no row is
+    * re-emitted, no seq tracking needed in the consumer.
+    *
+    * Retention contract: the feed lives WITH the log — a
+    * [[compactUpsertsDir]] retires consumed batches and their feed
+    * files together; consumers should drain before compaction (the
+    * same reader-vs-retention window every lake surface here has).
+    * Scale shape: each micro-batch reads only the newly-landed feed
+    * files — churn-sized, the base table is never touched. */
+  def upsertFeedStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(updateLogKey(fs, dir).nonEmpty,
+      s"FEED STREAM REFUSED: $dir carries no update log " +
+        "(_updates/_key) — nothing will ever arrive; registerKeyDir " +
+        "or land a first softUpsertDir batch")
+    val sch = StructType(
+      StructField("batch_seq", LongType, nullable = false) ::
+      StructField("op", StringType, nullable = false) ::
+      readDataFilesList(spark, dir).schema.fields.toList)
+    spark.readStream.schema(sch)
+      .parquet(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc, "_updates"), "u-*/_feed").toString)
+  }
+
   /** RESTORE a retained snapshot AS A NEW COMMIT (Delta's
     * `RESTORE TABLE ... TO VERSION`): the recovery from a bad publish
     * or a fat-fingered delete. History only moves FORWARD — the
@@ -1372,6 +1582,82 @@ object LakeSink {
     landDeleteBatch(spark, dir, keys, key,
       morReadUpsertDir(spark, dir, key))
 
+  /** PATCH (column-subset) UPSERT — the CDC shape [[softUpsertDir]]
+    * refuses: a change stream that emits `(key, changed columns)`
+    * records (Debezium partial images, Delta/Hudi `MERGE ... SET c =`
+    * updates a column subset the same way) no longer has to
+    * reconstruct full rows itself. The patch EXPANDS at the write:
+    * each patched key's CURRENT row (one log-sized semi-join against
+    * the upsert view — the base never shuffles) takes
+    * `COALESCE(patch, current)` per carried column, and the full
+    * rows land as ONE ordinary update-log batch — the log stays
+    * uniform (full-row batches only), so every read path, the
+    * planner fold, the change feed, and the PREIMAGE feed are
+    * correct for patched rows with zero new read logic.
+    *
+    * The whole read-expand-land runs under the directory's log claim
+    * (reentrant through the landing kernel), so the expansion can
+    * never read a view a concurrent writer is changing. COALESCE
+    * contract: a NULL patch cell means "keep the current value" —
+    * setting a column TO NULL needs a full-row [[softUpsertDir]]
+    * (the same trade Delta's `WHEN MATCHED UPDATE SET` makes
+    * explicit). Refusals BY NAME: unknown patch columns, type drift
+    * on carried columns, keys not LIVE in the upsert view (a patch
+    * has no values for the uncarried columns — inserting from one
+    * would invent data; insert deliberately with full rows).
+    * Returns the patched-row count. */
+  def softPatchDir(spark: SparkSession, dir: String, patch: DataFrame,
+      key: String, onceId: Option[Long] = None,
+      retainMs: Long = 600000L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    require(patch.columns.contains(key),
+      s"PATCH REFUSED: batch carries no '$key' key column")
+    val valueCols = patch.columns.filterNot(_ == key).toSeq
+    require(valueCols.nonEmpty,
+      "PATCH REFUSED: batch carries only the key — nothing to patch")
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withLogClaim(fs, dir, retainMs) {
+      val view = morReadUpsertDir(spark, dir, key)
+      val unknown = valueCols.filterNot(view.columns.contains)
+      require(unknown.isEmpty,
+        s"PATCH REFUSED: unknown columns ${unknown.mkString(", ")} — " +
+          s"the table carries [${view.columns.mkString(", ")}]")
+      val baseTypes = view.schema.map(f => f.name -> f.dataType).toMap
+      val drifted = patch.schema.flatMap { f =>
+        baseTypes.get(f.name).collect { case t if t != f.dataType =>
+          s"${f.name}: table=${t.simpleString} patch=${f.dataType.simpleString}"
+        }
+      }
+      require(drifted.isEmpty,
+        s"PATCH REFUSED (type drift): ${drifted.mkString("; ")}")
+      val nNull = patch.filter(col(key).isNull).count()
+      require(nNull == 0, s"PATCH REFUSED: $nNull rows carry a NULL $key")
+      val nDup = patch.groupBy(col(key)).count()
+        .filter(col("count") > 1).count()
+      require(nDup == 0,
+        s"PATCH REFUSED: $nDup keys appear more than once in the batch")
+      val p = patch.select(col(key) +:
+        valueCols.map(c => col(c).as(s"_p_$c")): _*)
+      val nMissing = p.select(col(key))
+        .join(view.select(col(key)), Seq(key), "left_anti").count()
+      require(nMissing == 0,
+        s"PATCH REFUSED: $nMissing keys not live in the upsert view — " +
+          "a patch has no values for the uncarried columns; insert " +
+          "deliberately with full rows (softUpsertDir)")
+      // expand: current row per patched key (the inner join IS the
+      // log-sized restriction), carried columns coalesced
+      val expanded = view.join(p, Seq(key))
+        .select(view.columns.toIndexedSeq.map(c =>
+          if (valueCols.contains(c)) coalesce(col(s"_p_$c"), col(c)).as(c)
+          else col(c)): _*)
+        .localCheckpoint(true)
+      val (u, i) = softUpsertDir(spark, dir, expanded, key, onceId, retainMs)
+      require(i == 0, s"internal: patch expansion inserted $i rows")
+      u
+    }
+  }
+
   /** MATERIALIZE the upsert view at directory level: the folded
     * table replaces the base through [[compactImpl]]'s checked
     * two-rename swap (staged copy verified by recount BEFORE the
@@ -1394,13 +1680,41 @@ object LakeSink {
     require(nSubdirs == 0,
       s"UPSERT COMPACT REFUSED: $dir is hive-partitioned ($nSubdirs " +
         "partition directories) — the flat rewrite would drop the " +
-        "layout; write morReadUpsertDir through writeParquet(" +
-        "partitionCols) to a new location and flip the table pointer")
+        "layout; compactUpsertsPartitionedDir(partitionCols) keeps it")
     val view = morReadUpsertDir(spark, dir, key).localCheckpoint(true)
     compactImpl(spark, dir, "parquet", targetRecordsPerFile,
       (_, nFiles, tmp) => view.repartition(nFiles).write
         .option("maxRecordsPerFile", targetRecordsPerFile.toString)
         .mode("overwrite").parquet(tmp),
+      source = Some(view))
+  }
+
+  /** [[compactUpsertsDir]] for a HIVE-PARTITIONED layout — the
+    * one-call lifecycle closer a38's refusal used to point away from:
+    * the folded upsert view materializes THROUGH `partitionBy` (each
+    * partition directory written by few tasks — the writeParquet
+    * repartition rule), verified by recount, and swapped in with the
+    * same checked two-rename discipline; `_updates/` and `_deletes/`
+    * retire WITH the superseded directory, so no reader window sees
+    * folded rows and a live log together. Rows that MOVED partition
+    * through the log (an update changing a partition value) land in
+    * their new directory — the fold materializes the view, layout
+    * included. Refuses BY NAME: partition columns absent from the
+    * table. Returns the surviving row count. */
+  def compactUpsertsPartitionedDir(spark: SparkSession, dir: String,
+      key: String, partitionCols: Seq[String],
+      targetRecordsPerFile: Long = 1000000L): Long = {
+    require(partitionCols.nonEmpty,
+      "compactUpsertsPartitionedDir: partitionCols must be non-empty " +
+        "(compactUpsertsDir is the flat form)")
+    val view = morReadUpsertDir(spark, dir, key).localCheckpoint(true)
+    val missing = partitionCols.filterNot(view.columns.contains)
+    require(missing.isEmpty,
+      s"UPSERT COMPACT REFUSED: partition columns ${missing.mkString(", ")} " +
+        s"not in the table's [${view.columns.mkString(", ")}]")
+    compactImpl(spark, dir, "parquet", targetRecordsPerFile,
+      (_, _, tmp) => writeParquet(view, tmp, partitionCols,
+        targetRecordsPerFile),
       source = Some(view))
   }
 

@@ -601,4 +601,63 @@ class CatalystRuleSpec extends AnyFunSuite {
     assert(get(5) == "v5" && computes == 6)
     assert(get(1) == "v1" && computes == 6, "hot entry evicted — not an LRU")
   }
+
+  test("DynamicFilePruneRule: a broadcast-small build side prunes the fact's files at plan time through plain SQL join syntax; off by default; hash-identical") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val FLAG = "spark.graft.dynFilePrune.enabled"
+    val root = java.nio.file.Files.createTempDirectory("graft_dynrule")
+      .toString
+    // key-clustered fact: 16 files of disjoint key ranges + blooms
+    val fact = s"$root/fact"
+    (0L until 16000L).map(i => (i, s"v$i", i % 7))
+      .toDF("k", "payload", "grp")
+      .repartitionByRange(16, col("k")).sortWithinPartitions("k")
+      .write.parquet(fact)
+    LakeSink.attachBlooms(spark, fact, "k")
+    // tiny dim owning keys from ONE range
+    val dim = s"$root/dim"
+    (100L until 140L).map(i => (i, s"d$i")).toDF("k", "name")
+      .coalesce(1).write.parquet(dim)
+    def joined = {
+      spark.read.parquet(fact).createOrReplaceTempView("dynrule_fact")
+      spark.read.parquet(dim).createOrReplaceTempView("dynrule_dim")
+      spark.sql("""SELECT f.k, f.payload, d.name
+        FROM dynrule_fact f JOIN dynrule_dim d ON f.k = d.k""")
+    }
+    def factFiles(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) if r.location.rootPaths.exists(
+              _.toString.contains("fact")) || r.location.inputFiles.exists(
+              _.contains("fact")) =>
+          r.location.inputFiles.count(_.contains("fact"))
+      }
+    // DEFAULT OFF: the fact scan lists all 16 files
+    val off = joined
+    assert(factFiles(off).forall(_ == 16), "rule must be an explicit choice")
+    val offRows = off.collect().map(_.toString).sorted.toSeq
+    spark.conf.set(FLAG, "true")
+    try {
+      val on = joined
+      val counts = factFiles(on)
+      assert(counts.nonEmpty && counts.forall(n => n >= 1 && n <= 2),
+        s"40 clustered keys must own 1-2 of 16 files, saw $counts\n" +
+          on.queryExecution.optimizedPlan.toString.take(1200))
+      assert(on.collect().map(_.toString).sorted.toSeq == offRows,
+        "the rewrite may change files read, never rows returned")
+      // STALENESS: a file landed after the manifest ⇒ the rule bails
+      // (a silently-skipped new file would be a false negative)
+      (90000L until 90010L).map(i => (i, s"late$i", 0L))
+        .toDF("k", "payload", "grp")
+        .coalesce(1).write.mode("append").parquet(fact)
+      Seq((90005L, "dlate")).toDF("k", "name")
+        .write.mode("overwrite").parquet(dim)
+      val stale = joined
+      assert(stale.count() == 1L,
+        "stale manifest must not lose the post-manifest file's match")
+      assert(factFiles(stale).forall(_ == 17), "stale manifest must not prune")
+    } finally spark.conf.unset(FLAG)
+  }
 }

@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 upsert-log surfaces: the log claim (concurrent-writer
+  * seq race), multi-file staging, patch (column-subset) upserts,
+  * partitioned log compaction, the persisted change feed, and the
+  * compact pending-log refusal. */
+class UpsertLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.sources.LakeSink
+
+  private def freshDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.delete(); d.getPath
+  }
+
+  private def mkTable(prefix: String, n: Long = 100L): String = {
+    val dir = freshDir(prefix)
+    spark.range(n).select(col("id"), concat(lit("n"), col("id")).as("name"),
+      (col("id") * 10.0).as("price"), (col("id") % 4).as("part"))
+      .repartition(2).write.parquet(dir)
+    dir
+  }
+
+  test("log claim: two threads racing N upserts each — every batch gets a unique seq, fold deterministic") {
+    val dir = mkTable("claimrace", 200L)
+    val perThread = 4
+    def upsertWithRetry(tid: Int, i: Int): Unit = {
+      val batch = spark.range(200L + tid * 100L + i * 10L,
+          200L + tid * 100L + i * 10L + 5L)
+        .select(col("id"), concat(lit(s"t$tid-b$i-"), col("id")).as("name"),
+          lit(1.0).as("price"), lit(0L).as("part"))
+      var landed = false
+      var tries = 0
+      while (!landed && tries < 200) {
+        try { LakeSink.softUpsertDir(spark, dir, batch, "id"); landed = true }
+        catch { case _: java.util.ConcurrentModificationException =>
+          tries += 1; Thread.sleep(20) }
+      }
+      assert(landed, s"thread $tid batch $i never landed after $tries retries")
+    }
+    val threads = (0 until 2).map { tid =>
+      new Thread(() => (0 until perThread).foreach(i => upsertWithRetry(tid, i)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // every landed batch carries a UNIQUE seq — the race the claim closes
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seqs = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/_updates", "u-*")).toSeq
+      .map(_.getPath.getName.split("-")(1).toLong)
+    assert(seqs.size == 2 * perThread, s"expected ${2 * perThread} batches")
+    assert(seqs.distinct.size == seqs.size, s"duplicate seqs: $seqs")
+    // the fold is deterministic: all 8 batches' keys are disjoint, so
+    // the view holds base + every inserted key exactly once
+    val v = LakeSink.morReadUpsertDir(spark, dir, "id")
+    assert(v.count() == 200L + 2 * perThread * 5L)
+    assert(v.groupBy("id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("log claim: a crashed writer's stale claim reclaims after retainMs") {
+    val dir = mkTable("claimstale", 20L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant a crashed writer's claim
+    fs.create(new org.apache.hadoop.fs.Path(dir, ".log-claim"), false).close()
+    val batch = Seq((5L, "x", 1.0, 0L)).toDF("id", "name", "price", "part")
+    // fresh claim: refuses by name
+    val e = intercept[java.util.ConcurrentModificationException] {
+      LakeSink.softUpsertDir(spark, dir, batch, "id")
+    }
+    assert(e.getMessage.contains("log claim"))
+    // past retainMs: reclaims and lands
+    val (u, i) = LakeSink.softUpsertDir(spark, dir, batch, "id",
+      retainMs = 0L)
+    assert(u == 1L && i == 0L)
+  }
+
+  test("multi-file staging: a repartitioned batch lands as a multi-file directory atomically and folds identically") {
+    val dir = mkTable("multifile", 50L)
+    val batch = spark.range(50L, 80L)
+      .select(col("id"), lit("m").as("name"), lit(2.0).as("price"),
+        lit(1L).as("part"))
+      .repartition(4)
+    LakeSink.softUpsertDir(spark, dir, batch, "id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/_updates", "u-*")).head.getPath
+    val nFiles = fs.listStatus(bdir).count(st => st.isFile &&
+      st.getPath.getName.startsWith("part-"))
+    assert(nFiles > 1, s"batch staged through one task ($nFiles files) — " +
+      "a churn-sized landing must keep its parallelism")
+    assert(LakeSink.morReadUpsertDir(spark, dir, "id").count() == 80L)
+  }
+
+  test("patch upserts: COALESCE semantics, NULL keeps current, patches compose, preimage feed correct") {
+    val dir = mkTable("patch", 40L)
+    // patch 1: single column (name), one NULL cell (keeps current)
+    val p1 = Seq((1L, "P1"), (2L, null.asInstanceOf[String]), (3L, "P3"))
+      .toDF("id", "name")
+    assert(LakeSink.softPatchDir(spark, dir, p1, "id") == 3L)
+    // patch 2: a DIFFERENT column on overlapping keys — composes
+    val p2 = Seq((2L, 999.0), (3L, 888.0)).toDF("id", "price")
+    assert(LakeSink.softPatchDir(spark, dir, p2, "id") == 2L)
+    val v = LakeSink.morReadUpsertDir(spark, dir, "id")
+      .filter(col("id") <= 3L).orderBy("id").collect()
+    assert(v.map(_.getString(1)).toSeq == Seq("n0", "P1", "n2", "P3"),
+      "NULL patch cell must keep the current value")
+    assert(v.map(_.getDouble(2)).toSeq == Seq(0.0, 10.0, 999.0, 888.0))
+    // the preimage feed is correct for patched rows: patch 2's
+    // before-image of id=3 is PATCH 1's version (name P3), not base
+    val pre = LakeSink.upsertFeedPreimage(spark, dir, "id")
+      .filter(col("batch_seq") === 2L && col("id") === 3L).head()
+    assert(pre.getAs[String]("before_name") == "P3")
+    assert(pre.getAs[Double]("before_price") == 30.0)
+    assert(pre.getAs[String]("op") == "update")
+  }
+
+  test("patch refusals: unknown columns, type drift, non-live keys, key-only patch") {
+    val dir = mkTable("patchref", 10L)
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSink.softPatchDir(spark, dir,
+        Seq((1L, "x")).toDF("id", "nope"), "id")
+    }
+    assert(e1.getMessage.contains("unknown columns"))
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSink.softPatchDir(spark, dir,
+        Seq((1L, 5)).toDF("id", "price"), "id") // int, table has double
+    }
+    assert(e2.getMessage.contains("type drift"))
+    val e3 = intercept[IllegalArgumentException] {
+      LakeSink.softPatchDir(spark, dir,
+        Seq((999L, "x")).toDF("id", "name"), "id")
+    }
+    assert(e3.getMessage.contains("not live"))
+    val e4 = intercept[IllegalArgumentException] {
+      LakeSink.softPatchDir(spark, dir, Seq(Tuple1(1L)).toDF("id"), "id")
+    }
+    assert(e4.getMessage.contains("nothing to patch"))
+  }
+
+  test("partitioned upsert compaction: hive layout kept, cross-partition moves land, plain read ≡ pre-compaction fold, logs cleared") {
+    val dir = freshDir("partcompact")
+    spark.range(60L).select(col("id"),
+        concat(lit("n"), col("id")).as("name"), (col("id") % 3).as("part"))
+      .write.partitionBy("part").parquet(dir)
+    // an update that MOVES rows between partitions + an insert + a
+    // delete (partition values read back as INT — hive inference —
+    // so the batch must carry int too, the type-drift contract)
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(0L, 10L).select(col("id"), lit("moved").as("name"),
+        lit(9).as("part")), "id")
+    LakeSink.softDeleteUpsertDir(spark, dir,
+      Seq(20L, 21L).toDF("id"), "id")
+    val before = LakeSink.morReadUpsertDir(spark, dir, "id")
+      .orderBy("id").collect().map(_.toString).toSeq
+    val n = LakeSink.compactUpsertsPartitionedDir(spark, dir, "id",
+      Seq("part"), targetRecordsPerFile = 100L)
+    assert(n == 58L)
+    // hive layout kept: part=9 exists (the moved rows' new home)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("part=")).sorted
+    assert(parts.toSeq == Seq("part=0", "part=1", "part=2", "part=9"))
+    // logs retired with the swap; plain read ≡ the pre-compaction fold
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_updates")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_deletes")))
+    val after = spark.read.parquet(dir).select("id", "name", "part")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(after == before)
+    // refusals: flat compaction on a hive layout names the overload
+    LakeSink.softUpsertDir(spark, dir,
+      Seq((0L, "again", 9)).toDF("id", "name", "part"), "id")
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.compactUpsertsDir(spark, dir, "id", 100L)
+    }
+    assert(e.getMessage.contains("compactUpsertsPartitionedDir"))
+    // unknown partition column refuses by name
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSink.compactUpsertsPartitionedDir(spark, dir, "id", Seq("nope"))
+    }
+    assert(e2.getMessage.contains("partition columns"))
+  }
+
+  test("compact(path) refuses pending logs by name — the raw rewrite would discard upserts and resurrect deletes") {
+    val dir = mkTable("compactref", 30L)
+    LakeSink.softUpsertDir(spark, dir,
+      Seq((1L, "u", 1.0, 0L)).toDF("id", "name", "price", "part"), "id")
+    val e = intercept[IllegalStateException] {
+      LakeSink.compact(spark, dir, "parquet", 1000L)
+    }
+    assert(e.getMessage.contains("COMPACT REFUSED") &&
+      e.getMessage.contains("compactUpsertsDir"))
+    // with only deletes pending it names the MOR routes too
+    val dir2 = mkTable("compactref2", 30L)
+    LakeSink.softDeleteDir(spark, dir2, Seq(1L).toDF("id"), "id")
+    val e2 = intercept[IllegalStateException] {
+      LakeSink.compact(spark, dir2, "parquet", 1000L)
+    }
+    assert(e2.getMessage.contains("_deletes"))
+    // a log-free directory still compacts
+    val dir3 = mkTable("compactok", 30L)
+    assert(LakeSink.compact(spark, dir3, "parquet", 1000L) == 30L)
+  }
+
+  test("persisted change feed: _feed rides each batch's atomic rename and equals the recomputed upsertFeed") {
+    val dir = mkTable("feedfiles", 30L)
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(25L, 35L).select(col("id"), lit("f1").as("name"),
+        lit(1.0).as("price"), lit(0L).as("part")), "id")
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(30L, 33L).select(col("id"), lit("f2").as("name"),
+        lit(2.0).as("price"), lit(0L).as("part")), "id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val feeds = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/_updates", "u-*")).map(st =>
+      new org.apache.hadoop.fs.Path(st.getPath, "_feed"))
+    assert(feeds.length == 2 && feeds.forall(fs.exists),
+      "every committed batch must carry its feed")
+    val persisted = spark.read.parquet(feeds.map(_.toString).toIndexedSeq: _*)
+      .orderBy("batch_seq", "id").collect().map(_.toString).toSeq
+    val recomputed = LakeSink.upsertFeed(spark, dir, "id")
+      .orderBy("batch_seq", "id").collect().map(_.toString).toSeq
+    assert(persisted == recomputed,
+      "persisted feed must be row-identical to the recomputed one")
+    // ops: batch 1 inserts 30-34 (beyond base 0-29), updates 25-29;
+    // batch 2 re-updates 30-32 (now visible) — all 'update'
+    val b2ops = LakeSink.upsertFeed(spark, dir, "id")
+      .filter(col("batch_seq") === 2L).select("op").distinct().collect()
+    assert(b2ops.map(_.getString(0)).toSeq == Seq("update"))
+  }
+
+  test("exactly-once replay matches the batch NAME only — a '-e<N>-' in the table path must not fake a replay") {
+    val parent = freshDir("once-e7-prod") // the poisoned path shape
+    val dir = s"$parent/t"
+    spark.range(10L).select(col("id"), lit("x").as("name"))
+      .write.parquet(dir)
+    val batch = Seq((3L, "u")).toDF("id", "name")
+    val (u, i) = LakeSink.softUpsertDir(spark, dir, batch, "id",
+      onceId = Some(7L))
+    assert(u == 1L && i == 0L,
+      "delivery 7 must LAND — the path's '-e7-' is not a committed batch")
+    // and the true replay is still a no-op
+    assert(LakeSink.softUpsertDir(spark, dir, batch, "id",
+      onceId = Some(7L)) == ((0L, 0L)))
+  }
+}
