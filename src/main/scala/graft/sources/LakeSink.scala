@@ -862,10 +862,25 @@ object LakeSink {
     * ONE rename as the atomic commit into `_deletes/b-*`. The whole
     * check-then-land runs under the directory's log claim, so it can
     * never interleave with a concurrent upsert's tombstone check. */
+  /** every committed log landing's sequence number — upsert batches
+    * (`u-<seq>-…`) AND delete batches (`b-<seq>-…`; pre-r15 `b-<tag>`
+    * batches carry none and contribute 0): ONE counter orders the
+    * whole change history, so the feed can interleave deletes with
+    * upserts deterministically. */
+  private def logSeqs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Long] = {
+    val delSeqs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir, "_deletes"), "b-*")))
+      .getOrElse(Array.empty).toIndexedSeq
+      .map(st => scala.util.Try(
+        st.getPath.getName.split("-")(1).toLong).getOrElse(0L))
+    updateBatches(fs, dir).map(_._1) ++ delSeqs
+  }
+
   private def landDeleteBatch(spark: SparkSession, dir: String,
       keys: DataFrame, key: String, live: => DataFrame,
       retainMs: Long = 600000L): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val nNull = keys.filter(col(key).isNull).count()
     require(nNull == 0,
       s"MOR DELETE REFUSED: $nNull rows carry a NULL $key")
@@ -880,9 +895,13 @@ object LakeSink {
         s"MOR DELETE REFUSED: $nMissing keys not live in the view " +
           "(never present, or already deleted) — a silently-ignored key " +
           "would report a removal that never happened")
-      // rows removed can exceed |keys| when the key is non-unique —
-      // count what the anti-join will actually drop
-      val removed = liveView.join(broadcast(del), Seq(key), "left_semi").count()
+      // the rows the anti-join will drop — the delete's BEFORE-IMAGES
+      // (can exceed |keys| when the key is non-unique). Materialized
+      // once: they are the removed count AND the feed's delete events
+      // — churn-sized, the same scan the count alone used to pay.
+      val removedRows = liveView.join(broadcast(del), Seq(key), "left_semi")
+        .localCheckpoint(true)
+      val removed = removedRows.count()
       val tag = java.util.UUID.randomUUID().toString.take(12)
       val stage = new org.apache.hadoop.fs.Path(loc, s".tmp-del-$tag")
       // multi-file stage: the batch keeps its parallelism (a
@@ -896,9 +915,20 @@ object LakeSink {
           s"staged delete batch short: $staged of ${del.count()} keys; " +
             "aborting — view unchanged")
       }
+      // the delete's CHANGE-FEED rows ride the same atomic rename
+      // (the upsert-feed rule applied to deletes): (batch_seq,
+      // op='delete', full before-image) under the `_`-hidden `_feed`,
+      // seq claimed from the SHARED log counter so the feed
+      // interleaves deletes with upserts in landed order
+      val seq = (logSeqs(fs, dir) :+ 0L).max + 1
+      removedRows
+        .select(lit(seq).as("batch_seq") +: lit("delete").as("op") +:
+          removedRows.columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(stage, "_feed").toString)
       val dels = new org.apache.hadoop.fs.Path(loc, "_deletes")
       fs.mkdirs(dels)
-      val dest = new org.apache.hadoop.fs.Path(dels, s"b-$tag")
+      val dest = new org.apache.hadoop.fs.Path(dels, f"b-$seq%06d-$tag")
       require(fs.rename(stage, dest), s"delete publish failed: $stage -> $dest")
       removed
     }
@@ -1005,7 +1035,9 @@ object LakeSink {
       val union = spark.read.parquet(batches.toIndexedSeq: _*)
         .distinct().localCheckpoint(true)
       val expected = union.count()
-      union.coalesce(1).write.mode("overwrite")
+      // multi-file snapshot: the cumulative tombstone set grows with
+      // the delete history — it must not funnel through one task
+      union.write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(next, "_tombstones").toString)
       val staged = spark.read.parquet(
         new org.apache.hadoop.fs.Path(next, "_tombstones").toString).count()
@@ -1309,8 +1341,10 @@ object LakeSink {
           s"staged upsert batch short: $staged of ${updated + inserted} " +
             "rows; aborting — view unchanged")
       }
-      // seq under the claim (no concurrent writer can mint the same)
-      val seq = (updateBatches(fs, dir).map(_._1) :+ 0L).max + 1
+      // seq under the claim (no concurrent writer can mint the same),
+      // from the SHARED log counter — deletes take seqs too, so the
+      // change feed interleaves both in landed order
+      val seq = (logSeqs(fs, dir) :+ 0L).max + 1
       // THE PERSISTED CHANGE FEED (Delta CDF's `_change_data` rule):
       // the batch's feed rows — (batch_seq, op, full new version) in
       // [[upsertFeed]]'s exact shape, op decided against the
@@ -1523,10 +1557,51 @@ object LakeSink {
       StructField("batch_seq", LongType, nullable = false) ::
       StructField("op", StringType, nullable = false) ::
       readDataFilesList(spark, dir).schema.fields.toList)
-    spark.readStream.schema(sch)
+    // TWO file sources under one query — the upsert feed and the
+    // DELETE feed (op='delete' with full before-images, landed by
+    // [[landDeleteBatch]] in the same atomic rename as its tombstone
+    // batch) — each with its own checkpointed file log; the union is
+    // the complete change stream (Delta CDF's full op set)
+    val ups = spark.readStream.schema(sch)
       .parquet(new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(loc, "_updates"), "u-*/_feed").toString)
+    val dels = spark.readStream.schema(sch)
+      .parquet(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc, "_deletes"), "b-*/_feed").toString)
+    ups.unionByName(dels)
   }
+
+  /** the committed DELETE feed — one row per removed row version
+    * (batch_seq, op='delete', full before-image), read from the
+    * `_feed` files each delete batch landed atomically. Pre-r15
+    * batches (no `_feed`) do not replay — the feed starts with the
+    * first feed-carrying landing. Empty when no delete ever landed. */
+  def deleteFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val feeds = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc, "_deletes"), "b-*/_feed")))
+      .getOrElse(Array.empty).map(_.getPath.toString)
+    if (feeds.nonEmpty) spark.read.parquet(feeds.toIndexedSeq: _*)
+    else {
+      val data = readDataFilesList(spark, dir)
+      data.limit(0)
+        .withColumn("batch_seq", lit(0L)).withColumn("op", lit(""))
+        .select(col("batch_seq") +: col("op") +:
+          data.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** THE COMPLETE CHANGE FEED — [[upsertFeed]]'s inserts/updates ∪
+    * [[deleteFeed]]'s deletes, totally ordered by the shared
+    * `batch_seq` (one log counter numbers every landing, upsert or
+    * delete, claimed under the log claim): the batch-side form of
+    * [[upsertFeedStream]], and the full Delta `table_changes` op
+    * set. O(|log|) like both halves. */
+  def changeFeed(spark: SparkSession, dir: String, key: String): DataFrame =
+    upsertFeed(spark, dir, key)
+      .unionByName(deleteFeed(spark, dir))
 
   /** RESTORE a retained snapshot AS A NEW COMMIT (Delta's
     * `RESTORE TABLE ... TO VERSION`): the recovery from a bad publish

@@ -1964,5 +1964,18 @@ class StreamingSpec extends AnyFunSuite {
     // inserts 28-29 (first seen) — the a37 contract on the stream
     assert(got2.count(_.contains("update")) == 2 &&
       got2.count(_.contains("insert")) == 2)
+    // DELETE EVENTS arrive on the same stream: a tombstone landing
+    // (seq 4, shared counter) emits op='delete' rows carrying the
+    // removed version's full before-image
+    LakeSink.softDeleteUpsertDir(spark, dir,
+      Seq(2L, 28L).toDF("id"), "id")
+    val got3 = scala.collection.mutable.ArrayBuffer[String]()
+    val q3 = startQ(got3)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(got3.size == 2 && got3.forall(_.contains("delete")), s"$got3")
+    assert(got3.exists(r => r.contains("n2")) && // base version of id 2
+      got3.exists(r => r.contains("b3-28")),     // b3's version of id 28
+      s"delete events must carry before-images: $got3")
   }
 }

@@ -237,6 +237,46 @@ class UpsertLogSpec extends AnyFunSuite {
     assert(b2ops.map(_.getString(0)).toSeq == Seq("update"))
   }
 
+  test("delete events in the change feed: shared seq space, before-images ride the tombstone's atomic rename, changeFeed totally ordered") {
+    val dir = mkTable("delfeed", 30L)
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(25L, 35L).select(col("id"), lit("u1").as("name"),
+        lit(1.0).as("price"), lit(0L).as("part")), "id") // seq 1
+    LakeSink.softDeleteUpsertDir(spark, dir,
+      Seq(3L, 27L).toDF("id"), "id")                     // seq 2
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(40L, 42L).select(col("id"), lit("u2").as("name"),
+        lit(2.0).as("price"), lit(0L).as("part")), "id") // seq 3
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the tombstone batch took seq 2 from the SHARED counter
+    val bNames = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/_deletes", "b-*")).map(_.getPath.getName)
+    assert(bNames.length == 1 && bNames.head.startsWith("b-000002-"))
+    // the delete feed carries FULL before-images: id 3 = the base
+    // row, id 27 = upsert batch 1's version (the version removed)
+    val df = LakeSink.deleteFeed(spark, dir)
+      .orderBy("id").collect()
+    assert(df.length == 2)
+    assert(df.forall(r => r.getLong(0) == 2L && r.getString(1) == "delete"))
+    assert(df(0).getAs[Long]("id") == 3L &&
+      df(0).getAs[String]("name") == "n3")
+    assert(df(1).getAs[Long]("id") == 27L &&
+      df(1).getAs[String]("name") == "u1")
+    // the COMPLETE feed interleaves in landed order
+    val cf = LakeSink.changeFeed(spark, dir, "id")
+      .orderBy("batch_seq", "id").collect()
+    assert(cf.map(_.getLong(0)).toSeq.sorted ==
+      Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 2L, 2L, 3L, 3L))
+    assert(cf.map(_.getString(1)).count(_ == "delete") == 2)
+    // an empty-delete-history table reads an empty delete feed with
+    // the full schema
+    val dir2 = mkTable("delfeed2", 5L)
+    assert(LakeSink.deleteFeed(spark, dir2).isEmpty)
+    assert(LakeSink.deleteFeed(spark, dir2).columns.take(2).toSeq ==
+      Seq("batch_seq", "op"))
+  }
+
   test("exactly-once replay matches the batch NAME only — a '-e<N>-' in the table path must not fake a replay") {
     val parent = freshDir("once-e7-prod") // the poisoned path shape
     val dir = s"$parent/t"
