@@ -1101,8 +1101,16 @@ object Crud {
       .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_ups_$stamp")
+    // cache validity includes the r15 delete-feed artifact: a fixture
+    // built by an older round carries pre-feed `b-<tag>` batches and
+    // a43's change feed would silently miss its delete events
+    def hasDeleteFeed: Boolean =
+      Option(new java.io.File(dir, "_deletes").listFiles())
+        .getOrElse(Array.empty)
+        .exists(b => b.getName.startsWith("b-") &&
+          new java.io.File(b, "_feed").isDirectory)
     if (!new java.io.File(dir, "_SUCCESS").isFile ||
-        !new java.io.File(dir, "_updates").isDirectory) {
+        !new java.io.File(dir, "_updates").isDirectory || !hasDeleteFeed) {
       Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("graft_ups_"))
         .foreach(f => scala.util.Try(
@@ -1784,8 +1792,75 @@ object Crud {
       .morReadUpsertDir(s, ensurePatchOrders(s, d), "o_orderkey"))
   }
 
+  /** a43: THE COMPLETE CHANGE FEED — inserts, updates, AND DELETE
+    * EVENTS with before-images ([[graft.sources.LakeSink.changeFeed]]
+    * — Delta `table_changes`' full op set; a37 replays only the
+    * update log by design, so a downstream replicator still had to
+    * poll snapshot diffs for deletes): tombstone landings take a seq
+    * from the SAME log counter as upserts and persist
+    * (batch_seq, 'delete', full before-image) rows in the tombstone's
+    * own atomic rename — the rows the anti-join drops, materialized
+    * from the scan the removed-count already paid. The feed is
+    * totally ordered by the shared seq: u-1 (update+insert), u-2
+    * (re-update), b-3 (deletes of the CURRENT version — W/U/clone
+    * versions, not base rows: the before-image is the fold at delete
+    * time, which the oracle restates as the same CASE). O(|log|),
+    * base scanned once. */
+  val a43 = Q("a43_change_feed", Some("""
+    WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    f1 AS (
+      SELECT 1 AS batch_seq, 'update' AS op,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        'U-' || o_orderpriority AS pri
+      FROM orders WHERE o_orderkey % 13 = 1
+      UNION ALL
+      SELECT 1, 'insert',
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+        o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 5
+    ),
+    f2 AS (
+      SELECT 2 AS batch_seq, 'update' AS op,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        'W-' || o_orderpriority AS pri
+      FROM orders WHERE o_orderkey % 26 = 1
+    ),
+    v AS (
+      SELECT o_orderkey AS k,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        CASE WHEN o_orderkey % 26 = 1 THEN 'W-' || o_orderpriority
+             WHEN o_orderkey % 13 = 1 THEN 'U-' || o_orderpriority
+             ELSE o_orderpriority END AS pri
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + mx.mk,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+        o_orderpriority
+      FROM orders CROSS JOIN mx WHERE o_orderkey % 97 = 5
+    ),
+    f3 AS (
+      SELECT 3 AS batch_seq, 'delete' AS op, cents, pri
+      FROM v WHERE k % 17 = 3
+    ),
+    allf AS (
+      SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      UNION ALL SELECT * FROM f3)
+    SELECT batch_seq, op, count(*) AS n_rows,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+    FROM allf GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+    val dir = ensureUpsertOrders(s, d)
+    graft.sources.LakeSink.changeFeed(s, dir, "o_orderkey")
+      .groupBy(col("batch_seq"), col("op"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"),
+        count_distinct(col("o_orderpriority")).as("n_pri"))
+      .orderBy("batch_seq", "op")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39, a40, a41, a42)
+    a38, a39, a40, a41, a42, a43)
 }

@@ -1229,9 +1229,21 @@ object LakeSink {
     * ONE rename is the atomic commit — a crash before it leaves the
     * view unchanged and a `.tmp-ups-*` leftover swept on the next
     * call. */
+  /** `feedPreimages = true` additionally persists one
+    * `op = 'update_preimage'` feed row per UPDATED key — the version
+    * this batch replaces, fetched at land time by one batch-keyed
+    * join against the current view (base scanned once, full width,
+    * output churn-sized) — completing Delta CDF's op set
+    * (insert / update_preimage / update_postimage ≡ 'update' /
+    * delete) in the PERSISTED feed, so [[upsertFeedStream]]
+    * subscribers can retract without a batch-side
+    * [[upsertFeedPreimage]] pass. Opt-in: the default landing pays
+    * only the key-pruned liveness scan it always paid. REFUSES (like
+    * upsertFeedPreimage) an updated key that is non-unique in the
+    * view — no single preimage row exists. */
   def softUpsertDir(spark: SparkSession, dir: String, batch: DataFrame,
       key: String, onceId: Option[Long] = None,
-      retainMs: Long = 600000L): (Long, Long) = {
+      retainMs: Long = 600000L, feedPreimages: Boolean = false): (Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val loc = new org.apache.hadoop.fs.Path(dir)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1302,10 +1314,28 @@ object LakeSink {
             new org.apache.hadoop.fs.Path(b._2).getName.contains(s"-e$e-")))
           return (0L, 0L)
       }
-      val liveKeys = morReadUpsertDir(spark, dir, key)
-        .select(col(key)).distinct()
+      val view = morReadUpsertDir(spark, dir, key)
+      val liveKeys = view.select(col(key)).distinct()
       val updated = batch.join(liveKeys, Seq(key), "left_semi").count()
       val inserted = batch.count() - updated
+      // update PREIMAGES, fetched BEFORE the landing changes the view
+      // (opt-in — one batch-keyed full-width view join, churn-sized
+      // output); a non-unique updated key has no single preimage row
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+      val preimages =
+        if (!feedPreimages) None
+        else {
+          val batchKeys = batch.select(col(key)).distinct()
+          val pre = view.join(batchKeys, Seq(key), "left_semi")
+            .localCheckpoint(true)
+          val nDupKeyed = pre.groupBy(col(key))
+            .agg(fcount(flit(1)).as("n")).filter(col("n") > 1).count()
+          require(nDupKeyed == 0,
+            s"PREIMAGE FEED REFUSED: $nDupKeyed updated keys are " +
+              "non-unique in the view — no single preimage row exists; " +
+              "land without feedPreimages")
+          Some(pre)
+        }
       // land: stage + verify + ONE rename (the atomic commit)
       val tag = java.util.UUID.randomUUID().toString.take(12)
       val ups = new org.apache.hadoop.fs.Path(loc, "_updates")
@@ -1355,14 +1385,18 @@ object LakeSink {
       // mid-write. Log-sized write, the price of never recomputing
       // the feed downstream.
       import org.apache.spark.sql.functions.{lit, when}
-      spark.read.parquet(stage.toString)
+      val postRows = spark.read.parquet(stage.toString)
         .join(liveKeys.withColumn("_lv", lit(1)), Seq(key), "left_outer")
         .withColumn("op",
           when(col("_lv").isNotNull, "update").otherwise("insert"))
         .drop("_lv")
         .select(lit(seq).as("batch_seq") +: col("op") +:
           data.columns.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite")
+      val feedRows = preimages.fold(postRows)(pre =>
+        postRows.unionByName(pre.select(
+          lit(seq).as("batch_seq") +: lit("update_preimage").as("op") +:
+            data.columns.map(col).toIndexedSeq: _*)))
+      feedRows.write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(stage, "_feed").toString)
       // the delivery id rides the batch NAME (what the replay check
       // greps), between seq and tag — seq parsing is position-stable

@@ -277,6 +277,39 @@ class UpsertLogSpec extends AnyFunSuite {
       Seq("batch_seq", "op"))
   }
 
+  test("opt-in update preimages complete the persisted feed's CDF op set; default landings pay nothing extra") {
+    val dir = mkTable("prefeed", 20L)
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(3L, 6L).select(col("id"), lit("v1").as("name"),
+        lit(1.0).as("price"), lit(0L).as("part")), "id") // seq 1, no preimages
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(4L, 23L).select(col("id"), lit("v2").as("name"),
+        lit(2.0).as("price"), lit(0L).as("part")), "id",
+      feedPreimages = true)                              // seq 2, preimages
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val feeds = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/_updates", "u-*")).map(st =>
+      new org.apache.hadoop.fs.Path(st.getPath, "_feed").toString).sorted
+    val f1 = spark.read.parquet(feeds(0))
+    assert(f1.filter(col("op") === "update_preimage").count() == 0,
+      "default landing must not pay the preimage join")
+    val f2 = spark.read.parquet(feeds(1))
+    // batch 2 updates 4..19 (16 keys: base 4..19 plus batch-1's 4,5
+    // versions) and inserts 20..22; each updated key gets ONE
+    // preimage row carrying the REPLACED version
+    val pre = f2.filter(col("op") === "update_preimage")
+    assert(pre.count() == 16L)
+    // ids 4,5 were replaced at their batch-1 version (v1), not base
+    assert(pre.filter(col("id") === 4L).head().getAs[String]("name") == "v1")
+    assert(pre.filter(col("id") === 10L).head().getAs[String]("name") == "n10")
+    assert(f2.filter(col("op") === "update").count() == 16L &&
+      f2.filter(col("op") === "insert").count() == 3L)
+    // postimage/preimage pair up per key under one batch_seq — the
+    // retraction shape (Delta CDF) straight from the persisted feed
+    assert(pre.select("batch_seq").distinct().head().getLong(0) == 2L)
+  }
+
   test("exactly-once replay matches the batch NAME only — a '-e<N>-' in the table path must not fake a replay") {
     val parent = freshDir("once-e7-prod") // the poisoned path shape
     val dir = s"$parent/t"
