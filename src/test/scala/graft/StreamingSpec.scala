@@ -1978,4 +1978,80 @@ class StreamingSpec extends AnyFunSuite {
       got3.exists(r => r.contains("b3-28")),     // b3's version of id 28
       s"delete events must carry before-images: $got3")
   }
+
+  test("feed-driven REPLICATION: a replica subscribed to the source's change stream converges to the source view, exactly-once across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.sources.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_replica")
+      .toString
+    val src = s"$root/src"
+    val rep = s"$root/rep"
+    spark.range(20L).select(col("id"),
+      concat(lit("n"), col("id")).as("name")).write.parquet(src)
+    // the replica starts as a copy of the source's initial snapshot
+    spark.read.parquet(src).write.parquet(rep)
+    LakeSink.registerKeyDir(spark, src, "id")
+    LakeSink.registerKeyDir(spark, rep, "id")
+    def srcView = LakeSink.morReadUpsertDir(spark, src, "id")
+    def repView = LakeSink.morReadUpsertDir(spark, rep, "id")
+    // the CONSUMER: per micro-batch, apply the feed's ops to the
+    // replica in seq order — upserts via the log, deletes via
+    // tombstones; the epoch id makes the apply exactly-once under
+    // foreachBatch's at-least-once replays
+    def startQ() = LakeSink.upsertFeedStream(spark, src).writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val batch = b.localCheckpoint(true)
+        batch.select("batch_seq").distinct().collect()
+          .map(_.getLong(0)).sorted.foreach { seq =>
+            val rows = batch.filter(col("batch_seq") === seq)
+            val dels = rows.filter(col("op") === "delete").select("id")
+            val ups = rows
+              .filter(col("op") === "insert" || col("op") === "update")
+              .drop("batch_seq", "op")
+            if (!ups.isEmpty)
+              LakeSink.softUpsertDir(spark, rep, ups, "id",
+                onceId = Some(epoch * 1000L + seq))
+            if (!dels.isEmpty) {
+              // delete idempotence under replays: only keys still
+              // live in the replica (a replayed delete is a no-op)
+              val live = dels.join(
+                LakeSink.morReadUpsertDir(spark, rep, "id").select("id"),
+                Seq("id"), "left_semi").localCheckpoint(true)
+              if (!live.isEmpty)
+                LakeSink.softDeleteUpsertDir(spark, rep, live, "id")
+            }
+          }
+        ()
+      }.start()
+    // history: update+insert, then a delete, then a re-update
+    LakeSink.softUpsertDir(spark, src,
+      spark.range(15L, 25L).select(col("id"),
+        concat(lit("u1-"), col("id")).as("name")), "id")      // seq 1
+    LakeSink.softDeleteUpsertDir(spark, src,
+      Seq(3L, 21L).toDF("id"), "id")                          // seq 2
+    val q = startQ()
+    q.processAllAvailable()
+    assert(repView.orderBy("id").collect().map(_.toString).toSeq ==
+      srcView.orderBy("id").collect().map(_.toString).toSeq,
+      "replica must converge to the source view")
+    // more history while the consumer is DOWN; the restart applies
+    // exactly the missed batches
+    q.stop()
+    LakeSink.softUpsertDir(spark, src,
+      spark.range(22L, 28L).select(col("id"),
+        concat(lit("u3-"), col("id")).as("name")), "id")      // seq 3
+    LakeSink.softDeleteUpsertDir(spark, src, Seq(0L).toDF("id"), "id")
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(repView.orderBy("id").collect().map(_.toString).toSeq ==
+      srcView.orderBy("id").collect().map(_.toString).toSeq,
+      "replica must converge after the restart with no re-application")
+    // a re-updated key carries the latest version on both sides; the
+    // deleted keys (0, 3, 21) are gone from both
+    assert(repView.filter(col("id") === 22L).head().getString(1) == "u3-22")
+    assert(repView.filter(col("id").isin(0L, 3L, 21L)).count() == 0)
+  }
 }
