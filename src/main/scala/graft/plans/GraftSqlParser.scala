@@ -178,12 +178,28 @@ object GraftDml {
       .exists(_.nonEmpty)
   }
 
+  /** the table view a DML predicate scans. With
+    * `spark.graft.morApply.enabled` on, a SINGLE-ROOT read — the
+    * planner folds the log ([[TombstoneApplyRule]], value-identical
+    * to the explicit API, a36's hash-proved contract) AND the
+    * manifest prune rules can fire on it, so `DELETE … WHERE k = 42`
+    * over a blooms-carrying table reads ~the owning files instead of
+    * the table (Delta's DELETE does its file skipping exactly here).
+    * With the conf off, the explicit fold API (prune-proof but always
+    * correct). The landing kernels re-verify liveness under the log
+    * claim either way, so the choice affects READ cost only. */
+  private def dmlView(spark: SparkSession, loc: String,
+      key: String): org.apache.spark.sql.DataFrame =
+    if (spark.conf.get("spark.graft.morApply.enabled", "false").toBoolean)
+      spark.read.parquet(loc)
+    else graft.sources.LakeSink.morReadUpsertDir(spark, loc, key)
+
   private[plans] def runDelete(spark: SparkSession, target: String,
       pred: Option[String]): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val (loc, table) = resolveTarget(spark, target)
     val key = resolveKey(spark, loc, table)
-    val view = graft.sources.LakeSink.morReadUpsertDir(spark, loc, key)
+    val view = dmlView(spark, loc, key)
     val keys = view.filter(pred.map(expr).getOrElse(lit(true)))
       .select(col(key)).distinct().localCheckpoint(true)
     if (keys.isEmpty) return 0L
@@ -204,7 +220,7 @@ object GraftDml {
       s"UPDATE REFUSED: SET targets the key column '$key' — a key " +
         "change is a DELETE plus an INSERT (two intents, two " +
         "statements); an updated key would orphan the old version")
-    val view = graft.sources.LakeSink.morReadUpsertDir(spark, loc, key)
+    val view = dmlView(spark, loc, key)
     val unknown = assigns.map(_._1)
       .filterNot(c => view.columns.exists(_.equalsIgnoreCase(c)))
     require(unknown.isEmpty,
@@ -270,7 +286,7 @@ object GraftDml {
     // SET * / INSERT * map source → target BY NAME: every table
     // column must exist in the source; EXTRA source columns (a CDC
     // op/ts envelope) are simply unused — Delta's semantics
-    val view = graft.sources.LakeSink.morReadUpsertDir(spark, loc, key)
+    val view = dmlView(spark, loc, key)
     val missing = view.columns.filterNot(c =>
       srcDf.columns.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty,

@@ -218,6 +218,27 @@ object Expect {
   def writeExpectGated(spark: SparkSession, dir: String, batchId: Long,
       batch: DataFrame, rules: Seq[Rule],
       gates: Seq[BatchGate]): (Long, Long) = {
+    requireGates(spark, dir, batch, gates)
+    writeExpect(spark, dir, batchId, batch, rules)
+  }
+
+  /** [[upsertExpect]] behind batch gates — the CDC quality gate's
+    * aggregate tier: a violated gate holds the WHOLE update batch by
+    * name before any row touches the log (a half-sized CDC extract
+    * or a duplicated replay corrupting latest-wins is a pipeline
+    * incident). Note [[RowCountDrift]]'s history is `batch-*`
+    * landings; an upsert-log table tracks drift against its own
+    * `_updates` cadence, so row-count gates here are most useful
+    * with an explicit trailing-mean baseline or [[KeyUniqueness]]. */
+  def upsertExpectGated(spark: SparkSession, dir: String, batchId: Long,
+      batch: DataFrame, key: String, rules: Seq[Rule],
+      gates: Seq[BatchGate]): (Long, Long, Long) = {
+    requireGates(spark, dir, batch, gates)
+    upsertExpect(spark, dir, batchId, batch, key, rules)
+  }
+
+  private def requireGates(spark: SparkSession, dir: String,
+      batch: DataFrame, gates: Seq[BatchGate]): Unit = {
     val bad = checkGates(spark, dir, batch, gates)
     if (bad.nonEmpty)
       throw new IllegalStateException(
@@ -225,6 +246,5 @@ object Expect {
           .mkString("; ")} — the whole batch is held (nothing landed); " +
           "an aggregate violation is a pipeline incident, not a " +
           "row-repair queue")
-    writeExpect(spark, dir, batchId, batch, rules)
   }
 }

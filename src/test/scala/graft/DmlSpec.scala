@@ -173,6 +173,37 @@ class DmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS dml_cat")
   }
 
+  test("DML composes with the planner: under morApply the predicate scan is a single-root read the prune rules can skip files on; semantics identical either way") {
+    val dir = freshDir("dmlprune")
+    // key-clustered table with a committed bloom manifest
+    spark.range(8000L).select(col("id"),
+        concat(lit("n"), col("id")).as("name"), lit(1.0).as("price"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(dir)
+    graft.sources.LakeSink.attachBlooms(spark, dir, "id")
+    graft.sources.LakeSink.registerKeyDir(spark, dir, "id")
+    spark.conf.set("spark.graft.morApply.enabled", "true")
+    spark.conf.set("spark.graft.bloomPrune.enabled", "true")
+    try {
+      // point UPDATE: lands exactly one row's batch; the view read is
+      // single-root so the bloom rule can decide files at plan time
+      val r = spark.sql(
+        s"UPDATE parquet.`$dir` SET price = 9.0 WHERE id = 4242").collect()
+      assert(r.head.getLong(1) == 1L)
+      // point DELETE through the same composition
+      val r2 = spark.sql(
+        s"DELETE FROM parquet.`$dir` WHERE id = 17").collect()
+      assert(r2.head.getLong(3) == 1L)
+      val v = graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+      assert(v.filter(col("id") === 4242L).head().getDouble(2) == 9.0)
+      assert(v.filter(col("id") === 17L).count() == 0)
+      assert(v.count() == 7999L)
+    } finally {
+      spark.conf.unset("spark.graft.morApply.enabled")
+      spark.conf.unset("spark.graft.bloomPrune.enabled")
+    }
+  }
+
   test("everything else delegates: SELECT/CREATE/EXPLAIN parse untouched") {
     assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
     assert(spark.sql("SELECT 'UPDATE t SET x = 1' AS s").head()

@@ -60,6 +60,26 @@ class ExpectGateSpec extends AnyFunSuite {
     assert(v2 == 52L)
   }
 
+  test("gated upserts: an aggregate violation holds the whole CDC batch before it touches the log") {
+    val dir = freshDir("gate_ups")
+    spark.range(20L).select(col("id"), lit(1.0).as("v")).write.parquet(dir)
+    val dup = spark.range(5L, 10L).select(col("id"), lit(2.0).as("v"))
+      .unionAll(spark.range(5L, 7L).select(col("id"), lit(3.0).as("v")))
+    val e = intercept[IllegalStateException] {
+      Expect.upsertExpectGated(spark, dir, 1L, dup, "id", rules,
+        Seq(Expect.KeyUniqueness("id")))
+    }
+    assert(e.getMessage.contains("key_uniqueness"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_updates")),
+      "nothing may touch the log when the gate refuses")
+    val (u, i, q) = Expect.upsertExpectGated(spark, dir, 1L,
+      spark.range(5L, 10L).select(col("id"), lit(2.0).as("v")),
+      "id", rules, Seq(Expect.KeyUniqueness("id")))
+    assert(u == 5L && i == 0L && q == 0L)
+  }
+
   test("gates compose with row rules: the gate refuses the batch BEFORE any row quarantines") {
     val dir = freshDir("gate_compose")
     val gates = Seq(Expect.KeyUniqueness("id"))
