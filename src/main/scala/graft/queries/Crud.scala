@@ -1859,8 +1859,44 @@ object Crud {
       .orderBy("batch_seq", "op")
   }
 
+  /** a44: TIME TRAVEL ON THE UPSERT LOG
+    * ([[graft.sources.LakeSink.morReadUpsertDirAsOf]] — Delta's
+    * `VERSION AS OF` for the log tier; a27 travels CATALOG
+    * generations, this travels WITHIN one): the view AS OF landing 1
+    * replays exactly the first batch — the %13 updates and the clone
+    * inserts are visible, the seq-2 re-update and the seq-3 delete
+    * are NOT (nothing hidden, nothing re-statused) — because one
+    * shared counter orders every landing, upsert or delete, and the
+    * travel read folds only the prefix. The oracle restates the
+    * prefix state; a33's live-view oracle restates the full history
+    * over the SAME fixture, so the pair hash-proves the prefix rule
+    * end to end. */
+  val a44 = Q("a44_asof_log", Some("""
+    WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    v AS (
+      SELECT
+        CASE WHEN o_orderkey % 13 = 1 THEN 'U'
+             ELSE o_orderstatus END AS status,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        CASE WHEN o_orderkey % 13 = 1 THEN 'U-' || o_orderpriority
+             ELSE o_orderpriority END AS pri
+      FROM orders
+      UNION ALL
+      SELECT 'N', CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+        o_orderpriority
+      FROM orders CROSS JOIN mx WHERE o_orderkey % 97 = 5
+    )
+    SELECT status, count(*) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+    FROM v GROUP BY status ORDER BY status""")) { (s, d) =>
+    val dir = ensureUpsertOrders(s, d)
+    upsertViewAgg(graft.sources.LakeSink
+      .morReadUpsertDirAsOf(s, dir, "o_orderkey", asOfSeq = 1L))
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39, a40, a41, a42, a43)
+    a38, a39, a40, a41, a42, a43, a44)
 }

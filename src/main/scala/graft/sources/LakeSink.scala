@@ -1454,6 +1454,72 @@ object LakeSink {
     }
   }
 
+  /** TIME TRAVEL ON THE UPSERT LOG — the view AS OF landing `seq`
+    * (the log tier's [[readGeneration]]; Delta's `VERSION AS OF` for
+    * the directory-addressed table): fold only the update batches
+    * and tombstone batches whose SHARED-counter seq is ≤ `asOfSeq` —
+    * `0` = the base as written, a seq past the log's head = the live
+    * view, and any committed landing in between replays exactly (the
+    * feed and the travel read agree by construction: one counter
+    * orders both). O(log ≤ seq) like the live fold; generations are
+    * untouched — this is history WITHIN a generation, the
+    * complement of catalog-level travel. REFUSES BY NAME a log with
+    * PRE-SEQ tombstone batches (`b-<tag>`, landed before the shared
+    * counter existed): they cannot be placed in history, so an as-of
+    * read over them would silently mis-order deletes. */
+  def morReadUpsertDirAsOf(spark: SparkSession, dir: String, key: String,
+      asOfSeq: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    updateLogKey(fs, dir).foreach(k0 => require(k0 == key,
+      s"MOR READ REFUSED: the update log is keyed on '$k0', " +
+        s"read asked for '$key'"))
+    val data = readDataFilesList(spark, dir)
+    val ups = updateBatches(fs, dir).filter(_._1 <= asOfSeq)
+    val delAll = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc, "_deletes"), "b-*")))
+      .getOrElse(Array.empty).toIndexedSeq.map { st =>
+        val n = st.getPath.getName
+        val seq = scala.util.Try(n.split("-")(1).toLong).getOrElse(
+          throw new IllegalStateException(
+            s"TIME TRAVEL REFUSED: tombstone batch $n under $dir " +
+              "carries no sequence number (landed before the shared " +
+              "log counter) — it cannot be placed in history; read " +
+              "the live view (morReadUpsertDir) or compact first"))
+        (seq, st.getPath.toString)
+      }
+    val delPaths = delAll.filter(_._1 <= asOfSeq).map(_._2)
+    val tomb =
+      if (delPaths.isEmpty) None
+      else {
+        val t = spark.read.parquet(delPaths: _*)
+        require(t.columns.toSeq == Seq(key),
+          s"MOR READ REFUSED: tombstones carry key " +
+            s"'${t.columns.mkString(",")}', read asked for '$key'")
+        Some(t)
+      }
+    if (ups.isEmpty)
+      tomb.fold(data)(t => data.join(broadcast(t), Seq(key), "left_anti"))
+    else {
+      val log = ups.map { case (seq, p) =>
+        spark.read.parquet(p).withColumn("_u_seq", lit(seq))
+      }.reduce(_.unionByName(_))
+      val latest = log
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col(key)).orderBy(col("_u_seq").desc)))
+        .filter(col("_rn") === 1)
+        .select(data.columns.map(col).toIndexedSeq: _*)
+      val latestKept =
+        tomb.fold(latest)(t => latest.join(broadcast(t), Seq(key), "left_anti"))
+      val hide = tomb.fold(latest.select(col(key)))(
+        t => latest.select(col(key)).unionByName(t)).distinct()
+      data.join(broadcast(hide), Seq(key), "left_anti")
+        .unionByName(latestKept)
+    }
+  }
+
   /** CHANGE DATA FEED from the update log (Delta's `table_changes`
     * for the upsert tier; [[diffKeyed]]/a27 are the snapshot-diff
     * forms — this one costs O(|log|), never a table diff): one row

@@ -310,6 +310,42 @@ class UpsertLogSpec extends AnyFunSuite {
     assert(pre.select("batch_seq").distinct().head().getLong(0) == 2L)
   }
 
+  test("time travel on the upsert log: AS OF a landing seq replays the prefix exactly; pre-seq tombstones refuse") {
+    val dir = mkTable("asoflog", 30L)
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(25L, 35L).select(col("id"), lit("v1").as("name"),
+        lit(1.0).as("price"), lit(0L).as("part")), "id")     // seq 1
+    LakeSink.softDeleteUpsertDir(spark, dir, Seq(5L, 30L).toDF("id"), "id") // seq 2
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(26L, 28L).select(col("id"), lit("v3").as("name"),
+        lit(3.0).as("price"), lit(0L).as("part")), "id")     // seq 3
+    def asOf(n: Long) = LakeSink.morReadUpsertDirAsOf(spark, dir, "id", n)
+    // seq 0 = the base as written
+    assert(asOf(0L).count() == 30L &&
+      asOf(0L).filter(col("name").startsWith("v")).count() == 0)
+    // seq 1 = batch 1 applied, nothing deleted yet
+    val v1 = asOf(1L)
+    assert(v1.count() == 35L && v1.filter(col("id") === 5L).count() == 1)
+    assert(v1.filter(col("id") === 30L).head().getString(1) == "v1")
+    // seq 2 = the delete applied; 26-27 still at their v1 version
+    val v2 = asOf(2L)
+    assert(v2.count() == 33L && v2.filter(col("id").isin(5L, 30L)).count() == 0)
+    assert(v2.filter(col("id") === 26L).head().getString(1) == "v1")
+    // seq ≥ head = the live view, bit-identical
+    assert(asOf(99L).orderBy("id").collect().map(_.toString).toSeq ==
+      LakeSink.morReadUpsertDir(spark, dir, "id")
+        .orderBy("id").collect().map(_.toString).toSeq)
+    // a PRE-SEQ tombstone batch cannot be placed in history
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = new org.apache.hadoop.fs.Path(s"$dir/_deletes/b-legacytag")
+    fs.mkdirs(legacy)
+    Seq(1L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(legacy.toString)
+    val e = intercept[IllegalStateException] { asOf(2L).count() }
+    assert(e.getMessage.contains("TIME TRAVEL REFUSED"))
+  }
+
   test("exactly-once replay matches the batch NAME only — a '-e<N>-' in the table path must not fake a replay") {
     val parent = freshDir("once-e7-prod") // the poisoned path shape
     val dir = s"$parent/t"
