@@ -1703,6 +1703,29 @@ object LakeSink {
     upsertFeed(spark, dir, key)
       .unionByName(deleteFeed(spark, dir))
 
+  /** the POLLING consumer's incremental read — Delta's
+    * `table_changes(t, from, to)`: the change rows with
+    * `fromSeq < batch_seq ≤ toSeq` (half-open, so consecutive polls
+    * with `(last, head)` partition the history exactly — no gap, no
+    * overlap). The consumer keeps one long (its last-seen seq); the
+    * head to poll to is [[lastLandedSeq]]. */
+  def changeFeedBetween(spark: SparkSession, dir: String, key: String,
+      fromSeq: Long, toSeq: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(fromSeq <= toSeq,
+      s"changeFeedBetween: fromSeq $fromSeq > toSeq $toSeq")
+    changeFeed(spark, dir, key)
+      .filter(col("batch_seq") > fromSeq && col("batch_seq") <= toSeq)
+  }
+
+  /** the newest committed landing's seq (0 = nothing ever landed) —
+    * the head a polling consumer reads [[changeFeedBetween]] up to. */
+  def lastLandedSeq(spark: SparkSession, dir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (logSeqs(fs, dir) :+ 0L).max
+  }
+
   /** RESTORE a retained snapshot AS A NEW COMMIT (Delta's
     * `RESTORE TABLE ... TO VERSION`): the recovery from a bad publish
     * or a fat-fingered delete. History only moves FORWARD — the

@@ -346,6 +346,30 @@ class UpsertLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TIME TRAVEL REFUSED"))
   }
 
+  test("changeFeedBetween: half-open seq windows partition the history exactly — the polling consumer's contract") {
+    val dir = mkTable("feedpoll", 20L)
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(18L, 22L).select(col("id"), lit("p1").as("name"),
+        lit(1.0).as("price"), lit(0L).as("part")), "id")     // seq 1
+    LakeSink.softDeleteUpsertDir(spark, dir, Seq(2L).toDF("id"), "id") // seq 2
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(21L, 23L).select(col("id"), lit("p3").as("name"),
+        lit(3.0).as("price"), lit(0L).as("part")), "id")     // seq 3
+    assert(LakeSink.lastLandedSeq(spark, dir) == 3L)
+    val all = LakeSink.changeFeed(spark, dir, "id")
+      .collect().map(_.toString).sorted.toSeq
+    // two consecutive polls partition the history: (0,2] ∪ (2,3] = all
+    val poll1 = LakeSink.changeFeedBetween(spark, dir, "id", 0L, 2L)
+      .collect().map(_.toString).toSeq
+    val poll2 = LakeSink.changeFeedBetween(spark, dir, "id", 2L, 3L)
+      .collect().map(_.toString).toSeq
+    assert((poll1 ++ poll2).sorted == all)
+    assert(poll1.count(_.contains("delete")) == 1 &&
+      poll2.count(_.contains("delete")) == 0)
+    // an up-to-date consumer polls an empty window
+    assert(LakeSink.changeFeedBetween(spark, dir, "id", 3L, 3L).isEmpty)
+  }
+
   test("exactly-once replay matches the batch NAME only — a '-e<N>-' in the table path must not fake a replay") {
     val parent = freshDir("once-e7-prod") // the poisoned path shape
     val dir = s"$parent/t"
