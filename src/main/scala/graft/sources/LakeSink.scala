@@ -425,7 +425,7 @@ object LakeSink {
     if (fs.exists(claim) &&
         now - fs.getFileStatus(claim).getModificationTime > retainMs)
       fs.delete(claim, false)
-    try fs.create(claim, false).close()
+    try createExclusive(fs, claim)
     catch { case e: java.io.IOException =>
       throw new java.util.ConcurrentModificationException(
         s"PUBLISH REFUSED: another writer holds the claim on $table " +
@@ -824,6 +824,30 @@ object LakeSink {
     * commits; a claim left by a CRASHED writer reclaims once older
     * than `retainMs` — the same clock contract as every other claim
     * here. */
+  /** TRULY atomic create-exclusive. Hadoop's
+    * `fs.create(path, overwrite = false)` is check-then-act on the
+    * LOCAL filesystem (RawLocalFileSystem tests existence, then
+    * creates) — two threads in a tight race BOTH pass the check and
+    * both "win" the claim (caught by the DmlSpec race test: two
+    * batches minted seq 1). On file:// this goes through NIO's
+    * `Files.createFile` (POSIX O_EXCL — kernel-atomic); on
+    * HDFS-like stores `create(false)` is atomic server-side
+    * (NameNode lease) and is used as-is. Throws IOException when the
+    * path already exists — the caller's refusal path. */
+  private[graft] def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Unit = {
+    val scheme = Option(path.toUri.getScheme).getOrElse(
+      fs.getUri.getScheme)
+    if (scheme == null || scheme == "file") {
+      try java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(path.toUri.getPath))
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new java.io.IOException(s"$path already exists", e)
+      }
+    } else fs.create(path, false).close()
+  }
+
   /** REENTRANT per thread: a composite operation (e.g.
     * [[softPatchDir]]'s read-expand-land) holds the claim across its
     * whole read-modify-write and the landing kernel it delegates to
@@ -841,7 +865,7 @@ object LakeSink {
     if (fs.exists(claim) && System.currentTimeMillis() -
         fs.getFileStatus(claim).getModificationTime > retainMs)
       fs.delete(claim, false)
-    try fs.create(claim, false).close()
+    try createExclusive(fs, claim)
     catch { case e: java.io.IOException =>
       throw new java.util.ConcurrentModificationException(
         s"LOG LANDING REFUSED: another writer holds the log claim on " +
@@ -1016,7 +1040,7 @@ object LakeSink {
     if (fs.exists(claim) && System.currentTimeMillis() -
         fs.getFileStatus(claim).getModificationTime > retainMs)
       fs.delete(claim, false)
-    try fs.create(claim, false).close()
+    try createExclusive(fs, claim)
     catch { case e: java.io.IOException =>
       throw new java.util.ConcurrentModificationException(
         s"DELETE REFUSED: another writer holds the claim on $table " +
