@@ -82,6 +82,11 @@ class DynamicFilePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (root, prunedBy) = eligibleRoot(r).getOrElse(return None)
     if (prunedBy.contains("dynfile")) return None
     if (buildSide.isStreaming) return None
+    // a NON-DETERMINISTIC build side (rand() filter, TABLESAMPLE)
+    // re-executes at runtime with keys the plan-time sample never
+    // produced — pruned fact files would silently drop matching rows
+    // (Delta's equivalent rule guards on determinism the same way)
+    if (!buildSide.deterministic) return None
     // broadcast-eligibility by the SAME statistics the join strategy
     // uses — the guard that keeps plan-time evaluation bounded
     if (buildSide.stats.sizeInBytes > maxBuildBytes) return None

@@ -422,18 +422,19 @@ object LakeSink {
     // clock contract that already bounds mid-scan readers.
     val claim = new org.apache.hadoop.fs.Path(curLoc.getParent,
       s"$stem.g${gen + 1}.claim")
-    if (fs.exists(claim) &&
-        now - fs.getFileStatus(claim).getModificationTime > retainMs)
-      fs.delete(claim, false)
-    try createExclusive(fs, claim)
-    catch { case e: java.io.IOException =>
-      throw new java.util.ConcurrentModificationException(
-        s"PUBLISH REFUSED: another writer holds the claim on $table " +
-          s"generation ${gen + 1} ($claim). Retry after it commits, or " +
-          s"after retainMs=${retainMs}ms if it crashed (stale claims " +
-          s"reclaim then). [${e.getMessage}]")
-    }
-    def releaseClaim(): Unit = scala.util.Try(fs.delete(claim, false))
+    // token-owned claim with rename-based stale reclamation: a
+    // concurrent reclaimer can never delete a freshly re-acquired
+    // claim, and release only removes the claim THIS writer minted
+    val claimToken =
+      try acquireClaimToken(fs, claim, retainMs)
+      catch { case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"PUBLISH REFUSED: another writer holds the claim on $table " +
+            s"generation ${gen + 1} ($claim). Retry after it commits, or " +
+            s"after retainMs=${retainMs}ms if it crashed (stale claims " +
+            s"reclaim then). [${e.getMessage}]")
+      }
+    def releaseClaim(): Unit = releaseClaimToken(fs, claim, claimToken)
     // the claim closes races against writers who hadn't flipped yet;
     // this recheck closes the one against a writer who flipped
     // BETWEEN our metadata read and our claim — the table we planned
@@ -848,6 +849,85 @@ object LakeSink {
     } else fs.create(path, false).close()
   }
 
+  /** STALE-CLAIM RECLAMATION BY RENAME — never delete-then-create:
+    * the old path (stat → delete → createExclusive) let writer B's
+    * delete remove writer A's FRESH claim when A reclaimed and
+    * re-acquired between B's stat and B's delete — both then held.
+    * Here the stale claim is MOVED ASIDE with one atomic rename to a
+    * per-reclaimer-unique grave: renames of the same source race such
+    * that exactly ONE succeeds (the source is gone for the rest), so
+    * exactly one reclaimer proceeds; and the winner re-checks the
+    * GRAVE's mtime (rename preserves it) before discarding — if it
+    * turns out to have displaced a claim that became fresh in the
+    * stat-to-rename window, it RESTORES it instead of deleting, and
+    * refuses. A fresh claim is never deleted, by construction. */
+  private def reclaimStaleClaim(fs: org.apache.hadoop.fs.FileSystem,
+      claim: org.apache.hadoop.fs.Path, retainMs: Long): Unit = {
+    // graves are DOT-PREFIXED: generation machinery globs the claim's
+    // parent for sibling generations (`stem.g*`), and a grave that
+    // matched would read as a bogus generation entry
+    def gravePath(suffix: String) = new org.apache.hadoop.fs.Path(
+      claim.getParent, s".${claim.getName}.reclaim-$suffix")
+    // sweep graves a crashed reclaimer left behind, under the same
+    // retention contract as the claims themselves
+    val now = System.currentTimeMillis()
+    Option(fs.globStatus(gravePath("*")))
+      .getOrElse(Array.empty)
+      .filter(g => now - g.getModificationTime > retainMs)
+      .foreach(g => scala.util.Try(fs.delete(g.getPath, false)))
+    val st =
+      try fs.getFileStatus(claim)
+      catch { case _: java.io.FileNotFoundException => return }
+    if (System.currentTimeMillis() - st.getModificationTime <= retainMs)
+      return
+    val grave = gravePath(java.util.UUID.randomUUID().toString.take(8))
+    if (!fs.rename(claim, grave)) return // lost the reclaim race
+    val gst = fs.getFileStatus(grave)
+    if (System.currentTimeMillis() - gst.getModificationTime > retainMs) {
+      // verified stale in our exclusive possession: the crashed claim
+      scala.util.Try(fs.delete(grave, false))
+    } else if (!fs.rename(grave, claim)) {
+      // we displaced a FRESH claim (acquired between our stat and our
+      // rename) and a third writer claimed in the gap — refuse loudly
+      // with the displaced claim preserved in the grave, never deleted
+      throw new IllegalStateException(
+        s"claim reclaim displaced a fresh claim at $claim and could " +
+          s"not restore it — displaced claim preserved at $grave; " +
+          "resolve manually")
+    }
+  }
+
+  /** acquire the claim at `path`, reclaiming a crashed one past
+    * `retainMs` via [[reclaimStaleClaim]]. The claim file carries the
+    * returned OWNER TOKEN, and [[releaseClaimToken]] deletes only on
+    * token match — a release can never remove a claim some later
+    * writer re-acquired after a reclaim. Throws IOException when
+    * another writer holds it (the caller's refusal path). */
+  private[graft] def acquireClaimToken(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, retainMs: Long): String = {
+    reclaimStaleClaim(fs, path, retainMs)
+    createExclusive(fs, path)
+    val token = java.util.UUID.randomUUID().toString
+    // we own the file (created exclusively); stamp the owner token.
+    // A reader racing this write sees an empty/partial token and
+    // simply declines to delete — the claim then ages out via the
+    // normal retainMs reclamation, never a wrong deletion.
+    val out = fs.create(path, true)
+    out.write(token.getBytes("UTF-8")); out.close()
+    token
+  }
+
+  private[graft] def releaseClaimToken(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, token: String): Unit =
+    scala.util.Try {
+      val in = fs.open(path)
+      val held =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      if (held == token) fs.delete(path, false)
+    }
+
   /** REENTRANT per thread: a composite operation (e.g.
     * [[softPatchDir]]'s read-expand-land) holds the claim across its
     * whole read-modify-write and the landing kernel it delegates to
@@ -862,21 +942,34 @@ object LakeSink {
       new org.apache.hadoop.fs.Path(dir), ".log-claim")
     val claimKey = claim.toString
     if (heldLogClaims.get.contains(claimKey)) return body
-    if (fs.exists(claim) && System.currentTimeMillis() -
-        fs.getFileStatus(claim).getModificationTime > retainMs)
-      fs.delete(claim, false)
-    try createExclusive(fs, claim)
-    catch { case e: java.io.IOException =>
-      throw new java.util.ConcurrentModificationException(
-        s"LOG LANDING REFUSED: another writer holds the log claim on " +
-          s"$dir ($claim). Retry after it commits, or after " +
-          s"retainMs=${retainMs}ms if it crashed. [${e.getMessage}]")
-    }
+    val token =
+      try acquireClaimToken(fs, claim, retainMs)
+      catch { case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"LOG LANDING REFUSED: another writer holds the log claim on " +
+            s"$dir ($claim). Retry after it commits, or after " +
+            s"retainMs=${retainMs}ms if it crashed. [${e.getMessage}]")
+      }
     heldLogClaims.set(heldLogClaims.get + claimKey)
     try body finally {
       heldLogClaims.set(heldLogClaims.get - claimKey)
-      scala.util.Try(fs.delete(claim, false))
+      releaseClaimToken(fs, claim, token)
     }
+  }
+
+  /** run `body` holding `dir`'s log claim — the composite-operation
+    * form ([[softPatchDir]]'s own pattern) for callers OUTSIDE this
+    * file, e.g. the SQL DML runners: the view read, the batch
+    * computation, and the landing(s) all commit under ONE critical
+    * section, closing the read-compute-land lost-update window (a
+    * concurrent landing between an UPDATE's view read and its claim
+    * acquisition would otherwise be silently overwritten). Reentrant
+    * per thread through the landing kernels. */
+  def withDirLogClaim[A](spark: SparkSession, dir: String,
+      retainMs: Long = 600000L)(body: => A): A = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withLogClaim(fs, dir, retainMs)(body)
   }
 
   /** the tombstone-landing kernel shared by [[softDeleteDir]] (liveness
@@ -891,13 +984,30 @@ object LakeSink {
     * batches carry none and contribute 0): ONE counter orders the
     * whole change history, so the feed can interleave deletes with
     * upserts deterministically. */
+  /** the LANDED tombstone-batch shape is `b-<seq>-<tag>` where the
+    * tag is uuid-derived and itself contains a dash (`xxxxxxxx-xxx`),
+    * so a landed name has ≥2 dash-segments after the seq slot; a
+    * pre-r15 legacy batch `b-<tag12>` has exactly one. Parsing must
+    * match the FULL landed shape: `Try(split("-")(1).toLong)` read an
+    * all-decimal legacy tag (~2.3% of uuids) as a bogus huge seq —
+    * silently bypassing the time-travel refusal and mis-ordering
+    * deletes exactly where the refusal was meant to fire. */
+  private val TombSeqRe = """^b-(\d+)-[^-]+-.+$""".r
+
+  /** Some(seq) for a landed `b-<seq>-<tag>` tombstone batch name;
+    * None for anything else (pre-seq legacy batches included). */
+  private[graft] def tombstoneBatchSeq(name: String): Option[Long] =
+    name match {
+      case TombSeqRe(s) => Some(s.toLong)
+      case _ => None
+    }
+
   private def logSeqs(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[Long] = {
     val delSeqs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(dir, "_deletes"), "b-*")))
       .getOrElse(Array.empty).toIndexedSeq
-      .map(st => scala.util.Try(
-        st.getPath.getName.split("-")(1).toLong).getOrElse(0L))
+      .map(st => tombstoneBatchSeq(st.getPath.getName).getOrElse(0L))
     updateBatches(fs, dir).map(_._1) ++ delSeqs
   }
 
@@ -1037,16 +1147,14 @@ object LakeSink {
     // with compactMor/compactTable and with concurrent deletes
     val claim = new org.apache.hadoop.fs.Path(curLoc.getParent,
       s"$stem.g${gen + 1}.claim")
-    if (fs.exists(claim) && System.currentTimeMillis() -
-        fs.getFileStatus(claim).getModificationTime > retainMs)
-      fs.delete(claim, false)
-    try createExclusive(fs, claim)
-    catch { case e: java.io.IOException =>
-      throw new java.util.ConcurrentModificationException(
-        s"DELETE REFUSED: another writer holds the claim on $table " +
-          s"generation ${gen + 1} ($claim). [${e.getMessage}]")
-    }
-    def releaseClaim(): Unit = scala.util.Try(fs.delete(claim, false))
+    val claimToken =
+      try acquireClaimToken(fs, claim, retainMs)
+      catch { case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"DELETE REFUSED: another writer holds the claim on $table " +
+            s"generation ${gen + 1} ($claim). [${e.getMessage}]")
+      }
+    def releaseClaim(): Unit = releaseClaimToken(fs, claim, claimToken)
     try {
       val removed = softDeleteDir(spark, curLoc.toString, keys, key)
       // the cumulative tombstone set as of THIS snapshot
@@ -1506,12 +1614,13 @@ object LakeSink {
         new org.apache.hadoop.fs.Path(loc, "_deletes"), "b-*")))
       .getOrElse(Array.empty).toIndexedSeq.map { st =>
         val n = st.getPath.getName
-        val seq = scala.util.Try(n.split("-")(1).toLong).getOrElse(
+        val seq = tombstoneBatchSeq(n).getOrElse(
           throw new IllegalStateException(
             s"TIME TRAVEL REFUSED: tombstone batch $n under $dir " +
               "carries no sequence number (landed before the shared " +
               "log counter) — it cannot be placed in history; read " +
-              "the live view (morReadUpsertDir) or compact first"))
+              "the live view (morReadUpsertDir), or " +
+              "migrateLegacyTombstones to mint seqs for it"))
         (seq, st.getPath.toString)
       }
     val delPaths = delAll.filter(_._1 <= asOfSeq).map(_._2)

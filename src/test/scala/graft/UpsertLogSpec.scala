@@ -370,6 +370,75 @@ class UpsertLogSpec extends AnyFunSuite {
     assert(LakeSink.changeFeedBetween(spark, dir, "id", 3L, 3L).isEmpty)
   }
 
+  test("stale-claim reclaim by rename: N threads race a pre-aged crashed claim — exactly one acquires, no grave left behind") {
+    val dir = mkTable("reclaimrace", 10L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(dir, ".log-claim")
+    fs.create(claim, false).close()
+    // age the crashed claim past the retention window
+    assert(new java.io.File(dir, ".log-claim")
+      .setLastModified(System.currentTimeMillis() - 120000L))
+    val tokens = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { _ =>
+      new Thread(() =>
+        try tokens.add(LakeSink.acquireClaimToken(fs, claim, 60000L))
+        catch { case _: java.io.IOException => refused.incrementAndGet() })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(tokens.size == 1 && refused.get == 7,
+      s"${tokens.size} winners / ${refused.get} refusals — the reclaim " +
+        "race must admit exactly one holder")
+    // the winner's claim is live; no reclaim grave files remain
+    assert(fs.exists(claim))
+    val graves = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        dir, ".*.reclaim-*"))).getOrElse(Array.empty)
+    assert(graves.isEmpty, s"leftover graves: ${graves.map(_.getPath).toSeq}")
+    // release is token-gated: a wrong token never deletes the claim
+    LakeSink.releaseClaimToken(fs, claim, "not-the-owner")
+    assert(fs.exists(claim))
+    LakeSink.releaseClaimToken(fs, claim, tokens.peek())
+    assert(!fs.exists(claim))
+  }
+
+  test("a FRESH claim is never reclaimed: acquisition refuses by name and the claim survives untouched") {
+    val dir = mkTable("freshclaim", 10L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(dir, ".log-claim")
+    val holder = LakeSink.acquireClaimToken(fs, claim, 600000L)
+    intercept[java.io.IOException] {
+      LakeSink.acquireClaimToken(fs, claim, 600000L)
+    }
+    assert(fs.exists(claim))
+    LakeSink.releaseClaimToken(fs, claim, holder)
+  }
+
+  test("tombstone seq parsing matches the FULL landed shape — an all-decimal legacy tag never fakes a sequence number") {
+    // landed shape: b-<seq>-<uuid12 tag, which itself contains a dash>
+    assert(LakeSink.tombstoneBatchSeq("b-000007-deadbeef-123") == Some(7L))
+    assert(LakeSink.tombstoneBatchSeq("b-1234567-12345678-901") == Some(1234567L))
+    // legacy pre-seq shape: b-<uuid12 tag> — even all-decimal
+    assert(LakeSink.tombstoneBatchSeq("b-12345678-9ab").isEmpty)
+    assert(LakeSink.tombstoneBatchSeq("b-12345678-901").isEmpty)
+    assert(LakeSink.tombstoneBatchSeq("b-legacytag").isEmpty)
+    // end to end: a planted all-decimal legacy batch contributes no
+    // seq to the shared counter AND still trips the travel refusal
+    val dir = mkTable("legacydec", 10L)
+    LakeSink.softUpsertDir(spark, dir,
+      Seq((3L, "u1", 1.0, 0L)).toDF("id", "name", "price", "part"), "id")
+    val legacy = new org.apache.hadoop.fs.Path(s"$dir/_deletes/b-12345678-901")
+    Seq(9L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(legacy.toString)
+    assert(LakeSink.lastLandedSeq(spark, dir) == 1L,
+      "an all-decimal legacy tag must not inject a bogus huge seq")
+    val e = intercept[IllegalStateException] {
+      LakeSink.morReadUpsertDirAsOf(spark, dir, "id", 1L).count()
+    }
+    assert(e.getMessage.contains("TIME TRAVEL REFUSED"))
+  }
+
   test("exactly-once replay matches the batch NAME only — a '-e<N>-' in the table path must not fake a replay") {
     val parent = freshDir("once-e7-prod") // the poisoned path shape
     val dir = s"$parent/t"
