@@ -42,11 +42,17 @@ object GraftSession {
       // fired by the planner on plain spark.sql join syntax
       .withExtensions(_.injectOptimizerRule(s =>
         new graft.plans.DynamicFilePruneRule(s)))
-      // SQL DML for the lake: DELETE FROM / UPDATE / MERGE INTO
-      // parsed here and routed to the merge-on-read log machinery
-      // (softDelete/softUpsertDir) — the reference's write surface is
-      // literally SQL DML (order.js:596-709); every other statement
-      // delegates to Spark's parser untouched
+      // SQL DML for the lake: INSERT INTO (keyed targets) / DELETE
+      // FROM / UPDATE / MERGE INTO parsed here and routed to the
+      // merge-on-read log machinery (softDelete/softUpsertDir) — the
+      // reference's write surface is literally SQL DML
+      // (order.js:596-709); every other statement delegates to
+      // Spark's parser untouched
+      // ...and SQL time travel: `FROM t VERSION AS OF n` (Spark
+      // parses the temporal clause natively; the parser hook rewrites
+      // it at parse time — Spark's v1 resolver throws before any
+      // injected resolution rule could run) — the log tier reads
+      // morReadUpsertDirAsOf, catalog tables readGeneration
       .withExtensions(_.injectParser((_, delegate) =>
         new graft.plans.GraftSqlParser(delegate)))
       // graft's planner strategy: PointIntervalJoin logical nodes

@@ -47,6 +47,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *    merge shape refuses by name pointing at
   *    [[graft.sources.LakeSink.mergeKeyed]] (the copy-on-write API
   *    that can express arbitrary merges).
+  *  - `INSERT INTO <target> [(cols)] VALUES …|SELECT …` — on a KEYED
+  *    lake target the rows land as ONE upsert-log batch with
+  *    PRIMARY-KEY semantics (a key already live refuses by name —
+  *    the reference's RDBMS raises duplicate-key for its hottest
+  *    statement, order_rdbms_blob.js:574); a column list maps by
+  *    position and omitted columns NULL-fill (the key may not be
+  *    omitted). The landed batch gets a shared-counter seq and
+  *    `_feed` rows like every log write — the change feed replays
+  *    it. UNKEYED targets (and INSERT OVERWRITE / partition specs)
+  *    delegate to Spark untouched: the routing probe is one
+  *    metadata-only key lookup.
   *
   * `<target>` is a catalog table name, or a path-addressed lake dir
   * as `` parquet.`/path` `` (Delta's ``delta.`path` `` convention).
@@ -67,46 +78,172 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * returns affectedRows the same way. */
 object GraftDml {
 
-  // ---- statement shapes (anchored, case-insensitive, dot-all) ----
-  private val DeleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
-  private val UpdateRe =
-    """(?is)^\s*UPDATE\s+(.+?)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
-  private val MergeRe =
-    ("""(?is)^\s*MERGE\s+INTO\s+(.+?)\s+USING\s+(.+?)\s+ON\s+(.+?)\s+""" +
-      """(?:WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE\s+)?""" +
-      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
-      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
-  private val MergeHead = """(?is)^\s*MERGE\s+INTO\s.*""".r
+  // ---- statement heads (anchored, case-insensitive, dot-all); the
+  // statement BODY is then split by the QUOTE-AWARE top-level keyword
+  // scanner below, never by regex — `SET c = 'x WHERE y'` must not
+  // split on the literal's WHERE (the regex grammar did) ----
+  private val DeleteHead =
+    """(?is)^\s*DELETE\s+FROM\s+(.+?)\s*;?\s*$""".r
+  private val UpdateHead =
+    """(?is)^\s*UPDATE\s+(.+?)\s*;?\s*$""".r
+  private val MergeHead =
+    """(?is)^\s*MERGE\s+INTO\s+(.+?)\s*;?\s*$""".r
+  private val InsertHead =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(.+?)\s*;?\s*$""".r
+
+  /** every TOP-LEVEL occurrence of word `kw` in `s` — outside
+    * single/double/backtick quotes and outside parens/brackets,
+    * case-insensitive, word-bounded. One forward scan; quote state is
+    * tracked from the string start so a keyword inside a literal can
+    * never act as a clause boundary. */
+  private[graft] def topLevelKeywordAll(s: String, kw: String): Seq[Int] = {
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0; var quote: Char = 0; var i = 0
+    val n = s.length; val k = kw.length
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val ch = s.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, k) &&
+              (i == 0 || !isWord(s.charAt(i - 1))) &&
+              (i + k >= n || !isWord(s.charAt(i + k))))
+            hits += i
+      }
+      i += 1
+    }
+    hits.toSeq
+  }
+
+  private[graft] def topLevelKeyword(s: String, kw: String): Int =
+    topLevelKeywordAll(s, kw).headOption.getOrElse(-1)
+
+  /** split at the first top-level `kw`: (before, after) trimmed */
+  private def splitAtKeyword(s: String, kw: String): Option[(String, String)] = {
+    val i = topLevelKeyword(s, kw)
+    if (i < 0) None
+    else Some((s.substring(0, i).trim, s.substring(i + kw.length).trim))
+  }
 
   /** parse `sqlText` as a graft DML statement, or None to delegate.
-    * A statement that IS one of the three DML heads but does not fit
-    * the supported shape still delegates — Spark's own v2-table
-    * error is honest, and a parse-time hijack of a shape we cannot
-    * route would hide it. */
+    * A statement that carries a DML head but does not fit the
+    * supported shape still delegates (except MERGE, which refuses by
+    * name — Spark's v1 error names no alternative) — a parse-time
+    * hijack of a shape we cannot route would hide the honest error. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case DeleteRe(target, pred) =>
-      Some(GraftDmlCommand("delete", target.trim,
-        Option(pred).map(_.trim), Nil, None, None))
-    case UpdateRe(target, setList, pred) =>
-      splitAssignments(setList).map(assigns =>
-        GraftDmlCommand("update", target.trim,
-          Option(pred).map(_.trim), assigns, None, None))
-    case MergeRe(target, source, onCond, delCond) =>
-      Some(GraftDmlCommand("merge", target.trim,
-        Option(delCond).map(_.trim), Nil,
-        Some(source.trim), Some(onCond.trim)))
-    case MergeHead() =>
-      // a MERGE we cannot route must not silently fall through to
-      // Spark (its v1 error names no alternative) — refuse by name
-      throw new UnsupportedOperationException(
-        "MERGE REFUSED: only `MERGE INTO t USING s ON t.k = s.k " +
-          "[WHEN MATCHED AND <cond> THEN DELETE] WHEN MATCHED THEN " +
-          "UPDATE SET * WHEN NOT MATCHED THEN INSERT *` routes " +
-          "through the upsert log; other shapes go through " +
-          "LakeSink.mergeKeyed (copy-on-write) or " +
-          "LakeSink.softPatchDir (column-subset patches).")
+    case DeleteHead(rest) =>
+      val (target, pred) = splitAtKeyword(rest, "WHERE")
+        .map { case (t, p) => (t, Some(p)) }.getOrElse((rest.trim, None))
+      Some(GraftDmlCommand("delete", target, pred, Nil, None, None))
+    case UpdateHead(rest) =>
+      // no top-level SET, or not an assignment list → delegate
+      splitAtKeyword(rest, "SET").flatMap { case (target, tail) =>
+        val (setList, pred) = splitAtKeyword(tail, "WHERE")
+          .map { case (sl, p) => (sl, Some(p)) }.getOrElse((tail, None))
+        splitAssignments(setList).map(assigns =>
+          GraftDmlCommand("update", target, pred, assigns, None, None))
+      }
+    case MergeHead(rest) => Some(parseMerge(rest))
+    case InsertHead(rest) => parseInsert(rest)
     case _ => None
+  }
+
+  private def refuseMerge(): Nothing =
+    throw new UnsupportedOperationException(
+      "MERGE REFUSED: only `MERGE INTO t USING s ON t.k = s.k " +
+        "[WHEN MATCHED AND <cond> THEN DELETE] WHEN MATCHED THEN " +
+        "UPDATE SET * WHEN NOT MATCHED THEN INSERT *` routes " +
+        "through the upsert log; other shapes go through " +
+        "LakeSink.mergeKeyed (copy-on-write) or " +
+        "LakeSink.softPatchDir (column-subset patches). An unparenthesized " +
+        "CASE expression in a merge condition also lands here — " +
+        "parenthesize it: its WHEN/THEN would be ambiguous with the " +
+        "clause keywords.")
+
+  /** the WHEN-clause chain, split at top-level WHENs and each clause
+    * at its top-level THEN — so a condition literal containing
+    * 'WHEN'/'THEN'/'DELETE' parses; only the canonical clause sequence
+    * (optional delete-apply, update-all, insert-all) routes. */
+  private def parseMerge(rest: String): GraftDmlCommand = {
+    val (target, afterUsing) =
+      splitAtKeyword(rest, "USING").getOrElse(refuseMerge())
+    val (source, afterOn) =
+      splitAtKeyword(afterUsing, "ON").getOrElse(refuseMerge())
+    val whens = topLevelKeywordAll(afterOn, "WHEN")
+    if (whens.isEmpty) refuseMerge()
+    val onCond = afterOn.substring(0, whens.head).trim
+    val clauses = whens.zipAll(whens.drop(1).map(Some(_)), -1, None)
+      .map { case (start, end) =>
+        val c = afterOn.substring(start + "WHEN".length,
+          end.getOrElse(afterOn.length))
+        splitAtKeyword(c, "THEN").getOrElse(refuseMerge())
+      }
+    def norm(s: String) =
+      s.trim.replaceAll("\\s+", " ").toUpperCase(java.util.Locale.ROOT)
+    clauses match {
+      case Seq((m, u), (nm, ins))
+          if norm(m) == "MATCHED" && norm(u) == "UPDATE SET *" &&
+            norm(nm) == "NOT MATCHED" && norm(ins) == "INSERT *" =>
+        GraftDmlCommand("merge", target, None, Nil,
+          Some(source), Some(onCond))
+      case Seq((mad, del), (m, u), (nm, ins))
+          if norm(del) == "DELETE" && norm(m) == "MATCHED" &&
+            norm(u) == "UPDATE SET *" && norm(nm) == "NOT MATCHED" &&
+            norm(ins) == "INSERT *" =>
+        // re-split the raw clause so the condition keeps its own text
+        val delCond = splitAtKeyword(mad, "AND") match {
+          case Some((matched, cond)) if norm(matched) == "MATCHED" => cond
+          case _ => refuseMerge()
+        }
+        GraftDmlCommand("merge", target, Some(delCond), Nil,
+          Some(source), Some(onCond))
+      case _ => refuseMerge()
+    }
+  }
+
+  // ---- INSERT INTO routing --------------------------------------
+  private val InsPathTarget =
+    """(?is)^(parquet\s*\.\s*`[^`]+`)\s*(.*)$""".r
+  private val InsNameTarget =
+    """(?is)^([A-Za-z_][A-Za-z0-9_.]*)\s*(.*)$""".r
+  private val InsColList =
+    """(?s)^\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*(.*)$""".r
+  private val InsBodyHeads = Set("VALUES", "SELECT", "WITH", "TABLE", "FROM")
+
+  /** route `INSERT INTO <keyed lake target> [(cols)] <query|VALUES>`
+    * through the upsert log; EVERYTHING else — unkeyed targets,
+    * INSERT OVERWRITE, partition specs, unknown tables — delegates to
+    * Spark byte-for-byte (a delegated insert against an unkeyed
+    * parquet dir is today's plain file append). The routing probe is
+    * metadata-only: one key lookup (`_updates/_key` marker / `graft
+    * .key` property / session conf), the same resolution order as
+    * every DML statement. */
+  private def parseInsert(rest: String): Option[LogicalPlan] = {
+    val (target, tail) = rest match {
+      case InsPathTarget(t, tl) => (t, tl)
+      case InsNameTarget(t, tl) => (t, tl)
+      case _ => return None
+    }
+    val (cols, body) = tail.trim match {
+      case InsColList(cl, b) => (cl.split(",").map(_.trim).toSeq, b.trim)
+      case b => (Seq.empty[String], b.trim)
+    }
+    if (body.isEmpty) return None
+    val head = body.split("""[\s(]+""")(0).toUpperCase(java.util.Locale.ROOT)
+    if (!InsBodyHeads.contains(head)) return None
+    val routable = SparkSession.getActiveSession.exists { s =>
+      scala.util.Try {
+        val (loc, table) = resolveTarget(s, target)
+        lookupKey(s, loc, table).isDefined
+      }.getOrElse(false)
+    }
+    if (!routable) None
+    else Some(GraftDmlCommand("insert", target, None, Nil,
+      Some(body), None, cols))
   }
 
   /** split `a = e1, b = e2` on TOP-LEVEL commas (parens/brackets and
@@ -150,8 +287,8 @@ object GraftDml {
   }
 
   /** key resolution: log marker > catalog property > session conf */
-  private[plans] def resolveKey(spark: SparkSession, loc: String,
-      table: Option[String]): String = {
+  private[plans] def lookupKey(spark: SparkSession, loc: String,
+      table: Option[String]): Option[String] = {
     val fs = new org.apache.hadoop.fs.Path(loc)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.LakeSink.updateLogKey(fs, loc)
@@ -162,6 +299,11 @@ object GraftDml {
       })
       .orElse(table.flatMap(t =>
         spark.conf.getOption(s"spark.graft.dml.key.$t")))
+  }
+
+  private[plans] def resolveKey(spark: SparkSession, loc: String,
+      table: Option[String]): String = {
+    lookupKey(spark, loc, table)
       .getOrElse(throw new IllegalStateException(
         s"DML REFUSED: no key registered for $loc — DML folds through " +
           "the keyed merge-on-read log, and guessing a key would make " +
@@ -194,21 +336,33 @@ object GraftDml {
       spark.read.parquet(loc)
     else graft.sources.LakeSink.morReadUpsertDir(spark, loc, key)
 
+  /** Every runner below holds the TARGET DIRECTORY'S LOG CLAIM across
+    * its whole read-compute-land ([[graft.sources.LakeSink
+    * .withDirLogClaim]], reentrant through the landing kernels —
+    * softPatchDir's own discipline): the view read, the new-row
+    * computation, and the landing(s) commit as ONE critical section.
+    * Without it, a concurrent landing between the view read and the
+    * landing's own claim acquisition is silently folded over (lost
+    * update) — the exact race class the log claim exists to close;
+    * and a MERGE's upsert + tombstone halves land under one claim, so
+    * no writer interleaves between them. */
   private[plans] def runDelete(spark: SparkSession, target: String,
       pred: Option[String]): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val (loc, table) = resolveTarget(spark, target)
     val key = resolveKey(spark, loc, table)
-    val view = dmlView(spark, loc, key)
-    val keys = view.filter(pred.map(expr).getOrElse(lit(true)))
-      .select(col(key)).distinct().localCheckpoint(true)
-    if (keys.isEmpty) return 0L
-    if (hasUpdates(spark, loc) || table.isEmpty)
-      graft.sources.LakeSink.softDeleteUpsertDir(spark, loc, keys, key)
-    else
-      // log-free catalog table: the richer route — the delete also
-      // publishes a time-travel-visible snapshot generation
-      graft.sources.LakeSink.softDelete(spark, table.get, keys, key)
+    graft.sources.LakeSink.withDirLogClaim(spark, loc) {
+      val view = dmlView(spark, loc, key)
+      val keys = view.filter(pred.map(expr).getOrElse(lit(true)))
+        .select(col(key)).distinct().localCheckpoint(true)
+      if (keys.isEmpty) 0L
+      else if (hasUpdates(spark, loc) || table.isEmpty)
+        graft.sources.LakeSink.softDeleteUpsertDir(spark, loc, keys, key)
+      else
+        // log-free catalog table: the richer route — the delete also
+        // publishes a time-travel-visible snapshot generation
+        graft.sources.LakeSink.softDelete(spark, table.get, keys, key)
+    }
   }
 
   private[plans] def runUpdate(spark: SparkSession, target: String,
@@ -220,24 +374,88 @@ object GraftDml {
       s"UPDATE REFUSED: SET targets the key column '$key' — a key " +
         "change is a DELETE plus an INSERT (two intents, two " +
         "statements); an updated key would orphan the old version")
-    val view = dmlView(spark, loc, key)
-    val unknown = assigns.map(_._1)
-      .filterNot(c => view.columns.exists(_.equalsIgnoreCase(c)))
-    require(unknown.isEmpty,
-      s"UPDATE REFUSED: unknown columns ${unknown.mkString(", ")} — " +
-        s"the table carries [${view.columns.mkString(", ")}]")
-    val byName = assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
-    // ALL right-hand sides evaluate against the OLD row: one select
-    // applies every assignment simultaneously (SQL UPDATE semantics —
-    // `SET a = b, b = a` swaps)
-    val batch = view.filter(pred.map(expr).getOrElse(lit(true)))
-      .select(view.columns.toIndexedSeq.map(c =>
-        byName.get(c.toLowerCase)
-          .map(e => expr(e).cast(view.schema(c).dataType).as(c))
-          .getOrElse(col(c))): _*)
-      .localCheckpoint(true)
-    if (batch.isEmpty) (0L, 0L)
-    else graft.sources.LakeSink.softUpsertDir(spark, loc, batch, key)
+    graft.sources.LakeSink.withDirLogClaim(spark, loc) {
+      val view = dmlView(spark, loc, key)
+      val unknown = assigns.map(_._1)
+        .filterNot(c => view.columns.exists(_.equalsIgnoreCase(c)))
+      require(unknown.isEmpty,
+        s"UPDATE REFUSED: unknown columns ${unknown.mkString(", ")} — " +
+          s"the table carries [${view.columns.mkString(", ")}]")
+      val byName = assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
+      // ALL right-hand sides evaluate against the OLD row: one select
+      // applies every assignment simultaneously (SQL UPDATE semantics —
+      // `SET a = b, b = a` swaps)
+      val batch = view.filter(pred.map(expr).getOrElse(lit(true)))
+        .select(view.columns.toIndexedSeq.map(c =>
+          byName.get(c.toLowerCase)
+            .map(e => expr(e).cast(view.schema(c).dataType).as(c))
+            .getOrElse(col(c))): _*)
+        .localCheckpoint(true)
+      if (batch.isEmpty) (0L, 0L)
+      else graft.sources.LakeSink.softUpsertDir(spark, loc, batch, key)
+    }
+  }
+
+  /** `INSERT INTO` against a KEYED lake target — routed through the
+    * log so the one write that used to silently side-step
+    * seq/claim/feed/expectations (Spark's delegated insert appends
+    * bare files the change feed can never replay; the reference's
+    * hottest statement is exactly this INSERT,
+    * order_rdbms_blob.js:574) now lands as an ordinary upsert-log
+    * batch: seq from the shared counter, `_feed` rows
+    * (op = 'insert') in the batch's own atomic rename, pending-
+    * tombstone refusal for free. PK SEMANTICS, refused by name: a
+    * key already live in the view is a duplicate-key error (the
+    * reference's RDBMS raises exactly that; an insert that silently
+    * became an update would hide a client bug) — UPDATE or MERGE
+    * INTO to change existing rows. A column list maps the source by
+    * position; omitted table columns NULL-fill (standard SQL), the
+    * key may not be omitted. Returns rows inserted. */
+  private[plans] def runInsert(spark: SparkSession, target: String,
+      body: String, cols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (loc, table) = resolveTarget(spark, target)
+    val key = resolveKey(spark, loc, table)
+    val src = spark.sql(body).localCheckpoint(true)
+    graft.sources.LakeSink.withDirLogClaim(spark, loc) {
+      val view = dmlView(spark, loc, key)
+      val tableCols = view.columns.toIndexedSeq
+      val provided = if (cols.nonEmpty) cols else tableCols
+      val unknown = provided.filterNot(c =>
+        tableCols.exists(_.equalsIgnoreCase(c)))
+      require(unknown.isEmpty,
+        s"INSERT REFUSED: unknown columns ${unknown.mkString(", ")} — " +
+          s"the table carries [${tableCols.mkString(", ")}]")
+      require(provided.map(_.toLowerCase).distinct.size == provided.size,
+        "INSERT REFUSED: duplicate columns in the column list")
+      require(provided.exists(_.equalsIgnoreCase(key)),
+        s"INSERT REFUSED: the column list omits the key '$key' — a " +
+          "keyed lake row without a key cannot enter the log")
+      require(src.columns.length == provided.size,
+        s"INSERT REFUSED: ${src.columns.length} source columns for " +
+          s"${provided.size} target columns")
+      val renamed = src.toDF(provided: _*)
+      // positional map to the table layout, NULL-filling omitted
+      // columns, each cast to the table's type (VALUES literals
+      // default to int/decimal shapes the log would refuse as drift)
+      val batch = renamed.select(tableCols.map { c =>
+        provided.find(_.equalsIgnoreCase(c)) match {
+          case Some(p) => col(p).cast(view.schema(c).dataType).as(c)
+          case None => lit(null).cast(view.schema(c).dataType).as(c)
+        }
+      }: _*).localCheckpoint(true)
+      val nLive = batch.join(view.select(col(key)), Seq(key), "left_semi")
+        .count()
+      require(nLive == 0,
+        s"INSERT REFUSED: $nLive keys already live in the view — a " +
+          "keyed lake INSERT carries primary-key semantics (the " +
+          "reference's RDBMS raises duplicate-key here); UPDATE or " +
+          "MERGE INTO to change existing rows")
+      val (u, i) = graft.sources.LakeSink.softUpsertDir(spark, loc,
+        batch, key)
+      require(u == 0L, s"internal: PK-checked insert updated $u rows")
+      i
+    }
   }
 
   private val OnCondRe =
@@ -283,35 +501,41 @@ object GraftDml {
           if (parts.length > 1) Some(parts.last) else None)
     }
     val srcDf = srcAlias.foldLeft(srcRaw.localCheckpoint(true))(_.alias(_))
-    // SET * / INSERT * map source → target BY NAME: every table
-    // column must exist in the source; EXTRA source columns (a CDC
-    // op/ts envelope) are simply unused — Delta's semantics
-    val view = dmlView(spark, loc, key)
-    val missing = view.columns.filterNot(c =>
-      srcDf.columns.exists(_.equalsIgnoreCase(c)))
-    require(missing.isEmpty,
-      s"MERGE REFUSED: SET */INSERT * needs every table column in the " +
-        s"source; missing ${missing.mkString(", ")}")
-    val projected = srcDf.select(view.columns.toIndexedSeq.map(col): _*)
-    delCond match {
-      case None =>
-        val (u, i) = graft.sources.LakeSink.softUpsertDir(spark, loc,
-          projected, key)
-        (u, i, 0L)
-      case Some(cond) =>
-        val matchedKeys = view.select(col(key)).distinct()
-        val delKeys = srcDf.filter(expr(cond))
-          .join(matchedKeys, Seq(key), "left_semi")
-          .select(col(key)).localCheckpoint(true)
-        val upserts = projected.join(delKeys, Seq(key), "left_anti")
-        val (u, i) =
-          if (upserts.isEmpty) (0L, 0L)
-          else graft.sources.LakeSink.softUpsertDir(spark, loc, upserts, key)
-        val d =
-          if (delKeys.isEmpty) 0L
-          else graft.sources.LakeSink.softDeleteUpsertDir(spark, loc,
-            delKeys, key)
-        (u, i, d)
+    graft.sources.LakeSink.withDirLogClaim(spark, loc) {
+      // SET * / INSERT * map source → target BY NAME: every table
+      // column must exist in the source; EXTRA source columns (a CDC
+      // op/ts envelope) are simply unused — Delta's semantics
+      val view = dmlView(spark, loc, key)
+      val missing = view.columns.filterNot(c =>
+        srcDf.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"MERGE REFUSED: SET */INSERT * needs every table column in the " +
+          s"source; missing ${missing.mkString(", ")}")
+      val projected = srcDf.select(view.columns.toIndexedSeq.map(col): _*)
+      delCond match {
+        case None =>
+          val (u, i) = graft.sources.LakeSink.softUpsertDir(spark, loc,
+            projected, key)
+          (u, i, 0L)
+        case Some(cond) =>
+          val matchedKeys = view.select(col(key)).distinct()
+          val delKeys = srcDf.filter(expr(cond))
+            .join(matchedKeys, Seq(key), "left_semi")
+            .select(col(key)).localCheckpoint(true)
+          val upserts = projected.join(delKeys, Seq(key), "left_anti")
+          // both halves commit under the ONE claim this block holds: a
+          // crash can still land the upsert alone, but no concurrent
+          // writer ever interleaves between the halves, and the held
+          // claim is visible to readers of the crash window
+          val (u, i) =
+            if (upserts.isEmpty) (0L, 0L)
+            else graft.sources.LakeSink.softUpsertDir(spark, loc, upserts, key)
+          val d =
+            if (delKeys.isEmpty) 0L
+            else graft.sources.LakeSink.softDeleteUpsertDir(spark, loc,
+              delKeys, key)
+          (u, i, d)
+      }
     }
   }
 }
@@ -321,7 +545,8 @@ object GraftDml {
   * reference's affectedRows contract. */
 case class GraftDmlCommand(kind: String, target: String,
     pred: Option[String], assigns: Seq[(String, String)],
-    source: Option[String], onCond: Option[String])
+    source: Option[String], onCond: Option[String],
+    cols: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -341,6 +566,9 @@ case class GraftDmlCommand(kind: String, target: String,
       val (u, i, d) = GraftDml.runMerge(spark, target, source.get,
         onCond.get, pred)
       Seq(Row("merge", u, i, d))
+    case "insert" =>
+      val n = GraftDml.runInsert(spark, target, source.get, cols)
+      Seq(Row("insert", 0L, n, 0L))
   }
 }
 
@@ -353,7 +581,8 @@ case class GraftDmlCommand(kind: String, target: String,
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftDml.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftDml.parse(sqlText).getOrElse(
+      GraftTimeTravel.rewrite(delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -1871,7 +1871,7 @@ object Crud {
     * prefix state; a33's live-view oracle restates the full history
     * over the SAME fixture, so the pair hash-proves the prefix rule
     * end to end. */
-  val a44 = Q("a44_asof_log", Some("""
+  private val asOfSeq1OracleSql = """
     WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
     v AS (
       SELECT
@@ -1889,14 +1889,138 @@ object Crud {
     SELECT status, count(*) AS n_orders,
       CAST(sum(cents) AS BIGINT) AS sum_cents,
       CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
-    FROM v GROUP BY status ORDER BY status""")) { (s, d) =>
+    FROM v GROUP BY status ORDER BY status"""
+
+  val a44 = Q("a44_asof_log", Some(asOfSeq1OracleSql)) { (s, d) =>
     val dir = ensureUpsertOrders(s, d)
     upsertViewAgg(graft.sources.LakeSink
       .morReadUpsertDirAsOf(s, dir, "o_orderkey", asOfSeq = 1L))
   }
 
+  private def ensureInsertOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_ins_$stamp")
+    if (!new java.io.File(new java.io.File(dir, "_updates"), "_key").isFile ||
+        Option(new java.io.File(dir, "_updates").listFiles())
+          .getOrElse(Array.empty).count(_.getName.startsWith("u-")) != 2) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_ins_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_ins_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+      base.repartition(4).write.mode("overwrite").parquet(build.getPath)
+      val bp = build.getPath
+      graft.sources.LakeSink.registerKeyDir(s, bp, "o_orderkey")
+      val mk = base.agg(max("o_orderkey")).head().getLong(0)
+      val k = col("o_orderkey")
+      // stmt 1: full-row INSERT ... SELECT — key-shifted clones of
+      // the %29 slice, status 'I' (positional map, table layout)
+      base.filter(k % 29 === 11)
+        .withColumn("o_orderkey", k + mk)
+        .withColumn("o_orderstatus", lit("I"))
+        .createOrReplaceTempView("a45_src1")
+      s.sql(s"INSERT INTO parquet.`$bp` SELECT * FROM a45_src1")
+      // stmt 2: column-list INSERT — only (key, price, priority);
+      // every omitted column NULL-fills (standard SQL semantics)
+      base.filter(k % 37 === 5)
+        .select((k + lit(2L * mk)).as("ik"),
+          (col("o_totalprice") + 50.0).as("ip"),
+          col("o_orderpriority").as("io"))
+        .createOrReplaceTempView("a45_src2")
+      s.sql(s"INSERT INTO parquet.`$bp` (o_orderkey, o_totalprice, " +
+        "o_orderpriority) SELECT ik, ip, io FROM a45_src2")
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a45: `INSERT INTO` ROUTED THROUGH THE MERGE-ON-READ LOG
+    * ([[graft.plans.GraftDml.runInsert]] — the one write that used to
+    * silently side-step the log: GraftSqlParser delegated INSERT to
+    * Spark, which appends bare files no change feed can ever replay,
+    * and the reference's hottest statement is exactly this INSERT,
+    * order_rdbms_blob.js:574): two inserts issued as SQL STRINGS
+    * against a keyed lake dir — a full-row `INSERT … SELECT` and a
+    * column-list insert whose omitted columns NULL-fill — land as
+    * seq-carrying upsert-log batches with `_feed` rows, so BOTH the
+    * post-state view AND the change feed restate in the oracle: the
+    * feed half proves the inserts are replayable (batch 1 and 2,
+    * op = 'insert'), which is the entire point of the routing. */
+  val a45 = Q("a45_sql_insert", Some("""
+    WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    v AS (
+      SELECT o_orderstatus AS status,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      UNION ALL
+      SELECT 'I', CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+      FROM orders CROSS JOIN mx WHERE o_orderkey % 29 = 11
+      UNION ALL
+      SELECT NULL, CAST(floor((o_totalprice + 50.0) * 100.0 + 0.5) AS BIGINT)
+      FROM orders CROSS JOIN mx WHERE o_orderkey % 37 = 5
+    )
+    SELECT 'view' AS part, coalesce(status, '~null') AS k,
+      count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v GROUP BY 2
+    UNION ALL
+    SELECT 'feed', '1-insert', count(*),
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey % 29 = 11
+    UNION ALL
+    SELECT 'feed', '2-insert', count(*),
+      CAST(sum(CAST(floor((o_totalprice + 50.0) * 100.0 + 0.5) AS BIGINT))
+        AS BIGINT)
+    FROM orders WHERE o_orderkey % 37 = 5
+    ORDER BY part, k""")) { (s, d) =>
+    val dir = ensureInsertOrders(s, d)
+    val cents = sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .as("sum_cents")
+    val viewAgg = graft.sources.LakeSink
+      .morReadUpsertDir(s, dir, "o_orderkey")
+      .groupBy(coalesce(col("o_orderstatus"), lit("~null")).as("k"))
+      .agg(count(lit(1)).as("n_rows"), cents)
+      .select(lit("view").as("part"), col("k"), col("n_rows"),
+        col("sum_cents"))
+    val feedAgg = graft.sources.LakeSink.changeFeed(s, dir, "o_orderkey")
+      .groupBy(concat(col("batch_seq").cast("string"), lit("-"),
+        col("op")).as("k"))
+      .agg(count(lit(1)).as("n_rows"), cents)
+      .select(lit("feed").as("part"), col("k"), col("n_rows"),
+        col("sum_cents"))
+    viewAgg.unionByName(feedAgg).orderBy("part", "k")
+  }
+
+  /** a46: SQL TIME TRAVEL — `VERSION AS OF` on the upsert log
+    * ([[graft.plans.TimeTravelRule]] resolving Spark's natively-parsed
+    * temporal clause to [[graft.sources.LakeSink
+    * .morReadUpsertDirAsOf]]): a44's exact prefix read issued as
+    * PLAIN `spark.sql` over the SAME fixture, sharing a44's oracle —
+    * the pair hash-proves SQL syntax ≡ the API travel read end to
+    * end (the r15 DML story's missing read-side syntax; Delta's
+    * `SELECT … FROM t VERSION AS OF n`). */
+  val a46 = Q("a46_sql_asof", Some(asOfSeq1OracleSql)) { (s, d) =>
+    val dir = ensureUpsertOrders(s, d)
+    s.sql(s"""
+      SELECT o_orderstatus AS status, count(*) AS n_orders,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS sum_cents,
+        count(DISTINCT o_orderpriority) AS n_pri
+      FROM parquet.`$dir` VERSION AS OF 1
+      GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39, a40, a41, a42, a43, a44)
+    a38, a39, a40, a41, a42, a43, a44, a45, a46)
 }

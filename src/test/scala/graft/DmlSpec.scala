@@ -207,11 +207,15 @@ class DmlSpec extends AnyFunSuite {
   test("concurrent SQL DML: two writers race statements — the log claim serializes, losers refuse and retry, history converges") {
     val dir = mkTable("dmlrace")
     def issueWithRetry(sql: String): Unit = {
+      // r16: a statement holds the claim across its WHOLE
+      // read-compute-land (the lost-update fix), so a loser can wait
+      // out several full Spark jobs — the retry budget is time-based
       var done = false; var tries = 0
-      while (!done && tries < 200) {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!done && System.currentTimeMillis() < deadline) {
         try { spark.sql(sql).collect(); done = true }
         catch { case _: java.util.ConcurrentModificationException =>
-          tries += 1; Thread.sleep(20) }
+          tries += 1; Thread.sleep(50) }
       }
       assert(done, s"statement never landed after $tries retries: $sql")
     }
@@ -247,5 +251,162 @@ class DmlSpec extends AnyFunSuite {
     assert(ok.contains(Seq("a" -> "1", "b" -> "greatest(c, d)")))
     assert(graft.plans.GraftDml.splitAssignments("a = 'x,y', b = 2")
       .contains(Seq("a" -> "'x,y'", "b" -> "2")))
+  }
+
+  test("quote-aware keyword scanning: string literals containing WHERE/SET/THEN never split a statement") {
+    import graft.plans.GraftDml.{topLevelKeyword, topLevelKeywordAll}
+    assert(topLevelKeyword("a = 'x WHERE y' WHERE id = 2", "WHERE") == 16)
+    assert(topLevelKeyword("a = 'no where here at top level'", "WHERE") == -1)
+    assert(topLevelKeyword("f(a WHERE b) WHERE c", "WHERE") == 13)
+    assert(topLevelKeyword("wherever WHERE x", "WHERE") == 9,
+      "word boundary: 'wherever' is not the keyword")
+    assert(topLevelKeywordAll("WHEN a THEN b WHEN c", "WHEN") == Seq(0, 14))
+    // end to end: the r15 grammar split on the literal's WHERE and
+    // died downstream — now the literal lands intact
+    val dir = mkTable("dmlq")
+    val r = spark.sql(
+      s"UPDATE parquet.`$dir` SET name = 'x WHERE y' WHERE id = 2")
+      .head()
+    assert(r.getString(0) == "update" && r.getLong(1) == 1L)
+    val v = graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+    assert(v.filter(col("id") === 2L).head().getString(1) == "x WHERE y")
+    // a SET-containing literal in a DELETE predicate
+    val d2 = spark.sql(
+      s"DELETE FROM parquet.`$dir` WHERE name = 'x WHERE y'").head()
+    assert(d2.getLong(3) == 1L)
+    // MERGE: a delete-condition literal containing THEN/DELETE
+    Seq((3L, "keep THEN DELETE me", 1.0), (9L, "n9", 9.0))
+      .toDF("id", "name", "price").createOrReplaceTempView("dmlq_src")
+    val m = spark.sql(s"""MERGE INTO parquet.`$dir` AS t USING dmlq_src AS u
+      ON t.id = u.id
+      WHEN MATCHED AND u.name = 'keep THEN DELETE me' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""").head()
+    assert(m.getString(0) == "merge" && m.getLong(3) == 1L &&
+      m.getLong(2) == 1L)
+    // fresh view: the fold lists batches at construction time
+    assert(graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+      .filter(col("id") === 3L).isEmpty)
+  }
+
+  test("INSERT INTO a keyed lake target routes through the log: seq, feed rows, PK refusal") {
+    val dir = mkTable("dmlins")
+    val r = spark.sql(
+      s"INSERT INTO parquet.`$dir` VALUES (6, 'f', 60.0), (7, 'g', 70.0)")
+      .head()
+    assert(r.getString(0) == "insert" && r.getLong(2) == 2L)
+    // landed as a LOG batch (not a bare file append): u-* exists and
+    // the change feed replays the insert
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/_updates", "u-*"))).exists(_.nonEmpty))
+    val feed = graft.sources.LakeSink.changeFeed(spark, dir, "id")
+    assert(feed.filter(col("op") === "insert").count() == 2L)
+    assert(graft.sources.LakeSink.lastLandedSeq(spark, dir) == 1L)
+    val v = graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+    assert(v.count() == 7L)
+    // PRIMARY-KEY semantics: a live key refuses by name
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO parquet.`$dir` VALUES (6, 'dup', 0.0)")
+    }
+    assert(e.getMessage.contains("INSERT REFUSED") &&
+      e.getMessage.contains("already live"))
+    // ...including a key live only through an earlier INSERT batch
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO parquet.`$dir` VALUES (7, 'dup', 0.0)")
+    }
+    assert(e2.getMessage.contains("already live"))
+  }
+
+  test("INSERT INTO with a column list: positional map, omitted columns NULL-fill, the key may not be omitted") {
+    val dir = mkTable("dmlinc")
+    Seq((10L, 100.0), (11L, 110.0)).toDF("k", "p")
+      .createOrReplaceTempView("dmlinc_src")
+    val r = spark.sql(s"INSERT INTO parquet.`$dir` (id, price) " +
+      "SELECT k, p FROM dmlinc_src").head()
+    assert(r.getLong(2) == 2L)
+    val v = graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+    val row10 = v.filter(col("id") === 10L).head()
+    assert(row10.isNullAt(1) && row10.getDouble(2) == 100.0,
+      "omitted name must NULL-fill")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO parquet.`$dir` (name, price) " +
+        "SELECT 'x', 1.0")
+    }
+    assert(e.getMessage.contains("omits the key"))
+  }
+
+  test("INSERT delegation: unkeyed targets go to Spark untouched (plain file append, no log)") {
+    // parse-level: no registered key → None (delegate)
+    val unkeyed = freshDir("dmlunk")
+    Seq((1L, "a")).toDF("id", "name").write.parquet(unkeyed)
+    assert(graft.plans.GraftDml.parse(
+      s"INSERT INTO parquet.`$unkeyed` VALUES (2, 'b')").isEmpty)
+    // end to end on an unkeyed catalog table: Spark's own append, no
+    // _updates dir ever appears
+    spark.sql("DROP TABLE IF EXISTS dml_unkeyed")
+    graft.sources.LakeSink.registerExternal(spark, "dml_unkeyed", unkeyed)
+    spark.sql("INSERT INTO dml_unkeyed VALUES (2, 'b')")
+    assert(spark.table("dml_unkeyed").count() == 2L)
+    assert(!new java.io.File(unkeyed, "_updates").isDirectory,
+      "a delegated insert must not fabricate a log")
+    // non-routable bodies delegate even on keyed targets
+    assert(graft.plans.GraftDml.parse(
+      "INSERT INTO t PARTITION (dt='x') SELECT 1").isEmpty)
+    spark.sql("DROP TABLE IF EXISTS dml_unkeyed")
+  }
+
+  test("SQL time travel: VERSION AS OF on the log tier ≡ the API read; refusals by name") {
+    val dir = mkTable("dmlasof")
+    spark.sql(s"UPDATE parquet.`$dir` SET price = price + 1.0 WHERE id <= 2") // seq 1
+    spark.sql(s"DELETE FROM parquet.`$dir` WHERE id = 1")                     // seq 2
+    spark.sql(s"UPDATE parquet.`$dir` SET name = 'w' WHERE id = 4")           // seq 3
+    for (seq <- 0L to 3L) {
+      val sqlRead = spark.sql(
+        s"SELECT * FROM parquet.`$dir` VERSION AS OF $seq ORDER BY id")
+        .collect().map(_.toString).toSeq
+      val apiRead = graft.sources.LakeSink
+        .morReadUpsertDirAsOf(spark, dir, "id", seq)
+        .orderBy("id").collect().map(_.toString).toSeq
+      assert(sqlRead == apiRead, s"seq $seq: SQL travel must ≡ the API read")
+    }
+    // aggregates/filters compose over the travel read like any table
+    assert(spark.sql(s"SELECT count(*) AS n FROM parquet.`$dir` " +
+      "VERSION AS OF 1 WHERE price > 11.0").head().getLong(0) == 4L)
+    // refusals: TIMESTAMP AS OF, non-numeric version, unkeyed dir
+    val e1 = intercept[Exception] { spark.sql(
+      s"SELECT * FROM parquet.`$dir` TIMESTAMP AS OF '2024-01-01'").collect() }
+    assert(e1.getMessage.contains("TIMESTAMP AS OF"))
+    val e2 = intercept[Exception] { spark.sql(
+      s"SELECT * FROM parquet.`$dir` VERSION AS OF 'abc'").collect() }
+    assert(e2.getMessage.contains("not a number"))
+    val unkeyed = freshDir("dmlasofu")
+    Seq((1L, "a")).toDF("id", "name").write.parquet(unkeyed)
+    val e3 = intercept[Exception] { spark.sql(
+      s"SELECT * FROM parquet.`$unkeyed` VERSION AS OF 0").collect() }
+    assert(e3.getMessage.contains("no") &&
+      e3.getMessage.contains("registered key"))
+  }
+
+  test("SQL time travel: VERSION AS OF on a catalog table reads retained generations") {
+    val dir = freshDir("dmlgen")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "price")
+      .write.parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS dml_gen")
+    graft.sources.LakeSink.registerExternal(spark, "dml_gen", dir)
+    graft.sources.LakeSink.compactTable(spark, "dml_gen", 1000L)
+    graft.sources.LakeSink.softDelete(spark, "dml_gen",
+      Seq(1L).toDF("id"), "id")
+    val g0 = spark.sql(
+      "SELECT count(*) AS n FROM dml_gen VERSION AS OF 1").head().getLong(0)
+    val g2 = spark.sql(
+      "SELECT count(*) AS n FROM dml_gen VERSION AS OF 2").head().getLong(0)
+    assert(g0 == 2L && g2 == 1L,
+      "the data generation shows pre-delete rows, the delete snapshot hides them")
+    val e = intercept[Exception] { spark.sql(
+      "SELECT * FROM dml_gen VERSION AS OF 99").collect() }
+    assert(e.getMessage.contains("TIME TRAVEL REFUSED"))
+    spark.sql("DROP TABLE IF EXISTS dml_gen")
   }
 }
