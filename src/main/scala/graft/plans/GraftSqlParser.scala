@@ -331,10 +331,17 @@ object GraftDml {
     * correct). The landing kernels re-verify liveness under the log
     * claim either way, so the choice affects READ cost only. */
   private def dmlView(spark: SparkSession, loc: String,
-      key: String): org.apache.spark.sql.DataFrame =
-    if (spark.conf.get("spark.graft.morApply.enabled", "false").toBoolean)
+      key: String): org.apache.spark.sql.DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an EVOLVED table always uses the explicit fold: a single-root
+    // read's footer-inferred schema cannot carry the widened columns
+    // (the planner fold refuses it by name)
+    if (spark.conf.get("spark.graft.morApply.enabled", "false").toBoolean &&
+        graft.sources.LakeSink.persistedSchema(fs, loc).isEmpty)
       spark.read.parquet(loc)
     else graft.sources.LakeSink.morReadUpsertDir(spark, loc, key)
+  }
 
   /** Every runner below holds the TARGET DIRECTORY'S LOG CLAIM across
     * its whole read-compute-land ([[graft.sources.LakeSink

@@ -81,6 +81,20 @@ class TombstoneApplyRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val delBatches = if (hasDel) glob("_deletes", "b-*") else Array.empty[String]
           val upsBatches = if (hasUps) glob("_updates", "u-*") else Array.empty[String]
           if (delBatches.isEmpty && upsBatches.isEmpty) l
+          else if (hasUps &&
+              graft.sources.LakeSink.persistedSchema(fs, root.toString)
+                .exists(_.length > l.output.length))
+            // an EVOLVED table (committed `_updates/_schema` wider
+            // than this scan): the plan-time fold would run against
+            // the scan's unmerged-footer schema and silently drop the
+            // added columns — refuse by name, never serve a narrowed
+            // fold (the explicit APIs carry the widened schema)
+            throw new IllegalStateException(
+              s"MOR PLAN REFUSED: $root carries an evolved schema " +
+                "(_updates/_schema) wider than this scan — the " +
+                "plan-time fold cannot widen a footer-inferred scan; " +
+                "read through LakeSink.morReadUpsertDir, or compact " +
+                "(compactUpsertsDir) to materialize the widened table.")
           else {
             val tombOpt =
               if (delBatches.isEmpty) None

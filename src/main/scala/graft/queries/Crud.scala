@@ -2019,8 +2019,96 @@ object Crud {
       GROUP BY o_orderstatus ORDER BY status""")
   }
 
+  private def ensureEvolveOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_evo_$stamp")
+    if (!new java.io.File(new java.io.File(dir, "_updates"), "_schema").isFile ||
+        Option(new java.io.File(dir, "_updates").listFiles())
+          .getOrElse(Array.empty).count(_.getName.startsWith("u-")) != 3) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_evo_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_evo_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+      base.repartition(4).write.mode("overwrite").parquet(build.getPath)
+      val k = col("o_orderkey")
+      // batch 1 (PRE-evolution, original schema): %13 slice → 'U'
+      graft.sources.LakeSink.softUpsertDir(s, build.getPath,
+        base.filter(k % 13 === 1).withColumn("o_orderstatus", lit("U")),
+        "o_orderkey")
+      // batch 2 EVOLVES: full rows + the new o_tier column
+      graft.sources.LakeSink.evolveUpsertDir(s, build.getPath,
+        base.filter(k % 31 === 4)
+          .withColumn("o_tier", when(col("o_totalprice") > 150000.0,
+            lit("hi")).otherwise(lit("lo"))),
+        "o_orderkey")
+      // batch 3 (POST-evolution): the widened schema is now the
+      // contract — this batch must carry o_tier
+      graft.sources.LakeSink.softUpsertDir(s, build.getPath,
+        base.filter(k % 7 === 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+          .withColumn("o_tier", lit("T3")),
+        "o_orderkey")
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a47: SCHEMA EVOLUTION ON A LOG-CARRYING TABLE
+    * ([[graft.sources.LakeSink.evolveUpsertDir]] — the path that used
+    * to refuse: appendEvolved is base-tier only, so a table with a
+    * pending `_updates` log could not add a column without compacting
+    * first; Delta/Hudi evolve through MERGE, and the reference's own
+    * sql_schema DDL evolves mid-walkthrough, db_setup.js): an
+    * update-insert history lands a PRE-evolution batch (original
+    * schema), then an EVOLVING batch committing the widened schema
+    * (`_updates/_schema`, one metadata file — no data file is ever
+    * rewritten) plus its rows with the new `o_tier` column, then an
+    * ordinary post-evolution batch (the widened schema is now the
+    * uniform-log contract). The fold reads EVERYTHING through the
+    * committed schema: base rows and the pre-evolution batch
+    * NULL-FILL `o_tier` natively in the parquet reader — which is
+    * exactly what the oracle restates (tier NULL except the evolved
+    * slices, latest-wins across all three batches). */
+  val a47 = Q("a47_evolve_upsert", Some("""
+    WITH v AS (
+      SELECT
+        CASE WHEN o_orderkey % 7 = 2 THEN o_orderstatus
+             WHEN o_orderkey % 31 = 4 THEN o_orderstatus
+             WHEN o_orderkey % 13 = 1 THEN 'U'
+             ELSE o_orderstatus END AS status,
+        CASE WHEN o_orderkey % 7 = 2 THEN 'T3'
+             WHEN o_orderkey % 31 = 4 THEN
+               CASE WHEN o_totalprice > 150000.0 THEN 'hi' ELSE 'lo' END
+             ELSE NULL END AS tier,
+        CAST(floor((CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 7.0
+             ELSE o_totalprice END) * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+    SELECT status, coalesce(tier, '~null') AS tier,
+      count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+    val dir = ensureEvolveOrders(s, d)
+    graft.sources.LakeSink.morReadUpsertDir(s, dir, "o_orderkey")
+      .groupBy(col("o_orderstatus").as("status"),
+        coalesce(col("o_tier"), lit("~null")).as("tier"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("status", "tier")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39, a40, a41, a42, a43, a44, a45, a46)
+    a38, a39, a40, a41, a42, a43, a44, a45, a46, a47)
 }

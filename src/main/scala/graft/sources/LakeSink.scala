@@ -1263,6 +1263,41 @@ object LakeSink {
     }
   }
 
+  /** the table's COMMITTED EVOLVED SCHEMA, when an [[evolveUpsertDir]]
+    * ever widened it (`_updates/_schema`, a JSON StructType committed
+    * by single-file rename under the log claim). Every fold-side read
+    * resolves through it: base files and pre-evolution log batches
+    * NULL-FILL the added columns natively in the parquet reader (the
+    * explicit-schema read — zero footer merging, the [[readEvolved]]
+    * catalog-schema rule applied to the log tier). Absent = the base
+    * footers' schema, exactly as before evolution existed. */
+  private[graft] def persistedSchema(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir, "_updates"), "_schema")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** a reader for this directory's LOG BATCH files: the evolved
+    * schema when committed (old batches null-fill new columns), the
+    * files' own schema otherwise. Resolved once per fold, not per
+    * batch. */
+  private def logBatchReader(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): String => DataFrame = {
+    val sch = persistedSchema(fs, dir)
+    p => sch.fold(spark.read)(s0 => spark.read.schema(s0)).parquet(p)
+  }
+
   /** read ONLY the directory's current data files, by EXPLICIT list —
     * the rule-proof read: [[graft.plans.TombstoneApplyRule]]'s
     * eligible shape is a single-root scan, so the explicit multi-path
@@ -1270,7 +1305,9 @@ object LakeSink {
     * itself must not be, or the fold would apply twice). Partitioned
     * layouts walk their partition subdirectories and anchor on
     * `basePath`, so partition columns still materialize — and the
-    * read stays multi-root, i.e. still rule-proof. */
+    * read stays multi-root, i.e. still rule-proof. An evolved table
+    * ([[persistedSchema]]) reads with the committed widened schema —
+    * base files null-fill the added columns. */
   private def readDataFilesList(spark: SparkSession,
       dir: String): DataFrame = {
     val loc = new org.apache.hadoop.fs.Path(dir)
@@ -1283,8 +1320,10 @@ object LakeSink {
         else Seq(st.getPath)
       }
     val files = walk(loc).map(_.toString).sorted
-    if (files.isEmpty) spark.read.parquet(dir)
-    else spark.read.option("basePath", dir).parquet(files: _*)
+    val rd = persistedSchema(fs, dir)
+      .fold(spark.read)(s0 => spark.read.schema(s0))
+    if (files.isEmpty) rd.parquet(dir)
+    else rd.option("basePath", dir).parquet(files: _*)
   }
 
   /** the accumulated tombstone keys of `dir`, if any delete batch has
@@ -1402,7 +1441,8 @@ object LakeSink {
     require(batch.columns.sorted.toSeq == data.columns.sorted.toSeq,
       s"MOR UPSERT REFUSED: batch columns [${batch.columns.sorted.mkString(",")}] " +
         s"differ from the table's [${data.columns.sorted.mkString(",")}] — " +
-        "appendEvolved is the schema-evolution path")
+        "evolveUpsertDir is the schema-evolution path (appendEvolved " +
+        "for base-tier tables)")
     // names alone are not enough: a type-drifted batch (int vs bigint)
     // would land in the log and fail — or silently widen — at READ
     // time, far from the write that caused it; refuse at the write
@@ -1567,8 +1607,9 @@ object LakeSink {
     if (ups.isEmpty)
       tomb.fold(data)(t => data.join(broadcast(t), Seq(key), "left_anti"))
     else {
+      val readBatch = logBatchReader(spark, fs, dir)
       val log = ups.map { case (seq, p) =>
-        spark.read.parquet(p).withColumn("_u_seq", lit(seq))
+        readBatch(p).withColumn("_u_seq", lit(seq))
       }.reduce(_.unionByName(_))
       require(log.columns.contains(key),
         s"MOR READ REFUSED: update log carries no '$key' column")
@@ -1636,8 +1677,9 @@ object LakeSink {
     if (ups.isEmpty)
       tomb.fold(data)(t => data.join(broadcast(t), Seq(key), "left_anti"))
     else {
+      val readBatch = logBatchReader(spark, fs, dir)
       val log = ups.map { case (seq, p) =>
-        spark.read.parquet(p).withColumn("_u_seq", lit(seq))
+        readBatch(p).withColumn("_u_seq", lit(seq))
       }.reduce(_.unionByName(_))
       val latest = log
         .withColumn("_rn", row_number().over(
@@ -1683,8 +1725,9 @@ object LakeSink {
       return data.limit(0)
         .withColumn("_u_seq", lit(0L)).withColumn("_op", lit(""))
         .select(outCols: _*)
+    val readBatch = logBatchReader(spark, fs, dir)
     val log = ups.map { case (seq, p) =>
-      spark.read.parquet(p).withColumn("_u_seq", lit(seq))
+      readBatch(p).withColumn("_u_seq", lit(seq))
     }.reduce(_.unionByName(_)).localCheckpoint(true)
     val logKeys = log.select(col(key)).distinct()
     // the ONE base pass: key column only, reduced to the log's keys
@@ -1735,8 +1778,9 @@ object LakeSink {
       return data.limit(0).select(data.columns.map(col) ++ beforeCols: _*)
         .withColumn("_u_seq", lit(0L)).withColumn("_op", lit(""))
         .select(outCols: _*)
+    val readBatch = logBatchReader(spark, fs, dir)
     val log = ups.map { case (seq, p) =>
-      spark.read.parquet(p).withColumn("_u_seq", lit(seq))
+      readBatch(p).withColumn("_u_seq", lit(seq))
     }.reduce(_.unionByName(_)).localCheckpoint(true)
     val logKeys = log.select(col(key)).distinct()
     val baseRows = data.join(broadcast(logKeys), Seq(key), "left_semi")
@@ -1816,8 +1860,19 @@ object LakeSink {
     val feeds = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(loc, "_deletes"), "b-*/_feed")))
       .getOrElse(Array.empty).map(_.getPath.toString)
-    if (feeds.nonEmpty) spark.read.parquet(feeds.toIndexedSeq: _*)
-    else {
+    if (feeds.nonEmpty) {
+      // explicit feed schema (batch_seq, op, <table columns>) — on an
+      // EVOLVED table, feed files landed before the widening
+      // null-fill the added columns like every other fold-side read
+      val data = readDataFilesList(spark, dir)
+      val sch = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("batch_seq",
+          org.apache.spark.sql.types.LongType, nullable = false) ::
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType, nullable = false) ::
+        data.schema.fields.toList)
+      spark.read.schema(sch).parquet(feeds.toIndexedSeq: _*)
+    } else {
       val data = readDataFilesList(spark, dir)
       data.limit(0)
         .withColumn("batch_seq", lit(0L)).withColumn("op", lit(""))
@@ -1986,6 +2041,84 @@ object LakeSink {
       val (u, i) = softUpsertDir(spark, dir, expanded, key, onceId, retainMs)
       require(i == 0, s"internal: patch expansion inserted $i rows")
       u
+    }
+  }
+
+  /** SCHEMA EVOLUTION ON A LOG-CARRYING TABLE — the path that used
+    * to refuse: [[appendEvolved]] is base-tier only, so a table with
+    * a pending `_updates` log could not add a column without
+    * compacting first (Delta/Hudi evolve through MERGE; the
+    * reference's own sql_schema DDL evolves mid-walkthrough,
+    * db_setup.js). The evolving batch carries the FULL WIDENED row
+    * set: every existing column (same types — drift refuses exactly
+    * like the non-evolving landing) plus ≥1 added column. Two
+    * commits under ONE log claim:
+    *
+    *  1. the widened schema lands as `_updates/_schema` (a JSON
+    *     StructType, single-file rename — atomic): from that point
+    *     EVERY fold-side read resolves through it, and base files,
+    *     pre-evolution log batches, and pre-evolution feed files
+    *     NULL-FILL the added columns natively in the parquet reader
+    *     (explicit-schema read — zero footer merging, no file
+    *     rewritten: evolution costs one metadata file at any table
+    *     size);
+    *  2. the batch lands as an ORDINARY [[softUpsertDir]] batch (the
+    *     landing kernel re-enters the held claim), so every refusal,
+    *     the seq counter, and the `_feed` rows apply unchanged.
+    *
+    * After evolution the log stays UNIFORM at the widened schema:
+    * subsequent batches must carry the added columns (the standard
+    * column-set refusal, now against the evolved set) — a writer
+    * without values writes explicit NULLs to mean it. Refusals BY
+    * NAME: dropped columns, type changes, a batch that adds nothing
+    * (softUpsertDir is the non-evolving landing). Crash between the
+    * two commits leaves the widened schema with the added columns
+    * all-NULL — a valid additive state the retry converges from.
+    * Compaction ([[compactUpsertsDir]] and the partitioned form)
+    * materializes the widened view and retires `_schema` with the
+    * log. NOTE: plain single-root reads under
+    * `spark.graft.morApply.enabled` REFUSE on an evolved table — the
+    * planner fold's scan schema comes from unmerged footers; the
+    * explicit APIs carry the widened schema. Returns
+    * (updated, inserted). */
+  def evolveUpsertDir(spark: SparkSession, dir: String, batch: DataFrame,
+      key: String, retainMs: Long = 600000L): (Long, Long) = {
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withLogClaim(fs, dir, retainMs) {
+      val data = readDataFilesList(spark, dir)
+      val curTypes = data.schema.map(f => f.name -> f.dataType).toMap
+      val dropped = data.columns.filterNot(c => batch.columns.contains(c))
+      require(dropped.isEmpty,
+        s"SCHEMA EVOLUTION REFUSED (dropped columns): " +
+          s"${dropped.mkString(", ")} — an evolving batch carries the " +
+          "full widened row; write explicit NULLs to mean them")
+      val conflicts = batch.schema.flatMap { f =>
+        curTypes.get(f.name).collect { case t if t != f.dataType =>
+          s"${f.name}: table=${t.simpleString} batch=${f.dataType.simpleString}"
+        }
+      }
+      require(conflicts.isEmpty,
+        s"SCHEMA EVOLUTION REFUSED (type change): ${conflicts.mkString("; ")}")
+      val added = batch.columns.filterNot(c => data.columns.contains(c))
+      require(added.nonEmpty,
+        "SCHEMA EVOLUTION REFUSED: the batch adds no columns — " +
+          "softUpsertDir is the non-evolving landing")
+      // commit 1: the widened schema — added columns APPEND after the
+      // current layout, so positional consumers stay stable
+      val widened = org.apache.spark.sql.types.StructType(
+        data.schema.fields ++ added.map(c => batch.schema(c)))
+      val ups = new org.apache.hadoop.fs.Path(loc, "_updates")
+      fs.mkdirs(ups)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new org.apache.hadoop.fs.Path(ups, s".tmp-schema-$tag")
+      val out = fs.create(tmp, true)
+      out.write(widened.json.getBytes("UTF-8")); out.close()
+      val dest = new org.apache.hadoop.fs.Path(ups, "_schema")
+      if (fs.exists(dest)) fs.delete(dest, false)
+      require(fs.rename(tmp, dest), s"schema commit failed: $tmp -> $dest")
+      // commit 2: an ordinary log landing against the widened schema
+      softUpsertDir(spark, dir, batch, key, retainMs = retainMs)
     }
   }
 

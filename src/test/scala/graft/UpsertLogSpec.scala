@@ -453,4 +453,74 @@ class UpsertLogSpec extends AnyFunSuite {
     assert(LakeSink.softUpsertDir(spark, dir, batch, "id",
       onceId = Some(7L)) == ((0L, 0L)))
   }
+
+  test("schema evolution on a log-carrying table: old batches and base null-fill, the widened schema is the new contract") {
+    val dir = mkTable("evolve", 30L)
+    // pre-evolution batch (original schema)
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(5L, 10L).select(col("id"), lit("v1").as("name"),
+        lit(1.0).as("price"), lit(0L).as("part")), "id")        // seq 1
+    // EVOLVE: add a 'grade' column with an update+insert batch
+    val (u, i) = LakeSink.evolveUpsertDir(spark, dir,
+      spark.range(8L, 33L).select(col("id"), lit("v2").as("name"),
+        lit(2.0).as("price"), lit(0L).as("part"),
+        lit("A").as("grade")), "id")                            // seq 2
+    assert(u == 22L && i == 3L)
+    val v = LakeSink.morReadUpsertDir(spark, dir, "id")
+    assert(v.columns.toSeq ==
+      Seq("id", "name", "price", "part", "grade"),
+      "added columns append after the current layout")
+    // base rows AND the pre-evolution batch null-fill the new column
+    assert(v.filter(col("id") === 2L).head().isNullAt(4))
+    assert(v.filter(col("id") === 6L).head().getString(1) == "v1")
+    assert(v.filter(col("id") === 6L).head().isNullAt(4))
+    assert(v.filter(col("id") === 9L).head().getString(4) == "A")
+    assert(v.count() == 33L)
+    // the widened schema is now the UNIFORM-LOG contract: a batch
+    // without the added column refuses by name
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.softUpsertDir(spark, dir,
+        Seq((1L, "x", 9.0, 0L)).toDF("id", "name", "price", "part"), "id")
+    }
+    assert(e.getMessage.contains("evolveUpsertDir"))
+    // a post-evolution batch WITH the column lands ordinarily
+    LakeSink.softUpsertDir(spark, dir,
+      Seq((6L, "v3", 3.0, 0L, "B")).toDF(
+        "id", "name", "price", "part", "grade"), "id")          // seq 3
+    // the change feed null-fills pre-evolution feed rows; deletes too
+    LakeSink.softDeleteUpsertDir(spark, dir, Seq(9L).toDF("id"), "id") // seq 4
+    val feed = LakeSink.changeFeed(spark, dir, "id")
+    assert(feed.columns.contains("grade"))
+    assert(feed.filter(col("batch_seq") === 1L)
+      .collect().forall(_.isNullAt(feed.columns.indexOf("grade"))))
+    assert(feed.filter(col("batch_seq") === 4L && col("op") === "delete")
+      .head().getString(feed.columns.indexOf("grade")) == "A")
+    // time travel reads every prefix under the committed schema
+    val asOf1 = LakeSink.morReadUpsertDirAsOf(spark, dir, "id", 1L)
+    assert(asOf1.columns.contains("grade") &&
+      asOf1.filter(col("grade").isNotNull).isEmpty,
+      "the pre-evolution prefix carries the column, all-NULL")
+    // evolution refusals: type change, dropped column, nothing added
+    assert(intercept[IllegalArgumentException] {
+      LakeSink.evolveUpsertDir(spark, dir,
+        Seq((1L, "x", 1, 0L, "C", "z")).toDF(
+          "id", "name", "price", "part", "grade", "extra"), "id")
+    }.getMessage.contains("type change"))
+    assert(intercept[IllegalArgumentException] {
+      LakeSink.evolveUpsertDir(spark, dir,
+        Seq((1L, "x", 1.0, "z")).toDF("id", "name", "price", "extra"), "id")
+    }.getMessage.contains("dropped columns"))
+    assert(intercept[IllegalArgumentException] {
+      LakeSink.evolveUpsertDir(spark, dir,
+        Seq((1L, "x", 1.0, 0L, "C")).toDF(
+          "id", "name", "price", "part", "grade"), "id")
+    }.getMessage.contains("adds no columns"))
+    // compaction materializes the widened view and retires _schema
+    val n = LakeSink.compactUpsertsDir(spark, dir, "id", 100000L)
+    assert(n == 32L)
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.toSeq ==
+      Seq("id", "name", "price", "part", "grade") && plain.count() == 32L)
+    assert(!new java.io.File(dir, "_updates").isDirectory)
+  }
 }
