@@ -157,11 +157,44 @@ object Expect {
     * more than `maxFrac` from their mean refuses — the upstream-broke
     * alarm (a half-empty extract, a doubled replay) that row rules
     * can never see. Under `minHistory` the gate passes open (no basis
-    * to judge drift from). History is footer-count-sized reads of the
-    * committed batch directories — planning-cost, never a data scan. */
+    * to judge drift from).
+    *
+    * History cost is O(1) per already-seen batch: each batch's row
+    * count persists as one tiny `_counts/<batch>` file the FIRST time
+    * this gate counts it (footer-only even then), and later
+    * evaluations read the number back — the old path re-opened every
+    * prior batch's footers per landing, O(n_batches) file opens
+    * growing unboundedly with table age. The cache is write-once
+    * deterministic (batches are immutable once committed), so
+    * concurrent gate evaluations at worst write the same value; an
+    * unreadable cache file falls back to a recount. */
   final case class RowCountDrift(maxFrac: Double, minHistory: Int = 3)
       extends BatchGate {
     val name = "row_count_drift"
+
+    private def batchCount(spark: SparkSession,
+        fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path,
+        p: org.apache.hadoop.fs.Path): Long = {
+      val cf = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, "_counts"), p.getName)
+      val cached = scala.util.Try {
+        val in = fs.open(cf)
+        try new String(org.apache.commons.io.IOUtils
+          .toByteArray(in), "UTF-8").trim.toLong
+        finally in.close()
+      }.toOption
+      cached.getOrElse {
+        val n = spark.read.parquet(p.toString).count()
+        scala.util.Try {
+          fs.mkdirs(cf.getParent)
+          val out = fs.create(cf, true)
+          out.write(n.toString.getBytes("UTF-8")); out.close()
+        }
+        n
+      }
+    }
+
     def violation(spark: SparkSession, dir: String,
         batch: DataFrame): Option[String] = {
       val root = new org.apache.hadoop.fs.Path(dir)
@@ -172,7 +205,7 @@ object Expect {
       if (prior.size < minHistory) None
       else {
         val mean = prior.map(p =>
-          spark.read.parquet(p.toString).count()).sum.toDouble / prior.size
+          batchCount(spark, fs, root, p)).sum.toDouble / prior.size
         val n = batch.count().toDouble
         val drift = if (mean == 0.0) { if (n == 0.0) 0.0 else 1.0 }
           else math.abs(n - mean) / mean

@@ -1823,17 +1823,20 @@ object LakeSink {
     * Scale shape: each micro-batch reads only the newly-landed feed
     * files — churn-sized, the base table is never touched. */
   def upsertFeedStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val loc = new org.apache.hadoop.fs.Path(dir)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(updateLogKey(fs, dir).nonEmpty,
+    // a DELETE-ONLY MOR table (no update log, committed `b-*/_feed`
+    // files) streams its delete feed the same way — the `_updates`
+    // requirement would refuse a table whose only changes are
+    // erasures, exactly the GDPR-replication consumer's case
+    val hasDelFeed = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc, "_deletes"), "b-*/_feed")))
+      .exists(_.nonEmpty)
+    require(updateLogKey(fs, dir).nonEmpty || hasDelFeed,
       s"FEED STREAM REFUSED: $dir carries no update log " +
-        "(_updates/_key) — nothing will ever arrive; registerKeyDir " +
-        "or land a first softUpsertDir batch")
-    val sch = StructType(
-      StructField("batch_seq", LongType, nullable = false) ::
-      StructField("op", StringType, nullable = false) ::
-      readDataFilesList(spark, dir).schema.fields.toList)
+        "(_updates/_key) and no committed delete feed — nothing will " +
+        "ever arrive; registerKeyDir or land a first batch")
+    val sch = feedSchemaFor(spark, dir)
     // TWO file sources under one query — the upsert feed and the
     // DELETE feed (op='delete' with full before-images, landed by
     // [[landDeleteBatch]] in the same atomic rename as its tombstone
@@ -1848,11 +1851,25 @@ object LakeSink {
     ups.unionByName(dels)
   }
 
+  /** the feed-row schema of `dir`: (batch_seq, op, <table columns>),
+    * the table columns through the committed evolved schema when one
+    * exists — explicit-schema feed reads null-fill pre-evolution feed
+    * files like every other fold-side read. */
+  private def feedSchemaFor(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    StructType(
+      StructField("batch_seq", LongType, nullable = false) ::
+      StructField("op", StringType, nullable = false) ::
+      readDataFilesList(spark, dir).schema.fields.toList)
+  }
+
   /** the committed DELETE feed — one row per removed row version
     * (batch_seq, op='delete', full before-image), read from the
     * `_feed` files each delete batch landed atomically. Pre-r15
     * batches (no `_feed`) do not replay — the feed starts with the
-    * first feed-carrying landing. Empty when no delete ever landed. */
+    * first feed-carrying landing ([[migrateLegacyTombstones]] backfills
+    * them). Empty when no delete ever landed. */
   def deleteFeed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val loc = new org.apache.hadoop.fs.Path(dir)
@@ -1860,19 +1877,10 @@ object LakeSink {
     val feeds = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(loc, "_deletes"), "b-*/_feed")))
       .getOrElse(Array.empty).map(_.getPath.toString)
-    if (feeds.nonEmpty) {
-      // explicit feed schema (batch_seq, op, <table columns>) — on an
-      // EVOLVED table, feed files landed before the widening
-      // null-fill the added columns like every other fold-side read
-      val data = readDataFilesList(spark, dir)
-      val sch = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("batch_seq",
-          org.apache.spark.sql.types.LongType, nullable = false) ::
-        org.apache.spark.sql.types.StructField("op",
-          org.apache.spark.sql.types.StringType, nullable = false) ::
-        data.schema.fields.toList)
-      spark.read.schema(sch).parquet(feeds.toIndexedSeq: _*)
-    } else {
+    if (feeds.nonEmpty)
+      spark.read.schema(feedSchemaFor(spark, dir))
+        .parquet(feeds.toIndexedSeq: _*)
+    else {
       val data = readDataFilesList(spark, dir)
       data.limit(0)
         .withColumn("batch_seq", lit(0L)).withColumn("op", lit(""))
@@ -1896,14 +1904,44 @@ object LakeSink {
     * `fromSeq < batch_seq ≤ toSeq` (half-open, so consecutive polls
     * with `(last, head)` partition the history exactly — no gap, no
     * overlap). The consumer keeps one long (its last-seen seq); the
-    * head to poll to is [[lastLandedSeq]]. */
+    * head to poll to is [[lastLandedSeq]].
+    *
+    * SEQ-PRUNED: batch seqs are IN THE DIRECTORY NAMES, so the
+    * windowed batches are selected BY NAME before any file is read
+    * and a poll costs O(|window|) — the persisted `_feed` files of
+    * exactly the windowed landings — never O(|log|) (the old path
+    * read the whole feed then filtered: a long-lived table's every
+    * poll paid its full history). Fallback: a windowed upsert batch
+    * that predates feed persistence (no `_feed`) drops to the
+    * recompute-and-filter path — value-identical by the
+    * persisted ≡ recomputed contract, spec-pinned. */
   def changeFeedBetween(spark: SparkSession, dir: String, key: String,
       fromSeq: Long, toSeq: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(fromSeq <= toSeq,
       s"changeFeedBetween: fromSeq $fromSeq > toSeq $toSeq")
-    changeFeed(spark, dir, key)
-      .filter(col("batch_seq") > fromSeq && col("batch_seq") <= toSeq)
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def inWindow(seq: Long) = seq > fromSeq && seq <= toSeq
+    val upsWin = updateBatches(fs, dir).filter(b => inWindow(b._1))
+    val upsFeeds = upsWin.map(b => new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(b._2), "_feed"))
+    if (!upsFeeds.forall(fs.exists))
+      // pre-feed-persistence batch in the window: recompute (legacy)
+      return changeFeed(spark, dir, key)
+        .filter(col("batch_seq") > fromSeq && col("batch_seq") <= toSeq)
+    val delFeeds = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc, "_deletes"), "b-*")))
+      .getOrElse(Array.empty).toIndexedSeq
+      .filter(st => tombstoneBatchSeq(st.getPath.getName).exists(inWindow))
+      .map(st => new org.apache.hadoop.fs.Path(st.getPath, "_feed"))
+      .filter(fs.exists)
+    val feeds = (upsFeeds ++ delFeeds).map(_.toString)
+    val sch = feedSchemaFor(spark, dir)
+    if (feeds.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    else spark.read.schema(sch).parquet(feeds: _*)
   }
 
   /** the newest committed landing's seq (0 = nothing ever landed) —
@@ -1912,6 +1950,120 @@ object LakeSink {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (logSeqs(fs, dir) :+ 0L).max
+  }
+
+  /** UPGRADE PRE-SEQ TOMBSTONES — pre-r15 `b-<tag>` delete batches
+    * carry no sequence number, so time travel and the delete feed
+    * refuse/skip them FOREVER (the refusal pointed at hand-compaction;
+    * this closes it). Under the log claim, each legacy batch — in
+    * landed (mtime) order — is re-landed as `b-<seq>-<tag>` with a
+    * seq minted from the shared counter AND a backfilled `_feed`
+    * (op='delete', before-images from the tombstone-free fold: every
+    * update of a tombstoned key predates its tombstone by the upsert
+    * refusal, and a key is tombstoned at most once by the not-live
+    * refusal, so the latest un-tombstoned version per key IS the row
+    * the legacy delete removed). The re-land is stage + verify + ONE
+    * rename, then the legacy dir is deleted — a crash between the two
+    * leaves BOTH visible (the live anti-join is idempotent on the
+    * duplicated keys, so the view never changes), and the rerun
+    * detects the committed twin by tag and just finishes the delete.
+    *
+    * HISTORY CONTRACT, stated honestly: the minted seqs place the
+    * legacy deletes AT THE MIGRATION POINT — the live view is
+    * bit-identical (spec-pinned), travel to any pre-migration seq
+    * shows the legacy-deleted keys alive (their true landing time was
+    * never recorded; inventing one would be worse). Returns batches
+    * migrated. */
+  def migrateLegacyTombstones(spark: SparkSession, dir: String,
+      retainMs: Long = 600000L): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withLogClaim(fs, dir, retainMs) {
+      val dels = new org.apache.hadoop.fs.Path(loc, "_deletes")
+      val legacy = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(dels, "b-*")))
+        .getOrElse(Array.empty).toIndexedSeq
+        .filter(st => tombstoneBatchSeq(st.getPath.getName).isEmpty)
+        .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      if (legacy.isEmpty) 0L
+      else {
+        // the tombstone-free fold (latest version per key across
+        // base ∪ update log) — each legacy batch's before-images
+        val data = readDataFilesList(spark, dir)
+        val ups = updateBatches(fs, dir)
+        val readBatch = logBatchReader(spark, fs, dir)
+        val latestAll =
+          if (ups.isEmpty) data
+          else {
+            val log = ups.map { case (seq, bp) =>
+              readBatch(bp).withColumn("_u_seq", lit(seq))
+            }.reduce(_.unionByName(_))
+            val key0 = updateLogKey(fs, dir).getOrElse(
+              throw new IllegalStateException(
+                s"LEGACY MIGRATION REFUSED: $dir carries update " +
+                  "batches but no _updates/_key marker"))
+            val latest = log
+              .withColumn("_rn", row_number().over(
+                Window.partitionBy(col(key0)).orderBy(col("_u_seq").desc)))
+              .filter(col("_rn") === 1)
+              .select(data.columns.map(col).toIndexedSeq: _*)
+            data.join(broadcast(latest.select(col(key0))), Seq(key0),
+                "left_anti")
+              .unionByName(latest)
+          }
+        var migrated = 0L
+        legacy.foreach { st =>
+          // the re-landed name carries a literal `mig` segment so it
+          // always matches the landed shape `b-<seq>-<x>-<y>` (a
+          // legacy tag with no dash of its own would otherwise parse
+          // as pre-seq again), and the twin glob keys on it
+          val tagTail = st.getPath.getName.stripPrefix("b-")
+          val twin = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+              dels, s"b-*-mig-$tagTail"))).getOrElse(Array.empty)
+          if (twin.nonEmpty) {
+            // a prior run committed the re-land and crashed before
+            // deleting the original — finish that
+            require(fs.delete(st.getPath, true),
+              s"legacy batch ${st.getPath} undeletable")
+          } else {
+            val keys = spark.read.parquet(st.getPath.toString)
+            require(keys.columns.length == 1,
+              s"LEGACY MIGRATION REFUSED: ${st.getPath.getName} carries " +
+                s"${keys.columns.length} columns — not a tombstone key set")
+            val key = keys.columns.head
+            val expected = keys.count()
+            val seq = (logSeqs(fs, dir) :+ 0L).max + 1
+            val stage = new org.apache.hadoop.fs.Path(loc,
+              s".tmp-mig-$tagTail")
+            keys.write.mode("overwrite").parquet(stage.toString)
+            val staged = spark.read.parquet(stage.toString).count()
+            if (staged != expected) {
+              fs.delete(stage, true)
+              throw new java.io.IOException(
+                s"staged migration batch short: $staged of $expected " +
+                  "keys; aborting — log unchanged")
+            }
+            val removedRows = latestAll
+              .join(broadcast(keys.select(col(key))), Seq(key), "left_semi")
+            removedRows
+              .select(lit(seq).as("batch_seq") +: lit("delete").as("op") +:
+                removedRows.columns.map(col).toIndexedSeq: _*)
+              .write.mode("overwrite")
+              .parquet(new org.apache.hadoop.fs.Path(stage, "_feed").toString)
+            val dest = new org.apache.hadoop.fs.Path(dels,
+              f"b-$seq%06d-mig-$tagTail")
+            require(fs.rename(stage, dest),
+              s"migration publish failed: $stage -> $dest")
+            require(fs.delete(st.getPath, true),
+              s"legacy batch ${st.getPath} undeletable after re-land")
+            migrated += 1
+          }
+        }
+        migrated
+      }
+    }
   }
 
   /** RESTORE a retained snapshot AS A NEW COMMIT (Delta's

@@ -43,6 +43,33 @@ class ExpectGateSpec extends AnyFunSuite {
     assert(v == 95L && q == 0L)
   }
 
+  test("row-count drift reads persisted per-batch counts — counted batches are never re-opened") {
+    val dir = freshDir("gate_counts")
+    val gates = Seq(Expect.RowCountDrift(maxFrac = 0.5, minHistory = 3))
+    Expect.writeExpectGated(spark, dir, 1L, mk(100L), rules, gates)
+    Expect.writeExpectGated(spark, dir, 2L, mk(100L, 1000L), rules, gates)
+    Expect.writeExpectGated(spark, dir, 3L, mk(100L, 2000L), rules, gates)
+    // batch 4's gate evaluation counts batches 1-3 once and persists
+    Expect.writeExpectGated(spark, dir, 4L, mk(100L, 3000L), rules, gates)
+    val counts = Option(new java.io.File(dir, "_counts").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(Set("batch-1", "batch-2", "batch-3").subsetOf(counts),
+      s"per-batch counts must persist: $counts")
+    // destroy batches 1-3's DATA files: a gate that re-opened them
+    // would die reading an empty dir — the persisted counts carry it
+    for (b <- Seq("batch-1", "batch-2", "batch-3"))
+      Option(new java.io.File(dir, b).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).foreach(f => assert(f.delete()))
+    val (v, _) = Expect.writeExpectGated(spark, dir, 5L, mk(100L, 4000L),
+      rules, gates)
+    assert(v == 100L, "an in-band batch lands off the persisted counts")
+    val e = intercept[IllegalStateException] {
+      Expect.writeExpectGated(spark, dir, 6L, mk(10L, 5000L), rules, gates)
+    }
+    assert(e.getMessage.contains("row_count_drift"),
+      "drift still refuses off the persisted counts")
+  }
+
   test("key-uniqueness rate: a duplicated extract refuses; the clean replay lands") {
     val dir = freshDir("gate_uniq")
     val gates = Seq(Expect.KeyUniqueness("id", minRate = 1.0))

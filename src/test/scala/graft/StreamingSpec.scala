@@ -2054,4 +2054,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(repView.filter(col("id") === 22L).head().getString(1) == "u3-22")
     assert(repView.filter(col("id").isin(0L, 3L, 21L)).count() == 0)
   }
+
+  test("delete-only MOR tables stream their delete feed — no update log required (r16: the _updates/_key refusal dropped)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.sources.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_delonly")
+      .toString
+    val dir = s"$root/t"
+    spark.range(10L).select(col("id"),
+      concat(lit("n"), col("id")).as("name")).write.parquet(dir)
+    // before any feed-carrying landing: refuses by name (nothing
+    // will ever arrive)
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.upsertFeedStream(spark, dir)
+    }
+    assert(e.getMessage.contains("FEED STREAM REFUSED"))
+    // erasure-only history: tombstone landings, never an update log
+    LakeSink.softDeleteDir(spark, dir, Seq(2L, 5L).toDF("id"), "id") // seq 1
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = LakeSink.upsertFeedStream(spark, dir).writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(_.toString); ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.size == 2 && got.forall(_.contains("delete")),
+      s"delete-only stream must deliver the erasures: $got")
+    assert(got.exists(_.contains("n2")) && got.exists(_.contains("n5")),
+      "before-images carried")
+    // a second erasure while the stream is live
+    LakeSink.softDeleteDir(spark, dir, Seq(7L).toDF("id"), "id")     // seq 2
+    q.processAllAvailable()
+    q.stop()
+    assert(got.size == 3 && got.exists(_.contains("n7")))
+    assert(got.sorted.toSeq == LakeSink.deleteFeed(spark, dir)
+      .collect().map(_.toString).sorted.toSeq,
+      "stream ≡ the batch delete feed")
+  }
 }

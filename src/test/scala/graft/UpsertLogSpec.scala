@@ -368,6 +368,64 @@ class UpsertLogSpec extends AnyFunSuite {
       poll2.count(_.contains("delete")) == 0)
     // an up-to-date consumer polls an empty window
     assert(LakeSink.changeFeedBetween(spark, dir, "id", 3L, 3L).isEmpty)
+    // SEQ-PRUNED (r16): a poll's inputs are ONLY the windowed
+    // batches' persisted _feed files — O(|window|), never the log
+    val p3 = LakeSink.changeFeedBetween(spark, dir, "id", 2L, 3L)
+    assert(p3.inputFiles.nonEmpty && p3.inputFiles.forall(f =>
+      f.contains("u-000003") && f.contains("_feed")),
+      s"poll (2,3] must read only u-000003/_feed: ${p3.inputFiles.toSeq}")
+    val p1 = LakeSink.changeFeedBetween(spark, dir, "id", 0L, 2L)
+    assert(p1.inputFiles.forall(f =>
+      (f.contains("u-000001") || f.contains("b-000002")) &&
+        f.contains("_feed")),
+      s"poll (0,2] must read only seq-1/2 feeds: ${p1.inputFiles.toSeq}")
+  }
+
+  test("migrateLegacyTombstones: pre-seq batches re-land with minted seqs and backfilled feed; live view bit-identical; rerun no-op") {
+    val dir = mkTable("miglegacy", 40L)
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(25L, 45L).select(col("id"), lit("v1").as("name"),
+        lit(1.0).as("price"), lit(0L).as("part")), "id")        // seq 1
+    // plant two legacy (pre-seq) tombstone batches, mtime-ordered;
+    // the second has an all-decimal tag (the parse-trap shape)
+    def plantLegacy(name: String, keys: Seq[Long], ageMs: Long): Unit = {
+      val p = s"$dir/_deletes/$name"
+      keys.toDF("id").coalesce(1).write.mode("overwrite").parquet(p)
+      assert(new java.io.File(p)
+        .setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    plantLegacy("b-deadbeef-001", Seq(3L, 30L), 60000L)
+    plantLegacy("b-12345678-9ab", Seq(7L), 30000L)
+    val before = LakeSink.morReadUpsertDir(spark, dir, "id")
+      .orderBy("id").collect().map(_.toString).toSeq
+    intercept[IllegalStateException] {
+      LakeSink.morReadUpsertDirAsOf(spark, dir, "id", 1L).count()
+    }
+    assert(LakeSink.migrateLegacyTombstones(spark, dir) == 2L)
+    // live view bit-identical across the migration
+    assert(LakeSink.morReadUpsertDir(spark, dir, "id")
+      .orderBy("id").collect().map(_.toString).toSeq == before)
+    // minted seqs in landed (mtime) order: 2 then 3, travel works
+    assert(LakeSink.lastLandedSeq(spark, dir) == 3L)
+    val v1 = LakeSink.morReadUpsertDirAsOf(spark, dir, "id", 1L)
+    assert(v1.filter(col("id").isin(3L, 30L, 7L)).count() == 3,
+      "pre-migration history shows the legacy-deleted keys alive")
+    val v2 = LakeSink.morReadUpsertDirAsOf(spark, dir, "id", 2L)
+    assert(v2.filter(col("id").isin(3L, 30L)).count() == 0 &&
+      v2.filter(col("id") === 7L).count() == 1)
+    // the backfilled feed: delete events with before-images — the
+    // fold at migration (30's v1 version, never its base row)
+    val feed = LakeSink.changeFeed(spark, dir, "id")
+    val f30 = feed.filter(col("op") === "delete" && col("id") === 30L)
+      .head()
+    assert(f30.getLong(0) == 2L &&
+      f30.getString(feed.columns.indexOf("name")) == "v1")
+    assert(feed.filter(col("op") === "delete").count() == 3L)
+    // idempotent: nothing left to migrate
+    assert(LakeSink.migrateLegacyTombstones(spark, dir) == 0L)
+    // and the upgraded table accepts new landings on the counter
+    LakeSink.softDeleteUpsertDir(spark, dir, Seq(8L).toDF("id"), "id")
+    assert(LakeSink.lastLandedSeq(spark, dir) == 4L)
   }
 
   test("stale-claim reclaim by rename: N threads race a pre-aged crashed claim — exactly one acquires, no grave left behind") {
