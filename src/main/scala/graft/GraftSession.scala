@@ -55,6 +55,11 @@ object GraftSession {
       // morReadUpsertDirAsOf, catalog tables readGeneration
       .withExtensions(_.injectParser((_, delegate) =>
         new graft.plans.GraftSqlParser(delegate)))
+      // the change feed as a SQL table function: graft_changes(dir
+      // [, from[, to]]) — Delta's table_changes; the polling
+      // consumer's changeFeedBetween reachable from plain spark.sql
+      .withExtensions(_.injectTableFunction(
+        graft.plans.GraftChangesTvf.descriptor))
       // graft's planner strategy: PointIntervalJoin logical nodes
       // (variable-length interval lookups) plan as the broadcast
       // interval-tree join instead of BroadcastNestedLoopJoin

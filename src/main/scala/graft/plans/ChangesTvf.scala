@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** `graft_changes` — THE CHANGE FEED AS A SQL TABLE FUNCTION
+  * (Delta's `table_changes(t, from, to)`; the polling consumer's
+  * [[graft.sources.LakeSink.changeFeedBetween]] reachable from plain
+  * `spark.sql`, completing the SQL story: a41/a45 write through SQL,
+  * a46 travels through SQL, and this polls through SQL — the
+  * reference's consumers only ever speak SQL):
+  *
+  *   - `graft_changes('/dir')` — the COMPLETE feed (every landed
+  *     insert/update/delete row, shared-seq ordered);
+  *   - `graft_changes('/dir', from)` — the half-open window
+  *     `(from, head]` where head = the newest committed landing
+  *     ([[graft.sources.LakeSink.lastLandedSeq]]) — "everything
+  *     since my last poll";
+  *   - `graft_changes('/dir', from, to)` — the exact half-open
+  *     window `(from, to]`: consecutive polls partition the history,
+  *     no gap, no overlap.
+  *
+  * Output: `(batch_seq, op, <table columns>)` — upsert AND delete
+  * events, before-images on deletes, exactly the batch API's rows
+  * (a48's oracle hash-proves the prefix against a43's full-history
+  * oracle over the same fixture). Windowed forms are SEQ-PRUNED like
+  * the API (batches selected by directory name — O(|window|) feed
+  * files, never the log). Arguments must be LITERALS (a plan-time
+  * source cannot depend on row values — same rule as every
+  * skipping-manifest surface); the directory must carry a registered
+  * key (`_updates/_key`) — refusals by name, matching the DML/travel
+  * surfaces. Injected via `SparkSessionExtensions.injectTableFunction`
+  * in [[graft.GraftSession.builder]]. */
+object GraftChangesTvf {
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("graft_changes")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    "graft.plans.GraftChangesTvf", null, "graft_changes",
+    "graft_changes(dir[, fromSeq[, toSeq]]) - the lake change feed " +
+      "(batch_seq, op, <table columns>) over the half-open seq window " +
+      "(fromSeq, toSeq]; omitted bounds mean the full feed / the " +
+      "current head.",
+    "")
+
+  private def literal(e: Expression, what: String): Any = e match {
+    case Literal(v, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"graft_changes REFUSED: $what must be a literal — a plan-time " +
+        "feed source cannot depend on row values")
+  }
+
+  private def asLong(e: Expression, what: String): Long =
+    (literal(e, what), e.dataType) match {
+      case (v: Integer, IntegerType) => v.longValue()
+      case (v: java.lang.Long, LongType) => v.longValue()
+      case (v, t) => throw new IllegalArgumentException(
+        s"graft_changes REFUSED: $what must be an integer seq, got " +
+          s"$v: ${t.simpleString}")
+    }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    require(args.nonEmpty && args.size <= 3,
+      "graft_changes takes (dir[, fromSeq[, toSeq]]), got " +
+        s"${args.size} arguments")
+    val dir = (literal(args.head, "dir"), args.head.dataType) match {
+      case (s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        s.toString
+      case (v, t) => throw new IllegalArgumentException(
+        s"graft_changes REFUSED: dir must be a string path, got " +
+          s"$v: ${t.simpleString}")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = graft.sources.LakeSink.updateLogKey(fs, dir).getOrElse(
+      throw new IllegalStateException(
+        s"graft_changes REFUSED: $dir carries no registered key " +
+          "(_updates/_key) — the feed's ops are keyed; registerKeyDir " +
+          "first, or land a first upsert"))
+    val df = args.size match {
+      case 1 => graft.sources.LakeSink.changeFeed(spark, dir, key)
+      case 2 =>
+        val from = asLong(args(1), "fromSeq")
+        graft.sources.LakeSink.changeFeedBetween(spark, dir, key,
+          from, math.max(from, graft.sources.LakeSink.lastLandedSeq(spark, dir)))
+      case _ =>
+        graft.sources.LakeSink.changeFeedBetween(spark, dir, key,
+          asLong(args(1), "fromSeq"), asLong(args(2), "toSeq"))
+    }
+    df.queryExecution.analyzed
+  }
+
+  /** the tuple `injectTableFunction` takes */
+  val descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (identifier, info, build)
+}

@@ -2107,8 +2107,54 @@ object Crud {
       .orderBy("status", "tier")
   }
 
+  /** a48: THE CHANGE FEED AS A SQL TABLE FUNCTION
+    * ([[graft.plans.GraftChangesTvf]] via `injectTableFunction` —
+    * Delta's `table_changes(t, from, to)`; the polling consumer's
+    * changeFeedBetween reachable from plain spark.sql, and the last
+    * SQL-story gap: a41/a45 write through SQL, a46 travels through
+    * SQL, this POLLS through SQL): the (0, 2] half-open window over
+    * a43's fixture — exactly the first two landings (seq-1
+    * update+insert, seq-2 re-update), the seq-3 delete EXCLUDED by
+    * the window — read as `FROM graft_changes(dir, 0, 2)`. The
+    * windowed form is seq-pruned (batches selected by name,
+    * O(|window|) feed files); a43's full-history oracle over the
+    * SAME fixture completes the pair — window vs full feed
+    * hash-proved. */
+  val a48 = Q("a48_sql_changes", Some("""
+    WITH f1 AS (
+      SELECT 1 AS batch_seq, 'update' AS op,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        'U-' || o_orderpriority AS pri
+      FROM orders WHERE o_orderkey % 13 = 1
+      UNION ALL
+      SELECT 1, 'insert',
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+        o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 5
+    ),
+    f2 AS (
+      SELECT 2 AS batch_seq, 'update' AS op,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        'W-' || o_orderpriority AS pri
+      FROM orders WHERE o_orderkey % 26 = 1
+    ),
+    allf AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+    SELECT batch_seq, op, count(*) AS n_rows,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+    FROM allf GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+    val dir = ensureUpsertOrders(s, d)
+    s.sql(s"""
+      SELECT batch_seq, op, count(*) AS n_rows,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS sum_cents,
+        count(DISTINCT o_orderpriority) AS n_pri
+      FROM graft_changes('$dir', 0, 2)
+      GROUP BY batch_seq, op ORDER BY batch_seq, op""")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39, a40, a41, a42, a43, a44, a45, a46, a47)
+    a38, a39, a40, a41, a42, a43, a44, a45, a46, a47, a48)
 }

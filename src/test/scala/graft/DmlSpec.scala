@@ -389,6 +389,39 @@ class DmlSpec extends AnyFunSuite {
       e3.getMessage.contains("registered key"))
   }
 
+  test("graft_changes table function: SQL polling ≡ the changeFeed APIs; refusals by name") {
+    val dir = mkTable("dmltvf")
+    spark.sql(s"UPDATE parquet.`$dir` SET price = price + 1.0 WHERE id <= 2") // seq 1
+    spark.sql(s"DELETE FROM parquet.`$dir` WHERE id = 1")                     // seq 2
+    spark.sql(s"INSERT INTO parquet.`$dir` VALUES (8, 'h', 80.0)")            // seq 3
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // full feed
+    assert(sorted(spark.sql(s"SELECT * FROM graft_changes('$dir')")) ==
+      sorted(graft.sources.LakeSink.changeFeed(spark, dir, "id")))
+    // exact window ≡ the API's half-open contract
+    assert(sorted(spark.sql(s"SELECT * FROM graft_changes('$dir', 1, 3)")) ==
+      sorted(graft.sources.LakeSink.changeFeedBetween(spark, dir, "id",
+        1L, 3L)))
+    // since-my-last-poll form: (1, head]
+    assert(sorted(spark.sql(s"SELECT * FROM graft_changes('$dir', 1)")) ==
+      sorted(graft.sources.LakeSink.changeFeedBetween(spark, dir, "id",
+        1L, 3L)))
+    // composes like any relation
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_changes('$dir') " +
+      "WHERE op = 'delete'").head().getLong(0) == 1L)
+    // refusals: non-literal args, unkeyed dirs
+    val e1 = intercept[Exception] { spark.sql(
+      s"SELECT * FROM graft_changes('$dir', id, 3)").collect() }
+    assert(e1.getMessage.contains("literal") ||
+      e1.getMessage.toLowerCase.contains("unresolved"))
+    val unkeyed = freshDir("dmltvfu")
+    Seq((1L, "a")).toDF("id", "name").write.parquet(unkeyed)
+    val e2 = intercept[Exception] { spark.sql(
+      s"SELECT * FROM graft_changes('$unkeyed')").collect() }
+    assert(e2.getMessage.contains("registered key"))
+  }
+
   test("SQL time travel: VERSION AS OF on a catalog table reads retained generations") {
     val dir = freshDir("dmlgen")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "price")
