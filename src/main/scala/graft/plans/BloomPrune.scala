@@ -100,14 +100,14 @@ private[graft] object ManifestPrune {
   }
 
   /** the eligible scan shape both rules share — a single-root
-    * parquet relation (unpartitioned, or hive-partitioned through a
-    * partitioning-aware index whose spec the marker can carry) —
-    * yielding (root directory, rules that already pruned it). A
-    * marker index stays eligible (through its ORIGINAL root) so the
-    * sibling rule can compose; each rule checks its own name in the
-    * set. Catalog tables with CATALOG-tracked partitions resolve a
-    * CatalogFileIndex (no in-memory spec to carry) and bail — the
-    * lake's layout is path-discovered partitions. */
+    * parquet relation (unpartitioned, hive-partitioned through a
+    * partitioning-aware index, or CATALOG-tracked partitioned: a
+    * CatalogFileIndex materializes its partition spec on demand
+    * through `filterPartitions(Nil)` — one catalog listing at plan
+    * time, r16: the standing bail closed) — yielding (root
+    * directory, rules that already pruned it). A marker index stays
+    * eligible (through its ORIGINAL root) so the sibling rule can
+    * compose; each rule checks its own name in the set. */
   def eligibleRoot(r: HadoopFsRelation)
       : Option[(org.apache.hadoop.fs.Path, Set[String])] =
     r.location match {
@@ -117,7 +117,9 @@ private[graft] object ManifestPrune {
             loc.rootPaths.length == 1 &&
             (r.partitionSchema.isEmpty ||
               loc.isInstanceOf[org.apache.spark.sql.execution
-                .datasources.PartitioningAwareFileIndex]) =>
+                .datasources.PartitioningAwareFileIndex] ||
+              loc.isInstanceOf[org.apache.spark.sql.execution
+                .datasources.CatalogFileIndex]) =>
         Some((loc.rootPaths.head, Set.empty))
       case _ => None
     }
@@ -140,6 +142,11 @@ private[graft] object ManifestPrune {
       case p: org.apache.spark.sql.execution.datasources
           .PartitioningAwareFileIndex if r.partitionSchema.nonEmpty =>
         Some(p.partitionSpec())
+      case cfi: org.apache.spark.sql.execution.datasources
+          .CatalogFileIndex if r.partitionSchema.nonEmpty =>
+        // catalog-tracked partitions: materialize the spec from the
+        // catalog listing (the same call the scan itself would make)
+        Some(cfi.filterPartitions(Nil).partitionSpec())
       case _ => None
     }
     val pruned = new PrunedFileIndex(spark, keep, r.dataSchema,

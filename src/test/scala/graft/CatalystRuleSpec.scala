@@ -177,6 +177,65 @@ class CatalystRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset(PFLAG)
   }
 
+  test("manifest prune rules fire on CATALOG-tracked partitioned tables (r16 — the CatalogFileIndex bail closed)") {
+    import spark.implicits._
+    import graft.sources.LakeSink
+    val PFLAG = "spark.graft.bloomPrune.enabled"
+    val loc = java.nio.file.Files.createTempDirectory("graft_catpart")
+      .toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS catpart_t")
+    spark.sql(s"CREATE TABLE catpart_t (k BIGINT, payload STRING, " +
+      s"part INT) USING parquet PARTITIONED BY (part) LOCATION '$loc'")
+    def bitrev(i: Long): Long =
+      (0 until 12).map(b => ((i >> b) & 1L) << (11 - b)).sum
+    (0L until 4000L).map(i => (bitrev(i), s"p$i", (i % 4L).toInt))
+      .toDF("k", "payload", "part")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("catpart_src")
+    spark.sql("INSERT INTO catpart_t SELECT k, payload, part FROM catpart_src")
+    // PREMISE: catalog-tracked partitions resolve a CatalogFileIndex
+    // (the index the rules used to bail on); without it this test
+    // would silently assert the already-covered path
+    val rel = spark.table("catpart_t").queryExecution.optimizedPlan
+      .collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+      }.get.asInstanceOf[
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    assert(rel.location.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.CatalogFileIndex],
+      s"premise: expected CatalogFileIndex, got ${rel.location.getClass}")
+    LakeSink.attachBlooms(spark, loc, "k")
+    spark.catalog.refreshTable("catpart_t")
+    val probe = bitrev(2222L)
+    def lookup() = spark.table("catpart_t").filter(col("k") === probe)
+    val allFiles = lookup().inputFiles.length
+    val expect = lookup().collect().map(_.toString).toSeq
+    assert(expect.nonEmpty && allFiles > 2,
+      s"fixture: $allFiles files, ${expect.size} rows")
+    spark.conf.set(PFLAG, "true")
+    try {
+      val pruned = lookup()
+      assert(pruned.inputFiles.length < allFiles &&
+        pruned.inputFiles.length <= 4,
+        s"catalog-partitioned scan must prune: ${pruned.inputFiles.length} of $allFiles")
+      assert(pruned.collect().map(_.toString).toSeq == expect,
+        "pruning must never change results")
+      // partition-column values survive the index swap, and scan-time
+      // PARTITION pruning composes on top of the manifest prune
+      val partRow = pruned.select("part").distinct().collect()
+      assert(partRow.nonEmpty, "partition values must materialize")
+      val composed = spark.table("catpart_t")
+        .filter(col("k") === probe && col("part") === 0)
+      assert(composed.collect().map(_.toString).toSeq ==
+        expect.filter(_.endsWith(",0]")),
+        "partition filter composes with the manifest prune")
+      assert(composed.inputFiles.length <= pruned.inputFiles.length,
+        "scan-time partition pruning composes on the swapped index")
+    } finally spark.conf.unset(PFLAG)
+    spark.sql("DROP TABLE IF EXISTS catpart_t")
+  }
+
   test("BloomPruneRule IN-lists: survivor union over one manifest pass, both In and InSet shapes, hash-identical") {
     import spark.implicits._
     import graft.sources.LakeSink
