@@ -60,6 +60,10 @@ object GraftSession {
       // consumer's changeFeedBetween reachable from plain spark.sql
       .withExtensions(_.injectTableFunction(
         graft.plans.GraftChangesTvf.descriptor))
+      // ...and the log tier's commit history: graft_history(dir) —
+      // DESCRIBE HISTORY for the directory-addressed table
+      .withExtensions(_.injectTableFunction(
+        graft.plans.GraftHistoryTvf.descriptor))
       // graft's planner strategy: PointIntervalJoin logical nodes
       // (variable-length interval lookups) plan as the broadcast
       // interval-tree join instead of BroadcastNestedLoopJoin

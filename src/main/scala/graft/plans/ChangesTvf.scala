@@ -99,3 +99,60 @@ object GraftChangesTvf {
       Seq[Expression] => LogicalPlan) =
     (identifier, info, build)
 }
+
+/** `graft_history` — the LOG TIER'S COMMIT HISTORY as a SQL table
+  * function (Delta's `DESCRIBE HISTORY` for the directory-addressed
+  * table): one row per committed landing,
+  * `(seq, kind ∈ upsert|delete, n_rows)` — n_rows is the landed
+  * batch's own row count (upsert: the batch's data rows; delete: the
+  * tombstoned key count), deterministic by construction, so the
+  * history is ORACLE-able (a49 restates the fixture's three landings
+  * over raw orders). The natural companions compose from it in SQL:
+  * `max(seq)` is [[graft.sources.LakeSink.lastLandedSeq]], and any
+  * row's seq feeds `VERSION AS OF` (a46) or `graft_changes` (a48) —
+  * inspect history, then travel or replay, all in plain SQL.
+  *
+  * Scale shape: one row per landing, computed from the batch
+  * directories' parquet FOOTERS at plan time — metadata-sized, the
+  * data is never scanned. Pre-seq legacy tombstones REFUSE by name
+  * (they have no place in history — [[graft.sources.LakeSink
+  * .migrateLegacyTombstones]] mints their seqs). Catalog-tier
+  * generation history stays on [[graft.sources.LakeSink
+  * .listGenerations]] — generations are whole-table snapshots, not
+  * landings, and their row counts are table-sized to compute. */
+object GraftHistoryTvf {
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("graft_history")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    "graft.plans.GraftHistoryTvf", null, "graft_history",
+    "graft_history(dir) - one row per committed log landing: " +
+      "(seq, kind in upsert|delete, n_rows).", "")
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    require(args.size == 1, s"graft_history takes (dir), got ${args.size}")
+    val dir = args.head match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        s.toString
+      case e => throw new IllegalArgumentException(
+        s"graft_history REFUSED: dir must be a string literal, got $e")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = graft.sources.LakeSink.logHistory(spark, fs, dir)
+      .map { case (seq, kind, n) => org.apache.spark.sql.Row(seq, kind, n) }
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows", LongType,
+        nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sch).queryExecution.analyzed
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (identifier, info, build)
+}

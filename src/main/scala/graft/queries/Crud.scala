@@ -2153,8 +2153,44 @@ object Crud {
       GROUP BY batch_seq, op ORDER BY batch_seq, op""")
   }
 
+  /** a49: THE LOG'S COMMIT HISTORY AS A SQL TABLE FUNCTION
+    * ([[graft.plans.GraftHistoryTvf]] — Delta's `DESCRIBE HISTORY`
+    * for the log tier): one row per committed landing
+    * (seq, kind, n_rows), computed from batch FOOTERS at plan time —
+    * metadata-sized at any table size, the data is never scanned.
+    * Deterministic by construction (each landing's own row count),
+    * so the history itself is ORACLE-able: the fixture's three
+    * landings (mixed update+insert / re-update / view-keyed delete)
+    * restate as three counts over raw orders. Composes in SQL with
+    * its companions: `max(seq)` = lastLandedSeq, any seq feeds
+    * `VERSION AS OF` (a46) or `graft_changes` (a48) — inspect, then
+    * travel or replay, all plain spark.sql. */
+  val a49 = Q("a49_sql_history", Some("""
+    WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    v AS (
+      SELECT o_orderkey AS k FROM orders
+      UNION ALL
+      SELECT o_orderkey + mx.mk FROM orders CROSS JOIN mx
+      WHERE o_orderkey % 97 = 5
+    )
+    SELECT CAST(1 AS BIGINT) AS seq, 'upsert' AS kind,
+      CAST((SELECT count(*) FROM orders WHERE o_orderkey % 13 = 1) +
+           (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 5)
+        AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 2, 'upsert',
+      CAST((SELECT count(*) FROM orders WHERE o_orderkey % 26 = 1) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'delete',
+      CAST((SELECT count(*) FROM v WHERE k % 17 = 3) AS BIGINT)
+    ORDER BY seq""")) { (s, d) =>
+    val dir = ensureUpsertOrders(s, d)
+    s.sql(s"SELECT seq, kind, n_rows FROM graft_history('$dir') " +
+      "ORDER BY seq")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39, a40, a41, a42, a43, a44, a45, a46, a47, a48)
+    a38, a39, a40, a41, a42, a43, a44, a45, a46, a47, a48, a49)
 }

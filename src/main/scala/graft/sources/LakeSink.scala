@@ -1952,6 +1952,34 @@ object LakeSink {
     (logSeqs(fs, dir) :+ 0L).max
   }
 
+  /** the log tier's COMMIT HISTORY: one (seq, kind, n_rows) per
+    * committed landing, seq-ordered — the data behind the
+    * `graft_history` SQL table function ([[graft.plans
+    * .GraftHistoryTvf]]). n_rows is the batch's own row count
+    * (upsert: data rows; delete: tombstoned keys), read from parquet
+    * FOOTERS — metadata-sized at any table size. Pre-seq legacy
+    * tombstones refuse by name ([[migrateLegacyTombstones]] mints
+    * their seqs). */
+  private[graft] def logHistory(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Array[(Long, String, Long)] = {
+    def n(p: String): Long = spark.read.parquet(p).count()
+    val ups = updateBatches(fs, dir)
+      .map { case (seq, p) => (seq, "upsert", n(p)) }
+    val dels = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir, "_deletes"), "b-*")))
+      .getOrElse(Array.empty).toIndexedSeq
+      .map { st =>
+        val seq = tombstoneBatchSeq(st.getPath.getName).getOrElse(
+          throw new IllegalStateException(
+            s"HISTORY REFUSED: tombstone batch ${st.getPath.getName} " +
+              s"under $dir carries no sequence number — it has no " +
+              "place in history; migrateLegacyTombstones mints one"))
+        (seq, "delete", n(st.getPath.toString))
+      }
+    (ups ++ dels).sortBy(_._1).toArray
+  }
+
   /** UPGRADE PRE-SEQ TOMBSTONES — pre-r15 `b-<tag>` delete batches
     * carry no sequence number, so time travel and the delete feed
     * refuse/skip them FOREVER (the refusal pointed at hand-compaction;

@@ -422,6 +422,33 @@ class DmlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("registered key"))
   }
 
+  test("graft_history table function: one row per landing, footer-sized, legacy tombstones refuse") {
+    val dir = mkTable("dmlhist")
+    spark.sql(s"UPDATE parquet.`$dir` SET price = price + 1.0 WHERE id <= 2") // seq 1: 2 rows
+    spark.sql(s"INSERT INTO parquet.`$dir` VALUES (6, 'f', 60.0), (7, 'g', 70.0)") // seq 2: 2 rows
+    spark.sql(s"DELETE FROM parquet.`$dir` WHERE id IN (1, 6)")               // seq 3: 2 keys
+    val hist = spark.sql(s"SELECT * FROM graft_history('$dir') ORDER BY seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hist == Seq((1L, "upsert", 2L), (2L, "upsert", 2L),
+      (3L, "delete", 2L)))
+    // composition: the history's head drives the polling companions
+    assert(spark.sql(s"SELECT max(seq) FROM graft_history('$dir')")
+      .head().getLong(0) ==
+      graft.sources.LakeSink.lastLandedSeq(spark, dir))
+    // a legacy (pre-seq) tombstone has no place in history
+    val legacy = new org.apache.hadoop.fs.Path(s"$dir/_deletes/b-legacyxyz")
+    Seq(2L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(legacy.toString)
+    val e = intercept[Exception] { spark.sql(
+      s"SELECT * FROM graft_history('$dir')").collect() }
+    assert(e.getMessage.contains("HISTORY REFUSED"))
+    // ...and migration repairs it: the minted landing appears
+    graft.sources.LakeSink.migrateLegacyTombstones(spark, dir)
+    val hist2 = spark.sql(s"SELECT * FROM graft_history('$dir') ORDER BY seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hist2 == hist :+ ((4L, "delete", 1L)))
+  }
+
   test("SQL time travel: VERSION AS OF on a catalog table reads retained generations") {
     val dir = freshDir("dmlgen")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "price")
