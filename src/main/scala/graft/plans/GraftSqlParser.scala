@@ -90,6 +90,8 @@ object GraftDml {
     """(?is)^\s*MERGE\s+INTO\s+(.+?)\s*;?\s*$""".r
   private val InsertHead =
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(.+?)\s*;?\s*$""".r
+  private val OptimizeHead =
+    """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
 
   /** every TOP-LEVEL occurrence of word `kw` in `s` — outside
     * single/double/backtick quotes and outside parens/brackets,
@@ -149,6 +151,11 @@ object GraftDml {
       }
     case MergeHead(rest) => Some(parseMerge(rest))
     case InsertHead(rest) => parseInsert(rest)
+    case OptimizeHead(rest) =>
+      // stock Spark has no OPTIMIZE statement (a parse error today),
+      // so routing it loses nothing and gains the one maintenance
+      // verb every lakehouse exposes (Delta's OPTIMIZE)
+      Some(GraftMaintenanceCommand("optimize", rest.trim))
     case _ => None
   }
 
@@ -451,8 +458,16 @@ object GraftDml {
           case None => lit(null).cast(view.schema(c).dataType).as(c)
         }
       }: _*).localCheckpoint(true)
-      val nLive = batch.join(view.select(col(key)), Seq(key), "left_semi")
-        .count()
+      // PK liveness with the TABLE as the probe side: under morApply
+      // + dynFilePrune + committed `_blooms_<key>`, the optimizer
+      // prunes this semi-join's fact scan to the batch keys' owning
+      // files — the lake's answer to the RDBMS's B-tree duplicate
+      // probe (without the orientation the batch would be the probe
+      // and the rule could never fire)
+      val nLive = view.select(col(key))
+        .join(org.apache.spark.sql.functions.broadcast(
+          batch.select(col(key))), Seq(key), "left_semi")
+        .select(col(key)).distinct().count()
       require(nLive == 0,
         s"INSERT REFUSED: $nLive keys already live in the view — a " +
           "keyed lake INSERT carries primary-key semantics (the " +
@@ -462,6 +477,46 @@ object GraftDml {
         batch, key)
       require(u == 0L, s"internal: PK-checked insert updated $u rows")
       i
+    }
+  }
+
+  /** `OPTIMIZE <target>` — the maintenance verb routed to the right
+    * compaction for the target's tier (Delta's OPTIMIZE; every tier's
+    * own safety contract applies unchanged):
+    *  - a KEYED lake dir (`_updates/_key`): [[graft.sources.LakeSink
+    *    .compactUpsertsDir]] — the folded view replaces the base
+    *    through the checked two-rename swap, logs retiring with it
+    *    (hive-partitioned dirs refuse there, naming the partitioned
+    *    overload — this statement stays the simple verb);
+    *  - an UNKEYED dir: [[graft.sources.LakeSink.compact]] — plain
+    *    small-file compaction (pending logs refuse by name there);
+    *  - a catalog table: [[graft.sources.LakeSink.compactMor]] when a
+    *    key is registered (folds tombstones into a new generation),
+    *    [[graft.sources.LakeSink.compactTable]] otherwise.
+    * Returns the surviving row count. */
+  private[plans] def runOptimize(spark: SparkSession,
+      target: String): Long = {
+    val (loc, table) = resolveTarget(spark, target)
+    val targetRecords = 1000000L
+    table match {
+      case Some(t) =>
+        lookupKey(spark, loc, table) match {
+          case Some(k) => graft.sources.LakeSink.compactMor(spark, t, k,
+            targetRecords)
+          case None => graft.sources.LakeSink.compactTable(spark, t,
+            targetRecords)
+        }
+      case None =>
+        val fs = new org.apache.hadoop.fs.Path(loc)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.sources.LakeSink.updateLogKey(fs, loc) match {
+          case Some(k) =>
+            graft.sources.LakeSink.compactUpsertsDir(spark, loc, k,
+              targetRecords)
+          case None =>
+            graft.sources.LakeSink.compact(spark, loc, "parquet",
+              targetRecords)
+        }
     }
   }
 
@@ -576,6 +631,20 @@ case class GraftDmlCommand(kind: String, target: String,
     case "insert" =>
       val n = GraftDml.runInsert(spark, target, source.get, cols)
       Seq(Row("insert", 0L, n, 0L))
+  }
+}
+
+/** the maintenance command (`OPTIMIZE`): one effect row
+  * (op, n_rows) back — the surviving row count, Delta's OPTIMIZE
+  * metrics shape reduced to what is deterministic. */
+case class GraftMaintenanceCommand(kind: String, target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = kind match {
+    case "optimize" =>
+      Seq(Row("optimize", GraftDml.runOptimize(spark, target)))
   }
 }
 

@@ -2189,8 +2189,75 @@ object Crud {
       "ORDER BY seq")
   }
 
+  private def ensureOptimizeOrders(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_opt_$stamp")
+    // validity = the POST-optimize state: data present, logs retired
+    if (!new java.io.File(dir, "_SUCCESS").isFile ||
+        new java.io.File(dir, "_updates").isDirectory ||
+        new java.io.File(dir, "_deletes").isDirectory) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_opt_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val build = new java.io.File(tmp,
+        s"graft_opt_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      val base = t(s, d, "orders")
+      base.repartition(4).write.mode("overwrite").parquet(build.getPath)
+      val bp = build.getPath
+      graft.sources.LakeSink.registerKeyDir(s, bp, "o_orderkey")
+      s.sql(s"UPDATE parquet.`$bp` SET o_orderstatus = 'U', " +
+        "o_totalprice = o_totalprice + 1000.0 WHERE o_orderkey % 13 = 1")
+      s.sql(s"DELETE FROM parquet.`$bp` WHERE o_orderkey % 17 = 3")
+      s.sql(s"OPTIMIZE parquet.`$bp`")
+      if (!build.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(build))
+    }
+    dir.getPath
+  }
+
+  /** a50: `OPTIMIZE` — MAINTENANCE AS SQL ([[graft.plans.GraftDml
+    * .runOptimize]], Delta's verb): an UPDATE + DELETE history lands
+    * through the a41 SQL surface, then `OPTIMIZE parquet.`/dir``
+    * routes to [[graft.sources.LakeSink.compactUpsertsDir]] — the
+    * folded view replaces the base through the checked two-rename
+    * swap, `_updates`/`_deletes` retiring atomically with the
+    * superseded directory. The query then reads the table with a
+    * PLAIN `spark.read.parquet` — no fold API, no planner rule, no
+    * conf — and the oracle still hash-matches: the proof that the
+    * whole mutate-then-compact lifecycle materialized exactly the
+    * view the log described. Unkeyed dirs route to plain small-file
+    * compaction, catalog tables to compactMor/compactTable — every
+    * tier's own safety refusals unchanged (DmlSpec pins the routes). */
+  val a50 = Q("a50_sql_optimize", Some("""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 13 = 1 THEN 'U'
+             ELSE o_orderstatus END AS status,
+        CAST(floor((CASE WHEN o_orderkey % 13 = 1
+             THEN o_totalprice + 1000.0
+             ELSE o_totalprice END) * 100.0 + 0.5) AS BIGINT) AS cents,
+        o_orderpriority AS pri
+      FROM orders)
+    SELECT status, count(*) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+    FROM v WHERE NOT (k % 17 = 3)
+    GROUP BY status ORDER BY status""")) { (s, d) =>
+    // the PLAIN read is the point: post-OPTIMIZE there is no log to
+    // fold and no API to call — the files ARE the view
+    upsertViewAgg(s.read.parquet(ensureOptimizeOrders(s, d)))
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39, a40, a41, a42, a43, a44, a45, a46, a47, a48, a49)
+    a38, a39, a40, a41, a42, a43, a44, a45, a46, a47, a48, a49, a50)
 }

@@ -449,6 +449,48 @@ class DmlSpec extends AnyFunSuite {
     assert(hist2 == hist :+ ((4L, "delete", 1L)))
   }
 
+  test("OPTIMIZE routes to the target tier's compaction: keyed dirs fold the log, unkeyed dirs compact files, catalog tables publish") {
+    // keyed lake dir with a pending log: the fold materializes and
+    // the logs retire with the superseded directory
+    val dir = mkTable("dmlopt")
+    spark.sql(s"UPDATE parquet.`$dir` SET price = price * 2.0 WHERE id <= 2")
+    spark.sql(s"DELETE FROM parquet.`$dir` WHERE id = 5")
+    val expect = graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+      .orderBy("id").collect().map(_.toString).toSeq
+    val r = spark.sql(s"OPTIMIZE parquet.`$dir`").head()
+    assert(r.getString(0) == "optimize" && r.getLong(1) == 4L)
+    assert(!new java.io.File(dir, "_updates").isDirectory &&
+      !new java.io.File(dir, "_deletes").isDirectory)
+    assert(spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toString).toSeq == expect,
+      "the plain read after OPTIMIZE must equal the pre-compaction fold")
+    // unkeyed dir: plain small-file compaction, same rows
+    val flat = freshDir("dmloptu")
+    spark.range(100L).select(col("id"), lit("x").as("name"))
+      .repartition(8).write.parquet(flat)
+    val before = Option(new java.io.File(flat).listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
+    spark.sql(s"OPTIMIZE parquet.`$flat`")
+    val after = Option(new java.io.File(flat).listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
+    assert(after < before && spark.read.parquet(flat).count() == 100L)
+    // catalog table with a registered key and tombstones: compactMor
+    // publishes a folded generation
+    val cdir = freshDir("dmloptc")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .write.parquet(cdir)
+    spark.sql("DROP TABLE IF EXISTS dmlopt_t")
+    graft.sources.LakeSink.registerExternal(spark, "dmlopt_t", cdir,
+      key = "id", format = "parquet")
+    spark.sql("DELETE FROM dmlopt_t WHERE id = 2")
+    val r2 = spark.sql("OPTIMIZE dmlopt_t").head()
+    assert(r2.getLong(1) == 2L)
+    assert(spark.table("dmlopt_t").count() == 2L)
+    assert(graft.sources.LakeSink.listGenerations(spark, "dmlopt_t")
+      .nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS dmlopt_t")
+  }
+
   test("SQL time travel: VERSION AS OF on a catalog table reads retained generations") {
     val dir = freshDir("dmlgen")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "price")
