@@ -2055,6 +2055,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(repView.filter(col("id").isin(0L, 3L, 21L)).count() == 0)
   }
 
+  test("schema evolution vs a LIVE feed stream: the running consumer keeps its start-time schema (new columns invisible, rows still delivered); a restart serves the widened schema with null-fill") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.sources.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_evostream")
+      .toString
+    val dir = s"$root/t"
+    spark.range(10L).select(col("id"),
+      concat(lit("n"), col("id")).as("name")).write.parquet(dir)
+    LakeSink.softUpsertDir(spark, dir,
+      Seq((3L, "u1")).toDF("id", "name"), "id")                 // seq 1
+    def startQ(buf: scala.collection.mutable.ArrayBuffer[
+        (Seq[String], String)]) =
+      LakeSink.upsertFeedStream(spark, dir).writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cols = b.columns.toSeq
+          buf ++= b.collect().map(r => (cols, r.toString)); ()
+        }.start()
+    val got = scala.collection.mutable.ArrayBuffer[(Seq[String], String)]()
+    val q = startQ(got)
+    q.processAllAvailable()
+    assert(got.size == 1 && !got.head._1.contains("grade"))
+    // EVOLUTION lands while the stream is LIVE: the file-stream
+    // source's schema is fixed at start, so the running consumer
+    // keeps receiving rows through the OLD schema — the added column
+    // is invisible to it, never an error (restart to widen)
+    LakeSink.evolveUpsertDir(spark, dir,
+      Seq((5L, "u2", "A"), (11L, "u2", "B")).toDF(
+        "id", "name", "grade"), "id")                           // seq 2
+    q.processAllAvailable()
+    q.stop()
+    assert(got.size == 3,
+      s"mid-stream evolution must keep delivering rows: ${got.size}")
+    assert(got.forall(!_._1.contains("grade")),
+      "the live consumer's schema is fixed at stream start")
+    // the RESTART picks up the widened schema: a new landing arrives
+    // with the column, and the checkpoint prevents re-emission
+    LakeSink.softUpsertDir(spark, dir,
+      Seq((7L, "u3", "C")).toDF("id", "name", "grade"), "id")   // seq 3
+    val got2 = scala.collection.mutable.ArrayBuffer[(Seq[String], String)]()
+    val q2 = startQ(got2)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.size == 1 && got2.head._1.contains("grade") &&
+      got2.head._2.contains("C"),
+      s"restart must serve the widened schema: $got2")
+  }
+
   test("delete-only MOR tables stream their delete feed — no update log required (r16: the _updates/_key refusal dropped)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat, lit}
