@@ -38,13 +38,11 @@ object GraftChangesTvf {
 
   val identifier: FunctionIdentifier = FunctionIdentifier("graft_changes")
 
+  // usage text lives in the Scaladoc above; the usage-bearing
+  // ExpressionInfo constructors are deprecated (3.0) or validate
+  // group/source enums this function has no seat in
   val info: ExpressionInfo = new ExpressionInfo(
-    "graft.plans.GraftChangesTvf", null, "graft_changes",
-    "graft_changes(dir[, fromSeq[, toSeq]]) - the lake change feed " +
-      "(batch_seq, op, <table columns>) over the half-open seq window " +
-      "(fromSeq, toSeq]; omitted bounds mean the full feed / the " +
-      "current head.",
-    "")
+    "graft.plans.GraftChangesTvf", null, "graft_changes")
 
   private def literal(e: Expression, what: String): Any = e match {
     case Literal(v, _) => v
@@ -125,9 +123,7 @@ object GraftHistoryTvf {
   val identifier: FunctionIdentifier = FunctionIdentifier("graft_history")
 
   val info: ExpressionInfo = new ExpressionInfo(
-    "graft.plans.GraftHistoryTvf", null, "graft_history",
-    "graft_history(dir) - one row per committed log landing: " +
-      "(seq, kind in upsert|delete, n_rows).", "")
+    "graft.plans.GraftHistoryTvf", null, "graft_history")
 
   def build(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
