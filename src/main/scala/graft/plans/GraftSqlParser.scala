@@ -498,21 +498,29 @@ object GraftDml {
       target: String): Long = {
     val (loc, table) = resolveTarget(spark, target)
     val targetRecords = 1000000L
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pending _updates log routes to the DIRECTORY-tier fold even
+    // for a catalog table: it is the one compaction that folds the
+    // log, and it preserves the location, so the catalog pointer
+    // stays valid (generation publishes refuse pending updates by
+    // name — they cannot fold the log and would drop upserts)
+    val hasLog = graft.sources.LakeSink.updateLogKey(fs, loc).isDefined
     table match {
-      case Some(t) =>
+      case Some(t) if !hasLog =>
         lookupKey(spark, loc, table) match {
           case Some(k) => graft.sources.LakeSink.compactMor(spark, t, k,
             targetRecords)
           case None => graft.sources.LakeSink.compactTable(spark, t,
             targetRecords)
         }
-      case None =>
-        val fs = new org.apache.hadoop.fs.Path(loc)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      case _ =>
         graft.sources.LakeSink.updateLogKey(fs, loc) match {
           case Some(k) =>
-            graft.sources.LakeSink.compactUpsertsDir(spark, loc, k,
-              targetRecords)
+            val n = graft.sources.LakeSink.compactUpsertsDir(spark, loc,
+              k, targetRecords)
+            table.foreach(t => spark.catalog.refreshTable(t))
+            n
           case None =>
             graft.sources.LakeSink.compact(spark, loc, "parquet",
               targetRecords)

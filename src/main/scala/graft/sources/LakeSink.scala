@@ -370,6 +370,21 @@ object LakeSink {
     // soft-deleted row into the new generation; only [[compactMor]]
     // (which rewrites from the merge-on-read view) may publish over
     // tombstones, so everything else refuses by name.
+    // PENDING-UPDATES REFUSAL (r16 — the upsert-log sibling of the
+    // tombstone guard below): NO generation publish reads the upsert
+    // fold — not even compactMor's merge-on-read view (morRead folds
+    // tombstones only) — so publishing over a pending `_updates` log
+    // would silently DROP every committed upsert from the new
+    // generation. There is no applyTombstones-style bypass to grant:
+    // the directory-tier compaction (compactUpsertsDir) is the one
+    // writer that folds the log, and it preserves the table location,
+    // so a catalog pointer stays valid across it.
+    if (updateBatches(fs, curLoc.toString).nonEmpty)
+      throw new IllegalStateException(
+        s"PUBLISH REFUSED: $table carries a pending _updates log — " +
+          "no generation publish folds the upsert log, so committed " +
+          "upserts would be silently dropped; compactUpsertsDir " +
+          "(the directory-tier fold, location-preserving) first.")
     val deleteGens = siblings
       .filter(st => st.getPath != curLoc && isDeleteGen(fs, st.getPath))
       .map(st => parseGen(st.getPath.getName)._2)

@@ -491,6 +491,36 @@ class DmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS dmlopt_t")
   }
 
+  test("generation publishes refuse a pending _updates log by name — no publish folds it; OPTIMIZE routes the catalog table to the dir-tier fold") {
+    val dir = mkTable("dmlpubu")
+    spark.sql("DROP TABLE IF EXISTS dmlpubu_t")
+    graft.sources.LakeSink.registerExternal(spark, "dmlpubu_t", dir)
+    spark.sql(s"UPDATE parquet.`$dir` SET price = price + 5.0 WHERE id = 1")
+    val expect = graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+      .orderBy("id").collect().map(_.toString).toSeq
+    // compactTable AND compactMor publish generations from reads
+    // that cannot fold the upsert log — both must refuse, never
+    // silently drop the committed update
+    val e1 = intercept[IllegalStateException] {
+      graft.sources.LakeSink.compactTable(spark, "dmlpubu_t", 1000L)
+    }
+    assert(e1.getMessage.contains("_updates"))
+    val e2 = intercept[IllegalStateException] {
+      graft.sources.LakeSink.compactMor(spark, "dmlpubu_t", "id", 1000L)
+    }
+    assert(e2.getMessage.contains("_updates"))
+    // OPTIMIZE on the catalog table routes to the dir-tier fold (the
+    // one compaction that folds the log; location-preserving, so the
+    // catalog pointer stays valid)
+    val r = spark.sql("OPTIMIZE dmlpubu_t").head()
+    assert(r.getLong(1) == 5L)
+    assert(spark.table("dmlpubu_t").orderBy("id")
+      .collect().map(_.toString).toSeq == expect,
+      "the folded update must survive the SQL OPTIMIZE")
+    assert(!new java.io.File(dir, "_updates").isDirectory)
+    spark.sql("DROP TABLE IF EXISTS dmlpubu_t")
+  }
+
   test("SQL time travel: VERSION AS OF on a catalog table reads retained generations") {
     val dir = freshDir("dmlgen")
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "price")
