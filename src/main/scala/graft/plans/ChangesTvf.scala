@@ -111,13 +111,16 @@ object GraftChangesTvf {
   * inspect history, then travel or replay, all in plain SQL.
   *
   * Scale shape: one row per landing, computed from the batch
-  * directories' parquet FOOTERS at plan time — metadata-sized, the
-  * data is never scanned. Pre-seq legacy tombstones REFUSE by name
-  * (they have no place in history — [[graft.sources.LakeSink
-  * .migrateLegacyTombstones]] mints their seqs). Catalog-tier
-  * generation history stays on [[graft.sources.LakeSink
-  * .listGenerations]] — generations are whole-table snapshots, not
-  * landings, and their row counts are table-sized to compute. */
+  * directories' parquet FOOTERS on the DRIVER at plan time —
+  * metadata-sized at any table size, zero Spark jobs (the r16 form
+  * launched one count job per landing; spec-pinned gone). Pre-seq
+  * legacy tombstones REFUSE by name (they have no place in history —
+  * [[graft.sources.LakeSink.migrateLegacyTombstones]] mints their
+  * seqs). A CATALOG TABLE name serves the GENERATION tier
+  * ([[graft.sources.LakeSink.generationHistory]] — r17): one row per
+  * retained generation, seq = the generation number `VERSION AS OF`
+  * accepts, kind ∈ data|delete, n_rows from footer sums (a delete
+  * snapshot counts the keys it removed — its `_tombstones` footer). */
 object GraftHistoryTvf {
 
   val identifier: FunctionIdentifier = FunctionIdentifier("graft_history")
@@ -127,7 +130,8 @@ object GraftHistoryTvf {
 
   def build(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
-    require(args.size == 1, s"graft_history takes (dir), got ${args.size}")
+    require(args.size == 1,
+      s"graft_history takes (dir|table), got ${args.size}")
     val dir = args.head match {
       case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
         s.toString
@@ -136,7 +140,17 @@ object GraftHistoryTvf {
     }
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows = graft.sources.LakeSink.logHistory(spark, fs, dir)
+    // a CATALOG TABLE name serves the generation tier (seq =
+    // generation, kind ∈ data|delete — r17, closing the API-only
+    // gap); anything else is a directory-addressed log history.
+    // Both are driver-side footer reads — zero Spark jobs. A path
+    // (contains '/') is never probed as a name: dotted paths would
+    // mis-parse as db.table.
+    val isTable = !dir.contains("/") &&
+      graft.sources.LakeSink.catalogTableExists(spark, dir)
+    val rows = (if (isTable)
+        graft.sources.LakeSink.generationHistory(spark, dir)
+      else graft.sources.LakeSink.logHistory(spark, fs, dir))
       .map { case (seq, kind, n) => org.apache.spark.sql.Row(seq, kind, n) }
     val sch = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("seq", LongType, nullable = false),

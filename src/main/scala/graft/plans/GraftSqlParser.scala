@@ -92,12 +92,17 @@ object GraftDml {
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(.+?)\s*;?\s*$""".r
   private val OptimizeHead =
     """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
+  private val VacuumHead =
+    """(?is)^\s*VACUUM\s+(.+?)\s*;?\s*$""".r
 
   /** every TOP-LEVEL occurrence of word `kw` in `s` — outside
     * single/double/backtick quotes and outside parens/brackets,
     * case-insensitive, word-bounded. One forward scan; quote state is
     * tracked from the string start so a keyword inside a literal can
-    * never act as a clause boundary. */
+    * never act as a clause boundary. Inside single/double quotes a
+    * backslash escapes the next character (Spark's default
+    * `escapedStringLiterals=false` semantics — `'don\'t'` stays one
+    * literal); backticks have no escape, only doubling. */
   private[graft] def topLevelKeywordAll(s: String, kw: String): Seq[Int] = {
     val hits = scala.collection.mutable.ArrayBuffer.empty[Int]
     var depth = 0; var quote: Char = 0; var i = 0
@@ -105,7 +110,10 @@ object GraftDml {
     def isWord(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
       val ch = s.charAt(i)
-      if (quote != 0) { if (ch == quote) quote = 0 }
+      if (quote != 0) {
+        if (ch == '\\' && quote != '`') i += 1 // skip the escaped char
+        else if (ch == quote) quote = 0
+      }
       else ch match {
         case '\'' | '"' | '`' => quote = ch
         case '(' | '[' => depth += 1
@@ -155,8 +163,70 @@ object GraftDml {
       // stock Spark has no OPTIMIZE statement (a parse error today),
       // so routing it loses nothing and gains the one maintenance
       // verb every lakehouse exposes (Delta's OPTIMIZE)
-      Some(GraftMaintenanceCommand("optimize", rest.trim))
+      Some(parseOptimize(rest))
+    case VacuumHead(rest) => Some(parseVacuum(rest))
     case _ => None
+  }
+
+  // ---- maintenance statements ------------------------------------
+  // a maintenance TARGET is a table name (plain, db-qualified, or
+  // backtick-quoted) or a parquet.`path` — validated HERE so extended
+  // syntax refuses at parse level naming the supported shapes,
+  // instead of failing deep inside target resolution with a
+  // misleading unknown-table error on e.g. `t ZORDER BY c` as a name
+  private val MaintTargetName =
+    """(?is)^((?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)(?:\s*\.\s*(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)$""".r
+
+  private def validMaintTarget(t: String): Boolean = t match {
+    case PathTarget(_) => true
+    case MaintTargetName(_) => true
+    case _ => false
+  }
+
+  private val ZOrderBy =
+    """(?is)^BY\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*$""".r
+
+  /** `OPTIMIZE <target> [ZORDER BY (c1[, c2…])]` — anything else
+    * refuses at parse level naming the supported shapes. */
+  private def parseOptimize(rest: String): LogicalPlan = {
+    def refuse(): Nothing = throw new UnsupportedOperationException(
+      "OPTIMIZE REFUSED: supported shapes are `OPTIMIZE <table|" +
+        "parquet.`/dir`>` (compaction) and `OPTIMIZE <target> ZORDER " +
+        s"BY (c1[, c2…])` (clustered rewrite + stats) — got: " +
+        s"OPTIMIZE ${rest.trim}")
+    val (target, cols) = splitAtKeyword(rest, "ZORDER") match {
+      case None => (rest.trim, Seq.empty[String])
+      case Some((t, tail)) => tail match {
+        case ZOrderBy(cl) => (t.trim, cl.split(",").map(_.trim).toSeq)
+        case _ => refuse()
+      }
+    }
+    if (!validMaintTarget(target)) refuse()
+    GraftMaintenanceCommand("optimize", target, cols)
+  }
+
+  private val RetainRe =
+    """(?is)^(.*?)\s+RETAIN\s+(\d+)\s+(HOURS?|MINUTES?)\s*$""".r
+
+  /** `VACUUM <target> [RETAIN <n> HOURS|MINUTES]` — default 168
+    * hours (Delta's); the retention floor refuses inside
+    * [[graft.sources.LakeSink.vacuumTable]]/[[graft.sources.LakeSink
+    * .vacuumDir]]. */
+  private def parseVacuum(rest: String): LogicalPlan = {
+    def refuse(): Nothing = throw new UnsupportedOperationException(
+      "VACUUM REFUSED: the supported shape is `VACUUM <table|" +
+        "parquet.`/dir`> [RETAIN <n> HOURS|MINUTES]` — got: " +
+        s"VACUUM ${rest.trim}")
+    val (target, retainMs) = rest.trim match {
+      case RetainRe(t, n, unit) =>
+        val ms = n.toLong *
+          (if (unit.toUpperCase(java.util.Locale.ROOT).startsWith("HOUR"))
+            3600000L else 60000L)
+        (t.trim, ms)
+      case t => (t, 604800000L)
+    }
+    if (!validMaintTarget(target)) refuse()
+    GraftMaintenanceCommand("vacuum", target, Nil, Some(retainMs))
   }
 
   private def refuseMerge(): Nothing =
@@ -216,19 +286,28 @@ object GraftDml {
   private val InsPathTarget =
     """(?is)^(parquet\s*\.\s*`[^`]+`)\s*(.*)$""".r
   private val InsNameTarget =
-    """(?is)^([A-Za-z_][A-Za-z0-9_.]*)\s*(.*)$""".r
+    """(?is)^((?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)(?:\s*\.\s*(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s*(.*)$""".r
   private val InsColList =
     """(?s)^\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*(.*)$""".r
   private val InsBodyHeads = Set("VALUES", "SELECT", "WITH", "TABLE", "FROM")
 
   /** route `INSERT INTO <keyed lake target> [(cols)] <query|VALUES>`
-    * through the upsert log; EVERYTHING else — unkeyed targets,
-    * INSERT OVERWRITE, partition specs, unknown tables — delegates to
-    * Spark byte-for-byte (a delegated insert against an unkeyed
-    * parquet dir is today's plain file append). The routing probe is
+    * through the upsert log; targets that are DEFINITIVELY not keyed
+    * lake tables — unkeyed targets, INSERT OVERWRITE, partition
+    * specs, unknown/temp-view tables — delegate to Spark
+    * byte-for-byte (a delegated insert against an unkeyed parquet dir
+    * is today's plain file append). The routing probe is
     * metadata-only: one key lookup (`_updates/_key` marker / `graft
     * .key` property / session conf), the same resolution order as
-    * every DML statement. */
+    * every DML statement. The probe delegates ONLY on the definitive
+    * negative (no such table, no registered key); an unexpected
+    * exception from the metadata probe (transient FS error, hadoop
+    * misconfig) PROPAGATES — silently delegating a keyed insert to
+    * Spark's bare file append would bypass seq/claim/feed/PK
+    * semantics, rows invisible to the change feed forever. Backtick-
+    * quoted targets and parenthesized query bodies route like their
+    * unquoted/unparenthesized twins (same logical insert, same
+    * durability). */
   private def parseInsert(rest: String): Option[LogicalPlan] = {
     val (target, tail) = rest match {
       case InsPathTarget(t, tl) => (t, tl)
@@ -240,13 +319,16 @@ object GraftDml {
       case b => (Seq.empty[String], b.trim)
     }
     if (body.isEmpty) return None
+    // a body opening with '(' is a parenthesized query —
+    // `INSERT INTO t (SELECT …)` (Spark parses a parenthesized
+    // top-level query); otherwise the first word must be a query head
     val head = body.split("""[\s(]+""")(0).toUpperCase(java.util.Locale.ROOT)
-    if (!InsBodyHeads.contains(head)) return None
+    if (!body.startsWith("(") && !InsBodyHeads.contains(head)) return None
     val routable = SparkSession.getActiveSession.exists { s =>
-      scala.util.Try {
-        val (loc, table) = resolveTarget(s, target)
-        lookupKey(s, loc, table).isDefined
-      }.getOrElse(false)
+      resolveTargetOpt(s, target) match {
+        case None => false // not a lake path nor a known catalog table
+        case Some((loc, table)) => lookupKey(s, loc, table).isDefined
+      }
     }
     if (!routable) None
     else Some(GraftDmlCommand("insert", target, None, Nil,
@@ -260,9 +342,15 @@ object GraftDml {
   private[graft] def splitAssignments(s: String): Option[Seq[(String, String)]] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var depth = 0; var quote: Char = 0
-    s.foreach { ch =>
-      if (quote != 0) { if (ch == quote) quote = 0; cur += ch }
+    var depth = 0; var quote: Char = 0; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) {
+        cur += ch
+        if (ch == '\\' && quote != '`' && i + 1 < s.length) {
+          cur += s.charAt(i + 1); i += 1 // escaped char stays in-literal
+        } else if (ch == quote) quote = 0
+      }
       else ch match {
         case '\'' | '"' | '`' => quote = ch; cur += ch
         case '(' | '[' => depth += 1; cur += ch
@@ -270,6 +358,7 @@ object GraftDml {
         case ',' if depth == 0 => parts += cur.result(); cur.clear()
         case _ => cur += ch
       }
+      i += 1
     }
     parts += cur.result()
     val AssignRe = """(?s)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$""".r
@@ -284,14 +373,39 @@ object GraftDml {
   private val PathTarget =
     """(?is)^parquet\s*\.\s*`([^`]+)`(?:\s+(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*)?$""".r
 
-  private[plans] def resolveTarget(spark: SparkSession,
-      target: String): (String, Option[String]) = target match {
-    case PathTarget(p) => (p, None)
-    case t =>
-      // strip an optional alias (`orders o` / `orders AS o`)
-      val name = t.split("""(?i)\s+(?:AS\s+)?""")(0)
-      (graft.sources.LakeSink.tableLocation(spark, name), Some(name))
+  /** the target name with an optional trailing alias (`orders o` /
+    * `orders AS o`) stripped — the split is BACKTICK-AWARE so a
+    * quoted identifier containing whitespace survives. */
+  private def stripAlias(t: String): String = {
+    var inBt = false; var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '`') inBt = !inBt
+      else if (c.isWhitespace && !inBt) return t.substring(0, i)
+      i += 1
+    }
+    t
   }
+
+  /** resolve a DML target to its data location: a lake path, or a
+    * catalog table — plain, `db.t`-qualified, or backtick-quoted
+    * (resolved through the session catalog's current-database rules).
+    * None = DEFINITIVELY not addressable (no such catalog table) —
+    * the delegation-worthy negative; unexpected exceptions propagate. */
+  private[plans] def resolveTargetOpt(spark: SparkSession,
+      target: String): Option[(String, Option[String])] = target match {
+    case PathTarget(p) => Some((p, None))
+    case t =>
+      val name = stripAlias(t.trim)
+      if (graft.sources.LakeSink.catalogTableExists(spark, name))
+        Some((graft.sources.LakeSink.tableLocation(spark, name), Some(name)))
+      else None
+  }
+
+  private[plans] def resolveTarget(spark: SparkSession,
+      target: String): (String, Option[String]) =
+    resolveTargetOpt(spark, target).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $target"))
 
   /** key resolution: log marker > catalog property > session conf */
   private[plans] def lookupKey(spark: SparkSession, loc: String,
@@ -300,12 +414,15 @@ object GraftDml {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.LakeSink.updateLogKey(fs, loc)
       .orElse(table.flatMap { t =>
-        val ident = TableIdentifier(t.toLowerCase)
+        val ident = graft.sources.LakeSink.tableIdent(t)
         spark.sessionState.catalog.getTableMetadata(ident)
           .properties.get("graft.key")
       })
-      .orElse(table.flatMap(t =>
-        spark.conf.getOption(s"spark.graft.dml.key.$t")))
+      .orElse(table.flatMap { t =>
+        val ident = graft.sources.LakeSink.tableIdent(t)
+        spark.conf.getOption(
+          s"spark.graft.dml.key.${ident.unquotedString}")
+      })
   }
 
   private[plans] def resolveKey(spark: SparkSession, loc: String,
@@ -480,24 +597,35 @@ object GraftDml {
     }
   }
 
-  /** `OPTIMIZE <target>` — the maintenance verb routed to the right
-    * compaction for the target's tier (Delta's OPTIMIZE; every tier's
-    * own safety contract applies unchanged):
+  /** `OPTIMIZE <target> [ZORDER BY (cols)]` — the maintenance verb
+    * routed to the right compaction for the target's tier (Delta's
+    * OPTIMIZE; every tier's own safety contract applies unchanged):
     *  - a KEYED lake dir (`_updates/_key`): [[graft.sources.LakeSink
     *    .compactUpsertsDir]] — the folded view replaces the base
     *    through the checked two-rename swap, logs retiring with it
     *    (hive-partitioned dirs refuse there, naming the partitioned
-    *    overload — this statement stays the simple verb);
-    *  - an UNKEYED dir: [[graft.sources.LakeSink.compact]] — plain
-    *    small-file compaction (pending logs refuse by name there);
+    *    overload — this statement stays the simple verb); with
+    *    ZORDER, [[graft.sources.LakeSink.compactUpsertsDirZOrder]] —
+    *    the fold materializes CLUSTERED with the cluster columns'
+    *    `_stats` manifest committed in the same swap, so the very
+    *    next plain-SQL range query prunes;
+    *  - an UNKEYED dir: [[graft.sources.LakeSink.compact]] /
+    *    [[graft.sources.LakeSink.compactZOrderDir]] (pending logs
+    *    refuse by name there);
     *  - a catalog table: [[graft.sources.LakeSink.compactMor]] when a
     *    key is registered (folds tombstones into a new generation),
-    *    [[graft.sources.LakeSink.compactTable]] otherwise.
+    *    [[graft.sources.LakeSink.compactTable]] otherwise; with
+    *    ZORDER, [[graft.sources.LakeSink.optimizeZOrderN]] (a21/a28's
+    *    machinery — pending tombstones refuse there by name, run
+    *    plain OPTIMIZE first).
     * Returns the surviving row count. */
   private[plans] def runOptimize(spark: SparkSession,
-      target: String): Long = {
+      target: String, cols: Seq[String] = Nil): Long = {
     val (loc, table) = resolveTarget(spark, target)
-    val targetRecords = 1000000L
+    // tunable like Delta's maxFileSize: at 100 TB the right file size
+    // is a cluster decision, not a constant
+    val targetRecords = spark.conf
+      .get("spark.graft.optimize.targetRecordsPerFile", "1000000").toLong
     val fs = new org.apache.hadoop.fs.Path(loc)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a pending _updates log routes to the DIRECTORY-tier fold even
@@ -507,6 +635,9 @@ object GraftDml {
     // name — they cannot fold the log and would drop upserts)
     val hasLog = graft.sources.LakeSink.updateLogKey(fs, loc).isDefined
     table match {
+      case Some(t) if !hasLog && cols.nonEmpty =>
+        graft.sources.LakeSink.optimizeZOrderN(spark, t, cols,
+          targetRecords)
       case Some(t) if !hasLog =>
         lookupKey(spark, loc, table) match {
           case Some(k) => graft.sources.LakeSink.compactMor(spark, t, k,
@@ -515,17 +646,36 @@ object GraftDml {
             targetRecords)
         }
       case _ =>
-        graft.sources.LakeSink.updateLogKey(fs, loc) match {
+        val n = graft.sources.LakeSink.updateLogKey(fs, loc) match {
+          case Some(k) if cols.nonEmpty =>
+            graft.sources.LakeSink.compactUpsertsDirZOrder(spark, loc,
+              k, cols, targetRecords)
           case Some(k) =>
-            val n = graft.sources.LakeSink.compactUpsertsDir(spark, loc,
-              k, targetRecords)
-            table.foreach(t => spark.catalog.refreshTable(t))
-            n
+            graft.sources.LakeSink.compactUpsertsDir(spark, loc, k,
+              targetRecords)
+          case None if cols.nonEmpty =>
+            graft.sources.LakeSink.compactZOrderDir(spark, loc, cols,
+              targetRecords)
           case None =>
             graft.sources.LakeSink.compact(spark, loc, "parquet",
               targetRecords)
         }
+        table.foreach(t => spark.catalog.refreshTable(t))
+        n
     }
+  }
+
+  /** `VACUUM <target> [RETAIN n …]` — on-demand retention GC: a
+    * catalog table reclaims superseded generations + claim graves
+    * ([[graft.sources.LakeSink.vacuumTable]]) AND its live
+    * directory's staging/grave/schema leftovers; a path target
+    * reclaims the directory tier only. Returns objects reclaimed. */
+  private[plans] def runVacuum(spark: SparkSession, target: String,
+      retainMs: Long): Long = {
+    val (loc, table) = resolveTarget(spark, target)
+    val dirN = graft.sources.LakeSink.vacuumDir(spark, loc, retainMs)
+    table.fold(dirN)(t =>
+      dirN + graft.sources.LakeSink.vacuumTable(spark, t, retainMs))
   }
 
   private val OnCondRe =
@@ -642,17 +792,22 @@ case class GraftDmlCommand(kind: String, target: String,
   }
 }
 
-/** the maintenance command (`OPTIMIZE`): one effect row
-  * (op, n_rows) back — the surviving row count, Delta's OPTIMIZE
-  * metrics shape reduced to what is deterministic. */
-case class GraftMaintenanceCommand(kind: String, target: String)
+/** the maintenance commands (`OPTIMIZE` / `VACUUM`): one effect row
+  * (op, n_rows) back — OPTIMIZE's surviving row count or VACUUM's
+  * reclaimed-object count, Delta's metrics shapes reduced to what is
+  * deterministic. */
+case class GraftMaintenanceCommand(kind: String, target: String,
+    cols: Seq[String] = Nil, retainMs: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("op", StringType, nullable = false)(),
     AttributeReference("n_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = kind match {
     case "optimize" =>
-      Seq(Row("optimize", GraftDml.runOptimize(spark, target)))
+      Seq(Row("optimize", GraftDml.runOptimize(spark, target, cols)))
+    case "vacuum" =>
+      Seq(Row("vacuum", GraftDml.runVacuum(spark, target,
+        retainMs.getOrElse(604800000L))))
   }
 }
 

@@ -84,13 +84,25 @@ object GraftTimeTravel {
         Some(graft.sources.LakeSink
           .morReadUpsertDirAsOf(spark, path, key, seq)
           .queryExecution.analyzed)
-      case Seq(name)
-          if spark.sessionState.catalog.tableExists(
-            TableIdentifier(name.toLowerCase)) =>
+      // one- or two-part catalog names (`t` / `db.t`), resolved with
+      // the catalog's current-database rules; a database literally
+      // named `parquet` is shadowed by the path form above — rename
+      // it or travel through the API. The parts arrive pre-unquoted
+      // from the grammar, so the identifier is built directly (a name
+      // containing a literal dot must not re-split).
+      case parts @ (Seq(_) | Seq(_, _))
+          if spark.sessionState.catalog.tableExists(identOf(parts)) =>
+        val name = parts.map(p => s"`$p`").mkString(".")
         if (ts.nonEmpty || ver.isEmpty) refuseTimestamp(name)
         val gen = parseVersion(name, ver.get)
         Some(graft.sources.LakeSink.readGeneration(spark, name, gen)
           .queryExecution.analyzed)
       case _ => None
     }
+
+  private def identOf(parts: Seq[String]): TableIdentifier = parts match {
+    case Seq(t) => TableIdentifier(t.toLowerCase)
+    case Seq(db, t) => TableIdentifier(t.toLowerCase, Some(db.toLowerCase))
+    case _ => throw new IllegalStateException("unreachable: 1-2 parts")
+  }
 }

@@ -2029,7 +2029,10 @@ object Crud {
       .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_evo_$stamp")
-    if (!new java.io.File(new java.io.File(dir, "_updates"), "_schema").isFile ||
+    // validity = a COMMITTED schema version (r17: `_schema-<n>`; the
+    // pre-r17 bare `_schema` also counts) + all three batches landed
+    if (!Option(new java.io.File(dir, "_updates").listFiles())
+          .getOrElse(Array.empty).exists(_.getName.startsWith("_schema")) ||
         Option(new java.io.File(dir, "_updates").listFiles())
           .getOrElse(Array.empty).count(_.getName.startsWith("u-")) != 3) {
       Option(tmp.listFiles()).getOrElse(Array.empty)
@@ -2256,8 +2259,330 @@ object Crud {
     upsertViewAgg(s.read.parquet(ensureOptimizeOrders(s, d)))
   }
 
+  private def stampOf(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val items = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** the stamped-fixture lifecycle every a-query fixture shares:
+    * `valid(dir)` decides whether the cached build is current (it
+    * must test for the NEWEST on-disk artifact the build writes — a
+    * stale cache silently serves the old layout otherwise), `build`
+    * populates a fresh directory which is then renamed into place. */
+  private def stampedFixture(s: SparkSession, d: String, prefix: String,
+      valid: java.io.File => Boolean)(build: java.io.File => Unit): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"${prefix}_${stampOf(s, d)}")
+    if (!valid(dir)) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix + "_"))
+        .foreach(f => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(f)))
+      val bld = new java.io.File(tmp,
+        s"${prefix}_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      build(bld)
+      if (!bld.renameTo(dir))
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(bld))
+    }
+    dir.getPath
+  }
+
+  private def ensureZOrderOrders(s: SparkSession, d: String): String =
+    stampedFixture(s, d, "graft_zo",
+      dir => new java.io.File(dir, "_stats").isDirectory &&
+        !new java.io.File(dir, "_updates").isDirectory) { bld =>
+      t(s, d, "orders").repartition(4).write.mode("overwrite")
+        .parquet(bld.getPath)
+      val bp = bld.getPath
+      graft.sources.LakeSink.registerKeyDir(s, bp, "o_orderkey")
+      s.sql(s"UPDATE parquet.`$bp` SET o_totalprice = o_totalprice " +
+        "+ 1000.0 WHERE o_orderkey % 13 = 1")
+      s.conf.set("spark.graft.optimize.targetRecordsPerFile", "2000")
+      try s.sql(s"OPTIMIZE parquet.`$bp` ZORDER BY (o_custkey, o_orderkey)")
+      finally s.conf.unset("spark.graft.optimize.targetRecordsPerFile")
+    }
+
+  /** a51: `OPTIMIZE … ZORDER BY` — the SQL path from "my table is
+    * slow" to "my table is clustered" (Delta's verb; a21/a28's layout
+    * machinery behind it, VERDICT-r16 missing #2): a mutated keyed
+    * dir is clustered on (o_custkey, o_orderkey) through ONE
+    * statement — the fold, the z-order layout, and the cluster
+    * columns' `_stats` manifest commit in the same checked swap —
+    * and the query is then a PLAIN `spark.sql` range predicate under
+    * [[graft.plans.StatsPruneRule]]: it reads ~the files whose
+    * min/max intersect the box (DmlSpec pins inputFiles <
+    * all-files), hash-matching the raw restatement. */
+  val a51 = Q("a51_optimize_zorder", Some("""
+    WITH v AS (SELECT o_custkey, o_orderkey,
+      CASE WHEN o_orderkey % 13 = 1 THEN o_totalprice + 1000.0
+           ELSE o_totalprice END AS p
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CAST(floor(p * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents,
+      CAST(min(o_orderkey) AS BIGINT) AS min_k,
+      CAST(max(o_orderkey) AS BIGINT) AS max_k
+    FROM v WHERE o_custkey BETWEEN 100 AND 220""")) { (s, d) =>
+    val dir = ensureZOrderOrders(s, d)
+    s.conf.set("spark.graft.statsPrune.enabled", "true")
+    try s.sql(s"""
+      SELECT count(*) AS n_orders,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS sum_cents,
+        min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+      FROM parquet.`$dir` WHERE o_custkey BETWEEN 100 AND 220""")
+      .localCheckpoint(true)
+    finally s.conf.unset("spark.graft.statsPrune.enabled")
+  }
+
+  private def ensureVacuumOrders(s: SparkSession, d: String): String =
+    stampedFixture(s, d, "graft_vac",
+      dir => new java.io.File(dir, "t.g2").isDirectory &&
+        !new java.io.File(dir, "t").isDirectory &&
+        !new java.io.File(dir, "t.g1").isDirectory) { bld =>
+      bld.mkdirs()
+      val tp = new java.io.File(bld, "t").getPath
+      t(s, d, "orders").repartition(3).write.mode("overwrite").parquet(tp)
+      s.sql("DROP TABLE IF EXISTS a52_vac_orders")
+      graft.sources.LakeSink.registerExternal(s, "a52_vac_orders", tp,
+        key = "o_orderkey", format = "parquet")
+      graft.sources.LakeSink.compactTable(s, "a52_vac_orders", 10000L) // g1
+      s.sql("UPDATE a52_vac_orders SET o_orderstatus = 'U', " +
+        "o_totalprice = o_totalprice + 500.0 WHERE o_orderkey % 19 = 2")
+      s.sql("DELETE FROM a52_vac_orders WHERE o_orderkey % 23 = 7")
+      s.sql("OPTIMIZE a52_vac_orders") // folds the log in place at g1
+      graft.sources.LakeSink.compactTable(s, "a52_vac_orders", 10000L) // g2
+      s.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+      try s.sql("VACUUM a52_vac_orders RETAIN 0 MINUTES")
+      finally s.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
+      s.sql("DROP TABLE IF EXISTS a52_vac_orders")
+    }
+
+  /** a52: `VACUUM` — on-demand retention GC as SQL (Delta's verb;
+    * VERDICT-r16 missing #3: superseded generations only ever
+    * reclaimed opportunistically at the NEXT publish — a table
+    * nobody republishes keeps paying for its history): a full
+    * mutate-compact lifecycle leaves generations g0/g1/g2, then
+    * `VACUUM … RETAIN 0 MINUTES` (floor waived by the Delta-style
+    * conf; the floor itself refuses by name) reclaims everything but
+    * the live snapshot. The query reads the SURVIVING generation
+    * with a plain `spark.read.parquet` and still hash-matches the
+    * raw restatement — the proof that vacuum reclaimed exactly
+    * history, never state. DmlSpec pins the refusals, the reclaim
+    * set, and travel-to-reclaimed refusing by name. */
+  val a52 = Q("a52_vacuum", Some("""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 19 = 2 THEN 'U'
+             ELSE o_orderstatus END AS status,
+        CAST(floor((CASE WHEN o_orderkey % 19 = 2
+             THEN o_totalprice + 500.0
+             ELSE o_totalprice END) * 100.0 + 0.5) AS BIGINT) AS cents,
+        o_orderpriority AS pri
+      FROM orders)
+    SELECT status, count(*) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+    FROM v WHERE NOT (k % 23 = 7)
+    GROUP BY status ORDER BY status""")) { (s, d) =>
+    val root = ensureVacuumOrders(s, d)
+    upsertViewAgg(s.read.parquet(s"$root/t.g2"))
+  }
+
+  private def ensureWidenOrders(s: SparkSession, d: String): String =
+    stampedFixture(s, d, "graft_widen",
+      dir => Option(new java.io.File(dir, "_updates").listFiles())
+          .getOrElse(Array.empty).exists(_.getName.startsWith("_schema-")) &&
+        Option(new java.io.File(dir, "_updates").listFiles())
+          .getOrElse(Array.empty).count(_.getName.startsWith("u-")) == 3) { bld =>
+      val k = col("o_orderkey")
+      val base = t(s, d, "orders").select(k, col("o_orderstatus"),
+        (k % 997).cast("int").as("o_qty"),
+        (col("o_totalprice") / 1000.0).cast("float").as("o_score"))
+      base.repartition(4).write.mode("overwrite").parquet(bld.getPath)
+      val bp = bld.getPath
+      // batch 1: PRE-widening, original narrow types
+      graft.sources.LakeSink.softUpsertDir(s, bp,
+        base.filter(k % 13 === 1)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_qty", (col("o_qty") + 7).cast("int")),
+        "o_orderkey")
+      // batch 2 WIDENS: o_qty int→long, o_score float→double — no
+      // column added, the types are the evolution
+      graft.sources.LakeSink.evolveUpsertDir(s, bp,
+        t(s, d, "orders").filter(k % 31 === 4).select(k,
+          lit("W").as("o_orderstatus"),
+          ((k % 997) + 100000L).as("o_qty"),
+          col("o_totalprice").as("o_score")),
+        "o_orderkey")
+      // batch 3: POST-widening, the wide types are the contract
+      graft.sources.LakeSink.softUpsertDir(s, bp,
+        t(s, d, "orders").filter(k % 7 === 2).select(k,
+          lit("T").as("o_orderstatus"),
+          lit(555555L).as("o_qty"), lit(2.5).as("o_score")),
+        "o_orderkey")
+    }
+
+  /** a53: TYPE-WIDENING EVOLUTION (VERDICT-r16 missing #5 — an
+    * upstream int column that becomes bigint used to force a full
+    * compact; Delta's type widening rides the same parquet-reader
+    * upcasts): a narrow (int, float) history — base + a pre-widening
+    * batch — is widened to (long, double) by ONE
+    * [[graft.sources.LakeSink.evolveUpsertDir]] landing (no column
+    * added: the types ARE the evolution; one metadata file, no data
+    * rewritten), then a post-widening batch lands at the wide types.
+    * The fold reads EVERYTHING through the committed schema: base
+    * and pre-widening batch values UPCAST in place (int→long,
+    * float→double — never null-filled, the distinction the oracle's
+    * exact restatement proves), latest-wins across all three
+    * batches. UpsertLogSpec pins the refusals (narrowing, key
+    * widening, decimal) and the drift contract. */
+  val a53 = Q("a53_widen_upsert", Some("""
+    WITH v AS (
+      SELECT
+        CASE WHEN o_orderkey % 7 = 2 THEN 'T'
+             WHEN o_orderkey % 31 = 4 THEN 'W'
+             WHEN o_orderkey % 13 = 1 THEN 'U'
+             ELSE o_orderstatus END AS status,
+        CASE WHEN o_orderkey % 7 = 2 THEN 555555
+             WHEN o_orderkey % 31 = 4 THEN (o_orderkey % 997) + 100000
+             WHEN o_orderkey % 13 = 1 THEN
+               CAST(CAST(o_orderkey % 997 AS INTEGER) + 7 AS BIGINT)
+             ELSE CAST(CAST(o_orderkey % 997 AS INTEGER) AS BIGINT)
+          END AS qty,
+        CASE WHEN o_orderkey % 7 = 2 THEN 2.5
+             WHEN o_orderkey % 31 = 4 THEN o_totalprice
+             ELSE CAST(CAST(o_totalprice / 1000.0 AS REAL) AS DOUBLE)
+          END AS score
+      FROM orders)
+    SELECT status, count(*) AS n_orders,
+      CAST(sum(qty) AS BIGINT) AS sum_qty,
+      CAST(sum(CAST(floor(score * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_score_cents
+    FROM v GROUP BY status ORDER BY status""")) { (s, d) =>
+    val dir = ensureWidenOrders(s, d)
+    graft.sources.LakeSink.morReadUpsertDir(s, dir, "o_orderkey")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_qty")).cast("long").as("sum_qty"),
+        sum(floor(col("o_score") * 100.0 + 0.5).cast("long"))
+          .as("sum_score_cents"))
+      .orderBy("status")
+  }
+
+  private def ensureHistoryGens(s: SparkSession, d: String): String =
+    stampedFixture(s, d, "graft_genh",
+      dir => new java.io.File(dir, "t.g2").isDirectory &&
+        new java.io.File(new java.io.File(dir, "t.g2"),
+          "_published_delete").isFile) { bld =>
+      bld.mkdirs()
+      val tp = new java.io.File(bld, "t").getPath
+      t(s, d, "orders").repartition(3).write.mode("overwrite").parquet(tp)
+      s.sql("DROP TABLE IF EXISTS a54_hist_orders")
+      graft.sources.LakeSink.registerExternal(s, "a54_hist_orders", tp,
+        key = "o_orderkey", format = "parquet")
+      graft.sources.LakeSink.compactTable(s, "a54_hist_orders", 10000L) // g1
+      val keys = s.table("a54_hist_orders")
+        .filter(col("o_orderkey") % 17 === 3).select("o_orderkey")
+      graft.sources.LakeSink.softDelete(s, "a54_hist_orders", keys,
+        "o_orderkey")                                                  // g2
+      s.sql("DROP TABLE IF EXISTS a54_hist_orders")
+    }
+
+  /** a54: CATALOG-TIER `graft_history(table)` (VERDICT-r16 missing
+    * #4 — generation history was API-only): one row per RETAINED
+    * generation, `(seq = generation, kind ∈ data|delete, n_rows)`,
+    * computed from parquet FOOTERS on the driver (data generations
+    * sum their files; a delete snapshot counts the keys its
+    * `_tombstones` removed — churn-sized, the log tier's own delete
+    * semantics). The seq column feeds `VERSION AS OF` exactly like
+    * the log tier's — inspect, then travel, both tiers, same SQL.
+    * Restated: gen 0 (as registered) and gen 1 (compacted) carry the
+    * full row count, gen 2 is the published delete snapshot of the
+    * %17 slice. */
+  val a54 = Q("a54_catalog_history", Some("""
+    SELECT CAST(0 AS BIGINT) AS seq, 'data' AS kind,
+      CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 1, 'data', (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 2, 'delete',
+      (SELECT count(*) FROM orders WHERE o_orderkey % 17 = 3)
+    ORDER BY seq""")) { (s, d) =>
+    val root = ensureHistoryGens(s, d)
+    s.sql("DROP TABLE IF EXISTS a54_hist_orders")
+    graft.sources.LakeSink.registerExternal(s, "a54_hist_orders",
+      s"$root/t.g1", key = "o_orderkey", format = "parquet")
+    s.sql("SELECT seq, kind, n_rows FROM graft_history('a54_hist_orders') " +
+      "ORDER BY seq")
+  }
+
+  private def ensureDbDml(s: SparkSession, d: String): String =
+    stampedFixture(s, d, "graft_dbdml",
+      dir => Option(new java.io.File(dir, "_updates").listFiles())
+          .getOrElse(Array.empty).count(_.getName.startsWith("u-")) == 2 &&
+        Option(new java.io.File(dir, "_deletes").listFiles())
+          .getOrElse(Array.empty).count(_.getName.startsWith("b-")) == 1) { bld =>
+      t(s, d, "orders").repartition(4).write.mode("overwrite")
+        .parquet(bld.getPath)
+      val bp = bld.getPath
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_a55")
+      s.sql("DROP TABLE IF EXISTS graft_a55.orders_t")
+      s.sql(s"CREATE TABLE graft_a55.orders_t USING parquet LOCATION '$bp'")
+      s.sql("ALTER TABLE graft_a55.orders_t " +
+        "SET TBLPROPERTIES ('graft.key' = 'o_orderkey')")
+      s.sql("UPDATE graft_a55.orders_t SET o_orderstatus = 'U' " +
+        "WHERE o_orderkey % 13 = 1")
+      s.sql("DELETE FROM graft_a55.orders_t WHERE o_orderkey % 17 = 3")
+      s.sql("INSERT INTO graft_a55.orders_t " +
+        "SELECT o_orderkey + 30000000, o_custkey, 'I', " +
+        "o_totalprice + 10.0, o_orderdate, o_orderpriority " +
+        "FROM graft_a55.orders_t WHERE o_orderkey % 29 = 11")
+      s.sql("DROP TABLE IF EXISTS graft_a55.orders_t")
+      s.sql("DROP DATABASE IF EXISTS graft_a55")
+    }
+
+  /** a55: DATABASE-QUALIFIED DML (VERDICT-r16 missing #1 — every
+    * real catalog has databases; the reference's table name is
+    * env-configured, order_rdbms_blob.js:449): the full statement
+    * set — UPDATE / DELETE / INSERT (PK semantics, the insert's
+    * source read through the same qualified name) — issued against
+    * `graft_a55.orders_t`, resolved through the session catalog's
+    * database rules into the SAME keyed log any spelling of the
+    * table addresses. The fold restates: %13 slice updated, %17
+    * slice deleted, the %29 slice re-inserted under shifted keys
+    * with its own status. DmlSpec pins the qualified travel/OPTIMIZE
+    * companions deterministically. */
+  val a55 = Q("a55_db_dml", Some("""
+    WITH v AS (
+      SELECT CASE WHEN o_orderkey % 13 = 1 THEN 'U'
+             ELSE o_orderstatus END AS status,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE NOT (o_orderkey % 17 = 3)
+      UNION ALL
+      SELECT 'I',
+        CAST(floor((o_totalprice + 10.0) * 100.0 + 0.5) AS BIGINT)
+      FROM orders WHERE o_orderkey % 29 = 11)
+    SELECT status, count(*) AS n_orders,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v GROUP BY status ORDER BY status""")) { (s, d) =>
+    val dir = ensureDbDml(s, d)
+    graft.sources.LakeSink.morReadUpsertDir(s, dir, "o_orderkey")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("status")
+  }
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
     a25, a26, a27, a28, a29, a30, a31, a32, a33, a34, a35, a36, a37,
-    a38, a39, a40, a41, a42, a43, a44, a45, a46, a47, a48, a49, a50)
+    a38, a39, a40, a41, a42, a43, a44, a45, a46, a47, a48, a49, a50,
+    a51, a52, a53, a54, a55)
 }

@@ -186,7 +186,8 @@ object LakeSink {
     * what makes the swap atomic for readers). Idempotent. */
   def registerExternal(spark: SparkSession, table: String, path: String,
       format: String = "parquet"): Unit =
-    spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` USING $format LOCATION '$path'")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${tableIdent(table).quotedString} " +
+      s"USING $format LOCATION '$path'")
 
   /** [[registerExternal]] carrying the table's MERGE KEY as the
     * `graft.key` table property — what the SQL DML surface
@@ -198,8 +199,8 @@ object LakeSink {
   def registerExternal(spark: SparkSession, table: String, path: String,
       key: String, format: String): Unit = {
     registerExternal(spark, table, path, format)
-    spark.sql(
-      s"ALTER TABLE `$table` SET TBLPROPERTIES ('graft.key' = '$key')")
+    spark.sql(s"ALTER TABLE ${tableIdent(table).quotedString} " +
+      s"SET TBLPROPERTIES ('graft.key' = '$key')")
   }
 
   /** NO-GAP compaction for a catalog-addressed table: the compacted
@@ -350,7 +351,7 @@ object LakeSink {
       keyStatsCols: Seq[String] = Nil)
       (write: (DataFrame, String, String) => Long): Long = {
     val catalog = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    val ident = tableIdent(table)
     require(catalog.tableExists(ident), s"unknown table $table")
     val meta = catalog.getTableMetadata(ident)
     val format = meta.provider.getOrElse("parquet")
@@ -510,8 +511,9 @@ object LakeSink {
         fs.delete(next, true); releaseClaim(); throw e }
     }
     // THE no-gap publish: one catalog metadata operation
-    spark.sql(s"ALTER TABLE `$table` SET LOCATION '${next.toString}'")
-    spark.catalog.refreshTable(table)
+    spark.sql(s"ALTER TABLE ${ident.quotedString} " +
+      s"SET LOCATION '${next.toString}'")
+    spark.catalog.refreshTable(ident.quotedString)
     releaseClaim()
     expected
   }
@@ -599,7 +601,7 @@ object LakeSink {
   private def generationPaths(spark: SparkSession, table: String)
       : (Seq[(Long, String)], String, Long) = {
     val catalog = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    val ident = tableIdent(table)
     require(catalog.tableExists(ident), s"unknown table $table")
     val meta = catalog.getTableMetadata(ident)
     val format = meta.provider.getOrElse("parquet")
@@ -1144,7 +1146,7 @@ object LakeSink {
   def softDelete(spark: SparkSession, table: String, keys: DataFrame,
       key: String, retainMs: Long = 600000L): Long = {
     val catalog = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    val ident = tableIdent(table)
     require(catalog.tableExists(ident), s"unknown table $table")
     val curLoc = new org.apache.hadoop.fs.Path(
       catalog.getTableMetadata(ident).location)
@@ -1278,29 +1280,53 @@ object LakeSink {
     }
   }
 
+  /** the committed schema versions under `dir`'s log:
+    * `_updates/_schema-<n>` files (n ≥ 1), plus the pre-r17 bare
+    * `_updates/_schema` as version 0 when present. */
+  private def schemaVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val ups = new org.apache.hadoop.fs.Path(dir, "_updates")
+    val versioned = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(ups, "_schema-*")))
+      .getOrElse(Array.empty).toIndexedSeq
+      .flatMap { st =>
+        scala.util.Try(
+          st.getPath.getName.stripPrefix("_schema-").toLong).toOption
+          .map(_ -> st.getPath)
+      }
+    val legacy = new org.apache.hadoop.fs.Path(ups, "_schema")
+    val all =
+      if (fs.exists(legacy)) versioned :+ (0L -> legacy) else versioned
+    all.sortBy(_._1)
+  }
+
   /** the table's COMMITTED EVOLVED SCHEMA, when an [[evolveUpsertDir]]
-    * ever widened it (`_updates/_schema`, a JSON StructType committed
-    * by single-file rename under the log claim). Every fold-side read
-    * resolves through it: base files and pre-evolution log batches
-    * NULL-FILL the added columns natively in the parquet reader (the
-    * explicit-schema read — zero footer merging, the [[readEvolved]]
-    * catalog-schema rule applied to the log tier). Absent = the base
-    * footers' schema, exactly as before evolution existed. */
+    * ever widened it: the HIGHEST `_updates/_schema-<n>` version
+    * (each evolution commits a NEW versioned file by single-file
+    * rename under the log claim and never touches its predecessors —
+    * the max-pick makes a RE-evolution atomic for claim-less
+    * concurrent readers: there is no delete-then-rename window in
+    * which no schema exists, the wrong answer that would silently
+    * serve the narrowed pre-evolution fold; the repo's generation
+    * pattern applied to schema files). The pre-r17 bare `_schema`
+    * reads as version 0. Every fold-side read resolves through the
+    * pick: base files and pre-evolution log batches NULL-FILL added
+    * columns and UPCAST widened ones natively in the parquet reader
+    * (the explicit-schema read — zero footer merging, the
+    * [[readEvolved]] catalog-schema rule applied to the log tier).
+    * Absent = the base footers' schema, exactly as before evolution
+    * existed. */
   private[graft] def persistedSchema(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[org.apache.spark.sql.types.StructType] = {
-    val p = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(dir, "_updates"), "_schema")
-    if (!fs.exists(p)) None
-    else {
+      dir: String): Option[org.apache.spark.sql.types.StructType] =
+    schemaVersions(fs, dir).lastOption.map { case (_, p) =>
       val in = fs.open(p)
       val json =
         try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
-      Some(org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
-  }
 
   /** a reader for this directory's LOG BATCH files: the evolved
     * schema when committed (old batches null-fill new columns), the
@@ -1967,18 +1993,39 @@ object LakeSink {
     (logSeqs(fs, dir) :+ 0L).max
   }
 
+  /** sum of the parquet FOOTER record counts of the data files
+    * directly under `dir` — a DRIVER-SIDE metadata read (one footer
+    * per file, no Spark job): the history TVF plans at SQL-analysis
+    * time, and launching one count job per landing would cost
+    * thousands of scheduler round-trips on a long-lived table before
+    * the query even plans. Hidden files (`_feed/`, checksums,
+    * `_SUCCESS`) are skipped like every data listing. */
+  private def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long =
+    fs.listStatus(dir).iterator
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") && st.getLen > 0)
+      .map { st =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, fs.getConf))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum
+
   /** the log tier's COMMIT HISTORY: one (seq, kind, n_rows) per
     * committed landing, seq-ordered — the data behind the
     * `graft_history` SQL table function ([[graft.plans
     * .GraftHistoryTvf]]). n_rows is the batch's own row count
-    * (upsert: data rows; delete: tombstoned keys), read from parquet
-    * FOOTERS — metadata-sized at any table size. Pre-seq legacy
-    * tombstones refuse by name ([[migrateLegacyTombstones]] mints
-    * their seqs). */
+    * (upsert: data rows; delete: tombstoned keys), summed from
+    * parquet FOOTERS on the driver — metadata-sized at any table
+    * size, ZERO Spark jobs (spec-pinned with a job listener).
+    * Pre-seq legacy tombstones refuse by name
+    * ([[migrateLegacyTombstones]] mints their seqs). */
   private[graft] def logHistory(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Array[(Long, String, Long)] = {
-    def n(p: String): Long = spark.read.parquet(p).count()
+    def n(p: String): Long =
+      footerRowCount(fs, new org.apache.hadoop.fs.Path(p))
     val ups = updateBatches(fs, dir)
       .map { case (seq, p) => (seq, "upsert", n(p)) }
     val dels = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
@@ -1993,6 +2040,34 @@ object LakeSink {
         (seq, "delete", n(st.getPath.toString))
       }
     (ups ++ dels).sortBy(_._1).toArray
+  }
+
+  /** the CATALOG tier's commit history: one row per RETAINED
+    * generation, `(seq = generation, kind, n_rows)` — the
+    * `graft_history(table)` twin of [[logHistory]] (the log tier's
+    * form), so "inspect, then travel" works on both tiers with the
+    * same columns: any row's seq feeds `VERSION AS OF` (a46's catalog
+    * branch). `kind` ∈ `data` (a published snapshot; n_rows = the
+    * directory's parquet-footer sum) | `delete` (a delete snapshot;
+    * n_rows = its `_tombstones` footer count — the keys it removed,
+    * exactly the log tier's delete semantics: a delete's history row
+    * counts what it deleted, not what survived — computing survivors
+    * would be an anti-join job, and history must stay metadata-
+    * sized). Driver-side footer reads only, zero Spark jobs —
+    * generation row counts used to be the documented reason this
+    * stayed API-only; footers close it. */
+  private[graft] def generationHistory(spark: SparkSession,
+      table: String): Array[(Long, String, Long)] = {
+    val (gens, _, _) = generationPaths(spark, table)
+    val fs = new org.apache.hadoop.fs.Path(gens.head._2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    gens.map { case (g, p) =>
+      val dir = new org.apache.hadoop.fs.Path(p)
+      if (isDeleteGen(fs, dir))
+        (g, "delete",
+          footerRowCount(fs, new org.apache.hadoop.fs.Path(dir, "_tombstones")))
+      else (g, "data", footerRowCount(fs, dir))
+    }.toArray
   }
 
   /** UPGRADE PRE-SEQ TOMBSTONES — pre-r15 `b-<tag>` delete batches
@@ -2245,16 +2320,24 @@ object LakeSink {
     * compacting first (Delta/Hudi evolve through MERGE; the
     * reference's own sql_schema DDL evolves mid-walkthrough,
     * db_setup.js). The evolving batch carries the FULL WIDENED row
-    * set: every existing column (same types — drift refuses exactly
-    * like the non-evolving landing) plus ≥1 added column. Two
-    * commits under ONE log claim:
+    * set: every existing column — at the table's type, or at a SAFE
+    * UPCAST of it (the lattice the vectorized parquet reader natively
+    * widens AND that is value-exact: int→long, float→double,
+    * int→double; Delta's type-widening feature rides the same reader
+    * support) — plus ≥0 added columns; at least one change (added
+    * column or widened type) is required. Two commits under ONE log
+    * claim:
     *
-    *  1. the widened schema lands as `_updates/_schema` (a JSON
-    *     StructType, single-file rename — atomic): from that point
-    *     EVERY fold-side read resolves through it, and base files,
-    *     pre-evolution log batches, and pre-evolution feed files
-    *     NULL-FILL the added columns natively in the parquet reader
-    *     (explicit-schema read — zero footer merging, no file
+    *  1. the widened schema lands as the NEXT `_updates/_schema-<n>`
+    *     version (a JSON StructType, single-file rename to a FRESH
+    *     name — predecessors are never touched, so a concurrent
+    *     claim-less fold read always max-picks a complete committed
+    *     schema: no delete-then-rename window can serve the narrowed
+    *     pre-evolution fold): from that point EVERY fold-side read
+    *     resolves through it, and base files, pre-evolution log
+    *     batches, and pre-evolution feed files NULL-FILL the added
+    *     columns and UPCAST the widened ones natively in the parquet
+    *     reader (explicit-schema read — zero footer merging, no file
     *     rewritten: evolution costs one metadata file at any table
     *     size);
     *  2. the batch lands as an ORDINARY [[softUpsertDir]] batch (the
@@ -2262,13 +2345,21 @@ object LakeSink {
     *     the seq counter, and the `_feed` rows apply unchanged.
     *
     * After evolution the log stays UNIFORM at the widened schema:
-    * subsequent batches must carry the added columns (the standard
-    * column-set refusal, now against the evolved set) — a writer
-    * without values writes explicit NULLs to mean it. Refusals BY
-    * NAME: dropped columns, type changes, a batch that adds nothing
-    * (softUpsertDir is the non-evolving landing). Crash between the
-    * two commits leaves the widened schema with the added columns
-    * all-NULL — a valid additive state the retry converges from.
+    * subsequent batches must carry the added columns and widened
+    * types (the standard column-set/drift refusals, now against the
+    * evolved set) — a writer without values writes explicit NULLs to
+    * mean it. Refusals BY NAME: dropped columns, NON-widening type
+    * changes (narrowing, decimal precision growth — its parquet
+    * physical layout differs by precision, so the widened read would
+    * need a rewrite: compact first, then evolve), widening the KEY
+    * column (tombstone batches and travel folds join on the key
+    * across landings written at BOTH widths — mixed-width key files
+    * under one footer-inferred read are exactly the failure the
+    * uniform-log contract exists to prevent), and a batch that
+    * changes nothing (softUpsertDir is the non-evolving landing).
+    * Crash between the two commits leaves the widened schema with
+    * the added columns all-NULL — a valid additive state the retry
+    * converges from.
     * Compaction ([[compactUpsertsDir]] and the partitioned form)
     * materializes the widened view and retires `_schema` with the
     * log. NOTE: plain single-root reads under
@@ -2288,29 +2379,66 @@ object LakeSink {
         s"SCHEMA EVOLUTION REFUSED (dropped columns): " +
           s"${dropped.mkString(", ")} — an evolving batch carries the " +
           "full widened row; write explicit NULLs to mean them")
-      val conflicts = batch.schema.flatMap { f =>
+      // the safe-upcast lattice: value-exact AND natively upcast by
+      // the vectorized parquet reader (spec-verified pairs only —
+      // long→double is NOT exact above 2^53, decimal growth changes
+      // the physical FLBA width; both refuse below)
+      import org.apache.spark.sql.types.{DoubleType, FloatType,
+        IntegerType, LongType}
+      def widens(from: org.apache.spark.sql.types.DataType,
+          to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (IntegerType, DoubleType) => true
+        case _ => false
+      }
+      val changed = batch.schema.flatMap { f =>
         curTypes.get(f.name).collect { case t if t != f.dataType =>
-          s"${f.name}: table=${t.simpleString} batch=${f.dataType.simpleString}"
+          (f.name, t, f.dataType)
         }
       }
-      require(conflicts.isEmpty,
-        s"SCHEMA EVOLUTION REFUSED (type change): ${conflicts.mkString("; ")}")
+      val (widenings, refusedTypes) = changed.partition {
+        case (_, from, to) => widens(from, to)
+      }
+      require(refusedTypes.isEmpty,
+        s"SCHEMA EVOLUTION REFUSED (type change): " +
+          refusedTypes.map { case (c, t, b) =>
+            s"$c: table=${t.simpleString} batch=${b.simpleString}"
+          }.mkString("; ") +
+          " — only the reader's exact native upcasts widen " +
+          "(int→long, float→double, int→double); anything else " +
+          "needs compactUpsertsDir first, then a rewrite at the new " +
+          "type")
+      require(!widenings.exists(_._1 == key),
+        s"SCHEMA EVOLUTION REFUSED (key widening): '$key' — tombstones " +
+          "and travel folds join the key across landings at both " +
+          "widths; compactUpsertsDir first, then rewrite the key " +
+          "deliberately")
       val added = batch.columns.filterNot(c => data.columns.contains(c))
-      require(added.nonEmpty,
-        "SCHEMA EVOLUTION REFUSED: the batch adds no columns — " +
-          "softUpsertDir is the non-evolving landing")
-      // commit 1: the widened schema — added columns APPEND after the
-      // current layout, so positional consumers stay stable
+      require(added.nonEmpty || widenings.nonEmpty,
+        "SCHEMA EVOLUTION REFUSED: the batch adds no columns and " +
+          "widens no types — softUpsertDir is the non-evolving landing")
+      // commit 1: the widened schema — existing columns keep their
+      // slot (widened ones at the upcast type), added columns APPEND
+      // after the current layout, so positional consumers stay stable
+      val widenedBy = widenings.map(w => w._1 -> w._3).toMap
       val widened = org.apache.spark.sql.types.StructType(
-        data.schema.fields ++ added.map(c => batch.schema(c)))
+        data.schema.fields.map(f =>
+          widenedBy.get(f.name).fold(f)(t => f.copy(dataType = t))) ++
+          added.map(c => batch.schema(c)))
       val ups = new org.apache.hadoop.fs.Path(loc, "_updates")
       fs.mkdirs(ups)
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val tmp = new org.apache.hadoop.fs.Path(ups, s".tmp-schema-$tag")
       val out = fs.create(tmp, true)
       out.write(widened.json.getBytes("UTF-8")); out.close()
-      val dest = new org.apache.hadoop.fs.Path(ups, "_schema")
-      if (fs.exists(dest)) fs.delete(dest, false)
+      // a FRESH versioned name — never delete-then-rename over the
+      // live pick (the atomicity hole a concurrent reader would fall
+      // through); the version is minted under the held claim, so no
+      // concurrent evolution can mint the same
+      val nextV = (schemaVersions(fs, dir).map(_._1) :+ 0L).max + 1
+      val dest = new org.apache.hadoop.fs.Path(ups, s"_schema-$nextV")
+      require(!fs.exists(dest), s"schema version $dest already exists")
       require(fs.rename(tmp, dest), s"schema commit failed: $tmp -> $dest")
       // commit 2: an ordinary log landing against the widened schema
       softUpsertDir(spark, dir, batch, key, retainMs = retainMs)
@@ -2377,9 +2505,261 @@ object LakeSink {
       source = Some(view))
   }
 
+  /** the Z-ORDER rewrite step [[compactImpl]] runs: the view lands
+    * range-partitioned + sorted on [[zOrderKeyN]] over `clusterCols`
+    * (ONE column = a plain range sort — interleaving one dimension is
+    * the identity), and the cluster columns' [[fileStats]] manifest
+    * is computed FROM the staged files and written INSIDE the stage —
+    * the swap that publishes the layout publishes its pruning
+    * manifest atomically with it (file NAMES are stable under rename,
+    * so the staged manifest stays valid at the final path — the
+    * [[readPrunedAnchored]] anchoring rule). */
+  private def zOrderRewrite(spark: SparkSession, clusterCols: Seq[String],
+      bits: Int, targetRecordsPerFile: Long)
+      : (DataFrame, Int, String) => Unit = (df, nFiles, tmp) => {
+    import org.apache.spark.sql.functions.col
+    val zk =
+      if (clusterCols.size == 1) col(clusterCols.head)
+      else zOrderKeyN(clusterCols.map(col), bits)
+    df.withColumn("__zk", zk)
+      .repartitionByRange(nFiles, col("__zk"))
+      .sortWithinPartitions("__zk").drop("__zk")
+      .write.option("maxRecordsPerFile", targetRecordsPerFile.toString)
+      .mode("overwrite").parquet(tmp)
+    fileStats(spark.read.parquet(tmp), clusterCols)
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "_stats").toString)
+  }
+
+  /** [[compactUpsertsDir]] with a Z-ORDER LAYOUT — `OPTIMIZE … ZORDER
+    * BY` for the DIRECTORY tier (the catalog tier has
+    * [[optimizeZOrderN]]): the folded upsert view materializes
+    * clustered on `clusterCols` through the SAME checked two-rename
+    * swap (logs retire with the superseded directory), with the
+    * cluster columns' `_stats` manifest committed inside the staged
+    * copy. After it, a plain `spark.sql` range predicate over the
+    * cluster columns prunes to ~the intersection files through
+    * [[graft.plans.StatsPruneRule]] — the SQL path from "my table is
+    * slow" to "my table is clustered" (a21/a28's machinery behind the
+    * one maintenance verb; Delta's `OPTIMIZE … ZORDER BY`). Returns
+    * the surviving row count. */
+  def compactUpsertsDirZOrder(spark: SparkSession, dir: String,
+      key: String, clusterCols: Seq[String],
+      targetRecordsPerFile: Long = 1000000L, bits: Int = 16): Long = {
+    require(clusterCols.nonEmpty, "ZORDER BY needs ≥1 cluster column")
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val pfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nSubdirs = pfs.listStatus(loc).count(st => st.isDirectory &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    require(nSubdirs == 0,
+      s"ZORDER COMPACT REFUSED: $dir is hive-partitioned ($nSubdirs " +
+        "partition directories) — the flat clustered rewrite would " +
+        "drop the layout")
+    val view = morReadUpsertDir(spark, dir, key).localCheckpoint(true)
+    val missing = clusterCols.filterNot(view.columns.contains)
+    require(missing.isEmpty,
+      s"ZORDER COMPACT REFUSED: cluster columns ${missing.mkString(", ")} " +
+        s"not in the table's [${view.columns.mkString(", ")}]")
+    compactImpl(spark, dir, "parquet", targetRecordsPerFile,
+      zOrderRewrite(spark, clusterCols, bits, targetRecordsPerFile),
+      source = Some(view))
+  }
+
+  /** Z-ORDER rewrite of an UNKEYED directory (no log to fold —
+    * [[compactImpl]]'s pending-log refusal guards the misuse):
+    * [[compact]] with the clustered layout + committed `_stats`. */
+  def compactZOrderDir(spark: SparkSession, dir: String,
+      clusterCols: Seq[String], targetRecordsPerFile: Long = 1000000L,
+      bits: Int = 16): Long = {
+    require(clusterCols.nonEmpty, "ZORDER BY needs ≥1 cluster column")
+    val df0 = spark.read.parquet(dir)
+    val missing = clusterCols.filterNot(df0.columns.contains)
+    require(missing.isEmpty,
+      s"ZORDER COMPACT REFUSED: cluster columns ${missing.mkString(", ")} " +
+        s"not in the table's [${df0.columns.mkString(", ")}]")
+    compactImpl(spark, dir, "parquet", targetRecordsPerFile,
+      zOrderRewrite(spark, clusterCols, bits, targetRecordsPerFile))
+  }
+
+  /** the retention floor [[vacuumTable]]/[[vacuumDir]] refuse below
+    * BY NAME (the repo-wide mid-scan-reader / crashed-writer clock
+    * contract: reclaiming younger state could delete a snapshot a
+    * reader is mid-scan on, or a claim grave whose writer is still
+    * deciding). Delta's retentionDurationCheck, with the same
+    * explicit override: `spark.graft.vacuum.retentionCheck.enabled =
+    * false` waives the floor for tests and point-in-time cleanup. */
+  private val VacuumFloorMs = 600000L
+
+  private def requireVacuumRetention(spark: SparkSession,
+      retainMs: Long): Unit = {
+    val checked = spark.conf
+      .get("spark.graft.vacuum.retentionCheck.enabled", "true").toBoolean
+    if (checked && retainMs < VacuumFloorMs)
+      throw new IllegalArgumentException(
+        s"VACUUM REFUSED: retention ${retainMs}ms is below the " +
+          s"${VacuumFloorMs}ms floor — a mid-scan reader of a " +
+          "superseded generation, or a crashed writer's reclaim " +
+          "window, is only safe within it. Raise RETAIN, or set " +
+          "spark.graft.vacuum.retentionCheck.enabled=false to waive " +
+          "the check deliberately.")
+  }
+
+  /** `VACUUM` for a CATALOG table — on-demand retention GC (Delta's
+    * verb; [[publishGeneration]] already GCs opportunistically at
+    * publish entry, but a table nobody republishes keeps paying for
+    * its history — unreclaimed bytes are the first thing a storage
+    * bill surfaces): reclaims, past `retainMs`,
+    *  - SUPERSEDED generations (data or delete snapshots below the
+    *    live one) — except a data generation a RETAINED delete
+    *    snapshot still resolves through (`_data_gen`), whatever its
+    *    age;
+    *  - CRASHED half-written copies above the live snapshot — only
+    *    once aged (an in-flight publish's fresh partial is never
+    *    touched: it is younger than the floor by construction);
+    *  - aged CLAIM GRAVES (`.…claim.reclaim-*` — dead by the rename
+    *    protocol's construction).
+    * Inside the window everything is refused (skipped) by the
+    * retention contract; the floor itself refuses by name
+    * ([[requireVacuumRetention]]). The LIVE generation is never
+    * touched, so a mid-scan reader of the live table is unaffected
+    * at any retention. Returns objects reclaimed. Travel to a
+    * reclaimed generation refuses by name afterward, listing what IS
+    * retained — reclaiming history is the point, silence would not
+    * be. */
+  def vacuumTable(spark: SparkSession, table: String,
+      retainMs: Long = 604800000L): Long = {
+    requireVacuumRetention(spark, retainMs)
+    val catalog = spark.sessionState.catalog
+    val ident = tableIdent(table)
+    require(catalog.tableExists(ident), s"unknown table $table")
+    val curLoc = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(ident).location)
+    val fs = curLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (stem, catGen) = parseGen(curLoc.getName)
+    def glob(p: org.apache.hadoop.fs.Path) =
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val siblings =
+      (glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem + ".g*")) ++
+        glob(new org.apache.hadoop.fs.Path(curLoc.getParent, stem)))
+        .filterNot(_.getPath.getName.endsWith(".claim"))
+    val deleteGens = siblings
+      .filter(st => st.getPath != curLoc && isDeleteGen(fs, st.getPath))
+      .map(st => parseGen(st.getPath.getName)._2)
+    val gen = math.max(catGen, (deleteGens :+ -1L).max)
+    val now = System.currentTimeMillis()
+    def aged(st: org.apache.hadoop.fs.FileStatus) =
+      now - st.getModificationTime > retainMs
+    // data generations still resolved through by a delete snapshot
+    // that SURVIVES this vacuum
+    val referencedData = siblings
+      .filter(st => isDeleteGen(fs, st.getPath) &&
+        !(parseGen(st.getPath.getName)._2 < gen && aged(st)))
+      .flatMap(st => readDataGenRef(fs, st.getPath)).toSet
+    val victims = siblings
+      .filterNot(_.getPath == curLoc)
+      .filter { st =>
+        val g = parseGen(st.getPath.getName)._2
+        if (isDeleteGen(fs, st.getPath)) g < gen && aged(st)
+        else g != catGen && aged(st) && !referencedData.contains(g)
+      }
+    victims.foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
+    val graves = glob(new org.apache.hadoop.fs.Path(curLoc.getParent,
+        s".$stem.g*.claim.reclaim-*"))
+      .filter(aged)
+    graves.foreach(st => scala.util.Try(fs.delete(st.getPath, false)))
+    victims.length.toLong + graves.length
+  }
+
+  /** `VACUUM` for a path-addressed lake DIRECTORY: reclaims, past
+    * `retainMs`,
+    *  - crashed staging leftovers (`.tmp-ups-*` / `.tmp-del-*` /
+    *    `.tmp-schema-*` inside the dir, `<dir>.compact_old` /
+    *    `<dir>.compact_tmp` siblings) — each is pre-commit state a
+    *    crashed writer abandoned (the live committers sweep their own
+    *    kind opportunistically; VACUUM sweeps them all on demand);
+    *  - aged log-claim GRAVES (`.log-claim.reclaim-*`);
+    *  - RETIRED schema versions: every `_schema-<n>` below the
+    *    current max-pick (and the pre-r17 bare `_schema` once
+    *    versioned successors exist) — the committed pick itself is
+    *    never touched, so concurrent fold reads are unaffected.
+    * The data files, the live log, and the live schema are NEVER
+    * candidates — a mid-scan reader survives any vacuum. Runs under
+    * the directory's log claim so no writer lands mid-sweep. Returns
+    * objects reclaimed. */
+  def vacuumDir(spark: SparkSession, dir: String,
+      retainMs: Long = 604800000L): Long = {
+    requireVacuumRetention(spark, retainMs)
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    def aged(st: org.apache.hadoop.fs.FileStatus) =
+      now - st.getModificationTime > retainMs
+    def glob(p: org.apache.hadoop.fs.Path) =
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+    withLogClaim(fs, dir, retainMs) {
+      val stages = (glob(new org.apache.hadoop.fs.Path(loc, ".tmp-ups-*")) ++
+        glob(new org.apache.hadoop.fs.Path(loc, ".tmp-del-*")) ++
+        glob(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(loc, "_updates"), ".tmp-schema-*")) ++
+        glob(new org.apache.hadoop.fs.Path(dir + ".compact_old")) ++
+        glob(new org.apache.hadoop.fs.Path(dir + ".compact_tmp")) ++
+        glob(new org.apache.hadoop.fs.Path(loc, ".log-claim.reclaim-*")))
+        .filter(aged)
+      stages.foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
+      val versions = schemaVersions(fs, dir)
+      val retired =
+        if (versions.size <= 1) Seq.empty
+        else versions.dropRight(1)
+          .filter(v => aged(fs.getFileStatus(v._2)))
+      retired.foreach(v => scala.util.Try(fs.delete(v._2, false)))
+      stages.length.toLong + retired.size
+    }
+  }
+
+  /** parse `t`, `db.t`, or their backtick-quoted forms into a
+    * [[org.apache.spark.sql.catalyst.TableIdentifier]] the session
+    * catalog resolves with its current-database rules — EVERY catalog
+    * lookup in this object goes through it, so the whole surface
+    * (DML, travel, OPTIMIZE, generations) accepts database-qualified
+    * names uniformly (the reference configures its table name
+    * externally, order_rdbms_blob.js:449 — a real catalog has
+    * databases). More than two parts refuses by name (no multi-level
+    * namespaces in the v1 session catalog). */
+  private[graft] def tableIdent(name: String)
+      : org.apache.spark.sql.catalyst.TableIdentifier = {
+    def strip(p: String) = {
+      val t = p.trim
+      if (t.length >= 2 && t.startsWith("`") && t.endsWith("`"))
+        t.substring(1, t.length - 1).replace("``", "`")
+      else t
+    }
+    // split on dots OUTSIDE backticks (`db`.`a.b` is two parts)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder; var inBt = false
+    name.trim.foreach {
+      case '`' => inBt = !inBt; cur += '`'
+      case '.' if !inBt => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    parts.toSeq.map(strip).map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case ps => throw new IllegalArgumentException(
+        s"TABLE NAME REFUSED: '$name' has ${ps.size} parts — at most " +
+          "db.table is addressable in the session catalog")
+    }
+  }
+
+  private[graft] def catalogTableExists(spark: SparkSession,
+      table: String): Boolean =
+    spark.sessionState.catalog.tableExists(tableIdent(table))
+
   private[graft] def tableLocation(spark: SparkSession, table: String): String = {
     val catalog = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    val ident = tableIdent(table)
     require(catalog.tableExists(ident), s"unknown table $table")
     new org.apache.hadoop.fs.Path(
       catalog.getTableMetadata(ident).location).toString
@@ -2782,7 +3162,7 @@ object LakeSink {
     * report pruning that never happened. */
   def tableStats(spark: SparkSession, table: String): DataFrame = {
     val catalog = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    val ident = tableIdent(table)
     require(catalog.tableExists(ident), s"unknown table $table")
     val loc = new org.apache.hadoop.fs.Path(
       catalog.getTableMetadata(ident).location)
@@ -2823,7 +3203,7 @@ object LakeSink {
     // resolve the live location exactly ONCE — manifest, anchor, and
     // surviving files all come from that one snapshot directory
     val catalog = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    val ident = tableIdent(table)
     require(catalog.tableExists(ident), s"unknown table $table")
     val loc = new org.apache.hadoop.fs.Path(
       catalog.getTableMetadata(ident).location).toString
@@ -3086,7 +3466,7 @@ object LakeSink {
     // Path composition, no URI.create (breaks on spaces/relative
     // warehouse dirs).
     val catalog = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)
+    val ident = tableIdent(table)
     val staleLoc =
       if (catalog.tableExists(ident))
         Some(new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location))

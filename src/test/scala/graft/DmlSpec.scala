@@ -435,6 +435,27 @@ class DmlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT max(seq) FROM graft_history('$dir')")
       .head().getLong(0) ==
       graft.sources.LakeSink.lastLandedSeq(spark, dir))
+    // ZERO Spark jobs: the history is a driver-side FOOTER read — the
+    // old spark.read.count() per landing launched one job per batch
+    // at PLAN time of the SQL query (thousands of scheduler
+    // round-trips on a long-lived table); value identity is pinned
+    // against the job-backed counts above
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val fs2 = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val h = graft.sources.LakeSink.logHistory(spark, fs2, dir).toSeq
+      assert(h == hist, "footer counts ≡ the job-backed counts")
+      assert(jobs.get() == 0,
+        s"logHistory launched ${jobs.get()} Spark jobs — must be driver-side")
+    } finally spark.sparkContext.removeSparkListener(listener)
     // a legacy (pre-seq) tombstone has no place in history
     val legacy = new org.apache.hadoop.fs.Path(s"$dir/_deletes/b-legacyxyz")
     Seq(2L).toDF("id").coalesce(1).write.mode("overwrite")
@@ -540,5 +561,242 @@ class DmlSpec extends AnyFunSuite {
       "SELECT * FROM dml_gen VERSION AS OF 99").collect() }
     assert(e.getMessage.contains("TIME TRAVEL REFUSED"))
     spark.sql("DROP TABLE IF EXISTS dml_gen")
+  }
+
+  test("backslash escapes stay in-literal: SET c = 'don\\'t WHERE x' round-trips; MERGE conditions with escaped quotes parse") {
+    import graft.plans.GraftDml.{splitAssignments, topLevelKeyword}
+    // scanner level: the escaped quote must NOT flip quote state
+    assert(topLevelKeyword("a = 'don\\'t WHERE x' WHERE id = 1", "WHERE") == 21)
+    assert(topLevelKeyword("a = 'it\\'s all inside where'", "WHERE") == -1)
+    assert(splitAssignments("a = 'x\\'y, z', b = 2")
+      .contains(Seq("a" -> "'x\\'y, z'", "b" -> "2")))
+    // end to end: the literal lands intact, the top-level WHERE holds
+    val dir = mkTable("dmlesc")
+    val r = spark.sql(
+      s"UPDATE parquet.`$dir` SET name = 'don\\'t WHERE x' WHERE id = 1")
+      .head()
+    assert(r.getString(0) == "update" && r.getLong(1) == 1L)
+    val v = graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+    assert(v.filter(col("id") === 1L).head().getString(1) == "don't WHERE x")
+    // MERGE: an escaped quote inside the delete condition
+    Seq((2L, "d'x", 1.0), (9L, "n9", 9.0))
+      .toDF("id", "name", "price").createOrReplaceTempView("dmlesc_src")
+    val m = spark.sql(s"""MERGE INTO parquet.`$dir` AS t USING dmlesc_src AS u
+      ON t.id = u.id
+      WHEN MATCHED AND u.name = 'd\\'x' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""").head()
+    assert(m.getLong(3) == 1L && m.getLong(2) == 1L)
+    assert(graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+      .filter(col("id") === 2L).isEmpty)
+  }
+
+  test("INSERT routing closes the quoting/parenthesization holes: backtick targets and parenthesized bodies get log semantics; probe failures propagate") {
+    val dir = mkTable("dmlbt")
+    spark.sql("DROP TABLE IF EXISTS dml_bt")
+    graft.sources.LakeSink.registerExternal(spark, "dml_bt", dir,
+      key = "id", format = "parquet")
+    // backtick-quoted target: SAME durability as the unquoted twin —
+    // the effect row proves the graft route (a delegated append
+    // returns Spark's empty result, and no _updates would appear)
+    val r1 = spark.sql("INSERT INTO `dml_bt` VALUES (6, 'f', 60.0)").head()
+    assert(r1.getString(0) == "insert" && r1.getLong(2) == 1L)
+    // parenthesized body: `INSERT INTO t (SELECT …)` routes too
+    val r2 = spark.sql(
+      "INSERT INTO dml_bt (SELECT 7, 'g', 70.0)").head()
+    assert(r2.getString(0) == "insert" && r2.getLong(2) == 1L)
+    // column list + parenthesized body compose
+    val r3 = spark.sql(
+      "INSERT INTO dml_bt (id, price) (SELECT 8, 80.0)").head()
+    assert(r3.getLong(2) == 1L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/_updates", "u-*")).length == 3,
+      "all three inserts landed as log batches")
+    assert(graft.sources.LakeSink.changeFeed(spark, dir, "id")
+      .filter(col("op") === "insert").count() == 3L)
+    // PK refusal fires through the quoted form too
+    assert(intercept[Exception] {
+      spark.sql("INSERT INTO `dml_bt` VALUES (6, 'dup', 0.0)")
+    }.getMessage.contains("already live"))
+    spark.sql("DROP TABLE IF EXISTS dml_bt")
+    // DEFINITIVE negatives still delegate: an unknown table falls to
+    // Spark's own resolver error, not a graft refusal
+    val eUnknown = intercept[Exception] {
+      spark.sql("INSERT INTO no_such_graft_table VALUES (1)")
+    }
+    assert(!eUnknown.getMessage.contains("INSERT REFUSED"),
+      "unknown tables are Spark's error, not graft's")
+  }
+
+  test("database-qualified identifiers: UPDATE/DELETE/INSERT/MERGE, VERSION AS OF, and OPTIMIZE against db.t") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")
+    val dir = freshDir("dmldb")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+        (4L, "d", 40.0), (5L, "e", 50.0))
+      .toDF("id", "name", "price").write.parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS graftdb.dml_db")
+    spark.sql(
+      s"CREATE TABLE graftdb.dml_db USING parquet LOCATION '$dir'")
+    spark.sql(
+      "ALTER TABLE graftdb.dml_db SET TBLPROPERTIES ('graft.key' = 'id')")
+    // catalog-tier travel must see the PRE-DML base later: pin gen 0
+    val r1 = spark.sql(
+      "UPDATE graftdb.dml_db SET price = 99.0 WHERE id = 1").head()
+    assert(r1.getString(0) == "update" && r1.getLong(1) == 1L)
+    val r2 = spark.sql("DELETE FROM graftdb.dml_db WHERE id = 2").head()
+    assert(r2.getLong(3) == 1L)
+    val r3 = spark.sql(
+      "INSERT INTO graftdb.dml_db VALUES (9, 'z', 90.0)").head()
+    assert(r3.getLong(2) == 1L)
+    // backtick-qualified spelling addresses the same log
+    val r4 = spark.sql(
+      "UPDATE `graftdb`.`dml_db` SET name = 'q' WHERE id = 3").head()
+    assert(r4.getLong(1) == 1L)
+    val v = graft.sources.LakeSink.morReadUpsertDir(spark, dir, "id")
+    assert(v.count() == 5L)
+    assert(v.filter(col("id") === 1L).head().getDouble(2) == 99.0)
+    assert(v.filter(col("id") === 3L).head().getString(1) == "q")
+    // PK refusal through the qualified name
+    assert(intercept[Exception] {
+      spark.sql("INSERT INTO graftdb.dml_db VALUES (9, 'dup', 0.0)")
+    }.getMessage.contains("already live"))
+    // catalog-tier VERSION AS OF resolves db.t (gen 0 = as registered,
+    // the raw base unfolded)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftdb.dml_db VERSION AS OF 0")
+      .head().getLong(0) == 5L)
+    // OPTIMIZE db.t routes to the dir-tier fold (pending log) and the
+    // plain read serves the folded view
+    val o = spark.sql("OPTIMIZE graftdb.dml_db").head()
+    assert(o.getString(0) == "optimize" && o.getLong(1) == 5L)
+    assert(!new java.io.File(dir, "_updates").isDirectory)
+    val plain = spark.table("graftdb.dml_db")
+    assert(plain.count() == 5L &&
+      plain.filter(col("id") === 1L).head().getDouble(2) == 99.0)
+    spark.sql("DROP TABLE IF EXISTS graftdb.dml_db")
+    spark.sql("DROP DATABASE IF EXISTS graftdb")
+  }
+
+  test("OPTIMIZE … ZORDER BY: the clustered rewrite + committed stats make the very next plain-SQL range query prune; malformed tails refuse at parse level") {
+    val dir = freshDir("dmlzo")
+    // shuffled layout: every file holds the full id range, so a range
+    // predicate can prune NOTHING before the ZORDER
+    spark.range(8000L).select(col("id"),
+        (col("id") % 97).as("bucket"),
+        concat(lit("n"), col("id")).as("name"), lit(1.0).as("price"))
+      .repartition(8).write.parquet(dir)
+    graft.sources.LakeSink.registerKeyDir(spark, dir, "id")
+    spark.sql(s"UPDATE parquet.`$dir` SET price = 9.0 WHERE id = 7777")
+    spark.conf.set("spark.graft.optimize.targetRecordsPerFile", "1000")
+    val o = try spark.sql(
+      s"OPTIMIZE parquet.`$dir` ZORDER BY (id, bucket)").head()
+    finally spark.conf.unset("spark.graft.optimize.targetRecordsPerFile")
+    assert(o.getString(0) == "optimize" && o.getLong(1) == 8000L)
+    assert(!new java.io.File(dir, "_updates").isDirectory,
+      "the log retired with the swap")
+    assert(new java.io.File(dir, "_stats").isDirectory,
+      "the cluster columns' manifest committed with the layout")
+    // the NEXT plain spark.sql range query prunes through the
+    // manifest — no API call, no rebuild step in between
+    spark.conf.set("spark.graft.statsPrune.enabled", "true")
+    try {
+      val q = spark.sql(
+        s"SELECT sum(price) AS s FROM parquet.`$dir` WHERE id BETWEEN 100 AND 220")
+      val nAll = new java.io.File(dir).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      val files = q.inputFiles.length
+      assert(files < nAll,
+        s"pruned read must touch < $nAll files, read $files of $nAll")
+      assert(math.abs(q.head().getDouble(0) - 121.0) < 1e-9)
+    } finally spark.conf.unset("spark.graft.statsPrune.enabled")
+    // the updated row survived the clustered fold
+    assert(spark.read.parquet(dir).filter(col("id") === 7777L)
+      .head().getDouble(3) == 9.0)
+    // malformed tails refuse at PARSE level, naming the shapes
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql(s"OPTIMIZE parquet.`$dir` ZORDER BY id")
+    }
+    assert(e1.getMessage.contains("OPTIMIZE REFUSED"))
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"OPTIMIZE parquet.`$dir` WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("OPTIMIZE REFUSED"))
+  }
+
+  test("VACUUM: retention floor refuses by name; past retention, superseded generations and staging leftovers reclaim — the live read never wavers") {
+    // ---- catalog tier: a publish history with superseded gens ----
+    val dir = freshDir("dmlvac")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "price").write.parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS dml_vac")
+    graft.sources.LakeSink.registerExternal(spark, "dml_vac", dir,
+      key = "id", format = "parquet")
+    graft.sources.LakeSink.compactTable(spark, "dml_vac", 1000L)   // g1
+    graft.sources.LakeSink.compactTable(spark, "dml_vac", 1000L)   // g2
+    assert(graft.sources.LakeSink.listGenerations(spark, "dml_vac")
+      .size == 3)
+    // the floor refuses by name
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("VACUUM dml_vac RETAIN 0 HOURS")
+    }
+    assert(e.getMessage.contains("VACUUM REFUSED") &&
+      e.getMessage.contains("floor"))
+    // inside the window nothing reclaims (refusal-by-skip)
+    assert(spark.sql("VACUUM dml_vac").head().getLong(1) == 0L)
+    assert(graft.sources.LakeSink.listGenerations(spark, "dml_vac")
+      .size == 3)
+    // a mid-scan reader of the LIVE generation + the waived-floor
+    // vacuum: superseded generations reclaim, the live scan completes
+    val live = spark.table("dml_vac").filter(col("id") <= 2L)
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+    try {
+      val n = spark.sql("VACUUM dml_vac RETAIN 0 MINUTES").head().getLong(1)
+      assert(n >= 2L, s"two superseded generations must reclaim, got $n")
+    } finally
+      spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
+    assert(live.count() == 2L, "the mid-scan live reader survives")
+    assert(graft.sources.LakeSink.listGenerations(spark, "dml_vac")
+      == Seq(2L), "only the live generation is retained")
+    // travel to reclaimed history refuses BY NAME (never silently empty)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM dml_vac VERSION AS OF 0").collect()
+    }
+    assert(e2.getMessage.contains("TIME TRAVEL REFUSED"))
+    spark.sql("DROP TABLE IF EXISTS dml_vac")
+
+    // ---- directory tier: staging leftovers + retired schema versions
+    val d2 = freshDir("dmlvacd")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(d2)
+    graft.sources.LakeSink.registerKeyDir(spark, d2, "id")
+    graft.sources.LakeSink.evolveUpsertDir(spark, d2,
+      Seq((1L, "a2", "x")).toDF("id", "name", "extra"), "id")
+    graft.sources.LakeSink.evolveUpsertDir(spark, d2,
+      Seq((1L, "a3", "x", 5L)).toDF("id", "name", "extra", "rank"), "id")
+    // a crashed writer's stage leftover, aged past any window
+    val leftover = new java.io.File(d2, ".tmp-ups-deadbeef-123")
+    leftover.mkdirs()
+    leftover.setLastModified(System.currentTimeMillis() - 3600000L)
+    assert(new java.io.File(s"$d2/_updates", "_schema-1").isFile)
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+    try {
+      val n = spark.sql(s"VACUUM parquet.`$d2` RETAIN 0 MINUTES")
+        .head().getLong(1)
+      assert(n >= 2L, s"stage + retired schema version, got $n")
+    } finally
+      spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
+    assert(!new java.io.File(d2, ".tmp-ups-deadbeef-123").exists)
+    assert(!new java.io.File(s"$d2/_updates", "_schema-1").isFile,
+      "the retired schema version reclaimed")
+    assert(new java.io.File(s"$d2/_updates", "_schema-2").isFile,
+      "the live max-pick is never touched")
+    val v = graft.sources.LakeSink.morReadUpsertDir(spark, d2, "id")
+    assert(v.columns.toSeq == Seq("id", "name", "extra", "rank") &&
+      v.count() == 2L, "the fold still serves the committed schema")
+    // malformed tail refuses at parse level
+    assert(intercept[UnsupportedOperationException] {
+      spark.sql(s"VACUUM parquet.`$d2` RETAIN SOME")
+    }.getMessage.contains("VACUUM REFUSED"))
   }
 }

@@ -581,4 +581,138 @@ class UpsertLogSpec extends AnyFunSuite {
       Seq("id", "name", "price", "part", "grade") && plain.count() == 32L)
     assert(!new java.io.File(dir, "_updates").isDirectory)
   }
+
+  test("versioned schema commit: a RE-evolution never opens a no-schema window — concurrent fold-side reads always see a committed schema") {
+    val dir = mkTable("reevolve", 20L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // evolution 1: add 'grade'
+    LakeSink.evolveUpsertDir(spark, dir,
+      spark.range(0L, 5L).select(col("id"), lit("e1").as("name"),
+        lit(1.0).as("price"), lit(0L).as("part"), lit("A").as("grade")),
+      "id")
+    assert(new java.io.File(s"$dir/_updates", "_schema-1").isFile,
+      "evolution commits a VERSIONED schema file")
+    // readers hammer the schema pick while evolution 2 lands: the old
+    // delete-then-rename swap had a window where NO schema existed and
+    // the fold silently served the narrowed pre-evolution schema — the
+    // max-pick over never-deleted versions closes it
+    val sawMissing = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sawNarrow = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (0 until 4).map(_ => new Thread(() => {
+      while (!stop.get()) {
+        LakeSink.persistedSchema(fs, dir) match {
+          case None => sawMissing.incrementAndGet()
+          case Some(s0) => if (s0.fields.length < 5) sawNarrow.incrementAndGet()
+        }
+      }
+    }))
+    readers.foreach(_.start())
+    try
+      LakeSink.evolveUpsertDir(spark, dir,
+        spark.range(3L, 8L).select(col("id"), lit("e2").as("name"),
+          lit(2.0).as("price"), lit(0L).as("part"), lit("B").as("grade"),
+          lit(7L).as("rank")), "id")
+    finally { stop.set(true); readers.foreach(_.join()) }
+    assert(sawMissing.get() == 0,
+      s"${sawMissing.get()} reads saw NO committed schema mid-re-evolution")
+    assert(sawNarrow.get() == 0,
+      s"${sawNarrow.get()} reads saw the narrowed pre-evolution schema")
+    assert(new java.io.File(s"$dir/_updates", "_schema-2").isFile &&
+      new java.io.File(s"$dir/_updates", "_schema-1").isFile,
+      "predecessor versions are never touched")
+    val v = LakeSink.morReadUpsertDir(spark, dir, "id")
+    assert(v.columns.toSeq ==
+      Seq("id", "name", "price", "part", "grade", "rank"))
+    assert(v.count() == 20L, "both batches only update existing keys")
+    assert(v.filter(col("id") === 4L).head().getLong(5) == 7L,
+      "the re-evolved batch's rows serve the second added column")
+    assert(v.filter(col("id") === 10L).head().isNullAt(5))
+    // a pre-r17 bare `_schema` still reads — as version 0, outvoted
+    // by any versioned successor
+    val bare = LakeSink.persistedSchema(fs, dir).get
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_updates", "_schema"), true)
+    out.write(org.apache.spark.sql.types.StructType(
+      bare.fields.take(3)).json.getBytes("UTF-8")); out.close()
+    assert(LakeSink.persistedSchema(fs, dir).get.fields.length == 6,
+      "the max-pick outvotes the legacy version-0 file")
+  }
+
+  test("type-widening evolution: int→long / float→double upcast base and old batches in place; narrowing, key widening, decimal refuse by name") {
+    val dir = freshDir("widen")
+    spark.range(20L).select(col("id"),
+      col("id").cast("int").as("qty"),
+      (col("id") * 1.5).cast("float").as("ratio"),
+      concat(lit("n"), col("id")).as("name"))
+      .repartition(2).write.parquet(dir)
+    // pre-widening batch at the ORIGINAL types (seq 1)
+    LakeSink.softUpsertDir(spark, dir,
+      spark.range(3L, 6L).select(col("id"),
+        lit(100).cast("int").as("qty"), lit(9.5f).as("ratio"),
+        lit("v1").as("name")), "id")
+    // PURE-WIDENING evolution: no added column, qty int→long,
+    // ratio float→double (values must upcast, never null-fill)
+    val (u, i) = LakeSink.evolveUpsertDir(spark, dir,
+      spark.range(18L, 23L).select(col("id"),
+        (col("id") * 1000L).as("qty"),
+        lit(2.25).as("ratio"), lit("v2").as("name")), "id")
+    assert(u == 2L && i == 3L)
+    val v = LakeSink.morReadUpsertDir(spark, dir, "id")
+    val types = v.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("qty") == "bigint" && types("ratio") == "double")
+    // base row (id=1): values upcast in place
+    val r1 = v.filter(col("id") === 1L).head()
+    assert(r1.getLong(v.columns.indexOf("qty")) == 1L)
+    assert(math.abs(r1.getDouble(v.columns.indexOf("ratio")) - 1.5) < 1e-9)
+    // pre-widening BATCH row (id=4): log files upcast too
+    val r4 = v.filter(col("id") === 4L).head()
+    assert(r4.getLong(v.columns.indexOf("qty")) == 100L)
+    assert(math.abs(r4.getDouble(v.columns.indexOf("ratio")) - 9.5) < 1e-6)
+    // post-widening row carries the wide values
+    assert(v.filter(col("id") === 20L).head()
+      .getLong(v.columns.indexOf("qty")) == 20000L)
+    assert(v.count() == 23L)
+    // the widened types are the new uniform-log contract: a narrow
+    // batch refuses as drift
+    assert(intercept[IllegalArgumentException] {
+      LakeSink.softUpsertDir(spark, dir,
+        spark.range(1L, 2L).select(col("id"),
+          lit(5).cast("int").as("qty"), lit(1.0).as("ratio"),
+          lit("x").as("name")), "id")
+    }.getMessage.contains("type drift"))
+    // the feed and travel read through the widened schema
+    val feed = LakeSink.changeFeed(spark, dir, "id")
+    assert(feed.schema("qty").dataType.simpleString == "bigint")
+    assert(feed.filter(col("batch_seq") === 1L && col("id") === 4L)
+      .head().getLong(feed.columns.indexOf("qty")) == 100L)
+    val asOf1 = LakeSink.morReadUpsertDirAsOf(spark, dir, "id", 1L)
+    assert(asOf1.schema("qty").dataType.simpleString == "bigint" &&
+      asOf1.count() == 20L)
+    // NARROWING refuses (long→int on qty after the widening)
+    assert(intercept[IllegalArgumentException] {
+      LakeSink.evolveUpsertDir(spark, dir,
+        spark.range(1L, 2L).select(col("id"),
+          lit(5).cast("int").as("qty"), lit(1.0).as("ratio"),
+          lit("x").as("name"), lit("z").as("extra")), "id")
+    }.getMessage.contains("type change"))
+    // KEY widening refuses by name
+    val kd = freshDir("widenkey")
+    spark.range(5L).select(col("id").cast("int").as("id"),
+      lit("a").as("name")).write.parquet(kd)
+    assert(intercept[IllegalArgumentException] {
+      LakeSink.evolveUpsertDir(spark, kd,
+        spark.range(1L, 2L).select(col("id"), lit("b").as("name")), "id")
+    }.getMessage.contains("key widening"))
+    // DECIMAL precision growth refuses (physical layout changes)
+    val dd = freshDir("widendec")
+    spark.range(5L).select(col("id"),
+      col("id").cast("decimal(10,2)").as("amt")).write.parquet(dd)
+    assert(intercept[IllegalArgumentException] {
+      LakeSink.evolveUpsertDir(spark, dd,
+        spark.range(1L, 2L).select(col("id"),
+          col("id").cast("decimal(20,2)").as("amt")), "id")
+    }.getMessage.contains("type change"))
+  }
 }
