@@ -207,17 +207,23 @@ object GraftDml {
 
   private val RetainRe =
     """(?is)^(.*?)\s+RETAIN\s+(\d+)\s+(HOURS?|MINUTES?)\s*$""".r
+  private val DryRunRe = """(?is)^(.*?)\s+DRY\s+RUN\s*$""".r
 
-  /** `VACUUM <target> [RETAIN <n> HOURS|MINUTES]` — default 168
-    * hours (Delta's); the retention floor refuses inside
+  /** `VACUUM <target> [RETAIN <n> HOURS|MINUTES] [DRY RUN]` — default
+    * 168 hours (Delta's shapes, DRY RUN included: count what WOULD
+    * reclaim, delete nothing); the retention floor refuses inside
     * [[graft.sources.LakeSink.vacuumTable]]/[[graft.sources.LakeSink
     * .vacuumDir]]. */
   private def parseVacuum(rest: String): LogicalPlan = {
     def refuse(): Nothing = throw new UnsupportedOperationException(
       "VACUUM REFUSED: the supported shape is `VACUUM <table|" +
-        "parquet.`/dir`> [RETAIN <n> HOURS|MINUTES]` — got: " +
+        "parquet.`/dir`> [RETAIN <n> HOURS|MINUTES] [DRY RUN]` — got: " +
         s"VACUUM ${rest.trim}")
-    val (target, retainMs) = rest.trim match {
+    val (afterDry, dryRun) = rest.trim match {
+      case DryRunRe(t) => (t.trim, true)
+      case t => (t, false)
+    }
+    val (target, retainMs) = afterDry match {
       case RetainRe(t, n, unit) =>
         val ms = n.toLong *
           (if (unit.toUpperCase(java.util.Locale.ROOT).startsWith("HOUR"))
@@ -226,7 +232,7 @@ object GraftDml {
       case t => (t, 604800000L)
     }
     if (!validMaintTarget(target)) refuse()
-    GraftMaintenanceCommand("vacuum", target, Nil, Some(retainMs))
+    GraftMaintenanceCommand("vacuum", target, Nil, Some(retainMs), dryRun)
   }
 
   private def refuseMerge(): Nothing =
@@ -575,16 +581,22 @@ object GraftDml {
           case None => lit(null).cast(view.schema(c).dataType).as(c)
         }
       }: _*).localCheckpoint(true)
-      // PK liveness with the TABLE as the probe side: under morApply
-      // + dynFilePrune + committed `_blooms_<key>`, the optimizer
-      // prunes this semi-join's fact scan to the batch keys' owning
-      // files — the lake's answer to the RDBMS's B-tree duplicate
-      // probe (without the orientation the batch would be the probe
-      // and the rule could never fire)
-      val nLive = view.select(col(key))
-        .join(org.apache.spark.sql.functions.broadcast(
-          batch.select(col(key))), Seq(key), "left_semi")
-        .select(col(key)).distinct().count()
+      // PK liveness, SCALE-DEFAULT (r17): a compacted keyed table
+      // carries `_blooms_<key>` (compactUpsertsDir commits it in the
+      // swap), and the probe consults that manifest DIRECTLY —
+      // base side reads ~the batch keys' owning files, log and
+      // tombstone sides are churn-sized; no opt-in confs (the lake's
+      // answer to the RDBMS's B-tree duplicate probe,
+      // order_rdbms_blob.js:574). Fallback (no/stale manifest): the
+      // view-oriented semi-join — still the orientation the
+      // morApply+dynFilePrune rules CAN prune when enabled.
+      val nLive = graft.sources.LakeSink.liveKeyCount(spark, loc, key,
+          batch.select(col(key))).getOrElse {
+        view.select(col(key))
+          .join(org.apache.spark.sql.functions.broadcast(
+            batch.select(col(key))), Seq(key), "left_semi")
+          .select(col(key)).distinct().count()
+      }
       require(nLive == 0,
         s"INSERT REFUSED: $nLive keys already live in the view — a " +
           "keyed lake INSERT carries primary-key semantics (the " +
@@ -671,11 +683,13 @@ object GraftDml {
     * directory's staging/grave/schema leftovers; a path target
     * reclaims the directory tier only. Returns objects reclaimed. */
   private[plans] def runVacuum(spark: SparkSession, target: String,
-      retainMs: Long): Long = {
+      retainMs: Long, dryRun: Boolean = false): Long = {
     val (loc, table) = resolveTarget(spark, target)
-    val dirN = graft.sources.LakeSink.vacuumDir(spark, loc, retainMs)
+    val dirN = graft.sources.LakeSink.vacuumDir(spark, loc, retainMs,
+      dryRun)
     table.fold(dirN)(t =>
-      dirN + graft.sources.LakeSink.vacuumTable(spark, t, retainMs))
+      dirN + graft.sources.LakeSink.vacuumTable(spark, t, retainMs,
+        dryRun))
   }
 
   private val OnCondRe =
@@ -797,7 +811,8 @@ case class GraftDmlCommand(kind: String, target: String,
   * reclaimed-object count, Delta's metrics shapes reduced to what is
   * deterministic. */
 case class GraftMaintenanceCommand(kind: String, target: String,
-    cols: Seq[String] = Nil, retainMs: Option[Long] = None)
+    cols: Seq[String] = Nil, retainMs: Option[Long] = None,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("op", StringType, nullable = false)(),
@@ -806,8 +821,9 @@ case class GraftMaintenanceCommand(kind: String, target: String,
     case "optimize" =>
       Seq(Row("optimize", GraftDml.runOptimize(spark, target, cols)))
     case "vacuum" =>
-      Seq(Row("vacuum", GraftDml.runVacuum(spark, target,
-        retainMs.getOrElse(604800000L))))
+      Seq(Row(if (dryRun) "vacuum_dryrun" else "vacuum",
+        GraftDml.runVacuum(spark, target,
+          retainMs.getOrElse(604800000L), dryRun)))
   }
 }
 

@@ -2202,9 +2202,12 @@ object Crud {
       .digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_opt_$stamp")
-    // validity = the POST-optimize state: data present, logs retired
+    // validity = the POST-optimize state: data present, log DRAINED
+    // (r17: the _key marker survives the swap — drained means no
+    // pending u-* batches), tombstones gone
     if (!new java.io.File(dir, "_SUCCESS").isFile ||
-        new java.io.File(dir, "_updates").isDirectory ||
+        Option(new java.io.File(dir, "_updates").listFiles())
+          .getOrElse(Array.empty).exists(_.getName.startsWith("u-")) ||
         new java.io.File(dir, "_deletes").isDirectory) {
       Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("graft_opt_"))
@@ -2295,7 +2298,9 @@ object Crud {
   private def ensureZOrderOrders(s: SparkSession, d: String): String =
     stampedFixture(s, d, "graft_zo",
       dir => new java.io.File(dir, "_stats").isDirectory &&
-        !new java.io.File(dir, "_updates").isDirectory) { bld =>
+        new java.io.File(dir, "_blooms_o_orderkey").isDirectory && // r17 layout
+        !Option(new java.io.File(dir, "_updates").listFiles())
+          .getOrElse(Array.empty).exists(_.getName.startsWith("u-"))) { bld =>
       t(s, d, "orders").repartition(4).write.mode("overwrite")
         .parquet(bld.getPath)
       val bp = bld.getPath
@@ -2539,10 +2544,17 @@ object Crud {
       s.sql("UPDATE graft_a55.orders_t SET o_orderstatus = 'U' " +
         "WHERE o_orderkey % 13 = 1")
       s.sql("DELETE FROM graft_a55.orders_t WHERE o_orderkey % 17 = 3")
+      // the INSERT source is a temp view over the RAW source table —
+      // a read of the target itself would be ambient-conf-dependent
+      // (under morApply a plain read of the log-carrying dir folds;
+      // without it, it serves the stale base): fixture builds must be
+      // deterministic under ANY session state
+      t(s, d, "orders").filter(col("o_orderkey") % 29 === 11)
+        .createOrReplaceTempView("a55_ins_src")
       s.sql("INSERT INTO graft_a55.orders_t " +
         "SELECT o_orderkey + 30000000, o_custkey, 'I', " +
         "o_totalprice + 10.0, o_orderdate, o_orderpriority " +
-        "FROM graft_a55.orders_t WHERE o_orderkey % 29 = 11")
+        "FROM a55_ins_src")
       s.sql("DROP TABLE IF EXISTS graft_a55.orders_t")
       s.sql("DROP DATABASE IF EXISTS graft_a55")
     }

@@ -2469,11 +2469,32 @@ object LakeSink {
         "partition directories) — the flat rewrite would drop the " +
         "layout; compactUpsertsPartitionedDir(partitionCols) keeps it")
     val view = morReadUpsertDir(spark, dir, key).localCheckpoint(true)
-    compactImpl(spark, dir, "parquet", targetRecordsPerFile,
-      (_, nFiles, tmp) => view.repartition(nFiles).write
-        .option("maxRecordsPerFile", targetRecordsPerFile.toString)
-        .mode("overwrite").parquet(tmp),
+    val n = compactImpl(spark, dir, "parquet", targetRecordsPerFile,
+      (_, nFiles, tmp) => {
+        view.repartition(nFiles).write
+          .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+          .mode("overwrite").parquet(tmp)
+        // the KEY BLOOM rides the compaction commit (r17): every
+        // compacted keyed table carries `_blooms_<key>` by default, so
+        // the hottest statement's duplicate-key probe (SQL INSERT's PK
+        // check, [[pkProbeFiles]]) reads ~the owning files with NO
+        // opt-in confs — the lake's answer to the RDBMS B-tree probe.
+        // Written INSIDE the stage: the swap publishes data and
+        // manifest atomically (names are rename-stable).
+        fileBlooms(spark.read.parquet(tmp), key)
+          .write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, s"_blooms_$key").toString)
+      },
       source = Some(view))
+    // the KEY REGISTRATION SURVIVES compaction (r17): the log retires
+    // with the superseded directory, the table's IDENTITY does not —
+    // OPTIMIZE must not un-key a live table (Delta keeps metadata
+    // across OPTIMIZE; the old behavior made the very next DML refuse
+    // with an unregistered-key error). A crash between the swap and
+    // this marker leaves a keyless drained dir — DML refuses loudly
+    // until registerKeyDir, never a wrong answer.
+    registerKeyDir(spark, dir, key)
+    n
   }
 
   /** [[compactUpsertsDir]] for a HIVE-PARTITIONED layout — the
@@ -2499,10 +2520,12 @@ object LakeSink {
     require(missing.isEmpty,
       s"UPSERT COMPACT REFUSED: partition columns ${missing.mkString(", ")} " +
         s"not in the table's [${view.columns.mkString(", ")}]")
-    compactImpl(spark, dir, "parquet", targetRecordsPerFile,
+    val n = compactImpl(spark, dir, "parquet", targetRecordsPerFile,
       (_, _, tmp) => writeParquet(view, tmp, partitionCols,
         targetRecordsPerFile),
       source = Some(view))
+    registerKeyDir(spark, dir, key) // identity survives (r17)
+    n
   }
 
   /** the Z-ORDER rewrite step [[compactImpl]] runs: the view lands
@@ -2515,7 +2538,8 @@ object LakeSink {
     * so the staged manifest stays valid at the final path — the
     * [[readPrunedAnchored]] anchoring rule). */
   private def zOrderRewrite(spark: SparkSession, clusterCols: Seq[String],
-      bits: Int, targetRecordsPerFile: Long)
+      bits: Int, targetRecordsPerFile: Long,
+      bloomCols: Seq[String] = Nil)
       : (DataFrame, Int, String) => Unit = (df, nFiles, tmp) => {
     import org.apache.spark.sql.functions.col
     val zk =
@@ -2529,6 +2553,10 @@ object LakeSink {
     fileStats(spark.read.parquet(tmp), clusterCols)
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(tmp, "_stats").toString)
+    bloomCols.foreach(c =>
+      fileBlooms(spark.read.parquet(tmp), c)
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, s"_blooms_$c").toString))
   }
 
   /** [[compactUpsertsDir]] with a Z-ORDER LAYOUT — `OPTIMIZE … ZORDER
@@ -2561,9 +2589,12 @@ object LakeSink {
     require(missing.isEmpty,
       s"ZORDER COMPACT REFUSED: cluster columns ${missing.mkString(", ")} " +
         s"not in the table's [${view.columns.mkString(", ")}]")
-    compactImpl(spark, dir, "parquet", targetRecordsPerFile,
-      zOrderRewrite(spark, clusterCols, bits, targetRecordsPerFile),
+    val n = compactImpl(spark, dir, "parquet", targetRecordsPerFile,
+      zOrderRewrite(spark, clusterCols, bits, targetRecordsPerFile,
+        bloomCols = Seq(key)),
       source = Some(view))
+    registerKeyDir(spark, dir, key) // identity survives (r17)
+    n
   }
 
   /** Z-ORDER rewrite of an UNKEYED directory (no log to fold —
@@ -2628,7 +2659,7 @@ object LakeSink {
     * retained — reclaiming history is the point, silence would not
     * be. */
   def vacuumTable(spark: SparkSession, table: String,
-      retainMs: Long = 604800000L): Long = {
+      retainMs: Long = 604800000L, dryRun: Boolean = false): Long = {
     requireVacuumRetention(spark, retainMs)
     val catalog = spark.sessionState.catalog
     val ident = tableIdent(table)
@@ -2663,11 +2694,13 @@ object LakeSink {
         if (isDeleteGen(fs, st.getPath)) g < gen && aged(st)
         else g != catGen && aged(st) && !referencedData.contains(g)
       }
-    victims.foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
     val graves = glob(new org.apache.hadoop.fs.Path(curLoc.getParent,
         s".$stem.g*.claim.reclaim-*"))
       .filter(aged)
-    graves.foreach(st => scala.util.Try(fs.delete(st.getPath, false)))
+    if (!dryRun) {
+      victims.foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
+      graves.foreach(st => scala.util.Try(fs.delete(st.getPath, false)))
+    }
     victims.length.toLong + graves.length
   }
 
@@ -2688,7 +2721,7 @@ object LakeSink {
     * the directory's log claim so no writer lands mid-sweep. Returns
     * objects reclaimed. */
   def vacuumDir(spark: SparkSession, dir: String,
-      retainMs: Long = 604800000L): Long = {
+      retainMs: Long = 604800000L, dryRun: Boolean = false): Long = {
     requireVacuumRetention(spark, retainMs)
     val loc = new org.apache.hadoop.fs.Path(dir)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2706,13 +2739,15 @@ object LakeSink {
         glob(new org.apache.hadoop.fs.Path(dir + ".compact_tmp")) ++
         glob(new org.apache.hadoop.fs.Path(loc, ".log-claim.reclaim-*")))
         .filter(aged)
-      stages.foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
       val versions = schemaVersions(fs, dir)
       val retired =
         if (versions.size <= 1) Seq.empty
         else versions.dropRight(1)
           .filter(v => aged(fs.getFileStatus(v._2)))
-      retired.foreach(v => scala.util.Try(fs.delete(v._2, false)))
+      if (!dryRun) {
+        stages.foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
+        retired.foreach(v => scala.util.Try(fs.delete(v._2, false)))
+      }
       stages.length.toLong + retired.size
     }
   }
@@ -2884,6 +2919,68 @@ object LakeSink {
     }.reduce(_ && _)
     probed.filter(hit).select("file").distinct()
       .collect().map(_.getString(0))
+  }
+
+  /** the PK-probe's pruned BASE file set: Some(files whose bloom
+    * admits ≥1 probe key, directory-anchored) when `dir` carries a
+    * CURRENT `_blooms_<key>` manifest — the scale-default duplicate-
+    * key check for SQL INSERT ([[graft.plans.GraftDml]].runInsert;
+    * r17, closing the three-conf opt-in: the manifest is probed
+    * DIRECTLY, no planner rule required). None = no manifest, or a
+    * manifest that no longer describes the directory's files (base
+    * files only change at compaction — which commits a fresh manifest
+    * in the same swap — so staleness here means an out-of-band
+    * rewrite: fall back to the full probe rather than trust it).
+    * Driver-side over the file-count-sized manifest. */
+  private[graft] def pkProbeFiles(spark: SparkSession, dir: String,
+      key: String, probeKeys: DataFrame): Option[Array[String]] = {
+    val loc = new org.apache.hadoop.fs.Path(dir)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manPath = new org.apache.hadoop.fs.Path(loc, s"_blooms_$key")
+    if (!fs.exists(manPath)) return None
+    val manifest = spark.read.parquet(manPath.toString)
+    val manifestNames = manifest.select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    if (dataFileNames(fs, dir) != manifestNames) return None
+    Some(bloomSurvivorsKeys(manifest, probeKeys).map(f =>
+      new org.apache.hadoop.fs.Path(loc,
+        new org.apache.hadoop.fs.Path(f).getName).toString))
+  }
+
+  /** the number of `probeKeys` LIVE in `dir`'s upsert view, computed
+    * the SCALE-DEFAULT way when [[pkProbeFiles]] has a current
+    * manifest: live(k) ⇔ (k ∈ pruned-base ∪ k ∈ any log batch) ∧
+    * k ∉ tombstones — exactly the view's key-liveness (a log batch
+    * never loses a key short of a tombstone, and every tombstone
+    * postdates every update of its key by the upsert refusal), but
+    * the base side reads ONLY the bloom survivors (~the owning files
+    * at any table size; the log and tombstone sides are churn-sized
+    * by construction). None = no current manifest; caller runs the
+    * full view probe. */
+  private[graft] def liveKeyCount(spark: SparkSession, dir: String,
+      key: String, probeKeys: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    pkProbeFiles(spark, dir, key, probeKeys).map { survivors =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pk = probeKeys.select(col(probeKeys.columns.head).as(key))
+        .distinct()
+      val baseHits =
+        if (survivors.isEmpty)
+          spark.read.parquet(dir).select(col(key)).limit(0)
+        else spark.read.parquet(survivors.toIndexedSeq: _*)
+          .select(col(key))
+          .join(broadcast(pk), Seq(key), "left_semi")
+      val readBatch = logBatchReader(spark, fs, dir)
+      val logHits = updateBatches(fs, dir)
+        .map { case (_, p) => readBatch(p).select(col(key)) }
+        .foldLeft(baseHits.limit(0))(_.unionByName(_))
+        .join(broadcast(pk), Seq(key), "left_semi")
+      val hits = baseHits.unionByName(logHits).distinct()
+      tombstoneKeys(spark, fs, dir, key)
+        .fold(hits)(t => hits.join(broadcast(t), Seq(key), "left_anti"))
+        .count()
+    }
   }
 
   /** BLOOM-PRUNED point lookup from a directory carrying an

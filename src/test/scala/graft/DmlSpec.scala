@@ -480,7 +480,11 @@ class DmlSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.toString).toSeq
     val r = spark.sql(s"OPTIMIZE parquet.`$dir`").head()
     assert(r.getString(0) == "optimize" && r.getLong(1) == 4L)
-    assert(!new java.io.File(dir, "_updates").isDirectory &&
+    // r17: the log DRAINS but the key registration survives the
+    // swap — OPTIMIZE must not un-key a live table
+    assert(Option(new java.io.File(dir, "_updates").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq == Seq("_key") &&
       !new java.io.File(dir, "_deletes").isDirectory)
     assert(spark.read.parquet(dir).orderBy("id")
       .collect().map(_.toString).toSeq == expect,
@@ -538,7 +542,9 @@ class DmlSpec extends AnyFunSuite {
     assert(spark.table("dmlpubu_t").orderBy("id")
       .collect().map(_.toString).toSeq == expect,
       "the folded update must survive the SQL OPTIMIZE")
-    assert(!new java.io.File(dir, "_updates").isDirectory)
+    assert(Option(new java.io.File(dir, "_updates").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filterNot(_.startsWith(".")).forall(_ == "_key"))
     spark.sql("DROP TABLE IF EXISTS dmlpubu_t")
   }
 
@@ -671,7 +677,10 @@ class DmlSpec extends AnyFunSuite {
     // plain read serves the folded view
     val o = spark.sql("OPTIMIZE graftdb.dml_db").head()
     assert(o.getString(0) == "optimize" && o.getLong(1) == 5L)
-    assert(!new java.io.File(dir, "_updates").isDirectory)
+    assert(Option(new java.io.File(dir, "_updates").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filterNot(_.startsWith(".")).forall(_ == "_key"),
+      "the log drains; the key registration survives")
     val plain = spark.table("graftdb.dml_db")
     assert(plain.count() == 5L &&
       plain.filter(col("id") === 1L).head().getDouble(2) == 99.0)
@@ -694,8 +703,10 @@ class DmlSpec extends AnyFunSuite {
       s"OPTIMIZE parquet.`$dir` ZORDER BY (id, bucket)").head()
     finally spark.conf.unset("spark.graft.optimize.targetRecordsPerFile")
     assert(o.getString(0) == "optimize" && o.getLong(1) == 8000L)
-    assert(!new java.io.File(dir, "_updates").isDirectory,
-      "the log retired with the swap")
+    assert(Option(new java.io.File(dir, "_updates").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filterNot(_.startsWith(".")).forall(_ == "_key"),
+      "the log retired with the swap (the key registration survives)")
     assert(new java.io.File(dir, "_stats").isDirectory,
       "the cluster columns' manifest committed with the layout")
     // the NEXT plain spark.sql range query prunes through the
@@ -752,8 +763,14 @@ class DmlSpec extends AnyFunSuite {
     val live = spark.table("dml_vac").filter(col("id") <= 2L)
     spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
     try {
+      // DRY RUN counts what WOULD reclaim and deletes nothing
+      val dry = spark.sql("VACUUM dml_vac RETAIN 0 MINUTES DRY RUN").head()
+      assert(dry.getString(0) == "vacuum_dryrun")
+      assert(graft.sources.LakeSink.listGenerations(spark, "dml_vac")
+        .size == 3, "DRY RUN must delete nothing")
       val n = spark.sql("VACUUM dml_vac RETAIN 0 MINUTES").head().getLong(1)
       assert(n >= 2L, s"two superseded generations must reclaim, got $n")
+      assert(n == dry.getLong(1), "dry-run count ≡ the real reclaim")
     } finally
       spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
     assert(live.count() == 2L, "the mid-scan live reader survives")
@@ -798,5 +815,53 @@ class DmlSpec extends AnyFunSuite {
     assert(intercept[UnsupportedOperationException] {
       spark.sql(s"VACUUM parquet.`$d2` RETAIN SOME")
     }.getMessage.contains("VACUUM REFUSED"))
+  }
+
+  test("scale-default PK probe: compaction auto-commits the key bloom; INSERT's duplicate check reads only the owning files, no opt-in confs") {
+    val dir = freshDir("dmlpk")
+    spark.range(4000L).select(col("id"),
+        concat(lit("n"), col("id")).as("name"), lit(1.0).as("price"))
+      .repartition(4).write.parquet(dir)
+    graft.sources.LakeSink.registerKeyDir(spark, dir, "id")
+    spark.sql(s"UPDATE parquet.`$dir` SET price = 2.0 WHERE id = 5")
+    spark.conf.set("spark.graft.optimize.targetRecordsPerFile", "500")
+    try spark.sql(s"OPTIMIZE parquet.`$dir`")
+    finally spark.conf.unset("spark.graft.optimize.targetRecordsPerFile")
+    assert(new java.io.File(dir, "_blooms_id").isDirectory,
+      "compaction commits the key bloom BY DEFAULT — the scale path " +
+        "needs no setup step")
+    val nAll = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nAll > 4, s"need a multi-file base, got $nAll")
+    // the probe prunes the BASE side to ~the owning files
+    val files = graft.sources.LakeSink.pkProbeFiles(spark, dir, "id",
+      Seq(42L).toDF("id")).get
+    assert(files.nonEmpty && files.length < nAll,
+      s"probe must read < $nAll files, read ${files.length}")
+    // probe semantics ≡ view liveness: live, absent, then tombstoned
+    assert(graft.sources.LakeSink.liveKeyCount(spark, dir, "id",
+      Seq(42L, 99999999L).toDF("id")).contains(1L))
+    spark.sql(s"DELETE FROM parquet.`$dir` WHERE id = 42")
+    assert(graft.sources.LakeSink.liveKeyCount(spark, dir, "id",
+      Seq(42L).toDF("id")).contains(0L),
+      "a tombstoned key is not live (the probe honors tombstones)")
+    // end to end through SQL: fresh key lands, live key refuses —
+    // including a key live only in the LOG (the churn-side branch)
+    assert(spark.sql(s"INSERT INTO parquet.`$dir` VALUES (777777, 'x', 1.0)")
+      .head().getLong(2) == 1L)
+    assert(intercept[Exception] {
+      spark.sql(s"INSERT INTO parquet.`$dir` VALUES (777777, 'dup', 0.0)")
+    }.getMessage.contains("already live"))
+    assert(intercept[Exception] {
+      spark.sql(s"INSERT INTO parquet.`$dir` VALUES (7, 'dup', 0.0)")
+    }.getMessage.contains("already live"))
+    // a stale manifest is never trusted: rewrite a base file
+    // out-of-band and the probe declines (falls back), it does not
+    // serve wrong liveness
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(f.renameTo(new java.io.File(dir, "zz-" + f.getName)))
+    assert(graft.sources.LakeSink.pkProbeFiles(spark, dir, "id",
+      Seq(1L).toDF("id")).isEmpty, "stale manifest → None, never wrong")
   }
 }

@@ -168,8 +168,11 @@ class UpsertLogSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("part=")).sorted
     assert(parts.toSeq == Seq("part=0", "part=1", "part=2", "part=9"))
-    // logs retired with the swap; plain read ≡ the pre-compaction fold
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_updates")))
+    // logs DRAINED by the swap (r17: the key marker survives — the
+    // identity is not part of the log); tombstones gone
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_updates"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).toSeq ==
+      Seq("_key"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_deletes")))
     val after = spark.read.parquet(dir).select("id", "name", "part")
       .orderBy("id").collect().map(_.toString).toSeq
@@ -579,7 +582,10 @@ class UpsertLogSpec extends AnyFunSuite {
     val plain = spark.read.parquet(dir)
     assert(plain.columns.toSeq ==
       Seq("id", "name", "price", "part", "grade") && plain.count() == 32L)
-    assert(!new java.io.File(dir, "_updates").isDirectory)
+    // r17: the log and its _schema-* retire; the key marker survives
+    assert(Option(new java.io.File(dir, "_updates").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq == Seq("_key"))
   }
 
   test("versioned schema commit: a RE-evolution never opens a no-schema window — concurrent fold-side reads always see a committed schema") {
