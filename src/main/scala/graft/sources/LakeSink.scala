@@ -1998,19 +1998,33 @@ object LakeSink {
     * per file, no Spark job): the history TVF plans at SQL-analysis
     * time, and launching one count job per landing would cost
     * thousands of scheduler round-trips on a long-lived table before
-    * the query even plans. Hidden files (`_feed/`, checksums,
-    * `_SUCCESS`) are skipped like every data listing. */
+    * the query even plans. Footers are read on a BOUNDED PARALLEL
+    * pool: each open is ~10 ms of I/O latency, so a 1500-file
+    * generation read sequentially costs ~18 s at PLAN time (measured,
+    * sf10) — parallel at 16 it is ~1 s, and the work is pure I/O wait
+    * with a deterministic sum, the textbook case for driver-side
+    * parallelism (still zero Spark jobs, spec-pinned). Hidden files
+    * (`_feed/`, checksums, `_SUCCESS`) are skipped like every data
+    * listing. */
   private def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Long =
-    fs.listStatus(dir).iterator
+      dir: org.apache.hadoop.fs.Path): Long = {
+    val files = fs.listStatus(dir)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".") && st.getLen > 0)
-      .map { st =>
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            st.getPath, fs.getConf))
-        try rdr.getRecordCount finally rdr.close()
-      }.sum
+    if (files.isEmpty) return 0L
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.min(16, files.length))
+    try pool.submit(new java.util.concurrent.Callable[Long] {
+      override def call(): Long =
+        java.util.Arrays.stream(files).parallel().mapToLong { st =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              st.getPath, fs.getConf))
+          try rdr.getRecordCount finally rdr.close()
+        }.sum()
+    }).get()
+    finally pool.shutdown()
+  }
 
   /** the log tier's COMMIT HISTORY: one (seq, kind, n_rows) per
     * committed landing, seq-ordered — the data behind the

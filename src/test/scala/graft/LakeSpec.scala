@@ -1368,10 +1368,14 @@ class LakeSpec extends AnyFunSuite {
       .localCheckpoint(true)
     val n = LakeSink.compactUpsertsDir(spark, out, "k", 1000L)
     assert(n == 25L)
-    // logs retired with the swap; the plain read IS the folded view
-    assert(!new java.io.File(out + "/_updates").exists &&
+    // logs DRAINED by the swap (r17: the `_key` registration and the
+    // key bloom survive — the identity is not part of the log; the
+    // old behavior un-keyed a live table); tombstones gone
+    assert(Option(new java.io.File(out + "/_updates").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq == Seq("_key") &&
       !new java.io.File(out + "/_deletes").exists,
-      "compaction must retire both logs with the superseded directory")
+      "compaction must drain the logs; the key registration survives")
     val plain = spark.read.parquet(out)
     assert(plain.count() == 25L &&
       plain.exceptAll(expect).isEmpty && expect.exceptAll(plain).isEmpty,

@@ -1130,7 +1130,10 @@ class StreamingSpec extends AnyFunSuite {
     // compact mid-stream: the view materializes, logs clear, and the
     // NEXT epoch lands on the clean table
     assert(LakeSink.compactUpsertsDir(spark, out, "k", 1000L) == 310L)
-    assert(!new java.io.File(out + "/_updates").exists)
+    // r17: the log drains; the key registration survives the swap
+    assert(Option(new java.io.File(out + "/_updates").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq == Seq("_key"))
     in.addData(Seq((311L, 3L)): _*)
     q.processAllAvailable()
     q.stop()
@@ -2102,6 +2105,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2.size == 1 && got2.head._1.contains("grade") &&
       got2.head._2.contains("C"),
       s"restart must serve the widened schema: $got2")
+  }
+
+  test("type widening vs a LIVE feed stream: post-widening landings fail the narrow running consumer LOUDLY, never silently wrong; a SAME-CHECKPOINT restart heals — history upcast, nothing re-emitted, nothing lost") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_widestream")
+      .toString
+    val dir = s"$root/t"
+    spark.range(10L).select(col("id"),
+      col("id").cast("int").as("qty")).write.parquet(dir)
+    LakeSink.softUpsertDir(spark, dir,
+      Seq((3L, 100)).toDF("id", "qty"), "id")                   // seq 1
+    def startQ(buf: scala.collection.mutable.ArrayBuffer[
+        (String, String)]) =
+      LakeSink.upsertFeedStream(spark, dir).writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val qt = b.schema("qty").dataType.simpleString
+          buf ++= b.collect().map(r => (qt, r.toString)); ()
+        }.start()
+    val got = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = startQ(got)
+    q.processAllAvailable()
+    assert(got.size == 1 && got.head._1 == "int")
+    // WIDENING lands while the stream is LIVE: unlike a column add
+    // (invisible through the old schema — the r16 contract above),
+    // the post-widening feed file's physical type is WIDER than the
+    // running consumer's fixed narrow schema, which the reader cannot
+    // narrow — so the stream FAILS LOUDLY instead of serving
+    // silently-wrong values. That is the contract: widen ⇒ restart.
+    LakeSink.evolveUpsertDir(spark, dir,
+      Seq((5L, 100000L)).toDF("id", "qty"), "id")               // seq 2
+    val e = intercept[Throwable] { q.processAllAvailable() }
+    assert(e.getMessage != null, s"expected a loud failure: $e")
+    scala.util.Try(q.stop())
+    // the SAME-CHECKPOINT restart heals: feedSchemaFor now serves the
+    // widened schema, old feed files upcast in the reader, the failed
+    // batch retries from the checkpoint — seq 2 arrives exactly once,
+    // seq 1 is NOT re-emitted, nothing is lost
+    val got2 = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q2 = startQ(got2)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.nonEmpty && got2.forall(_._1 == "bigint"),
+      s"the restarted consumer reads everything at the widened type: $got2")
+    assert(got2.exists(r => r._2.contains("100000")),
+      s"the post-widening landing arrives after the restart: $got2")
+    assert(!got2.exists(r => r._2.contains(",3,100]")),
+      s"the pre-widening landing must not re-emit: $got2")
   }
 
   test("delete-only MOR tables stream their delete feed — no update log required (r16: the _updates/_key refusal dropped)") {
