@@ -70,28 +70,40 @@ object Bpe {
 
   private val wWord = Window.partitionBy("word").orderBy("pos")
 
-  /** apply ONE pair (the 1-row broadcast `best`: (lhs, rhs)) to a
-    * symbol table with Sennrich left-to-right greedy semantics: in
-    * each run of consecutive matches keep alternate positions
-    * (1st, 3rd, ...), consume the follower, renumber. Shared by
-    * TRAINING rounds and [[applyMerges]], so the two paths cannot
-    * drift — the apply-reproduces-training property BpeSpec pins is
-    * structural, not coincidental. */
-  private def applyPair(syms: DataFrame, best: DataFrame): DataFrame = {
-    val n = syms.withColumn("nxt", lead("sym", 1).over(wWord))
-    val marked = n.join(broadcast(best),
-      col("sym") === col("lhs") && col("nxt") === col("rhs"))
-      .select(col("word"), col("pos"))
-    val starts = marked
-      .withColumn("grp", col("pos") - row_number().over(wWord))
-      .withColumn("rn2", row_number().over(
-        Window.partitionBy("word", "grp").orderBy("pos")))
-      .filter(pmod(col("rn2"), lit(2)) === 1)
-      .select(col("word"), col("pos"))
-    n.join(starts.withColumn("st", lit(true)), Seq("word", "pos"), "left")
-      .join(starts.select(col("word"), (col("pos") + 1).as("pos"),
-        lit(true).as("cons")), Seq("word", "pos"), "left")
-      .filter(col("cons").isNull)
+  /** apply ONE pair (lhs, rhs — plan-time literals) to a symbol
+    * table with Sennrich left-to-right greedy semantics: in each run
+    * of consecutive matches keep alternate positions (1st, 3rd, ...),
+    * consume the follower, renumber. Shared by TRAINING rounds and
+    * [[applyMerges]], so the two paths cannot drift — the
+    * apply-reproduces-training property BpeSpec pins is structural,
+    * not coincidental.
+    *
+    * Plan shape: the pair arrives as literals, so a round is PURE
+    * WINDOW ALGEBRA over the one (word)-partitioned sort — lead,
+    * a running "last unmatched position" max (whose distance gives
+    * the 1-based index inside a run of consecutive matches; odd =
+    * merge start, the islands arithmetic without materializing
+    * islands), a lag to drop consumed followers, and the renumber.
+    * All four window passes share wWord's partitioning+ordering, so
+    * EnsureRequirements inserts NO exchange and NO sort between
+    * them; the previous form joined a broadcast best-pair table and
+    * then self-joined starts back twice on (word, pos) — 3 joins and
+    * their exchanges per round, every round. */
+  private def applyPair(syms: DataFrame, lhs: String, rhs: String): DataFrame = {
+    val wRun = wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    syms.withColumn("nxt", lead("sym", 1).over(wWord))
+      .withColumn("m", col("sym") === lit(lhs) && col("nxt") === lit(rhs))
+      // greatest pos at-or-before this row whose pair does NOT match:
+      // for a matched row, pos - lastNo is its 1-based index within
+      // its run of consecutive matches (runs start right after an
+      // unmatched position, or at pos 1 where lastNo is NULL -> 0)
+      .withColumn("lastNo",
+        max(when(!col("m"), col("pos"))).over(wRun))
+      .withColumn("st", col("m") &&
+        pmod(col("pos") - coalesce(col("lastNo"), lit(0L)), lit(2)) === 1)
+      // a merge start consumes its follower
+      .withColumn("cons", lag("st", 1, false).over(wWord))
+      .filter(!col("cons"))
       .select(col("word"), col("freq"), col("pos"),
         when(col("st"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
           .as("sym"))
@@ -99,19 +111,19 @@ object Bpe {
       .localCheckpoint(true)
   }
 
-  /** one greedy merge round: returns (best pair — 0 or 1 row of
-    * (lhs, rhs) — and the merged symbol table). Checkpoints both: the
-    * round's output feeds the next round on BOTH join sides, and
-    * without the cut the unrolled window lineage compounds. */
-  private def mergeRound(syms: DataFrame): (DataFrame, DataFrame) = {
+  /** one greedy merge round: the argmax pair — count DESC, then
+    * lexicographic (lhs, rhs) — is a LIMIT 1 over the vocab-pair
+    * aggregate; its single row is collected (planning-metadata-sized:
+    * one row, two short strings) so the merge applies as literals.
+    * Returns None when the corpus's pairs are exhausted. */
+  private def bestPair(syms: DataFrame): Option[(String, String)] = {
     val n = syms.withColumn("nxt", lead("sym", 1).over(wWord))
-    val best = n.filter(col("nxt").isNotNull)
+    n.filter(col("nxt").isNotNull)
       .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
       .agg(sum("freq").as("cnt"))
       .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
       .select(col("lhs"), col("rhs"))
-      .localCheckpoint(true)
-    (best, applyPair(syms, best))
+      .collect().headOption.map(r => (r.getString(0), r.getString(1)))
   }
 
   /** tokenize ARBITRARY words with an already-trained merge table —
@@ -125,12 +137,18 @@ object Bpe {
     * Input: distinct (word) rows; returns (word, n_tok). */
   def applyMerges(words: DataFrame, merges: DataFrame,
       nMerges: Int): DataFrame = {
+    // the merge table is nMerges tiny rows (the trained artifact a
+    // serving tier ships everywhere) — one driver read, then every
+    // round applies as plan literals
+    val table = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
     var syms = initSyms(words.select(col("word"), lit(1L).as("freq")))
       .localCheckpoint(true)
     (1 to nMerges).foreach { r =>
-      val best = merges.filter(col("merge_rank") === r)
-        .select(col("lhs"), col("rhs")).localCheckpoint(true)
-      syms = applyPair(syms, best)
+      table.get(r.toLong).foreach { case (l, rr) =>
+        syms = applyPair(syms, l, rr)
+      }
     }
     syms.groupBy("word").agg(count(lit(1)).as("n_tok"))
   }
@@ -141,13 +159,25 @@ object Bpe {
     * `nMerges` rows, never a throw. */
   def train(docs: DataFrame, id: String, text: String,
       nMerges: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
     var syms = initSyms(wordFreq(docs, id, text)).localCheckpoint(true)
-    val merges = (1 to nMerges).map { r =>
-      val (best, next) = mergeRound(syms)
-      syms = next
-      best.select(lit(r.toLong).as("merge_rank"), col("lhs"), col("rhs"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, String)]
+    var exhausted = false
+    (1 to nMerges).foreach { r =>
+      if (!exhausted) bestPair(syms) match {
+        case Some((l, rr)) =>
+          merges += ((r.toLong, l, rr))
+          syms = applyPair(syms, l, rr)
+        case None =>
+          // pairs exhausted: no further round can produce one (a
+          // merge never splits symbols), matching the old empty-best
+          // no-op rounds without paying their jobs
+          exhausted = true
+      }
     }
-    val mergeTable = merges.reduce(_ unionByName _)
+    import spark.implicits._
+    val mergeTable = merges.toSeq.toDF("merge_rank", "lhs", "rhs")
     val vocabTok = syms.groupBy("word").agg(count(lit(1)).as("n_tok"))
     (mergeTable, vocabTok)
   }

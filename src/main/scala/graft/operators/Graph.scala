@@ -40,11 +40,17 @@ object Graph {
       .localCheckpoint(true)
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    // degrees attached to the edge list ONCE, outside the loop: the
+    // old form re-joined edges⋈deg inside every iteration, paying an
+    // edge-sized join per round for a table that never changes. The
+    // checkpointed (u, v, deg) table keeps its u-partitioning, so
+    // each round's contribution join re-shuffles only the node-sized
+    // rank table (or broadcasts it), never the edges.
+    val undDeg = und.join(deg, Seq("u")).localCheckpoint(true)
     var ranks = deg.select(col("u").as("node"), lit(1000000L).as("r"))
       .localCheckpoint(true)
     (1 to iterations).foreach { _ =>
-      val contrib = und.join(deg, Seq("u"))
-        .join(ranks, col("u") === col("node"))
+      val contrib = undDeg.join(ranks, col("u") === col("node"))
         .select(col("v"), expr("r div deg").as("c"))
       val sums = contrib.groupBy(col("v")).agg(sum(col("c")).as("s"))
       ranks = deg.select(col("u").as("node"))
