@@ -279,28 +279,36 @@ object RuntimeFilter {
     val overlap = fact.columns.toSet & dim.columns.toSet
     require(overlap.isEmpty,
       s"adviseJoin: column names must be disjoint, both sides have ${overlap.mkString(", ")}")
-    // THREE scalars per side from ONE action over the checkpointed
-    // count table: total rows, key cardinality (sizes the bloom
-    // branch's filter — no separate count job), and the max per-key
-    // count (nHot > 0 ⇔ max > threshold, so the hot-key count job
-    // runs only when skew actually exists)
-    val fAgg = fCnt.agg(coalesce(sum(col("n")), lit(0L)),
-      count(lit(1)), coalesce(max(col("n")), lit(0L))).head()
-    val (factRows, fMax) = (fAgg.getLong(0), fAgg.getLong(2))
-    val dAgg = dCnt.agg(coalesce(sum(col("n")), lit(0L)),
-      count(lit(1))).head()
-    val (dimRows, dimKeys) = (dAgg.getLong(0), dAgg.getLong(1))
-    val estPairs =
-      if (factRows == 0 || dimRows == 0) 0L
-      else innerProductEst(cmsOfKeyCounts(fCnt, factKey, "n", width, depth),
-        cmsOfKeyCounts(dCnt, dimKey, "n", width, depth))
-        .head().getLong(0)
+    // EVERY decision statistic in ONE action: per-side totals /
+    // cardinality / max, the exact matched-fact semi-join sum, and
+    // the CMS inner-product estimate are each independent 1-row
+    // aggregates over the (checkpointed) count tables, so crossJoining
+    // them costs nothing and collapses what used to be FOUR blocking
+    // driver round-trips (each a scheduled job over the manifest)
+    // into one job whose subtrees run concurrently. innerProductEst
+    // is empty-safe (anchored min, outer coalesce), so the old
+    // factRows==0 shortcut is applied to the collected value instead
+    // of gating a separate job.
+    val fAggDf = fCnt.agg(coalesce(sum(col("n")), lit(0L)).as("f_rows"),
+      count(lit(1)).as("f_keys"), coalesce(max(col("n")), lit(0L)).as("f_max"))
+    val dAggDf = dCnt.agg(coalesce(sum(col("n")), lit(0L)).as("d_rows"),
+      count(lit(1)).as("d_keys"))
     // matched fact rows, EXACT: Σ_k c_fact(k)·[k ∈ dim] over the two
     // count tables already in hand — one key-cardinality-sized
     // semi-join, no corpus scan, no sketch error (see the Scaladoc)
-    val matchedFact = fCnt
+    val matchedDf = fCnt
       .join(dCnt.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
-      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("m_rows"))
+    val estDf = innerProductEst(
+      cmsOfKeyCounts(fCnt, factKey, "n", width, depth),
+      cmsOfKeyCounts(dCnt, dimKey, "n", width, depth))
+    val stats = fAggDf.crossJoin(dAggDf).crossJoin(matchedDf)
+      .crossJoin(estDf).head()
+    val (factRows, fMax) = (stats.getLong(0), stats.getLong(2))
+    val (dimRows, dimKeys) = (stats.getLong(3), stats.getLong(4))
+    val matchedFact = stats.getLong(5)
+    val estPairs =
+      if (factRows == 0 || dimRows == 0) 0L else stats.getLong(6)
     val hot = fCnt.filter(col("n") > lit(factRows * hotFrac))
       .select(col(factKey))
     val nHot = if (fMax > factRows * hotFrac) hot.count() else 0L
