@@ -106,10 +106,17 @@ object BpeIndex {
     val meta = readMeta(spark, dir)
     val wc = Bpe.docWords(docs, id, text).groupBy(col(id), col("word"))
       .agg(count(lit(1)).as("c"))
+    // |unseen vocab| rows by definition — materialized so the
+    // emptiness probe is free and the merge replay runs ONLY when
+    // there is something to encode: on an undrifted corpus (training
+    // set = serving set, the t26/d33 case) the old form replayed all
+    // nMerges rounds over an EMPTY symbol table — ~10 scheduled jobs
+    // (checkpoints + windows) to produce zero rows
     val unseen = wc.select(col("word")).distinct()
       .join(vt.select(col("word")), Seq("word"), "left_anti")
-    val allTok = vt.unionByName(
-      Bpe.applyMerges(unseen, merges, meta.nMerges))
+      .localCheckpoint(true)
+    val allTok = if (unseen.isEmpty) vt
+      else vt.unionByName(Bpe.applyMerges(unseen, merges, meta.nMerges))
     docs.select(col(id))
       .join(wc.join(broadcast(allTok), Seq("word"))
         .groupBy(col(id)).agg(sum(col("c") * col("n_tok")).as("t")),
