@@ -3343,29 +3343,36 @@ object LakeSink {
     * churn rows into ≤ 2·churn group deltas; the base table and the
     * view are never scanned. */
   def aggDeltas(changes: DataFrame, group: String, value: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, floor => ffloor, lit, sum, when}
+    import org.apache.spark.sql.functions.{array, col, explode,
+      floor => ffloor, lit, struct, sum, when}
     def cents(c: org.apache.spark.sql.Column) =
       ffloor(c * 100.0 + 0.5).cast("long")
-    val minus = changes.filter(col("op").isin("delete", "update"))
-      .select(col(s"before_$group").as(group),
-        when(col("op") === "delete", -1L).otherwise(0L).as("dn"),
-        (-cents(col(s"before_$value"))).as("dc"))
-    val plus = changes.filter(col("op").isin("insert", "update"))
-      .select(col(s"after_$group").as(group),
-        when(col("op") === "insert", 1L).otherwise(0L).as("dn"),
-        cents(col(s"after_$value")).as("dc"))
-    // a group-moving update splits into a −1 against the before
-    // group and a +1 against the after group; the 0/0 dn pair above
-    // covers the same-group case, so re-tag moves here
-    val moved = changes.filter(col("op") === "update" &&
-        !(col(s"before_$group") <=> col(s"after_$group")))
-      .select(col(s"before_$group").as(group), lit(-1L).as("dn"),
-        lit(0L).as("dc"))
-      .unionByName(changes.filter(col("op") === "update" &&
-          !(col(s"before_$group") <=> col(s"after_$group")))
-        .select(col(s"after_$group").as(group), lit(1L).as("dn"),
-          lit(0L).as("dc")))
-    minus.unionByName(plus).unionByName(moved)
+    // ONE pass over the change set: each row conditionally emits its
+    // −image, +image, and (for a group-moving update) the −1/+1 move
+    // pair, as entries of an exploded array — the same delta multiset
+    // the previous 4-branch union produced, but the (join-shaped)
+    // change-set plan appears ONCE instead of four times (a19's diff
+    // subtree was planned and executed per branch). A group-moving
+    // update splits into a −1 against the before group and a +1
+    // against the after group; the 0/0 dn pair of the ±images covers
+    // the same-group case.
+    val isMove = col("op") === "update" &&
+      !(col(s"before_$group") <=> col(s"after_$group"))
+    val d = changes.select(explode(array(
+        when(col("op").isin("delete", "update"),
+          struct(col(s"before_$group").as("g"),
+            when(col("op") === "delete", -1L).otherwise(0L).as("dn"),
+            (-cents(col(s"before_$value"))).as("dc"))),
+        when(col("op").isin("insert", "update"),
+          struct(col(s"after_$group").as("g"),
+            when(col("op") === "insert", 1L).otherwise(0L).as("dn"),
+            cents(col(s"after_$value")).as("dc"))),
+        when(isMove, struct(col(s"before_$group").as("g"),
+          lit(-1L).as("dn"), lit(0L).as("dc"))),
+        when(isMove, struct(col(s"after_$group").as("g"),
+          lit(1L).as("dn"), lit(0L).as("dc"))))).as("e"))
+      .filter(col("e").isNotNull)
+    d.select(col("e.g").as(group), col("e.dn").as("dn"), col("e.dc").as("dc"))
       .groupBy(col(group))
       .agg(sum(col("dn")).as("d_n"), sum(col("dc")).as("d_cents"))
       .filter(col("d_n") =!= 0 || col("d_cents") =!= 0)
