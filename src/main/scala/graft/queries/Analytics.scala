@@ -926,19 +926,35 @@ object Analytics {
     SELECT (SELECT count(*) FROM v) AS n_view,
            (SELECT count(*) FROM c) AS n_click,
            (SELECT count(*) FROM p) AS n_purchase""")) { (s, d) =>
-    val e = ev(s, d)
+    // ONE events pass: the old stage-chained form (each stage a join
+    // back to the previous stage's survivors) planned the events scan
+    // 6x - v once, c over e⋈v, p over e⋈c(e⋈v). Per user, ordered by
+    // sec, a RANGE frame ending at -1 sees exactly the rows with
+    // strictly smaller sec, so "min view sec strictly before me"
+    // non-null ⟺ sec > v_sec (the stage predicate), and the same one
+    // frame over qualified clicks gives the purchase stage. The
+    // USING-join null semantics are preserved explicitly: a NULL
+    // user's views still count in n_view (they formed a group), but
+    // NULL users never advance a stage (the join never matched them).
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val staged = ev(s, d)
       .select(col("user_id"), col("event_type"), col("sec"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("sec").as("v_sec"))
-    val c = e.join(v, "user_id")
-      .filter(col("event_type") === "click" && col("sec") > col("v_sec"))
-      .groupBy("user_id").agg(min("sec").as("c_sec"))
-    val p = e.join(c, "user_id")
-      .filter(col("event_type") === "purchase" && col("sec") > col("c_sec"))
-      .groupBy("user_id").agg(min("sec").as("p_sec"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .withColumn("vmin",
+        min(when(col("event_type") === "view", col("sec"))).over(w))
+      .withColumn("click_ok", col("event_type") === "click" &&
+        col("vmin").isNotNull && col("user_id").isNotNull)
+      .withColumn("cmin",
+        min(when(col("click_ok"), col("sec"))).over(w))
+      .groupBy("user_id")
+      .agg(max(col("event_type") === "view").as("has_view"),
+        min(when(col("click_ok"), col("sec"))).as("c_sec"),
+        min(when(col("event_type") === "purchase" &&
+          col("cmin").isNotNull, col("sec"))).as("p_sec"))
+    staged.agg(
+      count(when(col("has_view"), lit(1))).as("n_view"),
+      count(col("c_sec")).as("n_click"),
+      count(col("p_sec")).as("n_purchase"))
   }
 
   // ---- q31: cohort retention matrix ----------------------------------
