@@ -1422,11 +1422,17 @@ object Analytics {
     val pairs = li.groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
         .as("has_r"))
-    val perOrder = pairs.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_supp_r"))
-    pairs.filter(col("has_r") === 1)
-      .join(perOrder, "l_orderkey")
-      .filter(col("n_supp") > 1 && col("n_supp_r") === 1)
+    // per-order supplier counts as UNBOUNDED window aggregates over
+    // the pair table instead of a groupBy + join back: the old form
+    // re-shuffled the pair table twice (once to the per-order agg,
+    // once to co-locate for the join) — the window computes both
+    // counts in the one order-keyed exchange and the join disappears
+    val wOrd = Window.partitionBy("l_orderkey")
+    pairs
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_supp_r", sum(col("has_r")).over(wOrd))
+      .filter(col("has_r") === 1 && col("n_supp") > 1 &&
+        col("n_supp_r") === 1)
       .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey", "s_name")
